@@ -1,0 +1,65 @@
+"""Table catalog for the engine's relational model.
+
+The reference's analytic data model is a flat, de-normalized long-format
+table (weather_mv/loader_pipeline/bq.py:338-386 flattens hypercubes into
+rows; SURVEY.md §1.1-B).  In the Spark build that model is simply a
+DataFrame over columnar parquet — scans get predicate pushdown, column
+pruning and partition pruning from Catalyst for free.
+
+This module loads the driver-provided test tables and registers them as
+temp views so both the DataFrame and SQL surfaces can address them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_nanos_as_long(spark: SparkSession) -> None:
+    # The events table stores TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects unless nanos are surfaced as longs. Runtime-settable,
+    # so apply it to whatever session we were handed.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one test table as a DataFrame with engine-canonical types.
+
+    ``events.ts`` arrives as nanoseconds-since-epoch (long) and is
+    converted to a microsecond timestamp — the identical truncation DuckDB
+    applies, so oracle comparisons line up. The conversion happens *after*
+    the scan node, so pushdown on the remaining columns is unaffected.
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    _ensure_nanos_as_long(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every test table as a temp view for the SQL surface."""
+    for name in tables:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -1,0 +1,131 @@
+"""Geospatial scalar functions.
+
+Re-expresses the reference's geo column synthesis (GeoJSON point/polygon
+per grid cell: weather_mv/loader_pipeline/bq.py:483-563) and its
+city/country → bounding-box predicate rewrite
+(xql/src/xql/where.py:140-171, tables xql/src/xql/constant.py:16-34)
+as Spark Column expressions.
+
+Design: ``geo_point``/``geo_polygon`` are pure functions of
+(lat, lon, resolution). The reference computes them driver-side into a
+lat×lon lookup parquet and broadcast-joins it per row block
+(bq.py:197-238, 344-351). We keep the same *plan shape* — build the
+lookup once with Spark expressions, then ``join(broadcast(geo_df),
+['latitude','longitude'])`` — because at 100 TB the lookup (one row per
+grid cell, ~1M rows for 0.25°) is still tiny next to the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Bounding boxes as (lat_min, lat_max, lon_min, lon_max).
+# Same lookup *shape* as the reference's city/country tables
+# (xql/src/xql/constant.py:16-34); values are public-knowledge bboxes.
+CITY_BBOXES: dict[str, tuple[float, float, float, float]] = {
+    "new york": (40.47, 40.92, -74.26, -73.69),
+    "london": (51.26, 51.70, -0.51, 0.33),
+    "tokyo": (35.52, 35.90, 139.33, 139.92),
+    "mumbai": (18.89, 19.28, 72.77, 73.03),
+    "sydney": (-34.12, -33.57, 150.52, 151.34),
+}
+
+COUNTRY_BBOXES: dict[str, tuple[float, float, float, float]] = {
+    "india": (6.55, 35.67, 68.11, 97.40),
+    "usa": (24.52, 49.38, -124.77, -66.95),
+    "brazil": (-33.75, 5.27, -73.99, -34.79),
+    "australia": (-43.64, -10.67, 113.16, 153.61),
+    "japan": (24.25, 45.52, 122.93, 145.82),
+}
+
+
+def sanitize_longitude(lon: Column) -> Column:
+    """Normalize any longitude into [-180, 180).
+
+    Same arithmetic as the reference (bq.py:219):
+    ``(((lon % 360) + 540) % 360) - 180``. Spark's ``%`` is C-style
+    (sign of dividend), hence the double-mod to force a positive result.
+    """
+    return (((lon % 360) + 540) % 360) - 180
+
+
+def wrap_longitude_0_360(lon: Column) -> Column:
+    """Wrap longitude into [0, 360) — the reference applies this when a
+    dataset's grid uses 0–360 convention (where.py:152-153)."""
+    return ((lon % 360) + 360) % 360
+
+
+def geo_point(lat: Column, lon: Column) -> Column:
+    """GeoJSON Point string for a grid point (bq.py:483-490 semantics:
+    lon sanitized into [-180,180), lat must be in [-90,90]).
+
+    Built entirely from JVM-side expressions (to_json over a struct) —
+    no Python in the loop.
+    """
+    slon = sanitize_longitude(lon)
+    return F.to_json(
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(slon.cast("double"), lat.cast("double")).alias("coordinates"),
+        )
+    )
+
+
+def geo_polygon(lat: Column, lon: Column, lat_res: Column | float, lon_res: Column | float) -> Column:
+    """GeoJSON Polygon string for the grid cell centered at (lat, lon).
+
+    Corner offsets are half the grid resolution per axis (bq.py:493-563
+    semantics): latitude clamped to the poles, longitude wrapped across
+    the antimeridian. Ring is closed (first point repeated) and wound
+    counter-clockwise from the SW corner.
+    """
+    lat_h = (F.lit(lat_res) if not isinstance(lat_res, Column) else lat_res) / 2.0
+    lon_h = (F.lit(lon_res) if not isinstance(lon_res, Column) else lon_res) / 2.0
+    lat_lo = F.greatest(lat - lat_h, F.lit(-90.0))
+    lat_hi = F.least(lat + lat_h, F.lit(90.0))
+    lon_lo = sanitize_longitude(lon - lon_h)
+    lon_hi = sanitize_longitude(lon + lon_h)
+
+    def pt(x: Column, y: Column) -> Column:
+        return F.array(x.cast("double"), y.cast("double"))
+
+    ring = F.array(
+        pt(lon_lo, lat_lo), pt(lon_hi, lat_lo), pt(lon_hi, lat_hi), pt(lon_lo, lat_hi), pt(lon_lo, lat_lo)
+    )
+    return F.to_json(
+        F.struct(F.lit("Polygon").alias("type"), F.array(ring).alias("coordinates"))
+    )
+
+
+def bbox_predicate(lat: Column, lon: Column, bbox: tuple[float, float, float, float]) -> Column:
+    """Conjunctive bbox filter from (lat_min, lat_max, lon_min, lon_max) —
+    the target form of the reference's area filter (bq.py:332-335)."""
+    lat_min, lat_max, lon_min, lon_max = bbox
+    return (lat >= lat_min) & (lat <= lat_max) & (lon >= lon_min) & (lon <= lon_max)
+
+
+def geo_entity_bbox(kind: str, name: str) -> tuple[float, float, float, float]:
+    """Resolve ``city='new york'`` / ``country='india'`` to a bbox — the
+    rewrite the reference applies inside WHERE handling (where.py:140-171).
+    Raises KeyError for unknown entities (mirrors reference behavior of
+    failing the predicate)."""
+    table = CITY_BBOXES if kind == "city" else COUNTRY_BBOXES
+    return table[name.strip().lower()]
+
+
+def build_geo_lookup(
+    spark_df_grid: DataFrame, lat_res: float, lon_res: float
+) -> DataFrame:
+    """Given a DataFrame of distinct (latitude, longitude) grid points,
+    produce the geo lookup table (latitude, longitude, geo_point,
+    geo_polygon) — the Spark-native form of the reference's geo parquet
+    (bq.py:197-238). Intended to be broadcast-joined onto extracted rows.
+    """
+    lat, lon = F.col("latitude"), F.col("longitude")
+    return spark_df_grid.select(
+        "latitude",
+        "longitude",
+        geo_point(lat, lon).alias("geo_point"),
+        geo_polygon(lat, lon, lat_res, lon_res).alias("geo_polygon"),
+    )

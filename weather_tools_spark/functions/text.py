@@ -1,0 +1,102 @@
+"""Text-analysis column functions for training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All pure JVM-side expressions (split / regexp / higher-order array
+functions) — the hot path over a 100 TB documents table must stay inside
+whole-stage codegen, not Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic. Real pipelines plug in fastText etc.; the
+# engine-level contract is "argmax of per-language evidence", which this
+# implements deterministically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "pas"),
+    "es": ("el", "los", "las", "y", "no"),
+}
+
+
+def word_tokens(text: Column) -> Column:
+    """Whitespace tokenization (regex-based so repeated spaces are safe)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(word_tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token proxy: count word-and-punctuation units, the standard
+    pre-tokenizer regex family."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = word_tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    toks = word_tokens(text)
+    lst = ", ".join(f"'{s}'" for s in stopwords)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    _ = lst  # stopwords inlined via isin; lst kept for SQL-surface parity docs
+    return hits.cast("double") / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[\w\s]+", ""))
+    return n_punct.cast("double") / F.length(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document-quality score in [0,1]: rewards moderate length
+    and real-word structure, penalizes punctuation soup — the standard
+    shape of cheap quality filters in data pipelines."""
+    ntok = token_count(text)
+    length_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    alpha_ratio = 1.0 - punct_ratio(text)
+    stop = stopword_ratio(text)
+    stop_score = F.least(stop * 5.0, F.lit(1.0))
+    return F.round((length_score + alpha_ratio + stop_score) / 3.0, 6)
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    # NB: a plain closure, not a default-arg lambda — a two-parameter
+    # lambda would be interpreted by Spark as the (element, index) form.
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts."""
+    toks = word_tokens(text)
+    return {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; 'und' (undetermined) when no
+    markers hit. Deterministic tie-break by language code order."""
+    scores = lang_scores(text)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # later entries win only on strict >
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical content fingerprint: sorted distinct tokens, md5'd — a
+    set-normalized document key (token-order-insensitive)."""
+    toks = F.array_sort(F.array_distinct(word_tokens(F.lower(text))))
+    return F.md5(F.concat_ws(" ", toks))

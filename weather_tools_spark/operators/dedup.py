@@ -1,0 +1,281 @@
+"""Document deduplication operators for large-scale training-data
+pipelines: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All four are pure JVM-side column expressions / relational compositions —
+no Python UDFs — so they stay inside whole-stage codegen and scale as
+ordinary shuffles:
+
+- *exact*: md5 of (optionally normalized) text → groupBy hash. One
+  map-side-combinable aggregation.
+- *n-gram Jaccard* (exact pairwise): explode distinct word shingles,
+  equi-join on shingle, count intersections, |A∪B| = |A|+|B|−|∩|.
+  At 100 TB the shingle join must drop ultra-frequent shingles first
+  (they generate quadratic candidate blowup); ``max_shingle_df`` does
+  that — identical to the "common shingle" guard in MinHash literature.
+- *MinHash+LSH* (approximate): K xxhash64 min-signatures per doc,
+  banded into B bands of R rows; docs sharing any band bucket become
+  candidate pairs; pair similarity estimated from signature agreement.
+  Shuffle volume is O(docs × B), never O(docs²).
+- *SimHash*: 64-bit sign-aggregated token-hash fingerprint; candidate
+  pairs via 4×16-bit band pigeonholing (any pair within Hamming
+  distance ≤3 shares at least one of 4 bands), verified with
+  bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling expressions (shared)
+# ---------------------------------------------------------------------------
+
+
+def tokens_expr(text_col: str) -> F.Column:
+    """Whitespace tokenization as a column expression."""
+    return F.split(F.col(text_col), r"\s+")
+
+
+def shingles_sql(tokens_sql: str, n: int = 3) -> str:
+    """SQL expression producing the distinct n-gram word shingles of a
+    token array (empty array when fewer than n tokens)."""
+    parts = ", ".join(f"{tokens_sql}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN size({tokens_sql}) >= {n} "
+        f"THEN array_distinct(transform(sequence(0, size({tokens_sql}) - {n}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE array() END"
+    )
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles array) — the base for every similarity-style dedup."""
+    return df.select(
+        F.col(id_col),
+        F.expr(shingles_sql(f"split({text_col}, '\\\\s+')", n)).alias("shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text_col: str) -> F.Column:
+    """Canonicalization for near-exact dedup: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str, normalized: bool = False) -> DataFrame:
+    """Group documents by content hash; keep the minimum id as the
+    canonical representative. Returns (content_hash, keep_id, n_members).
+    """
+    text = normalize_text(text_col) if normalized else F.col(text_col)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(text).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact pairwise n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (doc_a < doc_b) with n-gram Jaccard ≥ threshold.
+
+    ``max_shingle_df`` (document frequency cap) prunes shingles occurring
+    in more than that many docs before the pair join — the standard guard
+    against quadratic blowup on boilerplate shingles at scale.
+    """
+    sh = with_shingles(df, id_col, text_col, n)
+    exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        exploded = exploded.join(rare, "s")
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}) — per-doc MinHash signature.
+
+    Each component is ``min(xxhash64(shingle, seed_i))`` computed with
+    ``array_min(transform(...))`` — evaluated inline per row, no explode,
+    no shuffle until the caller aggregates.
+    Docs with no shingles get NULL components and drop out of LSH.
+    """
+    sh = with_shingles(df, id_col, text_col, n)
+    sigs = [
+        F.expr(f"array_min(transform(shingles, s -> xxhash64(s, {i})))").alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.select(F.col("doc_id"), *sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded LSH over MinHash signatures, scored by
+    signature-agreement fraction (unbiased Jaccard estimate), filtered at
+    ``threshold``. Returns (doc_a, doc_b, est_jaccard).
+
+    Shuffle analysis: one narrow stage computes signatures, then an
+    explode to B=``bands`` rows/doc, a groupBy on (band, bucket) — this is
+    the only data-dependent shuffle and it is O(docs×B) — and a
+    self-join restricted to bucket groups. No O(n²) stage exists.
+    """
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n).filter(F.col("sig_0").isNotNull())
+    band_cols = [
+        F.xxhash64(*[F.col(f"sig_{b * rows + r}") for r in range(rows)], F.lit(b)).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *[F.col(f"sig_{i}") for i in range(k)], *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        *[F.col(f"sig_{i}") for i in range(k)],
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("doc_id", *[F.col(f"sig_{i}") for i in range(k)], F.col("bb.band"), F.col("bb.bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}"), 1).otherwise(0) for i in range(k)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+        )
+        .distinct()
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_expr(tokens: F.Column) -> F.Column:
+    """64-bit SimHash of a token array as a single JVM expression tree.
+
+    For each bit b: sum over tokens of ±1 according to bit b of the
+    token's xxhash64; the fingerprint sets bit b iff the sum is positive.
+    Expressed with aggregate() over the token array — linear in tokens,
+    no shuffle, no Python.
+    """
+    def bit_sum(b: int) -> F.Column:
+        # contribution of each token to bit b: +1 if hash bit set else -1
+        # (closure per bit — a default-arg lambda would be misread by
+        # Spark as the two-parameter (element, index) lambda form)
+        return F.aggregate(
+            tokens,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_terms = [
+        F.when(bit_sum(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 16-bit
+    bands (pigeonhole guarantee for Hamming ≤ 3), verified exactly with
+    bit_count(xor). Returns (doc_a, doc_b, hamming)."""
+    fp = df.select(F.col(id_col).alias("doc_id"), simhash_expr(tokens_expr(text_col)).alias("simhash"))
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band"), F.col("bb.key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring what a 100 TB training-data pipeline needs:
+
+- ``cosine_topk``: exact brute-force top-k — broadcast the (small) query
+  set against the corpus; dot products run as JVM higher-order functions
+  (zip_with + aggregate) in whole-stage codegen, ranking via a window
+  partitioned by query id. Corpus-side work is embarrassingly parallel;
+  the only shuffle is the per-query top-k (tiny).
+- ``lsh_topk``: approximate ANN via random-hyperplane (sign) LSH —
+  bucket corpus and queries by a b-bit signature, search only matching
+  buckets (plus optional multi-probe by Hamming-1 neighbors). Candidate
+  generation is an equi-join on the bucket key: O(n) shuffle, no n².
+
+Embeddings are cast to double before arithmetic so results are stable
+and comparable with the DuckDB oracle's double-precision list functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Returns (query_id, neighbor_id, cosine, rk). Self-matches excluded.
+    ``queries`` is expected to be small (it is broadcast)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH (fixed seed so runs
+    and tests are reproducible)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def _bucket_expr(vec: F.Column, planes: list[list[float]]) -> F.Column:
+    """b-bit sign signature of a vector under the given hyperplanes, as a
+    single long — pure JVM expression (aggregate over the zipped arrays)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(w) for w in plane]), lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    and its Hamming-1 neighbor buckets (multi-probe), then exact cosine
+    rank within candidates. Returns (query_id, neighbor_id, cosine, rk)."""
+    planes = hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    ).withColumn("bucket", _bucket_expr(F.col("c_vec"), planes))
+    # multi-probe: each query probes its own bucket + all Hamming-1 buckets
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("q_bucket", _bucket_expr(F.col("q_vec"), planes))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("q_bucket"),
+                    *[F.col("q_bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
+                )
+            ),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias(
+                "cosine"
+            ),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

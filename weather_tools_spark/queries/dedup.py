@@ -1,0 +1,112 @@
+"""Deduplication queries over the documents table.
+
+Exact and exact-pairwise-Jaccard variants are oracle-checked against
+DuckDB; MinHash-LSH and SimHash are approximate/hash-seeded operators
+with no faithful ANSI-SQL equivalent, so they are registered without an
+oracle (driver records the rows-only check) and additionally covered by
+unit tests asserting they recover the exact-Jaccard planted pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.operators import dedup as D
+from weather_tools_spark.queries import register
+
+
+@register(
+    "dedup_exact_canonical",
+    oracle="""
+    WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    groups AS (SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_members
+               FROM hashed GROUP BY content_hash)
+    SELECT h.doc_id, g.keep_id, g.n_members
+    FROM hashed h JOIN groups g USING (content_hash)
+    ORDER BY h.doc_id
+    """,
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash → group → canonical representative mapping
+    (keep-min-id policy). One map-combinable aggregation + broadcast-back."""
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    groups = D.exact_dedup_groups(docs, "doc_id", "text")
+    return (
+        hashed.join(groups, "content_hash")
+        .select("doc_id", "keep_id", "n_members")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+      FROM documents)
+    SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_members
+    FROM hashed GROUP BY content_hash
+    ORDER BY keep_id
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonicalization (lowercase + whitespace collapse
+    + trim) — catches trivially-reformatted duplicates."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.exact_dedup_groups(docs, "doc_id", "text", normalized=True).orderBy("keep_id")
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+           FROM toks),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(1.0 * n_inter / (ca.n + cb.n - n_inter), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE 1.0 * n_inter / (ca.n + cb.n - n_inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard ≥ 0.5 via shingle equi-join — the
+    ground truth the approximate dedups are validated against."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+@register("dedup_minhash_lsh_pairs")  # approximate → rows-only check
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(K=16)+LSH(4 bands × 4 rows) near-dup candidates with
+    signature-estimated Jaccard ≥ 0.5. Deterministic (fixed hash seeds)
+    but not ANSI-SQL-expressible → no oracle; recall vs. the exact
+    Jaccard pairs is asserted in tests/test_dedup.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        D.minhash_lsh_pairs(docs, "doc_id", "text", k=16, bands=4, threshold=0.5)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_simhash_pairs")  # approximate → rows-only check
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (banded
+    candidates, exact bit_count verification)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("doc_a", "doc_b")

@@ -1,0 +1,210 @@
+"""Event-stream operators evaluated in batch form over the events table.
+
+The reference's streaming surface is fixed 1-minute windows on event
+time plus random-key sharding (weather_mv/loader_pipeline/streaming.py:
+44-55, bq.py:421; SURVEY.md §2.9) — no watermarks, sessions or stateful
+operators. The Spark build provides the batch-equivalent plans here
+(hash-checked against the oracle) and the true Structured Streaming
+versions in ``weather_tools_spark.streaming.events`` (exercised in
+tests; streaming and batch share the same transformation functions, so
+the checked semantics carry over).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.queries import register
+
+
+@register(
+    "events_minute_window_agg",
+    oracle="""
+    SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_minute_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 1-minute event-time windows (streaming.py:44-55 semantics).
+    Uses Spark's ``window()`` — identical aligned-to-epoch bucketing to
+    the streaming plan; batch and stream share this expression."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp"))
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT user_id,
+           sum(is_new) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-minute inactivity gap) via lag + flag-sum — the
+    batch form of ``session_window``; an operator the reference lacks
+    entirely (SURVEY.md §2.9)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_json_props_extract",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 6) AS avg_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON props column — the engine
+    treats JSON payloads as first-class (the reference stores selection
+    dicts as JSON, manifest.py:465-466). regexp path keeps both engines
+    on identical semantics."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.avg(k), 6).alias("avg_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_type_share_by_day",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, count(*) AS n
+      FROM events GROUP BY d, event_type
+    )
+    SELECT d, event_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY d), 6) AS day_share
+    FROM daily
+    ORDER BY d, event_type
+    """,
+)
+def events_type_share_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + windowed ratio-to-total (partial agg first, then a
+    window over the already-small aggregated frame — cheap at any scale)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("d")
+    return (
+        daily.select(
+            "d",
+            "event_type",
+            "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("day_share"),
+        )
+        .orderBy("d", "event_type")
+    )
+
+
+@register(
+    "events_asof_join_orders",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           o.o_orderkey AS last_orderkey,
+           strftime(o.o_shifted, '%Y-%m-%d') AS last_orderdate
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN (SELECT max(o_orderkey) AS o_orderkey, o_custkey,
+                           o_orderdate + INTERVAL 29 YEAR AS o_shifted
+                    FROM orders
+                    GROUP BY o_custkey, o_shifted) o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_shifted
+    ORDER BY e.event_id
+    """,
+)
+def events_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks the latest order of the same
+    user at-or-before the event time (order dates shifted into the events'
+    epoch so the ranges overlap). Spark lacks a native as-of join
+    (SURVEY.md §2.3); implemented as union-tag + window last_value — a
+    single shuffle on the join key, no per-row subquery, scales linearly.
+    DuckDB's native ASOF JOIN is the oracle.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "purchase")
+    # De-dup right side on (key, time) so the as-of winner is
+    # deterministic on both engines (ties otherwise engine-dependent).
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 29 YEAR")).alias("o_shifted"),
+        )
+        .groupBy("o_custkey", "o_shifted")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    from weather_tools_spark.operators.asof import asof_join_left
+
+    joined = asof_join_left(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        left_on="ts",
+        right_on="o_shifted",
+        left_by="user_id",
+        right_by="o_custkey",
+        right_payload={"o_orderkey": "last_orderkey", "o_shifted": "last_shifted"},
+    )
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            F.col("last_orderkey"),
+            F.date_format(F.col("last_shifted"), "yyyy-MM-dd").alias("last_orderdate"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,0 +1,174 @@
+"""Pipeline operators from the weather-dl side of the reference,
+re-expressed relationally and oracle-checked.
+
+- Cartesian partition fan-out over selection keys + target-path
+  templating (weather_dl/download_pipeline/partition.py:164-207,
+  parsers.py:482-487) → crossJoin of tiny literal dimension frames +
+  format_string, with round-robin license assignment
+  (partition.py:67-90) as ``row_number % n``.
+- Manifest last-writer-wins upsert (manifest.py:546-561 BigQuery MERGE
+  keyed by location) → window `row_number` over an update stream; the
+  driver's events table stands in as the update stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.queries import register
+
+_YEARS = [2016, 2017]
+_MONTHS = [1]
+_DAYS = [1, 15]
+_LEVELS = [500, 850]
+_N_LICENSES = 3
+
+
+@register(
+    "dl_partition_fanout",
+    oracle=f"""
+    WITH y AS (SELECT unnest([{", ".join(map(str, _YEARS))}]) AS year),
+         m AS (SELECT unnest([{", ".join(map(str, _MONTHS))}]) AS month),
+         d AS (SELECT unnest([{", ".join(map(str, _DAYS))}]) AS day),
+         p AS (SELECT unnest([{", ".join(map(str, _LEVELS))}]) AS pressure_level),
+    fanout AS (
+      SELECT year, month, day, pressure_level,
+             printf('era5-%04d%02d%02d-pressure-%d.nc', year, month, day, pressure_level) AS target
+      FROM y CROSS JOIN m CROSS JOIN d CROSS JOIN p
+    )
+    SELECT year, month, day, pressure_level, target,
+           CAST((row_number() OVER (ORDER BY year, month, day, pressure_level) - 1)
+                % {_N_LICENSES} AS BIGINT) AS license_slot
+    FROM fanout
+    ORDER BY year, month, day, pressure_level
+    """,
+)
+def dl_partition_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition fan-out: Cartesian product of selection-key values →
+    one row per download partition, with the formatted target path and a
+    round-robin license slot.
+
+    Implementation note: built as a chain of explode()s over literal
+    arrays on a single-partition seed frame — NOT as crossJoin of
+    multi-partition frames. A k-way crossJoin of default-parallelism
+    frames multiplies task counts (32^k tasks for literal-sized inputs);
+    chained explode keeps the product in one narrow stage, and the
+    result can be repartitioned to fan work out when the product is
+    actually large."""
+
+    def lits(vals: list[int]) -> F.Column:
+        return F.array(*[F.lit(v) for v in vals])
+
+    fanout = (
+        spark.range(1)
+        .coalesce(1)
+        .select(F.explode(lits(_YEARS)).alias("year"))
+        .select("year", F.explode(lits(_MONTHS)).alias("month"))
+        .select("year", "month", F.explode(lits(_DAYS)).alias("day"))
+        .select("year", "month", "day", F.explode(lits(_LEVELS)).alias("pressure_level"))
+        .withColumn(
+            "target",
+            F.format_string(
+                "era5-%04d%02d%02d-pressure-%d.nc",
+                F.col("year"), F.col("month"), F.col("day"), F.col("pressure_level"),
+            ),
+        )
+    )
+    w = W.orderBy("year", "month", "day", "pressure_level")
+    return (
+        fanout.withColumn(
+            "license_slot", ((F.row_number().over(w) - 1) % _N_LICENSES).cast("bigint")
+        )
+        .orderBy("year", "month", "day", "pressure_level")
+    )
+
+
+@register(
+    "manifest_latest_state",
+    oracle="""
+    WITH updates AS (
+      SELECT 'loc_' || CAST(user_id % 50 AS VARCHAR) AS location,
+             event_type AS status,
+             ts, event_id, value
+      FROM events
+    ),
+    ranked AS (
+      SELECT location, status, ts, event_id, value,
+             row_number() OVER (PARTITION BY location
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM updates
+    )
+    SELECT location, status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS updated_at,
+           round(value, 4) AS size
+    FROM ranked WHERE rk = 1
+    ORDER BY location
+    """,
+)
+def manifest_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest upsert (last-writer-wins MERGE keyed by location): the
+    final state after replaying an update stream is `row_number()=1` per
+    key by descending (ts, id) — one shuffle on the merge key; identical
+    result to applying per-row MERGEs in order."""
+    ev = load_table(spark, "events", sf_dir)
+    updates = ev.select(
+        F.concat(F.lit("loc_"), (F.col("user_id") % 50).cast("string")).alias("location"),
+        F.col("event_type").alias("status"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = W.partitionBy("location").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        updates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "location",
+            "status",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
+            F.round("value", 4).alias("size"),
+        )
+        .orderBy("location")
+    )
+
+
+@register(
+    "mars_range_expansion",
+    oracle="""
+    WITH dates AS (
+      SELECT unnest(generate_series(DATE '2020-01-07', DATE '2020-01-14', INTERVAL 2 DAY)) AS dt
+    ),
+    levels AS (SELECT unnest(generate_series(10, 12, 1)) AS level)
+    SELECT strftime(dt, '%Y-%m-%d') AS date_str, CAST(level AS BIGINT) AS level
+    FROM dates CROSS JOIN levels
+    ORDER BY date_str, level
+    """,
+)
+def mars_range_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARS-style range expansion (`start/to/end/by/step` for dates and
+    ints — parsers.py:238-325 semantics) done with sequence() + explode —
+    config-time fan-out as a relational operator."""
+    # chained explode on a single-partition seed (see dl_partition_fanout
+    # note on why not crossJoin for literal-sized dimensions)
+    return (
+        spark.range(1)
+        .coalesce(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2020-01-07").cast("date"),
+                    F.lit("2020-01-14").cast("date"),
+                    F.expr("INTERVAL 2 DAY"),
+                )
+            ).alias("dt")
+        )
+        .select("dt", F.explode(F.sequence(F.lit(10), F.lit(12), F.lit(1))).alias("level"))
+        .select(
+            F.date_format("dt", "yyyy-MM-dd").alias("date_str"),
+            F.col("level").cast("bigint").alias("level"),
+        )
+        .orderBy("date_str", "level")
+    )

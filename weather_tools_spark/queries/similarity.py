@@ -1,0 +1,87 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.operators import similarity as S
+from weather_tools_spark.queries import register
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.q_vec, c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors — the ANN
+    baseline. Oracle: DuckDB list_dot_product in double precision."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    ).orderBy("query_id", "rk")
+
+
+@register("sim_lsh_ann_topk")  # approximate → rows-only check
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via 8-bit sign-LSH with Hamming-1 multi-probe, exact
+    re-rank inside candidate buckets. Deterministic (seeded planes) but
+    approximate → no SQL oracle; recall vs. brute force asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.lsh_topk(emb, queries, k=5, bits=8, dim=64, seed=42)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    ).orderBy("query_id", "rk")
+
+
+@register(
+    "sim_label_centroid_distance",
+    oracle="""
+    WITH comp AS (
+      SELECT label, g.i AS pos, embedding[g.i]::DOUBLE AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g
+    ),
+    cent AS (SELECT label, pos, avg(x) AS m FROM comp GROUP BY label, pos)
+    SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+    FROM cent GROUP BY label ORDER BY label
+    """,
+)
+def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 norm — grouped vector aggregation via
+    posexplode + per-component avg (the scalable layout for vector
+    aggregation: component rows shuffle on (label, pos), no driver
+    collection)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    cent = comp.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return (
+        cent.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
+        .orderBy("label")
+    )

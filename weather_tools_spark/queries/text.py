@@ -1,0 +1,173 @@
+"""Text-analysis queries over the documents table (language ID, quality
+scoring, token counting, fingerprinting) — each mirrored in portable SQL
+for the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.functions import text as TX
+from weather_tools_spark.queries import register
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(text) AS n_chars_actual
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 6) AS avg_tokens,
+           round(avg(n_chars_actual), 6) AS avg_chars
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) aggregated per source — the
+    core 'how many tokens is this corpus' pipeline query."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "source",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("n_chars_actual"), 6).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             length(regexp_replace(text, '[\\w\\s]+', '', 'g')) * 1.0 / length(text) AS punct_ratio
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             least(len(toks) / 100.0, 1.0) AS length_score,
+             1.0 - punct_ratio AS alpha_ratio,
+             least(len(list_filter(toks, x -> x IN ('the','a','of','and','to')))
+                   * 1.0 / len(toks) * 5.0, 1.0) AS stop_score
+      FROM t
+    )
+    SELECT doc_id,
+           round((length_score + alpha_ratio + stop_score) / 3.0, 6) AS quality
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document heuristic quality score (length / punctuation /
+    stopword evidence blend)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_distribution",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('el','los','las','y','no'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','pas'))) AS s_fr
+      FROM t
+    ),
+    lid AS (
+      -- argmax with alphabetical-first tie-break, 'und' when all zero
+      SELECT doc_id,
+        CASE
+          WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_es >= s_fr THEN 'es'
+          ELSE 'fr'
+        END AS lang_pred
+      FROM s
+    )
+    SELECT lang_pred, count(*) AS n FROM lid GROUP BY lang_pred ORDER BY lang_pred
+    """,
+)
+def text_langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (argmax with alphabetical-order
+    tie-break: a later language wins only on a strictly greater score),
+    aggregated to a corpus language distribution."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(TX.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+@register(
+    "text_fingerprint_groups",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+                  regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_members
+    FROM fp GROUP BY fingerprint
+    HAVING count(*) > 1
+    ORDER BY keep_id
+    """,
+)
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup groups (order-insensitive content
+    key): documents that are token-set-identical."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .orderBy("keep_id")
+    )
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length histogram (100-char buckets) — corpus profiling."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(
+            (F.floor(F.col("n_chars") / 100) * 100).cast("bigint").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+        .orderBy("bucket")
+    )

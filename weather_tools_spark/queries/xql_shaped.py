@@ -1,0 +1,245 @@
+"""Queries in the exact shapes xql answers (SURVEY.md §3.1, FIXTURES.md §4).
+
+The reference's query surface is: projection + conjunctive coordinate
+ranges, time-bucket GROUP BY (daily/monthly/yearly via strftime —
+xql/src/xql/apply.py:56-60,134), multi-aggregate output columns named
+``{func}_{var}`` (apply.py:155), whole-table aggregates (apply.py:296-299),
+ORDER BY/LIMIT/OFFSET (apply.py:326-364), and city/country→bbox predicate
+rewriting (where.py:140-171). Disjunctive WHERE is *broken* in the
+reference (only the first DNF term runs — where.py:237-238); here OR is
+correct because Catalyst evaluates the whole predicate.
+
+The driver's ``events`` table stands in for the weather long-format
+table: ``ts`` is the time coordinate, ``value`` a data variable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.functions.geo import bbox_predicate, geo_entity_bbox
+from weather_tools_spark.queries import register
+
+
+@register(
+    "xql_select_filter_range",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+      AND value >= 150.0
+    ORDER BY event_id
+    """,
+)
+def xql_select_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive range filter — xql query shape #1
+    (FIXTURES.md §4.1). Both predicates push down to the parquet scan."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            & (F.col("value") >= 150.0)
+        )
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "xql_daily_avg",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS time_date,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY time_date
+    ORDER BY time_date
+    """,
+)
+def xql_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-bucket aggregate — the reference's flagship query shape
+    (`SELECT AVG(x) ... GROUP BY time_date`, apply.py:132-156; bucket
+    format apply.py:56-60). Output column named ``{func}_{var}``
+    (apply.py:155)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("time_date"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("time_date")
+    )
+
+
+@register(
+    "xql_monthly_multi_agg",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS time_month,
+           round(avg(value), 6) AS avg_value,
+           round(sum(value), 4) AS sum_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           count(*) AS n
+    FROM events
+    GROUP BY time_month
+    ORDER BY time_month
+    """,
+)
+def xql_monthly_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly bucket + multiple aggregate functions per query
+    (apply.py:142-156), output names ``{func}_{var}``."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM").alias("time_month"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("time_month")
+    )
+
+
+@register(
+    "xql_yearly_bucket_by_type",
+    oracle="""
+    SELECT strftime(ts, '%Y') AS time_year,
+           event_type,
+           round(sum(value), 4) AS sum_value,
+           round(avg(user_id), 6) AS avg_user_id
+    FROM events
+    GROUP BY time_year, event_type
+    ORDER BY time_year, event_type
+    """,
+)
+def xql_yearly_bucket_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly bucket + secondary group key; the non-grouped numeric
+    coordinate (user_id) is aggregated away — the reference's implicit
+    'squeeze' semantics (apply.py:205-222) made explicit."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy").alias("time_year"), F.col("event_type"))
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("user_id"), 6).alias("avg_user_id"),
+        )
+        .orderBy("time_year", "event_type")
+    )
+
+
+@register(
+    "xql_whole_table_agg",
+    oracle="""
+    SELECT round(avg(value), 6) AS avg_value,
+           round(sum(value), 4) AS sum_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           count(*) AS n
+    FROM events
+    """,
+)
+def xql_whole_table_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate without GROUP BY — whole-table reduction (apply.py:296-299)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "xql_where_or",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE (event_type = 'purchase' AND value > 150.0)
+       OR (event_type = 'error' AND value < 50.0)
+       OR ts >= TIMESTAMP '2024-01-30 00:00:00'
+    ORDER BY event_id
+    """,
+)
+def xql_where_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive WHERE — the reference only evaluates the first DNF term
+    (where.py:237-238, an acknowledged TODO); this engine computes the
+    correct union via ordinary boolean evaluation in Catalyst."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.filter(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 150.0))
+            | ((F.col("event_type") == "error") & (F.col("value") < 50.0))
+            | (F.col("ts") >= F.lit("2024-01-30 00:00:00").cast("timestamp"))
+        )
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "xql_orderby_limit_offset",
+    oracle="""
+    SELECT event_id, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 15 OFFSET 10
+    """,
+)
+def xql_orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY multi-key + LIMIT/OFFSET, distributed (vs. the reference's
+    driver-side pandas sort, apply.py:326-364)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select("event_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .offset(10)
+        .limit(15)
+    )
+
+
+# city-bbox rewrite: inline the same constants into both the Spark plan
+# and the oracle SQL, exactly as the engine's SQL surface does.
+_NY = geo_entity_bbox("city", "new york")
+
+
+@register(
+    "xql_city_bbox_rewrite",
+    oracle=f"""
+    WITH geo AS (
+      SELECT event_id, event_type, value,
+             (user_id % 180) - 90.0 + 0.25  AS latitude,
+             (event_id % 360) - 180.0 + 0.5 AS longitude
+      FROM events
+    )
+    SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM geo
+    WHERE latitude  >= {_NY[0]} AND latitude  <= {_NY[1]}
+      AND longitude >= {_NY[2]} AND longitude <= {_NY[3]}
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def xql_city_bbox_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``city = 'new york'`` → bbox conjunction rewrite (where.py:140-171,
+    tables constant.py:16-34). Synthetic lat/lon are derived from integer
+    keys (exact arithmetic on both engines) since the driver tables carry
+    no coordinates; the rewrite itself — entity name → bbox literals at
+    plan-build time — is the operator under test."""
+    ev = load_table(spark, "events", sf_dir)
+    geo = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        ((F.col("user_id") % 180) - 90.0 + 0.25).alias("latitude"),
+        ((F.col("event_id") % 360) - 180.0 + 0.5).alias("longitude"),
+    )
+    return (
+        geo.filter(bbox_predicate(F.col("latitude"), F.col("longitude"), _NY))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,109 @@
+"""Structured Streaming pipelines for the events stream.
+
+Reference semantics re-expressed (SURVEY.md §2.9):
+- fixed 1-minute event-time windows (streaming.py:44-55, bq.py:421)
+  → ``window(ts, "1 minute")`` groupBy;
+- random-key sharding for parallelism (streaming.py:50-54)
+  → ``repartition(num_shards)`` (Spark's shuffle already load-balances;
+  the explicit repartition exists for sink-rate control);
+- per-element import time recomputed in streaming mode (bq.py:325-327,
+  pipeline.py:182-184) → ``current_timestamp()`` column;
+- streaming path filter (fnmatch on URI — streaming.py:95-100)
+  → ``filter(col.like(...))``.
+
+Engine additions beyond the reference: watermarks for late data and
+session windows (``session_window``), both absent upstream.
+
+The same transformation functions run identically over batch frames —
+that is how the driver's oracle checks cover the streaming semantics
+(see queries/events.py) while tests here exercise the actual
+``readStream``/``writeStream`` machinery with the file source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (parquet TIMESTAMP(NANOS))
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based streaming source over the events parquet directory —
+    the local stand-in for the reference's Pub/Sub OBJECT_FINALIZE source
+    (pipeline.py:62-70); on a cluster this becomes a Kafka/cloud-files
+    source with the same downstream plan."""
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def with_import_time(df: DataFrame) -> DataFrame:
+    """Streaming-mode import time: recomputed per element at processing
+    time (bq.py:325-327 semantics)."""
+    return df.withColumn("data_import_time", F.current_timestamp())
+
+
+def minute_window_counts(df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Fixed 1-minute event-time windows with late-data watermark (the
+    watermark is an engine addition; the reference drops late data
+    semantics entirely)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(df: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows with an inactivity gap — stateful
+    streaming the reference has no analog for (SURVEY.md §2.9)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, agg: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming frame to completion synchronously against the
+    in-memory sink (test harness path)."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
