@@ -1,0 +1,82 @@
+"""Approximate-operator quality gates: MinHash-LSH and SimHash recall
+against the exact-Jaccard ground truth; LSH-ANN recall against
+brute-force cosine top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.operators import dedup as D
+from weather_tools_spark.operators import similarity as S
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", k=16, bands=4, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} below gate"
+
+
+def test_simhash_finds_planted_dups(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    sim = {(r.doc_a, r.doc_b) for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert exact
+    overlap = len(exact & sim) / len(exact)
+    assert overlap >= 0.5, f"simhash overlap with exact dups {overlap:.2f} below gate"
+
+
+def test_exact_dedup_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    raw = D.exact_dedup_groups(df, "doc_id", "text").collect()
+    assert len(raw) == 3  # no raw dups
+    norm = D.exact_dedup_groups(df, "doc_id", "text", normalized=True).collect()
+    assert len(norm) == 2  # 1 and 2 collapse
+    g = {r.keep_id: r.n_members for r in norm}
+    assert g[1] == 2
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random (unclustered) 64-dim data is the worst case for LSH; the
+    # gate guards against the operator degenerating
+    assert recall >= 0.5, f"ANN recall {recall:.2f} below gate"
+
+
+def test_lsh_ann_exact_within_bucket(spark, sf_dir):
+    # every ANN cosine must equal the brute-force cosine for that pair
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in S.cosine_topk(emb, queries, k=500).collect()
+    }
+    for r in S.lsh_topk(emb, queries, k=5).collect():
+        want = bf.get((r.query_id, r.neighbor_id))
+        if want is not None:
+            assert abs(r.cosine - want) < 1e-9

@@ -1,0 +1,119 @@
+"""Hypercube ingest: decode plumbing, projection matching, GRIB name
+normalization goldens, geo attachment, zarr chunk pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_tools_spark.sources import hypercube as H
+from weather_tools_spark.sources import zarr_scan as Z
+
+
+def test_normalized_var_name_goldens():
+    # reference rule sinks.py:302-306: >=10 → {:.0f}; <10 → {:.2f} with '.'→'_'
+    assert H.normalized_var_name("isobaricInhPa", 500.0, "instant", "z") == "isobaricInhPa_500_instant_z"
+    assert H.normalized_var_name("isobaricInhPa", 850.0, "instant", "t") == "isobaricInhPa_850_instant_t"
+    assert H.normalized_var_name("surface", 0.0, "instant", "t2m") == "surface_0_00_instant_t2m"
+    assert H.normalized_var_name("heightAboveGround", 2.0, "instant", "d2m") == "heightAboveGround_2_00_instant_d2m"
+    assert H.normalized_var_name("depthBelowLand", 1.5, "instant", "stl1") == "depthBelowLand_1_50_instant_stl1"
+    assert H.normalized_var_name("heightAboveGround", 10.6, "instant", "u") == "heightAboveGround_11_instant_u"
+
+
+def test_variable_projection_matching():
+    assert H.matches_variable("d2m", "d2m")
+    assert H.matches_variable("surface_0_00_instant_t2m", "t2m")  # suffix
+    assert H.matches_variable("t2m_something", "t2m")  # prefix
+    assert not H.matches_variable("xt2m", "t2m")
+
+
+def test_ingest_fake_grid(spark):
+    uris = ["mem://a.nc", "mem://b.nc"]
+    df = H.ingest(spark, uris)
+    # 2 files × 3 times × 5 lats × 5 lons
+    assert df.count() == 2 * 3 * 5 * 5
+    assert set(df.columns) >= {"time", "latitude", "longitude", "d2m", "data_uri", "data_first_step"}
+    firsts = df.select("data_uri", "data_first_step").distinct().collect()
+    assert len(firsts) == 2  # per-file first step recorded
+
+
+def test_ingest_area_and_time_filter(spark):
+    opts = H.IngestOptions(area=(48.0, -107.0, 46.0, -105.0), start_time="2018-01-02 12:00:00")
+    df = H.ingest(spark, ["mem://a.nc"], opts)
+    rows = df.collect()
+    assert all(46.0 <= r.latitude <= 48.0 for r in rows)
+    assert all(-107.0 <= r.longitude <= -105.0 for r in rows)
+    assert all(r.time.hour >= 12 for r in rows)
+    # 2 remaining times × 3 lats × 3 lons
+    assert len(rows) == 2 * 3 * 3
+
+
+def test_ingest_variable_projection(spark):
+    df = H.ingest(spark, ["mem://a.nc"], H.IngestOptions(variables=["d2m"]))
+    assert "d2m" in df.columns and "u10" not in df.columns
+
+
+def test_attach_geo(spark):
+    df = H.ingest(spark, ["mem://a.nc"])
+    geo = H.attach_geo(df, lat_res=1.0, lon_res=1.0)
+    row = geo.filter((F.col("latitude") == 49.0) & (F.col("longitude") == -108.0)).first()
+    assert '"type":"Point"' in row.geo_point.replace(" ", "")
+    assert "-108.0" in row.geo_point and "49.0" in row.geo_point
+    assert '"type":"Polygon"' in row.geo_polygon.replace(" ", "")
+
+
+def test_with_system_columns(spark):
+    df = H.ingest(spark, ["mem://a.nc"])
+    out = H.with_system_columns(df, import_time="1970-01-01 00:00:00")
+    assert out.select(F.min("data_import_time")).first()[0].year == 1970
+
+
+def _meta() -> Z.ChunkedDatasetMeta:
+    import pandas as pd
+
+    times = [str(t) for t in pd.date_range("2018-01-01", periods=48, freq="h")]
+    lats = [49.0 - i for i in range(8)]  # descending
+    lons = [-108.0 + i for i in range(8)]
+    return Z.ChunkedDatasetMeta(
+        uri="mem://store.zarr", times=times, lats=lats, lons=lons,
+        chunk_time=24, chunk_lat=2, chunk_lon=2,
+    )
+
+
+def test_chunk_manifest_enumeration(spark):
+    m = Z.chunk_manifest(spark, _meta())
+    assert m.count() == 2 * 4 * 4  # 48/24 × 8/2 × 8/2
+
+
+def test_chunk_pruning_reduces_chunks(spark):
+    meta = _meta()
+    manifest = Z.chunk_manifest(spark, meta)
+    pruned = Z.prune_chunks(
+        manifest,
+        time_range=("2018-01-01 00:00:00", "2018-01-01 12:00:00"),
+        lat_range=(48.0, 49.0),
+        lon_range=(-108.0, -107.0),
+    )
+    assert pruned.count() == 1  # one time chunk × one lat chunk × one lon chunk
+
+
+def test_pruned_scan_equals_full_scan_filtered(spark):
+    meta = _meta()
+    tr = ("2018-01-01 06:00:00", "2018-01-02 06:00:00")
+    la = (46.0, 48.0)
+    lo = (-106.0, -104.0)
+    pruned = Z.scan(spark, meta, time_range=tr, lat_range=la, lon_range=lo).toPandas()
+    full = (
+        Z.scan(spark, meta)
+        .filter(
+            (F.col("time") >= F.lit(tr[0]).cast("timestamp"))
+            & (F.col("time") < F.lit(tr[1]).cast("timestamp"))
+            & F.col("latitude").between(*la)
+            & F.col("longitude").between(*lo)
+        )
+        .toPandas()
+    )
+    key = ["time", "latitude", "longitude"]
+    a = pruned.sort_values(key).reset_index(drop=True)
+    b = full.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0

@@ -96,43 +96,48 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    bits: int = 8,
+    bits: int = 4,
+    tables: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket
-    and its Hamming-1 neighbor buckets (multi-probe), then exact cosine
-    rank within candidates. Returns (query_id, neighbor_id, cosine, rk)."""
-    planes = hyperplanes(dim, bits, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-    ).withColumn("bucket", _bucket_expr(F.col("c_vec"), planes))
-    # multi-probe: each query probes its own bucket + all Hamming-1 buckets
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("q_bucket", _bucket_expr(F.col("q_vec"), planes))
-        .withColumn(
-            "bucket",
-            F.explode(
-                F.array(
-                    F.col("q_bucket"),
-                    *[F.col("q_bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
-                )
-            ),
+    """Approximate top-k via multi-table sign-LSH: L independent hash
+    tables of b bits each; candidates are corpus vectors sharing the
+    query's bucket in ANY table; exact cosine re-rank within candidates.
+    Returns (query_id, neighbor_id, cosine, rk).
+
+    Recall/cost knob: a pair at angle θ collides in one table with
+    p=(1−θ/π)^b, and in ≥1 of L tables with 1−(1−p)^L — b shrinks the
+    candidate set, L recovers recall. The candidate join is an equi-join
+    on (table, bucket): O(corpus × L) shuffle rows, never O(n²).
+    """
+    c_base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+
+    def bucketed(df: DataFrame, vec: str) -> DataFrame:
+        entries = []
+        for t in range(tables):
+            planes = hyperplanes(dim, bits, seed + 1000 * t)
+            entries.append(
+                F.struct(F.lit(t).alias("tbl"), _bucket_expr(F.col(vec), planes).alias("bucket"))
+            )
+        return df.withColumn("tb", F.explode(F.array(*entries))).select(
+            *df.columns, F.col("tb.tbl"), F.col("tb.bucket")
         )
-    )
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
+
+    candidates = (
+        bucketed(c_base, "c_vec")
+        .join(F.broadcast(bucketed(q_base, "q_vec")), on=["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias(
-                "cosine"
-            ),
-        )
-        .distinct()
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias(
+            "cosine"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

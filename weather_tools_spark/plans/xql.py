@@ -79,17 +79,28 @@ def rewrite_quoted_agg_args(sql: str) -> str:
 
 
 def rewrite_time_buckets(sql: str, time_col: str = "time") -> str:
-    """``GROUP BY time_date`` (etc.) → date_format bucket, also exposed in
-    the SELECT list under the shorthand name when referenced there."""
+    """``GROUP BY time_date`` (etc.) → date_format bucket.
+
+    The SELECT-list occurrence becomes ``date_format(...) AS time_date``
+    so the output column keeps the shorthand name (matching the
+    reference's output naming); GROUP BY / ORDER BY occurrences then
+    reference that alias (Spark resolves group-by aliases natively).
+    If the shorthand never appears before FROM, every occurrence is
+    expanded to the raw expression instead."""
     out = sql
     for shorthand, fmt in _TIME_BUCKETS.items():
-        if re.search(rf"\b{shorthand}\b", out, flags=re.IGNORECASE):
-            out = re.sub(
-                rf"\b{shorthand}\b",
-                f"date_format({time_col}, '{fmt}')",
-                out,
-                flags=re.IGNORECASE,
+        if not re.search(rf"\b{shorthand}\b", out, flags=re.IGNORECASE):
+            continue
+        expr = f"date_format({time_col}, '{fmt}')"
+        m = re.search(r"\bFROM\b", out, flags=re.IGNORECASE)
+        head, tail = (out[: m.start()], out[m.start():]) if m else (out, "")
+        if re.search(rf"\b{shorthand}\b", head, flags=re.IGNORECASE):
+            head = re.sub(
+                rf"\b{shorthand}\b", f"{expr} AS {shorthand}", head, flags=re.IGNORECASE
             )
+        else:
+            tail = re.sub(rf"\b{shorthand}\b", expr, tail, flags=re.IGNORECASE)
+        out = head + tail
     return out
 
 

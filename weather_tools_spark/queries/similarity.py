@@ -46,13 +46,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_lsh_ann_topk")  # approximate → rows-only check
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via 8-bit sign-LSH with Hamming-1 multi-probe, exact
-    re-rank inside candidate buckets. Deterministic (seeded planes) but
-    approximate → no SQL oracle; recall vs. brute force asserted in
-    tests/test_similarity.py."""
+    """Approximate NN via multi-table sign-LSH (8 tables × 4 bits), exact
+    cosine re-rank inside candidate buckets. Deterministic (seeded
+    planes) but approximate → no SQL oracle; recall vs. brute force
+    asserted in tests/test_dedup_similarity.py."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    out = S.lsh_topk(emb, queries, k=5, bits=8, dim=64, seed=42)
+    out = S.lsh_topk(emb, queries, k=5, bits=4, tables=8, dim=64, seed=42)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
     ).orderBy("query_id", "rk")

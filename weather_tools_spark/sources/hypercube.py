@@ -46,14 +46,14 @@ COORD_COLUMNS = ("time", "valid_time", "step", "number", "latitude", "longitude"
 def normalized_var_name(level: str, height: float, step_type: str, var: str) -> str:
     """GRIB → wide-column name ``<level>_<height>_<stepType>_<var>``.
 
-    Height rule (sinks.py:303-308): values < 10 keep 2 decimals with the
-    decimal point rendered as ``_``; values ≥ 10 are rendered as
-    integers.
+    Height rule (sinks.py:302-306): values ≥ 10 render as rounded
+    integers (``{height:.0f}``); smaller values keep 2 decimals with the
+    decimal point rendered as ``_`` (``{height:.2f}`` → ``1_50``).
     """
-    if height < 10:
-        h = f"{height:.2f}".replace(".", "_")
+    if height >= 10:
+        h = f"{height:.0f}"
     else:
-        h = str(int(height))
+        h = f"{height:.2f}".replace(".", "_")
     return f"{level}_{h}_{step_type}_{var}"
 
 

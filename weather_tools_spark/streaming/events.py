@@ -39,15 +39,24 @@ EVENT_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-based streaming source over the events parquet directory —
+    """File-based streaming source over the events parquet data —
     the local stand-in for the reference's Pub/Sub OBJECT_FINALIZE source
     (pipeline.py:62-70); on a cluster this becomes a Kafka/cloud-files
-    source with the same downstream plan."""
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+    source with the same downstream plan.
+
+    The file-stream source requires a *directory*; a path to a single
+    ``x.parquet`` file is resolved as (parent dir, pathGlobFilter=x) —
+    the streaming equivalent of the reference's fnmatch URI filter
+    (streaming.py:95-100)."""
+    import os
+
+    reader = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
     return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 
 
