@@ -22,9 +22,18 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
     "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
     "topk_orders_per_priority",
     "window_running_customer_spend",
+    "cube_qty_by_flag_status",
+    "range_join_value_buckets",
     "xql_daily_avg",
     "xql_monthly_multi_agg",
     "xql_where_or",
@@ -34,7 +43,9 @@ HEADLINE = [
     "dedup_exact_canonical",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
+    "sim_label_centroid_distance",
     "text_token_stats",
     "text_quality_scores",
 ]

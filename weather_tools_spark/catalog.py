@@ -55,7 +55,35 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     _ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Keep the raw nanos column: predicates on the *computed* ts
+        # column cannot reach the parquet scan, but `ts_ns` comparisons
+        # push down as ordinary long filters (see events_time_between).
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def events_time_between(df: DataFrame, start: str | None = None, end: str | None = None) -> DataFrame:
+    """Time-range filter for the events table that actually pushes down.
+
+    Emits the predicate twice: on the computed ``ts`` timestamp (the
+    semantic filter) and on the raw ``ts_ns`` long (identical bound ×1e9,
+    which Catalyst pushes into the parquet scan as a plain long
+    comparison → row-group pruning at scale). [start, end) semantics.
+    """
+    import pandas as pd
+
+    if start is not None:
+        ns = int(pd.Timestamp(start).value)
+        df = df.filter(
+            (F.col("ts") >= F.lit(start).cast("timestamp")) & (F.col("ts_ns") >= F.lit(ns))
+        )
+    if end is not None:
+        ns = int(pd.Timestamp(end).value)
+        df = df.filter(
+            (F.col("ts") < F.lit(end).cast("timestamp")) & (F.col("ts_ns") < F.lit(ns))
+        )
     return df
 
 

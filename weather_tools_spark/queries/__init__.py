@@ -43,6 +43,7 @@ def _load_all() -> None:
     # Import for registration side-effects; keep modules independent.
     from weather_tools_spark.queries import (  # noqa: F401
         core_sql,
+        core_sql2,
         dedup,
         events,
         pipeline_ops,

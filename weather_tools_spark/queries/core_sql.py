@@ -36,17 +36,31 @@ def _rev() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _dsum(c: F.Column) -> F.Column:
+    """Exact (order-independent) sum of a double expression: cast each
+    term to DECIMAL(30,6), sum exactly, cast back once. Money values
+    live on a fixed decimal lattice, so double sums frequently land
+    exactly on round-half boundaries where engine-dependent summation
+    noise flips the rounded digit; decimal summation is bit-identical
+    on every engine and partitioning. Oracles mirror it textually."""
+    return F.sum(c.cast("decimal(30,6)")).cast("double")
+
+
+def _davg(c: F.Column) -> F.Column:
+    return _dsum(c) / F.count(c)
+
+
 @register(
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 6)                                   AS avg_qty,
-           round(avg(l_extendedprice), 6)                              AS avg_price,
-           round(avg(l_discount), 6)                                   AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 2)      AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -62,13 +76,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(_dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(_dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(_dsum(_rev()), 2).alias("sum_disc_price"),
+            F.round(_dsum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(_davg(F.col("l_quantity")), 6).alias("avg_qty"),
+            F.round(_davg(F.col("l_extendedprice")), 6).alias("avg_price"),
+            F.round(_davg(F.col("l_discount")), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -79,7 +93,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT o_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d')                 AS o_orderdate,
            o_orderpriority
     FROM customer
@@ -107,7 +121,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(_dsum(_rev()), 2).alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -122,7 +136,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -156,7 +170,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer),
               (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(_dsum(_rev()), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -164,7 +178,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -183,7 +197,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(F.round(_dsum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
 
 
@@ -191,7 +205,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue,
            round(c_acctbal, 2) AS c_acctbal,
            n_name, c_mktsegment
     FROM customer
@@ -220,7 +234,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(_dsum(_rev()), 2).alias("revenue"))
         .select(
             "c_custkey", "c_name", "revenue",
             F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from weather_tools_spark.catalog import load_table
+from weather_tools_spark.catalog import events_time_between, load_table
 from weather_tools_spark.queries import register
 
 
@@ -36,10 +36,10 @@ from weather_tools_spark.queries import register
 def events_minute_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed 1-minute event-time windows (streaming.py:44-55 semantics).
     Uses Spark's ``window()`` — identical aligned-to-epoch bucketing to
-    the streaming plan; batch and stream share this expression."""
-    ev = load_table(spark, "events", sf_dir).filter(
-        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp"))
+    the streaming plan; batch and stream share this expression. The
+    day-range filter pushes to the scan via the ts_ns twin predicate."""
+    ev = events_time_between(
+        load_table(spark, "events", sf_dir), "2024-01-05 00:00:00", "2024-01-06 00:00:00"
     )
     return (
         ev.groupBy(F.window("ts", "1 minute").alias("w"), F.col("event_type"))
@@ -66,7 +66,7 @@ def events_minute_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           sum(is_new) AS n_sessions,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
            count(*) AS n_events
     FROM flagged
     GROUP BY user_id
@@ -79,11 +79,14 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely (SURVEY.md §2.9)."""
     ev = load_table(spark, "events", sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap compared at microsecond precision — cast("long") would truncate
+    # to whole seconds and disagree with the oracle's INTERVAL comparison
+    # for fractional-second gaps straddling the 30-minute boundary
     flagged = ev.withColumn(
         "is_new",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -98,7 +101,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_props_extract",
     oracle="""
     SELECT event_type,
-           round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 6) AS avg_k,
+           round(CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS DOUBLE)
+                 / count(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 6) AS avg_k,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -114,7 +118,7 @@ def events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint")
     return (
         ev.groupBy("event_type")
-        .agg(F.round(F.avg(k), 6).alias("avg_k"), F.count(F.lit(1)).alias("n"))
+        .agg(F.round(F.sum(k).cast("double") / F.count(k), 6).alias("avg_k"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
 

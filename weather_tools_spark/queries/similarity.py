@@ -44,6 +44,35 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4), exact
+    all-pairs via the blocked-BLAS kernel (broadcast normalized matrix ×
+    Arrow batches — see operators.similarity.embedding_cosine_pairs); at
+    corpus scale the same kernel runs per LSH bucket instead of
+    all-pairs."""
+    pairs = S.embedding_cosine_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=0.4
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("vec_a", "vec_b")
+
+
 @register("sim_lsh_ann_topk")  # approximate → rows-only check
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table sign-LSH (8 tables × 4 bits), exact

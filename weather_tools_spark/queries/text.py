@@ -23,9 +23,9 @@ from weather_tools_spark.queries import register
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
-           round(avg(n_tokens), 6) AS avg_tokens,
-           round(avg(n_chars_actual), 6) AS avg_chars
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(n_tokens), 6) AS avg_tokens,
+           round(CAST(sum(n_chars_actual) AS DOUBLE) / count(n_chars_actual), 6) AS avg_chars
     FROM t GROUP BY source ORDER BY source
     """,
 )
@@ -43,8 +43,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-            F.round(F.avg("n_chars_actual"), 6).alias("avg_chars"),
+            F.round(F.sum("n_tokens").cast("double") / F.count("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.sum("n_chars_actual").cast("double") / F.count("n_chars_actual"), 6).alias("avg_chars"),
         )
         .orderBy("source")
     )
@@ -156,7 +156,7 @@ def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
            count(*) AS n,
-           round(avg(n_chars), 6) AS avg_chars
+           round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6) AS avg_chars
     FROM documents
     GROUP BY bucket ORDER BY bucket
     """,
@@ -168,6 +168,6 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(
             (F.floor(F.col("n_chars") / 100) * 100).cast("bigint").alias("bucket")
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 6).alias("avg_chars"))
         .orderBy("bucket")
     )

@@ -18,9 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from weather_tools_spark.catalog import load_table
+from weather_tools_spark.catalog import events_time_between, load_table
 from weather_tools_spark.functions.geo import bbox_predicate, geo_entity_bbox
 from weather_tools_spark.queries import register
+from weather_tools_spark.queries.core_sql import _davg
 
 
 @register(
@@ -36,14 +37,14 @@ from weather_tools_spark.queries import register
 )
 def xql_select_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + conjunctive range filter — xql query shape #1
-    (FIXTURES.md §4.1). Both predicates push down to the parquet scan."""
-    ev = load_table(spark, "events", sf_dir)
+    (FIXTURES.md §4.1). All predicates reach the parquet scan: the value
+    filter directly, the time range via the pushable ts_ns twin
+    predicate (events_time_between)."""
+    ev = events_time_between(
+        load_table(spark, "events", sf_dir), "2024-01-10 00:00:00", "2024-01-12 00:00:00"
+    )
     return (
-        ev.filter(
-            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
-            & (F.col("value") >= 150.0)
-        )
+        ev.filter(F.col("value") >= 150.0)
         .select("event_id", "event_type", "value")
         .orderBy("event_id")
     )
@@ -53,7 +54,7 @@ def xql_select_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xql_daily_avg",
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS time_date,
-           round(avg(value), 6) AS avg_value
+           round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS avg_value
     FROM events
     GROUP BY time_date
     ORDER BY time_date
@@ -67,7 +68,7 @@ def xql_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("time_date"))
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.round(_davg(F.col("value")), 6).alias("avg_value"))
         .orderBy("time_date")
     )
 
@@ -76,7 +77,7 @@ def xql_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xql_monthly_multi_agg",
     oracle="""
     SELECT strftime(ts, '%Y-%m') AS time_month,
-           round(avg(value), 6) AS avg_value,
+           round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS avg_value,
            round(sum(value), 4) AS sum_value,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value,
@@ -93,7 +94,7 @@ def xql_monthly_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.date_format("ts", "yyyy-MM").alias("time_month"))
         .agg(
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(_davg(F.col("value")), 6).alias("avg_value"),
             F.round(F.sum("value"), 4).alias("sum_value"),
             F.round(F.min("value"), 4).alias("min_value"),
             F.round(F.max("value"), 4).alias("max_value"),
@@ -109,7 +110,7 @@ def xql_monthly_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(ts, '%Y') AS time_year,
            event_type,
            round(sum(value), 4) AS sum_value,
-           round(avg(user_id), 6) AS avg_user_id
+           round(CAST(sum(user_id) AS DOUBLE) / count(user_id), 6) AS avg_user_id
     FROM events
     GROUP BY time_year, event_type
     ORDER BY time_year, event_type
@@ -124,7 +125,7 @@ def xql_yearly_bucket_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_format("ts", "yyyy").alias("time_year"), F.col("event_type"))
         .agg(
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("user_id"), 6).alias("avg_user_id"),
+            F.round(F.sum("user_id").cast("double") / F.count("user_id"), 6).alias("avg_user_id"),
         )
         .orderBy("time_year", "event_type")
     )
@@ -133,7 +134,7 @@ def xql_yearly_bucket_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "xql_whole_table_agg",
     oracle="""
-    SELECT round(avg(value), 6) AS avg_value,
+    SELECT round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS avg_value,
            round(sum(value), 4) AS sum_value,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value,
@@ -145,7 +146,7 @@ def xql_whole_table_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate without GROUP BY — whole-table reduction (apply.py:296-299)."""
     ev = load_table(spark, "events", sf_dir)
     return ev.agg(
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(_davg(F.col("value")), 6).alias("avg_value"),
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
@@ -215,7 +216,7 @@ _NY = geo_entity_bbox("city", "new york")
              (event_id % 360) - 180.0 + 0.5 AS longitude
       FROM events
     )
-    SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+    SELECT event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS avg_value
     FROM geo
     WHERE latitude  >= {_NY[0]} AND latitude  <= {_NY[1]}
       AND longitude >= {_NY[2]} AND longitude <= {_NY[3]}
@@ -240,6 +241,6 @@ def xql_city_bbox_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         geo.filter(bbox_predicate(F.col("latitude"), F.col("longitude"), _NY))
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(_davg(F.col("value")), 6).alias("avg_value"))
         .orderBy("event_type")
     )
