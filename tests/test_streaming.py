@@ -41,6 +41,27 @@ def test_session_window_stream_runs(spark, sf_dir):
     assert all(r.session_end > r.session_start for r in rows)
 
 
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    """applyInPandasWithState running totals: the final per-user state
+    after draining the stream must equal the batch groupBy."""
+    stream = SE.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = SE.run_stream_to_memory(
+        spark, SE.running_user_totals(stream), "stream_running", output_mode="update"
+    )
+    # update mode re-emits per batch; with maxFilesPerTrigger=1 and one
+    # file there is exactly one batch → one row per user
+    got = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("t"))
+    )
+    want = {r.user_id: (r.n, r.t) for r in batch.collect()}
+    assert set(got) == set(want)
+    mismatches = {u: (got[u], want[u]) for u in want if abs(got[u][1] - want[u][1]) > 1e-6 or got[u][0] != want[u][0]}
+    assert not mismatches, list(mismatches.items())[:3]
+
+
 def test_with_import_time_is_processing_time(spark, sf_dir):
     df = SE.with_import_time(load_table(spark, "events", sf_dir).limit(5))
     ts = [r.data_import_time for r in df.collect()]

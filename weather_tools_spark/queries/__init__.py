@@ -44,6 +44,7 @@ def _load_all() -> None:
     from weather_tools_spark.queries import (  # noqa: F401
         core_sql,
         core_sql2,
+        core_sql3,
         dedup,
         events,
         pipeline_ops,

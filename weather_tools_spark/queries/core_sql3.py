@@ -1,0 +1,149 @@
+"""Third relational wave: correlated scalar subqueries, exact
+percentiles, unpivot (wide→long melt), GROUPING SETS via the SQL
+surface, and sketch aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.pipeline.splitter import melt_variables
+from weather_tools_spark.queries import register
+from weather_tools_spark.queries.core_sql import _davg, _dsum
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pa.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into a pre-aggregated join — the aggregation runs once
+    over the fact table instead of per outer row."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#1")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        _davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pa_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(_dsum(F.col("l_extendedprice")) / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — both linear interpolation over the sorted set)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH long AS (
+      SELECT 'l_discount' AS variable, l_discount AS value FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', l_quantity FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT variable, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total
+    FROM long GROUP BY variable ORDER BY variable
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt via stack()) + per-variable aggregate —
+    the row-model side of the splitter's split-by-variable operator
+    (weather_sp parity: one narrow generator pass, no shuffle until the
+    aggregate)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    long_df = melt_variables(li, [], ["l_discount", "l_quantity", "l_tax"])
+    return (
+        long_df.groupBy("variable")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(_dsum(F.col("value")), 2).alias("total"),
+        )
+        .orderBy("variable")
+    )
+
+
+@register(
+    "groupingsets_region_segment",
+    oracle="""
+    SELECT c_mktsegment, n_name,
+           count(*) AS n, round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+    ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def groupingsets_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the engine's SQL surface
+    (spark.sql over registered views) — grouping-set planning beyond
+    rollup/cube."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("gs_customer")
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("gs_nation")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, n_name,
+               count(*) AS n,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_bal
+        FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+        ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST
+        """
+    )
+
+
+@register("sketch_approx_aggregates")  # approximate → rows-only check
+def sketch_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB profiling: HyperLogLog distinct
+    counts and quantile sketches (approx → no SQL oracle; bounds checked
+    in tests against exact values)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -152,6 +152,36 @@ def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_token_counts",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_units
+      FROM documents
+    )
+    SELECT source,
+           CAST(sum(n_units) AS BIGINT) AS total_units,
+           round(CAST(sum(n_units) AS DOUBLE) / count(n_units), 6) AS avg_units
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counting (word + punctuation units via the
+    standard ``\\w+|[^\\w\\s]`` split) — the 'how many model tokens'
+    estimator, distinct from whitespace token counts."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("source", TX.regex_token_count(F.col("text")).alias("n_units"))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.sum("n_units").alias("total_units"),
+            F.round(F.sum("n_units").cast("double") / F.count("n_units"), 6).alias("avg_units"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "text_length_histogram",
     oracle="""
     SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,

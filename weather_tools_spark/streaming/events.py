@@ -101,6 +101,49 @@ def session_windows(df: DataFrame, gap: str = "30 minutes", watermark: str = "1 
     )
 
 
+RUNNING_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+RUNNING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(df: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count
+    and value total, maintained across micro-batches with
+    ``applyInPandasWithState`` — the extension point the reference has
+    no analog for (SURVEY.md §2.9 'no stateful per-key operators').
+
+    Emits one row per (user, micro-batch) with the updated running
+    totals. State is two scalars per key — bounded regardless of stream
+    length."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, agg: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
