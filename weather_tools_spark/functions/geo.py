@@ -114,18 +114,38 @@ def geo_entity_bbox(kind: str, name: str) -> tuple[float, float, float, float]:
     return table[name.strip().lower()]
 
 
+def infer_grid_resolution(values: list[float]) -> float | None:
+    """Per-axis grid half-step from the coordinate values —
+    ``ptp(coord) / len(coord) / 2`` doubled back to the full step
+    (bq.py:248-264 semantics). Returns None for a single-point axis —
+    the reference disables polygon generation in that case
+    (bq.py:262-264)."""
+    if len(values) < 2:
+        return None
+    return (max(values) - min(values)) / (len(values) - 1)
+
+
 def build_geo_lookup(
-    spark_df_grid: DataFrame, lat_res: float, lon_res: float
+    spark_df_grid: DataFrame, lat_res: float | None, lon_res: float | None
 ) -> DataFrame:
     """Given a DataFrame of distinct (latitude, longitude) grid points,
     produce the geo lookup table (latitude, longitude, geo_point,
     geo_polygon) — the Spark-native form of the reference's geo parquet
     (bq.py:197-238). Intended to be broadcast-joined onto extracted rows.
+
+    A ``None`` resolution on either axis (single-point grid) disables
+    polygon generation — geo_polygon comes back NULL, matching the
+    reference (bq.py:262-264).
     """
     lat, lon = F.col("latitude"), F.col("longitude")
+    polygon = (
+        geo_polygon(lat, lon, lat_res, lon_res)
+        if lat_res is not None and lon_res is not None
+        else F.lit(None).cast("string")
+    )
     return spark_df_grid.select(
         "latitude",
         "longitude",
         geo_point(lat, lon).alias("geo_point"),
-        geo_polygon(lat, lon, lat_res, lon_res).alias("geo_polygon"),
+        polygon.alias("geo_polygon"),
     )

@@ -48,20 +48,45 @@ def cosine_topk(
     """Exact top-k cosine neighbors for every query vector.
 
     Returns (query_id, neighbor_id, cosine, rk). Self-matches excluded.
-    ``queries`` is expected to be small (it is broadcast)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias(
-                "cosine"
-            ),
-        )
+
+    The query set is materialized to a normalized float64 matrix and
+    broadcast; each mapInPandas task multiplies its corpus batch against
+    it (one dgemm per batch) and emits only its batch-local top-k per
+    query, so the final shuffle ranks P×k candidate rows instead of
+    |corpus|×|queries| scored pairs."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    qm = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, qm))
+
+    def gen(batches):
+        ids_q, m_q = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            x = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            s = x @ m_q.T  # corpus_batch × queries
+            c_ids = b[id_col].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(ids_q)):
+                col = s[:, j]
+                mask = c_ids != ids_q[j]
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                top = idx[np.argsort(-col[idx], kind="stable")[: k]]
+                out_q.extend([ids_q[j]] * len(top))
+                out_c.extend(c_ids[top].tolist())
+                out_s.extend(col[top].tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_c, "cosine": out_s})
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, neighbor_id long, cosine double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

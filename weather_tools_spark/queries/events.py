@@ -156,6 +156,47 @@ def events_type_share_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_lead_lag_trailing_window",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+             AS delta_prev,
+           round(CAST(sum(CAST(value AS DECIMAL(30,6)))
+                        OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                      AS DOUBLE), 4) AS trailing_1h_sum
+    FROM events
+    WHERE user_id < 50
+    ORDER BY user_id, event_id
+    """,
+)
+def events_lead_lag_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytics + an event-time RANGE frame (trailing 1-hour sum
+    per user). The range frame orders on unix-microseconds with a
+    ±3600e6 bound — exactly DuckDB's INTERVAL RANGE semantics (both ends
+    inclusive). The frame sum runs through exact decimal so sliding-
+    window accumulation order can't flip a rounded digit."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_range = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w_lag), 4).alias("delta_prev"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,6)")).over(w_range).cast("double"), 4
+            ).alias("trailing_1h_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
     "events_asof_join_orders",
     oracle="""
     SELECT e.event_id,

@@ -202,6 +202,71 @@ def xql_orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "xql_sql_surface_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS time_date,
+           round(avg(value), 4) AS avg_value,
+           count(*) AS n
+    FROM events
+    GROUP BY time_date
+    ORDER BY time_date
+    """,
+)
+def xql_sql_surface_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end through the engine's SQL surface: the raw xql-dialect
+    text (quoted agg args + time_date shorthand) is rewritten by
+    plans.xql and executed via spark.sql — the full §3.1 lifecycle in
+    one oracle-checked query."""
+    from weather_tools_spark.plans import xql as X
+
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    df = X.run_query(
+        spark,
+        "SELECT time_date, AVG('value'), COUNT(*) AS n FROM events "
+        "GROUP BY time_date ORDER BY time_date",
+        time_col="ts",
+    )
+    return df.select(
+        "time_date", F.round("avg_value", 4).alias("avg_value"), "n"
+    )
+
+
+@register(
+    "null_handling_aggregates",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN value < 10.0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(v) AS n_non_null,
+           round(CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_v,
+           round(min(v), 4) AS min_v
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+)
+def null_handling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-skipping aggregate semantics over a nullable derived column —
+    the engine-side counterpart of the reference's NaN/NaT→NULL scrub
+    (weather_mv util.py:88-99): aggregates skip NULLs, count(*) does not."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.when(F.col("value") < 10.0, F.lit(None)).otherwise(F.col("value"))
+    return (
+        ev.select("event_type", v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_non_null"),
+            F.round(F.sum(F.col("v").cast("decimal(30,6)")).cast("double"), 4).alias("sum_v"),
+            F.round(F.min("v"), 4).alias("min_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # city-bbox rewrite: inline the same constants into both the Spark plan
 # and the oracle SQL, exactly as the engine's SQL surface does.
 _NY = geo_entity_bbox("city", "new york")
