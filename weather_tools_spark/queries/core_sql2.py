@@ -54,7 +54,7 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, yr, round(CAST(sum(CAST(volume AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+    SELECT supp_nation, cust_nation, yr, round((CAST(sum(CAST(round((volume) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              strftime(l_shipdate, '%Y') AS yr,
@@ -103,7 +103,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     oracle="""
-    SELECT n_name, yr, round(CAST(sum(CAST(amount AS DECIMAL(30,6))) AS DOUBLE), 2) AS profit
+    SELECT n_name, yr, round((CAST(sum(CAST(round((amount) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS profit
     FROM (
       SELECT n_name, strftime(o_orderdate, '%Y') AS yr,
              l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity AS amount
@@ -172,8 +172,8 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_effect",
     oracle="""
-    SELECT round(100.00 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(30,6))) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 4) AS promo_revenue
+    SELECT round(100.00 * (CAST(sum(CAST(round((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000)
+                 / (CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 4) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -202,7 +202,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
-      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 250
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING (CAST(sum(CAST(round((l_quantity) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) > 250
     )
     GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey
@@ -238,7 +238,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+    SELECT round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 5 AND l_quantity <= 25)
@@ -274,7 +274,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_global_sales_opportunity",
     oracle="""
     WITH avg_bal AS (
-      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+      SELECT (CAST(sum(CAST(round((c_acctbal) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
     FROM customer, avg_bal
@@ -326,7 +326,7 @@ def cube_qty_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH buckets AS (
       SELECT unnest(generate_series(0, 475, 25)) AS lo
     )
-    SELECT lo, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS avg_value
+    SELECT lo, count(*) AS n, round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(value), 6) AS avg_value
     FROM events JOIN buckets
       ON value >= lo AND value < lo + 25
     GROUP BY lo

@@ -18,10 +18,10 @@ from weather_tools_spark.queries.core_sql import _davg, _dsum
     oracle="""
     WITH pa AS (
       SELECT l_partkey,
-             CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity) AS avg_qty
+             (CAST(sum(CAST(round((l_quantity) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(l_quantity) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    SELECT round((CAST(sum(CAST(round((l_extendedprice) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN pa   ON pa.l_partkey = lineitem.l_partkey
@@ -83,7 +83,7 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'l_tax', l_tax FROM lineitem
     )
     SELECT variable, count(*) AS n,
-           round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total
+           round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS total
     FROM long GROUP BY variable ORDER BY variable
     """,
 )
@@ -108,7 +108,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupingsets_region_segment",
     oracle="""
     SELECT c_mktsegment, n_name,
-           count(*) AS n, round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_bal
+           count(*) AS n, round((CAST(sum(CAST(round((c_acctbal) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
     ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST
@@ -124,7 +124,7 @@ def groupingsets_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment, n_name,
                count(*) AS n,
-               round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_bal
+               round((CAST(sum(CAST(round((c_acctbal) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS total_bal
         FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
         ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST

@@ -189,7 +189,8 @@ def events_lead_lag_trailing_window(spark: SparkSession, sf_dir: str) -> DataFra
             "user_id",
             F.round(F.col("value") - F.lag("value").over(w_lag), 4).alias("delta_prev"),
             F.round(
-                F.sum(F.col("value").cast("decimal(30,6)")).over(w_range).cast("double"), 4
+                (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).over(w_range)
+                 / 1_000_000).cast("double"), 4,
             ).alias("trailing_1h_sum"),
         )
         .orderBy("user_id", "event_id")

@@ -54,7 +54,7 @@ def xql_select_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xql_daily_avg",
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS time_date,
-           round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS avg_value
+           round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(value), 6) AS avg_value
     FROM events
     GROUP BY time_date
     ORDER BY time_date
@@ -77,7 +77,7 @@ def xql_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xql_monthly_multi_agg",
     oracle="""
     SELECT strftime(ts, '%Y-%m') AS time_month,
-           round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS avg_value,
+           round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(value), 6) AS avg_value,
            round(sum(value), 4) AS sum_value,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value,
@@ -134,7 +134,7 @@ def xql_yearly_bucket_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "xql_whole_table_agg",
     oracle="""
-    SELECT round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS avg_value,
+    SELECT round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(value), 6) AS avg_value,
            round(sum(value), 4) AS sum_value,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value,
@@ -243,7 +243,7 @@ def xql_sql_surface_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_rows,
            count(v) AS n_non_null,
-           round(CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_v,
+           round((CAST(sum(CAST(round((v) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 4) AS sum_v,
            round(min(v), 4) AS min_v
     FROM t GROUP BY event_type ORDER BY event_type
     """,
@@ -260,7 +260,7 @@ def null_handling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count("v").alias("n_non_null"),
-            F.round(F.sum(F.col("v").cast("decimal(30,6)")).cast("double"), 4).alias("sum_v"),
+            F.round((F.sum(F.round(F.col("v") * 1_000_000, 0).cast("long")) / 1_000_000).cast("double"), 4).alias("sum_v"),
             F.round(F.min("v"), 4).alias("min_v"),
         )
         .orderBy("event_type")
@@ -281,7 +281,7 @@ _NY = geo_entity_bbox("city", "new york")
              (event_id % 360) - 180.0 + 0.5 AS longitude
       FROM events
     )
-    SELECT event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS avg_value
+    SELECT event_type, count(*) AS n, round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(value), 6) AS avg_value
     FROM geo
     WHERE latitude  >= {_NY[0]} AND latitude  <= {_NY[1]}
       AND longitude >= {_NY[2]} AND longitude <= {_NY[3]}
