@@ -68,6 +68,37 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"ANN recall {recall:.2f} below gate"
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below gate"
+
+
+def test_observe_counts(spark, sf_dir):
+    from weather_tools_spark.operators.metrics import observe_counts
+
+    ev = load_table(spark, "events", sf_dir)
+    df2, obs = observe_counts(
+        ev, "ev_metrics",
+        purchases=F.col("event_type") == "purchase",
+        big_values=F.col("value") > 400.0,
+    )
+    total = df2.count()
+    got = obs.get
+    assert got["n_rows"] == total
+    assert got["purchases"] == ev.filter(F.col("event_type") == "purchase").count()
+    assert got["big_values"] == ev.filter(F.col("value") > 400.0).count()
+
+
 def test_lsh_ann_exact_within_bucket(spark, sf_dir):
     # every ANN cosine must equal the brute-force cosine for that pair
     emb = load_table(spark, "embeddings", sf_dir)

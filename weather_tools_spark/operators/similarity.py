@@ -166,6 +166,94 @@ def _bucket_expr(vec: F.Column, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    kmeans_iters: int = 5,
+    train_limit: int = 4096,
+) -> DataFrame:
+    """IVF (inverted-file) approximate NN — the other standard ANN scale
+    path next to LSH:
+
+    1. train: k-means centroids on a seeded sample of the corpus
+       (driver-side numpy on ≤``train_limit`` vectors — the same "small
+       model, big data" split real IVF indexes use);
+    2. assign: every corpus vector goes to its nearest centroid — one
+       dgemm per Arrow batch via the broadcast centroid matrix;
+    3. search: each query scans only its ``n_probe`` nearest cells —
+       candidate generation is an equi-join on cell id, O(corpus×1)
+       shuffle rows, then exact cosine re-rank.
+
+    Deterministic for a fixed seed/iteration count. Returns
+    (query_id, neighbor_id, cosine, rk).
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    sample = (
+        corpus.select(vec_col).limit(train_limit).toPandas()[vec_col].to_numpy()
+    )
+    x = np.vstack(sample).astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) or 1.0)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign_cells(batches):
+        c_m = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            v = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            cell = np.argmax(v @ c_m.T, axis=1)
+            yield pd.DataFrame({"vid": b[id_col], "cell": cell.astype("int32"), "vec": b[vec_col]})
+
+    schema = f"vid long, cell int, vec array<float>"
+    c_assigned = corpus.select(id_col, vec_col).mapInPandas(assign_cells, schema)
+
+    def probe_cells(batches):
+        c_m = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            v = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            order = np.argsort(-(v @ c_m.T), axis=1)[:, :n_probe]
+            rows = {"qid": np.repeat(b[id_col].to_numpy(), n_probe),
+                    "cell": order.ravel().astype("int32"),
+                    "qvec": [vv for vv in b[vec_col] for _ in range(n_probe)]}
+            yield pd.DataFrame(rows)
+
+    q_probes = queries.select(id_col, vec_col).mapInPandas(
+        probe_cells, "qid long, cell int, qvec array<float>"
+    )
+    cand = (
+        c_assigned.join(F.broadcast(q_probes), "cell")
+        .filter(F.col("vid") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -87,6 +87,61 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+@register("sim_ivf_ann_topk")  # approximate → rows-only check
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN (16 k-means cells, 4-probe) with exact cosine
+    re-rank — the inverted-file scale path next to sign-LSH. Seeded and
+    iteration-bounded → deterministic; recall vs. brute force asserted
+    in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4, seed=42)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    ).orderBy("query_id", "rk")
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT 'doc' AS kind,
+           count(*) AS n_items,
+           CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           16 AS feature_dim
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the driver surface: documents become
+    opaque binary payloads with typed metadata, features come out of the
+    Arrow-batched decode stub, and the aggregate proves every row
+    produced a FEATURE_DIM vector (a missing/misshapen vector would
+    break feature_dim or n_items). The byte accounting is oracle-checked;
+    the feature values themselves are covered by tests/test_functions."""
+    from weather_tools_spark.sources import multimodal as MM
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("doc").alias("kind"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = MM.extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("n_bytes").cast("bigint")).alias("total_bytes"),
+            F.first(F.size("feature")).alias("feature_dim"),
+        )
+        .select("kind", "n_items", "total_bytes", F.col("feature_dim").cast("int").alias("feature_dim"))
+    )
+
+
 @register(
     "sim_label_centroid_distance",
     oracle="""
