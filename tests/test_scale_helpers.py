@@ -1,0 +1,98 @@
+"""Scale-path helpers: salted joins, bucketed co-located joins,
+filename-datetime extraction, asset-safe names, area polygons."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.functions import geo as G
+from weather_tools_spark.functions import timeparse as TP
+from weather_tools_spark.operators.skew import salted_join
+
+
+def test_salted_join_equivalent_to_plain(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = (
+        li.join(orders, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    salted = (
+        salted_join(li, orders, "l_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    assert [r.asDict() for r in plain] == [r.asDict() for r in salted]
+
+
+def test_bucketed_join_skips_exchange(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key co-locates matching rows:
+    the join plan must contain NO Exchange on the bucketed columns —
+    the shuffle-free co-located join the reference's chunk-aligned reads
+    approximate (SURVEY.md §4 'chunk-aligned reads')."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+        orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+        li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            "b_lineitem"
+        )
+        orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            "b_orders"
+        )
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_filename_datetime_extraction(spark):
+    df = spark.createDataFrame(
+        [
+            ("gs://bucket/era5-20180102T0600.nc",),
+            ("gs://bucket/era5-0315.nc",),  # month-day only
+        ],
+        "path string",
+    )
+    full = df.select(
+        TP.filename_datetime_expr(F.col("path"), "era5-%Y%m%dT%H%M").alias("t")
+    ).collect()
+    assert str(full[0].t) == "2018-01-02 06:00:00"
+    assert full[1].t is None  # pattern doesn't match → NULL, not an error
+    # missing components default: year→1978, time→0 (sinks.py:96-146)
+    partial = df.select(
+        TP.filename_datetime_expr(F.col("path"), "era5-%m%d.nc").alias("t")
+    ).collect()
+    assert str(partial[1].t) == "1978-03-15 00:00:00"
+
+
+def test_ee_safe_name(spark):
+    df = spark.createDataFrame([("my file (v2).grib",), ("ok-name_1",)], "n string")
+    out = [r[0] for r in df.select(G.ee_safe_name(F.col("n"))).collect()]
+    assert out == ["my_file_v2_grib", "ok-name_1"]
+
+
+def test_area_polygon():
+    poly = json.loads(G.area_polygon(45.0, -103.0, 33.0, -92.0))
+    ring = poly["coordinates"][0]
+    assert ring[0] == ring[-1] == [-103.0, 45.0]
+    assert [-92.0, 33.0] in ring
+    assert G.AREA_PRESETS["G"] == (90.0, -180.0, -90.0, 180.0)

@@ -114,6 +114,35 @@ def geo_entity_bbox(kind: str, name: str) -> tuple[float, float, float, float]:
     return table[name.strip().lower()]
 
 
+def area_polygon(north: float, west: float, south: float, east: float) -> str:
+    """GeoJSON polygon for an [N, W, S, E] area box (weather_dl
+    util.py:148-176 semantics; presets 'E'/'G' resolve to the global
+    box before calling). Closed ring, counter-clockwise from NW."""
+    import json
+
+    ring = [
+        [west, north],
+        [west, south],
+        [east, south],
+        [east, north],
+        [west, north],
+    ]
+    return json.dumps({"type": "Polygon", "coordinates": [ring]})
+
+
+AREA_PRESETS: dict[str, tuple[float, float, float, float]] = {
+    # 'G'lobal and 'E'urope shorthand areas accepted by download configs
+    "G": (90.0, -180.0, -90.0, 180.0),
+    "E": (73.5, -27.0, 33.0, 45.0),
+}
+
+
+def ee_safe_name(col: Column) -> Column:
+    """Asset-safe name: any run of characters outside [A-Za-z0-9-_]
+    becomes a single underscore (ee.py:255-263 semantics)."""
+    return F.regexp_replace(col, r"[^a-zA-Z0-9-_]+", "_")
+
+
 def infer_grid_resolution(values: list[float]) -> float | None:
     """Per-axis grid half-step from the coordinate values —
     ``ptp(coord) / len(coord) / 2`` doubled back to the full step

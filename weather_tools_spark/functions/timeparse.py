@@ -121,6 +121,55 @@ def expand_mars_range(spec: str) -> list[str]:
     return parts
 
 
+def filename_datetime_expr(path_col, pattern: str):
+    """Column expression extracting a timestamp from a URI whose basename
+    embeds a ``%Y%m%d``-style datetime (weather_mv sinks.py:96-146
+    semantics): the strftime-ish ``pattern`` (supporting %Y %m %d %H %M
+    %S in any order) is compiled to a regex; missing components default
+    to year→1978, month/day→1, time→0 — the reference's documented
+    defaults.
+
+    Pure JVM expression: regexp_extract per component + make_timestamp.
+    """
+    from pyspark.sql import functions as F
+
+    component_res = {
+        "%Y": r"(\d{4})",
+        "%m": r"(\d{2})",
+        "%d": r"(\d{2})",
+        "%H": r"(\d{2})",
+        "%M": r"(\d{2})",
+        "%S": r"(\d{2})",
+    }
+    order: list[str] = []
+    regex = ""
+    i = 0
+    while i < len(pattern):
+        if pattern[i] == "%" and i + 1 < len(pattern):
+            token = pattern[i : i + 2]
+            if token in component_res:
+                order.append(token)
+                regex += component_res[token]
+                i += 2
+                continue
+        regex += re.escape(pattern[i])
+        i += 1
+
+    defaults = {"%Y": 1978, "%m": 1, "%d": 1, "%H": 0, "%M": 0, "%S": 0}
+
+    def comp(token: str):
+        if token in order:
+            idx = order.index(token) + 1
+            # try_cast: a non-matching path extracts '' → NULL component
+            # → NULL timestamp (instead of an ANSI cast error)
+            return F.regexp_extract(path_col, regex, idx).try_cast("int")
+        return F.lit(defaults[token])
+
+    return F.make_timestamp(
+        comp("%Y"), comp("%m"), comp("%d"), comp("%H"), comp("%M"), comp("%S")
+    )
+
+
 def expand_day_all(year: int, month: int) -> list[str]:
     """``day=all`` → zero-padded day list for the month (config.py:91-126)."""
     _, ndays = calendar.monthrange(year, month)
