@@ -38,6 +38,23 @@ def test_simhash_finds_planted_dups(spark, sf_dir):
     assert overlap >= 0.5, f"simhash overlap with exact dups {overlap:.2f} below gate"
 
 
+def test_winnowing_recall_vs_exact(spark, sf_dir):
+    """Winnowed fingerprints must recover the planted ≥0.8-Jaccard pairs
+    (long shared runs guarantee shared window minima)."""
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    won = {
+        (r.doc_a, r.doc_b)
+        for r in D.winnowing_candidate_pairs(docs, "doc_id", "text", min_shared=3).collect()
+    }
+    assert exact
+    recall = len(exact & won) / len(exact)
+    assert recall >= 0.9, f"winnowing recall {recall:.2f} below gate"
+
+
 def test_exact_dedup_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "different")],

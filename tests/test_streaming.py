@@ -62,6 +62,57 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
     assert not mismatches, list(mismatches.items())[:3]
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics the reference lacks entirely: with a
+    10-minute watermark in append mode, an event arriving a day late
+    (second micro-batch) for an already-finalized window must NOT
+    produce a new/updated window row."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[ns]"),
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), d / name)
+
+    import time as _time
+
+    # batch 1: events through 12:00 → watermark advances to 11:50
+    write_batch("b1.parquet", [(1, "2024-01-01 10:00:30"), (2, "2024-01-01 12:00:00")])
+    _time.sleep(1.1)  # distinct mtimes fix the micro-batch order
+    # batch 2: fresh event → 10:00 window (end < watermark) is
+    # finalized, emitted, and its state evicted
+    write_batch("b2.parquet", [(4, "2024-01-01 12:30:00")])
+    _time.sleep(1.1)
+    # batch 3: a day-late event for the already-finalized 10:00 window —
+    # its state is gone, so the row is dropped (Spark guarantees drops
+    # only once the window has been evicted; same-batch late rows may
+    # still merge, which is why the late arrival gets its own batch)
+    write_batch("b3.parquet", [(3, "2024-01-01 10:00:45")])
+
+    stream = SE.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    agg = SE.minute_window_counts(stream, watermark="10 minutes")
+    out = SE.run_stream_to_memory(spark, agg, "late_test")
+    rows_10 = [
+        r for r in out.collect() if str(r.window_start) == "2024-01-01 10:00:00"
+    ]
+    # exactly one emission of the 10:00 window, counting only the
+    # on-time event — no duplicate/updated row from the late arrival
+    assert len(rows_10) == 1 and rows_10[0].n == 1, out.collect()
+
+
 def test_with_import_time_is_processing_time(spark, sf_dir):
     df = SE.with_import_time(load_table(spark, "events", sf_dir).limit(5))
     ts = [r.data_import_time for r in df.collect()]

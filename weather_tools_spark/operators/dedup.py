@@ -143,6 +143,75 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Rolling-hash winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (the standard
+    plagiarism/near-dup scheme): hash every n-gram shingle, slide a
+    ``window`` over consecutive shingle hashes, keep each window's
+    minimum — every document pair sharing a sufficiently long run of
+    identical text is guaranteed to share a fingerprint.
+
+    Pipeline: posexplode shingles (ordered) → xxhash64 → min over a
+    rows-window per doc → distinct. One shuffle on doc_id; fingerprint
+    count per doc ≈ shingles/window.
+    Returns (doc_id, fingerprint).
+    """
+    from pyspark.sql import Window as W
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(shingles_ordered_sql(f"split({text_col}, '\\\\s+')", n))
+        ).alias("pos", "s"),
+    ).select("doc_id", "pos", F.xxhash64("s").alias("h"))
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    return (
+        sh.select("doc_id", F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnowing_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, window: int = 4, min_shared: int = 2
+) -> DataFrame:
+    """Near-dup candidates: pairs sharing ≥ ``min_shared`` winnowed
+    fingerprints — equi-join on fingerprint (O(docs×fp) shuffle), then a
+    pair count. Returns (doc_a, doc_b, n_shared)."""
+    fp = winnowing_fingerprints(df, id_col, text_col, n, window)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def shingles_ordered_sql(tokens_sql: str, n: int = 3) -> str:
+    """Like shingles_sql but WITHOUT the distinct — winnowing needs the
+    positional sequence."""
+    t = tokens_sql
+    acc = f"slice({t}, 1, size({t}) - {n - 1})"
+    for j in range(1, n):
+        nxt = f"slice({t}, {j + 1}, size({t}) - {n - 1})"
+        acc = f"zip_with({acc}, {nxt}, (x, y) -> concat(x, ' ', y))"
+    return f"CASE WHEN size({t}) >= {n} THEN {acc} ELSE array() END"
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH (approximate)
 # ---------------------------------------------------------------------------
 

@@ -104,6 +104,18 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_winnowing_pairs")  # hash-seeded scheme → rows-only check
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (window-min over shingle
+    hashes) → candidate pairs sharing ≥3 fingerprints. Deterministic;
+    recall vs. exact Jaccard asserted in tests/test_dedup_similarity.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        D.winnowing_candidate_pairs(docs, "doc_id", "text", n=3, window=4, min_shared=3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register("dedup_simhash_pairs")  # approximate → rows-only check
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3 (banded
