@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the optimizations the engine relies
+on at 100 TB must stay visible in the executed plans — pushdown reaching
+the scan, dimension joins broadcasting, partial aggregation, bucketized
+range joins staying hash-based."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from weather_tools_spark.queries import SPARK
+
+
+def _formatted_plan(spark, name, sf_dir) -> str:
+    df = SPARK[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_full_predicate_pushdown(spark, sf_dir):
+    plan = _formatted_plan(spark, "q6_forecast_revenue", sf_dir)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    for expected in ("l_shipdate", "l_discount", "l_quantity"):
+        assert expected in pushed, f"{expected} not pushed: {pushed}"
+    # column pruning: scan must read only the 4 referenced columns
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(len(s.split(",")) == 4 for s in schemas), schemas
+
+
+def test_events_time_filter_pushdown(spark, sf_dir):
+    plan = _formatted_plan(spark, "xql_select_filter_range", sf_dir)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    # the ts_ns twin predicate reaches the scan as long comparisons
+    assert re.search(r"GreaterThanOrEqual\(ts,\d{15,}\)", pushed), pushed
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    plan = _formatted_plan(spark, "q5_local_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _formatted_plan(spark, "q1_pricing_summary", sf_dir)
+    # two-phase hash aggregate (map-side partial + final)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_range_join_stays_hash_based(spark, sf_dir):
+    plan = _formatted_plan(spark, "range_join_value_buckets", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fanout_single_partition(spark, sf_dir):
+    # literal fan-outs must never multiply partitions (the 32^k incident)
+    df = SPARK["dl_partition_fanout"](spark, sf_dir)
+    assert df.rdd.getNumPartitions() <= 2

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) — a test style the reference lacks
+entirely (SURVEY.md §5 'Absent'). Pure-Python engine functions get
+randomized coverage; Spark-side invariants are checked via the already
+deterministic operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from weather_tools_spark.functions import timeparse as TP
+from weather_tools_spark.pipeline import ratelimit as RL
+
+
+@given(st.integers(min_value=-500, max_value=500), st.integers(min_value=-500, max_value=500),
+       st.integers(min_value=1, max_value=17))
+@settings(max_examples=200, deadline=None)
+def test_mars_int_range_properties(a, b, step):
+    vals = [int(v) for v in TP.expand_mars_range(f"{a}/to/{b}/by/{step}")]
+    assert vals[0] == a
+    assert all(abs(y - x) == step for x, y in zip(vals, vals[1:]))
+    if a <= b:
+        assert vals == sorted(vals) and vals[-1] <= b and b - vals[-1] < step
+    else:
+        assert vals == sorted(vals, reverse=True) and vals[-1] >= b and vals[-1] - b < step
+
+
+@given(st.dates(min_value=dt.date(1950, 1, 2), max_value=dt.date(2100, 12, 31)),
+       st.dates(min_value=dt.date(1950, 1, 2), max_value=dt.date(2100, 12, 31)),
+       st.integers(min_value=1, max_value=30))
+@settings(max_examples=100, deadline=None)
+def test_mars_date_range_properties(a, b, step):
+    spec = f"{a.isoformat()}/to/{b.isoformat()}/by/{step}"
+    out = [dt.date.fromisoformat(v) for v in TP.expand_mars_range(spec)]
+    assert out[0] == a
+    assert all(abs((y - x).days) == step for x, y in zip(out, out[1:]))
+    assert all((a <= v <= b) or (b <= v <= a) for v in out)
+
+
+@given(st.dates(min_value=dt.date(1950, 1, 1), max_value=dt.date(2100, 12, 31)))
+@settings(max_examples=200, deadline=None)
+def test_ecmwf_date_roundtrip(d):
+    assert TP.parse_ecmwf_date(d.isoformat()) == d
+    assert TP.parse_ecmwf_date(d.strftime("%Y%m%d")) == d
+    assert TP.parse_ecmwf_date(f"{d.year}-{d.timetuple().tm_yday:03d}") == d
+
+
+@given(st.dates(min_value=dt.date(1950, 1, 1), max_value=dt.date(2100, 12, 31)),
+       st.integers(min_value=1, max_value=40))
+@settings(max_examples=100, deadline=None)
+def test_hdates_properties(base, years):
+    out = TP.hdates(base, years)
+    assert len(out) == years
+    for i, s in enumerate(out, start=1):
+        d = dt.date.fromisoformat(s)
+        assert d.year == base.year - i
+        assert d.month == base.month
+        assert d.day in (base.day, 28)  # Feb-29 fallback only
+
+
+@given(st.floats(min_value=0.1, max_value=100), st.floats(min_value=0.01, max_value=10),
+       st.integers(min_value=1, max_value=64))
+@settings(max_examples=200, deadline=None)
+def test_shard_formula_bounds(qps, latency, max_conc):
+    n = RL.num_shards(qps, latency, max_conc)
+    assert 1 <= n <= max_conc
+
+
+@given(st.text(alphabet="ab ", min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_selection_expansion_idempotent(s):
+    sel = {"x": [s or "v"]}
+    once = TP.expand_selection(sel)
+    twice = TP.expand_selection({"x": once["x"]})
+    assert once == twice

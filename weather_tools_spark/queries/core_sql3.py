@@ -132,6 +132,75 @@ def groupingsets_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "argmax_supplier_per_nation",
+    oracle="""
+    SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM (
+      SELECT n_name, s_name, s_acctbal,
+             row_number() OVER (PARTITION BY n_nationkey
+                                ORDER BY s_acctbal DESC, s_suppkey) AS rk
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    WHERE rk = 1
+    ORDER BY n_name
+    """,
+)
+def argmax_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax (the TPC-H Q2 'min-cost supplier' shape without
+    partsupp): rank-1 row per group with deterministic key tie-break."""
+    from pyspark.sql import Window as W
+
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    w = W.partitionBy("n_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "union_by_name_schema_evolution",
+    oracle="""
+    WITH v1 AS (SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0),
+         v2 AS (SELECT event_id, event_type, value, props FROM events WHERE event_id % 2 = 1),
+    unioned AS (
+      SELECT event_id, event_type, value, NULL AS props FROM v1
+      UNION ALL BY NAME
+      SELECT * FROM v2
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_props
+    FROM unioned
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def union_by_name_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two generations of the events schema (one
+    without ``props``) merged with ``unionByName(allowMissingColumns)``
+    — the engine-side analog of the reference's GRIB wide-schema merge
+    (sinks.py:326-342), where hypercubes with differing variable sets
+    align into one schema with NULL fill."""
+    ev = load_table(spark, "events", sf_dir)
+    v1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type", "value")
+    v2 = ev.filter(F.col("event_id") % 2 == 1).select("event_id", "event_type", "value", "props")
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        unioned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("n_missing_props"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register("sketch_approx_aggregates")  # approximate → rows-only check
 def sketch_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB profiling: HyperLogLog distinct
