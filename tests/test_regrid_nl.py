@@ -1,0 +1,104 @@
+"""Regrid operators (cell-mean downsample, bilinear upsample) and the
+NL→SQL surface."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table, register_views
+from weather_tools_spark.operators import regrid as RG
+from weather_tools_spark.plans import nl
+from weather_tools_spark.sources import hypercube as H
+
+
+def test_regrid_cell_mean_downsample(spark):
+    src = H.ingest(spark, ["mem://a.nc"])  # 1° grid, lats 49..45, lons -108..-104
+    out = RG.regrid_cell_mean(src, lat_res=2.0, lon_res=2.0, value_cols=["d2m"])
+    rows = out.collect()
+    # every output point is a 2° cell center
+    assert all(abs(r.latitude % 2.0 - 1.0) < 1e-9 for r in rows)
+    assert all(abs(r.longitude % 2.0 - 1.0) < 1e-9 for r in rows)
+    # conservation: global mean preserved up to cell-count weighting —
+    # check one cell against a hand aggregation
+    t0 = src.select(F.min("time")).first()[0]
+    cell = [
+        r.d2m
+        for r in src.filter(
+            (F.col("time") == t0)
+            & F.col("latitude").between(46.0, 47.999)
+            & F.col("longitude").between(-108.0, -106.001)
+        ).collect()
+    ]
+    got = [
+        r.d2m
+        for r in rows
+        if r.time == t0 and r.latitude == 47.0 and r.longitude == -107.0
+    ]
+    assert len(got) == 1
+    assert math.isclose(got[0], sum(cell) / len(cell), rel_tol=1e-9)
+
+
+def test_regrid_bilinear_interpolates(spark):
+    src = H.ingest(spark, ["mem://a.nc"])
+    t0 = src.select(F.min("time")).first()[0]
+    # target point exactly between 4 source corners → plain 4-mean
+    out = RG.regrid_bilinear(
+        src, target_lats=[46.5], target_lons=[-106.5],
+        src_lat_res=1.0, src_lon_res=1.0, value_cols=["d2m"],
+    )
+    got = [r.d2m for r in out.collect() if r.time == t0]
+    corners = [
+        r.d2m
+        for r in src.filter(
+            (F.col("time") == t0)
+            & F.col("latitude").isin(46.0, 47.0)
+            & F.col("longitude").isin(-107.0, -106.0)
+        ).collect()
+    ]
+    assert len(corners) == 4
+    assert math.isclose(got[0], sum(corners) / 4.0, rel_tol=1e-9)
+    # target exactly ON a source point → identity
+    ident = RG.regrid_bilinear(
+        src, target_lats=[47.0], target_lons=[-106.0],
+        src_lat_res=1.0, src_lon_res=1.0, value_cols=["d2m"],
+    )
+    src_val = src.filter(
+        (F.col("time") == t0) & (F.col("latitude") == 47.0) & (F.col("longitude") == -106.0)
+    ).first().d2m
+    got_val = [r.d2m for r in ident.collect() if r.time == t0][0]
+    assert math.isclose(got_val, src_val, rel_tol=1e-9)
+
+
+def test_nl_rule_based_translation():
+    sql = nl.nl_to_sql("what is the average value by day for city new york", "events")
+    assert sql == (
+        "SELECT time_date, AVG('value') FROM events WHERE city = 'new york' "
+        "GROUP BY time_date ORDER BY time_date"
+    )
+    sql2 = nl.nl_to_sql("total value by month", "events")
+    assert "SUM('value')" in sql2 and "time_month" in sql2
+    with pytest.raises(ValueError, match="cannot parse"):
+        nl.nl_to_sql("tell me something interesting", "events")
+
+
+def test_nl_ask_end_to_end(spark, sf_dir):
+    register_views(spark, sf_dir, tables=("events",))
+    df = nl.ask(spark, "average value by day", "events", time_col="ts")
+    rows = df.collect()
+    assert df.columns[0] == "time_date" and len(rows) >= 28
+
+
+def test_nl_llm_passthrough(spark, sf_dir):
+    register_views(spark, sf_dir, tables=("events",))
+    prompts = []
+
+    def fake_llm(prompt: str) -> str:
+        prompts.append(prompt)
+        return "SELECT count(*) AS n FROM events;"
+
+    df = nl.ask(spark, "how many events are there", "events", llm=fake_llm, time_col="ts")
+    assert df.first().n > 0
+    assert "Question: how many events are there" in prompts[0]

@@ -1,0 +1,104 @@
+"""Regridding (weather-mv ``regrid`` parity, weather_mv/loader_pipeline/
+regrid.py) re-expressed on the long-format row model.
+
+The reference shells into MetView to resample GRIB fieldsets to a new
+grid (regrid.py:73-112 MapChunkAsFieldset). On the relational model a
+regrid is a grouped aggregation over the target cell:
+
+- *nearest / cell-mean downsampling*: assign each source point to its
+  target cell (pure arithmetic), group, aggregate (mean for continuous
+  fields). One map-combinable shuffle on (time, cell).
+- *bilinear upsampling*: explode each target point into its 4
+  surrounding source corners with arithmetic weights, join source
+  values, weighted sum. Equi-join on the source grid key — no custom
+  kernels, fully distributed.
+
+Both keep the reference's semantics contract: output is the same long
+format, so every downstream operator (geo join, bucketing, SQL surface)
+applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def regrid_cell_mean(
+    df: DataFrame,
+    lat_res: float,
+    lon_res: float,
+    value_cols: list[str],
+    time_col: str = "time",
+) -> DataFrame:
+    """Downsample to a regular (lat_res × lon_res) grid by cell mean.
+    Target coordinates are cell centers. Exact-decimal means keep the
+    result engine-deterministic (same discipline as the query layer)."""
+    lat_cell = (F.floor(F.col("latitude") / lat_res) * lat_res + lat_res / 2).alias("latitude")
+    lon_cell = (F.floor(F.col("longitude") / lon_res) * lon_res + lon_res / 2).alias("longitude")
+    aggs = [
+        (
+            (F.sum(F.round(F.col(c) * 1_000_000, 0).cast("long")) / 1_000_000).cast("double")
+            / F.count(F.col(c))
+        ).alias(c)
+        for c in value_cols
+    ]
+    return df.groupBy(F.col(time_col), lat_cell, lon_cell).agg(*aggs)
+
+
+def regrid_bilinear(
+    df: DataFrame,
+    target_lats: list[float],
+    target_lons: list[float],
+    src_lat_res: float,
+    src_lon_res: float,
+    value_cols: list[str],
+    time_col: str = "time",
+) -> DataFrame:
+    """Bilinear interpolation onto an explicit target grid.
+
+    Each target point expands to its 4 surrounding source-grid corners
+    with bilinear weights (computed as column arithmetic), joins the
+    source rows on (time, corner), and weight-sums. Points outside the
+    source hull drop out naturally (inner join).
+    """
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(la, lo) for la in target_lats for lo in target_lons],
+        "t_lat double, t_lon double",
+    )
+    la0 = F.floor(F.col("t_lat") / src_lat_res) * src_lat_res
+    lo0 = F.floor(F.col("t_lon") / src_lon_res) * src_lon_res
+    fy = ((F.col("t_lat") - la0) / src_lat_res).alias("fy")
+    fx = ((F.col("t_lon") - lo0) / src_lon_res).alias("fx")
+    base = targets.select("t_lat", "t_lon", la0.alias("la0"), lo0.alias("lo0"), fy, fx)
+    corners = base.select(
+        "t_lat",
+        "t_lon",
+        F.explode(
+            F.array(
+                F.struct(F.col("la0").alias("latitude"), F.col("lo0").alias("longitude"),
+                         ((1 - F.col("fy")) * (1 - F.col("fx"))).alias("w")),
+                F.struct((F.col("la0") + src_lat_res).alias("latitude"), F.col("lo0").alias("longitude"),
+                         (F.col("fy") * (1 - F.col("fx"))).alias("w")),
+                F.struct(F.col("la0").alias("latitude"), (F.col("lo0") + src_lon_res).alias("longitude"),
+                         ((1 - F.col("fy")) * F.col("fx")).alias("w")),
+                F.struct((F.col("la0") + src_lat_res).alias("latitude"),
+                         (F.col("lo0") + src_lon_res).alias("longitude"),
+                         (F.col("fy") * F.col("fx")).alias("w")),
+            )
+        ).alias("c"),
+    ).select("t_lat", "t_lon", F.col("c.latitude"), F.col("c.longitude"), F.col("c.w"))
+    joined = df.join(F.broadcast(corners), ["latitude", "longitude"])
+    aggs = [F.sum(F.col(c) * F.col("w")).alias(c) for c in value_cols]
+    # a full 4-corner weight set sums to 1; partial coverage (grid edge)
+    # is rescaled by the realized weight mass
+    wsum = F.sum("w").alias("__w")
+    out = joined.groupBy(F.col(time_col), F.col("t_lat"), F.col("t_lon")).agg(*aggs, wsum)
+    rescaled = out.select(
+        time_col,
+        F.col("t_lat").alias("latitude"),
+        F.col("t_lon").alias("longitude"),
+        *[(F.col(c) / F.col("__w")).alias(c) for c in value_cols],
+    )
+    return rescaled
