@@ -56,9 +56,21 @@ def shingles_sql(tokens_sql: str, n: int = 3) -> str:
     return f"CASE WHEN size({t}) >= {n} THEN array_distinct({acc}) ELSE array() END"
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure the CPU-heavy tokenize/shingle stage has enough partitions:
+    a corpus read from one parquet file arrives as a single partition and
+    would serialize the whole stage on one core. Only repartitions when
+    the input is narrower than the cluster — an already-parallel corpus
+    (the 100 TB case) passes through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingles array) — the base for every similarity-style dedup."""
-    return df.select(
+    return _widen(df).select(
         F.col(id_col),
         F.expr(shingles_sql(f"split({text_col}, '\\\\s+')", n)).alias("shingles"),
     )
@@ -163,7 +175,7 @@ def winnowing_fingerprints(
     """
     from pyspark.sql import Window as W
 
-    sh = df.select(
+    sh = _widen(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.expr(shingles_ordered_sql(f"split({text_col}, '\\\\s+')", n))
@@ -323,7 +335,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     inline aggregate()-over-array expression would traverse the token
     array 64 times per row after projection collapse).
     """
-    tok = df.select(
+    tok = _widen(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("t")
     ).select("doc_id", F.xxhash64("t").alias("h"))
     bit_sums = tok.groupBy("doc_id").agg(
