@@ -96,6 +96,53 @@ def test_chunk_pruning_reduces_chunks(spark):
     assert pruned.count() == 1  # one time chunk × one lat chunk × one lon chunk
 
 
+def test_merge_normalized_wide_schema(spark):
+    import datetime as dt
+
+    t1 = dt.datetime(2018, 1, 1)
+    coords = [(t1, 49.0, -108.0), (t1, 48.0, -108.0)]
+    z500 = spark.createDataFrame(
+        [(t, la, lo, 5500.0 + i) for i, (t, la, lo) in enumerate(coords)],
+        "time timestamp, latitude double, longitude double, value double",
+    )
+    # t850 covers only ONE of the coordinates → NULL alignment expected
+    t850 = spark.createDataFrame(
+        [(coords[0][0], 49.0, -108.0, 280.5)],
+        "time timestamp, latitude double, longitude double, value double",
+    )
+    wide = H.merge_normalized(
+        [("isobaricInhPa", 500.0, "instant", "z", z500),
+         ("isobaricInhPa", 850.0, "instant", "t", t850)]
+    )
+    assert set(wide.columns) == {
+        "time", "latitude", "longitude",
+        "isobaricInhPa_500_instant_z", "isobaricInhPa_850_instant_t",
+    }
+    rows = {r.latitude: r for r in wide.collect()}
+    assert rows[49.0].isobaricInhPa_850_instant_t == 280.5
+    assert rows[48.0].isobaricInhPa_850_instant_t is None  # xr.merge-style NULL fill
+
+
+def test_chunked_store_write_read_roundtrip(spark, tmp_path):
+    meta = _meta()
+    original = Z.scan(spark, meta)
+    out = str(tmp_path / "store")
+    Z.write_chunked(original, out, meta)
+    back = Z.read_chunked(spark, out)
+    key = ["time", "latitude", "longitude"]
+    a = original.orderBy(key).toPandas()[["time", "latitude", "longitude", "d2m"]]
+    b = back.orderBy(key).toPandas()[["time", "latitude", "longitude", "d2m"]]
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # chunk layout on disk: one directory per chunk key combination
+    import glob as _glob
+
+    chunk_dirs = _glob.glob(f"{out}/t_idx=*/lat_idx=*/lon_idx=*")
+    assert len(chunk_dirs) == 2 * 4 * 4
+    # partition pruning reaches the directory level on read-back
+    pruned = back.filter("t_idx = 0 AND lat_idx = 1 AND lon_idx = 2")
+    assert pruned.count() == 24 * 2 * 2
+
+
 def test_pruned_scan_equals_full_scan_filtered(spark):
     meta = _meta()
     tr = ("2018-01-01 06:00:00", "2018-01-02 06:00:00")

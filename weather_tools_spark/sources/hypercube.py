@@ -57,6 +57,36 @@ def normalized_var_name(level: str, height: float, step_type: str, var: str) -> 
     return f"{level}_{h}_{step_type}_{var}"
 
 
+def merge_normalized(
+    frames: list[tuple[str, float, str, str, DataFrame]],
+    coord_cols: tuple[str, ...] = ("time", "latitude", "longitude"),
+    value_col: str = "value",
+) -> DataFrame:
+    """GRIB schema normalization, merge step (sinks.py:251-342): N
+    single-variable hypercubes (one per level/height/stepType/var)
+    align on the coordinate axes into ONE wide dataset whose columns
+    carry the synthesized ``<level>_<height>_<stepType>_<var>`` names.
+
+    Spark-first: rename each frame's value column to its normalized
+    name, then a coalescing full-outer multi-way join on the coordinate
+    key (grids that don't cover a coordinate leave NULLs — the same
+    NaN-alignment xr.merge produces). Coordinate-key joins co-partition
+    after the first shuffle, so the k-way merge costs one exchange per
+    side, not per pair.
+    """
+    renamed = [
+        df.select(
+            *coord_cols,
+            F.col(value_col).alias(normalized_var_name(level, height, step_type, var)),
+        )
+        for level, height, step_type, var, df in frames
+    ]
+    out = renamed[0]
+    for nxt in renamed[1:]:
+        out = out.join(nxt, list(coord_cols), "full_outer")
+    return out
+
+
 def matches_variable(column: str, requested: str) -> bool:
     """Projection match incl. normalized names: exact, prefix ``var_*``
     or suffix ``*_var`` (util.py:133-136,159-191 semantics)."""

@@ -158,6 +158,42 @@ def _fake_chunk_decode(spec: pd.Series, meta: ChunkedDatasetMeta) -> pd.DataFram
     )
 
 
+def write_chunked(
+    rows: DataFrame,
+    out_dir: str,
+    meta: ChunkedDatasetMeta,
+) -> None:
+    """Chunked store *sink* — the engine analog of writing Zarr against a
+    precomputed template (xbeam.ChunksToZarr, weather_mv regrid.py:
+    384-390): every row is assigned its chunk key from the template's
+    chunk geometry (pure arithmetic against the broadcast axis arrays),
+    and the partitioned write produces one directory per chunk — the
+    same physical layout contract (aligned whole chunks, no partial
+    files) a Zarr store requires, materialized as parquet so this
+    container needs no zarr library.
+
+    Read-back contract: ``scan``'s pruning semantics apply to the
+    written store by construction (directory = chunk)."""
+    times = {str(t): i for i, t in enumerate(pd.to_datetime(meta.times))}
+    lats = {v: i for i, v in enumerate(meta.lats)}
+    lons = {v: i for i, v in enumerate(meta.lons)}
+    t_map = F.create_map(*[x for kv in times.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    la_map = F.create_map(*[x for kv in lats.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    lo_map = F.create_map(*[x for kv in lons.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    keyed = (
+        rows.withColumn("t_idx", (t_map[F.col("time").cast("string")] / meta.chunk_time).cast("int"))
+        .withColumn("lat_idx", (la_map[F.col("latitude")] / meta.chunk_lat).cast("int"))
+        .withColumn("lon_idx", (lo_map[F.col("longitude")] / meta.chunk_lon).cast("int"))
+    )
+    keyed.write.mode("overwrite").partitionBy("t_idx", "lat_idx", "lon_idx").parquet(out_dir)
+
+
+def read_chunked(spark: SparkSession, path: str) -> DataFrame:
+    """Read a chunked store written by ``write_chunked`` (partition
+    columns give Catalyst chunk-level pruning for free)."""
+    return spark.read.parquet(path)
+
+
 def scan(
     spark: SparkSession,
     meta: ChunkedDatasetMeta,
