@@ -45,6 +45,7 @@ def _load_all() -> None:
         core_sql,
         core_sql2,
         core_sql3,
+        core_sql4,
         dedup,
         events,
         pipeline_ops,
