@@ -214,6 +214,44 @@ def q20_part_suppliers_with_volume(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "window_ntile_quartiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM ranked
+    GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile() bucketing analytics (quartile boundaries per group) —
+    deterministic under the unique (price, key) ordering."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+@register(
     "q21_waiting_orders",
     oracle="""
     SELECT s_name, count(*) AS numwait

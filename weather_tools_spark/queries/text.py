@@ -124,6 +124,76 @@ def text_langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_langid_accuracy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('el','los','las','y','no'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','pas'))) AS s_fr
+      FROM t
+    ),
+    lid AS (
+      SELECT doc_id, lang,
+        CASE
+          WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_es >= s_fr THEN 'es'
+          ELSE 'fr'
+        END AS lang_pred
+      FROM s
+    )
+    SELECT lang, lang_pred, count(*) AS n
+    FROM lid GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+)
+def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: heuristic prediction × labeled
+    ``lang`` column (the corpus carries de/en/es/fr/zh labels; zh has no
+    marker list and should land in 'und'/misclassified — visible in the
+    matrix)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register(
+    "dedup_name_levenshtein",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def dedup_name_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup for short strings (entity names): distinct
+    values pairwise under Levenshtein ≤ 3. The distinct set is tiny, so
+    the pair join broadcasts; for large vocabularies the standard scale
+    guard is length/prefix bucketing before pairing."""
+    names = load_table(spark, "part", sf_dir).select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )
+
+
+@register(
     "text_fingerprint_groups",
     oracle="""
     WITH fp AS (
