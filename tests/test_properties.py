@@ -60,6 +60,41 @@ def test_hdates_properties(base, years):
         assert d.day in (base.day, 28)  # Feb-29 fallback only
 
 
+def test_asof_join_randomized_vs_merge_asof(spark):
+    """Randomized equivalence of the union-and-carry as-of join against
+    pandas merge_asof (one seeded draw per suite run; hypothesis-style
+    coverage without respawning Spark jobs per example)."""
+    import numpy as np
+    import pandas as pd
+
+    from weather_tools_spark.operators.asof import asof_join_left
+
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        nl_, nr = rng.randint(1, 40), rng.randint(1, 40)
+        lp = pd.DataFrame({
+            "k": rng.randint(0, 5, nl_),
+            "t": rng.choice(np.arange(0, 500, 7), nl_, replace=False) if nl_ <= 72 else rng.randint(0, 500, nl_),
+            "lid": np.arange(nl_),
+        })
+        rp = pd.DataFrame({
+            "k": rng.randint(0, 5, nr),
+            "t": rng.choice(np.arange(3, 500, 11), nr, replace=False) if nr <= 46 else rng.randint(0, 500, nr),
+            "payload": np.arange(nr),
+        })
+        rp = rp.drop_duplicates(["k", "t"])  # unique (by, time) per contract
+        left = spark.createDataFrame(lp.astype({"k": "int64", "t": "int64", "lid": "int64"}))
+        right = spark.createDataFrame(rp.astype({"k": "int64", "t": "int64", "payload": "int64"}))
+        got = (
+            asof_join_left(left, right, "t", "t", "k", "k", {"payload": "m"})
+            .toPandas().sort_values("lid").reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            lp.sort_values("t"), rp.sort_values("t"), on="t", by="k", direction="backward"
+        ).sort_values("lid").reset_index(drop=True)
+        assert list(got["m"].fillna(-1)) == list(want["payload"].fillna(-1)), f"trial {trial}"
+
+
 @given(st.floats(min_value=0.1, max_value=100), st.floats(min_value=0.01, max_value=10),
        st.integers(min_value=1, max_value=64))
 @settings(max_examples=200, deadline=None)
