@@ -143,6 +143,31 @@ def test_chunked_store_write_read_roundtrip(spark, tmp_path):
     assert pruned.count() == 24 * 2 * 2
 
 
+def test_stream_ingest_chunks_match_batch_scan(spark, tmp_path):
+    """Streaming chunk ingest (foreachBatch) must deliver exactly the
+    rows the batch scan produces, across micro-batches."""
+    meta = _meta()
+    n_chunks = Z.write_chunk_specs(spark, meta, str(tmp_path / "specs"))
+    assert n_chunks == 2 * 4 * 4
+    out_dir = str(tmp_path / "rows")
+    batches = []
+
+    def sink(df, batch_id):
+        batches.append(batch_id)
+        df.write.mode("append").parquet(out_dir)
+
+    q = Z.stream_ingest(spark, meta, str(tmp_path / "specs"), sink, max_chunks_per_trigger=8)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    want = Z.scan(spark, meta)
+    assert got.count() == want.count()
+    key = ["time", "latitude", "longitude"]
+    a = got.orderBy(key).toPandas()[key + ["d2m"]].reset_index(drop=True)
+    b = want.orderBy(key).toPandas()[key + ["d2m"]].reset_index(drop=True)
+    assert a.equals(b)
+    assert len(batches) >= 1
+
+
 def test_pruned_scan_equals_full_scan_filtered(spark):
     meta = _meta()
     tr = ("2018-01-01 06:00:00", "2018-01-02 06:00:00")

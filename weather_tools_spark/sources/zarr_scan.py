@@ -194,6 +194,64 @@ def read_chunked(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def stream_ingest(
+    spark: SparkSession,
+    meta: ChunkedDatasetMeta,
+    manifest_dir: str,
+    sink_fn,
+    max_chunks_per_trigger: int = 4,
+    decoder: str = "fake",
+):
+    """Streaming chunk ingest — the reference's Zarr→rows streaming path
+    (xbeam.DatasetToChunks + 60 s fixed windows, bq.py:406-423) as
+    Structured Streaming:
+
+    chunk specs arrive as files in ``manifest_dir`` (the local stand-in
+    for a chunk queue / object-finalize feed), stream in bounded groups
+    (``maxFilesPerTrigger``), and each micro-batch decodes its chunks
+    with the same batch kernel the batch ``scan`` uses, handing the
+    decoded rows to ``sink_fn(df, batch_id)`` via foreachBatch — the
+    exactly-once boundary where a real deployment appends to its table.
+
+    Returns the started StreamingQuery (caller drives/stops it).
+    """
+    spec_schema = (
+        "uri string, t_idx int, lat_idx int, lon_idx int"
+    )
+    specs = (
+        spark.readStream.schema(spec_schema)
+        .option("maxFilesPerTrigger", max_chunks_per_trigger)
+        .json(manifest_dir)
+    )
+    if decoder != "fake":  # pragma: no cover
+        raise NotImplementedError("real zarr decoding requires the zarr libs")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for _, spec in pdf.iterrows():
+                    yield _fake_chunk_decode(spec, meta)
+
+        rows = batch_df.repartition(
+            max(1, batch_df.sparkSession.sparkContext.defaultParallelism)
+        ).mapInPandas(run, schema=ROW_SCHEMA)
+        sink_fn(rows, batch_id)
+
+    return (
+        specs.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def write_chunk_specs(spark: SparkSession, meta: ChunkedDatasetMeta, manifest_dir: str) -> int:
+    """Materialize the chunk manifest as JSON spec files (the feed for
+    stream_ingest). Returns the number of chunks."""
+    m = chunk_manifest(spark, meta).select("uri", "t_idx", "lat_idx", "lon_idx")
+    m.coalesce(1).write.mode("overwrite").json(manifest_dir)
+    return m.count()
+
+
 def scan(
     spark: SparkSession,
     meta: ChunkedDatasetMeta,
