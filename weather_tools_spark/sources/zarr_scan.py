@@ -158,6 +158,20 @@ def _fake_chunk_decode(spec: pd.Series, meta: ChunkedDatasetMeta) -> pd.DataFram
     )
 
 
+def _decode_specs(meta: ChunkedDatasetMeta, decoder: str):
+    """Shared chunk-spec → rows generator for the batch scan and the
+    streaming ingest (single place to grow real-decoder dispatch)."""
+    if decoder != "fake":  # pragma: no cover
+        raise NotImplementedError("real zarr decoding requires the zarr/xarray libs")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, spec in pdf.iterrows():
+                yield _fake_chunk_decode(spec, meta)
+
+    return run
+
+
 def write_chunked(
     rows: DataFrame,
     out_dir: str,
@@ -201,17 +215,20 @@ def stream_ingest(
     sink_fn,
     max_chunks_per_trigger: int = 4,
     decoder: str = "fake",
+    checkpoint_dir: str | None = None,
 ):
     """Streaming chunk ingest — the reference's Zarr→rows streaming path
     (xbeam.DatasetToChunks + 60 s fixed windows, bq.py:406-423) as
     Structured Streaming:
 
-    chunk specs arrive as files in ``manifest_dir`` (the local stand-in
-    for a chunk queue / object-finalize feed), stream in bounded groups
-    (``maxFilesPerTrigger``), and each micro-batch decodes its chunks
-    with the same batch kernel the batch ``scan`` uses, handing the
-    decoded rows to ``sink_fn(df, batch_id)`` via foreachBatch — the
-    exactly-once boundary where a real deployment appends to its table.
+    chunk specs arrive as JSON files in ``manifest_dir`` (one file per
+    chunk — see write_chunk_specs — so ``maxFilesPerTrigger`` bounds
+    chunks per micro-batch), and each micro-batch decodes its chunks
+    with the same kernel the batch ``scan`` uses, handing the decoded
+    rows to ``sink_fn(df, batch_id)`` via foreachBatch. Pass
+    ``checkpoint_dir`` for a durable offset log — without it Spark uses
+    a throwaway temp checkpoint and a restarted query re-reads (and the
+    sink re-appends) every chunk.
 
     Returns the started StreamingQuery (caller drives/stops it).
     """
@@ -223,33 +240,35 @@ def stream_ingest(
         .option("maxFilesPerTrigger", max_chunks_per_trigger)
         .json(manifest_dir)
     )
-    if decoder != "fake":  # pragma: no cover
-        raise NotImplementedError("real zarr decoding requires the zarr libs")
+    run = _decode_specs(meta, decoder)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                for _, spec in pdf.iterrows():
-                    yield _fake_chunk_decode(spec, meta)
-
         rows = batch_df.repartition(
             max(1, batch_df.sparkSession.sparkContext.defaultParallelism)
         ).mapInPandas(run, schema=ROW_SCHEMA)
         sink_fn(rows, batch_id)
 
-    return (
-        specs.writeStream.foreachBatch(process)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = specs.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def write_chunk_specs(spark: SparkSession, meta: ChunkedDatasetMeta, manifest_dir: str) -> int:
-    """Materialize the chunk manifest as JSON spec files (the feed for
-    stream_ingest). Returns the number of chunks."""
+    """Materialize the chunk manifest as JSON spec files — ONE file per
+    chunk, so the streaming reader's ``maxFilesPerTrigger`` genuinely
+    bounds chunks per micro-batch. Returns the chunk count (computed
+    from the template geometry, no extra job)."""
+    import math
+
+    n_chunks = (
+        math.ceil(len(meta.times) / meta.chunk_time)
+        * math.ceil(len(meta.lats) / meta.chunk_lat)
+        * math.ceil(len(meta.lons) / meta.chunk_lon)
+    )
     m = chunk_manifest(spark, meta).select("uri", "t_idx", "lat_idx", "lon_idx")
-    m.coalesce(1).write.mode("overwrite").json(manifest_dir)
-    return m.count()
+    m.repartition(n_chunks).write.mode("overwrite").json(manifest_dir)
+    return n_chunks
 
 
 def scan(
@@ -263,16 +282,8 @@ def scan(
     """Pruned chunk scan → long-format rows. Residual cell-level filters
     are applied after decode (chunks overlap range boundaries)."""
     manifest = prune_chunks(chunk_manifest(spark, meta), time_range, lat_range, lon_range)
-    if decoder != "fake":  # pragma: no cover
-        raise NotImplementedError("real zarr decoding requires the zarr/xarray libs")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, spec in pdf.iterrows():
-                yield _fake_chunk_decode(spec, meta)
-
     rows = manifest.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        run, schema=ROW_SCHEMA
+        _decode_specs(meta, decoder), schema=ROW_SCHEMA
     )
     if time_range is not None:
         rows = rows.filter(
