@@ -20,15 +20,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority_check",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
     "q12_priority_shipping",
+    "q13_customer_distribution",
     "q14_promo_effect",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
+    "q21_waiting_orders",
     "q22_global_sales_opportunity",
     "topk_orders_per_priority",
     "window_running_customer_spend",
@@ -43,11 +48,16 @@ HEADLINE = [
     "dedup_exact_canonical",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
+    "dedup_winnowing_pairs",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
     "sim_label_centroid_distance",
+    "agg_exact_percentiles",
     "text_token_stats",
     "text_quality_scores",
+    "text_langid_distribution",
 ]
 
 

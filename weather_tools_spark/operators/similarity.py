@@ -275,18 +275,46 @@ def lsh_topk(
     candidate set, L recovers recall. The candidate join is an equi-join
     on (table, bucket): O(corpus × L) shuffle rows, never O(n²).
     """
+    import pandas as pd
+
     c_base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
 
+    # all tables' planes as one (tables*bits, dim) matrix → bucket
+    # computation is a single dgemm per Arrow batch (32 inline zip_with
+    # expression trees cost ~30× more in codegen + eval)
+    plane_mat = np.vstack(
+        [np.asarray(hyperplanes(dim, bits, seed + 1000 * t)) for t in range(tables)]
+    )
+    bc_planes = corpus.sparkSession.sparkContext.broadcast(plane_mat)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
     def bucketed(df: DataFrame, vec: str) -> DataFrame:
-        entries = []
-        for t in range(tables):
-            planes = hyperplanes(dim, bits, seed + 1000 * t)
-            entries.append(
-                F.struct(F.lit(t).alias("tbl"), _bucket_expr(F.col(vec), planes).alias("bucket"))
-            )
-        return df.withColumn("tb", F.explode(F.array(*entries))).select(
-            *df.columns, F.col("tb.tbl"), F.col("tb.bucket")
+        id_name = df.columns[0]
+
+        def gen(batches):
+            pm = bc_planes.value
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                x = np.vstack(b[vec].to_numpy()).astype(np.float64)
+                signs = (x @ pm.T) > 0  # (n, tables*bits)
+                buckets = (
+                    signs.reshape(len(b), tables, bits).astype(np.int64) @ weights
+                )  # (n, tables)
+                out = pd.DataFrame(
+                    {
+                        id_name: np.repeat(b[id_name].to_numpy(), tables),
+                        vec: [v for v in b[vec] for _ in range(tables)],
+                        "tbl": np.tile(np.arange(tables, dtype=np.int32), len(b)),
+                        "bucket": buckets.ravel(),
+                    }
+                )
+                yield out
+
+        id_type = dict(df.dtypes)[id_name]
+        return df.mapInPandas(
+            gen, f"{id_name} {id_type}, {vec} array<float>, tbl int, bucket long"
         )
 
     candidates = (
