@@ -1,0 +1,73 @@
+"""Coverage for the remaining small helpers: pacing generator, stage
+timer, longitude wrap, xql full-rewrite composition, catalog defaults."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_tools_spark.functions.geo import wrap_longitude_0_360
+from weather_tools_spark.operators.metrics import stage_timer
+from weather_tools_spark.pipeline.ratelimit import TokenBucket, paced
+from weather_tools_spark.plans import xql
+
+
+def test_paced_generator_yields_all_items():
+    # pace at a high rate so the test doesn't sleep measurably
+    assert list(paced(range(5), rate=10_000)) == [0, 1, 2, 3, 4]
+
+
+def test_token_bucket_burst_allows_first_token():
+    clock = {"t": 100.0}
+    slept = []
+    b = TokenBucket(rate=1.0, burst=2.0)
+    now = lambda: clock["t"]  # noqa: E731
+
+    def sleep(s):
+        slept.append(s)
+        clock["t"] += s
+
+    b.acquire(now=now, sleep=sleep)
+    b.acquire(now=now, sleep=sleep)  # burst covers two immediate tokens
+    assert slept == []
+    b.acquire(now=now, sleep=sleep)
+    assert len(slept) == 1  # third token waits
+
+
+def test_stage_timer_accumulates():
+    timings: dict[str, float] = {}
+    with stage_timer(timings, "a"):
+        pass
+    with stage_timer(timings, "a"):
+        pass
+    assert timings["a"] >= 0.0
+    assert set(timings) == {"a"}
+
+
+def test_wrap_longitude_0_360(spark):
+    df = spark.createDataFrame([(-180.0,), (-0.5,), (0.0,), (359.5,), (720.5,)], "lon double")
+    out = [r[0] for r in df.select(wrap_longitude_0_360(F.col("lon"))).collect()]
+    assert out == [180.0, 359.5, 0.0, 359.5, 0.5]
+
+
+def test_xql_full_rewrite_composes():
+    sql = (
+        "SELECT time_month, AVG('d2m') FROM t "
+        "WHERE country = 'india' AND time_month >= '2024' GROUP BY time_month"
+    )
+    out = xql.rewrite(sql, time_col="time")
+    assert "latitude >= 6.55" in out  # country rewrite
+    assert "AVG(d2m) AS avg_d2m" in out  # quoted agg naming
+    assert "date_format(time, 'yyyy-MM') AS time_month" in out  # bucket alias
+    assert "country" not in out
+
+
+def test_catalog_default_sf_dir_env(monkeypatch):
+    import importlib
+
+    import weather_tools_spark.catalog as C
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    importlib.reload(C)
+    assert C.DEFAULT_SF_DIR == "/root/testdata/sf0.001"
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR")
+    importlib.reload(C)
