@@ -23,6 +23,11 @@ from weather_tools_spark.functions.geo import bbox_predicate, geo_entity_bbox
 from weather_tools_spark.queries import register
 from weather_tools_spark.queries.core_sql import _davg
 
+# city-bbox rewrite target: the same constants are inlined into both the
+# Spark plans and the oracle SQL, exactly as the engine's SQL surface does.
+_NY = geo_entity_bbox("city", "new york")
+_INDIA = geo_entity_bbox("country", "india")
+
 
 @register(
     "xql_select_filter_range",
@@ -203,6 +208,51 @@ def xql_orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xql_flagship_weather_query",
+    oracle=f"""
+    WITH geo AS (
+      SELECT ts, value,
+             (user_id % 180) - 90.0 + 0.25  AS latitude,
+             (event_id % 360) - 180.0 + 0.5 AS longitude
+      FROM events
+    )
+    SELECT strftime(ts, '%Y-%m-%d') AS time_date,
+           round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000)
+                 / count(value), 6) AS avg_value
+    FROM geo
+    WHERE latitude  >= {_INDIA[0]} AND latitude  <= {_INDIA[1]}
+      AND longitude >= {_INDIA[2]} AND longitude <= {_INDIA[3]}
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY time_date
+    ORDER BY time_date
+    """,
+)
+def xql_flagship_weather_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship query shape in full (xql/README.md:
+    `SELECT AVG('temperature') FROM era5 WHERE country = 'india' AND
+    time range GROUP BY time_date`): geo-entity→bbox rewrite +
+    event-time range (pushed down via ts_ns) + daily bucket +
+    exact-mean — every §3.1 lifecycle stage composed in one
+    oracle-checked query."""
+    ev = events_time_between(
+        load_table(spark, "events", sf_dir), "2024-01-05 00:00:00", "2024-01-25 00:00:00"
+    )
+    geo = ev.select(
+        "ts",
+        "value",
+        ((F.col("user_id") % 180) - 90.0 + 0.25).alias("latitude"),
+        ((F.col("event_id") % 360) - 180.0 + 0.5).alias("longitude"),
+    )
+    return (
+        geo.filter(bbox_predicate(F.col("latitude"), F.col("longitude"), _INDIA))
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("time_date"))
+        .agg(F.round(_davg(F.col("value")), 6).alias("avg_value"))
+        .orderBy("time_date")
+    )
+
+
+@register(
     "xql_sql_surface_daily",
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS time_date,
@@ -267,9 +317,6 @@ def null_handling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# city-bbox rewrite: inline the same constants into both the Spark plan
-# and the oracle SQL, exactly as the engine's SQL surface does.
-_NY = geo_entity_bbox("city", "new york")
 
 
 @register(
