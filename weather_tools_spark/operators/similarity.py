@@ -143,6 +143,32 @@ def embedding_cosine_pairs(
     )
 
 
+def _score_pairs(pairs: DataFrame, q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """(query_id, neighbor_id, q_vec, c_vec) → (query_id, neighbor_id,
+    cosine) with the row-wise normalized dot computed as numpy einsum per
+    Arrow batch — the candidate-scoring stage of the ANN operators
+    (HOF zip_with/aggregate per pair costs ~10× more)."""
+    import pandas as pd
+
+    def gen(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            q = np.vstack(b[q_vec].to_numpy()).astype(np.float64)
+            c = np.vstack(b[c_vec].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", q, c)
+            den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": b["query_id"],
+                    "neighbor_id": b["neighbor_id"],
+                    "cosine": num / den,
+                }
+            )
+
+    return pairs.mapInPandas(gen, "query_id long, neighbor_id long, cosine double")
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH (fixed seed so runs
     and tests are reproducible)."""
@@ -247,11 +273,13 @@ def ivf_topk(
         .select(
             F.col("qid").alias("query_id"),
             F.col("vid").alias("neighbor_id"),
-            (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias("cosine"),
+            F.col("qvec").alias("q_vec"),
+            F.col("vec").alias("c_vec"),
         )
     )
+    scored = _score_pairs(cand)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
 def lsh_topk(
@@ -324,12 +352,6 @@ def lsh_topk(
         .select("query_id", "neighbor_id", "q_vec", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        (_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias(
-            "cosine"
-        ),
-    )
+    scored = _score_pairs(candidates)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -279,14 +279,17 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, "supplier", sf_dir)
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("n_r_supps"),
-    )
-    # per-(order, supplier): does THIS supplier have any R line on the order
+    # per-(order, supplier): does THIS supplier have any R line on the
+    # order — one shuffle over lineitem; the per-order stats then derive
+    # from this much smaller frame (distinct counts become plain
+    # count/sum), saving a second full fact aggregation
     per_os = li.groupBy(
         F.col("l_orderkey").alias("os_key"), F.col("l_suppkey").alias("os_supp")
     ).agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"))
+    per_order = per_os.groupBy(F.col("os_key").alias("po_key")).agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("has_r").alias("n_r_supps"),
+    )
     l1 = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(per_order, F.col("po_key") == F.col("l_orderkey"))
