@@ -137,7 +137,9 @@ def embedding_cosine_pairs(
                 {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "cosine": s[ai, bj]}
             )
 
-    n_parts = max(1, min(spark.sparkContext.defaultParallelism, corpus.count() // 64 or 1))
+    # the collected broadcast side already gives the corpus size — no
+    # extra count() job
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, len(pdf) // 64 or 1))
     return corpus.select(id_col, vec_col).repartition(n_parts).mapInPandas(
         gen, "vec_a long, vec_b long, cosine double"
     )
