@@ -198,6 +198,74 @@ def events_lead_lag_trailing_window(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "hypertable_rollup_cascade",
+    oracle="""
+    WITH hourly AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_micro
+      FROM events GROUP BY bucket
+    ),
+    daily AS (
+      SELECT strftime(CAST(bucket AS TIMESTAMP), '%Y-%m-%d 00:00:00') AS bucket,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_micro) AS BIGINT) AS sum_micro
+      FROM hourly GROUP BY 1
+    ),
+    monthly AS (
+      SELECT strftime(date_trunc('month', CAST(bucket AS TIMESTAMP)), '%Y-%m-%d 00:00:00') AS bucket,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_micro) AS BIGINT) AS sum_micro
+      FROM daily GROUP BY 1
+    )
+    SELECT 'hour' AS resolution, bucket, n, round(CAST(sum_micro AS DOUBLE) / 1000000, 4) AS sum_value FROM hourly
+    UNION ALL
+    SELECT 'day', bucket, n, round(CAST(sum_micro AS DOUBLE) / 1000000, 4) FROM daily
+    UNION ALL
+    SELECT 'month', bucket, n, round(CAST(sum_micro AS DOUBLE) / 1000000, 4) FROM monthly
+    ORDER BY resolution, bucket
+    """,
+)
+def hypertable_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup (continuous-aggregate pattern):
+    the raw stream aggregates ONCE to hourly buckets; daily re-aggregates
+    the hourly frame; monthly re-aggregates daily. Because the partial
+    states (count + exact scaled-long sum) re-aggregate losslessly, each
+    coarser level costs a shuffle over the already-tiny finer rollup
+    instead of another scan of the fact table — the scale pattern for
+    serving multi-resolution dashboards off one pass."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("sum_micro"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", F.col("b")).alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("sum_micro").alias("sum_micro"))
+    )
+    monthly = (
+        daily.groupBy(F.date_trunc("month", F.col("b")).alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("sum_micro").alias("sum_micro"))
+    )
+
+    def fmt(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n",
+            F.round(F.col("sum_micro").cast("double") / 1_000_000, 4).alias("sum_value"),
+        )
+
+    return (
+        fmt(hourly, "hour")
+        .unionByName(fmt(daily, "day"))
+        .unionByName(fmt(monthly, "month"))
+        .orderBy("resolution", "bucket")
+    )
+
+
+@register(
     "events_asof_join_orders",
     oracle="""
     SELECT e.event_id,
