@@ -61,6 +61,31 @@ def test_xql_full_rewrite_composes():
     assert "country" not in out
 
 
+def test_check_expectations(spark, sf_dir):
+    from weather_tools_spark.catalog import load_table
+    from weather_tools_spark.operators.quality import check_expectations, fk_violations
+
+    orders = load_table(spark, "orders", sf_dir)
+    report = check_expectations(
+        orders,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "key_not_null": F.col("o_orderkey").isNotNull(),
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+            "impossible_rule": F.col("o_totalprice") > 1e12,  # must fail on every row
+        },
+    )
+    assert report.n_rows == orders.count()
+    assert report.failures["positive_price"] == 0
+    assert report.failures["key_not_null"] == 0
+    assert report.failures["status_known"] == 0
+    assert report.failures["impossible_rule"] == report.n_rows
+    assert not report.ok
+
+    cust = load_table(spark, "customer", sf_dir)
+    assert fk_violations(orders, "o_custkey", cust.selectExpr("c_custkey AS o_custkey"), "o_custkey") == 0
+
+
 def test_catalog_default_sf_dir_env(monkeypatch):
     import importlib
 

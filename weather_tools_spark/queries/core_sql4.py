@@ -214,6 +214,47 @@ def q20_part_suppliers_with_volume(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.orderkey' AS fk,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.partkey',
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'orders.custkey',
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY fk
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality referential check: per-FK violation counts (anti-join
+    cardinality) across the star schema — the data-level generalization
+    of the reference's destination validation (bq.py:162-195); backed by
+    operators.quality for programmatic use."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+
+    def fk_count(child, ckey, parent, pkey, label):
+        parents = parent.select(F.col(pkey).alias(ckey)).distinct()
+        return child.join(F.broadcast(parents), ckey, "left_anti").agg(
+            F.lit(label).alias("fk"), F.count(F.lit(1)).alias("violations")
+        )
+
+    return (
+        fk_count(li, "l_orderkey", orders, "o_orderkey", "lineitem.orderkey")
+        .unionByName(fk_count(li, "l_partkey", part, "p_partkey", "lineitem.partkey"))
+        .unionByName(fk_count(orders, "o_custkey", cust, "c_custkey", "orders.custkey"))
+        .orderBy("fk")
+    )
+
+
+@register(
     "window_ntile_quartiles",
     oracle="""
     WITH ranked AS (
