@@ -103,6 +103,28 @@ def test_shard_formula_bounds(qps, latency, max_conc):
     assert 1 <= n <= max_conc
 
 
+def test_sanitize_longitude_bounds_batch(spark):
+    """Batch-randomized invariant: sanitize_longitude lands in [-180,180)
+    and is 360-periodic for any input (one Spark job over 2000 random
+    draws instead of a job per hypothesis example)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from weather_tools_spark.functions.geo import sanitize_longitude
+
+    rng = np.random.RandomState(11)
+    lons = (rng.uniform(-2000, 2000, 2000)).tolist()
+    df = spark.createDataFrame([(x,) for x in lons], "lon double")
+    out = df.select(
+        "lon",
+        sanitize_longitude(F.col("lon")).alias("s"),
+        sanitize_longitude(F.col("lon") + 360.0).alias("s_shift"),
+    ).collect()
+    for r in out:
+        assert -180.0 <= r.s < 180.0, r
+        assert abs(r.s - r.s_shift) < 1e-9 or abs(abs(r.s - r.s_shift) - 360.0) < 1e-9
+
+
 @given(st.text(alphabet="ab ", min_size=0, max_size=40))
 @settings(max_examples=200, deadline=None)
 def test_selection_expansion_idempotent(s):
