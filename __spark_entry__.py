@@ -3,9 +3,12 @@
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
 ``oracle_sql()`` expose the full registry from
 ``weather_tools_spark.queries`` (one entry per implemented operator,
-SURVEY.md §2 + LLM-data-pipeline extensions). Approximate operators
-(MinHash-LSH, SimHash, LSH-ANN) intentionally have no oracle entry —
-the driver records the weaker rows-only check for those.
+SURVEY.md §2 + LLM-data-pipeline extensions; see COVERAGE.md for the
+line-by-line map). The six approximate/hash-seeded operators
+(MinHash-LSH, SimHash, winnowing, sign-LSH ANN, IVF ANN, sketches)
+intentionally have no oracle entry — the driver records the weaker
+rows-only check for those, and tests/test_dedup_similarity.py gates
+their recall against the exact operators instead.
 """
 
 from __future__ import annotations
