@@ -36,9 +36,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def _ensure_nanos_as_long(spark: SparkSession) -> None:
     # The events table stores TIMESTAMP(NANOS), which Spark's parquet
     # reader rejects unless nanos are surfaced as longs. Runtime-settable,
-    # so apply it to whatever session we were handed.
+    # so apply it to whatever session we were handed. The session
+    # timezone is pinned to UTC for the same reason: time-bucket
+    # formatting must agree with the UTC-naive oracle regardless of the
+    # host machine's timezone.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
 
