@@ -58,6 +58,18 @@ def test_expand_selection():
     assert sel["level"] == ["500", "850"]
 
 
+def test_validate_selection():
+    ok = TP.validate_selection({"year": ["2020"], "month": ["01"], "day": ["15"], "hour": ["23"]})
+    assert ok == []
+    bad = TP.validate_selection(
+        {"year": ["20"], "month": ["13"], "day": ["32", "x"], "hour": ["24"]}
+    )
+    assert len(bad) == 5
+    assert any("month='13'" in p for p in bad)
+    assert any("not an integer" in p for p in bad)
+    assert any("4-digit year" in p for p in bad)
+
+
 def test_num_shards_formula():
     # reference defaults: 10 qps × 0.5 s latency capped at 10 → 5 shards
     assert RL.num_shards(10, 0.5, 10) == 5

@@ -189,6 +189,27 @@ def hdates(base: dt.date, years_back: int) -> list[str]:
     return out
 
 
+def validate_selection(selection: dict[str, list[str]]) -> list[str]:
+    """Config-time validation (parsers.py:124-154 semantics): day ∈
+    [1,31], month ∈ [1,12], hour ∈ [0,23], years 4-digit numerics.
+    Returns a list of human-readable violations (empty = valid)."""
+    problems: list[str] = []
+    bounds = {"day": (1, 31), "month": (1, 12), "hour": (0, 23)}
+    for key, (lo, hi) in bounds.items():
+        for v in selection.get(key, []):
+            try:
+                iv = int(v)
+            except (TypeError, ValueError):
+                problems.append(f"{key}={v!r} is not an integer")
+                continue
+            if not lo <= iv <= hi:
+                problems.append(f"{key}={v!r} outside [{lo}, {hi}]")
+    for v in selection.get("year", []):
+        if not re.fullmatch(r"\d{4}", str(v)):
+            problems.append(f"year={v!r} is not a 4-digit year")
+    return problems
+
+
 def expand_selection(selection: dict[str, list[str] | str]) -> dict[str, list[str]]:
     """Normalize a download-config selection: every value becomes an
     explicit list with MARS ranges and day=all expanded."""
