@@ -214,6 +214,107 @@ def q20_part_suppliers_with_volume(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "customer_reorder_interval",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey,
+           count(gap_days) AS n_reorders,
+           round(CAST(sum(gap_days) AS DOUBLE) / count(gap_days), 4) AS avg_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    HAVING count(gap_days) >= 5
+    ORDER BY o_custkey
+    """,
+)
+def customer_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-interval analytics: per-customer day gaps between
+    consecutive orders (lag over event time), then integer-exact gap
+    statistics for repeat customers."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_reorders"),
+            F.round(F.sum("gap_days").cast("double") / F.count("gap_days"), 4).alias("avg_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        )
+        .filter(F.col("n_reorders") >= 5)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "supplier_revenue_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             (CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS BIGINT)) AS rev_micro
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT l_suppkey, rev_micro,
+             sum(rev_micro) OVER (ORDER BY rev_micro DESC, l_suppkey) AS cum_micro,
+             sum(rev_micro) OVER () AS total_micro
+      FROM rev
+    )
+    SELECT l_suppkey,
+           round(CAST(rev_micro AS DOUBLE) / 1000000, 2) AS revenue,
+           round(CAST(cum_micro AS DOUBLE) / CAST(total_micro AS DOUBLE), 6) AS cum_share
+    FROM ranked
+    WHERE CAST(cum_micro AS DOUBLE) / CAST(total_micro AS DOUBLE) <= 0.5
+    ORDER BY cum_share
+    """,
+)
+def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: the smallest supplier set carrying 50% of total
+    revenue — descending cumulative share via window sums over
+    integer-exact (micro-unit) revenue, so the cut-off comparison is
+    engine-deterministic."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.round(_rev() * 1_000_000, 0).cast("long")).alias("rev_micro")
+    )
+    w_cum = W.orderBy(F.col("rev_micro").desc(), F.col("l_suppkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = rev.select(
+        "l_suppkey",
+        "rev_micro",
+        F.sum("rev_micro").over(w_cum).alias("cum_micro"),
+        F.sum("rev_micro").over(w_all).alias("total_micro"),
+    )
+    share = F.col("cum_micro").cast("double") / F.col("total_micro").cast("double")
+    return (
+        ranked.filter(share <= 0.5)
+        .select(
+            "l_suppkey",
+            F.round(F.col("rev_micro").cast("double") / 1_000_000, 2).alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+        )
+        .orderBy("cum_share")
+    )
+
+
+@register(
     "dq_referential_integrity",
     oracle="""
     SELECT 'lineitem.orderkey' AS fk,
