@@ -55,6 +55,23 @@ def test_winnowing_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.9, f"winnowing recall {recall:.2f} below gate"
 
 
+def test_winnowing_exact_copy_shares_all_fingerprints(spark):
+    """Winnowing guarantee: an exact copy produces the identical
+    fingerprint set; a doc sharing a long run shares at least one."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "unrelated words entirely different content here now")],
+        "doc_id long, text string",
+    )
+    fp = D.winnowing_fingerprints(df, "doc_id", "text")
+    rows = fp.collect()
+    by_doc: dict[int, set] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] == by_doc[2]
+    assert not (by_doc[1] & by_doc.get(3, set()))
+
+
 def test_exact_dedup_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "different")],

@@ -198,6 +198,87 @@ def events_lead_lag_trailing_window(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+           CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM firsts
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel/sequence analytics: users whose first purchase strictly
+    follows their first signup — conditional-min per user then ordered
+    comparison (µs-exact timestamps on both engines)."""
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("fs"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("fs").isNotNull(), 1).otherwise(0)).alias("n_signed_up"),
+        F.sum(
+            F.when(F.col("fs").isNotNull() & (F.col("fp") > F.col("fs")), 1).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+@register(
+    "events_trailing_7d_active_users",
+    oracle="""
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '2024-01-07', DATE '2024-01-30', INTERVAL 1 DAY)) AS d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS active_users_7d
+    FROM days JOIN events
+      ON ts >= CAST(d AS TIMESTAMP) - INTERVAL 6 DAY
+     AND ts <  CAST(d AS TIMESTAMP) + INTERVAL 1 DAY
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def events_trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day. Windowed DISTINCT
+    aggregation isn't expressible as a frame (neither engine supports
+    count(DISTINCT) over a window) — the relational form is a bounded
+    day×events range join (each event lands in ≤7 day buckets) followed
+    by an ordinary distinct count: O(7·events) shuffle rows, no n²."""
+    ev = load_table(spark, "events", sf_dir)
+    days = (
+        spark.range(1)
+        .coalesce(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-07").cast("date"),
+                    F.lit("2024-01-30").cast("date"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("d")
+        )
+    )
+    joined = ev.join(
+        F.broadcast(days),
+        (F.col("ts") >= F.col("d").cast("timestamp") - F.expr("INTERVAL 6 DAY"))
+        & (F.col("ts") < F.col("d").cast("timestamp") + F.expr("INTERVAL 1 DAY")),
+    )
+    return (
+        joined.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
     "hypertable_rollup_cascade",
     oracle="""
     WITH hourly AS (

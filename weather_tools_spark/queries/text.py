@@ -252,6 +252,33 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS tf FROM toks GROUP BY term)
+    SELECT term, tf FROM counts
+    ORDER BY tf DESC, term
+    LIMIT 20
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies, top-20 (explode → count → ordered limit
+    with term tie-break) — the vocabulary-profiling pass of a data
+    pipeline; map-side combine keeps the shuffle at distinct-term
+    cardinality."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(TX.word_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+@register(
     "text_length_histogram",
     oracle="""
     SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
