@@ -61,6 +61,22 @@ def test_xql_full_rewrite_composes():
     assert "country" not in out
 
 
+def test_sketch_aggregates_within_bounds(spark, sf_dir):
+    """Approximate aggregates stay near exact values: HLL distinct
+    within 5%, percentile_approx(1000) within 1% of the exact median."""
+    from weather_tools_spark.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("apx"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_apx"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+    ).first()
+    assert abs(row.apx - row.exact) / row.exact < 0.05
+    assert abs(row.p50_apx - row.p50_exact) / row.p50_exact < 0.01
+
+
 def test_check_expectations(spark, sf_dir):
     from weather_tools_spark.catalog import load_table
     from weather_tools_spark.operators.quality import check_expectations, fk_violations
