@@ -72,6 +72,26 @@ def test_regrid_bilinear_interpolates(spark):
     assert math.isclose(got_val, src_val, rel_tol=1e-9)
 
 
+def test_regrid_cell_mean_conserves_uniform_field(spark):
+    """Conservation property: regridding a spatially-uniform field (per
+    time step) preserves the value exactly in every target cell."""
+    import pandas as pd
+
+    times = pd.to_datetime(["2018-01-01 00:00:00", "2018-01-01 06:00:00"])
+    rows = [
+        (t.to_pydatetime(), float(la), float(lo), 7.25)
+        for t in times
+        for la in range(40, 48)
+        for lo in range(-110, -102)
+    ]
+    src = spark.createDataFrame(
+        rows, "time timestamp, latitude double, longitude double, d2m double"
+    )
+    out = RG.regrid_cell_mean(src, lat_res=4.0, lon_res=4.0, value_cols=["d2m"])
+    vals = [r.d2m for r in out.collect()]
+    assert vals and all(abs(v - 7.25) < 1e-9 for v in vals)
+
+
 def test_nl_rule_based_translation():
     sql = nl.nl_to_sql("what is the average value by day for city new york", "events")
     assert sql == (

@@ -198,6 +198,34 @@ def events_lead_lag_trailing_window(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "events_daily_type_pivot",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY d
+    ORDER BY d
+    """,
+)
+def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily × event-type count matrix via pivot() — the wide layout a
+    dashboard reads; Spark's pivot compiles to the same conditional
+    aggregation the oracle spells out."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("d")
+    )
+
+
+@register(
     "events_funnel_conversion",
     oracle="""
     WITH firsts AS (
