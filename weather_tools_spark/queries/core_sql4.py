@@ -214,6 +214,48 @@ def q20_part_suppliers_with_volume(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "orders_monthly_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS m,
+             (CAST(sum(CAST(round((o_totalprice) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY m
+    )
+    SELECT m,
+           round(rev, 2) AS revenue,
+           round(rev / lag(rev) OVER (ORDER BY m) - 1.0, 6) AS mom_growth
+    FROM monthly
+    ORDER BY m
+    """,
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: analytic lag over the (already tiny)
+    monthly rollup — the aggregate-then-window layering that keeps the
+    window stage off the fact table entirely."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    monthly = orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("m")).agg(
+        _dsum(F.col("o_totalprice")).alias("rev")
+    )
+    w = W.orderBy("m")
+    return (
+        monthly.select(
+            "m",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.lag("rev").over(w) - 1.0, 6).alias("mom_growth"),
+        )
+        .orderBy("m")
+    )
+
+
+@register(
     "customer_reorder_interval",
     oracle="""
     WITH gaps AS (
