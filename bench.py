@@ -86,6 +86,11 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release dedup-operator persisted intermediates so a long bench
+        # session doesn't accumulate cached partitions
+        from weather_tools_spark.operators.dedup import release_persisted
+
+        release_persisted()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

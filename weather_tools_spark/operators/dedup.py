@@ -27,6 +27,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Persisted intermediates (shingle/signature frames reused by several
+# consumers inside one query plan). persist() here is lazy; the frames
+# are registered so long-lived sessions can release them once the
+# returned plan has been materialized — otherwise repeated dedup query
+# builds accumulate cached partitions. bench.py and the test fixtures
+# call release_persisted() after each query.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every intermediate cached by dedup operators. Safe to
+    call any time after the consuming query has been materialized."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
 # ---------------------------------------------------------------------------
 # Tokenization / shingling expressions (shared)
 # ---------------------------------------------------------------------------
@@ -63,7 +87,14 @@ def _widen(df: DataFrame) -> DataFrame:
     the input is narrower than the cluster — an already-parallel corpus
     (the 100 TB case) passes through untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # len(inputFiles()) is a cheap JVM-side width proxy; probing
+    # df.rdd.getNumPartitions() would force a Python<->JVM RDD
+    # conversion of the whole plan on every dedup query build.
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = 0
+    if width < max(2, target // 2):
         return df.repartition(target)
     return df
 
@@ -123,7 +154,7 @@ def ngram_jaccard_pairs(
     # consumers (sizes, join-left, join-right) and without persist each
     # one would re-evaluate the shingle-construction expression
     # (projection collapse inlines it — measured 2× end-to-end cost).
-    exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s")).persist()
+    exploded = _persist(sh.select(F.col("doc_id"), F.explode("shingles").alias("s")))
     if max_shingle_df is not None:
         rare = (
             exploded.groupBy("s")
@@ -270,7 +301,7 @@ def minhash_lsh_pairs(
     rows = k // bands
     # signatures feed three consumers (banding + both sides of the
     # pair-signature join) → persist so the shingle scan runs once
-    sig = minhash_signatures(df, id_col, text_col, k, n).persist()
+    sig = _persist(minhash_signatures(df, id_col, text_col, k, n))
     # narrow banding frame: (doc_id, band, bucket) only — the wide
     # signature columns do NOT ride through the candidate join
     buckets = sig.select(

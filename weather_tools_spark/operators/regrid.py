@@ -67,29 +67,37 @@ def regrid_bilinear(
         [(la, lo) for la in target_lats for lo in target_lons],
         "t_lat double, t_lon double",
     )
-    la0 = F.floor(F.col("t_lat") / src_lat_res) * src_lat_res
-    lo0 = F.floor(F.col("t_lon") / src_lon_res) * src_lon_res
-    fy = ((F.col("t_lat") - la0) / src_lat_res).alias("fy")
-    fx = ((F.col("t_lon") - lo0) / src_lon_res).alias("fx")
-    base = targets.select("t_lat", "t_lon", la0.alias("la0"), lo0.alias("lo0"), fy, fx)
+    # Join on INTEGER grid indices, never float coordinate equality:
+    # floor(t/res)*res is binary-inexact (3*0.1 != 0.3), so an equi-join
+    # against stored grid doubles silently drops corners and the weight
+    # rescale below would mask the loss. round((x)/res) computed
+    # identically on both sides is exact for any regular grid.
+    la0i = F.floor((F.col("t_lat") / src_lat_res) + 1e-9).cast("long")
+    lo0i = F.floor((F.col("t_lon") / src_lon_res) + 1e-9).cast("long")
+    fy = (F.col("t_lat") / src_lat_res - la0i).alias("fy")
+    fx = (F.col("t_lon") / src_lon_res - lo0i).alias("fx")
+    base = targets.select("t_lat", "t_lon", la0i.alias("la0i"), lo0i.alias("lo0i"), fy, fx)
     corners = base.select(
         "t_lat",
         "t_lon",
         F.explode(
             F.array(
-                F.struct(F.col("la0").alias("latitude"), F.col("lo0").alias("longitude"),
+                F.struct(F.col("la0i").alias("lat_i"), F.col("lo0i").alias("lon_i"),
                          ((1 - F.col("fy")) * (1 - F.col("fx"))).alias("w")),
-                F.struct((F.col("la0") + src_lat_res).alias("latitude"), F.col("lo0").alias("longitude"),
+                F.struct((F.col("la0i") + 1).alias("lat_i"), F.col("lo0i").alias("lon_i"),
                          (F.col("fy") * (1 - F.col("fx"))).alias("w")),
-                F.struct(F.col("la0").alias("latitude"), (F.col("lo0") + src_lon_res).alias("longitude"),
+                F.struct(F.col("la0i").alias("lat_i"), (F.col("lo0i") + 1).alias("lon_i"),
                          ((1 - F.col("fy")) * F.col("fx")).alias("w")),
-                F.struct((F.col("la0") + src_lat_res).alias("latitude"),
-                         (F.col("lo0") + src_lon_res).alias("longitude"),
+                F.struct((F.col("la0i") + 1).alias("lat_i"),
+                         (F.col("lo0i") + 1).alias("lon_i"),
                          (F.col("fy") * F.col("fx")).alias("w")),
             )
         ).alias("c"),
-    ).select("t_lat", "t_lon", F.col("c.latitude"), F.col("c.longitude"), F.col("c.w"))
-    joined = df.join(F.broadcast(corners), ["latitude", "longitude"])
+    ).select("t_lat", "t_lon", F.col("c.lat_i"), F.col("c.lon_i"), F.col("c.w"))
+    src = df.withColumn(
+        "lat_i", F.round(F.col("latitude") / src_lat_res, 0).cast("long")
+    ).withColumn("lon_i", F.round(F.col("longitude") / src_lon_res, 0).cast("long"))
+    joined = src.join(F.broadcast(corners), ["lat_i", "lon_i"])
     aggs = [F.sum(F.col(c) * F.col("w")).alias(c) for c in value_cols]
     # a full 4-corner weight set sums to 1; partial coverage (grid edge)
     # is rescaled by the realized weight mass

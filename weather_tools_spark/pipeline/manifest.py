@@ -118,9 +118,22 @@ class ParquetManifest:
             return empty_manifest(self.spark)
 
     def apply(self, updates: DataFrame) -> None:
+        # Write the merged state to a temp dir FIRST, then swap it into
+        # place. Never cache-then-overwrite the source path: Spark caching
+        # is best-effort, and an evicted block would recompute its lineage
+        # from the already-overwritten source, corrupting manifest state.
+        # (On a lakehouse runtime this whole method is `MERGE INTO`.)
+        import shutil
+        import uuid
+
         merged = merge_updates(self.read(), updates)
-        # write-then-swap through a temp dir would be atomic on a real
-        # FS; local overwrite suffices for the test harness
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(self.path)
-        merged.unpersist()
+        tmp = f"{self.path}.__tmp__{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}.__old__{uuid.uuid4().hex[:8]}"
+        try:
+            shutil.move(self.path, old)
+        except FileNotFoundError:
+            old = None
+        shutil.move(tmp, self.path)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)

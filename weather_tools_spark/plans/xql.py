@@ -70,7 +70,10 @@ def rewrite_quoted_agg_args(sql: str) -> str:
     def repl(m: re.Match[str]) -> str:
         func, var = m.group(1), m.group(2)
         tail = sql[m.end():].lstrip()
-        if tail[:3].upper().startswith("AS"):
+        # word-boundary match: a bare prefix test would treat ASC
+        # (ORDER BY AVG('x') ASC) as an explicit alias and suppress
+        # the {func}_{var} output name
+        if re.match(r"AS\b", tail, re.IGNORECASE):
             return f"{func}({var})"
         return f"{func}({var}) AS {func.lower()}_{var}"
 

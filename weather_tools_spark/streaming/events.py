@@ -57,7 +57,9 @@ def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # Integer `div`, not float division — double rounding lands ~1.6% of
+    # nanos values 1µs off vs exact integer truncation (see catalog.load_table).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def with_import_time(df: DataFrame) -> DataFrame:
