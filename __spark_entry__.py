@@ -28,10 +28,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return SPARK["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Driver-verification rotation: CORRECTNESS_r01 sampled the first 50
+# registry entries in dict order, leaving 38 queries with no driver-side
+# verdict. Those 38 lead the round-2 ordering (followed by queries new
+# in round 2) so a prefix-sampling driver sweeps them; r01 ∪ r02 then
+# covers the whole surface. Relative order within each group is the
+# stable registry order.
+_DRIVER_FIRST = [
+    # r01-unsampled (registry indices 50-87 last round)
+    "events_sessionization",
+    "events_json_props_extract",
+    "events_type_share_by_day",
+    "events_lead_lag_trailing_window",
+    "events_daily_type_pivot",
+    "events_funnel_conversion",
+    "events_trailing_7d_active_users",
+    "hypertable_rollup_cascade",
+    "events_asof_join_orders",
+    "dl_partition_fanout",
+    "manifest_latest_state",
+    "mars_range_expansion",
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
+    "multimodal_feature_extract",
+    "sim_label_centroid_distance",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_langid_distribution",
+    "text_langid_accuracy",
+    "dedup_name_levenshtein",
+    "text_fingerprint_groups",
+    "text_bpe_token_counts",
+    "text_top_terms",
+    "text_length_histogram",
+    "xql_select_filter_range",
+    "xql_daily_avg",
+    "xql_monthly_multi_agg",
+    "xql_yearly_bucket_by_type",
+    "xql_whole_table_agg",
+    "xql_where_or",
+    "xql_orderby_limit_offset",
+    "xql_flagship_weather_query",
+    "xql_sql_surface_daily",
+    "null_handling_aggregates",
+    "xql_city_bbox_rewrite",
+]
+
+
+def _ordered(reg: dict) -> dict:
+    from weather_tools_spark.queries import R02_NEW
+
+    head = [n for n in _DRIVER_FIRST if n in reg]
+    head += [n for n in R02_NEW if n in reg and n not in head]
+    rest = [n for n in reg if n not in head]
+    return {n: reg[n] for n in head + rest}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from weather_tools_spark.queries import SPARK
 
-    return dict(SPARK)
+    return _ordered(dict(SPARK))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -26,6 +26,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 SPARK: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Names of queries first registered in round 2 — surfaced early in the
+# driver ordering (see __spark_entry__._ordered) so a prefix-sampling
+# driver verifies them the round they land.
+R02_NEW: list[str] = []
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query (and optionally its oracle SQL) to the registry."""
