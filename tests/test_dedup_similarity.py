@@ -145,3 +145,36 @@ def test_lsh_ann_exact_within_bucket(spark, sf_dir):
         want = bf.get((r.query_id, r.neighbor_id))
         if want is not None:
             assert abs(r.cosine - want) < 1e-9
+
+
+def test_shingle_df_cap_bounds_candidate_fanout(spark):
+    # 60 docs sharing one boilerplate trigram + unique tails: uncapped,
+    # the shared shingle alone fans out to C(60,2)=1770 candidate pairs;
+    # with max_shingle_df=10 it is dropped entirely, so the candidate
+    # count is bounded by n_kept_shingles * C(cap,2) — here zero.
+    rows = [(i, f"the same boilerplate here uniq{i}a uniq{i}b uniq{i}c") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    capped = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0, max_shingle_df=10)
+    assert uncapped.count() == 60 * 59 // 2
+    assert capped.count() == 0
+    D.release_persisted()
+
+
+def test_shingle_df_cap_preserves_true_dups(spark):
+    # near-duplicate pair + boilerplate spread across many docs: the cap
+    # removes only the boilerplate shingles; the planted near-dup pair
+    # survives with Jaccard over the capped shingle sets.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base), (1, base + " extra")]
+    rows += [(i, f"common common common filler{i}x filler{i}y filler{i}z") for i in range(2, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=10
+        ).collect()
+    }
+    assert (0, 1) in got
+    assert all(a < 2 and b < 2 for a, b in got)
+    D.release_persisted()

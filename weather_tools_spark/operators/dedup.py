@@ -162,7 +162,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_shingle_df)
             .select("s")
         )
-        exploded = exploded.join(rare, "s")
+        # the capped frame also feeds three consumers — persist it so the
+        # df-filter join runs once, not per consumer
+        exploded = _persist(exploded.join(rare, "s"))
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")

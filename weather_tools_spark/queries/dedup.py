@@ -63,10 +63,12 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_pairs",
     oracle="""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
-    sh AS (SELECT doc_id,
-                  unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-           FROM toks),
+    sh0 AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+            FROM toks),
+    rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY s) WHERE df <= 20),
+    sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)),
     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -82,9 +84,15 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard ≥ 0.5 via shingle equi-join — the
-    ground truth the approximate dedups are validated against."""
+    ground truth the approximate dedups are validated against.
+
+    ``max_shingle_df=20`` drops boilerplate shingles before the pair
+    join (the oracle applies the identical cap): every shingle then
+    contributes ≤ C(20,2) candidate pairs, so join fan-out is linear in
+    corpus size instead of quadratic on template text. Jaccard is
+    computed over the capped shingle sets on both engines."""
     docs = load_table(spark, "documents", sf_dir)
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=20)
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
