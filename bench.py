@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_winnowing_pairs",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh_pairs",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",

@@ -178,3 +178,23 @@ def test_shingle_df_cap_preserves_true_dups(spark):
     assert (0, 1) in got
     assert all(a < 2 and b < 2 for a, b in got)
     D.release_persisted()
+
+
+def test_embedding_lsh_pairs_recall_and_exactness(spark, sf_dir):
+    # the bucketed kernel must (a) recover >=0.9 of the exact pairs and
+    # (b) report the identical cosine for every pair it does find
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in S.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in S.embedding_lsh_pairs(emb, threshold=0.4, bits=2, tables=8).collect()
+    }
+    assert exact, "fixture should contain embedding near-duplicates"
+    recall = len(set(exact) & set(got)) / len(exact)
+    assert recall >= 0.9, f"embedding LSH pair recall {recall:.2f} below gate"
+    assert set(got) <= set(exact), "bucketed kernel must not invent pairs"
+    for pair, cos in got.items():
+        assert abs(cos - exact[pair]) < 1e-9

@@ -145,6 +145,97 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_lsh_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bits: int = 2,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b, cosine ≥ threshold) via sign-LSH
+    bucketing — the 100-TB-shaped replacement for the broadcast-corpus
+    ``embedding_cosine_pairs`` hot path.
+
+    Plan shape: one mapInPandas stage stamps every vector with its
+    bucket in each of L tables (single dgemm against the broadcast
+    plane matrix), one shuffle on (table, bucket) — O(corpus × L) rows —
+    then ``applyInPandas`` runs the exact blocked-dgemm pair kernel
+    *inside each bucket*, so per-task memory is bounded by the bucket
+    size, never the corpus. Cross-table duplicate hits collapse with a
+    final dropDuplicates on the pair key.
+
+    Knobs: a pair at angle θ collides in one b-bit table with
+    p=(1−θ/π)^b and in ≥1 of L with 1−(1−p)^L. At a low threshold
+    (0.4 ⇒ p/bit≈0.63) keep b small and L moderate (defaults give
+    ≈0.98 theoretical recall); at corpus scale raise ``bits`` ≈
+    log2(n / target_bucket_rows) so buckets stay bounded and raise
+    ``tables`` to buy recall back. Recall vs the exact pairs is gated in
+    tests/test_dedup_similarity.py.
+    """
+    import pandas as pd
+
+    plane_mat = np.vstack(
+        [np.asarray(hyperplanes(dim, bits, seed + 1000 * t)) for t in range(tables)]
+    )
+    bc_planes = corpus.sparkSession.sparkContext.broadcast(plane_mat)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def bucketize(batches):
+        pm = bc_planes.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            x = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            signs = (x @ pm.T) > 0
+            buckets = signs.reshape(len(b), tables, bits).astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(b[id_col].to_numpy(), tables),
+                    "vec": [v for v in b[vec_col] for _ in range(tables)],
+                    "tbl": np.tile(np.arange(tables, dtype=np.int32), len(b)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    bucketed = corpus.select(id_col, vec_col).mapInPandas(
+        bucketize, "vid long, vec array<float>, tbl int, bucket long"
+    )
+
+    def pair_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vid"].to_numpy()
+        x = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        out_a, out_b, out_c = [], [], []
+        # row-blocked gram product keeps peak memory at block×n, not n²
+        block = 2048
+        for lo in range(0, len(ids), block):
+            s = x[lo : lo + block] @ x.T
+            a_ids = ids[lo : lo + block]
+            mask = (s >= threshold) & (a_ids[:, None] < ids[None, :])
+            ai, bj = np.nonzero(mask)
+            out_a.append(a_ids[ai])
+            out_b.append(ids[bj])
+            out_c.append(s[ai, bj])
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        bucketed.groupBy("tbl", "bucket")
+        .applyInPandas(pair_kernel, "vec_a long, vec_b long, cosine double")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def _score_pairs(pairs: DataFrame, q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
     """(query_id, neighbor_id, q_vec, c_vec) → (query_id, neighbor_id,
     cosine) with the row-wise normalized dot computed as numpy einsum per

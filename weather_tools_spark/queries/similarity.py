@@ -73,6 +73,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+@register("dedup_embedding_lsh_pairs")  # approximate → rows-only check
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH bucketing — the corpus-scale
+    path: bucket on (table, bucket) keys, run the exact dgemm pair
+    kernel inside each bucket (bounded task memory), union hits across
+    tables. Deterministic (seeded planes) but approximate → rows-only
+    check; recall ≥ 0.9 vs the exact broadcast-kernel pairs is gated in
+    tests/test_dedup_similarity.py."""
+    pairs = S.embedding_lsh_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=0.4, bits=2, tables=8
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("vec_a", "vec_b")
+
+
 @register("sim_lsh_ann_topk")  # approximate → rows-only check
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table sign-LSH (8 tables × 4 bits), exact
