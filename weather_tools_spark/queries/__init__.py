@@ -29,7 +29,13 @@ ORACLE: dict[str, str] = {}
 # Names of queries first registered in round 2 — surfaced early in the
 # driver ordering (see __spark_entry__._ordered) so a prefix-sampling
 # driver verifies them the round they land.
-R02_NEW: list[str] = ["dedup_embedding_lsh_pairs"]
+R02_NEW: list[str] = [
+    "dedup_embedding_lsh_pairs",
+    "dedup_minhash_md5_audit",
+    "sketch_error_bounds_audit",
+    "sim_ann_recall_audit",
+    "dedup_banded_recall_audit",
+]
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -47,6 +53,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def _load_all() -> None:
     # Import for registration side-effects; keep modules independent.
     from weather_tools_spark.queries import (  # noqa: F401
+        audits,
         core_sql,
         core_sql2,
         core_sql3,

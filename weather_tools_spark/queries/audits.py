@@ -1,0 +1,289 @@
+"""Driver-certifiable audits for the approximate operators.
+
+The six approximate/hash-seeded operators (MinHash-LSH, SimHash,
+winnowing, sign-LSH ANN, IVF ANN, sketch aggregates) are registered
+rows-only because their native hash functions (xxhash64, seeded
+hyperplanes, HLL) have no DuckDB equivalent. These audits close that
+gap with oracle-backed entries, two ways:
+
+1. ``dedup_minhash_md5_audit`` — a *full-strength* oracle: MinHash
+   re-expressed over ``md5`` hex-string minima, which Spark and DuckDB
+   compute identically (same lowercase hex of the same UTF-8 bytes), so
+   the ENTIRE pipeline — signatures, banding, candidate generation,
+   Jaccard estimation — is value-hash-checked against DuckDB, per pair,
+   alongside the exact Jaccard for the same pair (estimate quality is
+   visible in the checked output itself).
+2. Error-bound audits (``sketch_error_bounds_audit``,
+   ``sim_ann_recall_audit``, ``dedup_banded_recall_audit``) — the Spark
+   side computes BOTH the approximate result and its exact counterpart,
+   and emits the exact values plus bound-satisfaction booleans; the
+   oracle recomputes the exact values in SQL and asserts the booleans
+   as literals. A regression in any approximate operator (recall dip,
+   sketch drift) flips a boolean and fails the driver's hash gate —
+   the driver, not just pytest, certifies the error bounds.
+
+All audited operators are deterministic for fixed seeds, so the
+booleans are stable across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.operators import dedup as D
+from weather_tools_spark.operators import similarity as S
+from weather_tools_spark.queries import register
+
+# --------------------------------------------------------------------------
+# 1. md5-MinHash: the full pipeline, oracle-checked value by value
+# --------------------------------------------------------------------------
+
+_MINHASH_SPARK_SQL = """
+WITH seeds AS (SELECT explode(sequence(0, 15)) AS seed),
+toks AS (SELECT doc_id, split(text, '\\\\s+') AS t FROM mh_documents),
+sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(0, size(t) - 3),
+              i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS s
+       FROM toks WHERE size(t) >= 3),
+mh AS (SELECT doc_id, seed, min(md5(concat(cast(seed AS string), ':', s))) AS mh
+       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh) AS sig
+        FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id, b, md5(concat(element_at(sig, 2*b+1), '|', element_at(sig, 2*b+2))) AS bh
+          FROM sig LATERAL VIEW explode(sequence(0, 7)) bx AS b),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+est AS (SELECT c.doc_a, c.doc_b,
+               aggregate(zip_with(sa.sig, sb.sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+                         0, (acc, v) -> acc + v) / 16.0 AS est
+        FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT e.doc_a, e.doc_b, round(e.est, 6) AS est_jaccard,
+       round(1.0 * i.n_inter / (ca.n + cb.n - i.n_inter), 6) AS jaccard
+FROM est e JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+JOIN cnt ca ON e.doc_a = ca.doc_id JOIN cnt cb ON e.doc_b = cb.doc_id
+ORDER BY e.doc_a, e.doc_b
+"""
+
+_MINHASH_DUCK_SQL = """
+WITH seeds AS (SELECT unnest(range(0, 16)) AS seed),
+toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       FROM toks),
+mh AS (SELECT doc_id, seed, min(md5(seed || ':' || s)) AS mh
+       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS bh
+          FROM sig, (SELECT unnest(range(0, 8)) AS b) bs),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+est AS (SELECT c.doc_a, c.doc_b,
+               list_sum(list_transform(range(1, 17),
+                        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est
+        FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT e.doc_a, e.doc_b, round(e.est, 6) AS est_jaccard,
+       round(1.0 * i.n_inter / (ca.n + cb.n - i.n_inter), 6) AS jaccard
+FROM est e JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+JOIN cnt ca ON e.doc_a = ca.doc_id JOIN cnt cb ON e.doc_b = cb.doc_id
+ORDER BY e.doc_a, e.doc_b
+"""
+
+
+@register("dedup_minhash_md5_audit", oracle=_MINHASH_DUCK_SQL)
+def dedup_minhash_md5_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH expressed over md5 hex-string minima (K=16 seeds,
+    8 bands × 2 rows) so DuckDB reproduces every stage bit-for-bit:
+    candidate pairs from band equality, signature-agreement Jaccard
+    estimate, and the exact Jaccard for each candidate. The plan shape is
+    identical to the production xxhash64 MinHash (explode → per-seed min
+    agg → band equi-join, O(docs×bands) shuffle); this query exists so
+    the driver's hash gate certifies the minhash *algorithm*, not only
+    its row count."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("mh_documents")
+    return spark.sql(_MINHASH_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
+# 2. Sketch aggregates: exact values + error-bound booleans
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sketch_error_bounds_audit",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS hll_parts_ok,
+           TRUE AS hll_orders_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sketch_error_bounds_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch audit: exact distinct counts (oracle-recomputed) next
+    to booleans asserting the HyperLogLog estimates sit within ±10% of
+    exact (HLL rsd=0.05 ⇒ |err| < 2σ; deterministic for fixed input).
+    If a sketch drifts out of bound the boolean flips and the driver's
+    hash gate fails — the driver itself certifies the error bound."""
+    li = load_table(spark, "lineitem", sf_dir)
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+    within = lambda a, e: (F.abs(F.col(a) - F.col(e)) <= 0.10 * F.col(e))  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within("approx_parts", "exact_parts").alias("hll_parts_ok"),
+        within("approx_orders", "exact_orders").alias("hll_orders_ok"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# 3. ANN recall: exact top-k counts + recall-bound booleans
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_ann_recall_audit",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    topk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rk
+             FROM scored)
+    SELECT method, n_queries, n_exact_topk, TRUE AS recall_ge_050
+    FROM (SELECT 'ivf' AS method, count(DISTINCT query_id) AS n_queries, count(*) AS n_exact_topk
+          FROM topk WHERE rk <= 5
+          UNION ALL
+          SELECT 'lsh', count(DISTINCT query_id), count(*) FROM topk WHERE rk <= 5)
+    ORDER BY method
+    """,
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit: for sign-LSH and IVF top-5 (the registered
+    rows-only queries' exact configurations), compute recall@5 against
+    brute-force cosine inside Spark and emit the exact-side counts
+    (oracle-recomputed in SQL) plus a recall ≥ 0.5 boolean per method (the pytest gate: the
+    synthetic corpus is near-uniform, so top-5 membership is sensitive
+    and 0.5 is the established floor for these configs).
+    Both ANN operators are seeded/deterministic, so the booleans are
+    stable; a recall regression fails the driver's hash gate."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = {
+        "lsh": S.lsh_topk(emb, queries, k=5, bits=4, tables=8, dim=64, seed=42),
+        "ivf": S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4, seed=42),
+    }
+    outs = []
+    for method, df in approx.items():
+        hits = exact.join(
+            df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        outs.append(
+            exact.agg(
+                F.lit(method).alias("method"),
+                F.countDistinct("query_id").alias("n_queries"),
+                F.count(F.lit(1)).alias("n_exact_topk"),
+            ).crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        )
+    u = outs[0].unionByName(outs[1])
+    return u.select(
+        "method",
+        "n_queries",
+        "n_exact_topk",
+        (F.col("n_hits") >= 0.5 * F.col("n_exact_topk")).alias("recall_ge_050"),
+    ).orderBy("method")
+
+
+# --------------------------------------------------------------------------
+# 4. Banded text dedup recall: exact pair counts + recall-bound booleans
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_banded_recall_audit",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+           FROM toks),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    jac AS (SELECT doc_a, doc_b, 1.0 * n_inter / (ca.n + cb.n - n_inter) AS j
+            FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+    SELECT method, n_exact, TRUE AS recall_ok FROM (
+      SELECT 'minhash_lsh@0.5' AS method, count(*) AS n_exact FROM jac WHERE j >= 0.5
+      UNION ALL
+      SELECT 'simhash@0.8', count(*) FROM jac WHERE j >= 0.8
+      UNION ALL
+      SELECT 'winnowing@0.8', count(*) FROM jac WHERE j >= 0.8)
+    ORDER BY method
+    """,
+)
+def dedup_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-dedup recall audit: exact-Jaccard ground-truth pair counts
+    (oracle-recomputed) plus per-method booleans — MinHash-LSH recall
+    ≥ 0.8 on ≥0.5-Jaccard pairs, SimHash overlap ≥ 0.5 and winnowing
+    recall ≥ 0.9 on ≥0.8-Jaccard pairs (the same gates as the pytest
+    suite, now driver-visible)."""
+    docs = load_table(spark, "documents", sf_dir)
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    methods = {
+        "minhash_lsh@0.5": (
+            0.5,
+            0.8,
+            D.minhash_lsh_pairs(docs, "doc_id", "text", k=16, bands=4, threshold=0.5),
+        ),
+        "simhash@0.8": (
+            0.8,
+            0.5,
+            D.simhash_pairs(docs, "doc_id", "text", max_hamming=3),
+        ),
+        "winnowing@0.8": (
+            0.8,
+            0.9,
+            D.winnowing_candidate_pairs(docs, "doc_id", "text", min_shared=3),
+        ),
+    }
+    outs = []
+    for method, (jthr, gate, approx) in methods.items():
+        truth = exact.filter(F.col("jaccard") >= jthr)
+        hits = truth.join(approx.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+        outs.append(
+            truth.agg(
+                F.lit(method).alias("method"), F.count(F.lit(1)).alias("n_exact")
+            )
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                "method",
+                "n_exact",
+                (F.col("n_hits") >= gate * F.col("n_exact")).alias("recall_ok"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.orderBy("method")
