@@ -96,3 +96,35 @@ def test_area_polygon():
     assert ring[0] == ring[-1] == [-103.0, 45.0]
     assert [-92.0, 33.0] in ring
     assert G.AREA_PRESETS["G"] == (90.0, -180.0, -90.0, 180.0)
+
+
+def test_bucketed_layout_eliminates_fact_join_shuffles(spark, sf_dir):
+    """materialize_fact_buckets once, then both the q18 shape (agg +
+    orders join on orderkey) and the q21 shape (lineitem self-join) must
+    plan with ZERO Exchange nodes — the whole point of the layout at
+    100 TB, where the orderkey shuffle dominates the workload."""
+    from weather_tools_spark.operators import bucketing as B
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tables = B.materialize_fact_buckets(spark, sf_dir, num_buckets=8, prefix="t_bkt_")
+        q18 = B.q18_on_bucketed(spark, tables)
+        p18 = q18._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p18, p18
+        q21 = B.q21_self_join_on_bucketed(spark, tables)
+        p21 = q21._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p21, p21
+        # and they still compute: q18 over buckets == q18 over raw parquet
+        li = load_table(spark, "lineitem", sf_dir)
+        raw = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .filter(F.col("sum_qty") > 250.0)
+            .count()
+        )
+        assert q18.count() == raw
+        assert q21.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        for t in ("t_bkt_lineitem", "t_bkt_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
