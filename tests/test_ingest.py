@@ -195,3 +195,39 @@ def test_pruned_scan_equals_full_scan_filtered(spark):
     b = full.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_chunked_store_template_consistency(spark, tmp_path):
+    """Template-write parity: consolidated metadata round-trips to the
+    identical template; off-template rows are excluded and reported;
+    read-back planned FROM the metadata (not the data listing) prunes
+    correctly."""
+    import datetime as dt
+
+    meta = _meta()
+    original = Z.scan(spark, meta)
+    out = str(tmp_path / "store")
+    n_bad = Z.write_chunked(original, out, meta)
+    assert n_bad == 0
+    # consolidated metadata round-trips to the same template
+    back_meta = Z.read_consolidated_metadata(out)
+    assert Z.template_dict(back_meta) == Z.template_dict(meta)
+    # planning from the recovered template reproduces the store geometry
+    assert Z.chunk_manifest(spark, back_meta).count() == 2 * 4 * 4
+    # off-template rows (coordinate not on the template axes) are
+    # excluded from the store and reported; strict mode raises
+    stray = spark.createDataFrame(
+        [(dt.datetime(2031, 1, 1), 12.345, 67.89, 1.0, 2.0, 3.0, meta.uri)],
+        Z.ROW_SCHEMA,
+    )
+    polluted = original.unionByName(stray)
+    out2 = str(tmp_path / "store2")
+    try:
+        Z.write_chunked(polluted, out2, meta)
+        raise AssertionError("strict template write should reject stray rows")
+    except ValueError as e:
+        assert "1 rows" in str(e)
+    n_bad2 = Z.write_chunked(polluted, out2, meta, strict=False)
+    assert n_bad2 == 1
+    clean = Z.read_chunked(spark, out2)
+    assert clean.count() == original.count()  # stray row not in the store

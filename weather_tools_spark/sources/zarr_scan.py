@@ -172,19 +172,78 @@ def _decode_specs(meta: ChunkedDatasetMeta, decoder: str):
     return run
 
 
+CONSOLIDATED_METADATA = "_consolidated_metadata.json"
+
+
+def template_dict(meta: ChunkedDatasetMeta) -> dict:
+    """Canonical JSON-able form of the store template: axes, chunk
+    geometry, variables — what zarr consolidates into ``.zmetadata``."""
+    return {
+        "uri": meta.uri,
+        "times": [str(t) for t in pd.to_datetime(meta.times)],
+        "lats": list(map(float, meta.lats)),
+        "lons": list(map(float, meta.lons)),
+        "chunks": {
+            "time": meta.chunk_time,
+            "latitude": meta.chunk_lat,
+            "longitude": meta.chunk_lon,
+        },
+        "variables": list(meta.variables),
+    }
+
+
+def write_consolidated_metadata(out_dir: str, meta: ChunkedDatasetMeta) -> None:
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, CONSOLIDATED_METADATA), "w") as f:
+        json.dump(template_dict(meta), f, sort_keys=True)
+
+
+def read_consolidated_metadata(out_dir: str) -> ChunkedDatasetMeta:
+    """Template read-back: one metadata file open instead of listing the
+    store — the point of zarr's consolidated metadata on object stores,
+    where directory listings are slow and unatomic."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, CONSOLIDATED_METADATA)) as f:
+        d = json.load(f)
+    return ChunkedDatasetMeta(
+        uri=d["uri"],
+        times=d["times"],
+        lats=d["lats"],
+        lons=d["lons"],
+        chunk_time=d["chunks"]["time"],
+        chunk_lat=d["chunks"]["latitude"],
+        chunk_lon=d["chunks"]["longitude"],
+        variables=tuple(d["variables"]),
+    )
+
+
 def write_chunked(
     rows: DataFrame,
     out_dir: str,
     meta: ChunkedDatasetMeta,
-) -> None:
-    """Chunked store *sink* — the engine analog of writing Zarr against a
-    precomputed template (xbeam.ChunksToZarr, weather_mv regrid.py:
-    384-390): every row is assigned its chunk key from the template's
-    chunk geometry (pure arithmetic against the broadcast axis arrays),
-    and the partitioned write produces one directory per chunk — the
-    same physical layout contract (aligned whole chunks, no partial
-    files) a Zarr store requires, materialized as parquet so this
-    container needs no zarr library.
+    strict: bool = True,
+) -> int:
+    """Chunked store *sink* against a precomputed template — the engine
+    analog of xbeam.ChunksToZarr with a template dataset (weather_mv
+    regrid.py:384-390): every row is assigned its chunk key from the
+    template's chunk geometry (pure arithmetic against the broadcast
+    axis arrays), and the partitioned write produces one directory per
+    chunk — the same physical layout contract (aligned whole chunks, no
+    partial files) a Zarr store requires, materialized as parquet so
+    this container needs no zarr library. The template itself is written
+    as consolidated metadata next to the chunks, so readers plan from
+    ONE file instead of listing the store.
+
+    Rows whose coordinates fall outside the template axes have no chunk
+    (the reference's template write would corrupt or error): they are
+    counted via ``observe`` (no extra job), excluded from the store, and
+    ``strict=True`` raises after the write reporting the count. Returns
+    the number of off-template rows (0 in the healthy path).
 
     Read-back contract: ``scan``'s pruning semantics apply to the
     written store by construction (directory = chunk)."""
@@ -199,7 +258,24 @@ def write_chunked(
         .withColumn("lat_idx", (la_map[F.col("latitude")] / meta.chunk_lat).cast("int"))
         .withColumn("lon_idx", (lo_map[F.col("longitude")] / meta.chunk_lon).cast("int"))
     )
+    off_template = (
+        F.col("t_idx").isNull() | F.col("lat_idx").isNull() | F.col("lon_idx").isNull()
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation("chunk_sink")
+    keyed = keyed.observe(
+        obs, F.sum(F.when(off_template, 1).otherwise(0)).alias("n_off_template")
+    ).filter(~off_template)
     keyed.write.mode("overwrite").partitionBy("t_idx", "lat_idx", "lon_idx").parquet(out_dir)
+    write_consolidated_metadata(out_dir, meta)
+    n_bad = int(obs.get["n_off_template"] or 0)
+    if strict and n_bad:
+        raise ValueError(
+            f"{n_bad} rows fall outside the store template axes; "
+            "they were excluded from the written store"
+        )
+    return n_bad
 
 
 def read_chunked(spark: SparkSession, path: str) -> DataFrame:
