@@ -57,6 +57,8 @@ def cosine_topk(
     import pandas as pd
 
     spark = corpus.sparkSession
+    # boundedness contract: only the QUERY set is materialized — callers
+    # pass a small query set (the corpus side streams through mapInPandas)
     qpdf = queries.select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy()
     qm = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
@@ -315,6 +317,8 @@ def ivf_topk(
     import pandas as pd
 
     spark = corpus.sparkSession
+    # boundedness contract: training materializes at most `train_limit`
+    # vectors (limit is pushed below the scan) — never the corpus
     sample = (
         corpus.select(vec_col).limit(train_limit).toPandas()[vec_col].to_numpy()
     )
