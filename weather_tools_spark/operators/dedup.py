@@ -156,15 +156,22 @@ def ngram_jaccard_pairs(
     # (projection collapse inlines it — measured 2× end-to-end cost).
     exploded = _persist(sh.select(F.col("doc_id"), F.explode("shingles").alias("s")))
     if max_shingle_df is not None:
-        rare = (
+        # Filter with the inverted (FREQUENT) set as a broadcast LEFT
+        # ANTI join: the over-cap shingle list is the small side by
+        # construction (boilerplate shingle *types* are few even when
+        # their occurrences dominate), so the cap costs one narrow
+        # (s,count) aggregation + a broadcast probe — no second shuffle
+        # of the exploded frame. Joining on the rare set instead would
+        # broadcast/shuffle nearly every distinct shingle.
+        frequent = (
             exploded.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") > max_shingle_df)
             .select("s")
         )
         # the capped frame also feeds three consumers — persist it so the
         # df-filter join runs once, not per consumer
-        exploded = _persist(exploded.join(rare, "s"))
+        exploded = _persist(exploded.join(F.broadcast(frequent), "s", "left_anti"))
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
