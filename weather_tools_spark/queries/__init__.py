@@ -35,6 +35,8 @@ R02_NEW: list[str] = [
     "sketch_error_bounds_audit",
     "sim_ann_recall_audit",
     "dedup_banded_recall_audit",
+    "dedup_winnowing_md5_audit",
+    "dedup_simhash_md5_audit",
 ]
 
 

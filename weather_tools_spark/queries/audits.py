@@ -287,3 +287,121 @@ def dedup_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         u = u.unionByName(o)
     return u.orderBy("method")
+
+
+# --------------------------------------------------------------------------
+# 5. md5-winnowing: fingerprint pipeline, oracle-checked value by value
+# --------------------------------------------------------------------------
+
+_WINNOW_SPARK_SQL = """
+WITH toks AS (SELECT doc_id, split(text, '\\\\s+') AS t FROM wn_documents),
+sh AS (SELECT doc_id, p, concat(t[p], ' ', t[p+1], ' ', t[p+2]) AS s
+       FROM toks LATERAL VIEW explode(sequence(0, size(t) - 3)) px AS p
+       WHERE size(t) >= 3),
+hashed AS (SELECT doc_id, p, md5(s) AS h FROM sh),
+wmin AS (SELECT doc_id,
+                min(h) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         FROM hashed),
+fps AS (SELECT DISTINCT doc_id, fp FROM wmin),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 3
+ORDER BY doc_a, doc_b
+"""
+
+_WINNOW_DUCK_SQL = """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+              i -> struct_pack(p := i, s := t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS u
+       FROM toks),
+hashed AS (SELECT doc_id, u.p AS p, md5(u.s) AS h FROM sh),
+wmin AS (SELECT doc_id,
+                min(h) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         FROM hashed),
+fps AS (SELECT DISTINCT doc_id, fp FROM wmin),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_winnowing_md5_audit", oracle=_WINNOW_DUCK_SQL)
+def dedup_winnowing_md5_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprinting over md5 shingle hashes (window=4,
+    min-shared=3) so DuckDB reproduces the whole pipeline bit-for-bit:
+    positional shingles, sliding window-min fingerprint selection, and
+    the shared-fingerprint pair join. Same plan shape as the production
+    xxhash64 winnowing (posexplode -> window-min per doc -> fingerprint
+    equi-join); exists so the driver's hash gate certifies the
+    winnowing *algorithm*, not only its row count."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("wn_documents")
+    return spark.sql(_WINNOW_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
+# 6. md5-SimHash: fingerprint + banding pipeline, oracle-checked
+# --------------------------------------------------------------------------
+
+_HEX = "'0123456789abcdef'"
+# portable hex->bigint: identical instr/substr arithmetic in both engines
+_HEXVAL = "(" + " + ".join(
+    f"(instr({_HEX}, substr(md5(tok),{i+1},1))-1)*CAST({16**(14-i)} AS BIGINT)"
+    for i in range(15)
+) + ")"
+
+_SIMHASH_COMMON = """
+WITH toks AS (SELECT doc_id, {TOK} AS tok FROM {SRC}),
+hv AS (SELECT doc_id, {VAL} AS v FROM toks),
+bits AS (SELECT doc_id, k, CASE WHEN ((v >> k) & 1) = 1 THEN 1 ELSE -1 END AS contrib
+         FROM hv {BITGEN}),
+sums AS (SELECT doc_id, k, sum(contrib) AS s FROM bits GROUP BY doc_id, k),
+fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN {SHL} ELSE 0 END) AS f
+       FROM sums GROUP BY doc_id),
+bands AS (SELECT doc_id, f, b, ((f >> (15*b)) & 32767) AS bv
+          FROM fp {BANDGEN}),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, min(a.f) AS fa, min(b.f) AS fb
+         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT doc_a, doc_b, {HAMM} AS hamming
+FROM cand WHERE {HAMM} <= 3
+ORDER BY doc_a, doc_b
+"""
+
+_SIMHASH_SPARK_SQL = _SIMHASH_COMMON.format(
+    TOK="explode(split(text, '\\\\s+'))",
+    SRC="sh_documents",
+    VAL=_HEXVAL,
+    BITGEN="LATERAL VIEW explode(sequence(0, 59)) kx AS k",
+    SHL="shiftleft(cast(1 as bigint), k)",
+    BANDGEN="LATERAL VIEW explode(sequence(0, 3)) bx AS b",
+    HAMM="bit_count(fa ^ fb)",
+)
+
+_SIMHASH_DUCK_SQL = _SIMHASH_COMMON.format(
+    TOK="unnest(regexp_split_to_array(text, '\\s+'))",
+    SRC="documents",
+    VAL=_HEXVAL,
+    BITGEN=", (SELECT unnest(range(0, 60)) AS k) ks",
+    SHL="(CAST(1 AS BIGINT) << k)",
+    BANDGEN=", (SELECT unnest(range(0, 4)) AS b) bs",
+    HAMM="bit_count(xor(fa, fb))",
+)
+
+
+@register("dedup_simhash_md5_audit", oracle=_SIMHASH_DUCK_SQL)
+def dedup_simhash_md5_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash over md5-derived token hashes (4 bands x 15 bits,
+    Hamming <= 3) with every stage — per-bit signed sums, fingerprint
+    assembly, band bucketing, candidate join, exact Hamming verify —
+    reproduced identically by DuckDB (portable instr/substr hex
+    arithmetic; Spark's `^` xor spelled as xor() on the DuckDB side).
+    Mirrors the production 64-bit xxhash64 SimHash's semantics (token
+    multiset, strictly-positive bit rule) and plan shape; certifies the
+    simhash *algorithm* through the driver's hash gate."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("sh_documents")
+    return spark.sql(_SIMHASH_SPARK_SQL)
