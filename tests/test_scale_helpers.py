@@ -128,3 +128,21 @@ def test_bucketed_layout_eliminates_fact_join_shuffles(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         for t in ("t_bkt_lineitem", "t_bkt_orders"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ee_compatible_attrs():
+    long_name = "a" * 115 + "!!"
+    got = G.ee_compatible_attrs(
+        {
+            long_name: "v",
+            "has spaces & units (m/s)": 3.5,
+            "big": "x" * 2000,
+            "n": 42,
+            "flag": True,
+        }
+    )
+    assert "a" * 110 in got and got["a" * 110] == "v"  # name truncated FIRST
+    assert got["has_spaces_units_m_s_"] == 3.5  # numeric passes through
+    assert got["big"].endswith("...") and len(got["big"]) == 1024
+    assert got["n"] == 42
+    assert got["flag"] == "True"  # bools stringify (not JSON numbers)

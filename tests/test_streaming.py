@@ -117,3 +117,23 @@ def test_with_import_time_is_processing_time(spark, sf_dir):
     df = SE.with_import_time(load_table(spark, "events", sf_dir).limit(5))
     ts = [r.data_import_time for r in df.collect()]
     assert all(t is not None for t in ts)
+
+
+def test_stream_dedup_drops_within_watermark_duplicates(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicated feed (the same file
+    delivered twice, as an at-least-once source would) must come out
+    with exactly the batch-distinct row set."""
+    import shutil
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", feed / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", feed / "b.parquet")  # duplicate delivery
+    stream = SE.read_event_stream(spark, str(feed), max_files_per_trigger=1)
+    out = SE.run_stream_to_memory(
+        spark, SE.dedup_stream(stream, watermark="1 day"), "stream_dedup"
+    )
+    n_batch = load_table(spark, "events", sf_dir).count()
+    got = out.collect()
+    assert len(got) == n_batch, f"{len(got)} != {n_batch} distinct events"
+    assert len({r.event_id for r in got}) == n_batch

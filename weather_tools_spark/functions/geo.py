@@ -143,6 +143,26 @@ def ee_safe_name(col: Column) -> Column:
     return F.regexp_replace(col, r"[^a-zA-Z0-9-_]+", "_")
 
 
+def ee_compatible_attrs(attrs: dict) -> dict:
+    """Asset-metadata normalization for EE-style property constraints
+    (util.py:53-79 semantics): property names keep their first 110
+    characters and have disallowed character runs collapsed to ``_``;
+    numeric values pass through, everything else is stringified and
+    clipped to 1024 bytes (1021 chars + ``...``). Driver-side metadata
+    path — runs on dicts, not rows."""
+    import re as _re
+
+    out: dict = {}
+    for name, value in attrs.items():
+        name = _re.sub(r"[^a-zA-Z0-9-_]+", "_", name[:110])
+        if not isinstance(value, (int, float)) or isinstance(value, bool):
+            value = str(value)
+            if len(value) > 1024:
+                value = value[:1021] + "..."
+        out[name] = value
+    return out
+
+
 def infer_grid_resolution(values: list[float]) -> float | None:
     """Per-axis grid half-step from the coordinate values —
     ``ptp(coord) / len(coord) / 2`` doubled back to the full step

@@ -146,6 +146,25 @@ def running_user_totals(df: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: drop events whose key was already seen
+    within the watermark horizon — the streaming twin of the batch
+    ``exact_dedup`` operator for ingest pipelines where the same record
+    can arrive repeatedly (at-least-once sources, retried uploads).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    event-time watermark passes, so state is bounded by (arrival rate ×
+    watermark) instead of growing with the stream — the property that
+    makes this runnable on an unbounded 100-TB/day feed. Keys default to
+    the natural event identity."""
+    keys = keys or ["event_id"]
+    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(
     spark: SparkSession, agg: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
