@@ -59,3 +59,22 @@ def test_fanout_single_partition(spark, sf_dir):
     # literal fan-outs must never multiply partitions (the 32^k incident)
     df = SPARK["dl_partition_fanout"](spark, sf_dir)
     assert df.rdd.getNumPartitions() <= 2
+
+
+def test_embedding_lsh_pairs_bounded_plan(spark, sf_dir):
+    """The bucketed pair kernel must keep its bounded-memory shape: one
+    bucket shuffle + per-bucket applyInPandas + pair dedup — and never a
+    cartesian/broadcast-corpus structure."""
+    plan = _formatted_plan(spark, "dedup_embedding_lsh_pairs", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan  # per-bucket kernel
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_exch = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.MULTILINE))
+    assert n_exch <= 3, f"{n_exch} exchanges: bucket shuffle + dedup + sort expected"
+
+
+def test_jaccard_df_cap_broadcasts_frequent_set(spark, sf_dir):
+    """The shingle df-cap must apply as a broadcast LEFT ANTI probe of
+    the (small) frequent set — not a shuffle join against the rare set."""
+    plan = _formatted_plan(spark, "dedup_ngram_jaccard_pairs", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
