@@ -198,3 +198,12 @@ def test_embedding_lsh_pairs_recall_and_exactness(spark, sf_dir):
     assert set(got) <= set(exact), "bucketed kernel must not invent pairs"
     for pair, cos in got.items():
         assert abs(cos - exact[pair]) < 1e-9
+
+
+def test_connected_components_transitive_chains(spark):
+    # chain 1-2-3-4 (one component, min id 1), pair (10,11), singleton-free
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

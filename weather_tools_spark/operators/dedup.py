@@ -112,6 +112,56 @@ def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 # ---------------------------------------------------------------------------
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (doc_id,
+    cluster_id = min doc id reachable) — the canonicalization step every
+    large dedup pipeline runs after pair generation (keep one doc per
+    cluster, not per pair: A~B and B~C must collapse to ONE survivor).
+
+    Distributed min-label propagation: each iteration joins the edge
+    list (made symmetric) against current labels and takes the
+    neighborhood minimum; converges in O(component diameter) iterations
+    — small for near-dup clusters. The edge list and each label frame
+    are ``localCheckpoint``-ed so the pair-generation lineage is not
+    re-executed per iteration and plans stay flat. Change detection
+    rides the label frame itself (old vs new in one pass) — one join job
+    plus a cheap count on checkpointed data per iteration. At 100 TB
+    this is the standard alternating-iteration CC pattern; shuffle per
+    iteration is O(edges).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nb = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new = (
+            labels.join(nb, labels["doc_id"] == nb["src"], "left")
+            .select(
+                "doc_id",
+                F.col("label").alias("old_label"),
+                F.least("label", F.coalesce("nb_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("old_label") != F.col("label")).count()
+        labels = new.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 def normalize_text(text_col: str) -> F.Column:
     """Canonicalization for near-exact dedup: lowercase, collapse
     whitespace, trim."""

@@ -37,6 +37,7 @@ R02_NEW: list[str] = [
     "dedup_banded_recall_audit",
     "dedup_winnowing_md5_audit",
     "dedup_simhash_md5_audit",
+    "dedup_cluster_canonical",
 ]
 
 

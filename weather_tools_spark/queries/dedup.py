@@ -130,3 +130,40 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, exact bit_count verification)."""
     docs = load_table(spark, "documents", sf_dir)
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+    sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s FROM toks),
+    rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY s) WHERE df <= 20),
+    sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM p0
+              JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+              WHERE 1.0 * n_inter / (ca.n + cb.n - n_inter) >= 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT src AS a, src AS b FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: connected components over the
+    df-capped exact-Jaccard pairs (threshold 0.5) via distributed
+    min-label propagation; cluster id = min doc id in the component
+    (transitively: A~B, B~C collapse to one cluster even when A,C were
+    never a pair). The oracle computes the same components with a
+    recursive transitive-closure CTE."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=20)
+    return D.connected_components(pairs).orderBy("doc_id")
