@@ -38,6 +38,8 @@ R02_NEW: list[str] = [
     "dedup_winnowing_md5_audit",
     "dedup_simhash_md5_audit",
     "dedup_cluster_canonical",
+    "dq_column_profile",
+    "join_salted_equivalence",
 ]
 
 

@@ -498,3 +498,90 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "dq_column_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           count(*) AS n_rows,
+           CAST(count(*) - count(o_totalprice) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           round(min(o_totalprice), 2) AS min_v,
+           round(max(o_totalprice), 2) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(*),
+           CAST(count(*) - count(o_orderkey) AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           round(min(o_orderkey), 2), round(max(o_orderkey), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           round(min(o_custkey), 2), round(max(o_custkey), 2)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profiling (null count, exact distinct, min/max) — the
+    scan-shaped data-quality pass every ingestion pipeline runs before
+    accepting a batch. One row per profiled column; each column's stats
+    are ONE map-combinable aggregation over the table."""
+    orders = load_table(spark, "orders", sf_dir)
+
+    def prof(col: str):
+        c = F.col(col)
+        return orders.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c).cast("double"), 2).alias("min_v"),
+            F.round(F.max(c).cast("double"), 2).alias("max_v"),
+        )
+
+    return (
+        prof("o_totalprice")
+        .unionByName(prof("o_orderkey"))
+        .unionByName(prof("o_custkey"))
+        .orderBy("col")
+    )
+
+
+@register(
+    "join_salted_equivalence",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round((CAST(sum(CAST(round((l_quantity) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling machinery, driver-verified: the salted fact join
+    (8-way key spreading of the build side, deterministic salt on the
+    probe side) must produce results identical to the plain equi-join
+    the oracle computes — certifying salting is a pure physical rewrite."""
+    from weather_tools_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                (F.sum(F.round(F.col("l_quantity") * 1_000_000, 0).cast("long")) / 1_000_000).cast("double"),
+                2,
+            ).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
