@@ -146,3 +146,53 @@ def test_ee_compatible_attrs():
     assert got["big"].endswith("...") and len(got["big"]) == 1024
     assert got["n"] == 42
     assert got["flag"] == "True"  # bools stringify (not JSON numbers)
+
+
+def test_zorder_write_enables_second_dimension_pruning(spark, tmp_path):
+    """A lat-ordered layout cannot prune longitude predicates at all
+    (every file spans the full lon range); the Z-ordered layout must
+    let statistics skip most files for a lon-selective box — measured
+    from the actual parquet footer min/max, which is exactly what scan
+    pruning consults. Results stay identical (layout is physical only)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from weather_tools_spark.operators import zorder as ZO
+
+    grid = spark.range(64 * 64).selectExpr(
+        "cast(id div 64 as double) * 0.25 - 8.0 as latitude",
+        "cast(id % 64 as double) * 0.25 - 8.0 as longitude",
+        "cast(id as double) as value",
+    )
+
+    def files_intersecting_lon(path, lo, hi):
+        n_total, n_hit = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            sch = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            fmin = min(md.row_group(rg).column(sch["longitude"]).statistics.min
+                       for rg in range(md.num_row_groups))
+            fmax = max(md.row_group(rg).column(sch["longitude"]).statistics.max
+                       for rg in range(md.num_row_groups))
+            n_total += 1
+            if fmax >= lo and fmin <= hi:
+                n_hit += 1
+        assert n_total >= 8
+        return n_hit, n_total
+
+    row_major = str(tmp_path / "rowmajor")
+    grid.repartitionByRange(16, "latitude", "longitude").write.mode("overwrite").parquet(row_major)
+    zordered = str(tmp_path / "zordered")
+    ZO.write_zordered(grid, zordered, n_files=16)
+
+    hit_m, tot_m = files_intersecting_lon(row_major, -2.0, -1.0)
+    hit_z, tot_z = files_intersecting_lon(zordered, -2.0, -1.0)
+    assert hit_m == tot_m  # lat-ordered slabs: zero lon pruning possible
+    assert hit_z <= tot_z // 2, f"z-order still hits {hit_z}/{tot_z} files"
+
+    # and the layout is purely physical: bbox query results are identical
+    bbox = "latitude between -2 and 2 and longitude between -2 and -1"
+    n_z = spark.read.parquet(zordered).filter(bbox).count()
+    n_m = spark.read.parquet(row_major).filter(bbox).count()
+    assert n_z == n_m == 17 * 5
