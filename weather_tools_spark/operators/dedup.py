@@ -134,6 +134,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint()
     )
+    # right-size the iteration: a thresholded near-dup pair graph is
+    # usually tiny relative to the corpus — running each fixpoint join
+    # over the session's full shuffle width would be all task-launch
+    # overhead. The edge count is free here (edges is materialized).
+    n_edges = edges.count()
+    width = max(1, min(edges.sparkSession.sparkContext.defaultParallelism, n_edges // 10_000 + 1))
+    edges = edges.repartition(width, "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
