@@ -59,11 +59,15 @@ def clean_corpus(
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id")
     )
-    # near: keep-first over LSH candidate pairs (drop doc_b of each pair)
+    # near: cluster the LSH candidate pairs into connected components
+    # and keep ONE survivor (min id) per component — pair-local
+    # keep-first can strand a doc whose only neighbors have higher ids
+    # even though its cluster already has a canonical survivor
+    near_pairs = D.minhash_lsh_pairs(docs, id_col, text_col, threshold=jaccard_threshold)
     near_drop = (
-        D.minhash_lsh_pairs(docs, id_col, text_col, threshold=jaccard_threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        D.connected_components(near_pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
     )
     # quality
     scored = docs.select(
