@@ -40,6 +40,7 @@ R02_NEW: list[str] = [
     "dedup_cluster_canonical",
     "dq_column_profile",
     "join_salted_equivalence",
+    "events_resample_1h_gapfill",
 ]
 
 

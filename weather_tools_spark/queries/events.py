@@ -431,3 +431,70 @@ def events_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_resample_1h_gapfill",
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts::timestamp) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_micro
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT date_trunc('hour', min(ts::timestamp)) AS lo,
+                      date_trunc('hour', max(ts::timestamp)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+    grid AS (SELECT s.bucket, t.event_type
+             FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+    filled AS (SELECT g.bucket, g.event_type, coalesce(a.n, 0) AS n, a.sum_micro
+               FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket AND g.event_type = a.event_type)
+    SELECT strftime(bucket, '%Y-%m-%d %H:00:00') AS bucket, event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(last_value(sum_micro IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000, 4) AS sum_value_locf
+    FROM filled
+    ORDER BY bucket, event_type
+    """,
+)
+def events_resample_1h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a gapless hourly grid with
+    last-observation-carried-forward: aggregate once per (hour, type),
+    build the full hour spine with ``sequence()`` (driver-free — the
+    spine is a one-row explode), broadcast the tiny type dimension,
+    left-join and LOCF via last(ignorenulls) over an ordered window —
+    the weather/timescale 'gapfill + locf' surface on plain DataFrame
+    ops. Empty hours report n=0 and carry the last seen hourly sum."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("sum_micro"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket")
+    ).crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    filled = spine.join(agg, ["bucket", "event_type"], "left").select(
+        "bucket",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.col("sum_micro"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket"),
+        "event_type",
+        "n",
+        F.round(
+            F.last("sum_micro", ignorenulls=True).over(w) / 1_000_000, 4
+        ).alias("sum_value_locf"),
+    ).orderBy("bucket", "event_type")
