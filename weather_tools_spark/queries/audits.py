@@ -123,31 +123,42 @@ def dedup_minhash_md5_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            count(DISTINCT l_partkey) AS exact_parts,
            count(DISTINCT l_orderkey) AS exact_orders,
+           round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5) / 100, 4) AS exact_p50,
            TRUE AS hll_parts_ok,
-           TRUE AS hll_orders_ok
+           TRUE AS hll_orders_ok,
+           TRUE AS p50_ok
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def sketch_error_bounds_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch audit: exact distinct counts (oracle-recomputed) next
-    to booleans asserting the HyperLogLog estimates sit within ±10% of
-    exact (HLL rsd=0.05 ⇒ |err| < 2σ; deterministic for fixed input).
+    """Sketch audit: exact distinct counts and the exact interpolated
+    median (over integer cents, so both engines agree bit-for-bit),
+    next to booleans asserting the HyperLogLog estimates sit within
+    ±10% and the quantile sketch's p50 within ±5% of exact
+    (deterministic for fixed input).
     If a sketch drifts out of bound the boolean flips and the driver's
     hash gate fails — the driver itself certifies the error bound."""
     li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        # exact interpolated median over integer cents: (a+b)/2 of longs
+        # is an exact double, so Spark and DuckDB agree bit-for-bit
+        F.round(F.expr("percentile(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5)") / 100, 4).alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_p50"),
     )
     within = lambda a, e: (F.abs(F.col(a) - F.col(e)) <= 0.10 * F.col(e))  # noqa: E731
     return agg.select(
         "l_returnflag",
         "exact_parts",
         "exact_orders",
+        "exact_p50",
         within("approx_parts", "exact_parts").alias("hll_parts_ok"),
         within("approx_orders", "exact_orders").alias("hll_orders_ok"),
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= 0.05 * F.col("exact_p50")).alias("p50_ok"),
     ).orderBy("l_returnflag")
 
 
