@@ -298,3 +298,46 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 6).alias("avg_chars"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "corpus_train_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+                  THEN 'train'
+                  WHEN instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 14
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free hash
+    bucketing: the first hex digit of md5(doc_id) splits ~13/16 train,
+    1/16 val, 2/16 test — reproducible across engines, runs, and
+    cluster sizes (unlike seed-based sampling, which is engine- and
+    partitioning-dependent), and stable under corpus growth: a doc's
+    split never changes when other docs are added. The standard
+    holdout-assignment pattern for training-data pipelines."""
+    docs = load_table(spark, "documents", sf_dir)
+    digit = F.instr(
+        F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    ) - 1
+    assigned = docs.select(
+        "doc_id",
+        F.when(digit < 13, "train").when(digit < 14, "val").otherwise("test").alias("split"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("split")
+    )
