@@ -156,3 +156,22 @@ def test_resize_spec(spark):
     assert out[1] == (256, 192)
     assert out[2] == (100, 50)  # already smaller: unchanged
     assert out[3] == (256, 144)
+
+
+def test_webmercator_roundtrip(spark):
+    from weather_tools_spark.functions import geo as G
+
+    pts = spark.createDataFrame(
+        [(40.7128, -74.006), (-33.9, 151.2), (0.0, 0.0), (84.9, 179.9)],
+        "lat double, lon double",
+    )
+    x, y = G.webmercator_xy(F.col("lat"), F.col("lon"))
+    back_lat, back_lon = G.webmercator_inverse(F.col("x"), F.col("y"))
+    out = (
+        pts.select("lat", "lon", x.alias("x"), y.alias("y"))
+        .select("lat", "lon", back_lat.alias("blat"), back_lon.alias("blon"))
+        .collect()
+    )
+    for r in out:
+        assert abs(r.lat - r.blat) < 1e-9
+        assert abs(r.lon - r.blon) < 1e-9

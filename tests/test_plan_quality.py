@@ -78,3 +78,15 @@ def test_jaccard_df_cap_broadcasts_frequent_set(spark, sf_dir):
     the (small) frequent set — not a shuffle join against the rare set."""
     plan = _formatted_plan(spark, "dedup_ngram_jaccard_pairs", sf_dir)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_gapfill_spine_stays_narrow(spark, sf_dir):
+    """The hour spine is a one-row aggregate exploded and cross-joined
+    with a broadcast dim — it must never become a partition-multiplying
+    CartesianProduct (the 32^k literal-fanout incident class), and the
+    result must stay within the session's shuffle width."""
+    plan = _formatted_plan(spark, "events_resample_1h_gapfill", sf_dir)
+    assert "CartesianProduct" not in plan
+    df = SPARK["events_resample_1h_gapfill"](spark, sf_dir)
+    assert df.count() > 0
+    assert df.rdd.getNumPartitions() <= int(spark.conf.get("spark.sql.shuffle.partitions"))

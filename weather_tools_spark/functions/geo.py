@@ -17,6 +17,8 @@ grid cell, ~1M rows for 0.25°) is still tiny next to the fact table.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -141,6 +143,28 @@ def ee_safe_name(col: Column) -> Column:
     """Asset-safe name: any run of characters outside [A-Za-z0-9-_]
     becomes a single underscore (ee.py:255-263 semantics)."""
     return F.regexp_replace(col, r"[^a-zA-Z0-9-_]+", "_")
+
+
+_WGS84_R = 6378137.0
+
+
+def webmercator_xy(lat: Column, lon: Column) -> tuple[Column, Column]:
+    """EPSG:4326 → EPSG:3857 (Web-Mercator) as pure column expressions —
+    the closed-form spherical transform (x = R·λ, y = R·ln tan(π/4+φ/2)),
+    covering the reference's most common CRS-reproject case
+    (sinks.py:149-227 reprojects TIFs to EPSG:4326 with pyproj; pyproj
+    is absent here, but this pair needs no library). JVM-side trig,
+    whole-stage codegen."""
+    x = lon * F.lit(_WGS84_R) * F.lit(math.pi) / 180
+    y = F.lit(_WGS84_R) * F.log(F.tan(F.lit(math.pi / 4) + lat * F.lit(math.pi) / 360))
+    return x, y
+
+
+def webmercator_inverse(x: Column, y: Column) -> tuple[Column, Column]:
+    """EPSG:3857 → EPSG:4326 inverse (φ = 2·atan(e^(y/R)) − π/2)."""
+    lat = (2 * F.atan(F.exp(y / F.lit(_WGS84_R))) - F.lit(math.pi / 2)) * 180 / F.lit(math.pi)
+    lon = x / F.lit(_WGS84_R) * 180 / F.lit(math.pi)
+    return lat, lon
 
 
 def ee_compatible_attrs(attrs: dict) -> dict:

@@ -42,6 +42,7 @@ R02_NEW: list[str] = [
     "join_salted_equivalence",
     "events_resample_1h_gapfill",
     "corpus_train_split",
+    "geo_webmercator_project",
 ]
 
 

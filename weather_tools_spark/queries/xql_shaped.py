@@ -356,3 +356,37 @@ def xql_city_bbox_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(_davg(F.col("value")), 6).alias("avg_value"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "geo_webmercator_project",
+    oracle="""
+    WITH geo AS (
+      SELECT DISTINCT
+             (user_id % 180) - 90.0 + 0.25  AS latitude,
+             (event_id % 360) - 180.0 + 0.5 AS longitude
+      FROM events
+    )
+    SELECT latitude, longitude,
+           round(longitude * 6378137.0 * pi() / 180, 3) AS x,
+           round(6378137.0 * ln(tan(pi()/4 + latitude * pi()/360)), 3) AS y
+    FROM geo
+    ORDER BY latitude, longitude
+    """,
+)
+def geo_webmercator_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS transform surface (EPSG:4326 → 3857) over the synthetic grid
+    points — the closed-form Web-Mercator projection as JVM column
+    expressions; rounded to millimeters so the last-ulp libm difference
+    between engines (measured ≤1e-9 m) can't flip the hash gate."""
+    from weather_tools_spark.functions.geo import webmercator_xy
+
+    ev = load_table(spark, "events", sf_dir)
+    geo = ev.select(
+        ((F.col("user_id") % 180) - 90.0 + 0.25).alias("latitude"),
+        ((F.col("event_id") % 360) - 180.0 + 0.5).alias("longitude"),
+    ).distinct()
+    x, y = webmercator_xy(F.col("latitude"), F.col("longitude"))
+    return geo.select(
+        "latitude", "longitude", F.round(x, 3).alias("x"), F.round(y, 3).alias("y")
+    ).orderBy("latitude", "longitude")
