@@ -41,8 +41,8 @@ R02_NEW: list[str] = [
     "dq_column_profile",
     "join_salted_equivalence",
     "events_resample_1h_gapfill",
-    "corpus_train_split",
     "geo_webmercator_project",
+    "corpus_train_split",
 ]
 
 
