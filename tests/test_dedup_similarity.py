@@ -207,3 +207,15 @@ def test_connected_components_transitive_chains(spark):
     )
     got = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 200-node path graph has diameter 199: one-hop propagation alone
+    # could not converge in 20 iterations; pointer jumping must
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in D.connected_components(pairs, max_iters=20).collect()}
+    assert len(got) == n
+    assert set(got.values()) == {0}

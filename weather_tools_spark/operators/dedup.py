@@ -153,12 +153,24 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
+        stepped = labels.join(nb, labels["doc_id"] == nb["src"], "left").select(
+            "doc_id",
+            F.col("label").alias("old_label"),
+            F.least("label", F.coalesce("nb_label", "label")).alias("label"),
+        )
+        # pointer jumping: label(x) <- label(label(x)). One-hop
+        # propagation alone needs O(diameter) iterations — a long chain
+        # would silently return unconverged labels at max_iters; with
+        # the jump the loop converges in O(log diameter).
+        l2 = stepped.select(
+            F.col("doc_id").alias("__ref"), F.col("label").alias("__ref_label")
+        )
         new = (
-            labels.join(nb, labels["doc_id"] == nb["src"], "left")
+            stepped.join(l2, stepped["label"] == l2["__ref"], "left")
             .select(
                 "doc_id",
-                F.col("label").alias("old_label"),
-                F.least("label", F.coalesce("nb_label", "label")).alias("label"),
+                "old_label",
+                F.least("label", F.coalesce("__ref_label", "label")).alias("label"),
             )
             .localCheckpoint()
         )
@@ -166,6 +178,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new.select("doc_id", "label")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
