@@ -42,6 +42,7 @@ R02_NEW: list[str] = [
     "join_salted_equivalence",
     "events_resample_1h_gapfill",
     "geo_webmercator_project",
+    "multimodal_frame_resize_plan",
     "corpus_train_split",
 ]
 

@@ -185,3 +185,72 @@ def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
         .orderBy("label")
     )
+
+
+@register(
+    "multimodal_frame_resize_plan",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             1000 + (doc_id % 20) * 500 AS duration_ms,
+             320 + (doc_id % 8) * 120  AS width,
+             240 + (doc_id % 5) * 144  AS height
+      FROM documents
+    )
+    SELECT media_id, duration_ms,
+           CAST(len(range(0, duration_ms, 1000)) AS BIGINT) AS n_frames,
+           CAST(0 AS BIGINT) AS first_ms,
+           CAST((len(range(0, duration_ms, 1000)) - 1) * 1000 AS BIGINT) AS last_ms,
+           CAST(ceil(width  * least(1.0, 256.0 / greatest(width, height))) AS BIGINT) AS target_width,
+           CAST(ceil(height * least(1.0, 256.0 / greatest(width, height))) AS BIGINT) AS target_height
+    FROM media
+    ORDER BY media_id
+    """,
+)
+def multimodal_frame_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling + resize planning through the driver surface:
+    synthetic per-doc media metadata flows through the REAL operators —
+    frame_sample_plan's sequence+explode (then re-aggregated to per-media
+    frame accounting) and resize_spec's aspect-preserving arithmetic —
+    while the oracle recomputes the same counts/dims arithmetically. The
+    byte-decode stage stays behind the decode stub; this certifies all
+    the Spark-side plumbing a real codec would plug into."""
+    from weather_tools_spark.sources import multimodal as MM
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/mp4").alias("mime"),
+        (320 + (F.col("doc_id") % 8) * 120).cast("int").alias("width"),
+        (240 + (F.col("doc_id") % 5) * 144).cast("int").alias("height"),
+        (1000 + (F.col("doc_id") % 20) * 500).cast("int").alias("duration_ms"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    frames = (
+        MM.frame_sample_plan(media, every_ms=1000)
+        .groupBy("media_id", "duration_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("frame_ms").cast("long").alias("first_ms"),
+            F.max("frame_ms").cast("long").alias("last_ms"),
+        )
+    )
+    resized = MM.resize_spec(media).select(
+        "media_id",
+        F.col("target_width").cast("long").alias("target_width"),
+        F.col("target_height").cast("long").alias("target_height"),
+    )
+    return (
+        frames.join(resized, "media_id")
+        .select(
+            "media_id",
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+            "n_frames",
+            "first_ms",
+            "last_ms",
+            "target_width",
+            "target_height",
+        )
+        .orderBy("media_id")
+    )
