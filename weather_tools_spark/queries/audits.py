@@ -259,7 +259,10 @@ def dedup_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall ≥ 0.9 on ≥0.8-Jaccard pairs (the same gates as the pytest
     suite, now driver-visible)."""
     docs = load_table(spark, "documents", sf_dir)
-    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0).select(
+    # threshold 0.5 = the lowest gate below — computing the all-co-shingle
+    # pair set (threshold 0) materializes millions of sub-threshold rows
+    # for nothing at larger SFs
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
         "doc_a", "doc_b", "jaccard"
     )
     methods = {
