@@ -41,15 +41,31 @@ from weather_tools_spark.queries import register
 # --------------------------------------------------------------------------
 
 _MINHASH_SPARK_SQL = """
-WITH seeds AS (SELECT explode(sequence(0, 15)) AS seed),
-toks AS (SELECT doc_id, split(text, '\\\\s+') AS t FROM mh_documents),
+WITH toks AS (SELECT doc_id, split(text, '\\\\s+') AS t FROM mh_documents),
 sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(0, size(t) - 3),
               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS s
        FROM toks WHERE size(t) >= 3),
-mh AS (SELECT doc_id, seed, min(md5(concat(cast(seed AS string), ':', s))) AS mh
-       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
-sig AS (SELECT doc_id, transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh) AS sig
-        FROM mh GROUP BY doc_id),
+-- all 16 per-seed minima in ONE map-combinable aggregation (no 16x
+-- row fan-out; the oracle keeps the equivalent explode form)
+mh AS (SELECT doc_id,
+       min(md5(concat('0:', s))) AS mh0,
+       min(md5(concat('1:', s))) AS mh1,
+       min(md5(concat('2:', s))) AS mh2,
+       min(md5(concat('3:', s))) AS mh3,
+       min(md5(concat('4:', s))) AS mh4,
+       min(md5(concat('5:', s))) AS mh5,
+       min(md5(concat('6:', s))) AS mh6,
+       min(md5(concat('7:', s))) AS mh7,
+       min(md5(concat('8:', s))) AS mh8,
+       min(md5(concat('9:', s))) AS mh9,
+       min(md5(concat('10:', s))) AS mh10,
+       min(md5(concat('11:', s))) AS mh11,
+       min(md5(concat('12:', s))) AS mh12,
+       min(md5(concat('13:', s))) AS mh13,
+       min(md5(concat('14:', s))) AS mh14,
+       min(md5(concat('15:', s))) AS mh15
+       FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, array(mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7, mh8, mh9, mh10, mh11, mh12, mh13, mh14, mh15) AS sig FROM mh),
 bands AS (SELECT doc_id, b, md5(concat(element_at(sig, 2*b+1), '|', element_at(sig, 2*b+2))) AS bh
           FROM sig LATERAL VIEW explode(sequence(0, 7)) bx AS b),
 cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
