@@ -44,6 +44,7 @@ R02_NEW: list[str] = [
     "geo_webmercator_project",
     "multimodal_frame_resize_plan",
     "corpus_train_split",
+    "text_token_rarity",
 ]
 
 

@@ -341,3 +341,49 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "text_token_rarity",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS t
+                 FROM documents),
+    dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+    per_doc AS (
+      SELECT tok.doc_id,
+             count(*) AS n_toks,
+             CAST(sum(dfreq.df) AS BIGINT) AS sum_df,
+             CAST(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM tok JOIN dfreq USING (t) GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_toks,
+           round(CAST(sum_df AS DOUBLE) / n_toks, 6) AS mean_token_df,
+           round(CAST(n_hapax AS DOUBLE) / n_toks, 6) AS hapax_ratio
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal: per document, the mean corpus
+    document-frequency of its distinct tokens and its hapax ratio
+    (fraction of tokens appearing in this document only). Boilerplate
+    scores a high mean-df; unique/noisy text scores a high hapax ratio
+    — the frequency-based half of corpus quality filtering, computed
+    with one token-df aggregation joined back to the token frame (all
+    integer arithmetic → exact cross-engine parity)."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("t"),
+    )
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = tok.join(dfreq, "t").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("df").alias("sum_df"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_toks",
+        F.round(F.col("sum_df").cast("double") / F.col("n_toks"), 6).alias("mean_token_df"),
+        F.round(F.col("n_hapax").cast("double") / F.col("n_toks"), 6).alias("hapax_ratio"),
+    ).orderBy("doc_id")
