@@ -137,3 +137,30 @@ def test_stream_dedup_drops_within_watermark_duplicates(spark, sf_dir, tmp_path)
     got = out.collect()
     assert len(got) == n_batch, f"{len(got)} != {n_batch} distinct events"
     assert len({r.event_id for r in got}) == n_batch
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream band join emits exactly the pairs
+    the identical batch plan produces (inner join: every emitted pair is
+    correct and — with availableNow draining the whole file — complete)."""
+    s_stream = SE.read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "signup"
+    )
+    p_stream = SE.read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = SE.conversion_pairs_stream(s_stream, p_stream, window="30 minutes")
+    assert joined.isStreaming
+    out = SE.run_stream_to_memory(spark, joined, "stream_conversions")
+
+    ev = load_table(spark, "events", sf_dir)
+    batch = SE.conversion_pairs(
+        ev.filter(F.col("event_type") == "signup"),
+        ev.filter(F.col("event_type") == "purchase"),
+        window="30 minutes",
+        how="inner",
+    )
+    got = sorted((r.signup_id, r.user_id, r.p_ts) for r in out.collect())
+    want = sorted((r.signup_id, r.user_id, r.p_ts) for r in batch.collect())
+    assert len(want) > 0
+    assert got == want

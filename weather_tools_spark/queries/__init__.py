@@ -45,6 +45,9 @@ R02_NEW: list[str] = [
     "multimodal_frame_resize_plan",
     "corpus_train_split",
     "text_token_rarity",
+    "events_conversion_window",
+    "sample_stratified_deterministic",
+    "unpivot_lineitem_metrics",
 ]
 
 

@@ -498,3 +498,66 @@ def events_resample_1h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_micro", ignorenulls=True).over(w) / 1_000_000, 4
         ).alias("sum_value_locf"),
     ).orderBy("bucket", "event_type")
+
+
+@register(
+    "events_conversion_window",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         per_signup AS (
+           SELECT s.event_id, s.user_id,
+                  count(p.ts) AS n_purchases,
+                  COALESCE(sum(CAST(round((p.value) * 1000000, 0) AS BIGINT)), 0) AS micro_value
+           FROM s LEFT JOIN p
+             ON p.user_id = s.user_id
+            AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 30 MINUTE
+           GROUP BY s.event_id, s.user_id
+         )
+    SELECT user_id,
+           count(*) AS n_signups,
+           CAST(sum(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
+           round(CAST(sum(micro_value) AS DOUBLE) / 1000000, 4) AS conv_value
+    FROM per_signup
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution: per user, how many signups saw at least
+    one purchase within 30 minutes, and the attributed purchase value.
+
+    The fact-fact **time-band join** runs through the batch/streaming
+    shared :func:`~weather_tools_spark.streaming.events.conversion_pairs`
+    (left form here to keep unconverted signups); the streaming twin is
+    a true stream-stream join with watermark-bounded state, verified
+    equivalent in tests/test_streaming.py. Scale shape: hash join on the
+    equi key ``user_id`` (no bucketization needed — the band predicate
+    is a residual filter), two-level partial agg on (signup, user) then
+    user. The oracle runs the naive inequality LEFT JOIN."""
+    from weather_tools_spark.streaming.events import conversion_pairs
+
+    ev = load_table(spark, "events", sf_dir)
+    pairs = conversion_pairs(
+        ev.filter(F.col("event_type") == "signup"),
+        ev.filter(F.col("event_type") == "purchase"),
+        window="30 minutes",
+        how="left",
+    )
+    per_signup = pairs.groupBy("signup_id", "user_id").agg(
+        F.count("p_ts").alias("n_purchases"),
+        F.coalesce(
+            F.sum(F.round(F.col("p_value") * 1_000_000, 0).cast("long")), F.lit(0)
+        ).alias("micro_value"),
+    )
+    return (
+        per_signup.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(F.when(F.col("n_purchases") > 0, 1).otherwise(0)).alias("n_converted"),
+            F.sum("n_purchases").alias("n_purchases"),
+            F.round((F.sum("micro_value") / 1_000_000).cast("double"), 4).alias("conv_value"),
+        )
+        .orderBy("user_id")
+    )

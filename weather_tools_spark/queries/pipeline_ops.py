@@ -172,3 +172,117 @@ def mars_range_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date_str", "level")
     )
+
+
+@register(
+    "sample_stratified_deterministic",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN md5(CAST(event_id AS VARCHAR)) <
+                              CASE event_type WHEN 'purchase' THEN '80'
+                                              WHEN 'signup' THEN '40'
+                                              ELSE '1a' END
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN md5(CAST(event_id AS VARCHAR)) <
+                              CASE event_type WHEN 'purchase' THEN '80'
+                                              WHEN 'signup' THEN '40'
+                                              ELSE '1a' END
+                         THEN event_id END) AS BIGINT) AS id_checksum,
+           round((CAST(sum(CASE WHEN md5(CAST(event_id AS VARCHAR)) <
+                                     CASE event_type WHEN 'purchase' THEN '80'
+                                                     WHEN 'signup' THEN '40'
+                                                     ELSE '1a' END
+                                THEN CAST(round((value) * 1000000, 0) AS BIGINT) END) AS DOUBLE) / 1000000)
+                 / sum(CASE WHEN md5(CAST(event_id AS VARCHAR)) <
+                                 CASE event_type WHEN 'purchase' THEN '80'
+                                                 WHEN 'signup' THEN '40'
+                                                 ELSE '1a' END
+                            THEN 1 ELSE 0 END), 6) AS avg_value_sampled
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-stratum-rate) sampling — the
+    reproducible twin of ``df.sampleBy``: keep a row iff the md5 of its
+    stable key is below a per-stratum hex threshold (purchase 50% =
+    '80'/'100', signup 25% = '40', rest 26/256 ≈ 10.2%). Hash-threshold
+    Bernoulli sampling is map-only (no window, no per-stratum global
+    rank, no shuffle before the partial agg), so it scales to any corpus
+    and any stratum skew, and a row's membership never changes as data
+    grows — the property training-data holdouts need (cf.
+    ``corpus_train_split``). Output audits the sample per stratum:
+    realized size vs total and an id checksum pinning exact membership.
+    Seed-based ``sample()``/``sampleBy`` is partitioning-dependent; this
+    is the deterministic form a 1000-executor run can reproduce."""
+    ev = load_table(spark, "events", sf_dir)
+    thr = (
+        F.when(F.col("event_type") == "purchase", "80")
+        .when(F.col("event_type") == "signup", "40")
+        .otherwise("1a")
+    )
+    sampled = F.md5(F.col("event_id").cast("string")) < thr
+    n_sampled = F.sum(F.when(sampled, 1).otherwise(0))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            n_sampled.alias("n_sampled"),
+            F.sum(F.when(sampled, F.col("event_id"))).alias("id_checksum"),
+            F.round(
+                (
+                    F.sum(F.when(sampled, F.round(F.col("value") * 1_000_000, 0).cast("long")))
+                    / 1_000_000
+                ).cast("double")
+                / n_sampled,
+                6,
+            ).alias("avg_value_sampled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice' AS variable, l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount' AS variable, l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax' AS variable, l_tax FROM lineitem
+    )
+    SELECT variable, count(*) AS n,
+           round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS sum_value,
+           round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(value), 6) AS avg_value
+    FROM m GROUP BY variable ORDER BY variable
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot through the file-splitter's ``melt_variables``
+    (the reference's per-variable file splitting,
+    weather_sp/splitter_pipeline/file_splitters.py semantics, as a
+    queryable operator). ``stack()`` is a narrow map-side generator — 4×
+    the rows but zero shuffle until the aggregate, whose partial
+    (map-side) phase collapses each task's output to ≤4 rows before the
+    single exchange; the long format then feeds per-variable stats in
+    one pass."""
+    from weather_tools_spark.pipeline.splitter import melt_variables
+    from weather_tools_spark.queries.core_sql import _davg, _dsum
+
+    li = load_table(spark, "lineitem", sf_dir)
+    melted = melt_variables(
+        li.select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        id_cols=["l_orderkey"],
+        var_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return (
+        melted.groupBy("variable")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(_dsum(F.col("value")), 2).alias("sum_value"),
+            F.round(_davg(F.col("value")), 6).alias("avg_value"),
+        )
+        .orderBy("variable")
+    )

@@ -165,6 +165,65 @@ def dedup_stream(
     return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def conversion_pairs(
+    signups: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Time-band join: purchases by the same user within ``window`` after
+    a signup. One shared plan for batch and streaming:
+
+    - **batch**: the equi key (``user_id``) makes this a plain hash join
+      plus a band filter — no bucketization needed, the per-user fan-out
+      is bounded by a user's own event rate, and AQE's skew split handles
+      hot users;
+    - **streaming**: a genuine stream-stream join. Both inputs must carry
+      a watermark (see :func:`conversion_pairs_stream`); the band
+      predicate ``p.ts ∈ [s.ts, s.ts + window)`` is exactly the time
+      constraint Spark needs to bound join state — each side's buffered
+      rows are evicted once the other side's watermark passes the band,
+      so state is (rate × window), not the whole stream.
+
+    The reference has no join engine at all (SURVEY.md §2.3); this is
+    the engine-native operator a conversion-attribution pipeline needs.
+    """
+    s = signups.select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("signup_ts"))
+        & (F.col("p_ts") < F.col("signup_ts") + F.expr(f"INTERVAL {window}"))
+    )
+    return s.join(p, cond, how).drop("p_user")
+
+
+def conversion_pairs_stream(
+    signups: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming form of :func:`conversion_pairs`: watermark both sides,
+    then the same band join. Spark derives the state-eviction bound from
+    the watermark + band predicate; without the band the join state would
+    grow without limit."""
+    return conversion_pairs(
+        signups.withWatermark("ts", watermark),
+        purchases.withWatermark("ts", watermark),
+        window,
+        "inner",
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, agg: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
