@@ -48,6 +48,7 @@ R02_NEW: list[str] = [
     "events_conversion_window",
     "sample_stratified_deterministic",
     "unpivot_lineitem_metrics",
+    "corpus_decontamination",
 ]
 
 

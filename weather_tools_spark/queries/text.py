@@ -387,3 +387,97 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_df").cast("double") / F.col("n_toks"), 6).alias("mean_token_df"),
         F.round(F.col("n_hapax").cast("double") / F.col("n_toks"), 6).alias("hapax_ratio"),
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_decontamination",
+    oracle="""
+    WITH assigned AS (SELECT doc_id, lang, text,
+           instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS d
+         FROM documents),
+    toks AS (SELECT doc_id, lang, d, regexp_split_to_array(text, '\\s+') AS t FROM assigned),
+    sh AS (SELECT doc_id, lang, d,
+            unnest(list_distinct(list_transform(range(1, len(t) - 6),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS s
+           FROM toks),
+    bench AS (SELECT DISTINCT s FROM sh WHERE d >= 14),
+    tr AS (SELECT doc_id, lang, s FROM sh WHERE d < 13),
+    hits AS (SELECT tr.doc_id, tr.lang, count(*) AS n_shared
+             FROM tr JOIN bench USING (s) GROUP BY 1, 2),
+    trd AS (SELECT lang, count(*) AS n_train FROM assigned WHERE d < 13 GROUP BY lang),
+    contam AS (SELECT lang, count(*) AS n_contaminated,
+                      CAST(sum(n_shared) AS BIGINT) AS total_shared,
+                      CAST(max(n_shared) AS BIGINT) AS max_shared
+               FROM hits GROUP BY lang)
+    SELECT trd.lang, n_train,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           CAST(COALESCE(total_shared, 0) AS BIGINT) AS total_shared,
+           CAST(COALESCE(max_shared, 0) AS BIGINT) AS max_shared,
+           round(1.0 * COALESCE(n_contaminated, 0) / n_train, 6) AS contamination_rate
+    FROM trd LEFT JOIN contam ON trd.lang = contam.lang
+    ORDER BY trd.lang
+    """,
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    8-gram with the held-out test split (the standard eval-leakage check
+    a training-data pipeline runs before shipping a corpus; split
+    assignment reuses ``corpus_train_split``'s md5 bucketing).
+
+    Scale shape: shingling is map-side (zip_with, no per-index
+    re-evaluation); the contamination check is a shingle **equi-join** —
+    at 100 TB with a real (small) benchmark suite the bench side is a
+    broadcast set, and even with a proportionally-large holdout it stays
+    a hash join keyed on the shingle, the same shape as the Jaccard
+    dedup join. Report is per-language with exact doc counts, so any
+    leak regression flips the hash gate."""
+    from weather_tools_spark.operators.dedup import _widen, shingles_sql
+
+    docs = load_table(spark, "documents", sf_dir)
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    sh = (
+        _widen(docs)
+        .select(
+            "doc_id",
+            "lang",
+            digit.alias("d"),
+            F.expr(shingles_sql("split(text, '\\\\s+')", 8)).alias("shingles"),
+        )
+        .select("doc_id", "lang", "d", F.explode("shingles").alias("s"))
+    )
+    bench = sh.filter(F.col("d") >= 14).select("s").distinct()
+    tr = sh.filter(F.col("d") < 13)
+    hits = tr.join(bench, "s").groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    trd = (
+        docs.select("lang", digit.alias("d"))
+        .filter(F.col("d") < 13)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    contam = hits.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.sum("n_shared").alias("total_shared"),
+        F.max("n_shared").alias("max_shared"),
+    )
+    return (
+        trd.join(contam, "lang", "left")
+        .select(
+            "lang",
+            "n_train",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("total_shared", F.lit(0)).alias("total_shared"),
+            F.coalesce("max_shared", F.lit(0)).alias("max_shared"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_train"), 6
+            ).alias("contamination_rate"),
+        )
+        .orderBy("lang")
+    )
