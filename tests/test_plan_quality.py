@@ -90,3 +90,39 @@ def test_gapfill_spine_stays_narrow(spark, sf_dir):
     df = SPARK["events_resample_1h_gapfill"](spark, sf_dir)
     assert df.count() > 0
     assert df.rdd.getNumPartitions() <= int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_conversion_band_join_is_hash_based(spark, sf_dir):
+    # the time-band join has an equi key (user_id): it must plan as a
+    # hash join with the band predicate as a residual condition, never a
+    # nested-loop over the band
+    plan = _formatted_plan(spark, "events_conversion_window", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"^\(\d+\) (Broadcast|Shuffled)HashJoin", plan, re.M) or re.search(
+        r"^\(\d+\) SortMergeJoin", plan, re.M
+    ), plan
+
+
+def test_stratified_sample_is_single_pass(spark, sf_dir):
+    # hash-threshold sampling must not introduce a window or a join:
+    # one partial+final aggregate pair, no Window nodes
+    plan = _formatted_plan(spark, "sample_stratified_deterministic", sf_dir)
+    assert not re.search(r"^\(\d+\) Window", plan, re.M), plan
+    assert not re.search(r"Join", plan), plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+
+
+def test_unpivot_aggregates_map_side(spark, sf_dir):
+    # stack() explodes 4x rows but the partial aggregate must collapse
+    # them before the single group-key exchange
+    plan = _formatted_plan(spark, "unpivot_lineitem_metrics", sf_dir)
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert not re.search(r"Join", plan), plan
+
+
+def test_decontamination_joins_stay_hash_based(spark, sf_dir):
+    plan = _formatted_plan(spark, "corpus_decontamination", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
