@@ -73,6 +73,10 @@ HEADLINE = [
     "corpus_train_split",
     "dq_column_profile",
     "join_salted_equivalence",
+    "events_conversion_window",
+    "sample_stratified_deterministic",
+    "unpivot_lineitem_metrics",
+    "corpus_decontamination",
 ]
 
 
