@@ -49,6 +49,7 @@ R02_NEW: list[str] = [
     "sample_stratified_deterministic",
     "unpivot_lineitem_metrics",
     "corpus_decontamination",
+    "orders_cohort_retention",
 ]
 
 

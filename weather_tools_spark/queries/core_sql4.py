@@ -585,3 +585,59 @@ def join_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "orders_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort, date_trunc('month', o.o_orderdate)) AS offset_m,
+             o.o_custkey
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+           CAST(offset_m AS BIGINT) AS offset_m,
+           count(DISTINCT o_custkey) AS active_customers,
+           count(*) AS n_orders
+    FROM j
+    GROUP BY cohort, offset_m
+    ORDER BY cohort_month, offset_m
+    """,
+)
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: customers bucketed by first-order
+    month, activity tracked by month offset — the standard
+    product-analytics shape (no reference analog; engine-native).
+
+    Scale shape: the first-order aggregate and the fact join share the
+    ``o_custkey`` key, so the exchange is planned once and reused (no
+    second shuffle of the fact table); the distinct-count then reshuffles
+    only the (cohort, offset, custkey) triples, which partial-distinct
+    collapses map-side first."""
+    orders = load_table(spark, "orders", sf_dir)
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    firsts = orders.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
+    j = orders.join(firsts, "o_custkey").select(
+        F.col("cohort"),
+        F.months_between(month, F.col("cohort")).cast("long").alias("offset_m"),
+        "o_custkey",
+    )
+    return (
+        j.groupBy("cohort", "offset_m")
+        .agg(
+            F.count_distinct(F.col("o_custkey")).alias("active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            "offset_m",
+            "active_customers",
+            "n_orders",
+        )
+        .orderBy("cohort_month", "offset_m")
+    )
