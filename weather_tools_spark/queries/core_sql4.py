@@ -614,11 +614,12 @@ def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     month, activity tracked by month offset — the standard
     product-analytics shape (no reference analog; engine-native).
 
-    Scale shape: the first-order aggregate and the fact join share the
-    ``o_custkey`` key, so the exchange is planned once and reused (no
-    second shuffle of the fact table); the distinct-count then reshuffles
-    only the (cohort, offset, custkey) triples, which partial-distinct
-    collapses map-side first."""
+    Scale shape: the first-order aggregate collapses the fact table to
+    one row per customer before the join — at test SF AQE broadcasts it
+    (plan-verified: single BroadcastHashJoin, no fact reshuffle); at
+    cluster scale both sides hash-partition on the shared ``o_custkey``
+    key. The distinct-count then reshuffles only (cohort, offset,
+    custkey) triples, which partial-distinct collapses map-side first."""
     orders = load_table(spark, "orders", sf_dir)
     month = F.date_trunc("month", F.col("o_orderdate"))
     firsts = orders.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
