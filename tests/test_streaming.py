@@ -164,3 +164,29 @@ def test_stream_stream_conversion_join_matches_batch(spark, sf_dir):
     want = sorted((r.signup_id, r.user_id, r.p_ts) for r in batch.collect())
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static join: the streaming side joins a static dimension
+    without state or watermark (stateless per micro-batch) — the plan a
+    streaming enrich-with-dimension pipeline uses."""
+    dim = spark.createDataFrame(
+        [("purchase", "revenue"), ("signup", "growth"), ("click", "engagement"),
+         ("view", "engagement"), ("error", "ops")],
+        ["event_type", "category"],
+    )
+    stream = SE.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    joined = stream.join(F.broadcast(dim), "event_type")
+    assert joined.isStreaming
+    out = SE.run_stream_to_memory(spark, joined, "stream_static_join")
+    got = out.groupBy("category").count().collect()
+    want = (
+        load_table(spark, "events", sf_dir)
+        .join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .count()
+        .collect()
+    )
+    assert sorted((r.category, r["count"]) for r in got) == sorted(
+        (r.category, r["count"]) for r in want
+    )

@@ -50,6 +50,7 @@ R02_NEW: list[str] = [
     "unpivot_lineitem_metrics",
     "corpus_decontamination",
     "orders_cohort_retention",
+    "text_repetition_profile",
 ]
 
 

@@ -481,3 +481,70 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_repetition_profile",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                 FROM documents),
+    cnt AS (SELECT doc_id, source, t, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(max(c) AS BIGINT) AS top_c,
+             CAST(sum(c) AS BIGINT) AS n_tok,
+             count(*) AS n_distinct
+      FROM cnt GROUP BY 1, 2
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(CAST(sum(CAST(round((1.0 * top_c / n_tok) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 / count(*), 6) AS avg_top_token_share,
+           round(CAST(sum(CAST(round((1.0 - 1.0 * n_distinct / n_tok) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 / count(*), 6) AS avg_dup_token_frac,
+           CAST(sum(CASE WHEN 1.0 * top_c / n_tok > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher-style): per document, the
+    share of tokens taken by the single most frequent token and the
+    duplicate-token fraction; documents with top-token share > 0.2 are
+    flagged. Reported per source so a crawler regression shows up as a
+    per-source rate shift.
+
+    Scale shape: explode → (doc, token) partial count → per-doc rollup —
+    two map-combinable aggregates keyed by doc_id, no joins, no windows;
+    the per-doc ratios are single divisions (engine-deterministic) and
+    the cross-doc means go through micro-unit integer sums (the
+    ``_dsum`` parity contract)."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    )
+    cnt = tok.groupBy("doc_id", "source", "t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = cnt.groupBy("doc_id", "source").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    top_share = F.col("top_c") / F.col("n_tok")
+    dup_frac = F.lit(1.0) - F.col("n_distinct") / F.col("n_tok")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                (F.sum(F.round(top_share * 1_000_000, 0).cast("long")) / 1_000_000).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_top_token_share"),
+            F.round(
+                (F.sum(F.round(dup_frac * 1_000_000, 0).cast("long")) / 1_000_000).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_dup_token_frac"),
+            F.sum(F.when(top_share > 0.2, 1).otherwise(0)).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
