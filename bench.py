@@ -77,6 +77,8 @@ HEADLINE = [
     "sample_stratified_deterministic",
     "unpivot_lineitem_metrics",
     "corpus_decontamination",
+    "orders_cohort_retention",
+    "text_repetition_profile",
 ]
 
 
