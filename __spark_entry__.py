@@ -77,12 +77,55 @@ _DRIVER_FIRST = [
 ]
 
 
+def _driver_verified() -> set[str]:
+    """Names with a clean verdict in any CORRECTNESS_r*.json the driver
+    has written next to this file. A record counts as verified when it
+    ran without error and no match gate is explicitly false (rows-only
+    entries carry null/absent match fields — their weaker check still
+    counts as swept)."""
+    import glob
+    import json
+    import os
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            err = rec.get("err")
+            # 'no_oracle' = the driver ran its weaker rows-only check;
+            # that still counts as swept when the query produced rows.
+            if err is not None and not (err == "no_oracle" and rec.get("spark_rows") is not None):
+                continue
+            if any(rec.get(k) is False for k in ("rows_match", "schema_match", "hash_match")):
+                continue
+            seen.add(name)
+    return seen
+
+
 def _ordered(reg: dict) -> dict:
+    """Self-rotating driver order: entries with no clean driver verdict
+    yet come first (a prefix-sampling driver always sweeps the
+    never-verified surface), preserving the curated priority order
+    within that group; already-green entries follow. After each round
+    the new CORRECTNESS file rotates the next unverified batch to the
+    front automatically."""
     from weather_tools_spark.queries import R02_NEW
 
-    head = [n for n in _DRIVER_FIRST if n in reg]
-    head += [n for n in R02_NEW if n in reg and n not in head]
-    rest = [n for n in reg if n not in head]
+    priority = [n for n in _DRIVER_FIRST if n in reg]
+    priority += [n for n in R02_NEW if n in reg and n not in priority]
+    priority += [n for n in reg if n not in priority]
+    verified = _driver_verified()
+    head = [n for n in priority if n not in verified]
+    rest = [n for n in priority if n in verified]
     return {n: reg[n] for n in head + rest}
 
 
