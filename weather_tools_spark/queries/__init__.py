@@ -51,6 +51,7 @@ R02_NEW: list[str] = [
     "corpus_decontamination",
     "orders_cohort_retention",
     "text_repetition_profile",
+    "pipeline_compaction_report",
 ]
 
 

@@ -286,3 +286,41 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variable")
     )
+
+
+@register("pipeline_compaction_report")  # table-state operation → rows-only check
+def pipeline_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end: fragment the events table into
+    16 files in a scratch dir, compact to ~4 target-sized files with the
+    shuffle-free coalesce plan, and report the before/after audit
+    (operators/compaction.py). Table-state operation — the driver's
+    rows-only check applies; file-count and row-preservation invariants
+    are hard-asserted in tests/test_compaction.py."""
+    import os
+    import tempfile
+
+    from weather_tools_spark.operators import compaction as C
+
+    base = tempfile.mkdtemp(prefix="wts_compaction_")
+    src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+    ev = load_table(spark, "events", sf_dir)
+    n_rows = ev.count()
+    ev.repartition(16).write.parquet(src)
+    total = C.directory_stats(spark, src)["total_bytes"]
+    report = C.compact(spark, src, dst, target_file_bytes=(total + 3) // 4, mode="coalesce")
+    n_after = spark.read.parquet(dst).count()
+    return spark.createDataFrame(
+        [
+            (
+                report["mode"],
+                report["before"]["n_files"],
+                report["after"]["n_files"],
+                report["planned_files"],
+                n_rows,
+                n_after,
+                n_rows == n_after,
+            )
+        ],
+        "mode string, n_files_before int, n_files_after int, planned_files int, "
+        "rows_before long, rows_after long, rows_preserved boolean",
+    )
