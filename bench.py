@@ -79,6 +79,7 @@ HEADLINE = [
     "corpus_decontamination",
     "orders_cohort_retention",
     "text_repetition_profile",
+    "events_value_outliers",
 ]
 
 

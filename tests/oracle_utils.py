@@ -42,6 +42,13 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     for col in a.columns:
         av, bv = a[col], b[col]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            # the driver hashes string forms: a DECIMAL-typed Spark column
+            # ("0.125000") never string-matches DuckDB's DOUBLE ("0.125"),
+            # so a float column must be float on BOTH sides
+            assert pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv), (
+                f"{name}.{col}: dtype mismatch {av.dtype} vs {bv.dtype} "
+                "(decimal-typed Spark output? cast to double)"
+            )
             av = pd.to_numeric(av, errors="coerce")
             bv = pd.to_numeric(bv, errors="coerce")
             for i, (x, y) in enumerate(zip(av, bv)):

@@ -52,6 +52,7 @@ R02_NEW: list[str] = [
     "orders_cohort_retention",
     "text_repetition_profile",
     "pipeline_compaction_report",
+    "events_value_outliers",
 ]
 
 

@@ -72,14 +72,17 @@ cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
          GROUP BY 1, 2),
 est AS (SELECT c.doc_a, c.doc_b,
-               aggregate(zip_with(sa.sig, sb.sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
-                         0, (acc, v) -> acc + v) / 16.0 AS est
+               -- CAST before dividing: a bare 16.0 literal is DECIMAL in
+               -- Spark SQL, and a decimal-typed output column breaks the
+               -- driver's string-hash parity with DuckDB's DOUBLE
+               CAST(aggregate(zip_with(sa.sig, sb.sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+                              0, (acc, v) -> acc + v) AS DOUBLE) / 16 AS est
         FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT e.doc_a, e.doc_b, round(e.est, 6) AS est_jaccard,
-       round(1.0 * i.n_inter / (ca.n + cb.n - i.n_inter), 6) AS jaccard
+       round(CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter), 6) AS jaccard
 FROM est e JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
 JOIN cnt ca ON e.doc_a = ca.doc_id JOIN cnt cb ON e.doc_b = cb.doc_id
 ORDER BY e.doc_a, e.doc_b

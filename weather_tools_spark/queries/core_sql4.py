@@ -642,3 +642,92 @@ def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "offset_m")
     )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, count(value) AS n,
+             sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS s_micro,
+             sum(CAST(round(value * value * 10000, 0) AS BIGINT)) AS sq_tenk
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(s_micro AS DOUBLE) / 1000000 / n AS mean_v,
+             sqrt(greatest((CAST(sq_tenk AS DOUBLE) / 10000
+                            - n * (CAST(s_micro AS DOUBLE) / 1000000 / n)
+                                * (CAST(s_micro AS DOUBLE) / 1000000 / n)) / (n - 1),
+                           0.0)) AS std_v
+      FROM stats
+    ),
+    z AS (
+      SELECT e.event_type, abs((e.value - m.mean_v) / m.std_v) AS az
+      FROM events e JOIN m ON e.event_type = m.event_type
+    ),
+    zz AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN az > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             round(max(az), 4) AS max_abs_z
+      FROM z GROUP BY event_type
+    )
+    SELECT m.event_type, m.n,
+           round(m.mean_v, 4) AS mean_v,
+           round(m.std_v, 4) AS std_v,
+           zz.n_outliers, zz.max_abs_z
+    FROM m JOIN zz ON m.event_type = zz.event_type
+    ORDER BY m.event_type
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (|z| > 3) — the anomaly-scan
+    DQ pass, two passes over the fact: (1) exact first/second moments
+    per group via scaled-integer sums (sum-order-independent, so the
+    derived mean/stddev are bit-identical on any engine or
+    partitioning), (2) broadcast the tiny per-group stats back and
+    score every row map-side. No window, no row shuffle — the second
+    pass is embarrassingly parallel.
+
+    Scaling contract: value² is summed in 1e4-units (|sum| < 9e18 ⇒
+    safe below ~3.6e9 rows per group at |value| ≤ 500; re-scale the
+    lattice for wider domains)."""
+    ev = load_table(spark, "events", sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("s_micro"),
+        F.sum(F.round(F.col("value") * F.col("value") * 10_000, 0).cast("long")).alias("sq_tenk"),
+    )
+    mean_v = F.col("s_micro").cast("double") / 1_000_000 / F.col("n")
+    var_v = (
+        F.col("sq_tenk").cast("double") / 10_000 - F.col("n") * mean_v * mean_v
+    ) / (F.col("n") - 1)
+    m = stats.select(
+        "event_type",
+        "n",
+        mean_v.alias("mean_v"),
+        F.sqrt(F.greatest(var_v, F.lit(0.0))).alias("std_v"),
+    )
+    z = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "n",
+        "mean_v",
+        "std_v",
+        F.abs((F.col("value") - F.col("mean_v")) / F.col("std_v")).alias("az"),
+    )
+    return (
+        z.groupBy("event_type", "n", "mean_v", "std_v")
+        .agg(
+            F.sum(F.when(F.col("az") > 3, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max("az"), 4).alias("max_abs_z"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("mean_v", 4).alias("mean_v"),
+            F.round("std_v", 4).alias("std_v"),
+            "n_outliers",
+            "max_abs_z",
+        )
+        .orderBy("event_type")
+    )
