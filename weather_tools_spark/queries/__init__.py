@@ -53,6 +53,7 @@ R02_NEW: list[str] = [
     "text_repetition_profile",
     "pipeline_compaction_report",
     "events_value_outliers",
+    "events_transition_matrix",
 ]
 
 

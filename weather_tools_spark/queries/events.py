@@ -561,3 +561,49 @@ def events_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS p
+    FROM counts
+    ORDER BY event_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (lead window → pair counts → row-normalized
+    probabilities) — the session-flow analysis behind funnel and
+    next-action models.
+
+    Scale shape: one shuffle on ``user_id`` for the sequence window,
+    then a pair-count aggregate whose output is at most |types|² rows —
+    the normalizing window runs on that tiny frame, not the fact. The
+    probability is a single bigint/bigint division (deterministic on
+    both engines)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(W.partitionBy("event_type")), 6
+        ).alias("p"),
+    ).orderBy("event_type", "next_type")
