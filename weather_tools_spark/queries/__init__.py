@@ -54,6 +54,8 @@ R02_NEW: list[str] = [
     "pipeline_compaction_report",
     "events_value_outliers",
     "events_transition_matrix",
+    "orders_price_percentiles",
+    "customer_rfm_segments",
 ]
 
 

@@ -731,3 +731,108 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_price_percentiles",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           round(quantile_cont(cents, 0.5) / 100, 4) AS p50,
+           round(quantile_cont(cents, 0.9) / 100, 4) AS p90,
+           round(quantile_cont(cents, 0.99) / 100, 4) AS p99,
+           round(CAST(min(cents) AS DOUBLE) / 100, 2) AS min_price,
+           round(CAST(max(cents) AS DOUBLE) / 100, 2) AS max_price
+    FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def orders_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated price percentiles (p50/p90/p99) per order
+    priority. ``percentile`` over the integer-cents lattice ≡ DuckDB
+    ``quantile_cont`` bit-for-bit (same linear interpolation over exact
+    integers — the pattern proven by the sketch audit's exact_p50).
+    Exact percentiles sort each (small-keyed) group; the approx path
+    for high-cardinality keys is ``approx_percentile`` under the sketch
+    audit's error gate."""
+    orders = load_table(spark, "orders", sf_dir)
+    d = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(cents, 0.5)") / 100, 4).alias("p50"),
+            F.round(F.expr("percentile(cents, 0.9)") / 100, 4).alias("p90"),
+            F.round(F.expr("percentile(cents, 0.99)") / 100, 4).alias("p99"),
+            F.round((F.min("cents").cast("double") / 100), 2).alias("min_price"),
+            F.round((F.max("cents").cast("double") / 100), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_score,
+             monetary_cents
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           round(CAST(sum(monetary_cents) AS DOUBLE) / 100, 2) AS total_value
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles per
+    customer (ntile with deterministic key tie-breaks), rolled up to
+    segment sizes and value. Monetary sums ride the integer-cents
+    lattice so quartile boundaries and totals are engine-exact.
+
+    Scale note: global ntile is a single-partition sort of the
+    *aggregated* per-customer frame (not the fact table); for a
+    customer dimension too large for one task, swap ntile for
+    percent_rank-over-range or pre-computed quantile boundaries."""
+    orders = load_table(spark, "orders", sf_dir)
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("monetary_cents"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(W.orderBy("monetary_cents", "o_custkey")).alias("m_score"),
+        "monetary_cents",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round((F.sum("monetary_cents") / 100).cast("double"), 2).alias("total_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
