@@ -80,6 +80,9 @@ HEADLINE = [
     "orders_cohort_retention",
     "text_repetition_profile",
     "events_value_outliers",
+    "events_transition_matrix",
+    "orders_price_percentiles",
+    "customer_rfm_segments",
 ]
 
 

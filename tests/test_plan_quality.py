@@ -126,3 +126,23 @@ def test_decontamination_joins_stay_hash_based(spark, sf_dir):
     plan = _formatted_plan(spark, "corpus_decontamination", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_outlier_scan_broadcasts_stats(spark, sf_dir):
+    # the per-group stats frame must broadcast back to the fact; the
+    # scoring pass is map-side (no Window, no row shuffle)
+    plan = _formatted_plan(spark, "events_value_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"^\(\d+\) Window", plan, re.M), plan
+
+
+def test_transition_matrix_normalizes_post_aggregate(spark, sf_dir):
+    # the normalizing window must run above the pair-count aggregate
+    # (types^2 rows), not over the fact table: exactly one Window, fed
+    # by a HashAggregate below it in the plan text
+    plan = _formatted_plan(spark, "events_transition_matrix", sf_dir)
+    assert "CartesianProduct" not in plan
+    win = [m.start() for m in re.finditer(r"^\(\d+\) Window", plan, re.M)]
+    agg = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
+    assert len(win) == 2  # lead() over users + the tiny normalizer
+    assert agg, plan
