@@ -190,3 +190,62 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     assert sorted((r.category, r["count"]) for r in got) == sorted(
         (r.category, r["count"]) for r in want
     )
+
+
+def test_stream_stream_left_outer_join_flushes_on_watermark(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: unmatched signups must be emitted
+    with null purchase columns — but only once the watermark passes
+    their join window. A far-future sentinel file advances the watermark
+    in a later micro-batch, flushing the outer rows."""
+    import time as _t
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts") < "2024-01-03 00:00:00")
+    # write day-1/2 events as file 1 (ns-long ts schema, matching EVENT_SCHEMA)
+    df_ns = spark.read.schema(SE.EVENT_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    df_ns.filter(F.col("ts") < 1704240000000000000).coalesce(1).write.parquet(str(src / "a"))
+    _t.sleep(1.1)  # file-source orders batches by mod time
+    # sentinel: one signup far in the future pushes the watermark past
+    # every day-1/2 join window
+    spark.createDataFrame(
+        [(10**9, 1893456000000000000, 10**6, "signup", 0.0, "{}")], SE.EVENT_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    def read_stream():
+        return (
+            spark.readStream.schema(SE.EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/{{a,b}}")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    s_stream = read_stream().filter(F.col("event_type") == "signup")
+    p_stream = read_stream().filter(F.col("event_type") == "purchase")
+    joined = SE.conversion_pairs(
+        s_stream.withWatermark("ts", "10 minutes"),
+        p_stream.withWatermark("ts", "10 minutes"),
+        "30 minutes",
+        "leftOuter",
+    )
+    out = SE.run_stream_to_memory(spark, joined, "stream_left_outer_conv")
+
+    batch_ev = ev
+    want = SE.conversion_pairs(
+        batch_ev.filter(F.col("event_type") == "signup"),
+        batch_ev.filter(F.col("event_type") == "purchase"),
+        "30 minutes",
+        "left",
+    )
+    want_unmatched = {r.signup_id for r in want.filter(F.col("p_ts").isNull()).collect()}
+    got_unmatched = {
+        r.signup_id
+        for r in out.filter(F.col("p_ts").isNull()).collect()
+        if r.signup_id != 10**9
+    }
+    # every batch-unmatched signup whose window the watermark passed must
+    # appear as an outer row; no spurious outer rows for matched signups
+    want_matched = {r.signup_id for r in want.filter(F.col("p_ts").isNotNull()).collect()}
+    assert got_unmatched, "watermark never flushed any outer rows"
+    assert got_unmatched <= want_unmatched | set(), got_unmatched - want_unmatched
+    assert not (got_unmatched & want_matched)
