@@ -56,6 +56,7 @@ R02_NEW: list[str] = [
     "events_transition_matrix",
     "orders_price_percentiles",
     "customer_rfm_segments",
+    "text_bigram_counts",
 ]
 
 

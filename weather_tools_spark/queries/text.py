@@ -548,3 +548,50 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bigram_counts",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM toks),
+    counts AS (SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+               FROM bg GROUP BY bigram)
+    SELECT bigram, n, df
+    FROM counts
+    WHERE n >= 5
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram count table (term + document frequency, min-count 5,
+    top 50) — the first step of every count-based n-gram LM and the
+    collocation statistic quality filters build on.
+
+    Scale shape: the bigram generator is map-side (zip_with over the
+    token array — no per-index re-evaluation of the tokenizer); the
+    count is one map-combinable aggregate on the bigram key, and the
+    min-count filter drops the long tail before the tiny top-k sort.
+    Ties broken on the bigram string so LIMIT is deterministic."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = "split(lower(text), '\\\\s+')"
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({t}) >= 2 THEN "
+                f"zip_with(slice({t}, 1, size({t}) - 1), slice({t}, 2, size({t}) - 1), "
+                f"(x, y) -> concat(x, ' ', y)) ELSE array() END"
+            )
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
