@@ -57,6 +57,8 @@ R02_NEW: list[str] = [
     "orders_price_percentiles",
     "customer_rfm_segments",
     "text_bigram_counts",
+    "events_hourly_seasonality",
+    "text_heavy_hitters_audit",
 ]
 
 

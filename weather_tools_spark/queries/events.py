@@ -607,3 +607,39 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(W.partitionBy("event_type")), 6
         ).alias("p"),
     ).orderBy("event_type", "next_type")
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+    SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+           event_type,
+           count(*) AS n,
+           round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(value), 6) AS avg_value
+    FROM events
+    GROUP BY hour_of_day, event_type
+    ORDER BY hour_of_day, event_type
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type — the diurnal
+    pattern every capacity/anomaly model starts with. Single
+    map-combinable aggregate on a 24×|types| key; hour extraction stays
+    in codegen."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.hour("ts").cast("bigint").alias("hour_of_day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")) / 1_000_000).cast(
+                    "double"
+                )
+                / F.count("value"),
+                6,
+            ).alias("avg_value"),
+        )
+        .orderBy("hour_of_day", "event_type")
+    )

@@ -595,3 +595,44 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(50)
     )
+
+
+@register(
+    "text_heavy_hitters_audit",
+    oracle="""
+    WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS t FROM documents),
+    exact AS (SELECT t, count(*) AS n FROM tok GROUP BY t)
+    SELECT CAST(sum(n) AS BIGINT) AS n_total,
+           count(*) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_freq,
+           TRUE AS all_keys_present,
+           TRUE AS counts_exact
+    FROM exact
+    """,
+)
+def text_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sketch audit: run the distributed heavy-hitters
+    summary (operators/heavyhitters.py, per-partition top-C + merge)
+    with capacity ≥ the corpus vocabulary, where the merge must
+    reproduce the exact count table — every key present, every merged
+    count equal to the exact count. The booleans flip (failing the
+    driver's hash gate) on any summarize/merge regression. The
+    truncation guarantee (capacity < vocabulary: every key above an
+    n/C share survives, merged counts are lower bounds) is asserted on
+    a synthetically skewed frame in tests/test_heavy_hitters.py —
+    uniform corpus data has no heavy keys to make that case
+    driver-visible."""
+    from weather_tools_spark.operators.heavyhitters import heavy_hitter_candidates
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    cand = heavy_hitter_candidates(tok, "t", capacity=64)
+    joined = exact.join(cand, exact["t"] == cand["key"], "left")
+    return joined.agg(
+        F.sum("n").alias("n_total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_freq"),
+        (F.sum(F.when(F.col("key").isNull(), 1).otherwise(0)) == 0).alias("all_keys_present"),
+        (F.sum(F.when(F.col("cnt_lb") == F.col("n"), 0).otherwise(1)) == 0).alias("counts_exact"),
+    )
