@@ -59,6 +59,7 @@ R02_NEW: list[str] = [
     "text_bigram_counts",
     "events_hourly_seasonality",
     "text_heavy_hitters_audit",
+    "orders_open_backlog_monthly",
 ]
 
 

@@ -836,3 +836,78 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "orders_open_backlog_monthly",
+    oracle="""
+    WITH close AS (
+      SELECT l_orderkey, max(l_shipdate) + INTERVAL 1 DAY AS cd
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    opens AS (SELECT o_orderdate AS d, 1 AS kind, 1 AS delta, o_orderkey AS tie
+              FROM orders JOIN close ON o_orderkey = l_orderkey),
+    closes AS (SELECT cd AS d, 0 AS kind, -1 AS delta, l_orderkey AS tie FROM close),
+    bounds AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                      date_trunc('month', max(o_orderdate)) AS hi
+               FROM orders),
+    months AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS d,
+                      2 AS kind, 0 AS delta, 0 AS tie
+               FROM bounds),
+    stream AS (SELECT * FROM opens UNION ALL SELECT * FROM closes UNION ALL SELECT * FROM months),
+    rs AS (SELECT d, kind,
+                  sum(delta) OVER (ORDER BY d, kind, tie ROWS UNBOUNDED PRECEDING) AS rt
+           FROM stream)
+    SELECT strftime(d, '%Y-%m') AS month, CAST(rt AS BIGINT) AS n_open
+    FROM rs WHERE kind = 2 ORDER BY month
+    """,
+)
+def orders_open_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog at each month start — the interval sweep-line:
+    +1 at order date, -1 the day after the last line item ships, query
+    points at month boundaries, one running sum over the merged event
+    stream.
+
+    The running sum goes through ``operators.prefix_sum.running_sum``
+    (range-partition → per-partition cumsum → O(partitions) offsets
+    broadcast back) instead of an unpartitioned Window — the
+    single-partition global Window the oracle uses is exactly the plan
+    that cannot exist at 100 TB, and the plan test pins its absence.
+    Close-before-open-before-query tie ranking at equal dates makes the
+    end date exclusive and the start date inclusive; the (date, kind,
+    orderkey) key is a total order, so the two-pass sum is
+    deterministic under any partitioning."""
+    from weather_tools_spark.operators.prefix_sum import running_sum
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    close = li.groupBy("l_orderkey").agg(
+        (F.max("l_shipdate") + F.expr("INTERVAL 1 DAY")).alias("cd")
+    )
+    opens = orders.join(close, orders["o_orderkey"] == close["l_orderkey"]).select(
+        F.col("o_orderdate").alias("d"),
+        F.lit(1).alias("kind"),
+        F.lit(1).alias("delta"),
+        F.col("o_orderkey").cast("long").alias("tie"),
+    )
+    closes = close.select(
+        F.col("cd").alias("d"),
+        F.lit(0).alias("kind"),
+        F.lit(-1).alias("delta"),
+        F.col("l_orderkey").cast("long").alias("tie"),
+    )
+    months = (
+        orders.agg(
+            F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+            F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+        )
+        .select(F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("d"))
+        .select("d", F.lit(2).alias("kind"), F.lit(0).alias("delta"), F.lit(0).cast("long").alias("tie"))
+    )
+    stream = opens.unionByName(closes).unionByName(months)
+    rs = running_sum(stream, ["d", "kind", "tie"], "delta", "n_open")
+    return (
+        rs.filter(F.col("kind") == 2)
+        .select(F.date_format("d", "yyyy-MM").alias("month"), F.col("n_open"))
+        .orderBy("month")
+    )
