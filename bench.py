@@ -83,6 +83,10 @@ HEADLINE = [
     "events_transition_matrix",
     "orders_price_percentiles",
     "customer_rfm_segments",
+    "text_bigram_counts",
+    "events_hourly_seasonality",
+    "text_heavy_hitters_audit",
+    "orders_open_backlog_monthly",
 ]
 
 
