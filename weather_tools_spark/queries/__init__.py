@@ -60,6 +60,7 @@ R02_NEW: list[str] = [
     "events_hourly_seasonality",
     "text_heavy_hitters_audit",
     "orders_open_backlog_monthly",
+    "pipeline_quarantine_report",
 ]
 
 

@@ -324,3 +324,55 @@ def pipeline_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode string, n_files_before int, n_files_after int, planned_files int, "
         "rows_before long, rows_after long, rows_preserved boolean",
     )
+
+
+@register("pipeline_quarantine_report")  # writes+reads scratch files → rows-only check
+def pipeline_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine end-to-end: serialize a slice of the
+    events table to line-delimited JSON, inject malformed lines, ingest
+    through sources/quarantine.py, and report the ingest-health summary
+    plus invariant booleans (nothing dropped, every bad line captured).
+    The drop-nothing property is what a dead-letter queue must
+    guarantee; tests/test_quarantine.py asserts the row-level detail."""
+    import os
+    import tempfile
+
+    from weather_tools_spark.sources.quarantine import (
+        quarantine_summary,
+        read_json_with_quarantine,
+    )
+    from weather_tools_spark.streaming.events import EVENT_SCHEMA
+
+    base = tempfile.mkdtemp(prefix="wts_quarantine_")
+    feed = os.path.join(base, "feed")
+    ev = load_table(spark, "events", sf_dir).limit(500)
+    n_src = ev.count()
+    clean = ev.select(
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("value")
+    )
+    bad = spark.createDataFrame(
+        [("{truncated",), ("not json",), ('{"event_id": }',)], ["value"]
+    )
+    clean.unionAll(bad).coalesce(1).write.mode("overwrite").text(feed)
+
+    schema = "event_id long, event_type string, value double"
+    from pyspark.sql.types import _parse_datatype_string
+
+    good, quarantined = read_json_with_quarantine(
+        spark, feed, _parse_datatype_string(schema)
+    )
+    report = quarantine_summary(good, quarantined).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                report.n_good,
+                report.n_quarantined,
+                report.n_total,
+                report.malformed_rate,
+                report.n_good == n_src,
+                report.n_quarantined == 3,
+            )
+        ],
+        "n_good long, n_quarantined long, n_total long, malformed_rate double, "
+        "nothing_dropped boolean, all_bad_captured boolean",
+    )
