@@ -4,11 +4,15 @@
 ``oracle_sql()`` expose the full registry from
 ``weather_tools_spark.queries`` (one entry per implemented operator,
 SURVEY.md §2 + LLM-data-pipeline extensions; see COVERAGE.md for the
-line-by-line map). The six approximate/hash-seeded operators
-(MinHash-LSH, SimHash, winnowing, sign-LSH ANN, IVF ANN, sketches)
-intentionally have no oracle entry — the driver records the weaker
-rows-only check for those, and tests/test_dedup_similarity.py gates
-their recall against the exact operators instead.
+line-by-line map). Entries without an oracle are of two kinds, both
+intentional: the approximate/hash-seeded operators (MinHash-LSH,
+SimHash, winnowing, sign-LSH ANN, IVF ANN, sketches) whose recall is
+gated against the exact operators in tests/test_dedup_similarity.py —
+their algorithms are ALSO driver-certified through the md5/audit twins
+in queries/audits.py — and the table-state operations
+(pipeline_compaction_report, pipeline_quarantine_report) whose
+invariants are hard-asserted in their own test modules. The driver
+records the weaker rows-only check for these.
 """
 
 from __future__ import annotations
