@@ -61,6 +61,7 @@ R02_NEW: list[str] = [
     "text_heavy_hitters_audit",
     "orders_open_backlog_monthly",
     "pipeline_quarantine_report",
+    "documents_dup_rate_by_source",
 ]
 
 

@@ -636,3 +636,40 @@ def text_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when(F.col("key").isNull(), 1).otherwise(0)) == 0).alias("all_keys_present"),
         (F.sum(F.when(F.col("cnt_lb") == F.col("n"), 0).otherwise(1)) == 0).alias("counts_exact"),
     )
+
+
+@register(
+    "documents_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_copies,
+           round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def documents_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplication rate per source — the provenance view of the
+    dedup pass (which crawler/feed ships copies). Distinct-count over
+    the md5 content digest: one map-combinable aggregate; hashing the
+    text first keeps the distinct state at 32 bytes/row instead of the
+    document body. (The synthetic corpus plants exact copies at sf0.1+
+    — 8 there; smaller SFs legitimately report all-zero rates, which
+    the hash gate still verifies digit-for-digit.)"""
+    docs = load_table(spark, "documents", sf_dir)
+    uniq = F.count_distinct(F.md5("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            uniq.alias("n_unique"),
+            (F.count(F.lit(1)) - uniq).alias("n_dup_copies"),
+            F.round(
+                (F.count(F.lit(1)) - uniq).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
