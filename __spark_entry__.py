@@ -119,9 +119,19 @@ def _ordered(reg: dict) -> dict:
     """Self-rotating driver order: entries with no clean driver verdict
     yet come first (a prefix-sampling driver always sweeps the
     never-verified surface), preserving the curated priority order
-    within that group; already-green entries follow. After each round
-    the new CORRECTNESS file rotates the next unverified batch to the
-    front automatically."""
+    within that group. Already-verified entries follow, ROTATED by the
+    number of CORRECTNESS rounds seen so far: each round a different
+    window of previously-green entries sits just behind the unverified
+    head, so a prefix-sampling driver periodically RE-verifies old
+    entries instead of never seeing them again (a regression in a
+    shared operator would otherwise stay hidden behind a stale green
+    verdict). The ordering inputs (CORRECTNESS files found, head size,
+    rotation offset) are logged to stderr so any driver run's registry
+    order is reproducible from its artifacts."""
+    import glob
+    import os
+    import sys as _sys
+
     from weather_tools_spark.queries import R02_NEW
 
     priority = [n for n in _DRIVER_FIRST if n in reg]
@@ -130,6 +140,19 @@ def _ordered(reg: dict) -> dict:
     verified = _driver_verified()
     head = [n for n in priority if n not in verified]
     rest = [n for n in priority if n in verified]
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    # Rotate the verified tail by a fixed stride per round. Stride 29 is
+    # coprime with any realistic registry size, so successive rounds
+    # walk disjoint windows of the verified set through the driver's
+    # sampling prefix until every entry has been re-verified.
+    offset = (rounds * 29) % len(rest) if rest else 0
+    rest = rest[offset:] + rest[:offset]
+    print(
+        f"[registry-order] rounds={rounds} unverified_head={len(head)} "
+        f"verified_rotation_offset={offset} total={len(priority)}",
+        file=_sys.stderr,
+    )
     return {n: reg[n] for n in head + rest}
 
 

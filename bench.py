@@ -125,22 +125,28 @@ def main() -> None:
             from weather_tools_spark.operators.dedup import release_persisted
 
             release_persisted()
-        timings[name] = round(best, 3)
+        timings[name] = round(best, 2)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "timing": "min_of_2_runs_per_query",
-            }
-        )
+    # One COMPACT line: the driver records only the last 2 KB of stdout
+    # and parses the final line, so the full per-query map must fit in
+    # <2048 bytes (compact separators, 2-decimal timings, no redundant
+    # fields; timing discipline = min-of-2 runs per query, see loop
+    # comment above). Unit is seconds.
+    line = json.dumps(
+        {
+            "metric": "headline_total_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "queries": timings,
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 2000:  # fail loudly in local runs before the driver clips it
+        print(f"WARNING: bench JSON line {len(line)}B > 2000B budget", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

@@ -32,8 +32,12 @@ def test_q6_full_predicate_pushdown(spark, sf_dir):
 def test_events_time_filter_pushdown(spark, sf_dir):
     plan = _formatted_plan(spark, "xql_select_filter_range", sf_dir)
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
-    # the ts_ns twin predicate reaches the scan as long comparisons
-    assert re.search(r"GreaterThanOrEqual\(ts,\d{15,}\)", pushed), pushed
+    # the twin predicate reaches the scan: long nanos comparisons for
+    # TIMESTAMP(NANOS) storage, NTZ timestamp comparisons for
+    # timestamp[us] storage (see catalog.events_time_between)
+    assert re.search(
+        r"GreaterThanOrEqual\(ts,(\d{15,}|\d{4}-\d{2}-\d{2}T)", pushed
+    ), pushed
 
 
 def test_q5_dimension_joins_broadcast(spark, sf_dir):

@@ -71,10 +71,30 @@ def test_validate_selection():
 
 
 def test_num_shards_formula():
-    # reference defaults: 10 qps × 0.5 s latency capped at 10 → 5 shards
+    # EE defaults: 10 qps × 0.5 s latency capped at 10 → 5 shards
     assert RL.num_shards(10, 0.5, 10) == 5
     assert RL.num_shards(100, 0.5, 10) == 10  # capped
     assert RL.num_shards(0.1, 0.5, 10) == 1  # floor
+    # the reference's own docstring example (util.py:362-365):
+    # 500 qps × 0.5 s → exactly 250 shards
+    assert RL.num_shards(500, 0.5, 1000) == 250
+    # TRUNCATING int() like util.py:377-380, not ceil
+    assert RL.num_shards(3, 0.4, 10) == 1
+    assert RL.num_shards(9.9, 0.5, 10) == 4
+
+
+def test_rate_limited_foreach_shards_and_processes(spark):
+    """End-to-end: rate_limited_foreach paces every row through the
+    shard layout num_shards prescribes — all rows processed exactly
+    once at an effectively-unbounded rate (no sleeping in tests)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def hit(row):
+        acc.add(row["v"])
+
+    df = spark.range(20).selectExpr("CAST(id AS INT) AS v")
+    RL.rate_limited_foreach(df, hit, qps=1e6, latency_sec=0.5, max_concurrent=4)
+    assert acc.value == sum(range(20))
 
 
 def test_token_bucket_paces():

@@ -71,6 +71,7 @@ def main() -> int:
     print(
         f"strict sweep: {len(queries)} queries ({len(oracles)} oracle-backed) "
         f"at {sf} in {dt:.1f}s — {len(failures)} failure(s)"
+        + (": " + ", ".join(n for n, _ in failures) if failures else "")
     )
     return 1 if failures else 0
 

@@ -58,7 +58,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or DEFAULT_SF_DIR
     _ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
+        # TIMESTAMP(NANOS) storage surfaced as long via nanosAsLong.
         # Keep the raw nanos column: predicates on the *computed* ts
         # column cannot reach the parquet scan, but `ts_ns` comparisons
         # push down as ordinary long filters (see events_time_between).
@@ -67,6 +69,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # vs DuckDB's exact integer truncation, breaking the hash gate.
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # timestamp[us] storage (isAdjustedToUTC=false) reads as
+        # TIMESTAMP_NTZ. The engine canonicalizes to TIMESTAMP (LTZ) —
+        # the session timezone is pinned UTC above, so the cast is a
+        # pure re-tag with identical wall-clock values and identical
+        # string form vs the naive DuckDB oracle. `ts_scan` keeps the
+        # untouched scan attribute so range predicates still reach the
+        # parquet scan (see events_time_between); `ts_ns` stays
+        # available with the same nanos-since-epoch semantics as the
+        # nanos-storage branch.
+        df = (
+            df.withColumn("ts_scan", F.col("ts"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
         )
     return df
 
@@ -81,16 +98,27 @@ def events_time_between(df: DataFrame, start: str | None = None, end: str | None
     """
     import pandas as pd
 
+    # Pick the twin that is an untouched scan attribute for this storage
+    # flavor: raw long nanos (TIMESTAMP(NANOS) storage) or the NTZ scan
+    # column (timestamp[us] storage). Predicates on computed columns
+    # never reach the parquet scan.
+    ntz_twin = "ts_scan" in df.columns
     if start is not None:
         ns = int(pd.Timestamp(start).value)
-        df = df.filter(
-            (F.col("ts") >= F.lit(start).cast("timestamp")) & (F.col("ts_ns") >= F.lit(ns))
+        twin = (
+            F.col("ts_scan") >= F.lit(start).cast("timestamp_ntz")
+            if ntz_twin
+            else F.col("ts_ns") >= F.lit(ns)
         )
+        df = df.filter((F.col("ts") >= F.lit(start).cast("timestamp")) & twin)
     if end is not None:
         ns = int(pd.Timestamp(end).value)
-        df = df.filter(
-            (F.col("ts") < F.lit(end).cast("timestamp")) & (F.col("ts_ns") < F.lit(ns))
+        twin = (
+            F.col("ts_scan") < F.lit(end).cast("timestamp_ntz")
+            if ntz_twin
+            else F.col("ts_ns") < F.lit(ns)
         )
+        df = df.filter((F.col("ts") < F.lit(end).cast("timestamp")) & twin)
     return df
 
 

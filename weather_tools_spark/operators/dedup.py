@@ -87,14 +87,24 @@ def _widen(df: DataFrame) -> DataFrame:
     the input is narrower than the cluster — an already-parallel corpus
     (the 100 TB case) passes through untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    narrow = max(2, target // 2)
     # len(inputFiles()) is a cheap JVM-side width proxy; probing
-    # df.rdd.getNumPartitions() would force a Python<->JVM RDD
-    # conversion of the whole plan on every dedup query build.
+    # df.rdd.getNumPartitions() forces a Python<->JVM plan conversion,
+    # so it is consulted only when the file proxy says "narrow" — which
+    # is exactly when it can be wrong: a non-file-backed plan reports 0
+    # files, and a few large SPLITTABLE parquet files can still scan as
+    # many partitions. The exact probe then vetoes a pointless full
+    # repartition shuffle of an already-wide corpus.
     try:
         width = len(df.inputFiles())
     except Exception:
         width = 0
-    if width < max(2, target // 2):
+    if width < narrow:
+        try:
+            width = df.rdd.getNumPartitions()
+        except Exception:
+            width = 0
+    if width < narrow:
         return df.repartition(target)
     return df
 

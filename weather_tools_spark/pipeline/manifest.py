@@ -122,18 +122,24 @@ class ParquetManifest:
         # place. Never cache-then-overwrite the source path: Spark caching
         # is best-effort, and an evicted block would recompute its lineage
         # from the already-overwritten source, corrupting manifest state.
-        # (On a lakehouse runtime this whole method is `MERGE INTO`.)
-        import shutil
+        # The swap goes through the Hadoop FileSystem API (same route as
+        # compaction.directory_stats) so hdfs:// / s3a:// / gs:// manifest
+        # paths work identically to local ones — NOT shutil, which only
+        # understands POSIX paths. (On a lakehouse runtime this whole
+        # method is `MERGE INTO`.)
         import uuid
 
         merged = merge_updates(self.read(), updates)
         tmp = f"{self.path}.__tmp__{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.__old__{uuid.uuid4().hex[:8]}"
-        try:
-            shutil.move(self.path, old)
-        except FileNotFoundError:
-            old = None
-        shutil.move(tmp, self.path)
-        if old is not None:
-            shutil.rmtree(old, ignore_errors=True)
+
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(hconf)
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        jold = jvm.org.apache.hadoop.fs.Path(f"{self.path}.__old__{uuid.uuid4().hex[:8]}")
+        had_old = fs.exists(jpath) and fs.rename(jpath, jold)
+        fs.rename(jtmp, jpath)
+        if had_old:
+            fs.delete(jold, True)

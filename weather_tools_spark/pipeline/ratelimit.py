@@ -1,9 +1,11 @@
 """Rate-limited external I/O (weather-mv RateLimit parity,
 weather_mv/loader_pipeline/util.py:345-431; SURVEY.md §2.10).
 
-Reference semantics: work is sharded into ``min(ceil(qps × latency),
-max_concurrent)`` groups (util.py:377-380) and each shard sleeps to keep
-its request rate at ``qps / shards``.
+Reference semantics: work is sharded into ``max(1, min(int(qps ×
+latency), max_concurrent))`` groups (util.py:377-380 — note TRUNCATING
+int(), not ceil: 500 qps × 0.5 s → exactly 250 shards, the docstring
+example in the reference) and each shard sleeps to keep its request
+rate at ``qps / shards``.
 
 Spark-first form: ``repartition(n_shards)`` bounds concurrency (one
 task = one shard), and a token-bucket pacer inside ``foreachPartition``
@@ -13,7 +15,6 @@ I/O stage — the query layer never sees it.
 
 from __future__ import annotations
 
-import math
 import time
 from dataclasses import dataclass
 from typing import Callable, Iterable, Iterator
@@ -22,9 +23,10 @@ from pyspark.sql import DataFrame
 
 
 def num_shards(qps: float, latency_sec: float, max_concurrent: int) -> int:
-    """shards = min(ceil(qps × latency), max_concurrent), at least 1
-    (util.py:377-380 semantics)."""
-    return max(1, min(math.ceil(qps * latency_sec), max_concurrent))
+    """shards = max(1, min(int(qps × latency), max_concurrent)) —
+    util.py:377-380 exactly, truncating division like the reference
+    (int(), not ceil: 3 qps × 0.4 s → 1 shard, not 2)."""
+    return max(1, min(int(qps * latency_sec), max_concurrent))
 
 
 @dataclass

@@ -216,3 +216,130 @@ def sketch_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             round(min(l_extendedprice / l_quantity), 6) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT ps.*, s_suppkey, s_name, s_acctbal, n_name
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    mc AS (SELECT ps_partkey AS mc_partkey, min(ps_supplycost) AS min_cost
+           FROM eu GROUP BY ps_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey,
+           ps_supplycost AS supplycost
+    FROM eu
+    JOIN mc ON mc_partkey = ps_partkey AND ps_supplycost = min_cost
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_type = 'SMALL'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost correlated subquery over a 5-way dim
+    join, decorrelated into a per-part min re-joined on equality.
+
+    The synthetic schema has no partsupp table, so the part-supplier
+    relation is derived from lineitem (per-pair minimum unit price ≈
+    supply cost) — same join topology and decorrelation as Q2 proper
+    (reference parity: classic relational surface, SURVEY §2.3/§2.4).
+    Scale notes: region/nation/supplier/part are dims → broadcast;
+    the only fact-sized shuffles are the two groupBys on (part, supp)
+    and (part), both map-side combinable.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "SMALL")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("ps_supplycost"))
+    eu = (
+        ps.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    mc = eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu.join(
+            mc,
+            (F.col("mc_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey",
+                F.col("ps_supplycost").alias("supplycost"))
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_part_value",
+    oracle="""
+    WITH filtered AS (
+      SELECT l_partkey,
+             CAST(round(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT) AS v
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    total AS (SELECT CAST(sum(v) AS DOUBLE) / 1000000 AS grand FROM filtered)
+    SELECT l_partkey AS partkey,
+           round(CAST(sum(v) AS DOUBLE) / 1000000, 2) AS part_value
+    FROM filtered, total
+    GROUP BY l_partkey, grand
+    HAVING CAST(sum(v) AS DOUBLE) / 1000000 > 0.001 * grand
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value vs a global scalar threshold
+    (group-HAVING against a whole-table aggregate).
+
+    partsupp value is derived from lineitem revenue restricted to one
+    nation's suppliers. The global scalar is computed once and attached
+    via a broadcast cross-join of a single row — no per-group
+    recomputation, no correlated re-scan; both aggregations are
+    map-side-combinable fixed-point sums (see _dsum).
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_7")
+    filtered = (
+        li.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000, 0)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    total = filtered.agg((F.sum("v") / 1_000_000).cast("double").alias("grand"))
+    return (
+        filtered.groupBy("l_partkey")
+        .agg((F.sum("v") / 1_000_000).cast("double").alias("raw_value"))
+        .join(F.broadcast(total))
+        .filter(F.col("raw_value") > 0.001 * F.col("grand"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("raw_value"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )

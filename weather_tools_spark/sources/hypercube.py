@@ -179,6 +179,17 @@ DECODERS: dict[str, DecoderFn] = {
     "xarray": _xarray_decode,
 }
 
+
+def default_decoder() -> str:
+    """Runtime decoder detection (reference dispatch: sinks.py:437-519):
+    the real xarray branch activates automatically on any cluster where
+    the decode stack is installed; this container lacks it, so the
+    deterministic fake stays the default. Probed per call (cheap — a
+    finder scan, no import) so tests can inject a stub module."""
+    import importlib.util
+
+    return "xarray" if importlib.util.find_spec("xarray") is not None else "fake"
+
 ROW_SCHEMA = T.StructType(
     [
         T.StructField("time", T.TimestampType()),
@@ -197,7 +208,7 @@ def ingest(
     spark: SparkSession,
     uris: list[str],
     opts: IngestOptions | None = None,
-    decoder: str = "fake",
+    decoder: str = "auto",
     schema: T.StructType = ROW_SCHEMA,
 ) -> DataFrame:
     """File URIs → long-format row DataFrame.
@@ -208,7 +219,7 @@ def ingest(
     same plan applies with thousands of files per job.
     """
     opts = opts or IngestOptions()
-    decode = DECODERS[decoder]
+    decode = DECODERS[default_decoder() if decoder == "auto" else decoder]
     paths = spark.createDataFrame([(u,) for u in uris], "data_uri string").repartition(
         max(1, min(len(uris), spark.sparkContext.defaultParallelism))
     )
