@@ -197,27 +197,35 @@ def test_stream_stream_left_outer_join_flushes_on_watermark(spark, sf_dir, tmp_p
     with null purchase columns — but only once the watermark passes
     their join window. A far-future sentinel file advances the watermark
     in a later micro-batch, flushing the outer rows."""
+    import datetime as _dt
     import time as _t
+
+    from pyspark.sql import types as T
 
     src = tmp_path / "ev"
     src.mkdir()
     ev = load_table(spark, "events", sf_dir).filter(F.col("ts") < "2024-01-03 00:00:00")
-    # write day-1/2 events as file 1 (ns-long ts schema, matching EVENT_SCHEMA)
-    df_ns = spark.read.schema(SE.EVENT_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    df_ns.filter(F.col("ts") < 1704240000000000000).coalesce(1).write.parquet(str(src / "a"))
+    # Stage day-1/2 events as file 1 with timestamp_ntz ts — storage-
+    # agnostic: load_table normalizes whatever the testdata flavor is,
+    # and the session tz is UTC so the NTZ re-tag is value-identical.
+    ntz_schema = SE._event_schema(T.TimestampNTZType())
+    cols = [f.name for f in ntz_schema.fields]
+    ev.withColumn("ts", F.col("ts").cast("timestamp_ntz")).select(*cols).coalesce(
+        1
+    ).write.parquet(str(src / "a"))
     _t.sleep(1.1)  # file-source orders batches by mod time
     # sentinel: one signup far in the future pushes the watermark past
     # every day-1/2 join window
     spark.createDataFrame(
-        [(10**9, 1893456000000000000, 10**6, "signup", 0.0, "{}")], SE.EVENT_SCHEMA
+        [(10**9, _dt.datetime(2030, 1, 1), 10**6, "signup", 0.0, "{}")], ntz_schema
     ).coalesce(1).write.parquet(str(src / "b"))
 
     def read_stream():
         return (
-            spark.readStream.schema(SE.EVENT_SCHEMA)
+            spark.readStream.schema(ntz_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{src}/{{a,b}}")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
         )
 
     s_stream = read_stream().filter(F.col("event_type") == "signup")
