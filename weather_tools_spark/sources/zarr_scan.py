@@ -114,6 +114,20 @@ def prune_chunks(
     return out
 
 
+def row_schema(meta: ChunkedDatasetMeta) -> T.StructType:
+    """Long-format scan schema for a store template: coordinate axes +
+    one double column per data variable."""
+    return T.StructType(
+        [
+            T.StructField("time", T.TimestampType()),
+            T.StructField("latitude", T.DoubleType()),
+            T.StructField("longitude", T.DoubleType()),
+            *[T.StructField(v, T.DoubleType()) for v in meta.variables],
+            T.StructField("data_uri", T.StringType()),
+        ]
+    )
+
+
 ROW_SCHEMA = T.StructType(
     [
         T.StructField("time", T.TimestampType()),
@@ -160,7 +174,19 @@ def _fake_chunk_decode(spec: pd.Series, meta: ChunkedDatasetMeta) -> pd.DataFram
 
 def _decode_specs(meta: ChunkedDatasetMeta, decoder: str):
     """Shared chunk-spec → rows generator for the batch scan and the
-    streaming ingest (single place to grow real-decoder dispatch)."""
+    streaming ingest.
+
+    - ``"fake"`` — deterministic synthetic values (test plumbing);
+    - ``"zarr2"`` — REAL Zarr v2 chunk decode, stdlib-only (JSON
+      metadata + zlib/raw codec + ``np.frombuffer``); ``meta.uri``
+      must point at a v2 store (see sources/zarr_v2.py). This is the
+      decode path the reference reaches through ``xr.open_zarr``
+      (xql/src/xql/open.py:92);
+    - anything else requires the zarr/xarray libs, absent here."""
+    if decoder == "zarr2":
+        from .zarr_v2 import zarr2_decode_specs
+
+        return zarr2_decode_specs(meta)
     if decoder != "fake":  # pragma: no cover
         raise NotImplementedError("real zarr decoding requires the zarr/xarray libs")
 
@@ -321,7 +347,7 @@ def stream_ingest(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.repartition(
             max(1, batch_df.sparkSession.sparkContext.defaultParallelism)
-        ).mapInPandas(run, schema=ROW_SCHEMA)
+        ).mapInPandas(run, schema=row_schema(meta))
         sink_fn(rows, batch_id)
 
     writer = specs.writeStream.foreachBatch(process).trigger(availableNow=True)
@@ -359,7 +385,7 @@ def scan(
     are applied after decode (chunks overlap range boundaries)."""
     manifest = prune_chunks(chunk_manifest(spark, meta), time_range, lat_range, lon_range)
     rows = manifest.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        _decode_specs(meta, decoder), schema=ROW_SCHEMA
+        _decode_specs(meta, decoder), schema=row_schema(meta)
     )
     if time_range is not None:
         rows = rows.filter(

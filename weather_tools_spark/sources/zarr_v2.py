@@ -1,0 +1,319 @@
+"""Real Zarr v2 store codec — stdlib-only (json + zlib + numpy).
+
+The reference's query engine is Zarr-first: it opens stores with
+``xr.open_zarr`` and plans work from the store's chunk geometry
+(xql/src/xql/open.py:69-98, :30-66; weather_mv/loader_pipeline/bq.py:419
+``xbeam.DatasetToChunks``). This container has no zarr/xarray, but the
+Zarr **v2 format itself** needs none of them: it is JSON metadata
+(``.zgroup`` / ``<array>/.zarray`` / consolidated ``.zmetadata``) plus
+one flat binary file per chunk (C-order array bytes, optionally
+zlib-compressed, edge chunks padded to full chunk shape with the fill
+value). This module implements that format directly:
+
+- :func:`write_zarr_v2` — a *distributed* Zarr v2 sink: executors
+  assemble and write whole chunk files (one task owns one chunk — the
+  same aligned-whole-chunk contract as ``xbeam.ChunksToZarr`` with a
+  template, weather_mv/loader_pipeline/regrid.py:384-390); the driver
+  writes only the tiny JSON metadata.
+- :func:`open_zarr_v2` — plan a scan from ONE consolidated-metadata
+  read (the point of ``.zmetadata`` on object stores).
+- :func:`decode_chunk` — bytes → numpy for the ``zlib``/raw codecs,
+  used by ``zarr_scan._decode_specs(decoder="zarr2")`` inside the
+  pruned ``mapInPandas`` scan.
+
+Compressor support is the v2 baseline pair {None (raw), zlib}; blosc
+etc. would need the respective C libs and raise a clear error.
+
+Cluster note: chunk files are written with plain ``open`` — correct on
+local / NFS / FUSE-mounted object stores. A direct object-store writer
+would swap ``_put_bytes`` for the storage client; the chunk ownership
+and layout contract is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from .zarr_scan import ChunkedDatasetMeta
+
+ZMETADATA = ".zmetadata"
+_DIMS = ("time", "latitude", "longitude")
+# CF-style epoch encoding for the time coordinate (what xarray writes,
+# with a simpler unit): int64 seconds since the Unix epoch.
+_TIME_UNITS = "seconds since 1970-01-01T00:00:00"
+
+
+def _zarray(shape, chunks, dtype, compressor, fill_value):
+    return {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": dtype,
+        "compressor": compressor,
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": None,
+    }
+
+
+def _compress(buf: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return buf
+    if compressor.get("id") == "zlib":
+        return zlib.compress(buf, compressor.get("level", 1))
+    raise NotImplementedError(f"unsupported zarr compressor {compressor!r}")
+
+
+def _decompress(buf: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return buf
+    if compressor.get("id") == "zlib":
+        return zlib.decompress(buf)
+    raise NotImplementedError(f"unsupported zarr compressor {compressor!r}")
+
+
+def _put_bytes(path: str, data: bytes) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _write_array(store: str, name: str, arr: np.ndarray, dims, compressor) -> dict:
+    """Write a small driver-side array (coordinates) as a single-chunk
+    Zarr v2 array; returns its metadata entries for consolidation."""
+    dtype = arr.dtype.newbyteorder("<")
+    fill = "NaN" if dtype.kind == "f" else 0
+    zarray = _zarray(arr.shape, arr.shape, dtype.str, compressor, fill)
+    zattrs = {"_ARRAY_DIMENSIONS": list(dims)}
+    if name == "time":
+        zattrs["units"] = _TIME_UNITS
+        zattrs["calendar"] = "proleptic_gregorian"
+    _put_bytes(
+        os.path.join(store, name, ".".join("0" for _ in arr.shape)),
+        _compress(np.ascontiguousarray(arr, dtype=dtype).tobytes(), compressor),
+    )
+    _put_bytes(os.path.join(store, name, ".zarray"), json.dumps(zarray).encode())
+    _put_bytes(os.path.join(store, name, ".zattrs"), json.dumps(zattrs).encode())
+    return {f"{name}/.zarray": zarray, f"{name}/.zattrs": zattrs}
+
+
+def write_zarr_v2(
+    rows,
+    store: str,
+    meta: ChunkedDatasetMeta,
+    compressor: dict | None = {"id": "zlib", "level": 1},
+) -> int:
+    """Distributed Zarr v2 sink: shuffle rows to their owning chunk,
+    one ``applyInPandas`` task assembles and writes each chunk file
+    (all variables), driver writes the JSON metadata. Returns the
+    number of chunks written.
+
+    ``rows`` is a long-format frame with columns
+    ``time, latitude, longitude, <variables...>`` (the ``scan`` row
+    shape). Cells absent from ``rows`` keep the NaN fill value —
+    the template-write semantics of ``xbeam.ChunksToZarr``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    times = pd.to_datetime(meta.times)
+    shape = (len(times), len(meta.lats), len(meta.lons))
+    chunks = (meta.chunk_time, meta.chunk_lat, meta.chunk_lon)
+    n_chunks = [math.ceil(s / c) for s, c in zip(shape, chunks)]
+    variables = list(meta.variables)
+
+    # --- driver: metadata + coordinate arrays (tiny) ------------------
+    consolidated: dict = {".zgroup": {"zarr_format": 2}, ".zattrs": {}}
+    consolidated.update(
+        _write_array(
+            store, "time", (times.asi8 // 1_000_000_000).astype("<i8"), ("time",), compressor
+        )
+    )
+    consolidated.update(
+        _write_array(store, "latitude", np.asarray(meta.lats, "<f8"), ("latitude",), compressor)
+    )
+    consolidated.update(
+        _write_array(store, "longitude", np.asarray(meta.lons, "<f8"), ("longitude",), compressor)
+    )
+    for v in variables:
+        zarray = _zarray(shape, chunks, "<f8", compressor, "NaN")
+        zattrs = {"_ARRAY_DIMENSIONS": list(_DIMS)}
+        _put_bytes(os.path.join(store, v, ".zarray"), json.dumps(zarray).encode())
+        _put_bytes(os.path.join(store, v, ".zattrs"), json.dumps(zattrs).encode())
+        consolidated[f"{v}/.zarray"] = zarray
+        consolidated[f"{v}/.zattrs"] = zattrs
+    _put_bytes(
+        os.path.join(store, ZMETADATA),
+        json.dumps({"zarr_consolidated_format": 1, "metadata": consolidated}).encode(),
+    )
+
+    # --- executors: chunk assembly + write ----------------------------
+    t_gi = {str(t): i for i, t in enumerate(times)}
+    la_gi = {float(v): i for i, v in enumerate(meta.lats)}
+    lo_gi = {float(v): i for i, v in enumerate(meta.lons)}
+    t_map = F.create_map(*[x for kv in t_gi.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    la_map = F.create_map(*[x for kv in la_gi.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    lo_map = F.create_map(*[x for kv in lo_gi.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    keyed = (
+        rows.withColumn("_gt", t_map[F.col("time").cast("string")])
+        .withColumn("_gla", la_map[F.col("latitude")])
+        .withColumn("_glo", lo_map[F.col("longitude")])
+        .withColumn("t_idx", (F.col("_gt") / chunks[0]).cast("int"))
+        .withColumn("lat_idx", (F.col("_gla") / chunks[1]).cast("int"))
+        .withColumn("lon_idx", (F.col("_glo") / chunks[2]).cast("int"))
+    )
+
+    def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, lai, loi = int(pdf.t_idx.iloc[0]), int(pdf.lat_idx.iloc[0]), int(pdf.lon_idx.iloc[0])
+        ot, ola, olo = (pdf._gt % chunks[0]), (pdf._gla % chunks[1]), (pdf._glo % chunks[2])
+        nbytes = 0
+        for v in variables:
+            arr = np.full(chunks, np.nan, dtype="<f8")  # padded edge chunks
+            arr[ot, ola, olo] = pdf[v].to_numpy(dtype="f8")
+            data = _compress(arr.tobytes(), compressor)
+            _put_bytes(os.path.join(store, v, f"{ti}.{lai}.{loi}"), data)
+            nbytes += len(data)
+        return pd.DataFrame(
+            {"t_idx": [ti], "lat_idx": [lai], "lon_idx": [loi], "nbytes": [nbytes]}
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("t_idx", T.IntegerType()),
+            T.StructField("lat_idx", T.IntegerType()),
+            T.StructField("lon_idx", T.IntegerType()),
+            T.StructField("nbytes", T.LongType()),
+        ]
+    )
+    written = (
+        keyed.groupBy("t_idx", "lat_idx", "lon_idx")
+        .applyInPandas(write_chunk, schema=out_schema)
+        .count()
+    )
+    return int(written)
+
+
+def _read_json(store: str, rel: str) -> dict:
+    with open(os.path.join(store, rel)) as f:
+        return json.load(f)
+
+
+def read_store_metadata(store: str) -> dict:
+    """Consolidated metadata if present (one read), else per-array
+    ``.zarray``/``.zattrs`` files — the same fallback ``xr.open_zarr``
+    applies."""
+    p = os.path.join(store, ZMETADATA)
+    if os.path.exists(p):
+        return _read_json(store, ZMETADATA)["metadata"]
+    md: dict = {}
+    for name in sorted(os.listdir(store)):
+        for kind in (".zarray", ".zattrs"):
+            rel = os.path.join(name, kind)
+            if os.path.isfile(os.path.join(store, rel)):
+                md[f"{name}/{kind}"] = _read_json(store, rel)
+    return md
+
+
+def read_coord_array(store: str, name: str, md: dict) -> np.ndarray:
+    za = md[f"{name}/.zarray"]
+    key = ".".join("0" for _ in za["shape"])
+    with open(os.path.join(store, name, key), "rb") as f:
+        buf = _decompress(f.read(), za["compressor"])
+    return np.frombuffer(buf, dtype=np.dtype(za["dtype"])).reshape(za["shape"])
+
+
+def open_zarr_v2(store: str) -> ChunkedDatasetMeta:
+    """Open a Zarr v2 store into the engine's scan template — the
+    engine's ``xr.open_zarr(uri, chunks=None)`` (open.py:92) analog:
+    coordinate axes decoded, chunk geometry read from the first data
+    variable's ``.zarray``."""
+    md = read_store_metadata(store)
+    secs = read_coord_array(store, "time", md)
+    units = md.get("time/.zattrs", {}).get("units", _TIME_UNITS)
+    if units != _TIME_UNITS:
+        raise NotImplementedError(f"unsupported time units {units!r}")
+    times = [str(pd.Timestamp(int(s), unit="s")) for s in secs]
+    lats = [float(v) for v in read_coord_array(store, "latitude", md)]
+    lons = [float(v) for v in read_coord_array(store, "longitude", md)]
+    variables = tuple(
+        sorted(
+            k.split("/")[0]
+            for k in md
+            if k.endswith("/.zarray")
+            and md[k.split("/")[0] + "/.zattrs"].get("_ARRAY_DIMENSIONS") == list(_DIMS)
+        )
+    )
+    if not variables:
+        raise ValueError(f"no 3-D data variables in store {store}")
+    chunks = md[f"{variables[0]}/.zarray"]["chunks"]
+    return ChunkedDatasetMeta(
+        uri=store,
+        times=times,
+        lats=lats,
+        lons=lons,
+        chunk_time=int(chunks[0]),
+        chunk_lat=int(chunks[1]),
+        chunk_lon=int(chunks[2]),
+        variables=variables,
+    )
+
+
+def decode_chunk(store: str, var: str, za: dict, key: tuple[int, int, int]) -> np.ndarray:
+    """Read one chunk file → full padded chunk array (caller slices the
+    valid extent on edge chunks). Raw and zlib codecs; C order."""
+    path = os.path.join(store, var, ".".join(str(k) for k in key))
+    with open(path, "rb") as f:
+        buf = _decompress(f.read(), za["compressor"])
+    if za.get("order", "C") != "C" or za.get("filters"):
+        raise NotImplementedError("only C-order unfiltered zarr v2 chunks supported")
+    return np.frombuffer(buf, dtype=np.dtype(za["dtype"])).reshape(za["chunks"])
+
+
+def zarr2_decode_specs(meta: ChunkedDatasetMeta):
+    """Chunk-spec → long-rows kernel over a real Zarr v2 store at
+    ``meta.uri`` — the real-decoder branch of
+    ``zarr_scan._decode_specs``. Per task: one metadata read, then
+    whole-chunk decodes; coordinates come from the (small) template
+    axes carried in the closure, values byte-exact from the store."""
+    times = pd.to_datetime(meta.times)
+    lats = np.asarray(meta.lats, dtype="f8")
+    lons = np.asarray(meta.lons, dtype="f8")
+    ct, cla, clo = meta.chunk_time, meta.chunk_lat, meta.chunk_lon
+    variables = list(meta.variables)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md: dict | None = None
+        for pdf in batches:
+            for _, spec in pdf.iterrows():
+                if md is None:
+                    md = read_store_metadata(spec.uri)
+                t0, la0, lo0 = spec.t_idx * ct, spec.lat_idx * cla, spec.lon_idx * clo
+                vt = min(ct, len(times) - t0)
+                vla = min(cla, len(lats) - la0)
+                vlo = min(clo, len(lons) - lo0)
+                tt, la, lo = np.meshgrid(
+                    times[t0 : t0 + vt], lats[la0 : la0 + vla], lons[lo0 : lo0 + vlo],
+                    indexing="ij",
+                )
+                out = {
+                    "time": tt.ravel(),
+                    "latitude": la.ravel(),
+                    "longitude": lo.ravel(),
+                }
+                for v in variables:
+                    arr = decode_chunk(
+                        spec.uri, v, md[f"{v}/.zarray"],
+                        (spec.t_idx, spec.lat_idx, spec.lon_idx),
+                    )
+                    out[v] = arr[:vt, :vla, :vlo].ravel()
+                out["data_uri"] = spec.uri
+                yield pd.DataFrame(out)
+
+    return run
