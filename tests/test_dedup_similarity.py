@@ -200,6 +200,34 @@ def test_embedding_lsh_pairs_recall_and_exactness(spark, sf_dir):
         assert abs(cos - exact[pair]) < 1e-9
 
 
+def test_embedding_blocked_pairs_bit_identical_to_broadcast(spark, sf_dir):
+    # the distributed block-partitioned exact kernel (the registered
+    # dedup_embedding_cosine path — no driver corpus collect) must emit
+    # the identical pair set vs the broadcast-corpus baseline, at
+    # several block counts including ones that don't divide the corpus
+    # evenly; cosines agree to 1e-12 (dgemm summation order differs
+    # with matrix shape, so exact bit-identity across kernels is not a
+    # BLAS guarantee — the 6-decimal oracle rounding absorbs this)
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in S.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    assert exact
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r.vec_a, r.vec_b): r.cosine
+            for r in S.embedding_cosine_pairs_blocked(
+                emb, threshold=0.4, n_blocks=n_blocks
+            ).collect()
+        }
+        assert set(got) == set(exact), f"n_blocks={n_blocks} pair-set mismatch"
+        for pair, cos in got.items():
+            assert abs(cos - exact[pair]) < 1e-12, (
+                f"n_blocks={n_blocks} cosine drift at {pair}"
+            )
+
+
 def test_connected_components_transitive_chains(spark):
     # chain 1-2-3-4 (one component, min id 1), pair (10,11), singleton-free
     pairs = spark.createDataFrame(

@@ -61,11 +61,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4), exact
-    all-pairs via the blocked-BLAS kernel (broadcast normalized matrix ×
-    Arrow batches — see operators.similarity.embedding_cosine_pairs); at
-    corpus scale the same kernel runs per LSH bucket instead of
-    all-pairs."""
-    pairs = S.embedding_cosine_pairs(
+    all-pairs via the block-partitioned dgemm kernel
+    (operators.similarity.embedding_cosine_pairs_blocked): every block
+    pair is one bounded-memory task, nothing is collected on the
+    driver, and each unordered pair is scored exactly once — the same
+    answer as the oracle's O(n²) join at any corpus size."""
+    pairs = S.embedding_cosine_pairs_blocked(
         load_table(spark, "embeddings", sf_dir), threshold=0.4
     )
     return pairs.select(
