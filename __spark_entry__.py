@@ -132,20 +132,25 @@ def _ordered(reg: dict) -> dict:
     import os
     import sys as _sys
 
-    from weather_tools_spark.queries import R02_NEW
+    from weather_tools_spark.queries import CHECK_CHANGED, R02_NEW
 
     priority = [n for n in _DRIVER_FIRST if n in reg]
     priority += [n for n in R02_NEW if n in reg and n not in priority]
     priority += [n for n in reg if n not in priority]
     verified = _driver_verified()
-    head = [n for n in priority if n not in verified]
-    rest = [n for n in priority if n in verified]
+    # Entries whose check changed this round are un-verified by
+    # definition (the old clean verdict gated a different oracle/path).
+    changed = [n for n in CHECK_CHANGED if n in reg]
+    head = changed + [n for n in priority if n not in verified and n not in changed]
+    rest = [n for n in priority if n in verified and n not in changed]
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-    # Rotate the verified tail by a fixed stride per round. Stride 29 is
-    # coprime with any realistic registry size, so successive rounds
-    # walk disjoint windows of the verified set through the driver's
-    # sampling prefix until every entry has been re-verified.
+    # Rotate the verified tail by a fixed stride per round: the window
+    # size depends on the (changing) verified-set size, so this varies
+    # which verified entries sit near the front each round rather than
+    # guaranteeing disjoint full-coverage windows — a prefix-sampling
+    # driver still periodically re-verifies old greens instead of never
+    # seeing them again.
     offset = (rounds * 29) % len(rest) if rest else 0
     rest = rest[offset:] + rest[:offset]
     print(

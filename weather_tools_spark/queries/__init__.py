@@ -26,6 +26,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 SPARK: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Queries whose CHECK changed this round (new or upgraded oracle, or a
+# rewritten execution path): forced to the very front of the driver
+# ordering so the new gate actually runs this round even though an old
+# clean verdict exists for the name.
+CHECK_CHANGED: list[str] = [
+    "pipeline_compaction_report",  # r4: rows-only → FS-independent oracle
+    "pipeline_quarantine_report",  # r4: rows-only → FS-independent oracle + reason histogram
+    "dedup_embedding_cosine",      # r4: rerouted to the blocked exact kernel
+]
+
 # Names of queries first registered in round 2 — surfaced early in the
 # driver ordering (see __spark_entry__._ordered) so a prefix-sampling
 # driver verifies them the round they land.

@@ -288,14 +288,28 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_compaction_report")  # table-state operation → rows-only check
+@register(
+    "pipeline_compaction_report",
+    oracle="""
+    SELECT 'coalesce' AS mode,
+           CAST(16 AS INTEGER) AS n_files_before,
+           CAST(count(*) AS BIGINT) AS rows_before,
+           CAST(count(*) AS BIGINT) AS rows_after,
+           TRUE AS rows_preserved,
+           TRUE AS files_reduced
+    FROM events
+    """,
+)
 def pipeline_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction end-to-end: fragment the events table into
     16 files in a scratch dir, compact to ~4 target-sized files with the
-    shuffle-free coalesce plan, and report the before/after audit
-    (operators/compaction.py). Table-state operation — the driver's
-    rows-only check applies; file-count and row-preservation invariants
-    are hard-asserted in tests/test_compaction.py."""
+    shuffle-free coalesce plan, and report the audit
+    (operators/compaction.py), projected to its filesystem-independent
+    facts so the DuckDB oracle hash-gates the run: source fragment
+    count, row preservation, and that compaction strictly reduced the
+    file count. The byte-size-dependent remainder (planned vs actual
+    file counts for a given target size) is asserted in
+    tests/test_compaction.py."""
     import os
     import tempfile
 
@@ -314,26 +328,42 @@ def pipeline_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 report["mode"],
                 report["before"]["n_files"],
-                report["after"]["n_files"],
-                report["planned_files"],
                 n_rows,
                 n_after,
                 n_rows == n_after,
+                report["after"]["n_files"] < report["before"]["n_files"],
             )
         ],
-        "mode string, n_files_before int, n_files_after int, planned_files int, "
-        "rows_before long, rows_after long, rows_preserved boolean",
+        "mode string, n_files_before int, rows_before long, rows_after long, "
+        "rows_preserved boolean, files_reduced boolean",
     )
 
 
-@register("pipeline_quarantine_report")  # writes+reads scratch files → rows-only check
+@register(
+    "pipeline_quarantine_report",
+    oracle="""
+    WITH n AS (SELECT least(500, count(*)) AS n_good FROM events)
+    SELECT CAST(n_good AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_quarantined,
+           CAST(n_good + 3 AS BIGINT) AS n_total,
+           round(3.0 / (n_good + 3), 6) AS malformed_rate,
+           TRUE AS nothing_dropped,
+           TRUE AS all_bad_captured,
+           CAST(2 AS BIGINT) AS n_bad_json_like,
+           CAST(1 AS BIGINT) AS n_bad_other
+    FROM n
+    """,
+)
 def pipeline_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-record quarantine end-to-end: serialize a slice of the
     events table to line-delimited JSON, inject malformed lines, ingest
     through sources/quarantine.py, and report the ingest-health summary
-    plus invariant booleans (nothing dropped, every bad line captured).
-    The drop-nothing property is what a dead-letter queue must
-    guarantee; tests/test_quarantine.py asserts the row-level detail."""
+    plus invariant booleans (nothing dropped, every bad line captured)
+    and a reason histogram over the dead-letter branch (json-like vs
+    not). Every projected fact is filesystem-independent — counts and
+    the malformed rate are functions of the table size and the three
+    injected lines — so the DuckDB oracle hash-gates the whole run.
+    tests/test_quarantine.py asserts the row-level detail."""
     import os
     import tempfile
 
@@ -362,6 +392,10 @@ def pipeline_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, feed, _parse_datatype_string(schema)
     )
     report = quarantine_summary(good, quarantined).collect()[0]
+    reasons = quarantined.agg(
+        F.sum(F.when(F.col("raw_record").startswith("{"), 1).otherwise(0)).alias("json_like"),
+        F.sum(F.when(F.col("raw_record").startswith("{"), 0).otherwise(1)).alias("other"),
+    ).collect()[0]
     return spark.createDataFrame(
         [
             (
@@ -371,8 +405,11 @@ def pipeline_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 report.malformed_rate,
                 report.n_good == n_src,
                 report.n_quarantined == 3,
+                reasons.json_like,
+                reasons.other,
             )
         ],
         "n_good long, n_quarantined long, n_total long, malformed_rate double, "
-        "nothing_dropped boolean, all_bad_captured boolean",
+        "nothing_dropped boolean, all_bad_captured boolean, "
+        "n_bad_json_like long, n_bad_other long",
     )
