@@ -294,3 +294,21 @@ def test_xarray_decode_real_branch(monkeypatch):
     out2 = H._xarray_decode("/data/tile.tif", opts)
     assert calls["open"] == ("/data/tile.tif", "rasterio")
     assert len(out2) == 1
+
+
+def test_auto_decoder_uses_fake_for_mem_uris_even_with_xarray(spark, monkeypatch):
+    """ADVICE r3: on an xarray-equipped cluster, decoder='auto' must NOT
+    route synthetic mem:// URIs to the real branch (they have no bytes
+    to open) — the deterministic fake output must be preserved."""
+    import importlib.machinery
+    import sys
+    import types
+
+    stub = types.ModuleType("xarray")
+    stub.__spec__ = importlib.machinery.ModuleSpec("xarray", loader=None)
+    monkeypatch.setitem(sys.modules, "xarray", stub)
+    assert H.default_decoder() == "xarray"
+
+    got = H.ingest(spark, ["mem://a.nc"]).collect()  # decoder defaults to 'auto'
+    want = H.ingest(spark, ["mem://a.nc"], decoder="fake").collect()
+    assert len(got) > 0 and sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -139,7 +139,20 @@ class ParquetManifest:
         fs = jpath.getFileSystem(hconf)
         jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
         jold = jvm.org.apache.hadoop.fs.Path(f"{self.path}.__old__{uuid.uuid4().hex[:8]}")
-        had_old = fs.exists(jpath) and fs.rename(jpath, jold)
-        fs.rename(jtmp, jpath)
+        # FileSystem.rename signals failure by returning false, not by
+        # raising — every result must be checked or a failed swap would
+        # silently corrupt manifest state (rename onto an existing dir
+        # can no-op or nest the source). Fail loudly instead, and only
+        # delete the old state after the new one is confirmed in place.
+        had_old = fs.exists(jpath)
+        if had_old and not fs.rename(jpath, jold):
+            raise IOError(
+                f"manifest swap: could not move current state {self.path} aside"
+            )
+        if not fs.rename(jtmp, jpath):
+            raise IOError(
+                f"manifest swap: could not move merged state into place at "
+                f"{self.path} (previous state preserved at {jold.toString() if had_old else tmp})"
+            )
         if had_old:
             fs.delete(jold, True)

