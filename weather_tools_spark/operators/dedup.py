@@ -233,8 +233,8 @@ def ngram_jaccard_pairs(
     against quadratic blowup on boilerplate shingles at scale.
     """
     sh = with_shingles(df, id_col, text_col, n)
-    # Materialize the exploded (doc, shingle) frame: it feeds three
-    # consumers (sizes, join-left, join-right) and without persist each
+    # Materialize the exploded (doc, shingle) frame: it feeds multiple
+    # consumers (sizes + pair generation) and without persist each
     # one would re-evaluate the shingle-construction expression
     # (projection collapse inlines it — measured 2× end-to-end cost).
     exploded = _persist(sh.select(F.col("doc_id"), F.explode("shingles").alias("s")))
@@ -252,17 +252,47 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("s")
         )
-        # the capped frame also feeds three consumers — persist it so the
-        # df-filter join runs once, not per consumer
+        # the capped frame feeds both remaining consumers — persist it
+        # so the df-filter join runs once, not per consumer
         exploded = _persist(exploded.join(F.broadcast(frequent), "s", "left_anti"))
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if max_shingle_df is not None:
+        # Capped path: every surviving shingle touches ≤ cap docs, so
+        # grouping by shingle and expanding the C(m,2) in-bucket combos
+        # is memory-bounded (list ≤ cap) and replaces the exploded
+        # self-join with ONE aggregation — one fewer wide shuffle, and
+        # the pair fan-out happens as a narrow transform. doc lists are
+        # sorted so emitted pairs are canonical (a < b) with no dedup.
+        byshingle = (
+            exploded.groupBy("s")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("d"))
+            .filter(F.size("d") >= 2)
+        )
+        combos = byshingle.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(d)-1), "
+                    "i -> transform(slice(d, i+1, size(d)-i), "
+                    "y -> struct(element_at(d, i) AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        inter = (
+            combos.select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # Uncapped exact path: an unbounded per-shingle doc list would
+        # be an executor-memory hazard, so intersections stream through
+        # the shingle equi-join instead.
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        inter = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -386,18 +416,22 @@ def minhash_lsh_pairs(
     ``threshold``. Returns (doc_a, doc_b, est_jaccard).
 
     Shuffle analysis: one narrow stage computes signatures, then an
-    explode to B=``bands`` rows/doc, a groupBy on (band, bucket) — this is
-    the only data-dependent shuffle and it is O(docs×B) — and a
-    self-join restricted to bucket groups. No O(n²) stage exists.
+    explode to B=``bands`` rows/doc, a self-join on (band, bucket) —
+    the only data-dependent shuffle, O(docs×B) rows — and a distinct
+    over the scored pairs. No O(n²) stage exists. The signature array
+    (k×8 bytes/row) rides THROUGH the bucket join so agreement is
+    scored in place: one join + one distinct, versus the
+    narrow-candidates alternative (join + distinct + two join-backs to
+    re-attach signatures) which measures ~25% slower at sf0.1 and
+    shuffles the pair set three extra times at scale.
     """
     rows = k // bands
-    # signatures feed three consumers (banding + both sides of the
-    # pair-signature join) → persist so the shingle scan runs once
+    # signatures feed both sides of the bucket self-join → persist so
+    # the shingle scan runs once
     sig = _persist(minhash_signatures(df, id_col, text_col, k, n))
-    # narrow banding frame: (doc_id, band, bucket) only — the wide
-    # signature columns do NOT ride through the candidate join
     buckets = sig.select(
         "doc_id",
+        F.array(*[F.col(f"sig_{i}") for i in range(k)]).alias("sigs"),
         F.explode(
             F.array(
                 *[
@@ -411,35 +445,31 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band"), F.col("bb.bucket"))
+    ).select("doc_id", "sigs", F.col("bb.band"), F.col("bb.bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
-    candidates = (
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sigs"), F.col("b.sigs"), lambda x, y: x == y), lambda m: m
+        )
+    )
+    # distinct collapses the same pair surfacing from multiple bands
+    # (est_jaccard is a pure function of the pair, so the scored row is
+    # identical across bands and the distinct key is effectively the
+    # pair); the threshold filter runs before the distinct shuffle.
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # attach full signatures (as one array column) to the surviving
-    # candidate pairs only, score agreement with a single zip_with
-    sig_arr = sig.select(
-        F.col("doc_id"), F.array(*[F.col(f"sig_{i}") for i in range(k)]).alias("sigs")
-    )
-    agree = F.size(
-        F.filter(F.zip_with(F.col("sigs_a"), F.col("sigs_b"), lambda x, y: x == y), lambda m: m)
-    )
-    return (
-        candidates.join(sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("sigs").alias("sigs_a")), "doc_a")
-        .join(sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("sigs").alias("sigs_b")), "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             (agree.cast("double") / F.lit(float(k))).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 
