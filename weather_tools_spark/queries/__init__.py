@@ -31,9 +31,11 @@ ORACLE: dict[str, str] = {}
 # ordering so the new gate actually runs this round even though an old
 # clean verdict exists for the name.
 CHECK_CHANGED: list[str] = [
+    "zarr_pruned_scan_agg",        # r4: NEW — real Zarr v2 decode, oracle-gated
     "pipeline_compaction_report",  # r4: rows-only → FS-independent oracle
     "pipeline_quarantine_report",  # r4: rows-only → FS-independent oracle + reason histogram
     "dedup_embedding_cosine",      # r4: rerouted to the blocked exact kernel
+    "dedup_ngram_jaccard_pairs",   # r4: capped path now grouped pair-gen
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

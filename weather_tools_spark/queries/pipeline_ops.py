@@ -413,3 +413,97 @@ def pipeline_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nothing_dropped boolean, all_bad_captured boolean, "
         "n_bad_json_like long, n_bad_other long",
     )
+
+
+@register(
+    "zarr_pruned_scan_agg",
+    oracle="""
+    WITH cells AS (
+      SELECT t.i AS ti, la.i AS lai, lo.i AS loi
+      FROM (SELECT unnest(range(0, 6)) AS i) t,
+           (SELECT unnest(range(0, 4)) AS i) la,
+           (SELECT unnest(range(0, 5)) AS i) lo
+      -- the pruned slice: hours [2,5) x lats index {1,2} x all lons
+      WHERE t.i BETWEEN 2 AND 4 AND la.i IN (1, 2)
+    )
+    SELECT CAST('d2m' AS VARCHAR) AS variable,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(ti * 10000 + lai * 100 + loi + 0.25), 2) AS sum_value,
+           round(min(ti * 10000 + lai * 100 + loi + 0.25), 2) AS min_value,
+           round(max(ti * 10000 + lai * 100 + loi + 0.25), 2) AS max_value
+    FROM cells
+    UNION ALL
+    SELECT 'u10', CAST(count(*) AS BIGINT),
+           round(sum(ti * 10000 + lai * 100 + loi + 1.25), 2),
+           round(min(ti * 10000 + lai * 100 + loi + 1.25), 2),
+           round(max(ti * 10000 + lai * 100 + loi + 1.25), 2)
+    FROM cells
+    ORDER BY variable
+    """,
+)
+def zarr_pruned_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Zarr v2 store, end-to-end through the driver surface: write
+    a zlib-chunked v2 store with the distributed chunk sink
+    (sources/zarr_v2.write_zarr_v2 — genuine .zarray/.zmetadata JSON +
+    C-order compressed chunk files), reopen it from consolidated
+    metadata alone, run the CHUNK-PRUNED scan with the stdlib decoder
+    (np.frombuffer + zlib, zarr_scan._decode_specs(decoder='zarr2')),
+    and aggregate the decoded values per variable. Cell values are an
+    exact float64 function of the grid indices, so the DuckDB oracle
+    recomputes the same sums arithmetically — a hash gate over the
+    actual decoded bytes, pruning included (edge chunks cross the
+    pruned boundary on every axis). Reference semantics:
+    xr.open_zarr planning, xql/src/xql/open.py:69-98."""
+    import tempfile
+
+    from weather_tools_spark.sources import zarr_scan as ZS
+    from weather_tools_spark.sources import zarr_v2 as Z2
+
+    store = tempfile.mkdtemp(prefix="wts_zarr_") + "/store.zarr"
+    times = [f"2024-03-01 {h:02d}:00:00" for h in range(6)]
+    lats = [51.0, 50.75, 50.5, 50.25]
+    lons = [8.0, 8.25, 8.5, 8.75, 9.0]
+    meta = ZS.ChunkedDatasetMeta(
+        uri=store, times=times, lats=lats, lons=lons,
+        chunk_time=4, chunk_lat=3, chunk_lon=2, variables=("d2m", "u10"),
+    )
+    # deterministic source grid, built distributed (no driver loop)
+    nt, nla, nlo = len(times), len(lats), len(lons)
+    grid = (
+        spark.range(nt * nla * nlo)
+        .select(
+            (F.col("id") / (nla * nlo)).cast("int").alias("ti"),
+            ((F.col("id") / nlo) % nla).cast("int").alias("lai"),
+            (F.col("id") % nlo).cast("int").alias("loi"),
+        )
+        .select(
+            F.to_timestamp(
+                F.concat(F.lit("2024-03-01 "), F.lpad(F.col("ti").cast("string"), 2, "0"), F.lit(":00:00"))
+            ).alias("time"),
+            (F.lit(51.0) - F.col("lai") * 0.25).alias("latitude"),
+            (F.lit(8.0) + F.col("loi") * 0.25).alias("longitude"),
+            (F.col("ti") * 10000 + F.col("lai") * 100 + F.col("loi") + 0.25).alias("d2m"),
+            (F.col("ti") * 10000 + F.col("lai") * 100 + F.col("loi") + 1.25).alias("u10"),
+        )
+    )
+    Z2.write_zarr_v2(grid, store, meta)
+    got = ZS.scan(
+        spark,
+        Z2.open_zarr_v2(store),
+        time_range=("2024-03-01 02:00:00", "2024-03-01 05:00:00"),
+        lat_range=(50.4, 50.8),  # lat indices 1,2 (50.75, 50.5)
+        decoder="zarr2",
+    )
+    melted = got.selectExpr(
+        "stack(2, 'd2m', d2m, 'u10', u10) AS (variable, value)"
+    )
+    return (
+        melted.groupBy("variable")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("variable")
+    )
