@@ -174,10 +174,34 @@ def _xarray_decode(path: str, opts: IngestOptions) -> pd.DataFrame:  # pragma: n
     return ds.to_dataframe().reset_index()
 
 
+def _nc3_decode(path: str, opts: IngestOptions) -> pd.DataFrame:
+    """Classic NetCDF (CDF-1/2) decode, stdlib-only — no xarray needed
+    for the classic format (sources/netcdf3.py). NetCDF-4/HDF5 files
+    still require the xarray branch."""
+    from .netcdf3 import nc3_decode
+
+    return nc3_decode(path, opts)
+
+
 DECODERS: dict[str, DecoderFn] = {
     "fake": _fake_grid_decode,
     "xarray": _xarray_decode,
+    "netcdf3": _nc3_decode,
 }
+
+
+def _is_classic_netcdf(path: str) -> bool:
+    """Magic-byte probe: classic NetCDF starts 'CDF\\x01'/'CDF\\x02'
+    (NetCDF-4/HDF5 starts '\\x89HDF' and needs the xarray branch)."""
+    import os
+
+    try:
+        if not os.path.isfile(path):
+            return False
+        with open(path, "rb") as f:
+            return f.read(4) in (b"CDF\x01", b"CDF\x02")
+    except OSError:
+        return False
 
 
 def default_decoder() -> str:
@@ -222,13 +246,19 @@ def ingest(
     if decoder == "auto":
         # Per-URI dispatch: synthetic mem:// URIs always decode with the
         # deterministic fake (they have no on-disk bytes for a real
-        # library to open), real paths get the probed decoder — so the
-        # suite stays green on xarray-equipped clusters while real files
-        # still route to the real branch.
+        # library to open); classic-NetCDF files (magic 'CDF') route to
+        # the stdlib codec, which needs no libraries at all; everything
+        # else gets the probed decoder — so the suite stays green on
+        # xarray-equipped clusters while real files still decode.
         probed = default_decoder()
 
         def decode(uri: str, o: IngestOptions) -> pd.DataFrame:
-            name = "fake" if uri.startswith("mem://") else probed
+            if uri.startswith("mem://"):
+                name = "fake"
+            elif _is_classic_netcdf(uri):
+                name = "netcdf3"
+            else:
+                name = probed
             return DECODERS[name](uri, o)
 
     else:

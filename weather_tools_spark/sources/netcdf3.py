@@ -1,0 +1,280 @@
+"""NetCDF classic (CDF-1/CDF-2) codec — stdlib-only (struct + numpy).
+
+The reference ingests NetCDF through xarray (weather_mv
+loader_pipeline/sinks.py:437-519 engine dispatch; netcdf_datasets in
+sinks.py); that library is absent here, but the *classic* NetCDF format
+itself is a small, fully-public binary layout (the NetCDF-3 spec):
+
+    magic 'CDF\\x01'|'CDF\\x02' · numrecs · dim_list · gatt_list ·
+    var_list(name, dimids, atts, nc_type, vsize, begin) · data
+
+— big-endian scalars, 4-byte-aligned names, variable data at absolute
+file offsets. This module implements that layout directly:
+
+- :func:`write_netcdf3` — serialize a hypercube (time/latitude/
+  longitude axes + float64 data variables, CF-style coordinate
+  variables with a ``units`` attribute on time) to genuine classic
+  bytes readable by any NetCDF tool;
+- :func:`read_netcdf3` — parse the header and decode variables with
+  ``np.frombuffer``;
+- :func:`nc3_decode` — the hypercube-ingest decoder
+  (``DECODERS["netcdf3"]`` in sources/hypercube.py): file → long-format
+  rows, same output contract as the xarray branch.
+
+Scope: fixed-size (non-record) variables, the six classic external
+types, no packing/scale-offset — the shape every static-grid export
+uses. NetCDF-4/HDF5 files remain behind the xarray gate.
+
+Distributed sink: one classic file is a single stream, so the parallel
+shape is file-per-slice — :func:`write_netcdf3_partitioned` has each
+executor task serialize whole files (the reference's splitter emits
+one file per variable the same way, weather_sp splitter_pipeline).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+_MAGIC1 = b"CDF\x01"
+_MAGIC2 = b"CDF\x02"
+NC_DIMENSION, NC_VARIABLE, NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
+# classic external types: tag -> (numpy big-endian dtype, size)
+_TYPES = {1: ">i1", 2: "S1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8"}
+_REV_TYPES = {"int8": 1, "int16": 3, "int32": 4, "float32": 5, "float64": 6}
+_TIME_UNITS = "seconds since 1970-01-01T00:00:00"
+
+
+def _pad4(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 4)
+
+
+def _name(b: bytes) -> bytes:
+    return struct.pack(">i", len(b)) + _pad4(b)
+
+
+def _atts(atts: dict[str, str]) -> bytes:
+    if not atts:
+        return struct.pack(">ii", 0, 0)
+    out = struct.pack(">ii", NC_ATTRIBUTE, len(atts))
+    for k, v in atts.items():
+        vb = v.encode()
+        out += _name(k.encode()) + struct.pack(">ii", 2, len(vb)) + _pad4(vb)
+    return out
+
+
+def write_netcdf3(
+    path: str,
+    coords: dict[str, np.ndarray],
+    variables: dict[str, np.ndarray],
+    version: int = 1,
+) -> None:
+    """Serialize a static hypercube as classic NetCDF bytes.
+
+    ``coords`` maps dim name → 1-D axis array (defines dim order);
+    ``variables`` maps var name → array shaped by all dims in order.
+    Coordinate variables are written CF-style (same name as the dim;
+    ``units`` attribute on ``time``)."""
+    dims = list(coords)
+    shapes = {d: len(coords[d]) for d in dims}
+    for v, arr in variables.items():
+        if tuple(arr.shape) != tuple(shapes[d] for d in dims):
+            raise ValueError(f"variable {v} shape {arr.shape} != dims {shapes}")
+
+    # header: magic + numrecs + dim list + empty global atts + var list
+    head = (_MAGIC1 if version == 1 else _MAGIC2) + struct.pack(">i", 0)
+    head += struct.pack(">ii", NC_DIMENSION, len(dims))
+    for d in dims:
+        head += _name(d.encode()) + struct.pack(">i", shapes[d])
+    head += struct.pack(">ii", 0, 0)  # no global attributes
+
+    # variables: coordinates first (CF), then data vars
+    entries: list[tuple[str, list[int], dict, np.ndarray]] = []
+    for i, d in enumerate(dims):
+        atts = {"units": _TIME_UNITS, "calendar": "proleptic_gregorian"} if d == "time" else {}
+        entries.append((d, [i], atts, np.asarray(coords[d])))
+    for v, arr in variables.items():
+        entries.append((v, list(range(len(dims))), {}, np.asarray(arr)))
+
+    # lay out data section: each var padded to a 4-byte boundary
+    offset_fmt = ">i" if version == 1 else ">q"
+    bodies, metas = [], []
+    for name, dimids, atts, arr in entries:
+        t = _REV_TYPES[str(arr.dtype.newbyteorder("=").name)]
+        raw = np.ascontiguousarray(arr, dtype=_TYPES[t]).tobytes()
+        vsize = len(raw) + (-len(raw) % 4)
+        metas.append((name, dimids, atts, t, vsize))
+        bodies.append(_pad4(raw))
+
+    # var_list is self-referential through `begin`: compute header size
+    # with placeholder offsets first (offsets have fixed width)
+    def var_list(begins: list[int]) -> bytes:
+        out = struct.pack(">ii", NC_VARIABLE, len(metas))
+        for (name, dimids, atts, t, vsize), begin in zip(metas, begins):
+            out += _name(name.encode())
+            out += struct.pack(">i", len(dimids)) + b"".join(struct.pack(">i", i) for i in dimids)
+            out += _atts(atts)
+            out += struct.pack(">ii", t, vsize)
+            out += struct.pack(offset_fmt, begin)
+        return out
+
+    header_len = len(head) + len(var_list([0] * len(metas)))
+    begins, pos = [], header_len
+    for body in bodies:
+        begins.append(pos)
+        pos += len(body)
+    with open(path, "wb") as f:
+        f.write(head + var_list(begins) + b"".join(bodies))
+
+
+def _read_name(buf: bytes, p: int) -> tuple[str, int]:
+    (n,) = struct.unpack_from(">i", buf, p)
+    s = buf[p + 4 : p + 4 + n].decode()
+    return s, p + 4 + n + (-n % 4)
+
+
+def _read_atts(buf: bytes, p: int) -> tuple[dict, int]:
+    tag, cnt = struct.unpack_from(">ii", buf, p)
+    p += 8
+    atts: dict[str, object] = {}
+    for _ in range(cnt if tag == NC_ATTRIBUTE else 0):
+        name, p = _read_name(buf, p)
+        t, n = struct.unpack_from(">ii", buf, p)
+        p += 8
+        width = int(np.dtype(_TYPES[t]).itemsize)
+        raw = buf[p : p + n * width]
+        atts[name] = raw.decode() if t == 2 else np.frombuffer(raw, _TYPES[t]).tolist()
+        p += n * width + (-(n * width) % 4)
+    return atts, p
+
+
+def read_netcdf3(path: str) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray], dict[str, dict]]:
+    """Parse a classic NetCDF file → (coords, data variables, per-var
+    attributes). Fixed-size variables only (numrecs must be 0)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] not in (_MAGIC1, _MAGIC2):
+        raise ValueError(f"{path}: not a classic NetCDF file")
+    offset_fmt = ">i" if buf[:4] == _MAGIC1 else ">q"
+    (numrecs,) = struct.unpack_from(">i", buf, 4)
+    if numrecs:
+        raise NotImplementedError("record (unlimited) dimensions not supported")
+    p = 8
+    tag, ndims = struct.unpack_from(">ii", buf, p)
+    p += 8
+    dim_names, dim_lens = [], []
+    for _ in range(ndims if tag == NC_DIMENSION else 0):
+        nm, p = _read_name(buf, p)
+        (ln,) = struct.unpack_from(">i", buf, p)
+        p += 4
+        dim_names.append(nm)
+        dim_lens.append(ln)
+    _, p = _read_atts(buf, p)  # global atts (ignored)
+    tag, nvars = struct.unpack_from(">ii", buf, p)
+    p += 8
+    coords: dict[str, np.ndarray] = {}
+    data: dict[str, np.ndarray] = {}
+    attrs: dict[str, dict] = {}
+    for _ in range(nvars if tag == NC_VARIABLE else 0):
+        nm, p = _read_name(buf, p)
+        (nd,) = struct.unpack_from(">i", buf, p)
+        p += 4
+        dimids = list(struct.unpack_from(f">{nd}i", buf, p)) if nd else []
+        p += 4 * nd
+        atts, p = _read_atts(buf, p)
+        t, _vsize = struct.unpack_from(">ii", buf, p)
+        p += 8
+        (begin,) = struct.unpack_from(offset_fmt, buf, p)
+        p += struct.calcsize(offset_fmt)
+        shape = tuple(dim_lens[i] for i in dimids)
+        count = int(np.prod(shape)) if shape else 1
+        width = int(np.dtype(_TYPES[t]).itemsize)
+        arr = np.frombuffer(buf[begin : begin + count * width], _TYPES[t]).reshape(shape)
+        attrs[nm] = atts
+        if nd == 1 and nm == dim_names[dimids[0]]:
+            coords[nm] = arr
+        else:
+            data[nm] = arr
+    return coords, data, attrs
+
+
+def nc3_decode(path: str, opts) -> pd.DataFrame:
+    """Hypercube-ingest decoder over classic NetCDF bytes — the
+    ``DECODERS["netcdf3"]`` branch (same output contract as the xarray
+    branch: long-format time/latitude/longitude + variable columns).
+    Time decoded from the CF ``units`` epoch attribute."""
+    coords, data, attrs = read_netcdf3(path)
+    units = attrs.get("time", {}).get("units", _TIME_UNITS)
+    if units != _TIME_UNITS:
+        raise NotImplementedError(f"unsupported time units {units!r}")
+    times = pd.to_datetime(np.asarray(coords["time"], dtype="int64"), unit="s")
+    lats = np.asarray(coords["latitude"], dtype="f8")
+    lons = np.asarray(coords["longitude"], dtype="f8")
+    tt, la, lo = np.meshgrid(times, lats, lons, indexing="ij")
+    out = {"time": tt.ravel(), "latitude": la.ravel(), "longitude": lo.ravel()}
+    for v, arr in data.items():
+        out[v] = np.asarray(arr, dtype="f8").ravel()
+    pdf = pd.DataFrame(out)
+    if opts is not None:
+        if getattr(opts, "start_time", None) is not None:
+            pdf = pdf[pdf["time"] >= pd.Timestamp(opts.start_time)]
+        if getattr(opts, "end_time", None) is not None:
+            pdf = pdf[pdf["time"] < pd.Timestamp(opts.end_time)]
+        if getattr(opts, "area", None) is not None:
+            n, w, s, e = opts.area
+            pdf = pdf[
+                (pdf["latitude"] <= n) & (pdf["latitude"] >= s)
+                & (pdf["longitude"] >= w) & (pdf["longitude"] <= e)
+            ]
+    return pdf.reset_index(drop=True)
+
+
+def write_netcdf3_partitioned(rows, out_dir: str, variables: list[str]) -> int:
+    """Distributed classic-NetCDF sink: shuffle long-format rows
+    (time, latitude, longitude, <variables...>) by calendar day and
+    have each task serialize one whole ``.nc`` file — whole files are
+    the parallel unit, exactly like the reference's splitter sink.
+    Returns the number of files written."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_day(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (day,) = key
+        times = np.sort(pdf["time"].unique())
+        lats = np.sort(pdf["latitude"].unique())[::-1]  # descending (ERA5 convention)
+        lons = np.sort(pdf["longitude"].unique())
+        ti = {v: i for i, v in enumerate(times)}
+        lai = {v: i for i, v in enumerate(lats)}
+        loi = {v: i for i, v in enumerate(lons)}
+        it = pdf["time"].map(ti).to_numpy()
+        ila = pdf["latitude"].map(lai).to_numpy()
+        ilo = pdf["longitude"].map(loi).to_numpy()
+        cubes = {}
+        for v in variables:
+            cube = np.full((len(times), len(lats), len(lons)), np.nan)
+            cube[it, ila, ilo] = pdf[v].to_numpy(dtype="f8")
+            cubes[v] = cube
+        path = os.path.join(out_dir, f"{day}.nc")
+        write_netcdf3(
+            path,
+            {
+                "time": (times.astype("datetime64[s]").astype("int64")).astype(">i4"),
+                "latitude": lats.astype("f8"),
+                "longitude": lons.astype("f8"),
+            },
+            cubes,
+        )
+        return pd.DataFrame({"day": [str(day)], "path": [path], "n_rows": [len(pdf)]})
+
+    done = (
+        rows.withColumn("_day", F.date_format("time", "yyyy-MM-dd"))
+        .groupBy("_day")
+        .applyInPandas(write_day, "day string, path string, n_rows long")
+        .count()
+    )
+    return int(done)
