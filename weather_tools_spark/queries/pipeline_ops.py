@@ -588,3 +588,84 @@ def netcdf_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("d2m"), 3).alias("min_d2m"),
         F.round(F.max("d2m"), 3).alias("max_d2m"),
     )
+
+
+@register(
+    "geotiff_roundtrip_agg",
+    oracle="""
+    WITH cells AS (
+      SELECT h.i AS hi, r.i AS row_i, c.i AS col_i
+      FROM (SELECT unnest(range(0, 2)) AS i) h,
+           (SELECT unnest(range(0, 5)) AS i) r,
+           (SELECT unnest(range(0, 4)) AS i) c
+    )
+    SELECT CAST(2 AS BIGINT) AS n_rasters,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(hi * 1000 + row_i * 10 + col_i + 0.5), 3) AS sum_value,
+           round(min(hi * 1000 + row_i * 10 + col_i + 0.5), 3) AS min_value,
+           round(max(hi * 1000 + row_i * 10 + col_i + 0.5), 3) AS max_value,
+           round(min(52.0 - row_i * 0.25), 2) AS min_lat,
+           round(max(6.0 + col_i * 0.25), 2) AS max_lon
+    FROM cells
+    """,
+)
+def geotiff_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF end-to-end through the driver surface: a deterministic
+    2-slice grid flows through the DISTRIBUTED raster sink
+    (sources/geotiff.write_geotiff_partitioned — genuine little-endian
+    TIFF bytes with ModelPixelScale/ModelTiepoint georeferencing,
+    Deflate strips, one whole raster per executor task), then back in
+    through the stdlib parser (np.frombuffer + zlib). The aggregate
+    covers both the decoded VALUES and the reconstructed GEOREFERENCING
+    (min latitude / max longitude recomputed from the tiepoint+scale
+    tags), all exact float64 functions of grid indices, so the DuckDB
+    oracle recomputes them arithmetically. Reference semantics:
+    rioxarray/rasterio open + COG output, weather_mv
+    loader_pipeline/sinks.py:437-519, regrid.py."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from weather_tools_spark.sources import geotiff as GT
+
+    out_dir = tempfile.mkdtemp(prefix="wts_gtiff_")
+    nh, nr, nc = 2, 5, 4
+    grid = (
+        spark.range(nh * nr * nc)
+        .select(
+            (F.col("id") / (nr * nc)).cast("int").alias("hi"),
+            ((F.col("id") / nc) % nr).cast("int").alias("row_i"),
+            (F.col("id") % nc).cast("int").alias("col_i"),
+        )
+        .select(
+            F.to_timestamp(
+                F.concat(F.lit("2024-05-02 "), F.lpad((F.col("hi") * 12).cast("string"), 2, "0"),
+                         F.lit(":00:00"))
+            ).alias("time"),
+            (F.lit(52.0) - F.col("row_i") * 0.25).alias("latitude"),
+            (F.lit(6.0) + F.col("col_i") * 0.25).alias("longitude"),
+            (F.col("hi") * 1000 + F.col("row_i") * 10 + F.col("col_i") + 0.5).alias("value"),
+        )
+    )
+    n_rasters = GT.write_geotiff_partitioned(grid, out_dir)
+
+    # decode distributed: one task per raster file, stdlib parser
+    paths = sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir))
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(len(paths))
+
+    def decode(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                yield GT.gtiff_decode(p)
+
+    decoded = files.mapInPandas(decode, "latitude double, longitude double, value double")
+    return decoded.agg(
+        F.lit(n_rasters).cast("bigint").alias("n_rasters"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.round(F.min("value"), 3).alias("min_value"),
+        F.round(F.max("value"), 3).alias("max_value"),
+        F.round(F.min("latitude"), 2).alias("min_lat"),
+        F.round(F.max("longitude"), 2).alias("max_lon"),
+    )
