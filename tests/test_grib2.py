@@ -1,0 +1,123 @@
+"""Golden tests for the stdlib GRIB2 codec (sources/grib2.py):
+self-written simple-packed messages parse back exactly, the message
+filter skips without unpacking, and the hypercube ingest auto-detects
+GRIB2 by magic+edition bytes. Reference semantics: cfgrib decode with
+edition fallback, weather_mv loader_pipeline/sinks.py:437-519."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from weather_tools_spark.sources import grib2 as G2
+from weather_tools_spark.sources import hypercube as H
+
+LATS = np.array([49.0, 48.75, 48.5])
+LONS = np.array([2.0, 2.25, 2.5, 2.75])
+
+
+def _msgs():
+    # values are i + 0.125: exact multiples of 10^-3, so simple packing
+    # at D=3 round-trips exactly (X integers, R exact in float32)
+    base = np.arange(12, dtype="f8").reshape(3, 4)
+    return [
+        {"param": "d2m", "ref_time": "2024-06-01 06:00:00", "lats": LATS, "lons": LONS,
+         "values": base + 0.125},
+        {"param": "u10", "ref_time": "2024-06-01 06:00:00", "lats": LATS, "lons": LONS,
+         "values": base * 2 - 5.5},
+        {"param": "v10", "ref_time": "2024-06-01 06:00:00", "lats": LATS, "lons": LONS,
+         "values": base * -0.25},
+    ]
+
+
+def test_roundtrip_exact(tmp_path):
+    path = str(tmp_path / "f.grib2")
+    G2.write_grib2(path, _msgs())
+    buf = open(path, "rb").read()
+    assert buf[:4] == b"GRIB" and buf[7] == 2  # magic + edition
+    (total,) = struct.unpack_from(">Q", buf, 8)
+    assert buf[total - 4 : total] == b"7777"  # first message terminator
+    assert G2.is_grib2(path)
+
+    msgs = G2.read_grib2(path)
+    assert [m["param"] for m in msgs] == ["d2m", "u10", "v10"]
+    for got, want in zip(msgs, _msgs()):
+        assert got["ref_time"] == pd.Timestamp("2024-06-01 06:00:00")
+        assert np.array_equal(got["lats"], LATS)
+        assert np.array_equal(got["lons"], LONS)
+        assert np.array_equal(got["values"], want["values"])  # exact
+
+
+def test_negative_coordinates_sign_magnitude(tmp_path):
+    # southern/western hemisphere grid exercises sign-magnitude ints
+    lats = np.array([-10.0, -10.25])
+    lons = np.array([-75.5, -75.25, -75.0])
+    vals = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    path = str(tmp_path / "s.grib2")
+    G2.write_grib2(path, [{"param": "d2m", "ref_time": "2024-01-01", "lats": lats,
+                           "lons": lons, "values": vals}])
+    (m,) = G2.read_grib2(path)
+    assert np.array_equal(m["lats"], lats) and np.array_equal(m["lons"], lons)
+    assert np.array_equal(m["values"], vals)
+
+
+def test_message_filter_pushdown(tmp_path):
+    path = str(tmp_path / "f.grib2")
+    G2.write_grib2(path, _msgs())
+    only_u = G2.read_grib2(path, want={G2.PARAMS["u10"]})
+    assert [m["param"] for m in only_u] == ["u10"]
+
+    # decode honors opts.variables as the filter
+    opts = H.IngestOptions(variables=["d2m"])
+    pdf = G2.grib2_decode(path, opts)
+    assert "d2m" in pdf.columns and "u10" not in pdf.columns
+    assert len(pdf) == 12
+
+
+def test_grib1_edition_fallback(tmp_path):
+    p = tmp_path / "old.grib"
+    # edition byte 1 → must raise toward the cfgrib gate, not misparse
+    p.write_bytes(b"GRIB\x00\x00\x00\x01" + b"\x00" * 24)
+    assert not G2.is_grib2(str(p))
+    with pytest.raises(NotImplementedError, match="edition 1"):
+        G2.read_grib2(str(p))
+
+
+def test_ingest_auto_detects_grib2(spark, tmp_path):
+    path = str(tmp_path / "era.grib2")
+    G2.write_grib2(path, _msgs())
+    out = H.ingest(spark, [path]).collect()
+    assert len(out) == 12
+    got = {(r.latitude, r.longitude): (r.d2m, r.u10, r.v10) for r in out}
+    assert got[(49.0, 2.0)] == (0.125, -5.5, 0.0)
+    assert got[(48.5, 2.75)] == (11.125, 16.5, -2.75)
+
+
+def test_partitioned_sink_roundtrip(spark, tmp_path):
+    rows = []
+    for h in (0, 12):
+        for la in LATS:
+            for lo in LONS:
+                rows.append(
+                    (pd.Timestamp(f"2024-06-02 {h:02d}:00:00").to_pydatetime(),
+                     float(la), float(lo), float(h + la + lo), float(h - lo))
+                )
+    df = spark.createDataFrame(
+        rows, "time timestamp, latitude double, longitude double, d2m double, u10 double"
+    )
+    out = str(tmp_path / "gribs")
+    n = G2.write_grib2_partitioned(df, out, ["d2m", "u10"])
+    assert n == 2
+
+    import os
+
+    files = sorted(os.listdir(out))
+    assert files == ["2024-06-02T00.grib2", "2024-06-02T12.grib2"]
+    back = G2.grib2_decode(os.path.join(out, "2024-06-02T12.grib2"), None)
+    want = {(la, lo): (v1, v2) for t, la, lo, v1, v2 in rows if t.hour == 12}
+    assert len(back) == len(want)
+    for _, r in back.iterrows():
+        assert want[(r.latitude, r.longitude)] == (r.d2m, r.u10)

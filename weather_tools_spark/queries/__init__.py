@@ -34,6 +34,7 @@ CHECK_CHANGED: list[str] = [
     "zarr_pruned_scan_agg",        # r4: NEW — real Zarr v2 decode, oracle-gated
     "netcdf_roundtrip_agg",        # r4: NEW — stdlib classic-NetCDF codec, oracle-gated
     "geotiff_roundtrip_agg",       # r4: NEW — stdlib GeoTIFF codec, oracle-gated
+    "grib_roundtrip_agg",          # r4: NEW — stdlib GRIB2 simple-packing codec, oracle-gated
     "pipeline_compaction_report",  # r4: rows-only → FS-independent oracle
     "pipeline_quarantine_report",  # r4: rows-only → FS-independent oracle + reason histogram
     "dedup_embedding_cosine",      # r4: rerouted to the blocked exact kernel

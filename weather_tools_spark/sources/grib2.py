@@ -1,0 +1,314 @@
+"""GRIB2 codec — stdlib-only (struct + numpy), simple-packing profile.
+
+The reference decodes GRIB through cfgrib with an edition fallback
+(weather_mv loader_pipeline/sinks.py:437-519); that stack is absent
+here, but GRIB2 itself is a public WMO layout: a message is eight
+big-endian sections —
+
+    0 'GRIB'+discipline+edition+total length · 1 identification
+    (centre, reference time) · 3 grid definition (template 3.0:
+    regular lat/lon grid in microdegrees, sign-magnitude negatives) ·
+    4 product definition (template 4.0: parameter category/number,
+    level) · 5 data representation (template 5.0 simple packing:
+    reference value R as IEEE float32, binary scale E, decimal scale
+    D, bits per value) · 6 bitmap · 7 data (packed offsets
+    X: value = (R + X·2^E) / 10^D) · 8 '7777'
+
+— and files are plain concatenations of messages. This module
+implements that profile directly:
+
+- :func:`write_grib2` — serialize messages (regular lat/lon grid,
+  simple packing, byte-aligned 8/16/32-bit widths, no bitmap);
+- :func:`read_grib2` — parse messages back; a ``want`` parameter set
+  implements the reference's GRIB *message filter* as true pushdown:
+  non-matching messages are skipped by section length without
+  unpacking section 7;
+- :func:`grib2_decode` — file → long-format rows for the hypercube
+  ingest (``DECODERS["grib2"]``), with the standard WMO parameter
+  table for the engine's variables: 2-metre dewpoint d2m=(0,0,6),
+  10-metre winds u10=(0,2,2) / v10=(0,2,3);
+- :func:`write_grib2_partitioned` — distributed sink: one whole
+  multi-message GRIB file per time slice per executor task.
+
+GRIB1 (edition byte 1) and non-simple packings raise clearly and
+remain behind the cfgrib gate. Quantization: simple packing stores
+``round(v·10^D) − min`` offsets, so values that are exact multiples of
+10^-D round-trip exactly; the golden tests and the oracle query use
+such grids to pin byte-exactness.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+_MAGIC = b"GRIB"
+# engine parameter table (WMO discipline, category, number)
+PARAMS = {"d2m": (0, 0, 6), "u10": (0, 2, 2), "v10": (0, 2, 3)}
+_REV_PARAMS = {v: k for k, v in PARAMS.items()}
+_LEVELS = {"d2m": (103, 2), "u10": (103, 10), "v10": (103, 10)}  # height above ground, m
+
+
+def _sm32(v: int) -> int:
+    """Sign-magnitude int32 encode (GRIB negatives set the high bit)."""
+    return (0x80000000 | -v) if v < 0 else v
+
+
+def _sm32d(v: int) -> int:
+    return -(v & 0x7FFFFFFF) if v & 0x80000000 else v
+
+
+def _sm16(v: int) -> int:
+    return (0x8000 | -v) if v < 0 else v
+
+
+def _sm16d(v: int) -> int:
+    return -(v & 0x7FFF) if v & 0x8000 else v
+
+
+def _micro(deg: float) -> int:
+    return int(round(deg * 1_000_000))
+
+
+def write_grib2(
+    path: str,
+    messages: list[dict],
+    decimal_scale: int = 3,
+) -> None:
+    """Write concatenated GRIB2 messages. Each message dict:
+    ``{"param": "d2m", "ref_time": datetime-like, "lats": 1-D desc,
+    "lons": 1-D asc, "values": 2-D (lat, lon)}``. Values are packed
+    with simple packing at ``10^decimal_scale`` precision."""
+    out = b""
+    for msg in messages:
+        name = msg["param"]
+        disc, cat, num = PARAMS[name]
+        lats = np.asarray(msg["lats"], dtype="f8")
+        lons = np.asarray(msg["lons"], dtype="f8")
+        vals = np.ascontiguousarray(msg["values"], dtype="f8")
+        nj, ni = vals.shape
+        if (nj, ni) != (len(lats), len(lons)):
+            raise ValueError("values shape must be (lats, lons)")
+        t = pd.Timestamp(msg["ref_time"])
+
+        sec1 = struct.pack(
+            ">IBHHBBBHBBBBBBB",
+            21, 1, 255, 255, 2, 1, 1,
+            t.year, t.month, t.day, t.hour, t.minute, t.second, 0, 1,
+        )
+        dj = abs(float(lats[0] - lats[1])) if nj > 1 else 1.0
+        di = float(lons[1] - lons[0]) if ni > 1 else 1.0
+        tmpl30 = struct.pack(
+            ">B", 6
+        ) + b"\x00" * 15 + struct.pack(
+            ">IIII", ni, nj, 0, 0
+        ) + struct.pack(
+            ">IIB", _sm32(_micro(lats[0])), _sm32(_micro(lons[0])), 0x30
+        ) + struct.pack(
+            ">III", _sm32(_micro(lats[-1])), _sm32(_micro(lons[-1])), _micro(di)
+        ) + struct.pack(">IB", _micro(dj), 0)  # scanning mode 0: W→E, N→S
+        sec3_body = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0) + tmpl30
+        sec3 = struct.pack(">IB", 5 + len(sec3_body), 3) + sec3_body
+
+        lvl_type, lvl_val = _LEVELS[name]
+        tmpl40 = struct.pack(
+            ">BBBBBHBBIBBIBBI",
+            cat, num, 2, 0, 0, 0, 0, 1, 0,
+            lvl_type, 0, lvl_val, 255, 0, 0,
+        )
+        sec4 = struct.pack(">IBHH", 9 + len(tmpl40), 4, 0, 0) + tmpl40
+
+        # simple packing: X = round(v·10^D) − min, E=0
+        scaled = np.round(vals * (10 ** decimal_scale)).astype("i8")
+        ref = int(scaled.min())
+        offsets = (scaled - ref).astype("u8")
+        span = int(offsets.max()) if offsets.size else 0
+        bits = 8 if span < 2**8 else 16 if span < 2**16 else 32
+        if span >= 2**32:
+            raise ValueError("value span too wide for 32-bit simple packing")
+        packed = offsets.astype(f">u{bits // 8}").tobytes()
+        # R is stored as float32: exactness requires R·10^-D representable;
+        # keep R as the raw scaled min (spec: R is the reference of the
+        # SCALED values when D≠0 applies after: v = (R + X·2^E)/10^D)
+        sec5 = struct.pack(
+            ">IBIHfHHBB", 21, 5, ni * nj, 0, float(ref), _sm16(0), _sm16(decimal_scale), bits, 0
+        )
+        sec6 = struct.pack(">IBB", 6, 6, 255)
+        sec7 = struct.pack(">IB", 5 + len(packed), 7) + packed
+
+        body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
+        total = 16 + len(body) + 4
+        sec0 = _MAGIC + struct.pack(">HBBQ", 0, disc, 2, total)
+        out += sec0 + body + b"7777"
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def is_grib2(path: str) -> bool:
+    try:
+        if not os.path.isfile(path):
+            return False
+        with open(path, "rb") as f:
+            head = f.read(8)
+        return head[:4] == _MAGIC and len(head) == 8 and head[7] == 2
+    except OSError:
+        return False
+
+
+def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list[dict]:
+    """Parse GRIB2 messages. ``want`` is the message filter (reference
+    semantics: select messages by parameter before decode) — messages
+    whose (discipline, category, number) is not wanted are SKIPPED by
+    total length without unpacking their data section."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    msgs: list[dict] = []
+    p = 0
+    while p < len(buf):
+        if buf[p : p + 4] != _MAGIC:
+            raise ValueError(f"{path}: not GRIB at offset {p}")
+        edition = buf[p + 7]
+        if edition != 2:
+            raise NotImplementedError(
+                f"GRIB edition {edition} requires the cfgrib branch (edition fallback)"
+            )
+        disc = buf[p + 6]
+        (total,) = struct.unpack_from(">Q", buf, p + 8)
+        msg = buf[p : p + total]
+        if msg[-4:] != b"7777":
+            raise ValueError(f"{path}: message at {p} missing '7777' terminator")
+
+        # walk sections
+        q = 16
+        sections: dict[int, bytes] = {}
+        while q < total - 4:
+            (slen,) = struct.unpack_from(">I", msg, q)
+            snum = msg[q + 4]
+            sections[snum] = msg[q : q + slen]
+            q += slen
+        s4 = sections[4]
+        cat, num = s4[9], s4[10]
+        if want is not None and (disc, cat, num) not in want:
+            p += total  # filter pushdown: section 7 never unpacked
+            continue
+
+        s1 = sections[1]
+        year, = struct.unpack_from(">H", s1, 12)
+        ref_time = pd.Timestamp(
+            year=year, month=s1[14], day=s1[15], hour=s1[16], minute=s1[17], second=s1[18]
+        )
+        s3 = sections[3]
+        ni, nj = struct.unpack_from(">II", s3, 30)
+        lat1 = _sm32d(struct.unpack_from(">I", s3, 46)[0]) / 1e6
+        lon1 = _sm32d(struct.unpack_from(">I", s3, 50)[0]) / 1e6
+        di = struct.unpack_from(">I", s3, 63)[0] / 1e6
+        dj = struct.unpack_from(">I", s3, 67)[0] / 1e6
+        scan = s3[71]
+        if scan != 0:
+            raise NotImplementedError(f"scanning mode {scan} unsupported")
+        lats = lat1 - np.arange(nj) * dj  # N→S rows
+        lons = lon1 + np.arange(ni) * di
+
+        s5 = sections[5]
+        tmpl, = struct.unpack_from(">H", s5, 9)
+        if tmpl != 0:
+            raise NotImplementedError(f"data representation template {tmpl} (simple packing only)")
+        ref, = struct.unpack_from(">f", s5, 11)
+        E = _sm16d(struct.unpack_from(">H", s5, 15)[0])
+        D = _sm16d(struct.unpack_from(">H", s5, 17)[0])
+        bits = s5[19]
+        if bits not in (8, 16, 32):
+            raise NotImplementedError(f"{bits}-bit packing (byte-aligned widths only)")
+        s7 = sections[7]
+        X = np.frombuffer(s7[5 : 5 + ni * nj * (bits // 8)], dtype=f">u{bits // 8}").astype("f8")
+        vals = (float(ref) + X * (2.0 ** E)) / (10.0 ** D)
+        msgs.append(
+            {
+                "param": _REV_PARAMS.get((disc, cat, num), f"p{disc}_{cat}_{num}"),
+                "ref_time": ref_time,
+                "lats": lats,
+                "lons": lons,
+                "values": vals.reshape(nj, ni),
+            }
+        )
+        p += total
+    return msgs
+
+
+def grib2_decode(path: str, opts=None) -> pd.DataFrame:
+    """Hypercube-ingest decoder over GRIB2 bytes: one long-format frame
+    with a column per parameter (messages sharing grid + ref_time merge
+    into one row set — the hypercube-merge semantics of the xarray
+    branch). Honors ``opts.variables`` as the message filter pushdown."""
+    want = None
+    variables = getattr(opts, "variables", None) if opts is not None else None
+    if variables:
+        want = {PARAMS[v] for v in variables if v in PARAMS}
+    frames: dict[tuple, pd.DataFrame] = {}
+    for m in read_grib2(path, want):
+        la, lo = np.meshgrid(m["lats"], m["lons"], indexing="ij")
+        key = (m["ref_time"], m["lats"].tobytes(), m["lons"].tobytes())
+        pdf = frames.get(key)
+        if pdf is None:
+            pdf = pd.DataFrame(
+                {"time": m["ref_time"], "latitude": la.ravel(), "longitude": lo.ravel()}
+            )
+            frames[key] = pdf
+        pdf[m["param"]] = m["values"].ravel()
+    if not frames:
+        return pd.DataFrame({"time": [], "latitude": [], "longitude": []})
+    out = pd.concat(frames.values(), ignore_index=True)
+    if opts is not None:
+        if getattr(opts, "start_time", None) is not None:
+            out = out[out["time"] >= pd.Timestamp(opts.start_time)]
+        if getattr(opts, "end_time", None) is not None:
+            out = out[out["time"] < pd.Timestamp(opts.end_time)]
+        if getattr(opts, "area", None) is not None:
+            n, w, s, e = opts.area
+            out = out[
+                (out["latitude"] <= n) & (out["latitude"] >= s)
+                & (out["longitude"] >= w) & (out["longitude"] <= e)
+            ]
+    return out.reset_index(drop=True)
+
+
+def write_grib2_partitioned(
+    rows, out_dir: str, variables: list[str], decimal_scale: int = 3
+) -> int:
+    """Distributed GRIB2 sink: one whole multi-message file per time
+    slice per executor task (one message per variable)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_slice(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (ts,) = key
+        lats = np.sort(pdf["latitude"].unique())[::-1]
+        lons = np.sort(pdf["longitude"].unique())
+        lai = {v: i for i, v in enumerate(lats)}
+        loi = {v: i for i, v in enumerate(lons)}
+        ila = pdf["latitude"].map(lai).to_numpy()
+        ilo = pdf["longitude"].map(loi).to_numpy()
+        t0 = pdf["time"].iloc[0]
+        messages = []
+        for v in variables:
+            grid = np.zeros((len(lats), len(lons)))
+            grid[ila, ilo] = pdf[v].to_numpy(dtype="f8")
+            messages.append(
+                {"param": v, "ref_time": t0, "lats": lats, "lons": lons, "values": grid}
+            )
+        path = os.path.join(out_dir, f"{ts}.grib2")
+        write_grib2(path, messages, decimal_scale)
+        return pd.DataFrame({"slice": [str(ts)], "path": [path], "n_rows": [len(pdf)]})
+
+    done = (
+        rows.withColumn("_slice", F.date_format("time", "yyyy-MM-dd'T'HH"))
+        .groupBy("_slice")
+        .applyInPandas(write_slice, "slice string, path string, n_rows long")
+        .count()
+    )
+    return int(done)

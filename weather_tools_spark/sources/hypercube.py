@@ -183,10 +183,20 @@ def _nc3_decode(path: str, opts: IngestOptions) -> pd.DataFrame:
     return nc3_decode(path, opts)
 
 
+def _grib2_decode(path: str, opts: IngestOptions) -> pd.DataFrame:
+    """GRIB2 decode, stdlib-only — simple-packing profile with message
+    filter pushdown (sources/grib2.py). GRIB1 raises inside and stays
+    behind the cfgrib edition-fallback gate."""
+    from .grib2 import grib2_decode
+
+    return grib2_decode(path, opts)
+
+
 DECODERS: dict[str, DecoderFn] = {
     "fake": _fake_grid_decode,
     "xarray": _xarray_decode,
     "netcdf3": _nc3_decode,
+    "grib2": _grib2_decode,
 }
 
 
@@ -253,10 +263,14 @@ def ingest(
         probed = default_decoder()
 
         def decode(uri: str, o: IngestOptions) -> pd.DataFrame:
+            from .grib2 import is_grib2
+
             if uri.startswith("mem://"):
                 name = "fake"
             elif _is_classic_netcdf(uri):
                 name = "netcdf3"
+            elif is_grib2(uri):
+                name = "grib2"
             else:
                 name = probed
             return DECODERS[name](uri, o)
