@@ -35,6 +35,7 @@ CHECK_CHANGED: list[str] = [
     "netcdf_roundtrip_agg",        # r4: NEW — stdlib classic-NetCDF codec, oracle-gated
     "geotiff_roundtrip_agg",       # r4: NEW — stdlib GeoTIFF codec, oracle-gated
     "grib_roundtrip_agg",          # r4: NEW — stdlib GRIB2 simple-packing codec, oracle-gated
+    "xql_zarr_daily_avg",          # r4: NEW — flagship xql-over-Zarr flow, oracle-gated
     "pipeline_compaction_report",  # r4: rows-only → FS-independent oracle
     "pipeline_quarantine_report",  # r4: rows-only → FS-independent oracle + reason histogram
     "dedup_embedding_cosine",      # r4: rerouted to the blocked exact kernel

@@ -159,6 +159,35 @@ def is_grib2(path: str) -> bool:
         return False
 
 
+def list_params(path: str) -> list[str]:
+    """Parameter names present in the file from section headers alone —
+    seeks between messages, never reads a data section."""
+    names: list[str] = []
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(16)
+            if not head:
+                break
+            if head[:4] != _MAGIC or head[7] != 2:
+                raise ValueError(f"{path}: not GRIB2")
+            disc = head[6]
+            (total,) = struct.unpack_from(">Q", head, 8)
+            consumed = 16
+            while consumed < total - 4:
+                sh = f.read(5)
+                (slen,) = struct.unpack_from(">I", sh, 0)
+                snum = sh[4]
+                if snum == 4:
+                    body = f.read(slen - 5)
+                    cat, num = body[4], body[5]  # section offsets 9, 10
+                    names.append(_REV_PARAMS.get((disc, cat, num), f"p{disc}_{cat}_{num}"))
+                else:
+                    f.seek(slen - 5, 1)
+                consumed += slen
+            f.seek(total - consumed, 1)  # skip the '7777' terminator
+    return names
+
+
 def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list[dict]:
     """Parse GRIB2 messages. ``want`` is the message filter (reference
     semantics: select messages by parameter before decode) — messages

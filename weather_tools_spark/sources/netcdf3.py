@@ -152,13 +152,34 @@ def _read_atts(buf: bytes, p: int) -> tuple[dict, int]:
     return atts, p
 
 
+def list_variables(path: str) -> list[str]:
+    """Data-variable names from the header alone — a metadata probe
+    (footer-read analog): reads a bounded prefix, doubling on a
+    truncated header, never the data section."""
+    size = 1 << 16
+    while True:
+        with open(path, "rb") as f:
+            buf = f.read(size)
+        try:
+            _, data, _ = _parse(buf, header_only=True)
+            return list(data)
+        except (struct.error, IndexError):
+            if size >= os.path.getsize(path):
+                raise
+            size *= 4
+
+
 def read_netcdf3(path: str) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray], dict[str, dict]]:
     """Parse a classic NetCDF file → (coords, data variables, per-var
     attributes). Fixed-size variables only (numrecs must be 0)."""
     with open(path, "rb") as f:
         buf = f.read()
+    return _parse(buf)
+
+
+def _parse(buf: bytes, header_only: bool = False):
     if buf[:4] not in (_MAGIC1, _MAGIC2):
-        raise ValueError(f"{path}: not a classic NetCDF file")
+        raise ValueError("not a classic NetCDF file")
     offset_fmt = ">i" if buf[:4] == _MAGIC1 else ">q"
     (numrecs,) = struct.unpack_from(">i", buf, 4)
     if numrecs:
@@ -193,7 +214,12 @@ def read_netcdf3(path: str) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray
         shape = tuple(dim_lens[i] for i in dimids)
         count = int(np.prod(shape)) if shape else 1
         width = int(np.dtype(_TYPES[t]).itemsize)
-        arr = np.frombuffer(buf[begin : begin + count * width], _TYPES[t]).reshape(shape)
+        if header_only:
+            arr = None
+        else:
+            if begin + count * width > len(buf):
+                raise struct.error("data section beyond buffer")
+            arr = np.frombuffer(buf[begin : begin + count * width], _TYPES[t]).reshape(shape)
         attrs[nm] = atts
         if nd == 1 and nm == dim_names[dimids[0]]:
             coords[nm] = arr
