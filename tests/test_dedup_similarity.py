@@ -247,3 +247,27 @@ def test_connected_components_long_chain_converges(spark):
     got = {r.doc_id: r.cluster_id for r in D.connected_components(pairs, max_iters=20).collect()}
     assert len(got) == n
     assert set(got.values()) == {0}
+
+
+def test_shingle_kernels_identical(spark, sf_dir):
+    # the Arrow string kernel and the pure-JVM zip_with chain must
+    # produce identical (doc, shingle) sets, distinct and ordered
+    # variants both — including java-split edge semantics on
+    # leading/trailing whitespace and short docs
+    docs = load_table(spark, "documents", sf_dir).limit(300)
+    edge = spark.createDataFrame(
+        [(10**9, "  leading spaces here ok"), (10**9 + 1, "trailing spaces  "),
+         (10**9 + 2, "a b"), (10**9 + 3, ""), (10**9 + 4, "x y z x y z x y z")],
+        "doc_id long, text string",
+    )
+    frame = docs.select("doc_id", "text").unionAll(edge)
+    for fn in (D.with_shingles, D.with_shingles_ordered):
+        a = sorted(
+            (r.doc_id, tuple(r.shingles))
+            for r in fn(frame, "doc_id", "text", 3, kernel="arrow").collect()
+        )
+        b = sorted(
+            (r.doc_id, tuple(r.shingles))
+            for r in fn(frame, "doc_id", "text", 3, kernel="sql").collect()
+        )
+        assert a == b

@@ -431,7 +431,7 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash join keyed on the shingle, the same shape as the Jaccard
     dedup join. Report is per-language with exact doc counts, so any
     leak regression flips the hash gate."""
-    from weather_tools_spark.operators.dedup import _widen, shingles_sql
+    from weather_tools_spark.operators.dedup import with_shingles
 
     docs = load_table(spark, "documents", sf_dir)
     digit = (
@@ -442,13 +442,8 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 1
     )
     sh = (
-        _widen(docs)
-        .select(
-            "doc_id",
-            "lang",
-            digit.alias("d"),
-            F.expr(shingles_sql("split(text, '\\\\s+')", 8)).alias("shingles"),
-        )
+        with_shingles(docs, "doc_id", "text", 8, extra=("lang",))
+        .withColumn("d", digit)
         .select("doc_id", "lang", "d", F.explode("shingles").alias("s"))
     )
     bench = sh.filter(F.col("d") >= 14).select("s").distinct()
