@@ -39,7 +39,11 @@ CHECK_CHANGED: list[str] = [
     "pipeline_compaction_report",  # r4: rows-only → FS-independent oracle
     "pipeline_quarantine_report",  # r4: rows-only → FS-independent oracle + reason histogram
     "dedup_embedding_cosine",      # r4: rerouted to the blocked exact kernel
-    "dedup_ngram_jaccard_pairs",   # r4: capped path now grouped pair-gen
+    "dedup_ngram_jaccard_pairs",   # r4: capped path now grouped pair-gen + arrow shingles
+    "corpus_decontamination",      # r4: arrow shingle kernel
+    "dedup_minhash_md5_audit",     # r4: spark-side SQL now uses the zip_with shingle expr
+    "dedup_minhash_lsh_pairs",     # r4: carried-signature banding + arrow shingles
+    "dedup_winnowing_pairs",       # r4: arrow ordered-shingle kernel
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the
