@@ -4,15 +4,15 @@
 ``oracle_sql()`` expose the full registry from
 ``weather_tools_spark.queries`` (one entry per implemented operator,
 SURVEY.md §2 + LLM-data-pipeline extensions; see COVERAGE.md for the
-line-by-line map). Entries without an oracle are of two kinds, both
-intentional: the approximate/hash-seeded operators (MinHash-LSH,
-SimHash, winnowing, sign-LSH ANN, IVF ANN, sketches) whose recall is
-gated against the exact operators in tests/test_dedup_similarity.py —
-their algorithms are ALSO driver-certified through the md5/audit twins
-in queries/audits.py — and the table-state operations
-(pipeline_compaction_report, pipeline_quarantine_report) whose
-invariants are hard-asserted in their own test modules. The driver
-records the weaker rows-only check for these.
+line-by-line map). The 7 entries without an oracle are the
+approximate/hash-seeded operators (MinHash-LSH, SimHash, winnowing,
+sign-LSH ANN, IVF ANN, embedding-LSH pairs, approx sketches) whose
+recall is gated against the exact operators in
+tests/test_dedup_similarity.py — their algorithms are ALSO
+driver-certified through the md5/audit twins in queries/audits.py. The
+driver records the weaker rows-only check for these. (The table-state
+reports became oracle-backed in r4 via filesystem-independent
+projections.)
 """
 
 from __future__ import annotations
