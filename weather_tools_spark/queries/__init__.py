@@ -41,7 +41,6 @@ CHECK_CHANGED: list[str] = [
     "dedup_embedding_cosine",      # r4: rerouted to the blocked exact kernel
     "dedup_ngram_jaccard_pairs",   # r4: capped path now grouped pair-gen + arrow shingles
     "corpus_decontamination",      # r4: arrow shingle kernel
-    "dedup_minhash_md5_audit",     # r4: spark-side SQL now uses the zip_with shingle expr
     "dedup_minhash_lsh_pairs",     # r4: carried-signature banding + arrow shingles
     "dedup_winnowing_pairs",       # r4: arrow ordered-shingle kernel
 ]

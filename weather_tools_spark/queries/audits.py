@@ -40,16 +40,11 @@ from weather_tools_spark.queries import register
 # 1. md5-MinHash: the full pipeline, oracle-checked value by value
 # --------------------------------------------------------------------------
 
-# The shingle stage uses the zip_with chain (D.shingles_sql), not
-# transform(sequence, i -> t[i]...): projection collapse inlines the
-# tokenizer into every t[i] element access, re-evaluating split() per
-# shingle — the zip_with form evaluates each textual reference once per
-# row (same rule as dedup.shingles_sql's docstring; measured ~2× on
-# this audit). Output is identical: same shingles, same order.
-_SHINGLES_3 = D.shingles_sql("split(text, '\\\\s+')", 3)
 _MINHASH_SPARK_SQL = """
-WITH sh AS (SELECT doc_id, explode(""" + _SHINGLES_3 + """) AS s
-       FROM mh_documents),
+WITH toks AS (SELECT doc_id, split(text, '\\\\s+') AS t FROM mh_documents),
+sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(0, size(t) - 3),
+              i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS s
+       FROM toks WHERE size(t) >= 3),
 -- all 16 per-seed minima in ONE map-combinable aggregation (no 16x
 -- row fan-out; the oracle keeps the equivalent explode form)
 mh AS (SELECT doc_id,
