@@ -36,6 +36,8 @@ CHECK_CHANGED: list[str] = [
     "geotiff_roundtrip_agg",       # r4: NEW — stdlib GeoTIFF codec, oracle-gated
     "grib_roundtrip_agg",          # r4: NEW — stdlib GRIB2 simple-packing codec, oracle-gated
     "xql_zarr_daily_avg",          # r4: NEW — flagship xql-over-Zarr flow, oracle-gated
+    "text_pii_scrub",              # r4: NEW — PII redaction, digest-gated
+    "corpus_chunk_documents",      # r4: NEW — sliding-window chunking, per-chunk hash-gated
     "pipeline_compaction_report",  # r4: rows-only → FS-independent oracle
     "pipeline_quarantine_report",  # r4: rows-only → FS-independent oracle + reason histogram
     "dedup_embedding_cosine",      # r4: rerouted to the blocked exact kernel

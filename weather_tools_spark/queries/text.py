@@ -668,3 +668,166 @@ def documents_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                  || ' ssn ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0')
+                  || '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+                  || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean,
+             text
+      FROM seeded
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(text) - len(replace(text, '@', ''))) AS BIGINT) AS n_at_signs,
+           CAST(sum(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+           CAST(sum(CASE WHEN clean LIKE '%<SSN>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ssn_docs,
+           CAST(sum(CASE WHEN clean LIKE '%<IP>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
+           CAST(sum(CASE WHEN regexp_matches(clean,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_residual_emails,
+           md5(string_agg(md5(clean), '' ORDER BY doc_id)) AS scrub_digest
+    FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub stage every training-data pipeline
+    runs before tokenization. Deterministic synthetic PII (emails, SSNs,
+    IPv4s derived from doc_id) is injected into the corpus, then
+    removed with chained regexp_replace; the patterns are written in
+    the RE2 ∩ Java-regex common dialect (character classes + bounded
+    quantifiers, no lookaround) so Spark and DuckDB replace
+    identically. The report hash-gates the complete scrubbed corpus
+    (order-fixed digest of per-doc md5s), per-category hit counts, and
+    a residual-PII count that must be zero — any pattern drift or
+    missed occurrence flips the digest or the residual count.
+    Map-only: no shuffle except the final 1-row aggregate."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ssn = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    ip = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+    docs = load_table(spark, "documents", sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail-"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com"),
+            F.lit(" ssn "), F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((F.col("doc_id") % 90 + 10).cast("string"), 2, "0"),
+            F.lit("-"), F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+            F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), ssn, "<SSN>"
+        ),
+        ip,
+        "<IP>",
+    )
+    scrubbed = seeded.select(
+        "doc_id", "text", clean.alias("clean")
+    )
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text") - F.length(F.replace(F.col("text"), F.lit("@"), F.lit("")))).alias("n_at_signs"),
+        F.sum(F.when(F.col("clean").contains("<EMAIL>"), 1).otherwise(0)).alias("n_email_docs"),
+        F.sum(F.when(F.col("clean").contains("<SSN>"), 1).otherwise(0)).alias("n_ssn_docs"),
+        F.sum(F.when(F.col("clean").contains("<IP>"), 1).otherwise(0)).alias("n_ip_docs"),
+        F.sum(F.when(F.regexp_like(F.col("clean"), F.lit(email)), 1).otherwise(0)).alias("n_residual_emails"),
+        F.md5(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("doc_id"), F.md5("clean").alias("h")))
+                ),
+                F.lit(""),
+                lambda acc, x: F.concat(acc, x["h"]),
+            ).cast("binary")
+        ).alias("scrub_digest"),
+    )
+
+
+@register(
+    "corpus_chunk_documents",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t,
+             len(regexp_split_to_array(text, '\s+')) AS n
+      FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id,
+             g.i AS chunk_idx,
+             array_to_string(t[g.i * 24 + 1 : g.i * 24 + 32], ' ') AS chunk_text,
+             len(t[g.i * 24 + 1 : g.i * 24 + 32]) AS n_tokens
+      FROM toks,
+           LATERAL (SELECT unnest(range(0, 1 + (greatest(0, n - 32) + 23) // 24)) AS i) g
+      WHERE n > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(n_tokens AS INTEGER) AS n_tokens, md5(chunk_text) AS chunk_md5
+    FROM chunked
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the fixed-context packing
+    stage of an LLM training pipeline: 32-token windows, stride 24
+    (8-token overlap), last window ragged. Chunk count is
+    ``1 + ceil(max(0, n_tokens − 32) / 24)`` in exact integer
+    arithmetic on both engines, and every chunk's TEXT is hash-gated
+    (md5 per chunk), so a boundary off-by-one or tokenizer drift fails
+    the driver's value hash. Map-only explode — no shuffle beyond the
+    output ordering; at 100 TB this is the shape that feeds the
+    tokenizer fleet."""
+    window, stride = 32, 24
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("t")
+    ).withColumn("n", F.size("t"))
+    chunked = (
+        toks.filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "t",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    # integer `div`, matching the oracle's `//`
+                    F.expr(f"(greatest(0, n - {window}) + {stride - 1}) div {stride}").cast("int"),
+                )
+            ).alias("chunk_idx", "_i"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.slice(F.col("t"), F.col("chunk_idx") * stride + 1, window).alias("c"),
+        )
+    )
+    return (
+        chunked.select(
+            "doc_id",
+            "chunk_idx",
+            F.size("c").cast("int").alias("n_tokens"),
+            F.md5(F.array_join("c", " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
