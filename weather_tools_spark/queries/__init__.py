@@ -38,6 +38,7 @@ CHECK_CHANGED: list[str] = [
     "xql_zarr_daily_avg",          # r4: NEW — flagship xql-over-Zarr flow, oracle-gated
     "text_pii_scrub",              # r4: NEW — PII redaction, digest-gated
     "corpus_chunk_documents",      # r4: NEW — sliding-window chunking, per-chunk hash-gated
+    "corpus_pack_sequences",       # r4: NEW — concat-and-split packing via distributed prefix sum
     "pipeline_compaction_report",  # r4: rows-only → FS-independent oracle
     "pipeline_quarantine_report",  # r4: rows-only → FS-independent oracle + reason histogram
     "dedup_embedding_cosine",      # r4: rerouted to the blocked exact kernel

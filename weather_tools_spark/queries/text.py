@@ -831,3 +831,67 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, n,
+             (cum - n) // 256 AS bin_first,
+             (cum - 1) // 256 AS bin_last
+      FROM pos
+    )
+    SELECT CAST((SELECT (sum(n) + 255) // 256 FROM toks) AS BIGINT) AS n_bins,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           round(CAST(sum(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS split_frac,
+           CAST((SELECT sum(n) FROM toks) AS BIGINT) AS total_tokens,
+           CAST((SELECT sum(n) % 256 FROM toks) AS BIGINT) AS tail_fill
+    FROM spans
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing — the GPT-style pre-training
+    packing stage: the corpus token stream (docs in doc_id order) is
+    cut into fixed 256-token contexts, and the report gives the packing
+    geometry a data engineer actually tunes on: bin count, how many
+    documents straddle a context boundary (those get truncated
+    attention in training), and the tail fill.
+
+    The global running offset uses the engine's distributed two-pass
+    prefix sum (operators/prefix_sum.py) — NOT a single-partition
+    Window, which would funnel the whole corpus through one task at
+    100 TB. The oracle recomputes identical spans with a SQL window;
+    every output is exact integer arithmetic."""
+    from weather_tools_spark.operators.prefix_sum import running_sum
+
+    ctx = 256
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n"))
+    pos = running_sum(toks, ["doc_id"], "n", out_col="cum")
+    spans = pos.select(
+        "doc_id",
+        "n",
+        F.expr(f"(cum - n) div {ctx}").alias("bin_first"),
+        F.expr(f"(cum - 1) div {ctx}").alias("bin_last"),
+    )
+    split = F.when(F.col("bin_last") > F.col("bin_first"), 1).otherwise(0)
+    return spans.agg(
+        F.ceil(F.sum("n") / ctx).cast("long").alias("n_bins"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(split).cast("long").alias("n_split_docs"),
+        F.round(F.sum(split).cast("double") / F.count(F.lit(1)), 6).alias("split_frac"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        (F.sum("n") % ctx).cast("long").alias("tail_fill"),
+    )
