@@ -102,3 +102,44 @@ def test_rejects_non_tiff(tmp_path):
     assert not GT.is_tiff(str(p))
     with pytest.raises(ValueError):
         GT.read_geotiff(str(p))
+
+
+def test_cog_tiled_roundtrip_with_overviews(tmp_path):
+    """COG layout: tiled storage + reduced-resolution IFD chain, all
+    metadata at the file front. Full-res assembly from tiles is
+    byte-identical; the overview is the 2x nearest decimation; a ragged
+    grid (not tile-aligned) pads and crops correctly."""
+    h, w = 200, 300  # not multiples of the 128 tile → ragged edge tiles
+    arr = (np.arange(h * w, dtype="f8").reshape(h, w) * 0.5) - 17.25
+    path = str(tmp_path / "c.tif")
+    GT.write_cog(path, arr, (3.0, 55.0), (0.01, 0.01), tile=128, overview_levels=2)
+
+    buf = open(path, "rb").read()
+    # COG property: both IFDs precede every tile byte; IFD0 starts at 8
+    assert struct.unpack_from("<I", buf, 4)[0] == 8
+
+    got, origin, pixel = GT.read_geotiff(path)
+    assert np.array_equal(got, arr)
+    assert origin == (3.0, 55.0) and pixel == (0.01, 0.01)
+
+    ovs = GT.read_overviews(path)
+    assert len(ovs) == 2
+    assert np.array_equal(ovs[0][: (h + 1) // 2, : (w + 1) // 2], arr[::2, ::2])
+    assert np.array_equal(ovs[1][: (h + 3) // 4, : (w + 3) // 4], arr[::4, ::4])
+
+    # decode path handles the tiled layout transparently
+    pdf = GT.gtiff_decode(path)
+    assert len(pdf) == h * w
+    assert float(pdf[(pdf.latitude == 55.0) & (pdf.longitude == 3.0)].value.iloc[0]) == -17.25
+
+
+def test_cog_uncompressed_and_tile_validation(tmp_path):
+    arr = np.ones((20, 20), dtype="f8")
+    path = str(tmp_path / "u.tif")
+    GT.write_cog(path, arr, (0.0, 1.0), (0.05, 0.05), tile=16, compression=None,
+                 overview_levels=0)
+    got, _, _ = GT.read_geotiff(path)
+    assert np.array_equal(got, arr)
+    assert GT.read_overviews(path) == []
+    with pytest.raises(ValueError, match="multiples of 16"):
+        GT.write_cog(path, arr, (0.0, 1.0), (0.05, 0.05), tile=100)
