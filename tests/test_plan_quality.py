@@ -187,3 +187,22 @@ def test_stream_source_schema_matches_storage(spark, sf_dir):
     )
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert re.search(r"GreaterThanOrEqual\(ts,", pushed), pushed
+
+
+def test_pack_sequences_avoids_global_window(spark, sf_dir):
+    """corpus_pack_sequences must compute the global running offset via
+    the two-pass prefix sum — a plan with a Window over an empty
+    partition spec would funnel the corpus through ONE task."""
+    plan = _formatted_plan(spark, "corpus_pack_sequences", sf_dir)
+    assert not re.search(r"^\(\d+\) Window", plan, re.M), plan
+
+
+def test_pii_scrub_and_chunking_are_map_only(spark, sf_dir):
+    """The scrub is map-side up to its single 1-row aggregate; chunking
+    shuffles only for the output ordering — neither joins nor shuffles
+    data rows."""
+    for name, max_exch in (("text_pii_scrub", 2), ("corpus_chunk_documents", 1)):
+        plan = _formatted_plan(spark, name, sf_dir)
+        n_exch = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exch <= max_exch, f"{name}: {n_exch} exchanges\n{plan}"
+        assert "Join" not in plan, name
