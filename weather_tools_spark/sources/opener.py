@@ -40,7 +40,9 @@ def detect(uri: str) -> str:
     from .zarr_v2 import ZMETADATA
 
     if os.path.isdir(uri) and (
-        os.path.exists(os.path.join(uri, ZMETADATA)) or uri.rstrip("/").endswith(".zarr")
+        os.path.exists(os.path.join(uri, ZMETADATA))
+        or os.path.exists(os.path.join(uri, "zarr.json"))  # v3 store
+        or uri.rstrip("/").endswith(".zarr")
     ):
         return "zarr"
     if _is_classic_netcdf(uri):

@@ -68,6 +68,10 @@ def _compress(buf: bytes, compressor: dict | None) -> bytes:
         return buf
     if compressor.get("id") == "zlib":
         return zlib.compress(buf, compressor.get("level", 1))
+    if compressor.get("id") == "gzip":  # v3 'gzip' codec: gzip-wrapped deflate
+        import gzip
+
+        return gzip.compress(buf, compressor.get("level", 1), mtime=0)
     raise NotImplementedError(f"unsupported zarr compressor {compressor!r}")
 
 
@@ -76,6 +80,10 @@ def _decompress(buf: bytes, compressor: dict | None) -> bytes:
         return buf
     if compressor.get("id") == "zlib":
         return zlib.decompress(buf)
+    if compressor.get("id") == "gzip":
+        import gzip
+
+        return gzip.decompress(buf)
     raise NotImplementedError(f"unsupported zarr compressor {compressor!r}")
 
 
@@ -154,7 +162,21 @@ def write_zarr_v2(
         json.dumps({"zarr_consolidated_format": 1, "metadata": consolidated}).encode(),
     )
 
-    # --- executors: chunk assembly + write ----------------------------
+    return _distributed_chunk_write(rows, store, meta, compressor, key_style="v2")
+
+
+def _distributed_chunk_write(
+    rows, store: str, meta: ChunkedDatasetMeta, compressor: dict | None, key_style: str
+) -> int:
+    """Shared executor stage for both format versions: shuffle rows to
+    their owning chunk, one ``applyInPandas`` task assembles and writes
+    each (padded) chunk file for every variable."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    times = pd.to_datetime(meta.times)
+    chunks = (meta.chunk_time, meta.chunk_lat, meta.chunk_lon)
+    variables = list(meta.variables)
     t_gi = {str(t): i for i, t in enumerate(times)}
     la_gi = {float(v): i for i, v in enumerate(meta.lats)}
     lo_gi = {float(v): i for i, v in enumerate(meta.lons)}
@@ -173,12 +195,13 @@ def write_zarr_v2(
     def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         ti, lai, loi = int(pdf.t_idx.iloc[0]), int(pdf.lat_idx.iloc[0]), int(pdf.lon_idx.iloc[0])
         ot, ola, olo = (pdf._gt % chunks[0]), (pdf._gla % chunks[1]), (pdf._glo % chunks[2])
+        key = f"c/{ti}/{lai}/{loi}" if key_style == "v3" else f"{ti}.{lai}.{loi}"
         nbytes = 0
         for v in variables:
             arr = np.full(chunks, np.nan, dtype="<f8")  # padded edge chunks
             arr[ot, ola, olo] = pdf[v].to_numpy(dtype="f8")
             data = _compress(arr.tobytes(), compressor)
-            _put_bytes(os.path.join(store, v, f"{ti}.{lai}.{loi}"), data)
+            _put_bytes(os.path.join(store, v, key), data)
             nbytes += len(data)
         return pd.DataFrame(
             {"t_idx": [ti], "lat_idx": [lai], "lon_idx": [loi], "nbytes": [nbytes]}
@@ -200,19 +223,153 @@ def write_zarr_v2(
     return int(written)
 
 
+# ---------------------------------------------------------------------------
+# Zarr v3 (zarr-specs core v3): zarr.json metadata, 'c/'-prefixed chunk
+# keys, bytes+gzip codec chain. Normalized into the same internal dict
+# shape as v2 so the scan/decode path is version-transparent.
+# ---------------------------------------------------------------------------
+
+_V3_DTYPES = {"float64": "<f8", "float32": "<f4", "int64": "<i8", "int32": "<i4"}
+
+
+def _v3_array_json(shape, chunks, data_type: str, level: int | None, dims, attrs: dict) -> dict:
+    codecs: list = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if level is not None:
+        codecs.append({"name": "gzip", "configuration": {"level": level}})
+    return {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": data_type,
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": "NaN" if data_type.startswith("float") else 0,
+        "codecs": codecs,
+        "dimension_names": list(dims),
+        "attributes": attrs,
+    }
+
+
+def _v3_normalize(cfg: dict) -> tuple[dict, dict]:
+    """v3 array zarr.json → (v2-shaped zarray dict + key_style marker,
+    zattrs dict) so every downstream consumer stays version-agnostic."""
+    if cfg.get("data_type") not in _V3_DTYPES:
+        raise NotImplementedError(f"unsupported v3 data_type {cfg.get('data_type')!r}")
+    grid = cfg["chunk_grid"]
+    if grid.get("name") != "regular":
+        raise NotImplementedError(f"unsupported v3 chunk grid {grid.get('name')!r}")
+    sep = (
+        cfg.get("chunk_key_encoding", {})
+        .get("configuration", {})
+        .get("separator", "/")
+    )
+    codecs = cfg.get("codecs", [])
+    if not codecs or codecs[0].get("name") != "bytes":
+        raise NotImplementedError("v3 codec chain must start with 'bytes'")
+    if codecs[0].get("configuration", {}).get("endian", "little") != "little":
+        raise NotImplementedError("big-endian v3 arrays unsupported")
+    compressor = None
+    for c in codecs[1:]:
+        if c.get("name") == "gzip":
+            compressor = {"id": "gzip", "level": c.get("configuration", {}).get("level", 1)}
+        else:
+            raise NotImplementedError(f"unsupported v3 codec {c.get('name')!r}")
+    za = {
+        "zarr_format": 3,
+        "shape": cfg["shape"],
+        "chunks": grid["configuration"]["chunk_shape"],
+        "dtype": _V3_DTYPES[cfg["data_type"]],
+        "compressor": compressor,
+        "fill_value": cfg.get("fill_value", "NaN"),
+        "order": "C",
+        "filters": None,
+        "key_style": "v3",
+        "key_separator": sep,
+    }
+    zattrs = dict(cfg.get("attributes", {}))
+    if "dimension_names" in cfg:
+        zattrs["_ARRAY_DIMENSIONS"] = list(cfg["dimension_names"])
+    return za, zattrs
+
+
+def _chunk_key(za: dict, key: tuple) -> str:
+    if za.get("key_style") == "v3":
+        sep = za.get("key_separator", "/")
+        return "c" + sep + sep.join(str(k) for k in key)
+    return ".".join(str(k) for k in key)
+
+
+def write_zarr_v3(
+    rows,
+    store: str,
+    meta: ChunkedDatasetMeta,
+    level: int | None = 1,
+) -> int:
+    """Distributed Zarr **v3** sink — same executor stage as the v2
+    sink, v3 metadata/keys: root group ``zarr.json``, per-array
+    ``zarr.json`` (regular chunk grid, default ``c/``-separated key
+    encoding, bytes+gzip codec chain), chunk files under ``c/i/j/k``.
+    Returns the chunk count."""
+    times = pd.to_datetime(meta.times)
+    shape = (len(times), len(meta.lats), len(meta.lons))
+    chunks = (meta.chunk_time, meta.chunk_lat, meta.chunk_lon)
+    compressor = {"id": "gzip", "level": level} if level is not None else None
+
+    _put_bytes(
+        os.path.join(store, "zarr.json"),
+        json.dumps({"zarr_format": 3, "node_type": "group", "attributes": {}}).encode(),
+    )
+
+    def coord(name: str, arr: np.ndarray, data_type: str, attrs: dict) -> None:
+        cfg = _v3_array_json(arr.shape, arr.shape, data_type, level, (name,), attrs)
+        _put_bytes(os.path.join(store, name, "zarr.json"), json.dumps(cfg).encode())
+        _put_bytes(
+            os.path.join(store, name, "c/0"),
+            _compress(np.ascontiguousarray(arr, _V3_DTYPES[data_type]).tobytes(), compressor),
+        )
+
+    coord(
+        "time",
+        (times.asi8 // 1_000_000_000).astype("<i8"),
+        "int64",
+        {"units": _TIME_UNITS, "calendar": "proleptic_gregorian"},
+    )
+    coord("latitude", np.asarray(meta.lats, "<f8"), "float64", {})
+    coord("longitude", np.asarray(meta.lons, "<f8"), "float64", {})
+    for v in meta.variables:
+        cfg = _v3_array_json(shape, chunks, "float64", level, _DIMS, {})
+        _put_bytes(os.path.join(store, v, "zarr.json"), json.dumps(cfg).encode())
+
+    return _distributed_chunk_write(rows, store, meta, compressor, key_style="v3")
+
+
 def _read_json(store: str, rel: str) -> dict:
     with open(os.path.join(store, rel)) as f:
         return json.load(f)
 
 
 def read_store_metadata(store: str) -> dict:
-    """Consolidated metadata if present (one read), else per-array
-    ``.zarray``/``.zattrs`` files — the same fallback ``xr.open_zarr``
-    applies."""
+    """Store metadata in the internal v2-shaped dict, whatever the
+    format version: v3 stores (root ``zarr.json`` group) normalize via
+    ``_v3_normalize``; v2 stores use consolidated metadata if present
+    (one read), else per-array ``.zarray``/``.zattrs`` files — the same
+    fallback ``xr.open_zarr`` applies."""
+    root = os.path.join(store, "zarr.json")
+    if os.path.exists(root):
+        md: dict = {}
+        for name in sorted(os.listdir(store)):
+            rel = os.path.join(name, "zarr.json")
+            if os.path.isfile(os.path.join(store, rel)):
+                cfg = _read_json(store, rel)
+                if cfg.get("node_type") == "array":
+                    za, zattrs = _v3_normalize(cfg)
+                    md[f"{name}/.zarray"] = za
+                    md[f"{name}/.zattrs"] = zattrs
+        return md
     p = os.path.join(store, ZMETADATA)
     if os.path.exists(p):
         return _read_json(store, ZMETADATA)["metadata"]
-    md: dict = {}
+    md = {}
     for name in sorted(os.listdir(store)):
         for kind in (".zarray", ".zattrs"):
             rel = os.path.join(name, kind)
@@ -223,17 +380,18 @@ def read_store_metadata(store: str) -> dict:
 
 def read_coord_array(store: str, name: str, md: dict) -> np.ndarray:
     za = md[f"{name}/.zarray"]
-    key = ".".join("0" for _ in za["shape"])
+    key = _chunk_key(za, tuple(0 for _ in za["shape"]))
     with open(os.path.join(store, name, key), "rb") as f:
         buf = _decompress(f.read(), za["compressor"])
     return np.frombuffer(buf, dtype=np.dtype(za["dtype"])).reshape(za["shape"])
 
 
 def open_zarr_v2(store: str) -> ChunkedDatasetMeta:
-    """Open a Zarr v2 store into the engine's scan template — the
-    engine's ``xr.open_zarr(uri, chunks=None)`` (open.py:92) analog:
-    coordinate axes decoded, chunk geometry read from the first data
-    variable's ``.zarray``."""
+    """Open a Zarr store (v2 OR v3 — read_store_metadata normalizes)
+    into the engine's scan template — the engine's
+    ``xr.open_zarr(uri, chunks=None)`` (open.py:92) analog: coordinate
+    axes decoded, chunk geometry read from the first data variable's
+    metadata."""
     md = read_store_metadata(store)
     secs = read_coord_array(store, "time", md)
     units = md.get("time/.zattrs", {}).get("units", _TIME_UNITS)
@@ -267,8 +425,9 @@ def open_zarr_v2(store: str) -> ChunkedDatasetMeta:
 
 def decode_chunk(store: str, var: str, za: dict, key: tuple[int, int, int]) -> np.ndarray:
     """Read one chunk file → full padded chunk array (caller slices the
-    valid extent on edge chunks). Raw and zlib codecs; C order."""
-    path = os.path.join(store, var, ".".join(str(k) for k in key))
+    valid extent on edge chunks). Raw/zlib/gzip codecs; C order; v2
+    dotted or v3 ``c/``-prefixed chunk keys."""
+    path = os.path.join(store, var, _chunk_key(za, key))
     with open(path, "rb") as f:
         buf = _decompress(f.read(), za["compressor"])
     if za.get("order", "C") != "C" or za.get("filters"):
