@@ -109,3 +109,20 @@ def test_xql_over_zarr_store(spark, tmp_path):
     assert [(r.time_date, r.avg_d2m) for r in out] == [
         ("2024-07-01", 6.0), ("2024-07-02", 26.0)
     ]
+
+
+def test_glob_opens_multi_file_collection(spark, tmp_path):
+    """A glob URI fans out to one decode task per file — the reference's
+    beam.Create(uris) collection ingest through the opener."""
+    for d in (1, 2, 3):
+        N3.write_netcdf3(
+            str(tmp_path / f"era5-0{d}.nc"),
+            {"time": np.array([1704067200 + d * 3600], dtype=">i4"),
+             "latitude": np.array([10.0]), "longitude": np.array([20.0])},
+            {"d2m": np.array([[[float(d)]]])},
+        )
+    df = OP.open_dataset(spark, str(tmp_path / "era5-*.nc"))
+    assert sorted(r.d2m for r in df.collect()) == [1.0, 2.0, 3.0]
+
+    with pytest.raises(ValueError, match="no files match"):
+        OP.open_dataset(spark, str(tmp_path / "missing-*.nc"))

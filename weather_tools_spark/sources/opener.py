@@ -58,15 +58,18 @@ def detect(uri: str) -> str:
 
 
 def _file_frame(
-    spark: SparkSession, uri: str, decode_one, columns: list[str]
+    spark: SparkSession, uris: list[str], decode_one, columns: list[str]
 ) -> DataFrame:
     """One-task-per-file decode plan for single-file formats: the file
-    list is the input frame, decoding runs in mapInPandas on executors
-    (driver touched only the header for the schema)."""
+    list is the input frame (repartitioned so whole files are the unit
+    of parallelism), decoding runs in mapInPandas on executors (the
+    driver touched only one header for the schema)."""
     schema = ", ".join(
         f"`{c}` {'timestamp' if c == 'time' else 'double'}" for c in columns
     )
-    files = spark.createDataFrame([(uri,)], "path string").coalesce(1)
+    files = spark.createDataFrame([(u,) for u in uris], "path string").repartition(
+        max(1, min(len(uris), spark.sparkContext.defaultParallelism))
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -88,8 +91,22 @@ def open_dataset(
     """Open any supported store/file as a long-format DataFrame;
     optionally register it as a temp view for the SQL surface. Range
     arguments prune CHUNKS for zarr stores (parquet row-group-style
-    min/max pruning) and apply as ordinary filters for file formats."""
-    kind = detect(uri)
+    min/max pruning) and apply as ordinary filters for file formats.
+
+    ``uri`` may be a glob (``.../era5-*.grib2``): every match must be
+    the same format; one executor task decodes each whole file — the
+    reference's multi-file collection ingest (beam.Create(uris))."""
+    import glob as _glob
+
+    uris = sorted(_glob.glob(uri)) if any(ch in uri for ch in "*?[") else [uri]
+    if not uris:
+        raise ValueError(f"no files match {uri!r}")
+    kinds = {detect(u) for u in uris}
+    if len(kinds) > 1:
+        raise ValueError(f"mixed formats under {uri!r}: {sorted(kinds)}")
+    (kind,) = kinds
+    if kind == "zarr" and len(uris) > 1:
+        raise ValueError("glob of multiple zarr stores unsupported — open each store")
     if kind == "zarr":
         from . import zarr_scan as ZS
         from .zarr_v2 import open_zarr_v2
@@ -101,18 +118,18 @@ def open_dataset(
         if kind == "netcdf3":
             from .netcdf3 import list_variables, nc3_decode
 
-            cols = ["time", "latitude", "longitude"] + sorted(list_variables(uri))
-            df = _file_frame(spark, uri, lambda p: nc3_decode(p, None), cols)
+            cols = ["time", "latitude", "longitude"] + sorted(list_variables(uris[0]))
+            df = _file_frame(spark, uris, lambda p: nc3_decode(p, None), cols)
         elif kind == "grib2":
             from .grib2 import grib2_decode, list_params
 
-            cols = ["time", "latitude", "longitude"] + sorted(set(list_params(uri)))
-            df = _file_frame(spark, uri, lambda p: grib2_decode(p, None), cols)
+            cols = ["time", "latitude", "longitude"] + sorted(set(list_params(uris[0])))
+            df = _file_frame(spark, uris, lambda p: grib2_decode(p, None), cols)
         else:  # geotiff — no time axis in the container itself
             from .geotiff import gtiff_decode
 
             cols = ["latitude", "longitude", "value"]
-            df = _file_frame(spark, uri, lambda p: gtiff_decode(p), cols)
+            df = _file_frame(spark, uris, lambda p: gtiff_decode(p), cols)
         if time_range is not None and "time" in df.columns:
             df = df.filter(
                 (F.col("time") >= F.lit(time_range[0]).cast("timestamp"))
