@@ -126,3 +126,8 @@ def test_glob_opens_multi_file_collection(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no files match"):
         OP.open_dataset(spark, str(tmp_path / "missing-*.nc"))
+
+
+def test_earthengine_uri_gates_clearly():
+    with pytest.raises(NotImplementedError, match="earthengine-api"):
+        OP.detect("ee://ECMWF/ERA5/HOURLY")

@@ -39,6 +39,16 @@ def detect(uri: str) -> str:
     from .hypercube import _is_classic_netcdf
     from .zarr_v2 import ZMETADATA
 
+    if uri.startswith("ee://"):
+        # the reference's EarthEngine branch (xql/src/xql/open.py:85-89)
+        # initializes the EE client; that connector needs the
+        # earthengine-api package and live credentials — a clean gate,
+        # not silent misdetection.
+        raise NotImplementedError(
+            "ee:// datasets require the earthengine-api client (reference "
+            "branch xql/src/xql/open.py:85-89); install it and extend "
+            "DECODERS — every other opener path is library-free"
+        )
     if os.path.isdir(uri) and (
         os.path.exists(os.path.join(uri, ZMETADATA))
         or os.path.exists(os.path.join(uri, "zarr.json"))  # v3 store
