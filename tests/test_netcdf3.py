@@ -132,3 +132,43 @@ def test_rejects_non_netcdf(tmp_path):
     assert not H._is_classic_netcdf(str(p))
     with pytest.raises(ValueError):
         N3.read_netcdf3(str(p))
+
+
+def test_cdf5_roundtrip_with_int64(tmp_path):
+    """CDF-5 (64-bit data format): every NON_NEG size field widens to 8
+    bytes and the int64 external type becomes available — time can be
+    stored natively as int64 seconds (2038-safe)."""
+    times64 = np.array([4102444800, 4102448400], dtype=">i8")  # 2100-01-01+
+    lats = np.array([1.0, 0.5], dtype="f8")
+    lons = np.array([7.0], dtype="f8")
+    vals = np.arange(4, dtype="f8").reshape(2, 2, 1) + 0.75
+    path = str(tmp_path / "big.nc")
+    N3.write_netcdf3(
+        path, {"time": times64, "latitude": lats, "longitude": lons}, {"d2m": vals},
+        version=5,
+    )
+    buf = open(path, "rb").read()
+    assert buf[:4] == b"CDF\x05"
+    assert struct.unpack_from(">q", buf, 4) == (0,)  # numrecs is 8 bytes
+
+    coords, data, attrs = N3.read_netcdf3(path)
+    assert np.array_equal(np.asarray(coords["time"], "i8"), np.asarray(times64, "i8"))
+    assert np.array_equal(data["d2m"], vals)
+
+    # decode handles year-2100 timestamps; auto-detect routes CDF-5
+    assert N3.list_variables(path) == ["d2m"]
+    assert H._is_classic_netcdf(path)
+    pdf = N3.nc3_decode(path, None)
+    assert str(pdf.time.min()) == "2100-01-01 00:00:00"
+    assert len(pdf) == 4
+
+
+def test_int64_type_rejected_outside_cdf5(tmp_path):
+    with pytest.raises(ValueError, match="requires CDF-5"):
+        N3.write_netcdf3(
+            str(tmp_path / "x.nc"),
+            {"time": np.array([1], dtype=">i8"), "latitude": np.array([0.0]),
+             "longitude": np.array([0.0])},
+            {"d2m": np.zeros((1, 1, 1))},
+            version=1,
+        )

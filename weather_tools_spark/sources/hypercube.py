@@ -201,15 +201,16 @@ DECODERS: dict[str, DecoderFn] = {
 
 
 def _is_classic_netcdf(path: str) -> bool:
-    """Magic-byte probe: classic NetCDF starts 'CDF\\x01'/'CDF\\x02'
-    (NetCDF-4/HDF5 starts '\\x89HDF' and needs the xarray branch)."""
+    """Magic-byte probe: classic NetCDF starts 'CDF\\x01'/'CDF\\x02'/
+    'CDF\\x05' (CDF-5, 64-bit data). NetCDF-4/HDF5 starts '\\x89HDF'
+    and needs the xarray branch."""
     import os
 
     try:
         if not os.path.isfile(path):
             return False
         with open(path, "rb") as f:
-            return f.read(4) in (b"CDF\x01", b"CDF\x02")
+            return f.read(4) in (b"CDF\x01", b"CDF\x02", b"CDF\x05")
     except OSError:
         return False
 

@@ -42,28 +42,41 @@ import pandas as pd
 
 _MAGIC1 = b"CDF\x01"
 _MAGIC2 = b"CDF\x02"
+_MAGIC5 = b"CDF\x05"
+_MAGICS = {_MAGIC1: 1, _MAGIC2: 2, _MAGIC5: 5}
 NC_DIMENSION, NC_VARIABLE, NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
-# classic external types: tag -> (numpy big-endian dtype, size)
-_TYPES = {1: ">i1", 2: "S1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8"}
-_REV_TYPES = {"int8": 1, "int16": 3, "int32": 4, "float32": 5, "float64": 6}
+# classic external types: tag -> numpy big-endian dtype. 7-11 are the
+# CDF-5 additions (ubyte/ushort/uint/int64/uint64).
+_TYPES = {1: ">i1", 2: "S1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8",
+          7: ">u1", 8: ">u2", 9: ">u4", 10: ">i8", 11: ">u8"}
+_REV_TYPES = {"int8": 1, "int16": 3, "int32": 4, "float32": 5, "float64": 6,
+              "uint8": 7, "uint16": 8, "uint32": 9, "int64": 10, "uint64": 11}
 _TIME_UNITS = "seconds since 1970-01-01T00:00:00"
+
+# NON_NEG width: every non-negative size field (list counts, name and
+# dimension lengths, ndims, dimids, vsize, numrecs) is a 4-byte INT in
+# CDF-1/2 and widens to 8 bytes in CDF-5; `begin` offsets are 8 bytes
+# from CDF-2 on. nc_type and the section tags stay 4-byte.
+def _nn(version: int) -> str:
+    return ">q" if version == 5 else ">i"
 
 
 def _pad4(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 4)
 
 
-def _name(b: bytes) -> bytes:
-    return struct.pack(">i", len(b)) + _pad4(b)
+def _name(b: bytes, version: int) -> bytes:
+    return struct.pack(_nn(version), len(b)) + _pad4(b)
 
 
-def _atts(atts: dict[str, str]) -> bytes:
+def _atts(atts: dict[str, str], version: int) -> bytes:
+    nn = _nn(version)
     if not atts:
-        return struct.pack(">ii", 0, 0)
-    out = struct.pack(">ii", NC_ATTRIBUTE, len(atts))
+        return struct.pack(">i", 0) + struct.pack(nn, 0)
+    out = struct.pack(">i", NC_ATTRIBUTE) + struct.pack(nn, len(atts))
     for k, v in atts.items():
         vb = v.encode()
-        out += _name(k.encode()) + struct.pack(">ii", 2, len(vb)) + _pad4(vb)
+        out += _name(k.encode(), version) + struct.pack(">i", 2) + struct.pack(nn, len(vb)) + _pad4(vb)
     return out
 
 
@@ -86,11 +99,13 @@ def write_netcdf3(
             raise ValueError(f"variable {v} shape {arr.shape} != dims {shapes}")
 
     # header: magic + numrecs + dim list + empty global atts + var list
-    head = (_MAGIC1 if version == 1 else _MAGIC2) + struct.pack(">i", 0)
-    head += struct.pack(">ii", NC_DIMENSION, len(dims))
+    nn = _nn(version)
+    magic = {1: _MAGIC1, 2: _MAGIC2, 5: _MAGIC5}[version]
+    head = magic + struct.pack(nn, 0)
+    head += struct.pack(">i", NC_DIMENSION) + struct.pack(nn, len(dims))
     for d in dims:
-        head += _name(d.encode()) + struct.pack(">i", shapes[d])
-    head += struct.pack(">ii", 0, 0)  # no global attributes
+        head += _name(d.encode(), version) + struct.pack(nn, shapes[d])
+    head += struct.pack(">i", 0) + struct.pack(nn, 0)  # no global attributes
 
     # variables: coordinates first (CF), then data vars
     entries: list[tuple[str, list[int], dict, np.ndarray]] = []
@@ -105,6 +120,8 @@ def write_netcdf3(
     bodies, metas = [], []
     for name, dimids, atts, arr in entries:
         t = _REV_TYPES[str(arr.dtype.newbyteorder("=").name)]
+        if t > 6 and version != 5:
+            raise ValueError(f"type {arr.dtype} requires CDF-5 (version=5)")
         raw = np.ascontiguousarray(arr, dtype=_TYPES[t]).tobytes()
         vsize = len(raw) + (-len(raw) % 4)
         metas.append((name, dimids, atts, t, vsize))
@@ -113,12 +130,12 @@ def write_netcdf3(
     # var_list is self-referential through `begin`: compute header size
     # with placeholder offsets first (offsets have fixed width)
     def var_list(begins: list[int]) -> bytes:
-        out = struct.pack(">ii", NC_VARIABLE, len(metas))
+        out = struct.pack(">i", NC_VARIABLE) + struct.pack(nn, len(metas))
         for (name, dimids, atts, t, vsize), begin in zip(metas, begins):
-            out += _name(name.encode())
-            out += struct.pack(">i", len(dimids)) + b"".join(struct.pack(">i", i) for i in dimids)
-            out += _atts(atts)
-            out += struct.pack(">ii", t, vsize)
+            out += _name(name.encode(), version)
+            out += struct.pack(nn, len(dimids)) + b"".join(struct.pack(nn, i) for i in dimids)
+            out += _atts(atts, version)
+            out += struct.pack(">i", t) + struct.pack(nn, vsize)
             out += struct.pack(offset_fmt, begin)
         return out
 
@@ -131,20 +148,26 @@ def write_netcdf3(
         f.write(head + var_list(begins) + b"".join(bodies))
 
 
-def _read_name(buf: bytes, p: int) -> tuple[str, int]:
-    (n,) = struct.unpack_from(">i", buf, p)
-    s = buf[p + 4 : p + 4 + n].decode()
-    return s, p + 4 + n + (-n % 4)
+def _read_nn(buf: bytes, p: int, version: int) -> tuple[int, int]:
+    if version == 5:
+        return struct.unpack_from(">q", buf, p)[0], p + 8
+    return struct.unpack_from(">i", buf, p)[0], p + 4
 
 
-def _read_atts(buf: bytes, p: int) -> tuple[dict, int]:
-    tag, cnt = struct.unpack_from(">ii", buf, p)
-    p += 8
+def _read_name(buf: bytes, p: int, version: int) -> tuple[str, int]:
+    n, p = _read_nn(buf, p, version)
+    s = buf[p : p + n].decode()
+    return s, p + n + (-n % 4)
+
+
+def _read_atts(buf: bytes, p: int, version: int) -> tuple[dict, int]:
+    (tag,) = struct.unpack_from(">i", buf, p)
+    cnt, p = _read_nn(buf, p + 4, version)
     atts: dict[str, object] = {}
     for _ in range(cnt if tag == NC_ATTRIBUTE else 0):
-        name, p = _read_name(buf, p)
-        t, n = struct.unpack_from(">ii", buf, p)
-        p += 8
+        name, p = _read_name(buf, p, version)
+        (t,) = struct.unpack_from(">i", buf, p)
+        n, p = _read_nn(buf, p + 4, version)
         width = int(np.dtype(_TYPES[t]).itemsize)
         raw = buf[p : p + n * width]
         atts[name] = raw.decode() if t == 2 else np.frombuffer(raw, _TYPES[t]).tolist()
@@ -178,37 +201,37 @@ def read_netcdf3(path: str) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray
 
 
 def _parse(buf: bytes, header_only: bool = False):
-    if buf[:4] not in (_MAGIC1, _MAGIC2):
+    version = _MAGICS.get(buf[:4])
+    if version is None:
         raise ValueError("not a classic NetCDF file")
-    offset_fmt = ">i" if buf[:4] == _MAGIC1 else ">q"
-    (numrecs,) = struct.unpack_from(">i", buf, 4)
+    offset_fmt = ">i" if version == 1 else ">q"
+    numrecs, p = _read_nn(buf, 4, version)
     if numrecs:
         raise NotImplementedError("record (unlimited) dimensions not supported")
-    p = 8
-    tag, ndims = struct.unpack_from(">ii", buf, p)
-    p += 8
+    (tag,) = struct.unpack_from(">i", buf, p)
+    ndims, p = _read_nn(buf, p + 4, version)
     dim_names, dim_lens = [], []
     for _ in range(ndims if tag == NC_DIMENSION else 0):
-        nm, p = _read_name(buf, p)
-        (ln,) = struct.unpack_from(">i", buf, p)
-        p += 4
+        nm, p = _read_name(buf, p, version)
+        ln, p = _read_nn(buf, p, version)
         dim_names.append(nm)
         dim_lens.append(ln)
-    _, p = _read_atts(buf, p)  # global atts (ignored)
-    tag, nvars = struct.unpack_from(">ii", buf, p)
-    p += 8
+    _, p = _read_atts(buf, p, version)  # global atts (ignored)
+    (tag,) = struct.unpack_from(">i", buf, p)
+    nvars, p = _read_nn(buf, p + 4, version)
     coords: dict[str, np.ndarray] = {}
     data: dict[str, np.ndarray] = {}
     attrs: dict[str, dict] = {}
     for _ in range(nvars if tag == NC_VARIABLE else 0):
-        nm, p = _read_name(buf, p)
-        (nd,) = struct.unpack_from(">i", buf, p)
-        p += 4
-        dimids = list(struct.unpack_from(f">{nd}i", buf, p)) if nd else []
-        p += 4 * nd
-        atts, p = _read_atts(buf, p)
-        t, _vsize = struct.unpack_from(">ii", buf, p)
-        p += 8
+        nm, p = _read_name(buf, p, version)
+        nd, p = _read_nn(buf, p, version)
+        dimids = []
+        for _i in range(nd):
+            di, p = _read_nn(buf, p, version)
+            dimids.append(di)
+        atts, p = _read_atts(buf, p, version)
+        (t,) = struct.unpack_from(">i", buf, p)
+        _vsize, p = _read_nn(buf, p + 4, version)
         (begin,) = struct.unpack_from(offset_fmt, buf, p)
         p += struct.calcsize(offset_fmt)
         shape = tuple(dim_lens[i] for i in dimids)
