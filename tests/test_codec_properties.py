@@ -1,0 +1,127 @@
+"""Property-based hardening for the stdlib format codecs: arbitrary
+grids and values must round-trip through the pure (non-Spark) layers —
+NetCDF exact, GeoTIFF exact, GRIB2 exact within its declared decimal
+quantization, Zarr chunk codec byte-exact. Runs hundreds of generated
+cases per property; any layout arithmetic bug (padding, alignment,
+sign-magnitude, offset bookkeeping) surfaces as a roundtrip diff."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from weather_tools_spark.sources import geotiff as GT
+from weather_tools_spark.sources import grib2 as G2
+from weather_tools_spark.sources import netcdf3 as N3
+from weather_tools_spark.sources import zarr_v2 as Z2
+
+# finite float64s that survive float32-free paths exactly
+_vals = st.floats(
+    min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False, width=64
+)
+
+
+def _grid3(draw, max_dim=5):
+    nt = draw(st.integers(1, max_dim))
+    nla = draw(st.integers(1, max_dim))
+    nlo = draw(st.integers(1, max_dim))
+    flat = draw(
+        st.lists(_vals, min_size=nt * nla * nlo, max_size=nt * nla * nlo)
+    )
+    return np.array(flat, dtype="f8").reshape(nt, nla, nlo)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data(), version=st.sampled_from([1, 2, 5]))
+def test_netcdf_roundtrip_any_grid(tmp_path_factory, data, version):
+    arr = _grid3(data.draw)
+    nt, nla, nlo = arr.shape
+    path = str(tmp_path_factory.mktemp("nc") / "p.nc")
+    N3.write_netcdf3(
+        path,
+        {
+            "time": (np.arange(nt) * 3600).astype(">i4"),
+            "latitude": np.linspace(60, 50, nla),
+            "longitude": np.linspace(-10, 10, nlo),
+        },
+        {"v": arr},
+        version=version,
+    )
+    _, data_vars, _ = N3.read_netcdf3(path)
+    assert np.array_equal(data_vars["v"], arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data(), compression=st.sampled_from(["deflate", None]))
+def test_geotiff_roundtrip_any_raster(tmp_path_factory, data, compression):
+    h = data.draw(st.integers(1, 9))
+    w = data.draw(st.integers(1, 9))
+    flat = data.draw(st.lists(_vals, min_size=h * w, max_size=h * w))
+    arr = np.array(flat, dtype="f8").reshape(h, w)
+    path = str(tmp_path_factory.mktemp("tif") / "p.tif")
+    GT.write_geotiff(path, arr, (1.5, 44.25), (0.125, 0.25), compression)
+    got, origin, pixel = GT.read_geotiff(path)
+    assert np.array_equal(got, arr)
+    assert origin == (1.5, 44.25) and pixel == (0.125, 0.25)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data(), levels=st.integers(0, 2))
+def test_cog_roundtrip_any_raster(tmp_path_factory, data, levels):
+    h = data.draw(st.integers(1, 40))
+    w = data.draw(st.integers(1, 40))
+    arr = np.arange(h * w, dtype="f8").reshape(h, w) * data.draw(
+        st.floats(0.25, 4.0, allow_nan=False)
+    )
+    path = str(tmp_path_factory.mktemp("cog") / "p.tif")
+    GT.write_cog(path, arr, (0.0, 10.0), (0.5, 0.5), tile=16, overview_levels=levels)
+    got, _, _ = GT.read_geotiff(path)
+    assert np.array_equal(got, arr)
+    assert len(GT.read_overviews(path)) == levels
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data(), dscale=st.integers(0, 3))
+def test_grib2_quantization_bound(tmp_path_factory, data, dscale):
+    """Simple packing stores round(v·10^D)−min offsets exactly, so the
+    decode error is bounded by the quantization step: |got − want| ≤
+    0.5·10^−D (and zero when inputs are exact multiples)."""
+    nj = data.draw(st.integers(1, 5))
+    ni = data.draw(st.integers(1, 5))
+    flat = data.draw(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=nj * ni,
+            max_size=nj * ni,
+        )
+    )
+    vals = np.array(flat, dtype="f8").reshape(nj, ni)
+    # keep the packed span within 32 bits at this decimal scale
+    span = (vals.max() - vals.min()) * 10**dscale
+    if span >= 2**31:
+        vals = vals / (span / 2**30)
+    lats = np.linspace(80, 70, nj)
+    lons = np.linspace(0, 10, ni)
+    path = str(tmp_path_factory.mktemp("grib") / "p.grib2")
+    G2.write_grib2(
+        path,
+        [{"param": "d2m", "ref_time": "2024-01-01", "lats": lats, "lons": lons,
+          "values": vals}],
+        decimal_scale=dscale,
+    )
+    (m,) = G2.read_grib2(path)
+    err = np.abs(m["values"] - vals).max()
+    assert err <= 0.5 * 10.0 ** (-dscale) + 1e-9, err
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    flat=st.lists(_vals, min_size=1, max_size=64),
+    codec=st.sampled_from([None, {"id": "zlib", "level": 1}, {"id": "gzip", "level": 1}]),
+)
+def test_zarr_chunk_codec_byte_identity(flat, codec):
+    arr = np.array(flat, dtype="<f8")
+    buf = Z2._compress(arr.tobytes(), codec)
+    back = np.frombuffer(Z2._decompress(buf, codec), "<f8")
+    assert np.array_equal(back, arr)

@@ -122,20 +122,27 @@ def write_grib2(
         )
         sec4 = struct.pack(">IBHH", 9 + len(tmpl40), 4, 0, 0) + tmpl40
 
-        # simple packing: X = round(v·10^D) − min, E=0
+        # simple packing: X = round(v·10^D) − R, E=0. R is stored as IEEE
+        # float32 (spec), so it MUST be quantized to float32 BEFORE the
+        # offsets are computed — otherwise, when the scaled minimum
+        # exceeds float32's 24-bit mantissa, the stored R silently
+        # differs from the R the offsets were built against and every
+        # decoded value shifts by the rounding gap (caught by the
+        # quantization-bound property test). Offsets relative to the
+        # float32-exact R keep the decode error ≤ 0.5·10^−D always, and
+        # exact for integer-representable R.
         scaled = np.round(vals * (10 ** decimal_scale)).astype("i8")
-        ref = int(scaled.min())
-        offsets = (scaled - ref).astype("u8")
+        ref = float(np.float32(scaled.min()))
+        if ref > scaled.min():  # float32 rounded up: step down so X ≥ 0
+            ref = float(np.nextafter(np.float32(ref), np.float32("-inf")))
+        offsets = np.round(scaled.astype("f8") - ref).astype("u8")
         span = int(offsets.max()) if offsets.size else 0
         bits = 8 if span < 2**8 else 16 if span < 2**16 else 32
         if span >= 2**32:
             raise ValueError("value span too wide for 32-bit simple packing")
         packed = offsets.astype(f">u{bits // 8}").tobytes()
-        # R is stored as float32: exactness requires R·10^-D representable;
-        # keep R as the raw scaled min (spec: R is the reference of the
-        # SCALED values when D≠0 applies after: v = (R + X·2^E)/10^D)
         sec5 = struct.pack(
-            ">IBIHfHHBB", 21, 5, ni * nj, 0, float(ref), _sm16(0), _sm16(decimal_scale), bits, 0
+            ">IBIHfHHBB", 21, 5, ni * nj, 0, ref, _sm16(0), _sm16(decimal_scale), bits, 0
         )
         sec6 = struct.pack(">IBB", 6, 6, 255)
         sec7 = struct.pack(">IB", 5 + len(packed), 7) + packed
