@@ -30,8 +30,9 @@ implements that profile directly:
 - :func:`write_grib2_partitioned` — distributed sink: one whole
   multi-message GRIB file per time slice per executor task.
 
-GRIB1 (edition byte 1) and non-simple packings raise clearly and
-remain behind the cfgrib gate. Quantization: simple packing stores
+GRIB1 (edition byte 1) decodes via the sibling stdlib codec
+sources/grib1.py (the reference's edition fallback); non-simple
+packings raise clearly. Quantization: simple packing stores
 ``round(v·10^D) − min`` offsets, so values that are exact multiples of
 10^-D round-trip exactly; the golden tests and the oracle query use
 such grids to pin byte-exactness.
@@ -210,7 +211,8 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
         edition = buf[p + 7]
         if edition != 2:
             raise NotImplementedError(
-                f"GRIB edition {edition} requires the cfgrib branch (edition fallback)"
+                f"GRIB edition {edition} in the GRIB2 reader — edition 1 decodes "
+                "via sources/grib1.read_grib1 (the ingest auto-dispatch routes it)"
             )
         disc = buf[p + 6]
         (total,) = struct.unpack_from(">Q", buf, p + 8)

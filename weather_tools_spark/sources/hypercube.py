@@ -185,11 +185,20 @@ def _nc3_decode(path: str, opts: IngestOptions) -> pd.DataFrame:
 
 def _grib2_decode(path: str, opts: IngestOptions) -> pd.DataFrame:
     """GRIB2 decode, stdlib-only — simple-packing profile with message
-    filter pushdown (sources/grib2.py). GRIB1 raises inside and stays
-    behind the cfgrib edition-fallback gate."""
+    filter pushdown (sources/grib2.py)."""
     from .grib2 import grib2_decode
 
     return grib2_decode(path, opts)
+
+
+def _grib1_decode(path: str, opts: IngestOptions) -> pd.DataFrame:
+    """GRIB edition-1 decode, stdlib-only (sources/grib1.py) — the
+    reference's edition fallback (sinks.py:370-389, cfgrib retry with
+    ``{'edition': 1}``) realized as a second stdlib codec instead of a
+    gate."""
+    from .grib1 import grib1_decode
+
+    return grib1_decode(path, opts)
 
 
 DECODERS: dict[str, DecoderFn] = {
@@ -197,6 +206,7 @@ DECODERS: dict[str, DecoderFn] = {
     "xarray": _xarray_decode,
     "netcdf3": _nc3_decode,
     "grib2": _grib2_decode,
+    "grib1": _grib1_decode,
 }
 
 
@@ -264,6 +274,7 @@ def ingest(
         probed = default_decoder()
 
         def decode(uri: str, o: IngestOptions) -> pd.DataFrame:
+            from .grib1 import is_grib1
             from .grib2 import is_grib2
 
             if uri.startswith("mem://"):
@@ -272,6 +283,8 @@ def ingest(
                 name = "netcdf3"
             elif is_grib2(uri):
                 name = "grib2"
+            elif is_grib1(uri):
+                name = "grib1"  # the reference's edition fallback
             else:
                 name = probed
             return DECODERS[name](uri, o)

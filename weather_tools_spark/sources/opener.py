@@ -11,6 +11,8 @@ codecs (no xarray/cfgrib/rasterio):
   decode (sources/zarr_scan.py + zarr_v2.py);
 - classic NetCDF (``CDF\\x01/\\x02``)   → sources/netcdf3.py;
 - GRIB2 (``GRIB``+edition 2)           → sources/grib2.py;
+- GRIB1 (``GRIB``+edition 1)           → sources/grib1.py (the
+  reference's cfgrib edition fallback, sinks.py:370-389);
 - GeoTIFF (``II*\\0`` / ``MM\\0*``)      → sources/geotiff.py.
 
 Single-file formats probe only the file HEADER on the driver (variable
@@ -35,6 +37,7 @@ from pyspark.sql import functions as F
 def detect(uri: str) -> str:
     """Classify a URI by store layout / magic bytes."""
     from .geotiff import is_tiff
+    from .grib1 import is_grib1
     from .grib2 import is_grib2
     from .hypercube import _is_classic_netcdf
     from .zarr_v2 import ZMETADATA
@@ -59,11 +62,13 @@ def detect(uri: str) -> str:
         return "netcdf3"
     if is_grib2(uri):
         return "grib2"
+    if is_grib1(uri):
+        return "grib1"  # reference edition fallback (sinks.py:370-389)
     if is_tiff(uri):
         return "geotiff"
     raise ValueError(
         f"unable to open dataset {uri!r}: not a zarr v2 store, classic NetCDF, "
-        "GRIB2, or GeoTIFF (NetCDF-4/GRIB1 need the xarray/cfgrib branch)"
+        "GRIB1/GRIB2, or GeoTIFF (NetCDF-4/HDF5 needs the xarray branch)"
     )
 
 
@@ -135,6 +140,11 @@ def open_dataset(
 
             cols = ["time", "latitude", "longitude"] + sorted(set(list_params(uris[0])))
             df = _file_frame(spark, uris, lambda p: grib2_decode(p, None), cols)
+        elif kind == "grib1":
+            from .grib1 import grib1_decode, list_params1
+
+            cols = ["time", "latitude", "longitude"] + sorted(set(list_params1(uris[0])))
+            df = _file_frame(spark, uris, lambda p: grib1_decode(p, None), cols)
         else:  # geotiff — no time axis in the container itself
             from .geotiff import gtiff_decode
 
