@@ -115,6 +115,112 @@ def test_grib2_quantization_bound(tmp_path_factory, data, dscale):
     assert err <= 0.5 * 10.0 ** (-dscale) + 1e-9, err
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.data(),
+    packing=st.sampled_from(["complex", "complex_diff1", "complex_diff2"]),
+)
+def test_grib2_complex_packing_scaled_exact(tmp_path_factory, data, packing):
+    """Complex packing (templates 5.2/5.3) reconstructs the SCALED
+    integers exactly: with spatial differencing the reference value is
+    0 and the descriptors are exact int64, so decode returns precisely
+    round(v·10^D)/10^D — no float32 drift at any magnitude. Group
+    boundaries (including a truncated last group) are exercised by
+    varying the grid size against the fixed group length."""
+    nj = data.draw(st.integers(2, 7))
+    ni = data.draw(st.integers(2, 7))
+    flat = data.draw(
+        st.lists(
+            st.floats(-1e8, 1e8, allow_nan=False, allow_infinity=False),
+            min_size=nj * ni,
+            max_size=nj * ni,
+        )
+    )
+    vals = np.array(flat, dtype="f8").reshape(nj, ni)
+    path = str(tmp_path_factory.mktemp("grib") / "c.grib2")
+    G2.write_grib2(
+        path,
+        [{"param": "d2m", "ref_time": "2024-01-01", "lats": np.linspace(80, 70, nj),
+          "lons": np.linspace(0, 10, ni), "values": vals}],
+        decimal_scale=2,
+        packing=packing,
+    )
+    (m,) = G2.read_grib2(path)
+    want = np.round(vals * 100) / 100
+    if packing == "complex":
+        # float32 reference value: bounded like simple packing
+        assert np.abs(m["values"] - vals).max() <= 0.5e-2 + 1e-9
+    else:
+        assert np.array_equal(m["values"], want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data(), dscale=st.integers(0, 3))
+def test_grib1_quantization_bound(tmp_path_factory, data, dscale):
+    """GRIB edition-1 simple packing with the IBM hexadecimal-float
+    reference value: same 0.5·10^−D bound as GRIB2, with the reference
+    quantized through the IBM encoding before offsets are computed."""
+    from weather_tools_spark.sources import grib1 as G1
+
+    nj = data.draw(st.integers(1, 5))
+    ni = data.draw(st.integers(1, 5))
+    flat = data.draw(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=nj * ni,
+            max_size=nj * ni,
+        )
+    )
+    vals = np.array(flat, dtype="f8").reshape(nj, ni)
+    span = (vals.max() - vals.min()) * 10**dscale
+    if span >= 2**31:
+        vals = vals / (span / 2**30)
+    path = str(tmp_path_factory.mktemp("grib1") / "p.grib")
+    G1.write_grib1(
+        path,
+        [{"param": "d2m", "ref_time": "2024-01-01", "lats": np.linspace(80, 70, nj),
+          "lons": np.linspace(0, 10, ni), "values": vals}],
+        decimal_scale=dscale,
+    )
+    (m,) = G1.read_grib1(path)
+    err = np.abs(m["values"] - vals).max()
+    assert err <= 0.5 * 10.0 ** (-dscale) + 1e-9, err
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    x=st.one_of(
+        st.just(0.0),
+        st.floats(1e-15, 1e15, allow_nan=False, allow_infinity=False),
+        st.floats(-1e15, -1e-15, allow_nan=False, allow_infinity=False),
+    )
+)
+def test_ibm32_encode_nearest_and_bounded(x):
+    """IBM hex-float encode/decode over the magnitude range reference
+    values actually occupy (far inside IBM's 16^±63 span): decode∘encode
+    is within one hexit ulp, and the directed encoder never exceeds its
+    input. Out-of-range magnitudes underflow to 0 / clamp, tested
+    separately below."""
+    from weather_tools_spark.sources import grib1 as G1
+
+    d = G1.ibm32_decode(G1.ibm32_encode(x))
+    assert abs(d - x) <= abs(x) * 16 * 2.0**-24 + 1e-30
+    _, lo = G1._encode_ref_at_most(x)
+    assert lo <= x
+    assert x - lo <= abs(x) * 16 * 2.0**-24 + 1e-30
+
+
+def test_ibm32_range_edges():
+    from weather_tools_spark.sources import grib1 as G1
+
+    assert G1.ibm32_encode(1e-300) == 0  # underflow → zero
+    big = G1.ibm32_decode(G1.ibm32_encode(1e300))  # overflow → clamp
+    assert big == G1.ibm32_decode(0x7FFFFFFF)
+    # directed bound still holds at the underflow edge (0 ≤ x)
+    _, lo = G1._encode_ref_at_most(1e-300)
+    assert lo == 0.0 and lo <= 1e-300
+
+
 @settings(max_examples=80, deadline=None)
 @given(
     flat=st.lists(_vals, min_size=1, max_size=64),

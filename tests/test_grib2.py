@@ -79,11 +79,57 @@ def test_message_filter_pushdown(tmp_path):
 
 def test_grib1_edition_fallback(tmp_path):
     p = tmp_path / "old.grib"
-    # edition byte 1 → must raise toward the cfgrib gate, not misparse
+    # edition byte 1 → must raise toward the edition-1 codec, not misparse
     p.write_bytes(b"GRIB\x00\x00\x00\x01" + b"\x00" * 24)
     assert not G2.is_grib2(str(p))
     with pytest.raises(NotImplementedError, match="edition 1"):
         G2.read_grib2(str(p))
+
+
+@pytest.mark.parametrize("packing", ["complex", "complex_diff1", "complex_diff2"])
+def test_complex_packing_roundtrip(tmp_path, packing):
+    """Templates 5.2/5.3: multi-group fields (group length 20 ⇒ a
+    truncated last group on a 3×4 grid plus a 60-point grid spanning 3
+    full groups) round-trip exactly on 10^-3 multiples."""
+    path = str(tmp_path / "c.grib2")
+    G2.write_grib2(path, _msgs(), packing=packing)
+    msgs = G2.read_grib2(path)
+    assert [m["param"] for m in msgs] == ["d2m", "u10", "v10"]
+    for got, want in zip(msgs, _msgs()):
+        assert np.array_equal(got["values"], want["values"])
+
+    # bigger grid: several groups, wide dynamic range, negatives
+    lats = np.linspace(60.0, 50.0, 6)
+    lons = np.linspace(-20.0, -10.0, 10)
+    vals = ((np.arange(60).reshape(6, 10) ** 2) - 1200) / 8.0  # /8: dyadic, exact at D=3
+    G2.write_grib2(
+        path,
+        [{"param": "u10", "ref_time": "2024-02-02", "lats": lats, "lons": lons,
+          "values": vals}],
+        packing=packing,
+    )
+    (m,) = G2.read_grib2(path)
+    assert np.array_equal(m["values"], vals)
+
+
+def test_complex_packing_is_smaller_on_smooth_fields(tmp_path):
+    """The point of complex packing: per-group widths track local
+    dynamic range, so smooth fields pack tighter than one global
+    width."""
+    rng = np.random.RandomState(5)
+    lats = np.linspace(60.0, 50.0, 20)
+    lons = np.linspace(-20.0, 0.0, 40)
+    smooth = np.cumsum(np.cumsum(rng.randint(-50, 51, (20, 40)), axis=0), axis=1) / 1000.0
+    msg = [{"param": "d2m", "ref_time": "2024-01-01", "lats": lats, "lons": lons,
+            "values": smooth}]
+    p_simple = str(tmp_path / "s.grib2")
+    p_complex = str(tmp_path / "c.grib2")
+    G2.write_grib2(p_simple, msg, packing="simple")
+    G2.write_grib2(p_complex, msg, packing="complex_diff2")
+    import os
+
+    assert os.path.getsize(p_complex) < os.path.getsize(p_simple)
+    np.testing.assert_array_equal(G2.read_grib2(p_complex)[0]["values"], smooth)
 
 
 def test_ingest_auto_detects_grib2(spark, tmp_path):

@@ -108,6 +108,8 @@ def ibm32_encode(x: float) -> int:
     while m < 1.0 / 16.0 and e > 0:
         e -= 1
         m = a / 16.0 ** (e - 64)
+    if e < 0:  # below 16^-65: underflow to zero (not a reachable
+        return 0  # reference value for any physical scaled field)
     frac = int(round(m * 2.0 ** 24))
     if frac >= 2 ** 24:
         e += 1

@@ -11,14 +11,20 @@ big-endian sections —
     4 product definition (template 4.0: parameter category/number,
     level) · 5 data representation (template 5.0 simple packing:
     reference value R as IEEE float32, binary scale E, decimal scale
-    D, bits per value) · 6 bitmap · 7 data (packed offsets
+    D, bits per value; templates 5.2/5.3 complex packing: per-group
+    references + bit widths, optional 1st/2nd-order spatial
+    differencing — the packing operational NCEP products ship) ·
+    6 bitmap · 7 data (packed offsets
     X: value = (R + X·2^E) / 10^D) · 8 '7777'
 
 — and files are plain concatenations of messages. This module
 implements that profile directly:
 
 - :func:`write_grib2` — serialize messages (regular lat/lon grid,
-  simple packing, byte-aligned 8/16/32-bit widths, no bitmap);
+  no bitmap) with ``packing`` = simple (byte-aligned 8/16/32-bit
+  widths), complex, or complex with spatial differencing (exact int64
+  roundtrip at any magnitude — the differencing descriptors carry the
+  level, so no float32 reference-value drift);
 - :func:`read_grib2` — parse messages back; a ``want`` parameter set
   implements the reference's GRIB *message filter* as true pushdown:
   non-matching messages are skipped by section length without
@@ -75,15 +81,153 @@ def _micro(deg: float) -> int:
     return int(round(deg * 1_000_000))
 
 
+def _pack_bits(vals: np.ndarray, width: int) -> bytes:
+    """Pack unsigned ints into a big-endian bitstream of ``width`` bits
+    per value (vectorized via np.packbits; width 0 → empty)."""
+    if width == 0 or vals.size == 0:
+        return b""
+    bits = ((vals.astype("u8")[:, None] >> np.arange(width - 1, -1, -1, dtype="u8")) & 1)
+    return np.packbits(bits.astype(np.uint8).ravel()).tobytes()
+
+
+def _unpack_bits(bits: np.ndarray, offset: int, width: int, count: int) -> tuple[np.ndarray, int]:
+    """Read ``count`` unsigned ``width``-bit ints from an unpacked bit
+    array starting at ``offset``; returns (values, new_offset)."""
+    if width == 0 or count == 0:
+        return np.zeros(count, dtype="i8"), offset
+    sel = bits[offset : offset + count * width].reshape(count, width).astype("i8")
+    w = (1 << np.arange(width - 1, -1, -1)).astype("i8")
+    return sel @ w, offset + count * width
+
+
+def _bits_for(span: int) -> int:
+    return int(span).bit_length() if span > 0 else 0
+
+
+def _sm_bytes(v: int, octets: int) -> bytes:
+    """Sign-magnitude big-endian encode at ``octets`` width (GRIB
+    spatial-differencing descriptors)."""
+    u = abs(v)
+    if u >> (octets * 8 - 1):
+        raise ValueError(f"{v} out of {octets}-octet sign-magnitude range")
+    if v < 0:
+        u |= 1 << (octets * 8 - 1)
+    return u.to_bytes(octets, "big")
+
+
+def _sm_bytes_decode(b: bytes) -> int:
+    u = int.from_bytes(b, "big")
+    high = 1 << (len(b) * 8 - 1)
+    return -(u & (high - 1)) if u & high else u
+
+
+def _quantized_f32_ref(scaled_min: int) -> float:
+    """Reference value R is stored as IEEE float32 (spec), so quantize
+    it BEFORE offsets are computed and step down if float32 rounded up —
+    offsets must stay ≥ 0 (see the simple-packing comment below)."""
+    ref = float(np.float32(scaled_min))
+    if ref > scaled_min:
+        ref = float(np.nextafter(np.float32(ref), np.float32("-inf")))
+    return ref
+
+
+def _encode_complex(
+    scaled: np.ndarray, decimal_scale: int, order: int, group_len: int = 20
+) -> tuple[bytes, bytes]:
+    """Sections 5+7 for data representation template 5.2 (complex
+    packing, ``order=0``) or 5.3 (complex packing with 1st/2nd-order
+    spatial differencing). General group splitting: fixed-length groups
+    (last truncated), per-group reference + bit width, the four
+    byte-aligned streams of template 7.2/7.3. With differencing the
+    stored reference value is 0 and the descriptors (first value(s) +
+    overall minimum of differences) carry the level information, so the
+    roundtrip is EXACT in int64 — no float32 quantization at all."""
+    flat = scaled.ravel().astype("i8")
+    n = flat.size
+    if order:
+        if order not in (1, 2):
+            raise ValueError("spatial differencing order must be 1 or 2")
+        if n <= order:
+            raise ValueError("grid too small for spatial differencing")
+        heads = flat[:order].tolist()
+        d = np.diff(flat, n=order)
+        gmin = int(d.min())
+        arr = np.concatenate([np.zeros(order, dtype="i8"), d - gmin])
+        ref = 0.0
+        octets = max(
+            (int(abs(v)).bit_length() + 1 + 7) // 8 for v in heads + [gmin]
+        )
+        descriptors = b"".join(_sm_bytes(v, octets) for v in heads + [gmin])
+    else:
+        heads, gmin, octets, descriptors = [], 0, 0, b""
+        ref = _quantized_f32_ref(int(flat.min()))
+        arr = np.round(flat.astype("f8") - ref).astype("i8")
+
+    ng = (n + group_len - 1) // group_len
+    bounds = [(g * group_len, min((g + 1) * group_len, n)) for g in range(ng)]
+    refs = np.array([int(arr[a:b].min()) for a, b in bounds], dtype="i8")
+    widths = np.array(
+        [_bits_for(int(arr[a:b].max()) - int(r)) for (a, b), r in zip(bounds, refs)],
+        dtype="i8",
+    )
+    bits_refs = _bits_for(int(refs.max()))
+    width_ref = int(widths.min())
+    width_incs = widths - width_ref
+    bits_widths = _bits_for(int(width_incs.max()))
+    length_ref, length_inc = group_len, 1
+    last_len = bounds[-1][1] - bounds[-1][0]
+    bits_lens = 0  # every group is length_ref long; the last uses last_len
+
+    def _padded(vals: np.ndarray, width: int) -> bytes:
+        return _pack_bits(vals, width)  # np.packbits zero-pads to a byte
+
+    chunks = []
+    for (a, b), r, w in zip(bounds, refs, widths):
+        if w:
+            seg = (arr[a:b] - r).astype("u8")
+            chunks.append(
+                ((seg[:, None] >> np.arange(w - 1, -1, -1, dtype="u8")) & 1)
+                .astype(np.uint8)
+                .ravel()
+            )
+    stream = (
+        np.packbits(np.concatenate(chunks)).tobytes() if chunks else b""
+    )
+    body = (
+        descriptors
+        + _padded(refs, bits_refs)
+        + _padded(width_incs, bits_widths)
+        + _padded(np.zeros(ng, dtype="i8"), bits_lens)
+        + stream
+    )
+    sec7 = struct.pack(">IB", 5 + len(body), 7) + body
+
+    tmpl = 3 if order else 2
+    t = struct.pack(
+        ">fHHBBBB", ref, _sm16(0), _sm16(decimal_scale), bits_refs, 0, 1, 0
+    )
+    t += struct.pack(">II", 0, 0)  # missing value substitutes (unused)
+    t += struct.pack(">IBB", ng, width_ref, bits_widths)
+    t += struct.pack(">IBIB", length_ref, length_inc, last_len, bits_lens)
+    if order:
+        t += struct.pack(">BB", order, octets)
+    sec5 = struct.pack(">IBIH", 11 + len(t), 5, n, tmpl) + t
+    return sec5, sec7
+
+
 def write_grib2(
     path: str,
     messages: list[dict],
     decimal_scale: int = 3,
+    packing: str = "simple",
 ) -> None:
     """Write concatenated GRIB2 messages. Each message dict:
     ``{"param": "d2m", "ref_time": datetime-like, "lats": 1-D desc,
-    "lons": 1-D asc, "values": 2-D (lat, lon)}``. Values are packed
-    with simple packing at ``10^decimal_scale`` precision."""
+    "lons": 1-D asc, "values": 2-D (lat, lon)}``. Values are packed at
+    ``10^decimal_scale`` precision with ``packing`` one of ``simple``
+    (template 5.0), ``complex`` (5.2), or ``complex_diff1`` /
+    ``complex_diff2`` (5.3 with 1st/2nd-order spatial differencing —
+    what operational NCEP products ship)."""
     out = b""
     for msg in messages:
         name = msg["param"]
@@ -133,20 +277,17 @@ def write_grib2(
         # float32-exact R keep the decode error ≤ 0.5·10^−D always, and
         # exact for integer-representable R.
         scaled = np.round(vals * (10 ** decimal_scale)).astype("i8")
-        ref = float(np.float32(scaled.min()))
-        if ref > scaled.min():  # float32 rounded up: step down so X ≥ 0
-            ref = float(np.nextafter(np.float32(ref), np.float32("-inf")))
-        offsets = np.round(scaled.astype("f8") - ref).astype("u8")
-        span = int(offsets.max()) if offsets.size else 0
-        bits = 8 if span < 2**8 else 16 if span < 2**16 else 32
-        if span >= 2**32:
-            raise ValueError("value span too wide for 32-bit simple packing")
-        packed = offsets.astype(f">u{bits // 8}").tobytes()
-        sec5 = struct.pack(
-            ">IBIHfHHBB", 21, 5, ni * nj, 0, ref, _sm16(0), _sm16(decimal_scale), bits, 0
-        )
+        if packing == "complex":
+            sec5, sec7 = _encode_complex(scaled, decimal_scale, order=0)
+        elif packing == "complex_diff1":
+            sec5, sec7 = _encode_complex(scaled, decimal_scale, order=1)
+        elif packing == "complex_diff2":
+            sec5, sec7 = _encode_complex(scaled, decimal_scale, order=2)
+        elif packing != "simple":
+            raise ValueError(f"unknown packing {packing!r}")
+        else:
+            sec5, sec7 = _encode_simple(scaled, decimal_scale)
         sec6 = struct.pack(">IBB", 6, 6, 255)
-        sec7 = struct.pack(">IB", 5 + len(packed), 7) + packed
 
         body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
         total = 16 + len(body) + 4
@@ -154,6 +295,24 @@ def write_grib2(
         out += sec0 + body + b"7777"
     with open(path, "wb") as f:
         f.write(out)
+
+
+def _encode_simple(scaled: np.ndarray, decimal_scale: int) -> tuple[bytes, bytes]:
+    """Sections 5+7 for template 5.0 (simple packing, byte-aligned
+    widths)."""
+    npts = scaled.size
+    ref = _quantized_f32_ref(int(scaled.min()))
+    offsets = np.round(scaled.astype("f8") - ref).astype("u8")
+    span = int(offsets.max()) if offsets.size else 0
+    bits = 8 if span < 2**8 else 16 if span < 2**16 else 32
+    if span >= 2**32:
+        raise ValueError("value span too wide for 32-bit simple packing")
+    packed = offsets.astype(f">u{bits // 8}").tobytes()
+    sec5 = struct.pack(
+        ">IBIHfHHBB", 21, 5, npts, 0, ref, _sm16(0), _sm16(decimal_scale), bits, 0
+    )
+    sec7 = struct.pack(">IB", 5 + len(packed), 7) + packed
+    return sec5, sec7
 
 
 def is_grib2(path: str) -> bool:
@@ -253,16 +412,23 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
 
         s5 = sections[5]
         tmpl, = struct.unpack_from(">H", s5, 9)
-        if tmpl != 0:
-            raise NotImplementedError(f"data representation template {tmpl} (simple packing only)")
         ref, = struct.unpack_from(">f", s5, 11)
         E = _sm16d(struct.unpack_from(">H", s5, 15)[0])
         D = _sm16d(struct.unpack_from(">H", s5, 17)[0])
-        bits = s5[19]
-        if bits not in (8, 16, 32):
-            raise NotImplementedError(f"{bits}-bit packing (byte-aligned widths only)")
         s7 = sections[7]
-        X = np.frombuffer(s7[5 : 5 + ni * nj * (bits // 8)], dtype=f">u{bits // 8}").astype("f8")
+        if tmpl == 0:
+            bits = s5[19]
+            if bits not in (8, 16, 32):
+                raise NotImplementedError(f"{bits}-bit packing (byte-aligned widths only)")
+            X = np.frombuffer(
+                s7[5 : 5 + ni * nj * (bits // 8)], dtype=f">u{bits // 8}"
+            ).astype("f8")
+        elif tmpl in (2, 3):
+            X = _decode_complex(s5, s7, ni * nj).astype("f8")
+        else:
+            raise NotImplementedError(
+                f"data representation template {tmpl} (simple/complex packing only)"
+            )
         vals = (float(ref) + X * (2.0 ** E)) / (10.0 ** D)
         msgs.append(
             {
@@ -275,6 +441,75 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
         )
         p += total
     return msgs
+
+
+def _decode_complex(s5: bytes, s7: bytes, npts: int) -> np.ndarray:
+    """Unpack data representation template 5.2/5.3 (complex packing,
+    optional spatial differencing) from sections 5+7. Returns the
+    int64 offset array Y so the caller applies the uniform
+    (R + Y·2^E)/10^D transform. The four streams (group references,
+    width increments, scaled lengths, packed values) are byte-aligned
+    per the template 7.2/7.3 layout; the bitstream is unpacked once
+    with np.unpackbits and sliced per stream."""
+    tmpl, = struct.unpack_from(">H", s5, 9)
+    bits_refs = s5[19]
+    split, miss = s5[21], s5[22]
+    if split != 1:
+        raise NotImplementedError(f"group splitting method {split} (general splitting only)")
+    if miss != 0:
+        raise NotImplementedError("missing-value management in complex packing")
+    ng, = struct.unpack_from(">I", s5, 31)
+    width_ref, bits_widths = s5[35], s5[36]
+    length_ref, = struct.unpack_from(">I", s5, 37)
+    length_inc = s5[41]
+    last_len, = struct.unpack_from(">I", s5, 42)
+    bits_lens = s5[46]
+    order = octets = 0
+    if tmpl == 3:
+        order, octets = s5[47], s5[48]
+        if order not in (1, 2):
+            raise NotImplementedError(f"spatial differencing order {order}")
+
+    data = s7[5:]
+    heads, gmin = [], 0
+    if order:
+        for k in range(order):
+            heads.append(_sm_bytes_decode(data[k * octets : (k + 1) * octets]))
+        gmin = _sm_bytes_decode(data[order * octets : (order + 1) * octets])
+        data = data[(order + 1) * octets :]
+
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    off = 0
+    refs, off = _unpack_bits(bits, off, bits_refs, ng)
+    off = (off + 7) // 8 * 8
+    width_incs, off = _unpack_bits(bits, off, bits_widths, ng)
+    off = (off + 7) // 8 * 8
+    scaled_lens, off = _unpack_bits(bits, off, bits_lens, ng)
+    off = (off + 7) // 8 * 8
+    widths = width_ref + width_incs
+    lens = length_ref + scaled_lens * length_inc
+    lens[-1] = last_len
+    if int(lens.sum()) != npts:
+        raise ValueError(f"complex packing group lengths sum {lens.sum()} != {npts}")
+
+    parts = []
+    for r, w, l in zip(refs, widths, lens):
+        seg, off = _unpack_bits(bits, off, int(w), int(l))
+        parts.append(r + seg)
+    y = np.concatenate(parts).astype("i8")
+
+    if order:
+        # reconstruct from differences via exact int64 cumulative sums:
+        # order 1: y[i] = y[i-1] + d[i]; order 2: second differences —
+        # first differences g[i] = g[i-1] + d[i], then y = h1 + Σg.
+        d = y
+        d[order:] += gmin
+        if order == 1:
+            y = heads[0] + np.concatenate([[0], np.cumsum(d[1:])])
+        else:
+            g = np.cumsum(np.concatenate([[heads[1] - heads[0]], d[2:]]))
+            y = np.concatenate([[heads[0]], heads[0] + np.cumsum(g)])
+    return y.astype("i8")
 
 
 def grib2_decode(path: str, opts=None) -> pd.DataFrame:
