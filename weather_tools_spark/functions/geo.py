@@ -167,6 +167,119 @@ def webmercator_inverse(x: Column, y: Column) -> tuple[Column, Column]:
     return lat, lon
 
 
+# GRIB shape-of-earth code 6: spherical earth, radius 6 371 229 m — the
+# sphere operational NWP grids (Lambert/polar-stereo GRIB templates
+# 3.30/3.20) are defined on.
+GRIB_SPHERE_R = 6371229.0
+
+_D2R = math.pi / 180.0
+
+
+def lambert_conformal_params(
+    lat1: float, lat2: float, lat0: float, lon0: float, radius: float = GRIB_SPHERE_R
+) -> dict:
+    """Derived constants for the spherical Lambert conformal conic
+    (secant form; tangent when lat1 == lat2) — the projection of GRIB
+    grid template 3.30 (NAM/HRRR-style grids). The reference reprojects
+    through pyproj (weather_mv loader_pipeline/sinks.py:149-227); this
+    closed spherical form needs no library. Constants are computed once
+    driver-side; the per-row transform stays a JVM column expression.
+
+      n  = ln(cos φ1/cos φ2) / ln(tan(π/4+φ2/2)/tan(π/4+φ1/2))
+      F  = cos φ1 · tanⁿ(π/4+φ1/2) / n
+      ρ0 = R·F / tanⁿ(π/4+φ0/2)
+    """
+    p1, p2, p0 = lat1 * _D2R, lat2 * _D2R, lat0 * _D2R
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = math.log(math.cos(p1) / math.cos(p2)) / math.log(
+            math.tan(math.pi / 4 + p2 / 2) / math.tan(math.pi / 4 + p1 / 2)
+        )
+    big_f = math.cos(p1) * math.tan(math.pi / 4 + p1 / 2) ** n / n
+    rho0 = radius * big_f / math.tan(math.pi / 4 + p0 / 2) ** n
+    return {"n": n, "F": big_f, "rho0": rho0, "lon0": lon0, "R": radius}
+
+
+def lambert_conformal_xy(lat: Column, lon: Column, p: dict) -> tuple[Column, Column]:
+    """Spherical LCC forward: ρ = R·F/tanⁿ(π/4+φ/2), θ = n(λ−λ0);
+    x = ρ sin θ, y = ρ0 − ρ cos θ. Pure JVM trig, whole-stage codegen."""
+    rho = F.lit(p["R"] * p["F"]) / F.pow(
+        F.tan(F.lit(math.pi / 4) + lat * F.lit(_D2R / 2)), F.lit(p["n"])
+    )
+    theta = (lon - F.lit(p["lon0"])) * F.lit(p["n"] * _D2R)
+    return rho * F.sin(theta), F.lit(p["rho0"]) - rho * F.cos(theta)
+
+
+def lambert_conformal_inverse(x: Column, y: Column, p: dict) -> tuple[Column, Column]:
+    """Spherical LCC inverse: ρ = sign(n)·√(x²+(ρ0−y)²), θ = atan2(x, ρ0−y);
+    φ = 2·atan((R·F/ρ)^(1/n)) − π/2, λ = λ0 + θ/n."""
+    sgn = 1.0 if p["n"] >= 0 else -1.0
+    rho = F.lit(sgn) * F.sqrt(x * x + (F.lit(p["rho0"]) - y) * (F.lit(p["rho0"]) - y))
+    theta = F.atan2(F.lit(sgn) * x, F.lit(sgn) * (F.lit(p["rho0"]) - y))
+    lat = (
+        2 * F.atan(F.pow(F.lit(p["R"] * p["F"]) / rho, F.lit(1.0 / p["n"])))
+        - F.lit(math.pi / 2)
+    ) / F.lit(_D2R)
+    lon = sanitize_longitude(F.lit(p["lon0"]) + theta / F.lit(p["n"] * _D2R))
+    return lat, lon
+
+
+def polar_stereo_xy(
+    lat: Column, lon: Column, lat_ts: float = 60.0, lon0: float = 0.0,
+    radius: float = GRIB_SPHERE_R,
+) -> tuple[Column, Column]:
+    """Spherical north-polar stereographic, true at φ_ts (GRIB grid
+    template 3.20; operational grids use φ_ts = 60°N):
+    ρ = 2·R·k0·tan(π/4−φ/2) with k0 = (1+sin φ_ts)/2;
+    x = ρ sin(λ−λ0), y = −ρ cos(λ−λ0) (y axis along λ0 toward the pole)."""
+    k0 = (1.0 + math.sin(lat_ts * _D2R)) / 2.0
+    rho = F.lit(2.0 * radius * k0) * F.tan(F.lit(math.pi / 4) - lat * F.lit(_D2R / 2))
+    lam = (lon - F.lit(lon0)) * F.lit(_D2R)
+    return rho * F.sin(lam), -rho * F.cos(lam)
+
+
+def polar_stereo_inverse(
+    x: Column, y: Column, lat_ts: float = 60.0, lon0: float = 0.0,
+    radius: float = GRIB_SPHERE_R,
+) -> tuple[Column, Column]:
+    """Inverse polar stereographic: φ = π/2 − 2·atan(ρ/(2·R·k0)),
+    λ = λ0 + atan2(x, −y)."""
+    k0 = (1.0 + math.sin(lat_ts * _D2R)) / 2.0
+    rho = F.sqrt(x * x + y * y)
+    lat = (F.lit(math.pi / 2) - 2 * F.atan(rho / F.lit(2.0 * radius * k0))) / F.lit(_D2R)
+    lon = sanitize_longitude(F.lit(lon0) + F.atan2(x, -y) / F.lit(_D2R))
+    return lat, lon
+
+
+def transverse_mercator_xy(
+    lat: Column, lon: Column, lon0: float, k0: float = 0.9996,
+    radius: float = GRIB_SPHERE_R,
+) -> tuple[Column, Column]:
+    """Spherical transverse Mercator (UTM-style, central meridian λ0,
+    scale k0): B = cos φ·sin(λ−λ0); x = (R·k0/2)·ln((1+B)/(1−B));
+    y = R·k0·atan(tan φ / cos(λ−λ0))."""
+    phi = lat * F.lit(_D2R)
+    lam = (lon - F.lit(lon0)) * F.lit(_D2R)
+    b = F.cos(phi) * F.sin(lam)
+    x = F.lit(radius * k0 / 2) * F.log((1 + b) / (1 - b))
+    y = F.lit(radius * k0) * F.atan2(F.tan(phi), F.cos(lam))
+    return x, y
+
+
+def transverse_mercator_inverse(
+    x: Column, y: Column, lon0: float, k0: float = 0.9996,
+    radius: float = GRIB_SPHERE_R,
+) -> tuple[Column, Column]:
+    """Inverse spherical TM: D = y/(R·k0); φ = asin(sin D / cosh(x/(R·k0)));
+    λ = λ0 + atan2(sinh(x/(R·k0)), cos D)."""
+    xn = x / F.lit(radius * k0)
+    d = y / F.lit(radius * k0)
+    lat = F.asin(F.sin(d) / F.cosh(xn)) / F.lit(_D2R)
+    lon = sanitize_longitude(F.lit(lon0) + F.atan2(F.sinh(xn), F.cos(d)) / F.lit(_D2R))
+    return lat, lon
+
+
 def ee_compatible_attrs(attrs: dict) -> dict:
     """Asset-metadata normalization for EE-style property constraints
     (util.py:53-79 semantics): property names keep their first 110

@@ -390,3 +390,59 @@ def geo_webmercator_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.select(
         "latitude", "longitude", F.round(x, 3).alias("x"), F.round(y, 3).alias("y")
     ).orderBy("latitude", "longitude")
+
+
+def _lcc_params():
+    from weather_tools_spark.functions.geo import lambert_conformal_params
+
+    # CONUS-style secant cone (NAM/HRRR-family constants)
+    return lambert_conformal_params(lat1=33.0, lat2=45.0, lat0=39.0, lon0=-96.0)
+
+
+_LCC = _lcc_params()
+
+@register(
+    "geo_lambert_project",
+    oracle=f"""
+    WITH geo AS (
+      SELECT DISTINCT
+             (user_id % 120) - 50.0 + 0.25  AS latitude,
+             (event_id % 360) - 180.0 + 0.5 AS longitude
+      FROM events
+    )
+    SELECT latitude, longitude,
+           round({_LCC['R'] * _LCC['F']!r}
+                 / pow(tan(pi()/4 + latitude * pi()/360), {_LCC['n']!r})
+                 * sin((longitude - {_LCC['lon0']!r}) * {_LCC['n']!r} * pi()/180),
+                 3) AS x,
+           round({_LCC['rho0']!r}
+                 - {_LCC['R'] * _LCC['F']!r}
+                   / pow(tan(pi()/4 + latitude * pi()/360), {_LCC['n']!r})
+                   * cos((longitude - {_LCC['lon0']!r}) * {_LCC['n']!r} * pi()/180),
+                 3) AS y
+    FROM geo
+    ORDER BY latitude, longitude
+    """,
+)
+def geo_lambert_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS transform surface #2: spherical Lambert conformal conic (the
+    GRIB template 3.30 projection of NAM/HRRR-style forecast grids)
+    over synthetic grid points spanning −49.75°…69.25° — the full
+    latitude band such grids occupy. Derived cone constants (n, F, ρ0)
+    are computed once driver-side (functions/geo.py
+    lambert_conformal_params) and embedded as literals in BOTH the
+    Spark expression and the DuckDB oracle, which recomputes the
+    projection with its own trig — millimeter rounding keeps last-ulp
+    libm differences out of the hash. Reference semantics: pyproj
+    reproject, weather_mv loader_pipeline/sinks.py:149-227."""
+    from weather_tools_spark.functions.geo import lambert_conformal_xy
+
+    ev = load_table(spark, "events", sf_dir)
+    geo = ev.select(
+        ((F.col("user_id") % 120) - 50.0 + 0.25).alias("latitude"),
+        ((F.col("event_id") % 360) - 180.0 + 0.5).alias("longitude"),
+    ).distinct()
+    x, y = lambert_conformal_xy(F.col("latitude"), F.col("longitude"), _LCC)
+    return geo.select(
+        "latitude", "longitude", F.round(x, 3).alias("x"), F.round(y, 3).alias("y")
+    ).orderBy("latitude", "longitude")
