@@ -154,6 +154,32 @@ def test_grib2_complex_packing_scaled_exact(tmp_path_factory, data, packing):
         assert np.array_equal(m["values"], want)
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    data=st.data(),
+    layout=st.sampled_from(["contiguous", "chunked", "deflate", "deflate+shuffle"]),
+)
+def test_hdf5_roundtrip_any_grid(tmp_path_factory, data, layout):
+    """The stdlib HDF5 subset codec round-trips arbitrary float64
+    grids bit-exactly through every supported layout (contiguous,
+    chunked B-tree, deflate, shuffle+deflate), including edge chunks
+    when chunk dims don't divide the grid."""
+    from weather_tools_spark.sources import hdf5 as H5
+
+    arr = _grid3(data.draw, max_dim=6)
+    path = str(tmp_path_factory.mktemp("h5") / "p.h5")
+    kw = {}
+    if layout != "contiguous":
+        kw["chunks"] = {"v": tuple(data.draw(st.integers(1, s)) for s in arr.shape)}
+    if layout in ("deflate", "deflate+shuffle"):
+        kw["compression"] = "deflate"
+    if layout == "deflate+shuffle":
+        kw["shuffle"] = True
+    H5.write_hdf5(path, {"v": arr}, **kw)
+    back, _ = H5.read_hdf5(path)
+    assert np.array_equal(back["v"], arr)
+
+
 @settings(max_examples=40, deadline=None)
 @given(data=st.data(), dscale=st.integers(0, 3))
 def test_grib1_quantization_bound(tmp_path_factory, data, dscale):

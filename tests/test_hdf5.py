@@ -1,0 +1,193 @@
+"""Golden tests for the stdlib HDF5/NetCDF-4 codec (sources/hdf5.py):
+self-written files carry genuine HDF5 structure (superblock v0,
+symbol-table root group, v1 object headers, v1 chunk B-trees,
+shuffle+deflate filter pipeline) and parse back exactly; the hypercube
+ingest auto-detects the \\x89HDF magic. Reference semantics: xarray /
+h5netcdf engine dispatch, weather_mv loader_pipeline/sinks.py:437-519."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from weather_tools_spark.sources import hdf5 as H5
+from weather_tools_spark.sources import hypercube as H
+
+
+def _coords():
+    return {
+        "time": np.arange(4) * 3600 + 1_700_000_000,
+        "latitude": np.linspace(52.0, 50.0, 3),
+        "longitude": np.linspace(5.0, 7.0, 5),
+    }
+
+
+def test_file_structure_golden(tmp_path):
+    """The emitted bytes are structurally HDF5: signature, superblock
+    v0 bookkeeping, EOF address, and the group machinery signatures
+    (TREE/HEAP/SNOD) all present and internally consistent."""
+    path = str(tmp_path / "s.h5")
+    H5.write_hdf5(path, {"v": np.arange(6.0).reshape(2, 3)})
+    buf = open(path, "rb").read()
+    assert buf[:8] == H5.MAGIC
+    assert buf[8] == 0  # superblock version 0
+    assert buf[13] == 8 and buf[14] == 8  # offset/length sizes
+    eof, = struct.unpack_from("<Q", buf, 40)
+    assert eof == len(buf)  # end-of-file address is exact
+    assert b"TREE" in buf and b"HEAP" in buf and b"SNOD" in buf
+
+
+def test_roundtrip_dtypes(tmp_path):
+    rng = np.random.RandomState(0)
+    ds = {
+        "f8": rng.randn(4, 5),
+        "f4": rng.randn(3, 7).astype("f4"),
+        "i1": rng.randint(-100, 100, (9,), dtype="i1"),
+        "i4": rng.randint(-(10**9), 10**9, (6,), dtype="i4"),
+        "i8": rng.randint(-(10**12), 10**12, (2, 2, 2), dtype="i8"),
+        "u2": rng.randint(0, 60000, (5,), dtype="u2"),
+        "u8": rng.randint(0, 2**60, (4,), dtype="u8"),
+    }
+    path = str(tmp_path / "d.h5")
+    H5.write_hdf5(path, ds)
+    back, _ = H5.read_hdf5(path)
+    assert sorted(back) == sorted(ds)
+    for k in ds:
+        assert back[k].dtype.kind == np.dtype(ds[k].dtype).kind
+        np.testing.assert_array_equal(back[k], ds[k])
+
+
+@pytest.mark.parametrize(
+    "chunks,compression,shuffle",
+    [
+        ((4, 5, 3), None, False),
+        ((4, 5, 3), "deflate", False),
+        ((4, 5, 3), "deflate", True),
+        ((10, 13, 7), "deflate", True),   # single chunk
+        ((3, 4, 2), "deflate", True),     # many edge chunks
+    ],
+)
+def test_chunked_roundtrip(tmp_path, chunks, compression, shuffle):
+    rng = np.random.RandomState(1)
+    arr = rng.randn(10, 13, 7)
+    path = str(tmp_path / "c.h5")
+    H5.write_hdf5(path, {"v": arr}, chunks={"v": chunks},
+                  compression=compression, shuffle=shuffle)
+    back, _ = H5.read_hdf5(path)
+    np.testing.assert_array_equal(back["v"], arr)
+
+
+def test_attributes_roundtrip(tmp_path):
+    path = str(tmp_path / "a.h5")
+    H5.write_hdf5(
+        path,
+        {"v": np.zeros((2, 2))},
+        attrs={"v": {"units": "K", "long_name": "2 metre temperature"}},
+    )
+    _, attrs = H5.read_hdf5(path)
+    assert attrs["v"]["units"] == "K"
+    assert attrs["v"]["long_name"] == "2 metre temperature"
+
+
+def test_deflate_actually_compresses(tmp_path):
+    smooth = np.linspace(0, 1, 64 * 64).reshape(64, 64)
+    raw_p = str(tmp_path / "raw.h5")
+    zip_p = str(tmp_path / "zip.h5")
+    H5.write_hdf5(raw_p, {"v": smooth})
+    H5.write_hdf5(zip_p, {"v": smooth}, chunks={"v": (16, 16)},
+                  compression="deflate", shuffle=True)
+    import os
+
+    assert os.path.getsize(zip_p) < os.path.getsize(raw_p) / 2
+    back, _ = H5.read_hdf5(zip_p)
+    np.testing.assert_array_equal(back["v"], smooth)
+
+
+def test_netcdf4_conventions(tmp_path):
+    rng = np.random.RandomState(2)
+    coords = _coords()
+    vars_ = {"d2m": rng.randn(4, 3, 5), "u10": rng.randn(4, 3, 5)}
+    path = str(tmp_path / "era.nc4")
+    H5.write_netcdf4(path, coords, vars_)
+    assert H5.list_variables_h5(path) == ["d2m", "u10"]
+    pdf = H5.nc4_decode(path)
+    assert len(pdf) == 60
+    assert pdf["time"].iloc[0] == pd.Timestamp("2023-11-14 22:13:20")
+    np.testing.assert_allclose(
+        pdf["d2m"].to_numpy().reshape(4, 3, 5), vars_["d2m"]
+    )
+
+
+def test_nc4_decode_filters(tmp_path):
+    coords = _coords()
+    vals = np.arange(60.0).reshape(4, 3, 5)
+    path = str(tmp_path / "f.nc4")
+    H5.write_netcdf4(path, coords, {"d2m": vals})
+    opts = H.IngestOptions(area=(51.5, 5.0, 50.5, 6.0))
+    pdf = H5.nc4_decode(path, opts)
+    assert set(pdf["latitude"]) == {51.0}
+    assert pdf["longitude"].max() <= 6.0
+
+
+def test_ingest_auto_detects_netcdf4(spark, tmp_path):
+    coords = _coords()
+    rng = np.random.RandomState(3)
+    d2m = rng.randn(4, 3, 5).round(4)
+    u10 = rng.randn(4, 3, 5).round(4)
+    v10 = rng.randn(4, 3, 5).round(4)
+    path = str(tmp_path / "era.nc4")
+    H5.write_netcdf4(path, coords, {"d2m": d2m, "u10": u10, "v10": v10})
+    out = H.ingest(spark, [path]).collect()
+    assert len(out) == 60
+    got = {(r.time, r.latitude, r.longitude): r.d2m for r in out}
+    assert got[(pd.Timestamp("2023-11-14 22:13:20"), 52.0, 5.0)] == d2m[0, 0, 0]
+
+
+def test_opener_dispatches_netcdf4(spark, tmp_path):
+    from weather_tools_spark.sources.opener import detect, open_dataset
+
+    coords = _coords()
+    path = str(tmp_path / "x.nc4")
+    H5.write_netcdf4(path, coords, {"d2m": np.ones((4, 3, 5))})
+    assert detect(path) == "netcdf4"
+    df = open_dataset(spark, path)
+    assert df.count() == 60 and "d2m" in df.columns
+
+
+def test_partitioned_sink_roundtrip(spark, tmp_path):
+    rows = []
+    for d in (1, 2):
+        for h in (0, 12):
+            for la in (52.0, 51.0):
+                for lo in (5.0, 6.0, 7.0):
+                    rows.append(
+                        (pd.Timestamp(f"2024-09-0{d} {h:02d}:00:00").to_pydatetime(),
+                         la, lo, float(d * 100 + h + la + lo))
+                    )
+    df = spark.createDataFrame(
+        rows, "time timestamp, latitude double, longitude double, d2m double"
+    )
+    out = str(tmp_path / "nc4s")
+    n = H5.write_netcdf4_partitioned(df, out, ["d2m"])
+    assert n == 2
+
+    import os
+
+    files = sorted(os.listdir(out))
+    assert files == ["2024-09-01.nc4", "2024-09-02.nc4"]
+    back = H5.nc4_decode(os.path.join(out, "2024-09-02.nc4"))
+    want = {(la, lo, t.hour): v for t, la, lo, v in rows if t.day == 2}
+    assert len(back) == len(want)
+    for _, r in back.iterrows():
+        assert want[(r.latitude, r.longitude, r.time.hour)] == r.d2m
+
+
+def test_unsupported_structures_raise_clearly(tmp_path):
+    # truncated/garbage after magic → clear error, not a misparse
+    p = tmp_path / "bad.h5"
+    p.write_bytes(H5.MAGIC + bytes([9]) + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="superblock version 9"):
+        H5.read_hdf5(str(p))

@@ -77,9 +77,13 @@ def test_geotiff_dispatch(spark, tmp_path):
 
 def test_unknown_format_raises(tmp_path):
     p = tmp_path / "x.bin"
-    p.write_bytes(b"\x89HDF\r\n\x1a\n")
+    p.write_bytes(b"\x00NOTAFORMAT\x00" * 4)
     with pytest.raises(ValueError, match="unable to open"):
         OP.detect(str(p))
+    # HDF5 magic is no longer unknown — it routes to the stdlib subset
+    q = tmp_path / "y.h5"
+    q.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 8)
+    assert OP.detect(str(q)) == "netcdf4"
 
 
 def test_xql_over_zarr_store(spark, tmp_path):

@@ -201,10 +201,21 @@ def _grib1_decode(path: str, opts: IngestOptions) -> pd.DataFrame:
     return grib1_decode(path, opts)
 
 
+def _nc4_decode(path: str, opts: IngestOptions) -> pd.DataFrame:
+    """NetCDF-4/HDF5 decode, stdlib-only subset (sources/hdf5.py):
+    superblock v0-v3, v1/v2 object headers, contiguous + chunked
+    B-tree layouts, shuffle+deflate filters. Unsupported HDF5
+    structures raise toward the xarray branch."""
+    from .hdf5 import nc4_decode
+
+    return nc4_decode(path, opts)
+
+
 DECODERS: dict[str, DecoderFn] = {
     "fake": _fake_grid_decode,
     "xarray": _xarray_decode,
     "netcdf3": _nc3_decode,
+    "netcdf4": _nc4_decode,
     "grib2": _grib2_decode,
     "grib1": _grib1_decode,
 }
@@ -213,7 +224,7 @@ DECODERS: dict[str, DecoderFn] = {
 def _is_classic_netcdf(path: str) -> bool:
     """Magic-byte probe: classic NetCDF starts 'CDF\\x01'/'CDF\\x02'/
     'CDF\\x05' (CDF-5, 64-bit data). NetCDF-4/HDF5 starts '\\x89HDF'
-    and needs the xarray branch."""
+    and routes to the stdlib HDF5 subset codec (sources/hdf5.py)."""
     import os
 
     try:
@@ -276,11 +287,14 @@ def ingest(
         def decode(uri: str, o: IngestOptions) -> pd.DataFrame:
             from .grib1 import is_grib1
             from .grib2 import is_grib2
+            from .hdf5 import is_hdf5
 
             if uri.startswith("mem://"):
                 name = "fake"
             elif _is_classic_netcdf(uri):
                 name = "netcdf3"
+            elif is_hdf5(uri):
+                name = "netcdf4"
             elif is_grib2(uri):
                 name = "grib2"
             elif is_grib1(uri):

@@ -10,6 +10,9 @@ codecs (no xarray/cfgrib/rasterio):
   ``*.zarr``)  → chunk-manifest scan with range PRUNING + ``zarr2``
   decode (sources/zarr_scan.py + zarr_v2.py);
 - classic NetCDF (``CDF\\x01/\\x02``)   → sources/netcdf3.py;
+- NetCDF-4/HDF5 (``\\x89HDF\\r\\n\\x1a\\n``) → sources/hdf5.py (stdlib
+  HDF5 subset: symbol-table groups, contiguous/chunked B-tree
+  layouts, shuffle+deflate);
 - GRIB2 (``GRIB``+edition 2)           → sources/grib2.py;
 - GRIB1 (``GRIB``+edition 1)           → sources/grib1.py (the
   reference's cfgrib edition fallback, sinks.py:370-389);
@@ -39,6 +42,7 @@ def detect(uri: str) -> str:
     from .geotiff import is_tiff
     from .grib1 import is_grib1
     from .grib2 import is_grib2
+    from .hdf5 import is_hdf5
     from .hypercube import _is_classic_netcdf
     from .zarr_v2 import ZMETADATA
 
@@ -60,6 +64,8 @@ def detect(uri: str) -> str:
         return "zarr"
     if _is_classic_netcdf(uri):
         return "netcdf3"
+    if is_hdf5(uri):
+        return "netcdf4"
     if is_grib2(uri):
         return "grib2"
     if is_grib1(uri):
@@ -67,8 +73,8 @@ def detect(uri: str) -> str:
     if is_tiff(uri):
         return "geotiff"
     raise ValueError(
-        f"unable to open dataset {uri!r}: not a zarr v2 store, classic NetCDF, "
-        "GRIB1/GRIB2, or GeoTIFF (NetCDF-4/HDF5 needs the xarray branch)"
+        f"unable to open dataset {uri!r}: not a zarr store, classic NetCDF, "
+        "NetCDF-4/HDF5, GRIB1/GRIB2, or GeoTIFF"
     )
 
 
@@ -135,6 +141,11 @@ def open_dataset(
 
             cols = ["time", "latitude", "longitude"] + sorted(list_variables(uris[0]))
             df = _file_frame(spark, uris, lambda p: nc3_decode(p, None), cols)
+        elif kind == "netcdf4":
+            from .hdf5 import list_variables_h5, nc4_decode
+
+            cols = ["time", "latitude", "longitude"] + list_variables_h5(uris[0])
+            df = _file_frame(spark, uris, lambda p: nc4_decode(p, None), cols)
         elif kind == "grib2":
             from .grib2 import grib2_decode, list_params
 
