@@ -320,9 +320,17 @@ def ngram_jaccard_pairs(
         # self-join with ONE aggregation — one fewer wide shuffle, and
         # the pair fan-out happens as a narrow transform. doc lists are
         # sorted so emitted pairs are canonical (a < b) with no dedup.
+        # Per-doc set sizes are attached BEFORE expansion: the (doc,
+        # shingle, n_sh) frame is |exploded| rows and the size side of
+        # the join is one row per doc (AQE broadcasts it when small;
+        # co-partitioned by doc_id at scale), so the candidate-pair
+        # frame — the largest in the plan, Σ C(m,2) rows — carries its
+        # Jaccard denominators through the final aggregation and never
+        # gets joined again.
+        with_sz = exploded.join(sizes, "doc_id")
         byshingle = (
-            exploded.groupBy("s")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("d"))
+            with_sz.groupBy("s")
+            .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("d"))
             .filter(F.size("d") >= 2)
         )
         combos = byshingle.select(
@@ -330,26 +338,30 @@ def ngram_jaccard_pairs(
                 F.expr(
                     "flatten(transform(sequence(1, size(d)-1), "
                     "i -> transform(slice(d, i+1, size(d)-i), "
-                    "y -> struct(element_at(d, i) AS a, y AS b))))"
+                    "y -> struct(element_at(d, i).doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "element_at(d, i).n_sh AS n_a, y.n_sh AS n_b))))"
                 )
             ).alias("p")
         )
         inter = (
-            combos.select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-            .groupBy("doc_a", "doc_b")
+            combos.groupBy("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-    else:
-        # Uncapped exact path: an unbounded per-shingle doc list would
-        # be an executor-memory hazard, so intersections stream through
-        # the shingle equi-join instead.
-        a = exploded.alias("a")
-        b = exploded.alias("b")
-        inter = (
-            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
+        return inter.select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+    # Uncapped exact path: an unbounded per-shingle doc list would
+    # be an executor-memory hazard, so intersections stream through
+    # the shingle equi-join instead.
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
