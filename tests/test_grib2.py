@@ -112,6 +112,59 @@ def test_complex_packing_roundtrip(tmp_path, packing):
     assert np.array_equal(m["values"], vals)
 
 
+def test_png_packing_roundtrip(tmp_path):
+    """Template 5.41: offsets packed as a genuine grayscale PNG
+    (stdlib zlib encoder, filter 0). Exact on 10^-3 multiples within
+    the 16-bit span."""
+    path = str(tmp_path / "p.grib2")
+    G2.write_grib2(path, _msgs(), packing="png")
+    msgs = G2.read_grib2(path)
+    for got, want in zip(msgs, _msgs()):
+        assert np.array_equal(got["values"], want["values"])
+    # the section-7 payload really is a PNG stream
+    buf = open(path, "rb").read()
+    assert b"\x89PNG\r\n\x1a\n" in buf and b"IHDR" in buf and b"IEND" in buf
+
+
+def test_png_decoder_handles_all_filter_types():
+    """PNGs from standard encoders use per-scanline filter heuristics;
+    the decoder reverses all five types (None/Sub/Up/Average/Paeth)."""
+    import struct as _s
+    import zlib as _z
+
+    rng = np.random.RandomState(11)
+    h, w = 4, 6
+    img = rng.randint(0, 255, (h, w)).astype("u1")
+    for ftype in range(5):
+        scan, prev = b"", np.zeros(w, dtype="i4")
+        for j in range(h):
+            row = img[j].astype("i4")
+            enc = np.zeros(w, dtype="i4")
+            for i in range(w):
+                a = int(row[i - 1]) if i >= 1 else 0
+                b = int(prev[i])
+                c = int(prev[i - 1]) if i >= 1 else 0
+                pred = [0, a, b, (a + b) // 2,
+                        a if abs(b - c) <= abs(a - c) and abs(b - c) <= abs(a + b - 2 * c)
+                        else b if abs(a - c) <= abs(a + b - 2 * c) else c][ftype]
+                enc[i] = (row[i] - pred) % 256
+            prev = row
+            scan += bytes([ftype]) + enc.astype("u1").tobytes()
+
+        def chunk(tag, body):
+            return _s.pack(">I", len(body)) + tag + body + _s.pack(
+                ">I", _z.crc32(tag + body) & 0xFFFFFFFF
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", _z.compress(scan))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(G2._png_decode(png), img.astype("i8"))
+
+
 def test_complex_packing_is_smaller_on_smooth_fields(tmp_path):
     """The point of complex packing: per-group widths track local
     dynamic range, so smooth fields pack tighter than one global

@@ -13,7 +13,9 @@ big-endian sections —
     reference value R as IEEE float32, binary scale E, decimal scale
     D, bits per value; templates 5.2/5.3 complex packing: per-group
     references + bit widths, optional 1st/2nd-order spatial
-    differencing — the packing operational NCEP products ship) ·
+    differencing — the packing operational NCEP products ship;
+    template 5.41 PNG packing: offsets as a grayscale PNG stream,
+    stdlib zlib codec with all five scanline filters on decode) ·
     6 bitmap · 7 data (packed offsets
     X: value = (R + X·2^E) / 10^D) · 8 '7777'
 
@@ -283,6 +285,8 @@ def write_grib2(
             sec5, sec7 = _encode_complex(scaled, decimal_scale, order=1)
         elif packing == "complex_diff2":
             sec5, sec7 = _encode_complex(scaled, decimal_scale, order=2)
+        elif packing == "png":
+            sec5, sec7 = _encode_png_packing(scaled, decimal_scale)
         elif packing != "simple":
             raise ValueError(f"unknown packing {packing!r}")
         else:
@@ -425,9 +429,11 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
             ).astype("f8")
         elif tmpl in (2, 3):
             X = _decode_complex(s5, s7, ni * nj).astype("f8")
+        elif tmpl == 41:
+            X = _png_decode(s7[5:]).astype("f8").ravel()
         else:
             raise NotImplementedError(
-                f"data representation template {tmpl} (simple/complex packing only)"
+                f"data representation template {tmpl} (simple/complex/PNG packing only)"
             )
         vals = (float(ref) + X * (2.0 ** E)) / (10.0 ** D)
         msgs.append(
@@ -441,6 +447,122 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
         )
         p += total
     return msgs
+
+
+def _png_encode(arr: np.ndarray, bit_depth: int) -> bytes:
+    """Minimal grayscale PNG encoder (stdlib zlib + struct) for GRIB2
+    data representation template 5.41: one IHDR/IDAT/IEND stream,
+    filter type 0 on every scanline, 8- or 16-bit grayscale. GRIB
+    treats the grid as an Nj×Ni image."""
+    import zlib as _z
+
+    nj, ni = arr.shape
+    if bit_depth == 8:
+        raw_rows = arr.astype(">u1")
+    elif bit_depth == 16:
+        raw_rows = arr.astype(">u2")
+    else:
+        raise ValueError(f"PNG bit depth {bit_depth}")
+    scan = b"".join(b"\x00" + raw_rows[j].tobytes() for j in range(nj))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", ni, nj, bit_depth, 0, 0, 0, 0)  # grayscale
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(scan, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(buf: bytes) -> np.ndarray:
+    """Minimal grayscale PNG decoder: walks chunks, inflates IDAT, and
+    reverses scanline filters 0-4 (None/Sub/Up/Average/Paeth) — the
+    full filter set, so PNGs from standard encoders parse too."""
+    import zlib as _z
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature in GRIB section 7")
+    p = 8
+    width = height = bit_depth = None
+    idat = b""
+    while p < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, p)
+        tag = buf[p + 4 : p + 8]
+        body = buf[p + 8 : p + 8 + ln]
+        p += 12 + ln
+        if tag == b"IHDR":
+            width, height, bit_depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if color != 0:
+                raise NotImplementedError(f"PNG color type {color} (grayscale only)")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    scan = _z.decompress(idat)
+    bpp = max(1, bit_depth // 8)
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype="u1")
+    prev = np.zeros(stride, dtype="u1")
+    q = 0
+    for j in range(height):
+        ftype = scan[q]
+        row = np.frombuffer(scan[q + 1 : q + 1 + stride], dtype="u1").astype("i4")
+        q += 1 + stride
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up
+            rec = (row + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            rec = np.zeros(stride, dtype="i4")
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                rec[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[j] = rec.astype("u1")
+        prev = out[j]
+    if bit_depth == 16:
+        return np.frombuffer(out.tobytes(), dtype=">u2").reshape(height, width).astype("i8")
+    return out.reshape(height, width).astype("i8")
+
+
+def _encode_png_packing(scaled: np.ndarray, decimal_scale: int) -> tuple[bytes, bytes]:
+    """Sections 5+7 for template 5.41 (PNG packing): offsets from the
+    float32-quantized reference packed as a grayscale PNG image."""
+    nj, ni = scaled.shape
+    ref = _quantized_f32_ref(int(scaled.min()))
+    offsets = np.round(scaled.astype("f8") - ref).astype("i8")
+    span = int(offsets.max()) if offsets.size else 0
+    bits = 8 if span < 2**8 else 16
+    if span >= 2**16:
+        raise ValueError("value span too wide for 16-bit PNG packing")
+    png = _png_encode(offsets.reshape(nj, ni), bits)
+    sec7 = struct.pack(">IB", 5 + len(png), 7) + png
+    sec5 = struct.pack(
+        ">IBIHfHHBB", 21, 5, ni * nj, 41, ref, _sm16(0), _sm16(decimal_scale), bits, 0
+    )
+    return sec5, sec7
 
 
 def _decode_complex(s5: bytes, s7: bytes, npts: int) -> np.ndarray:
