@@ -90,6 +90,23 @@ def test_century_boundary_years(tmp_path):
         assert m["ref_time"] == pd.Timestamp(f"{year}-03-04 05:00:00")
 
 
+def test_bitmap_roundtrip(tmp_path):
+    """NaN grid points produce a real BMS: PDS flag 0xC0, data section
+    holds present points only, decode scatters NaN back."""
+    rng = np.random.RandomState(9)
+    vals = (rng.randint(-5000, 5000, (3, 4)) / 1000.0)
+    vals[0, 0] = vals[1, 3] = np.nan
+    path = str(tmp_path / "b.grib")
+    G1.write_grib1(path, [{"param": "d2m", "ref_time": "2024-01-05", "lats": LATS,
+                           "lons": LONS, "values": vals}])
+    buf = open(path, "rb").read()
+    assert buf[8 + 7] == 0xC0  # PDS flags: GDS + BMS present
+    (m,) = G1.read_grib1(path)
+    assert np.array_equal(np.isnan(m["values"]), np.isnan(vals))
+    keep = ~np.isnan(vals)
+    assert np.array_equal(m["values"][keep], vals[keep])
+
+
 def test_message_filter_pushdown(tmp_path):
     path = str(tmp_path / "f.grib")
     G1.write_grib1(path, _msgs())

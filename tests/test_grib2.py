@@ -165,6 +165,35 @@ def test_png_decoder_handles_all_filter_types():
         assert np.array_equal(G2._png_decode(png), img.astype("i8"))
 
 
+@pytest.mark.parametrize("packing", ["simple", "complex", "complex_diff2"])
+def test_bitmap_roundtrip(tmp_path, packing):
+    """NaN grid points produce a real section-6 bitmap: the data
+    section holds only present points; decode scatters NaN back."""
+    rng = np.random.RandomState(7)
+    vals = (rng.randint(-5000, 5000, (3, 4)) / 1000.0)
+    vals[0, 1] = vals[2, 3] = vals[1, 0] = np.nan
+    path = str(tmp_path / "b.grib2")
+    G2.write_grib2(path, [{"param": "d2m", "ref_time": "2024-01-05", "lats": LATS,
+                           "lons": LONS, "values": vals}], packing=packing)
+    (m,) = G2.read_grib2(path)
+    assert np.array_equal(np.isnan(m["values"]), np.isnan(vals))
+    keep = ~np.isnan(vals)
+    assert np.array_equal(m["values"][keep], vals[keep])
+
+
+def test_bitmap_nan_becomes_null_in_ingest(spark, tmp_path):
+    """The reference scrubs NaN→NULL on every row (bq.py:461-465,
+    util.py:88-99); bitmap holes must surface as SQL NULLs."""
+    vals = np.arange(12, dtype="f8").reshape(3, 4)
+    vals[1, 2] = np.nan
+    path = str(tmp_path / "n.grib2")
+    G2.write_grib2(path, [{"param": "d2m", "ref_time": "2024-01-05", "lats": LATS,
+                           "lons": LONS, "values": vals}])
+    rows = H.ingest(spark, [path])
+    assert rows.filter("d2m IS NULL").count() == 1
+    assert rows.filter("d2m IS NOT NULL").count() == 11
+
+
 def test_complex_packing_is_smaller_on_smooth_fields(tmp_path):
     """The point of complex packing: per-group widths track local
     dynamic range, so smooth fields pack tighter than one global

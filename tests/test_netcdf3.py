@@ -172,3 +172,45 @@ def test_int64_type_rejected_outside_cdf5(tmp_path):
             {"d2m": np.zeros((1, 1, 1))},
             version=1,
         )
+
+
+@pytest.mark.parametrize("version", [1, 2, 5])
+def test_record_dimension_roundtrip(tmp_path, version):
+    """UNLIMITED (record) time dimension: dim length 0 + numrecs in the
+    header, per-record slices of every record variable interleaved in
+    the record section — the growable-time layout streaming NetCDF
+    writers emit. Exact roundtrip including the record coordinate."""
+    rng = np.random.RandomState(4)
+    coords = {
+        "time": (np.arange(5) * 3600).astype(">i4"),
+        "latitude": np.linspace(60.0, 50.0, 3),
+        "longitude": np.linspace(-5.0, 5.0, 4),
+    }
+    vars_ = {"d2m": rng.randn(5, 3, 4), "u10": rng.randn(5, 3, 4)}
+    path = str(tmp_path / "rec.nc")
+    N3.write_netcdf3(path, coords, vars_, version=version, record_dim="time")
+
+    buf = open(path, "rb").read()
+    numrecs = int.from_bytes(buf[4:8] if version != 5 else buf[4:12], "big")
+    assert numrecs == 5  # real record count in the header, dim len 0
+
+    c, d, _ = N3.read_netcdf3(path)
+    np.testing.assert_array_equal(np.asarray(c["time"]), coords["time"].astype("i4"))
+    for k in vars_:
+        np.testing.assert_array_equal(d[k], vars_[k])
+    assert N3.list_variables(path) == sorted(vars_)
+
+
+def test_record_layout_decodes_long_format(tmp_path):
+    rng = np.random.RandomState(5)
+    coords = {
+        "time": (np.arange(4) * 3600).astype(">i4"),
+        "latitude": np.array([50.0, 49.0]),
+        "longitude": np.array([1.0, 2.0, 3.0]),
+    }
+    va = {"d2m": rng.randn(4, 2, 3).round(3)}
+    path = str(tmp_path / "rec.nc")
+    N3.write_netcdf3(path, coords, va, record_dim="time")
+    pdf = N3.nc3_decode(path, None)
+    assert len(pdf) == 24
+    np.testing.assert_allclose(pdf["d2m"].to_numpy().reshape(4, 2, 3), va["d2m"])

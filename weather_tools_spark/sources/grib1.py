@@ -158,6 +158,12 @@ def write_grib1(path: str, messages: list[dict], decimal_scale: int = 3) -> None
         yoc = t.year % 100 or 100  # year-of-century runs 1..100
         century = (t.year - yoc) // 100 + 1
 
+        flat = vals.ravel()
+        present = np.isfinite(flat)
+        has_bitmap = not present.all()
+        if has_bitmap and not present.any():
+            raise ValueError(f"message {name} has no finite values")
+
         pds = (
             (28).to_bytes(3, "big")
             + bytes(
@@ -166,7 +172,7 @@ def write_grib1(path: str, messages: list[dict], decimal_scale: int = 3) -> None
                     98,         # centre (ECMWF)
                     0,          # generating process
                     255,        # grid id: defined by GDS
-                    0x80,       # GDS present, no BMS
+                    0xC0 if has_bitmap else 0x80,  # GDS present (+BMS)
                     indicator,
                     lvl_type,
                 ]
@@ -194,9 +200,28 @@ def write_grib1(path: str, messages: list[dict], decimal_scale: int = 3) -> None
             + b"\x00" * 4
         )
 
+        # optional BMS: one bit per grid point; BDS then holds only the
+        # present points (the WMO missing-data mechanism)
+        if has_bitmap:
+            bm = np.packbits(present.astype(np.uint8)).tobytes()
+            unused_bms = (-len(present)) % 8  # pad bits in the last byte
+            if (6 + len(bm)) % 2:  # BMS must have even length
+                bm += b"\x00"
+                unused_bms += 8
+            bms = (
+                (6 + len(bm)).to_bytes(3, "big")
+                + bytes([unused_bms])
+                + struct.pack(">H", 0)  # table reference 0: bitmap follows
+                + bm
+            )
+            kept = flat[present]
+        else:
+            bms = b""
+            kept = flat
+
         # simple packing: X = round(v·10^D) − R, E=0, R quantized
         # through the IBM encoding BEFORE offsets are computed.
-        scaled = np.round(vals * (10 ** decimal_scale)).astype("i8")
+        scaled = np.round(kept * (10 ** decimal_scale)).astype("i8")
         word, ref = _encode_ref_at_most(float(scaled.min()))
         offsets = np.round(scaled.astype("f8") - ref).astype("u8")
         span = int(offsets.max()) if offsets.size else 0
@@ -219,7 +244,7 @@ def write_grib1(path: str, messages: list[dict], decimal_scale: int = 3) -> None
             + packed
         )
 
-        body = pds + gds + bds
+        body = pds + gds + bms + bds
         total = 8 + len(body) + 4
         out += _MAGIC + total.to_bytes(3, "big") + b"\x01" + body + b"7777"
     with open(path, "wb") as f:
@@ -282,8 +307,6 @@ def read_grib1(path: str, want: set[int] | None = None) -> list[dict]:
         flags = pds[7]
         if not flags & 0x80:
             raise NotImplementedError("GRIB1 messages without GDS (catalogued grids)")
-        if flags & 0x40:
-            raise NotImplementedError("GRIB1 bitmap sections")
         yoc, month, day, hour, minute = pds[12], pds[13], pds[14], pds[15], pds[16]
         century = pds[24]
         year = (century - 1) * 100 + yoc
@@ -305,7 +328,21 @@ def read_grib1(path: str, want: set[int] | None = None) -> list[dict]:
         lats = np.linspace(lat1, lat2, nj) if nj > 1 else np.array([lat1])
         lons = np.linspace(lon1, lon2, ni) if ni > 1 else np.array([lon1])
 
-        bds = gds[gds_len:]
+        rest = gds[gds_len:]
+        mask = None
+        if flags & 0x40:  # BMS present
+            bms_len = int.from_bytes(rest[0:3], "big")
+            table_ref, = struct.unpack_from(">H", rest, 4)
+            if table_ref != 0:
+                raise NotImplementedError("GRIB1 catalogued (predefined) bitmaps")
+            mask = (
+                np.unpackbits(np.frombuffer(rest[6:bms_len], dtype=np.uint8))[: ni * nj]
+                .astype(bool)
+            )
+            rest = rest[bms_len:]
+        npts = int(mask.sum()) if mask is not None else ni * nj
+
+        bds = rest
         bds_flags = bds[3]
         if bds_flags & 0xF0:
             raise NotImplementedError(
@@ -316,8 +353,12 @@ def read_grib1(path: str, want: set[int] | None = None) -> list[dict]:
         bits = bds[10]
         if bits not in (8, 16, 32):
             raise NotImplementedError(f"{bits}-bit packing (byte-aligned widths only)")
-        X = np.frombuffer(bds[11 : 11 + ni * nj * (bits // 8)], dtype=f">u{bits // 8}").astype("f8")
+        X = np.frombuffer(bds[11 : 11 + npts * (bits // 8)], dtype=f">u{bits // 8}").astype("f8")
         vals = (ref + X * (2.0 ** E)) / (10.0 ** D)
+        if mask is not None:
+            full = np.full(ni * nj, np.nan)
+            full[mask] = vals
+            vals = full
         msgs.append(
             {
                 "param": _REV_PARAMS1.get(indicator, f"p{indicator}"),

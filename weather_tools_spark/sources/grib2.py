@@ -22,11 +22,12 @@ big-endian sections —
 — and files are plain concatenations of messages. This module
 implements that profile directly:
 
-- :func:`write_grib2` — serialize messages (regular lat/lon grid,
-  no bitmap) with ``packing`` = simple (byte-aligned 8/16/32-bit
-  widths), complex, or complex with spatial differencing (exact int64
-  roundtrip at any magnitude — the differencing descriptors carry the
-  level, so no float32 reference-value drift);
+- :func:`write_grib2` — serialize messages (regular lat/lon grid)
+  with ``packing`` = simple (byte-aligned 8/16/32-bit widths),
+  complex, complex with spatial differencing (exact int64 roundtrip
+  at any magnitude — the differencing descriptors carry the level, so
+  no float32 reference-value drift), or png; NaN values produce a
+  real section-6 BITMAP (data section holds present points only);
 - :func:`read_grib2` — parse messages back; a ``want`` parameter set
   implements the reference's GRIB *message filter* as true pushdown:
   non-matching messages are skipped by section length without
@@ -278,7 +279,25 @@ def write_grib2(
         # quantization-bound property test). Offsets relative to the
         # float32-exact R keep the decode error ≤ 0.5·10^−D always, and
         # exact for integer-representable R.
-        scaled = np.round(vals * (10 ** decimal_scale)).astype("i8")
+        # Missing data → a real section-6 bitmap: one bit per grid
+        # point, data section holds only the PRESENT points (the WMO
+        # missing-data mechanism every operational product uses).
+        flat = vals.ravel()
+        present = np.isfinite(flat)
+        if present.all():
+            sec6 = struct.pack(">IBB", 6, 6, 255)
+            kept = flat
+        else:
+            if not present.any():
+                raise ValueError(f"message {name} has no finite values")
+            bm = np.packbits(present.astype(np.uint8)).tobytes()
+            sec6 = struct.pack(">IBB", 6 + len(bm), 6, 0) + bm
+            kept = flat[present]
+            if packing == "png":
+                raise NotImplementedError("bitmap + PNG packing (rectangular image)")
+        scaled = np.round(kept * (10 ** decimal_scale)).astype("i8")
+        if packing == "png":
+            scaled = scaled.reshape(nj, ni)
         if packing == "complex":
             sec5, sec7 = _encode_complex(scaled, decimal_scale, order=0)
         elif packing == "complex_diff1":
@@ -291,7 +310,6 @@ def write_grib2(
             raise ValueError(f"unknown packing {packing!r}")
         else:
             sec5, sec7 = _encode_simple(scaled, decimal_scale)
-        sec6 = struct.pack(">IBB", 6, 6, 255)
 
         body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
         total = 16 + len(body) + 4
@@ -415,20 +433,32 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
         lons = lon1 + np.arange(ni) * di
 
         s5 = sections[5]
+        npts, = struct.unpack_from(">I", s5, 5)  # present points (≤ ni·nj)
         tmpl, = struct.unpack_from(">H", s5, 9)
         ref, = struct.unpack_from(">f", s5, 11)
         E = _sm16d(struct.unpack_from(">H", s5, 15)[0])
         D = _sm16d(struct.unpack_from(">H", s5, 17)[0])
+        s6 = sections[6]
+        bitmap_ind = s6[5]
+        if bitmap_ind == 255:
+            mask = None
+        elif bitmap_ind == 0:
+            mask = (
+                np.unpackbits(np.frombuffer(s6[6:], dtype=np.uint8))[: ni * nj]
+                .astype(bool)
+            )
+        else:
+            raise NotImplementedError(f"bitmap indicator {bitmap_ind}")
         s7 = sections[7]
         if tmpl == 0:
             bits = s5[19]
             if bits not in (8, 16, 32):
                 raise NotImplementedError(f"{bits}-bit packing (byte-aligned widths only)")
             X = np.frombuffer(
-                s7[5 : 5 + ni * nj * (bits // 8)], dtype=f">u{bits // 8}"
+                s7[5 : 5 + npts * (bits // 8)], dtype=f">u{bits // 8}"
             ).astype("f8")
         elif tmpl in (2, 3):
-            X = _decode_complex(s5, s7, ni * nj).astype("f8")
+            X = _decode_complex(s5, s7, npts).astype("f8")
         elif tmpl == 41:
             X = _png_decode(s7[5:]).astype("f8").ravel()
         else:
@@ -436,6 +466,10 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
                 f"data representation template {tmpl} (simple/complex/PNG packing only)"
             )
         vals = (float(ref) + X * (2.0 ** E)) / (10.0 ** D)
+        if mask is not None:
+            full = np.full(ni * nj, np.nan)
+            full[mask] = vals
+            vals = full
         msgs.append(
             {
                 "param": _REV_PARAMS.get((disc, cat, num), f"p{disc}_{cat}_{num}"),

@@ -21,9 +21,11 @@ file offsets. This module implements that layout directly:
   (``DECODERS["netcdf3"]`` in sources/hypercube.py): file → long-format
   rows, same output contract as the xarray branch.
 
-Scope: fixed-size (non-record) variables, the six classic external
-types, no packing/scale-offset — the shape every static-grid export
-uses. NetCDF-4/HDF5 files remain behind the xarray gate.
+Scope: fixed-size AND record (unlimited-dimension) variables — the
+interleaved record layout growable-time exports use — over the six
+classic external types plus the CDF-5 additions; no packing/
+scale-offset. NetCDF-4/HDF5 files route to the stdlib HDF5 subset
+codec (sources/hdf5.py).
 
 Distributed sink: one classic file is a single stream, so the parallel
 shape is file-per-slice — :func:`write_netcdf3_partitioned` has each
@@ -85,26 +87,37 @@ def write_netcdf3(
     coords: dict[str, np.ndarray],
     variables: dict[str, np.ndarray],
     version: int = 1,
+    record_dim: str | None = None,
 ) -> None:
-    """Serialize a static hypercube as classic NetCDF bytes.
+    """Serialize a hypercube as classic NetCDF bytes.
 
     ``coords`` maps dim name → 1-D axis array (defines dim order);
     ``variables`` maps var name → array shaped by all dims in order.
     Coordinate variables are written CF-style (same name as the dim;
-    ``units`` attribute on ``time``)."""
+    ``units`` attribute on ``time``). ``record_dim`` names the
+    UNLIMITED dimension (must be the first dim): it is written with
+    length 0, ``numrecs`` carries the actual count, and every variable
+    over it becomes a record variable with its records interleaved in
+    the record section — the growable-time layout streaming NetCDF
+    writers emit."""
     dims = list(coords)
     shapes = {d: len(coords[d]) for d in dims}
+    if record_dim is not None and (not dims or dims[0] != record_dim):
+        raise ValueError("record_dim must be the first coordinate dimension")
     for v, arr in variables.items():
         if tuple(arr.shape) != tuple(shapes[d] for d in dims):
             raise ValueError(f"variable {v} shape {arr.shape} != dims {shapes}")
 
+    numrecs = shapes[record_dim] if record_dim is not None else 0
     # header: magic + numrecs + dim list + empty global atts + var list
     nn = _nn(version)
     magic = {1: _MAGIC1, 2: _MAGIC2, 5: _MAGIC5}[version]
-    head = magic + struct.pack(nn, 0)
+    head = magic + struct.pack(nn, numrecs)
     head += struct.pack(">i", NC_DIMENSION) + struct.pack(nn, len(dims))
     for d in dims:
-        head += _name(d.encode(), version) + struct.pack(nn, shapes[d])
+        head += _name(d.encode(), version) + struct.pack(
+            nn, 0 if d == record_dim else shapes[d]
+        )
     head += struct.pack(">i", 0) + struct.pack(nn, 0)  # no global attributes
 
     # variables: coordinates first (CF), then data vars
@@ -115,17 +128,30 @@ def write_netcdf3(
     for v, arr in variables.items():
         entries.append((v, list(range(len(dims))), {}, np.asarray(arr)))
 
-    # lay out data section: each var padded to a 4-byte boundary
+    # lay out data sections: fixed variables first (each padded to 4
+    # bytes), then the RECORD section — per-record slices of every
+    # record variable interleaved (the classic-format record layout;
+    # a lone record variable's slices are unpadded per the spec)
     offset_fmt = ">i" if version == 1 else ">q"
-    bodies, metas = [], []
+    fixed_bodies, metas, rec_vars = [], [], []
+    is_record = lambda dimids: record_dim is not None and dimids[:1] == [0]  # noqa: E731
+    n_rec = sum(1 for _, dimids, _, _ in entries if is_record(dimids))
     for name, dimids, atts, arr in entries:
         t = _REV_TYPES[str(arr.dtype.newbyteorder("=").name)]
         if t > 6 and version != 5:
             raise ValueError(f"type {arr.dtype} requires CDF-5 (version=5)")
-        raw = np.ascontiguousarray(arr, dtype=_TYPES[t]).tobytes()
-        vsize = len(raw) + (-len(raw) % 4)
-        metas.append((name, dimids, atts, t, vsize))
-        bodies.append(_pad4(raw))
+        arr = np.ascontiguousarray(arr, dtype=_TYPES[t])
+        if is_record(dimids):
+            slice_len = arr.nbytes // max(1, numrecs)
+            vsize = slice_len if n_rec == 1 else slice_len + (-slice_len % 4)
+            metas.append((name, dimids, atts, t, vsize))
+            rec_vars.append((arr, vsize))
+            fixed_bodies.append(None)
+        else:
+            raw = arr.tobytes()
+            vsize = len(raw) + (-len(raw) % 4)
+            metas.append((name, dimids, atts, t, vsize))
+            fixed_bodies.append(_pad4(raw))
 
     # var_list is self-referential through `begin`: compute header size
     # with placeholder offsets first (offsets have fixed width)
@@ -141,11 +167,35 @@ def write_netcdf3(
 
     header_len = len(head) + len(var_list([0] * len(metas)))
     begins, pos = [], header_len
-    for body in bodies:
-        begins.append(pos)
-        pos += len(body)
+    for body in fixed_bodies:
+        begins.append(pos if body is not None else -1)
+        if body is not None:
+            pos += len(body)
+    # record variables begin inside record 0, laid out in var order
+    rec_base, rec_off = pos, 0
+    ri = 0
+    for i, body in enumerate(fixed_bodies):
+        if body is None:
+            begins[i] = rec_base + rec_off
+            rec_off += rec_vars[ri][1]
+            ri += 1
+    record_section = b""
+    if rec_vars:
+        recsize = sum(v for _, v in rec_vars)
+        for r in range(numrecs):
+            for arr, vsize in rec_vars:
+                # r:r+1 (not r): scalar extraction from a 1-D big-endian
+                # array returns a NATIVE-endian numpy scalar; the slice
+                # view preserves the on-disk byte order
+                raw = arr[r : r + 1].tobytes()
+                record_section += raw + b"\x00" * (vsize - len(raw))
+        assert len(record_section) == recsize * numrecs
     with open(path, "wb") as f:
-        f.write(head + var_list(begins) + b"".join(bodies))
+        f.write(
+            head + var_list(begins)
+            + b"".join(b for b in fixed_bodies if b is not None)
+            + record_section
+        )
 
 
 def _read_nn(buf: bytes, p: int, version: int) -> tuple[int, int]:
@@ -206,8 +256,6 @@ def _parse(buf: bytes, header_only: bool = False):
         raise ValueError("not a classic NetCDF file")
     offset_fmt = ">i" if version == 1 else ">q"
     numrecs, p = _read_nn(buf, 4, version)
-    if numrecs:
-        raise NotImplementedError("record (unlimited) dimensions not supported")
     (tag,) = struct.unpack_from(">i", buf, p)
     ndims, p = _read_nn(buf, p + 4, version)
     dim_names, dim_lens = [], []
@@ -219,9 +267,7 @@ def _parse(buf: bytes, header_only: bool = False):
     _, p = _read_atts(buf, p, version)  # global atts (ignored)
     (tag,) = struct.unpack_from(">i", buf, p)
     nvars, p = _read_nn(buf, p + 4, version)
-    coords: dict[str, np.ndarray] = {}
-    data: dict[str, np.ndarray] = {}
-    attrs: dict[str, dict] = {}
+    var_metas = []
     for _ in range(nvars if tag == NC_VARIABLE else 0):
         nm, p = _read_name(buf, p, version)
         nd, p = _read_nn(buf, p, version)
@@ -231,20 +277,51 @@ def _parse(buf: bytes, header_only: bool = False):
             dimids.append(di)
         atts, p = _read_atts(buf, p, version)
         (t,) = struct.unpack_from(">i", buf, p)
-        _vsize, p = _read_nn(buf, p + 4, version)
+        vsize, p = _read_nn(buf, p + 4, version)
         (begin,) = struct.unpack_from(offset_fmt, buf, p)
         p += struct.calcsize(offset_fmt)
-        shape = tuple(dim_lens[i] for i in dimids)
+        var_metas.append((nm, dimids, atts, t, vsize, begin))
+
+    # record (unlimited) dimension: recorded with length 0; record
+    # variables interleave per-record slices, each record `recsize`
+    # bytes apart (spec: the sum of all record variables' vsizes)
+    rec_id = dim_lens.index(0) if (numrecs and 0 in dim_lens) else None
+    recsize = sum(m[4] for m in var_metas if rec_id is not None and m[1][:1] == [rec_id])
+    coords: dict[str, np.ndarray] = {}
+    data: dict[str, np.ndarray] = {}
+    attrs: dict[str, dict] = {}
+    for nm, dimids, atts, t, vsize, begin in var_metas:
+        is_rec = rec_id is not None and dimids[:1] == [rec_id]
+        shape = tuple(
+            numrecs if (is_rec and i == rec_id) else dim_lens[i] for i in dimids
+        )
         count = int(np.prod(shape)) if shape else 1
         width = int(np.dtype(_TYPES[t]).itemsize)
         if header_only:
             arr = None
+        elif is_rec:
+            slice_bytes = (count // max(1, numrecs)) * width
+            end = begin + (numrecs - 1) * recsize + slice_bytes if numrecs else begin
+            if end > len(buf):
+                raise struct.error("record section beyond buffer")
+            parts = [
+                np.frombuffer(
+                    buf[begin + r * recsize : begin + r * recsize + slice_bytes],
+                    _TYPES[t],
+                )
+                for r in range(numrecs)
+            ]
+            arr = (
+                np.concatenate(parts).reshape(shape)
+                if numrecs
+                else np.zeros(shape, dtype=_TYPES[t])
+            )
         else:
             if begin + count * width > len(buf):
                 raise struct.error("data section beyond buffer")
             arr = np.frombuffer(buf[begin : begin + count * width], _TYPES[t]).reshape(shape)
         attrs[nm] = atts
-        if nd == 1 and nm == dim_names[dimids[0]]:
+        if len(dimids) == 1 and nm == dim_names[dimids[0]]:
             coords[nm] = arr
         else:
             data[nm] = arr
