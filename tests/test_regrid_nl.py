@@ -122,3 +122,46 @@ def test_nl_llm_passthrough(spark, sf_dir):
     df = nl.ask(spark, "how many events are there", "events", llm=fake_llm, time_col="ts")
     assert df.first().n > 0
     assert "Question: how many events are there" in prompts[0]
+
+
+def test_regrid_conservative_exact_vs_numpy(spark):
+    """First-order conservative remap 0.25° → 1.0° (aligned 4×4
+    blocks): matches the numpy area-weighted reference exactly and
+    preserves the global spherical integral to double precision."""
+    import numpy as np
+
+    lats = np.arange(50.125, 54.0, 0.25)
+    lons = np.arange(0.125, 8.0, 0.25)
+    rng = np.random.RandomState(0)
+    rows = [(float(la), float(lo), float(rng.randn())) for la in lats for lo in lons]
+    src = spark.createDataFrame(rows, "latitude double, longitude double, v double") \
+               .withColumn("time", F.lit("2024-01-01").cast("timestamp"))
+    out = RG.regrid_conservative(src, 0.25, 0.25, 1.0, 1.0, ["v"]).toPandas()
+
+    d2r = math.pi / 180
+    v = np.array([r[2] for r in rows]).reshape(len(lats), len(lons))
+    wlat = np.sin((lats + 0.125) * d2r) - np.sin((lats - 0.125) * d2r)
+    num = (v * wlat[:, None]).reshape(4, 4, 8, 4).sum(axis=(1, 3))
+    den = np.repeat(wlat.reshape(4, 4).sum(axis=1), 8).reshape(4, 8) * 4
+    got = out.sort_values(["latitude", "longitude"])["v"].to_numpy().reshape(4, 8)
+    np.testing.assert_allclose(got, num / den, atol=1e-12)
+
+    w_src = wlat[:, None] * 0.25
+    w_tgt = (np.sin((out["latitude"] + 0.5) * d2r) - np.sin((out["latitude"] - 0.5) * d2r)) * 1.0
+    assert abs(float((v * w_src).sum()) - float((out["v"] * w_tgt).sum())) < 1e-9
+
+
+def test_regrid_conservative_misaligned_constant(spark):
+    """Misaligned grids (0.3° → 0.5°, partial overlaps on every edge):
+    a constant field must regrid to exactly that constant — the weight
+    normalization covers fractional cell intersections."""
+    import numpy as np
+
+    lats = np.arange(50.15, 52.0, 0.3)
+    lons = np.arange(0.15, 2.0, 0.3)
+    rows = [(float(la), float(lo), 2.5) for la in lats for lo in lons]
+    src = spark.createDataFrame(rows, "latitude double, longitude double, v double") \
+               .withColumn("time", F.lit("2024-01-01").cast("timestamp"))
+    out = RG.regrid_conservative(src, 0.3, 0.3, 0.5, 0.5, ["v"]).toPandas()
+    assert len(out) > 0
+    assert np.allclose(out["v"], 2.5)

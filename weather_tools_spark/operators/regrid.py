@@ -46,6 +46,70 @@ def regrid_cell_mean(
     return df.groupBy(F.col(time_col), lat_cell, lon_cell).agg(*aggs)
 
 
+def regrid_conservative(
+    df: DataFrame,
+    src_lat_res: float,
+    src_lon_res: float,
+    tgt_lat_res: float,
+    tgt_lon_res: float,
+    value_cols: list[str],
+    time_col: str = "time",
+) -> DataFrame:
+    """First-order conservative (area-weighted) regrid between regular
+    lat/lon grids — the flux-preserving remap MetView/ESMF perform
+    (reference regrid.py MapChunkAsFieldset semantics for conservative
+    interpolation).
+
+    Each source cell (centered on its row's coordinates) is exploded
+    onto the target cells it overlaps via a JVM-side ``sequence()`` —
+    the per-axis overlap count is data-dependent, so the fan-out stays
+    a narrow transform, never a cross join. The overlap weight is the
+    true spherical area of the intersection: (sin φ_hi − sin φ_lo)·Δλ.
+    One map-combinable shuffle on (time, target cell) aggregates
+    Σw·v / Σw. Conservation holds by construction: the weights of one
+    source cell sum to its own area, so the global area-weighted
+    integral is preserved (pinned in tests)."""
+    import math
+
+    d2r = math.pi / 180.0
+    sl, so, tl, to = src_lat_res, src_lon_res, tgt_lat_res, tgt_lon_res
+    lat_lo = F.col("latitude") - sl / 2
+    lat_hi = F.col("latitude") + sl / 2
+    lon_lo = F.col("longitude") - so / 2
+    lon_hi = F.col("longitude") + so / 2
+    # target index windows (epsilon-guarded integer arithmetic, same
+    # discipline as regrid_bilinear: never float coordinate equality)
+    ti_lo = F.floor(lat_lo / tl + 1e-9).cast("long")
+    ti_hi = (F.ceil(lat_hi / tl - 1e-9) - 1).cast("long")
+    tj_lo = F.floor(lon_lo / to + 1e-9).cast("long")
+    tj_hi = (F.ceil(lon_hi / to - 1e-9) - 1).cast("long")
+    cells = (
+        df.withColumn("ti", F.explode(F.sequence(ti_lo, ti_hi)))
+        .withColumn("tj", F.explode(F.sequence(tj_lo, tj_hi)))
+    )
+    o_lat_lo = F.greatest(lat_lo, F.col("ti") * tl)
+    o_lat_hi = F.least(lat_hi, (F.col("ti") + 1) * tl)
+    o_lon_lo = F.greatest(lon_lo, F.col("tj") * to)
+    o_lon_hi = F.least(lon_hi, (F.col("tj") + 1) * to)
+    w = (F.sin(o_lat_hi * F.lit(d2r)) - F.sin(o_lat_lo * F.lit(d2r))) * (
+        o_lon_hi - o_lon_lo
+    )
+    cells = cells.withColumn("w", w)
+    aggs = [
+        (F.sum(F.col(c) * F.col("w")) / F.sum("w")).alias(c) for c in value_cols
+    ]
+    return (
+        cells.groupBy(F.col(time_col), F.col("ti"), F.col("tj"))
+        .agg(*aggs)
+        .select(
+            time_col,
+            (F.col("ti") * tl + tl / 2).alias("latitude"),
+            (F.col("tj") * to + to / 2).alias("longitude"),
+            *value_cols,
+        )
+    )
+
+
 def regrid_bilinear(
     df: DataFrame,
     target_lats: list[float],

@@ -38,6 +38,7 @@ CHECK_CHANGED: list[str] = [
     "grib1_roundtrip_agg",         # r4: NEW — stdlib GRIB edition-1 codec (IBM float), oracle-gated
     "geo_lambert_project",         # r4: NEW — Lambert conformal conic CRS transform, oracle-gated
     "netcdf4_roundtrip_agg",       # r4: NEW — stdlib HDF5/NetCDF-4 subset codec, oracle-gated
+    "regrid_conservative_agg",     # r4: NEW — area-weighted conservative regrid, oracle-gated
     "xql_zarr_daily_avg",          # r4: NEW — flagship xql-over-Zarr flow, oracle-gated
     "text_pii_scrub",              # r4: NEW — PII redaction, digest-gated
     "corpus_chunk_documents",      # r4: NEW — sliding-window chunking, per-chunk hash-gated

@@ -914,6 +914,60 @@ def grib1_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regrid_conservative_agg",
+    oracle="""
+    WITH src AS (
+      SELECT la.i AS lai, lo.i AS loi,
+             50.125 + la.i * 0.25 AS lat,
+             0.125 + lo.i * 0.25 AS lon,
+             la.i * 10 + lo.i + 0.5 AS v
+      FROM (SELECT unnest(range(0, 16)) AS i) la,
+           (SELECT unnest(range(0, 16)) AS i) lo
+    ), wcell AS (
+      SELECT lai // 4 AS ti, loi // 4 AS tj, v,
+             (sin(radians(lat + 0.125)) - sin(radians(lat - 0.125))) * 0.25 AS w
+      FROM src
+    )
+    SELECT round(50.0 + ti * 1.0 + 0.5, 2) AS latitude,
+           round(0.0 + tj * 1.0 + 0.5, 2) AS longitude,
+           round(sum(v * w) / sum(w), 6) AS v
+    FROM wcell GROUP BY ti, tj ORDER BY latitude, longitude
+    """,
+)
+def regrid_conservative_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order conservative regrid (MetView/ESMF semantics,
+    reference weather_mv loader_pipeline/regrid.py) 0.25° → 1.0° over
+    a deterministic grid: each source cell explodes onto the target
+    cells it overlaps with true spherical-area weights
+    (sin φ_hi − sin φ_lo)·Δλ, one map-combinable shuffle aggregates
+    Σw·v/Σw. Values are exact functions of grid indices, so the DuckDB
+    oracle recomputes the identical weighted means with its own trig —
+    hash-gating both the overlap geometry and the weight arithmetic."""
+    from weather_tools_spark.operators.regrid import regrid_conservative
+
+    n = 16
+    src = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") / n).cast("long").alias("lai"),
+            (F.col("id") % n).alias("loi"),
+        )
+        .select(
+            F.lit("2024-01-01").cast("timestamp").alias("time"),
+            (F.lit(50.125) + F.col("lai") * 0.25).alias("latitude"),
+            (F.lit(0.125) + F.col("loi") * 0.25).alias("longitude"),
+            (F.col("lai") * 10 + F.col("loi") + 0.5).alias("v"),
+        )
+    )
+    out = regrid_conservative(src, 0.25, 0.25, 1.0, 1.0, ["v"])
+    return out.select(
+        F.round("latitude", 2).alias("latitude"),
+        F.round("longitude", 2).alias("longitude"),
+        F.round("v", 6).alias("v"),
+    ).orderBy("latitude", "longitude")
+
+
+@register(
     "xql_zarr_daily_avg",
     oracle="""
     WITH cells AS (
