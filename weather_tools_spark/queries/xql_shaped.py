@@ -392,6 +392,139 @@ def geo_webmercator_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("latitude", "longitude")
 
 
+@register(
+    "weather_ensemble_stats",
+    oracle="""
+    WITH cube AS (
+      SELECT n.i AS num, la.i AS lai, lo.i AS loi,
+             n.i * 3 + la.i * 17 + lo.i * 5 + 0.25
+             + CASE WHEN n.i % 2 = 1 THEN 1.5 ELSE 0 END AS d2m
+      FROM (SELECT unnest(range(0, 10)) AS i) n,
+           (SELECT unnest(range(0, 3)) AS i) la,
+           (SELECT unnest(range(0, 4)) AS i) lo
+    )
+    SELECT round(48.0 - lai * 0.5, 2) AS latitude,
+           round(5.0 + loi * 0.5, 2) AS longitude,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(d2m), 6) AS ens_mean,
+           round(stddev_samp(d2m), 6) AS ens_spread,
+           round(min(d2m), 6) AS ens_min,
+           round(max(d2m), 6) AS ens_max,
+           round(quantile_cont(d2m, 0.5), 6) AS ens_median
+    FROM cube
+    GROUP BY lai, loi
+    ORDER BY latitude DESC, longitude
+    """,
+)
+def weather_ensemble_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble (`number`) axis semantics: the hypercube's canonical
+    coordinate set includes the ensemble member (reference sinks.py:44,
+    frozenset with 'number'); forecast products aggregate ACROSS
+    members per grid cell — ensemble mean, spread (sample stddev),
+    envelope, and median. One map-combinable groupBy over (cell); the
+    deterministic member perturbation makes every statistic an exact
+    function of indices for the DuckDB oracle."""
+    nm, nla, nlo = 10, 3, 4
+    cube = (
+        spark.range(nm * nla * nlo)
+        .select(
+            (F.col("id") / (nla * nlo)).cast("long").alias("num"),
+            ((F.col("id") / nlo) % nla).cast("long").alias("lai"),
+            (F.col("id") % nlo).alias("loi"),
+        )
+        .select(
+            "lai",
+            "loi",
+            (
+                F.col("num") * 3 + F.col("lai") * 17 + F.col("loi") * 5 + 0.25
+                + F.when(F.col("num") % 2 == 1, 1.5).otherwise(0.0)
+            ).alias("d2m"),
+        )
+    )
+    return (
+        cube.groupBy("lai", "loi")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("d2m"), 6).alias("ens_mean"),
+            F.round(F.stddev_samp("d2m"), 6).alias("ens_spread"),
+            F.round(F.min("d2m"), 6).alias("ens_min"),
+            F.round(F.max("d2m"), 6).alias("ens_max"),
+            F.round(F.expr("percentile(d2m, 0.5)"), 6).alias("ens_median"),
+        )
+        .select(
+            F.round(48.0 - F.col("lai") * 0.5, 2).alias("latitude"),
+            F.round(5.0 + F.col("loi") * 0.5, 2).alias("longitude"),
+            "n_members", "ens_mean", "ens_spread", "ens_min", "ens_max", "ens_median",
+        )
+        .orderBy(F.col("latitude").desc(), "longitude")
+    )
+
+
+@register(
+    "weather_forecast_leadtime",
+    oracle="""
+    WITH fc AS (
+      SELECT r.i AS run_i, s.i AS step_i,
+             TIMESTAMP '2024-05-01 00:00:00' + to_hours(12 * r.i) AS run_time,
+             12 * r.i + 6 * s.i AS valid_h,
+             6 * s.i AS lead_h,
+             (12 * r.i + 6 * s.i) * 1.5 + 6 * s.i * 0.25 AS d2m
+      FROM (SELECT unnest(range(0, 4)) AS i) r,
+           (SELECT unnest(range(0, 8)) AS i) s
+    )
+    SELECT CAST(lead_h * 3600 AS DOUBLE) AS step_seconds,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           round(avg(d2m), 6) AS avg_d2m,
+           CAST(min(run_time + to_hours(lead_h)) AS TIMESTAMP) AS first_valid_time,
+           CAST(max(run_time + to_hours(lead_h)) AS TIMESTAMP) AS last_valid_time
+    FROM fc
+    GROUP BY lead_h
+    ORDER BY step_seconds
+    """,
+)
+def weather_forecast_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast `step`/`valid_time` semantics: the reference stores the
+    timedelta step as SECONDS-as-FLOAT64 (bq.py:440-441,
+    util.py:121-125) and derives valid_time = time + step. Aggregating
+    by lead time across runs is the forecast-verification shape: one
+    groupBy on the step column, with valid_time reconstructed as a
+    timestamp interval add — both recomputed independently by the
+    oracle."""
+    nr, ns = 4, 8
+    fc = (
+        spark.range(nr * ns)
+        .select(
+            (F.col("id") / ns).cast("long").alias("run_i"),
+            (F.col("id") % ns).alias("step_i"),
+        )
+        .select(
+            (
+                F.lit("2024-05-01 00:00:00").cast("timestamp")
+                + F.make_interval(hours=F.col("run_i") * 12)
+            ).alias("time"),
+            (F.col("step_i") * 6 * 3600).cast("double").alias("step_seconds"),
+            (
+                (F.col("run_i") * 12 + F.col("step_i") * 6) * 1.5
+                + F.col("step_i") * 6 * 0.25
+            ).alias("d2m"),
+        )
+    )
+    valid = fc.withColumn(
+        "valid_time",
+        F.col("time") + F.make_interval(secs=F.col("step_seconds")),
+    )
+    return (
+        valid.groupBy("step_seconds")
+        .agg(
+            F.count(F.lit(1)).alias("n_forecasts"),
+            F.round(F.avg("d2m"), 6).alias("avg_d2m"),
+            F.min("valid_time").alias("first_valid_time"),
+            F.max("valid_time").alias("last_valid_time"),
+        )
+        .orderBy("step_seconds")
+    )
+
+
 def _lcc_params():
     from weather_tools_spark.functions.geo import lambert_conformal_params
 
