@@ -135,3 +135,68 @@ def test_glob_opens_multi_file_collection(spark, tmp_path):
 def test_earthengine_uri_gates_clearly():
     with pytest.raises(NotImplementedError, match="earthengine-api"):
         OP.detect("ee://ECMWF/ERA5/HOURLY")
+
+
+def test_stream_ingest_files_decodes_new_weather_files(spark, tmp_path):
+    """The reference's streaming mode (Pub/Sub object-finalize → file
+    URIs → decode, weather_mv pipeline.py:62-70): files landing in a
+    watched directory are decoded per micro-batch through the
+    magic-byte dispatch, exactly once across a checkpointed restart."""
+    import numpy as np
+
+    from weather_tools_spark.sources import grib2 as G2
+    from weather_tools_spark.sources import netcdf3 as N3
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    lats = np.array([49.0, 48.75])
+    lons = np.array([2.0, 2.25, 2.5])
+    base = np.arange(6, dtype="f8").reshape(2, 3)
+    # two formats in one stream: the dispatch is per file
+    G2.write_grib2(
+        str(watch / "a.grib2"),
+        [{"param": "d2m", "ref_time": "2024-06-01 00:00:00", "lats": lats,
+          "lons": lons, "values": base + 0.125}],
+    )
+    N3.write_netcdf3(
+        str(watch / "b.nc"),
+        {"time": np.array([1_700_000_000], dtype=">i4"),
+         "latitude": lats, "longitude": lons},
+        {"d2m": (base + 0.5).reshape(1, 2, 3)},
+    )
+
+    got = []
+
+    def sink(df, batch_id):
+        got.extend(df.select("time", "latitude", "longitude", "d2m").collect())
+
+    q = OP.stream_ingest_files(
+        spark, str(watch), ["time", "latitude", "longitude", "d2m"], sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+    assert len(got) == 12  # 6 grid points from each file
+    vals = sorted(round(r.d2m, 3) for r in got)
+    assert vals == sorted(
+        list((base + 0.125).ravel()) + list((base + 0.5).ravel())
+    )
+
+    # restart with the same checkpoint: already-ingested files are NOT
+    # re-emitted; a new file is
+    G2.write_grib2(
+        str(watch / "c.grib2"),
+        [{"param": "d2m", "ref_time": "2024-06-01 06:00:00", "lats": lats,
+          "lons": lons, "values": base * 0.0 + 7.25}],
+    )
+    got2 = []
+
+    def sink2(df, batch_id):
+        got2.extend(df.collect())
+
+    q2 = OP.stream_ingest_files(
+        spark, str(watch), ["time", "latitude", "longitude", "d2m"], sink2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(60)
+    assert len(got2) == 6
+    assert all(round(r.d2m, 3) == 7.25 for r in got2)

@@ -236,6 +236,33 @@ def _is_classic_netcdf(path: str) -> bool:
         return False
 
 
+def decode_auto(uri: str, opts: IngestOptions) -> pd.DataFrame:
+    """Per-URI magic-byte dispatch (the reference's engine-dispatch
+    open, sinks.py:437-519): synthetic mem:// URIs always decode with
+    the deterministic fake (they have no on-disk bytes for a real
+    library to open); classic NetCDF ('CDF'), HDF5 ('\\x89HDF'), and
+    GRIB (edition byte) route to their stdlib codecs; everything else
+    gets the probed decoder — so the suite stays green on
+    xarray-equipped clusters while real files still decode."""
+    from .grib1 import is_grib1
+    from .grib2 import is_grib2
+    from .hdf5 import is_hdf5
+
+    if uri.startswith("mem://"):
+        name = "fake"
+    elif _is_classic_netcdf(uri):
+        name = "netcdf3"
+    elif is_hdf5(uri):
+        name = "netcdf4"
+    elif is_grib2(uri):
+        name = "grib2"
+    elif is_grib1(uri):
+        name = "grib1"  # the reference's edition fallback
+    else:
+        name = default_decoder()
+    return DECODERS[name](uri, opts)
+
+
 def default_decoder() -> str:
     """Runtime decoder detection (reference dispatch: sinks.py:437-519):
     the real xarray branch activates automatically on any cluster where
@@ -276,33 +303,7 @@ def ingest(
     """
     opts = opts or IngestOptions()
     if decoder == "auto":
-        # Per-URI dispatch: synthetic mem:// URIs always decode with the
-        # deterministic fake (they have no on-disk bytes for a real
-        # library to open); classic-NetCDF files (magic 'CDF') route to
-        # the stdlib codec, which needs no libraries at all; everything
-        # else gets the probed decoder — so the suite stays green on
-        # xarray-equipped clusters while real files still decode.
-        probed = default_decoder()
-
-        def decode(uri: str, o: IngestOptions) -> pd.DataFrame:
-            from .grib1 import is_grib1
-            from .grib2 import is_grib2
-            from .hdf5 import is_hdf5
-
-            if uri.startswith("mem://"):
-                name = "fake"
-            elif _is_classic_netcdf(uri):
-                name = "netcdf3"
-            elif is_hdf5(uri):
-                name = "netcdf4"
-            elif is_grib2(uri):
-                name = "grib2"
-            elif is_grib1(uri):
-                name = "grib1"  # the reference's edition fallback
-            else:
-                name = probed
-            return DECODERS[name](uri, o)
-
+        decode = decode_auto
     else:
         decode = DECODERS[decoder]
     paths = spark.createDataFrame([(u,) for u in uris], "data_uri string").repartition(

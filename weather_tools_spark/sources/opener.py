@@ -173,3 +173,68 @@ def open_dataset(
     if view is not None:
         df.createOrReplaceTempView(view)
     return df
+
+
+def stream_ingest_files(
+    spark: SparkSession,
+    watch_dir: str,
+    columns: list[str],
+    sink_fn,
+    pattern: str = "*",
+    max_files_per_trigger: int = 4,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming weather-file ingest — the reference's streaming mode
+    (weather_mv loader_pipeline/pipeline.py:62-70: Pub/Sub
+    object-finalize events → file URIs → open_dataset → rows) as
+    Structured Streaming.
+
+    New files landing in ``watch_dir`` are the event source (the
+    file-source analog of object-finalize notifications);
+    ``maxFilesPerTrigger`` bounds files per micro-batch. Each
+    micro-batch decodes WHOLE files on executors through the
+    magic-byte auto dispatch (hypercube.decode_auto — classic NetCDF /
+    HDF5 / GRIB1 / GRIB2, no libraries), then hands the long-format
+    rows to ``sink_fn(df, batch_id)`` via foreachBatch. Only the
+    ``path`` column is selected from the binaryFile source, so file
+    CONTENT is never shipped through the stream — decode re-reads
+    bytes executor-side, keeping the micro-batch plan metadata-sized.
+    Pass ``checkpoint_dir`` for a durable offset log (exactly-once
+    file accounting across restarts).
+
+    Returns the started StreamingQuery (caller awaits/stops it).
+    """
+    from .hypercube import IngestOptions, decode_auto
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", pattern)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(watch_dir)
+        .select("path")
+    )
+    schema = ", ".join(
+        f"`{c}` {'timestamp' if c == 'time' else 'double'}" for c in columns
+    )
+    opts = IngestOptions()
+
+    def gen(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                local = p[5:] if p.startswith("file:") else p
+                yield decode_auto(local, opts).reindex(columns=columns)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.repartition(
+            max(1, batch_df.sparkSession.sparkContext.defaultParallelism)
+        ).mapInPandas(gen, schema)
+        sink_fn(rows, batch_id)
+
+    writer = files.writeStream.foreachBatch(process)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
