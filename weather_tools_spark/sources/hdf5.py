@@ -162,6 +162,68 @@ class _Out:
         return addr
 
 
+def _lookup3(data: bytes, init: int = 0) -> int:
+    """Bob Jenkins' lookup3 ``hashlittle`` (public domain) — the
+    checksum HDF5 uses for every v2/v3 structure (superblock v2/3,
+    OHDR, OCHK). Zero-padding the tail reproduces the C switch's
+    partial-word reads exactly; a zero-length input skips the final
+    mix (``case 0: return c``)."""
+
+    def rot(x: int, k: int) -> int:
+        return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+    a = b = c = (0xDEADBEEF + len(data) + init) & 0xFFFFFFFF
+    i, n = 0, len(data)
+    while n > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= rot(c, 4); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= rot(a, 6); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= rot(b, 8); b = (b + a) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= rot(c, 16); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= rot(a, 19); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= rot(b, 4); b = (b + a) & 0xFFFFFFFF
+        i += 12
+        n -= 12
+    if n == 0:
+        return c
+    tail = data[i:] + b"\x00" * (12 - n)
+    a = (a + int.from_bytes(tail[0:4], "little")) & 0xFFFFFFFF
+    b = (b + int.from_bytes(tail[4:8], "little")) & 0xFFFFFFFF
+    c = (c + int.from_bytes(tail[8:12], "little")) & 0xFFFFFFFF
+    c ^= b; c = (c - rot(b, 14)) & 0xFFFFFFFF
+    a ^= c; a = (a - rot(c, 11)) & 0xFFFFFFFF
+    b ^= a; b = (b - rot(a, 25)) & 0xFFFFFFFF
+    c ^= b; c = (c - rot(b, 16)) & 0xFFFFFFFF
+    a ^= c; a = (a - rot(c, 4)) & 0xFFFFFFFF
+    b ^= a; b = (b - rot(a, 14)) & 0xFFFFFFFF
+    c ^= b; c = (c - rot(b, 24)) & 0xFFFFFFFF
+    return c
+
+
+def _link_message(name: str, oh_addr: int) -> bytes:
+    """Hard-link message body (type 0x0006, version 1): the compact
+    group storage v2 object headers use."""
+    nb = name.encode()
+    if len(nb) > 255:
+        raise ValueError("link name too long for 1-byte length encoding")
+    return struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", oh_addr)
+
+
+def _object_header_v2(messages: list[bytes]) -> bytes:
+    """v2 ('OHDR') object header with 2-byte chunk-0 size and a real
+    lookup3 checksum; ``messages`` are (type u8, size u16, flags u8)
+    framed bodies built by the caller."""
+    data = b"".join(messages)
+    head = b"OHDR" + struct.pack("<BB", 2, 0x01) + struct.pack("<H", len(data))
+    return head + data + struct.pack("<I", _lookup3(head + data))
+
+
+def _msg_v2(mtype: int, body: bytes) -> bytes:
+    return struct.pack("<BHB", mtype, len(body), 0) + body
+
+
 def write_hdf5(
     path: str,
     datasets: dict[str, np.ndarray],
@@ -169,15 +231,24 @@ def write_hdf5(
     chunks: dict[str, tuple[int, ...]] | None = None,
     compression: str | None = None,
     shuffle: bool = False,
+    layout: str = "v0",
 ) -> None:
-    """Serialize datasets into a genuine HDF5 file: superblock v0,
-    symbol-table root group, v1 object headers. ``chunks[name]`` makes
-    that dataset chunked (v1 B-tree index); ``compression='deflate'``
-    (+ optional byte ``shuffle``) builds a real filter pipeline.
-    ``attrs[name]`` attaches fixed-string attributes."""
+    """Serialize datasets into a genuine HDF5 file. ``layout='v0'``
+    emits the classic structure (superblock v0, symbol-table root
+    group, v1 object headers — what default libhdf5 writes);
+    ``layout='latest'`` emits the modern structure (superblock v3, v2
+    'OHDR' root header with compact link messages, lookup3 checksums —
+    what ``libver='latest'`` writers emit), exercising the reader's v2
+    paths against genuine bytes. ``chunks[name]`` makes that dataset
+    chunked (v1 B-tree index); ``compression='deflate'`` (+ optional
+    byte ``shuffle``) builds a real filter pipeline. ``attrs[name]``
+    attaches fixed-string attributes."""
+    if layout not in ("v0", "latest"):
+        raise ValueError(f"unknown HDF5 layout {layout!r}")
     attrs = attrs or {}
     chunks = chunks or {}
-    out = _Out(reserve=96)  # superblock v0 with 8-byte offsets is 96 bytes
+    # superblock v0 with 8-byte offsets is 96 bytes; v3 is 48
+    out = _Out(reserve=96 if layout == "v0" else 48)
 
     entries: list[tuple[str, int]] = []  # (name, object header addr)
     for name in sorted(datasets):
@@ -224,10 +295,10 @@ def write_hdf5(
                 node += struct.pack("<Q", addr)
             node += struct.pack("<II", 0, 0) + b"\x00" * (8 * ndims)  # final key
             btree_addr = out.put(node)
-            layout = struct.pack("<BBB", 3, 2, ndims) + struct.pack("<Q", btree_addr)
-            layout += b"".join(struct.pack("<I", c) for c in cdims)
-            layout += struct.pack("<I", arr.dtype.itemsize)
-            msgs.append(_msg(0x0008, layout))
+            layout_msg = struct.pack("<BBB", 3, 2, ndims) + struct.pack("<Q", btree_addr)
+            layout_msg += b"".join(struct.pack("<I", c) for c in cdims)
+            layout_msg += struct.pack("<I", arr.dtype.itemsize)
+            msgs.append(_msg(0x0008, layout_msg))
             if filters:
                 body = struct.pack("<BB2x4x", 1, len(filters))
                 for fid, opts in filters:
@@ -244,6 +315,24 @@ def write_hdf5(
         for aname, aval in attrs.get(name, {}).items():
             msgs.append(_attribute(aname, aval))
         entries.append((name, out.put(_object_header(msgs))))
+
+    if layout == "latest":
+        # root group as a v2 object header with compact link messages
+        root_addr = out.put(
+            _object_header_v2(
+                [_msg_v2(0x0006, _link_message(n, a)) for n, a in entries]
+            )
+        )
+        eof = len(out.buf)
+        sb = MAGIC + struct.pack(
+            "<BBBBQQQQ", 3, 8, 8, 0, 0, _UNDEF, eof, root_addr
+        )
+        sb += struct.pack("<I", _lookup3(sb))
+        assert len(sb) == 48
+        out.buf[:48] = sb
+        with open(path, "wb") as f:
+            f.write(out.buf)
+        return
 
     # root group: local heap (names), SNOD, B-tree, object header
     heap_data = bytearray(b"\x00" * 8)  # offset 0: the empty string
@@ -335,7 +424,7 @@ def _parse_messages_v2(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
     size_bytes = 1 << (flags & 0x03)
     hsize = int.from_bytes(buf[p : p + size_bytes], "little")
     p += size_bytes
-    end = p + hsize - 4  # gap/checksum at the end
+    end = p + hsize  # chunk-0 size excludes the trailing checksum
     msgs: list[tuple[int, bytes]] = []
     step = 4 + (2 if flags & 0x04 else 0)
     while p + step <= end:
