@@ -249,3 +249,42 @@ def test_partitioned_sink_roundtrip(spark, tmp_path):
     assert len(back) == len(want)
     for _, r in back.iterrows():
         assert want[(r.latitude, r.longitude)] == (r.d2m, r.u10)
+
+
+def test_lambert_grid_template_330(tmp_path, spark):
+    """Grid definition template 3.30 (Lambert conformal — the NAM/HRRR
+    grid): the writer stores first-point lat/lon + LaD/LoV/Latin1/
+    Latin2 + Dx/Dy in millimeters; the reader reconstructs per-point
+    lat/lon through the closed spherical inverse projection
+    (functions/geo.py) and the hypercube decode emits curvilinear
+    long-format rows."""
+    from weather_tools_spark.functions.geo import (
+        lambert_conformal_inverse_np,
+        lambert_conformal_params,
+        lambert_conformal_xy_np,
+    )
+
+    grid = {"lat1": 21.138, "lon1": -122.72, "dx_m": 3000.0, "dy_m": 3000.0,
+            "lad": 38.5, "lov": -97.5, "lat_1": 38.5, "lat_2": 38.5}
+    ny, nx = 6, 8
+    rng = np.random.RandomState(2)
+    vals = rng.randint(-20000, 20000, (ny, nx)) / 1000.0
+    path = str(tmp_path / "hrrr.grib2")
+    G2.write_grib2(path, [{"param": "d2m", "ref_time": "2024-03-01T12:00:00",
+                           "values": vals, "grid": grid}])
+    (m,) = G2.read_grib2(path)
+    assert np.array_equal(m["values"], vals)
+
+    p = lambert_conformal_params(38.5, 38.5, 38.5, -97.5)
+    x1, y1 = lambert_conformal_xy_np(grid["lat1"], grid["lon1"], p)
+    xx, yy = np.meshgrid(x1 + np.arange(nx) * 3000.0, y1 + np.arange(ny) * 3000.0)
+    elat, elon = lambert_conformal_inverse_np(xx, yy, p)
+    np.testing.assert_allclose(m["lat_grid"], elat, atol=2e-6)
+    np.testing.assert_allclose(m["lon_grid"], elon, atol=2e-6)
+    assert abs(m["lat_grid"][0, 0] - grid["lat1"]) < 1e-5  # first point exact
+
+    # curvilinear long-format rows through ingest auto-dispatch
+    rows = H.ingest(spark, [path]).collect()
+    assert len(rows) == ny * nx
+    got = {round(r.latitude, 5) for r in rows}
+    assert round(grid["lat1"], 5) in got

@@ -225,6 +225,31 @@ def lambert_conformal_inverse(x: Column, y: Column, p: dict) -> tuple[Column, Co
     return lat, lon
 
 
+def lambert_conformal_xy_np(lat, lon, p: dict):
+    """Numpy twin of :func:`lambert_conformal_xy` for executor-side
+    codec kernels (GRIB grid template 3.30 decode); same constants
+    dict from :func:`lambert_conformal_params`."""
+    import numpy as np
+
+    rho = p["R"] * p["F"] / np.tan(np.pi / 4 + np.asarray(lat) * _D2R / 2) ** p["n"]
+    th = (np.asarray(lon) - p["lon0"]) * p["n"] * _D2R
+    return rho * np.sin(th), p["rho0"] - rho * np.cos(th)
+
+
+def lambert_conformal_inverse_np(x, y, p: dict):
+    """Numpy twin of :func:`lambert_conformal_inverse`; longitude
+    normalized into [-180, 180)."""
+    import numpy as np
+
+    sgn = 1.0 if p["n"] >= 0 else -1.0
+    dy = p["rho0"] - np.asarray(y)
+    rho = sgn * np.hypot(np.asarray(x), dy)
+    th = np.arctan2(sgn * np.asarray(x), sgn * dy)
+    lat = (2 * np.arctan((p["R"] * p["F"] / rho) ** (1.0 / p["n"])) - np.pi / 2) / _D2R
+    lon = p["lon0"] + th / (p["n"] * _D2R)
+    return lat, (((lon % 360) + 540) % 360) - 180
+
+
 def polar_stereo_xy(
     lat: Column, lon: Column, lat_ts: float = 60.0, lon0: float = 0.0,
     radius: float = GRIB_SPHERE_R,

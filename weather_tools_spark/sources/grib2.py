@@ -124,6 +124,62 @@ def _sm_bytes_decode(b: bytes) -> int:
     return -(u & (high - 1)) if u & high else u
 
 
+def _encode_lambert_grid(g: dict, nx: int, ny: int) -> bytes:
+    """Section 3 with grid definition template 3.30 (Lambert conformal
+    — the grid NAM/HRRR-family products ship): first-point lat/lon in
+    microdegrees, LaD/LoV cone orientation, Dx/Dy in MILLIMETERS,
+    secant latitudes Latin1/Latin2, scanning mode +x +y (0x40).
+    ``g`` keys: lat1, lon1 (first grid point), dx_m, dy_m (grid step
+    in meters at LaD), lad (origin/true latitude), lov (central
+    meridian), lat_1, lat_2 (secant parallels)."""
+    tmpl = (
+        struct.pack(">B", 6) + b"\x00" * 15  # shape of earth 6: R=6371229 m
+        + struct.pack(">II", nx, ny)
+        + struct.pack(">II", _sm32(_micro(g["lat1"])), _sm32(_micro(g["lon1"])))
+        + struct.pack(">B", 0x30)
+        + struct.pack(">II", _sm32(_micro(g["lad"])), _sm32(_micro(g["lov"])))
+        + struct.pack(">II", int(round(g["dx_m"] * 1000)), int(round(g["dy_m"] * 1000)))
+        + struct.pack(">BB", 0, 0x40)  # north-pole cone; scan +i, +j
+        + struct.pack(">II", _sm32(_micro(g["lat_1"])), _sm32(_micro(g["lat_2"])))
+        + struct.pack(">II", _sm32(_micro(-90.0)), 0)  # southern pole (unused)
+    )
+    body = struct.pack(">BIBBH", 0, nx * ny, 0, 0, 30) + tmpl
+    return struct.pack(">IB", 5 + len(body), 3) + body
+
+
+def _decode_lambert_grid(s3: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Grid template 3.30 → per-point (lat_grid, lon_grid) of shape
+    (ny, nx) via the closed spherical inverse Lambert projection
+    (functions/geo.py): grid coordinates are x1 + i·Dx, y1 + j·Dy in
+    projection meters with (x1, y1) the forward projection of the
+    first grid point."""
+    from weather_tools_spark.functions.geo import (
+        lambert_conformal_inverse_np,
+        lambert_conformal_params,
+        lambert_conformal_xy_np,
+    )
+
+    nx, ny = struct.unpack_from(">II", s3, 30)
+    lat1 = _sm32d(struct.unpack_from(">I", s3, 38)[0]) / 1e6
+    lon1 = _sm32d(struct.unpack_from(">I", s3, 42)[0]) / 1e6
+    lad = _sm32d(struct.unpack_from(">I", s3, 47)[0]) / 1e6
+    lov = _sm32d(struct.unpack_from(">I", s3, 51)[0]) / 1e6
+    dx = struct.unpack_from(">I", s3, 55)[0] / 1e3
+    dy = struct.unpack_from(">I", s3, 59)[0] / 1e3
+    scan = s3[64]
+    if scan != 0x40:
+        raise NotImplementedError(f"Lambert scanning mode {scan:#x} (+i +j only)")
+    lat_1 = _sm32d(struct.unpack_from(">I", s3, 65)[0]) / 1e6
+    lat_2 = _sm32d(struct.unpack_from(">I", s3, 69)[0]) / 1e6
+    p = lambert_conformal_params(lat1=lat_1, lat2=lat_2, lat0=lad, lon0=lov)
+    x1, y1 = lambert_conformal_xy_np(lat1, lon1, p)
+    xs = x1 + np.arange(nx) * dx
+    ys = y1 + np.arange(ny) * dy
+    xx, yy = np.meshgrid(xs, ys)
+    lat_grid, lon_grid = lambert_conformal_inverse_np(xx, yy, p)
+    return lat_grid, lon_grid, nx, ny
+
+
 def _quantized_f32_ref(scaled_min: int) -> float:
     """Reference value R is stored as IEEE float32 (spec), so quantize
     it BEFORE offsets are computed and step down if float32 rounded up —
@@ -235,12 +291,8 @@ def write_grib2(
     for msg in messages:
         name = msg["param"]
         disc, cat, num = PARAMS[name]
-        lats = np.asarray(msg["lats"], dtype="f8")
-        lons = np.asarray(msg["lons"], dtype="f8")
         vals = np.ascontiguousarray(msg["values"], dtype="f8")
         nj, ni = vals.shape
-        if (nj, ni) != (len(lats), len(lons)):
-            raise ValueError("values shape must be (lats, lons)")
         t = pd.Timestamp(msg["ref_time"])
 
         sec1 = struct.pack(
@@ -248,19 +300,26 @@ def write_grib2(
             21, 1, 255, 255, 2, 1, 1,
             t.year, t.month, t.day, t.hour, t.minute, t.second, 0, 1,
         )
-        dj = abs(float(lats[0] - lats[1])) if nj > 1 else 1.0
-        di = float(lons[1] - lons[0]) if ni > 1 else 1.0
-        tmpl30 = struct.pack(
-            ">B", 6
-        ) + b"\x00" * 15 + struct.pack(
-            ">IIII", ni, nj, 0, 0
-        ) + struct.pack(
-            ">IIB", _sm32(_micro(lats[0])), _sm32(_micro(lons[0])), 0x30
-        ) + struct.pack(
-            ">III", _sm32(_micro(lats[-1])), _sm32(_micro(lons[-1])), _micro(di)
-        ) + struct.pack(">IB", _micro(dj), 0)  # scanning mode 0: W→E, N→S
-        sec3_body = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0) + tmpl30
-        sec3 = struct.pack(">IB", 5 + len(sec3_body), 3) + sec3_body
+        if "grid" in msg:
+            sec3 = _encode_lambert_grid(msg["grid"], ni, nj)
+        else:
+            lats = np.asarray(msg["lats"], dtype="f8")
+            lons = np.asarray(msg["lons"], dtype="f8")
+            if (nj, ni) != (len(lats), len(lons)):
+                raise ValueError("values shape must be (lats, lons)")
+            dj = abs(float(lats[0] - lats[1])) if nj > 1 else 1.0
+            di = float(lons[1] - lons[0]) if ni > 1 else 1.0
+            tmpl30 = struct.pack(
+                ">B", 6
+            ) + b"\x00" * 15 + struct.pack(
+                ">IIII", ni, nj, 0, 0
+            ) + struct.pack(
+                ">IIB", _sm32(_micro(lats[0])), _sm32(_micro(lons[0])), 0x30
+            ) + struct.pack(
+                ">III", _sm32(_micro(lats[-1])), _sm32(_micro(lons[-1])), _micro(di)
+            ) + struct.pack(">IB", _micro(dj), 0)  # scanning mode 0: W→E, N→S
+            sec3_body = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0) + tmpl30
+            sec3 = struct.pack(">IB", 5 + len(sec3_body), 3) + sec3_body
 
         lvl_type, lvl_val = _LEVELS[name]
         tmpl40 = struct.pack(
@@ -421,16 +480,26 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
             year=year, month=s1[14], day=s1[15], hour=s1[16], minute=s1[17], second=s1[18]
         )
         s3 = sections[3]
-        ni, nj = struct.unpack_from(">II", s3, 30)
-        lat1 = _sm32d(struct.unpack_from(">I", s3, 46)[0]) / 1e6
-        lon1 = _sm32d(struct.unpack_from(">I", s3, 50)[0]) / 1e6
-        di = struct.unpack_from(">I", s3, 63)[0] / 1e6
-        dj = struct.unpack_from(">I", s3, 67)[0] / 1e6
-        scan = s3[71]
-        if scan != 0:
-            raise NotImplementedError(f"scanning mode {scan} unsupported")
-        lats = lat1 - np.arange(nj) * dj  # N→S rows
-        lons = lon1 + np.arange(ni) * di
+        gtmpl, = struct.unpack_from(">H", s3, 12)
+        lat_grid = lon_grid = None
+        if gtmpl == 0:
+            ni, nj = struct.unpack_from(">II", s3, 30)
+            lat1 = _sm32d(struct.unpack_from(">I", s3, 46)[0]) / 1e6
+            lon1 = _sm32d(struct.unpack_from(">I", s3, 50)[0]) / 1e6
+            di = struct.unpack_from(">I", s3, 63)[0] / 1e6
+            dj = struct.unpack_from(">I", s3, 67)[0] / 1e6
+            scan = s3[71]
+            if scan != 0:
+                raise NotImplementedError(f"scanning mode {scan} unsupported")
+            lats = lat1 - np.arange(nj) * dj  # N→S rows
+            lons = lon1 + np.arange(ni) * di
+        elif gtmpl == 30:
+            lat_grid, lon_grid, ni, nj = _decode_lambert_grid(s3)
+            lats = lons = None
+        else:
+            raise NotImplementedError(
+                f"grid definition template {gtmpl} (lat/lon 3.0 and Lambert 3.30 only)"
+            )
 
         s5 = sections[5]
         npts, = struct.unpack_from(">I", s5, 5)  # present points (≤ ni·nj)
@@ -470,15 +539,16 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
             full = np.full(ni * nj, np.nan)
             full[mask] = vals
             vals = full
-        msgs.append(
-            {
-                "param": _REV_PARAMS.get((disc, cat, num), f"p{disc}_{cat}_{num}"),
-                "ref_time": ref_time,
-                "lats": lats,
-                "lons": lons,
-                "values": vals.reshape(nj, ni),
-            }
-        )
+        m = {
+            "param": _REV_PARAMS.get((disc, cat, num), f"p{disc}_{cat}_{num}"),
+            "ref_time": ref_time,
+            "lats": lats,
+            "lons": lons,
+            "values": vals.reshape(nj, ni),
+        }
+        if lat_grid is not None:  # curvilinear (projected) grid
+            m["lat_grid"], m["lon_grid"] = lat_grid, lon_grid
+        msgs.append(m)
         p += total
     return msgs
 
@@ -679,8 +749,11 @@ def grib2_decode(path: str, opts=None) -> pd.DataFrame:
         want = {PARAMS[v] for v in variables if v in PARAMS}
     frames: dict[tuple, pd.DataFrame] = {}
     for m in read_grib2(path, want):
-        la, lo = np.meshgrid(m["lats"], m["lons"], indexing="ij")
-        key = (m["ref_time"], m["lats"].tobytes(), m["lons"].tobytes())
+        if "lat_grid" in m:  # curvilinear (Lambert) grid: per-point coords
+            la, lo = m["lat_grid"], m["lon_grid"]
+        else:
+            la, lo = np.meshgrid(m["lats"], m["lons"], indexing="ij")
+        key = (m["ref_time"], la.tobytes(), lo.tobytes())
         pdf = frames.get(key)
         if pdf is None:
             pdf = pd.DataFrame(
