@@ -288,3 +288,45 @@ def test_lambert_grid_template_330(tmp_path, spark):
     assert len(rows) == ny * nx
     got = {round(r.latitude, 5) for r in rows}
     assert round(grid["lat1"], 5) in got
+
+
+def test_polar_stereo_grid_template_320(tmp_path):
+    """Grid template 3.20 (polar stereographic, true at LaD): decoded
+    per-point lat/lon via the inverse projection; the first grid point
+    reproduces its stored coordinates."""
+    grid = {"type": "polar", "lat1": 60.0, "lon1": -105.0, "dx_m": 25000.0,
+            "dy_m": 25000.0, "lad": 60.0, "lov": -80.0}
+    ny, nx = 5, 7
+    rng = np.random.RandomState(3)
+    vals = rng.randint(-9000, 9000, (ny, nx)) / 1000.0
+    path = str(tmp_path / "arctic.grib2")
+    G2.write_grib2(path, [{"param": "d2m", "ref_time": "2024-02-02T00:00:00",
+                           "values": vals, "grid": grid}])
+    (m,) = G2.read_grib2(path)
+    assert np.array_equal(m["values"], vals)
+    assert abs(m["lat_grid"][0, 0] - 60.0) < 1e-5
+    assert abs(m["lon_grid"][0, 0] + 105.0) < 1e-5
+    assert m["lat_grid"].min() >= 59.9  # stays in the Arctic band
+
+
+def test_gaussian_grid_template_340(tmp_path):
+    """Grid template 3.40 (regular Gaussian — the native ECMWF model
+    grid): latitudes are the Gauss-Legendre nodes recomputed from N,
+    so the decoded rows are EXACT Legendre roots (better than the
+    microdegree anchor precision); a contiguous row band roundtrips."""
+    full = G2.gaussian_latitudes(32)
+    assert len(full) == 64
+    assert np.all(np.diff(full) < 0)  # north → south
+    assert abs(full[0] - 87.86) < 0.2  # N32's first line (known value)
+    sub = full[10:21]
+    grid = {"type": "gaussian", "n": 32, "lat1": float(sub[0]), "lon1": 0.0,
+            "lat2": float(sub[-1]), "lon2": 357.5, "di": 2.5}
+    nj, ni = len(sub), 144
+    vals = (np.arange(nj * ni).reshape(nj, ni) % 977) / 8.0
+    path = str(tmp_path / "era.grib2")
+    G2.write_grib2(path, [{"param": "u10", "ref_time": "2024-02-02T06:00:00",
+                           "values": vals, "grid": grid}])
+    (m,) = G2.read_grib2(path)
+    assert np.array_equal(m["values"], vals)
+    assert np.array_equal(m["lats"], sub)  # exact Legendre nodes
+    np.testing.assert_allclose(m["lons"], np.arange(ni) * 2.5, atol=1e-9)

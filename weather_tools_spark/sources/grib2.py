@@ -180,6 +180,105 @@ def _decode_lambert_grid(s3: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
     return lat_grid, lon_grid, nx, ny
 
 
+def _encode_polar_grid(g: dict, nx: int, ny: int) -> bytes:
+    """Section 3 with grid template 3.20 (polar stereographic — Arctic
+    /Antarctic products): first-point lat/lon, LaD (true latitude),
+    LoV (orientation), Dx/Dy in millimeters, scan +x +y. ``g`` keys:
+    lat1, lon1, dx_m, dy_m, lad, lov."""
+    tmpl = (
+        struct.pack(">B", 6) + b"\x00" * 15
+        + struct.pack(">II", nx, ny)
+        + struct.pack(">II", _sm32(_micro(g["lat1"])), _sm32(_micro(g["lon1"])))
+        + struct.pack(">B", 0x30)
+        + struct.pack(">II", _sm32(_micro(g["lad"])), _sm32(_micro(g["lov"])))
+        + struct.pack(">II", int(round(g["dx_m"] * 1000)), int(round(g["dy_m"] * 1000)))
+        + struct.pack(">BB", 0, 0x40)  # north-pole projection; scan +i +j
+    )
+    body = struct.pack(">BIBBH", 0, nx * ny, 0, 0, 20) + tmpl
+    return struct.pack(">IB", 5 + len(body), 3) + body
+
+
+def _decode_polar_grid(s3: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Grid template 3.20 → per-point (lat, lon) grids via the inverse
+    spherical polar-stereographic projection. The GRIB y axis points
+    along LoV toward the pole while the projection's y is along
+    LoV+180 away from it, so grid y maps to −y in projection space."""
+    import math
+
+    from weather_tools_spark.functions.geo import GRIB_SPHERE_R
+
+    nx, ny = struct.unpack_from(">II", s3, 30)
+    lat1 = _sm32d(struct.unpack_from(">I", s3, 38)[0]) / 1e6
+    lon1 = _sm32d(struct.unpack_from(">I", s3, 42)[0]) / 1e6
+    lad = _sm32d(struct.unpack_from(">I", s3, 47)[0]) / 1e6
+    lov = _sm32d(struct.unpack_from(">I", s3, 51)[0]) / 1e6
+    dx = struct.unpack_from(">I", s3, 55)[0] / 1e3
+    dy = struct.unpack_from(">I", s3, 59)[0] / 1e3
+    scan = s3[64]
+    if scan != 0x40:
+        raise NotImplementedError(f"polar-stereo scanning mode {scan:#x} (+i +j only)")
+    d2r = math.pi / 180.0
+    k0 = (1.0 + math.sin(lad * d2r)) / 2.0
+    rho1 = 2.0 * GRIB_SPHERE_R * k0 * math.tan(math.pi / 4 - lat1 * d2r / 2)
+    lam1 = (lon1 - lov) * d2r
+    x1, y1 = rho1 * math.sin(lam1), -rho1 * math.cos(lam1)
+    xx, yy = np.meshgrid(x1 + np.arange(nx) * dx, y1 + np.arange(ny) * dy)
+    rho = np.hypot(xx, yy)
+    lat = (np.pi / 2 - 2 * np.arctan(rho / (2.0 * GRIB_SPHERE_R * k0))) / d2r
+    lon = lov + np.arctan2(xx, -yy) / d2r
+    return lat, (((lon % 360) + 540) % 360) - 180, nx, ny
+
+
+def gaussian_latitudes(n: int) -> np.ndarray:
+    """Latitudes of a regular Gaussian grid with N lines pole-to-
+    equator: the 2N Gauss-Legendre nodes (roots of P_2N) mapped to
+    degrees, north to south — the native ECMWF model grid (ERA5 is
+    N320). numpy's ``leggauss`` supplies the nodes."""
+    nodes, _ = np.polynomial.legendre.leggauss(2 * n)
+    return np.degrees(np.arcsin(nodes))[::-1]
+
+
+def _encode_gaussian_grid(g: dict, ni: int, nj: int) -> bytes:
+    """Section 3 with grid template 3.40 (regular Gaussian grid):
+    lat/lon of first and last points in microdegrees, Di increment, N
+    (lines pole-to-equator). The grid rows must be a contiguous run of
+    the N-grid's Gaussian latitudes. ``g`` keys: n (Gaussian number),
+    lat1, lon1, lat2, lon2, di (longitude increment, degrees)."""
+    tmpl = (
+        struct.pack(">B", 6) + b"\x00" * 15
+        + struct.pack(">IIII", ni, nj, 0, 0)
+        + struct.pack(">II", _sm32(_micro(g["lat1"])), _sm32(_micro(g["lon1"])))
+        + struct.pack(">B", 0x30)
+        + struct.pack(">II", _sm32(_micro(g["lat2"])), _sm32(_micro(g["lon2"])))
+        + struct.pack(">II", _micro(g["di"]), int(g["n"]))
+        + struct.pack(">B", 0)  # scanning mode 0: W→E, N→S
+    )
+    body = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 40) + tmpl
+    return struct.pack(">IB", 5 + len(body), 3) + body
+
+
+def _decode_gaussian_grid(s3: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Grid template 3.40 → (1-D lats, 1-D lons): recompute the
+    Gaussian latitudes from N (Legendre nodes are deterministic) and
+    select the rows between the stored first/last latitudes."""
+    ni, nj = struct.unpack_from(">II", s3, 30)
+    lat1 = _sm32d(struct.unpack_from(">I", s3, 46)[0]) / 1e6
+    lon1 = _sm32d(struct.unpack_from(">I", s3, 50)[0]) / 1e6
+    lat2 = _sm32d(struct.unpack_from(">I", s3, 55)[0]) / 1e6
+    di = struct.unpack_from(">I", s3, 63)[0] / 1e6
+    n, = struct.unpack_from(">I", s3, 67)
+    scan = s3[71]
+    if scan != 0:
+        raise NotImplementedError(f"Gaussian scanning mode {scan} unsupported")
+    full = gaussian_latitudes(int(n))
+    i0 = int(np.argmin(np.abs(full - lat1)))
+    lats = full[i0 : i0 + nj]
+    if len(lats) != nj or abs(lats[-1] - lat2) > 1e-3:
+        raise ValueError("Gaussian grid rows do not match the stored first/last latitudes")
+    lons = lon1 + np.arange(ni) * di
+    return lats, lons, ni, nj
+
+
 def _quantized_f32_ref(scaled_min: int) -> float:
     """Reference value R is stored as IEEE float32 (spec), so quantize
     it BEFORE offsets are computed and step down if float32 rounded up —
@@ -301,7 +400,15 @@ def write_grib2(
             t.year, t.month, t.day, t.hour, t.minute, t.second, 0, 1,
         )
         if "grid" in msg:
-            sec3 = _encode_lambert_grid(msg["grid"], ni, nj)
+            gtype = msg["grid"].get("type", "lambert")
+            if gtype == "lambert":
+                sec3 = _encode_lambert_grid(msg["grid"], ni, nj)
+            elif gtype == "polar":
+                sec3 = _encode_polar_grid(msg["grid"], ni, nj)
+            elif gtype == "gaussian":
+                sec3 = _encode_gaussian_grid(msg["grid"], ni, nj)
+            else:
+                raise ValueError(f"unknown grid type {gtype!r}")
         else:
             lats = np.asarray(msg["lats"], dtype="f8")
             lons = np.asarray(msg["lons"], dtype="f8")
@@ -496,9 +603,15 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
         elif gtmpl == 30:
             lat_grid, lon_grid, ni, nj = _decode_lambert_grid(s3)
             lats = lons = None
+        elif gtmpl == 20:
+            lat_grid, lon_grid, ni, nj = _decode_polar_grid(s3)
+            lats = lons = None
+        elif gtmpl == 40:
+            lats, lons, ni, nj = _decode_gaussian_grid(s3)
         else:
             raise NotImplementedError(
-                f"grid definition template {gtmpl} (lat/lon 3.0 and Lambert 3.30 only)"
+                f"grid definition template {gtmpl} "
+                "(lat/lon 3.0, polar-stereo 3.20, Lambert 3.30, Gaussian 3.40)"
             )
 
         s5 = sections[5]
