@@ -330,3 +330,37 @@ def test_gaussian_grid_template_340(tmp_path):
     assert np.array_equal(m["values"], vals)
     assert np.array_equal(m["lats"], sub)  # exact Legendre nodes
     np.testing.assert_allclose(m["lons"], np.arange(ni) * 2.5, atol=1e-9)
+
+
+def test_reduced_gaussian_grid(tmp_path):
+    """REDUCED Gaussian grid (template 3.40 + points-per-row list —
+    ERA5's native storage): ragged rows each spanning the full circle
+    at their own spacing, per-point lat/lon reconstruction, bitmap
+    over the ragged layout, and long-format decode."""
+    full = G2.gaussian_latitudes(24)
+    sub = full[5:12]
+    counts = [20, 24, 28, 30, 28, 24, 20]
+    npts = sum(counts)
+    rng = np.random.RandomState(5)
+    vals = rng.randint(-8000, 8000, npts) / 1000.0
+    grid = {"type": "gaussian_reduced", "n": 24, "lat1": float(sub[0]),
+            "lat2": float(sub[-1]), "counts": counts}
+    path = str(tmp_path / "era-native.grib2")
+    G2.write_grib2(path, [{"param": "d2m", "ref_time": "2024-04-04T00:00:00",
+                           "values": vals, "grid": grid}])
+    (m,) = G2.read_grib2(path)
+    assert np.array_equal(m["values"], vals)
+    assert np.array_equal(m["lat_grid"], np.repeat(sub, counts))
+    np.testing.assert_allclose(m["lon_grid"][: counts[0]],
+                               np.arange(counts[0]) * (360.0 / counts[0]), atol=1e-9)
+    assert len(G2.grib2_decode(path, None)) == npts
+
+    # NaN holes → bitmap over the ragged point sequence
+    vals2 = vals.copy()
+    vals2[[3, 50, npts - 1]] = np.nan
+    G2.write_grib2(path, [{"param": "d2m", "ref_time": "2024-04-04T00:00:00",
+                           "values": vals2, "grid": grid}], packing="complex_diff2")
+    (m2,) = G2.read_grib2(path)
+    assert np.array_equal(np.isnan(m2["values"]), np.isnan(vals2))
+    keep = ~np.isnan(vals2)
+    assert np.array_equal(m2["values"][keep], vals2[keep])

@@ -257,15 +257,45 @@ def _encode_gaussian_grid(g: dict, ni: int, nj: int) -> bytes:
     return struct.pack(">IB", 5 + len(body), 3) + body
 
 
-def _decode_gaussian_grid(s3: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
-    """Grid template 3.40 → (1-D lats, 1-D lons): recompute the
-    Gaussian latitudes from N (Legendre nodes are deterministic) and
-    select the rows between the stored first/last latitudes."""
-    ni, nj = struct.unpack_from(">II", s3, 30)
+def _encode_reduced_gaussian_grid(g: dict, npts: int) -> bytes:
+    """Section 3 for a REDUCED Gaussian grid (template 3.40 with the
+    optional points-per-row list — the native ERA5 storage layout):
+    Ni is coded missing, octet 11 declares 2-octet row counts, and the
+    per-row counts follow the template. ``g`` keys: n, lat1, lat2,
+    counts (points per latitude row, north to south)."""
+    counts = [int(c) for c in g["counts"]]
+    nj = len(counts)
+    tmpl = (
+        struct.pack(">B", 6) + b"\x00" * 15
+        + struct.pack(">IIII", 0xFFFFFFFF, nj, 0, 0)  # Ni missing: reduced
+        + struct.pack(">II", _sm32(_micro(g["lat1"])), 0)
+        + struct.pack(">B", 0x30)
+        + struct.pack(">II", _sm32(_micro(g["lat2"])),
+                      _sm32(_micro(360.0 - 360.0 / counts[-1])))
+        + struct.pack(">II", 0xFFFFFFFF, int(g["n"]))  # Di missing: per-row
+        + struct.pack(">B", 0)
+    )
+    rowlist = b"".join(struct.pack(">H", c) for c in counts)
+    body = struct.pack(">BIBBH", 0, npts, 2, 1, 40) + tmpl + rowlist
+    return struct.pack(">IB", 5 + len(body), 3) + body
+
+
+def _decode_gaussian_grid(
+    s3: bytes,
+) -> tuple[np.ndarray, np.ndarray, int, int] | tuple[np.ndarray, np.ndarray, None, int]:
+    """Grid template 3.40 → coordinates. REGULAR grids return (1-D
+    lats, 1-D lons, ni, nj); REDUCED grids (optional points-per-row
+    list present, Ni missing) return per-POINT (lat, lon) arrays and
+    ``ni=None`` — each row spans the full circle with its own spacing
+    360/count. Latitudes are recomputed from N (Legendre nodes are
+    deterministic) and the row band selected by the stored first/last
+    anchors."""
+    list_octets, interp = s3[10], s3[11]
+    ni_raw, nj = struct.unpack_from(">II", s3, 30)
     lat1 = _sm32d(struct.unpack_from(">I", s3, 46)[0]) / 1e6
     lon1 = _sm32d(struct.unpack_from(">I", s3, 50)[0]) / 1e6
     lat2 = _sm32d(struct.unpack_from(">I", s3, 55)[0]) / 1e6
-    di = struct.unpack_from(">I", s3, 63)[0] / 1e6
+    di_raw, = struct.unpack_from(">I", s3, 63)
     n, = struct.unpack_from(">I", s3, 67)
     scan = s3[71]
     if scan != 0:
@@ -275,8 +305,19 @@ def _decode_gaussian_grid(s3: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
     lats = full[i0 : i0 + nj]
     if len(lats) != nj or abs(lats[-1] - lat2) > 1e-3:
         raise ValueError("Gaussian grid rows do not match the stored first/last latitudes")
-    lons = lon1 + np.arange(ni) * di
-    return lats, lons, ni, nj
+    if list_octets:  # reduced grid: ragged rows
+        if interp != 1:
+            raise NotImplementedError(f"row-list interpretation {interp}")
+        counts = np.frombuffer(
+            s3[72 : 72 + nj * list_octets], dtype=f">u{list_octets}"
+        ).astype("i8")
+        lat_pts = np.repeat(lats, counts)
+        lon_pts = np.concatenate(
+            [np.arange(c) * (360.0 / c) for c in counts]
+        )
+        return lat_pts, lon_pts, None, nj
+    lons = lon1 + np.arange(ni_raw) * (di_raw / 1e6)
+    return lats, lons, int(ni_raw), nj
 
 
 def _quantized_f32_ref(scaled_min: int) -> float:
@@ -391,7 +432,6 @@ def write_grib2(
         name = msg["param"]
         disc, cat, num = PARAMS[name]
         vals = np.ascontiguousarray(msg["values"], dtype="f8")
-        nj, ni = vals.shape
         t = pd.Timestamp(msg["ref_time"])
 
         sec1 = struct.pack(
@@ -399,7 +439,16 @@ def write_grib2(
             21, 1, 255, 255, 2, 1, 1,
             t.year, t.month, t.day, t.hour, t.minute, t.second, 0, 1,
         )
-        if "grid" in msg:
+        reduced = "grid" in msg and msg["grid"].get("type") == "gaussian_reduced"
+        if reduced:
+            if vals.ndim != 1:
+                raise ValueError("reduced-Gaussian values must be a flat point array")
+            if packing == "png":
+                raise NotImplementedError("PNG packing needs a rectangular grid")
+            nj = ni = None
+            sec3 = _encode_reduced_gaussian_grid(msg["grid"], vals.size)
+        elif "grid" in msg:
+            nj, ni = vals.shape
             gtype = msg["grid"].get("type", "lambert")
             if gtype == "lambert":
                 sec3 = _encode_lambert_grid(msg["grid"], ni, nj)
@@ -410,6 +459,7 @@ def write_grib2(
             else:
                 raise ValueError(f"unknown grid type {gtype!r}")
         else:
+            nj, ni = vals.shape
             lats = np.asarray(msg["lats"], dtype="f8")
             lons = np.asarray(msg["lons"], dtype="f8")
             if (nj, ni) != (len(lats), len(lons)):
@@ -608,6 +658,9 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
             lats = lons = None
         elif gtmpl == 40:
             lats, lons, ni, nj = _decode_gaussian_grid(s3)
+            if ni is None:  # reduced grid: per-point coordinate arrays
+                lat_grid, lon_grid = lats, lons
+                lats = lons = None
         else:
             raise NotImplementedError(
                 f"grid definition template {gtmpl} "
@@ -622,11 +675,12 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
         D = _sm16d(struct.unpack_from(">H", s5, 17)[0])
         s6 = sections[6]
         bitmap_ind = s6[5]
+        grid_pts = (ni * nj) if ni is not None else len(lat_grid)
         if bitmap_ind == 255:
             mask = None
         elif bitmap_ind == 0:
             mask = (
-                np.unpackbits(np.frombuffer(s6[6:], dtype=np.uint8))[: ni * nj]
+                np.unpackbits(np.frombuffer(s6[6:], dtype=np.uint8))[:grid_pts]
                 .astype(bool)
             )
         else:
@@ -649,7 +703,7 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
             )
         vals = (float(ref) + X * (2.0 ** E)) / (10.0 ** D)
         if mask is not None:
-            full = np.full(ni * nj, np.nan)
+            full = np.full(grid_pts, np.nan)
             full[mask] = vals
             vals = full
         m = {
@@ -657,9 +711,10 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
             "ref_time": ref_time,
             "lats": lats,
             "lons": lons,
-            "values": vals.reshape(nj, ni),
+            # reduced grids are ragged: values stay a flat point array
+            "values": vals if ni is None else vals.reshape(nj, ni),
         }
-        if lat_grid is not None:  # curvilinear (projected) grid
+        if lat_grid is not None:  # curvilinear/reduced: per-point coords
             m["lat_grid"], m["lon_grid"] = lat_grid, lon_grid
         msgs.append(m)
         p += total
