@@ -913,6 +913,107 @@ def grib1_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reduced_gauss_expectations() -> dict:
+    """Deterministic facts about the reduced-Gaussian test grid,
+    computed once at import from the exact Gauss-Legendre nodes and
+    embedded as literals in the oracle SQL (DuckDB has no Legendre
+    roots; the nodes are pure deterministic math, same pattern as the
+    Lambert cone constants)."""
+    import numpy as np
+
+    from weather_tools_spark.sources.grib2 import gaussian_latitudes
+
+    counts = [18, 24, 30, 24, 18]
+    sub = gaussian_latitudes(16)[6:11]
+    lat_pts = np.repeat(sub, counts)
+    return {
+        "counts": counts,
+        "lat1": float(sub[0]),
+        "lat2": float(sub[-1]),
+        "npts": int(sum(counts)),
+        "sum_lat": round(float(lat_pts.sum()), 6),
+        "min_lat": round(float(lat_pts.min()), 6),
+        "max_lat": round(float(lat_pts.max()), 6),
+    }
+
+
+_RG = _reduced_gauss_expectations()
+
+@register(
+    "grib_reduced_gaussian_agg",
+    oracle=f"""
+    WITH pts AS (
+      SELECT unnest(range(0, {_RG['npts']})) AS i
+    )
+    SELECT CAST({_RG['npts']} AS BIGINT) AS n_points,
+           round(sum(i * 0.125 - 40.0), 3) AS sum_d2m,
+           round(min(i * 0.125 - 40.0), 3) AS min_d2m,
+           round(max(i * 0.125 - 40.0), 3) AS max_d2m,
+           {_RG['sum_lat']!r} AS sum_lat,
+           {_RG['min_lat']!r} AS min_lat,
+           {_RG['max_lat']!r} AS max_lat
+    FROM pts
+    """,
+)
+def grib_reduced_gaussian_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduced-Gaussian GRIB2 end-to-end (grid template 3.40 with the
+    points-per-row list — ERA5's native ragged layout): a
+    deterministic point sequence is serialized by an EXECUTOR task
+    into genuine reduced-grid GRIB2 bytes, read back through the
+    distributed ingest (per-point lat/lon from exact Gauss-Legendre
+    nodes), and aggregated over BOTH the decoded values and the
+    reconstructed latitudes. The oracle recomputes the value
+    aggregates arithmetically and pins the latitude aggregates against
+    import-time Legendre literals — a hash gate over the ragged-grid
+    decode path. Reference: ECMWF native grids via cfgrib/xarray,
+    weather_mv loader_pipeline/sinks.py:437-519."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from weather_tools_spark.sources import grib2 as G2
+
+    out_dir = tempfile.mkdtemp(prefix="wts_rg_")
+    path = os.path.join(out_dir, "native.grib2")
+    rg = _RG
+
+    def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        vals = pdf["i"].to_numpy(dtype="f8") * 0.125 - 40.0
+        grid = {"type": "gaussian_reduced", "n": 16, "lat1": rg["lat1"],
+                "lat2": rg["lat2"], "counts": rg["counts"]}
+        G2.write_grib2(path, [{"param": "d2m", "ref_time": "2024-04-04",
+                               "values": vals, "grid": grid}])
+        return pd.DataFrame({"path": [path]})
+
+    (
+        spark.range(rg["npts"]).selectExpr("id as i", "1 as g").coalesce(1)
+        .groupBy("g").applyInPandas(lambda k, pdf: write_one(pdf.sort_values("i")),
+                                    "path string")
+        .count()
+    )
+
+    files = spark.createDataFrame([(path,)], "path string")
+
+    def decode(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                yield G2.grib2_decode(p, None)
+
+    rows = files.mapInPandas(decode, "time timestamp, latitude double, longitude double, d2m double")
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("d2m"), 3).alias("sum_d2m"),
+        F.round(F.min("d2m"), 3).alias("min_d2m"),
+        F.round(F.max("d2m"), 3).alias("max_d2m"),
+        F.round(F.sum("latitude"), 6).alias("sum_lat"),
+        F.round(F.min("latitude"), 6).alias("min_lat"),
+        F.round(F.max("latitude"), 6).alias("max_lat"),
+    )
+
+
 @register(
     "regrid_conservative_agg",
     oracle="""
