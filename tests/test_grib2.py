@@ -364,3 +364,40 @@ def test_reduced_gaussian_grid(tmp_path):
     assert np.array_equal(np.isnan(m2["values"]), np.isnan(vals2))
     keep = ~np.isnan(vals2)
     assert np.array_equal(m2["values"][keep], vals2[keep])
+
+
+def test_pds_step_and_ensemble_member(tmp_path):
+    """PDS templates 4.0/4.1: forecast time (step) and the ensemble
+    member number — the GRIB origin of the hypercube's step /
+    valid_time / number coordinates (reference coordinate set
+    sinks.py:44; step stored as seconds-FLOAT64, bq.py:440-441).
+    Files without them keep the plain 3-coordinate decode schema."""
+    lats = np.array([49.0, 48.75])
+    lons = np.array([2.0, 2.25, 2.5])
+    base = np.arange(6, dtype="f8").reshape(2, 3)
+    msgs = [
+        {"param": "d2m", "ref_time": "2024-05-01 00:00:00", "lats": lats,
+         "lons": lons, "values": base + member * 10 + step,
+         "step_hours": step, "member": member}
+        for member in (0, 1, 2) for step in (0, 6, 12)
+    ]
+    path = str(tmp_path / "ens.grib2")
+    G2.write_grib2(path, msgs)
+    back = G2.read_grib2(path)
+    m = back[4]  # member 1, step 6
+    assert m["member"] == 1 and m["step_hours"] == 6.0
+    assert m["valid_time"] == pd.Timestamp("2024-05-01 06:00:00")
+
+    pdf = G2.grib2_decode(path, None)
+    assert {"step", "valid_time", "number"} <= set(pdf.columns)
+    assert len(pdf) == 9 * 6
+    assert sorted(pdf["step"].unique()) == [0.0, 21600.0, 43200.0]
+    row = pdf[(pdf.number == 2) & (pdf.step == 43200.0)].iloc[0]
+    assert row.valid_time == pd.Timestamp("2024-05-01 12:00:00")
+
+    # deterministic file: no step/member columns
+    G2.write_grib2(path, [{"param": "d2m", "ref_time": "2024-05-01",
+                           "lats": lats, "lons": lons, "values": base}])
+    assert set(G2.grib2_decode(path, None).columns) == {
+        "time", "latitude", "longitude", "d2m"
+    }

@@ -479,12 +479,23 @@ def write_grib2(
             sec3 = struct.pack(">IB", 5 + len(sec3_body), 3) + sec3_body
 
         lvl_type, lvl_val = _LEVELS[name]
-        tmpl40 = struct.pack(
+        step_hours = int(msg.get("step_hours", 0))
+        member = msg.get("member")
+        tmpl4 = struct.pack(
             ">BBBBBHBBIBBIBBI",
-            cat, num, 2, 0, 0, 0, 0, 1, 0,
+            cat, num, 2, 0, 0, 0, 0, 1, step_hours,
             lvl_type, 0, lvl_val, 255, 0, 0,
         )
-        sec4 = struct.pack(">IBHH", 9 + len(tmpl40), 4, 0, 0) + tmpl40
+        if member is None:
+            ptmpl = 0  # template 4.0: deterministic forecast at a point in time
+        else:
+            # template 4.1: individual ensemble forecast — the GRIB
+            # origin of the hypercube's `number` coordinate
+            ptmpl = 1
+            tmpl4 += struct.pack(
+                ">BBB", 3, int(member), int(msg.get("n_members", 0))
+            )
+        sec4 = struct.pack(">IBHH", 9 + len(tmpl4), 4, 0, ptmpl) + tmpl4
 
         # simple packing: X = round(v·10^D) − R, E=0. R is stored as IEEE
         # float32 (spec), so it MUST be quantized to float32 BEFORE the
@@ -630,6 +641,18 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
         if want is not None and (disc, cat, num) not in want:
             p += total  # filter pushdown: section 7 never unpacked
             continue
+        ptmpl, = struct.unpack_from(">H", s4, 7)
+        if ptmpl not in (0, 1):
+            raise NotImplementedError(
+                f"product definition template {ptmpl} (4.0 deterministic / 4.1 ensemble)"
+            )
+        time_unit = s4[17]
+        ftime, = struct.unpack_from(">I", s4, 18)
+        unit_hours = {0: 1.0 / 60.0, 1: 1.0, 2: 24.0, 10: 3.0, 11: 6.0, 12: 12.0}
+        if time_unit not in unit_hours:
+            raise NotImplementedError(f"forecast time unit {time_unit}")
+        step_hours = ftime * unit_hours[time_unit]
+        member = s4[35] if ptmpl == 1 else None
 
         s1 = sections[1]
         year, = struct.unpack_from(">H", s1, 12)
@@ -709,6 +732,9 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
         m = {
             "param": _REV_PARAMS.get((disc, cat, num), f"p{disc}_{cat}_{num}"),
             "ref_time": ref_time,
+            "step_hours": step_hours,
+            "valid_time": ref_time + pd.Timedelta(hours=step_hours),
+            "member": member,
             "lats": lats,
             "lons": lons,
             # reduced grids are ragged: values stay a flat point array
@@ -915,18 +941,32 @@ def grib2_decode(path: str, opts=None) -> pd.DataFrame:
     variables = getattr(opts, "variables", None) if opts is not None else None
     if variables:
         want = {PARAMS[v] for v in variables if v in PARAMS}
+    messages = read_grib2(path, want)
+    # forecast-step / ensemble columns appear only when the file uses
+    # them (step ≠ 0 or PDS template 4.1) — static-grid decode output
+    # keeps its 3-coordinate schema
+    has_step = any(m["step_hours"] for m in messages)
+    has_member = any(m["member"] is not None for m in messages)
     frames: dict[tuple, pd.DataFrame] = {}
-    for m in read_grib2(path, want):
+    for m in messages:
         if "lat_grid" in m:  # curvilinear (Lambert) grid: per-point coords
             la, lo = m["lat_grid"], m["lon_grid"]
         else:
             la, lo = np.meshgrid(m["lats"], m["lons"], indexing="ij")
-        key = (m["ref_time"], la.tobytes(), lo.tobytes())
+        key = (m["ref_time"], m["step_hours"], m["member"], la.tobytes(), lo.tobytes())
         pdf = frames.get(key)
         if pdf is None:
-            pdf = pd.DataFrame(
-                {"time": m["ref_time"], "latitude": la.ravel(), "longitude": lo.ravel()}
-            )
+            cols = {"time": m["ref_time"]}
+            if has_step:
+                # reference semantics: step stored as SECONDS-as-FLOAT64,
+                # valid_time = time + step (bq.py:440-441, util.py:121-125)
+                cols["step"] = m["step_hours"] * 3600.0
+                cols["valid_time"] = m["valid_time"]
+            if has_member:
+                cols["number"] = -1 if m["member"] is None else int(m["member"])
+            cols["latitude"] = la.ravel()
+            cols["longitude"] = lo.ravel()
+            pdf = pd.DataFrame(cols)
             frames[key] = pdf
         pdf[m["param"]] = m["values"].ravel()
     if not frames:
