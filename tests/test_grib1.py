@@ -185,3 +185,25 @@ def test_partitioned_sink_roundtrip(spark, tmp_path):
     assert len(back) == len(want)
     for _, r in back.iterrows():
         assert want[(r.latitude, r.longitude)] == (r.d2m, r.u10)
+
+
+def test_forecast_step_p1(tmp_path):
+    """GRIB1 forecast step in PDS P1 (hours): decoded as step
+    seconds-FLOAT64 + valid_time (reference bq.py:440-441 semantics);
+    analysis files (P1=0 everywhere) keep the plain schema."""
+    base = np.arange(12, dtype="f8").reshape(3, 4)
+    path = str(tmp_path / "fc.grib")
+    G1.write_grib1(path, [{"param": "d2m", "ref_time": "2024-05-01 00:00:00",
+                           "lats": LATS, "lons": LONS, "values": base + s,
+                           "step_hours": s} for s in (0, 12)])
+    msgs = G1.read_grib1(path)
+    assert msgs[1]["step_hours"] == 12.0
+    assert msgs[1]["valid_time"] == pd.Timestamp("2024-05-01 12:00:00")
+    pdf = G1.grib1_decode(path, None)
+    assert sorted(pdf["step"].unique()) == [0.0, 43200.0]
+
+    G1.write_grib1(path, [{"param": "d2m", "ref_time": "2024-05-01",
+                           "lats": LATS, "lons": LONS, "values": base}])
+    assert set(G1.grib1_decode(path, None).columns) == {
+        "time", "latitude", "longitude", "d2m"
+    }

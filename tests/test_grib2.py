@@ -401,3 +401,21 @@ def test_pds_step_and_ensemble_member(tmp_path):
     assert set(G2.grib2_decode(path, None).columns) == {
         "time", "latitude", "longitude", "d2m"
     }
+
+
+def test_isobaric_levels(tmp_path):
+    """Pressure-level products: a per-message ('isobaric', hPa) level
+    writes fixed-surface type 100 with the Pa value; multi-level files
+    decode with a `level` column — the hypercube's vertical axis."""
+    base = np.arange(12, dtype="f8").reshape(3, 4)
+    msgs = [{"param": "u10", "ref_time": "2024-05-01", "lats": LATS, "lons": LONS,
+             "values": base + hpa, "level": ("isobaric", hpa)}
+            for hpa in (1000, 850, 500)]
+    path = str(tmp_path / "plev.grib2")
+    G2.write_grib2(path, msgs)
+    back = G2.read_grib2(path)
+    assert [m["level"] for m in back] == [100000.0, 85000.0, 50000.0]
+    assert all(m["level_type"] == 100 for m in back)
+    pdf = G2.grib2_decode(path, None)
+    assert sorted(pdf["level"].unique()) == [50000.0, 85000.0, 100000.0]
+    assert len(pdf) == 36

@@ -80,6 +80,13 @@ def _milli(deg: float) -> int:
     return int(round(deg * 1_000))
 
 
+def _u8_step(hours) -> int:
+    h = int(hours)
+    if not 0 <= h <= 255:
+        raise ValueError("GRIB1 P1 forecast step must fit one octet (0-255 h)")
+    return h
+
+
 def ibm32_decode(word: int) -> float:
     """IBM 32-bit hexadecimal float → Python float (exact: the value is
     frac·16^(exp−64)/2^24, always a dyadic rational)."""
@@ -178,7 +185,8 @@ def write_grib1(path: str, messages: list[dict], decimal_scale: int = 3) -> None
                 ]
             )
             + int(lvl_val).to_bytes(2, "big")
-            + bytes([yoc, t.month, t.day, t.hour, t.minute, 1, 0, 0, 0])
+            + bytes([yoc, t.month, t.day, t.hour, t.minute, 1,
+                     _u8_step(msg.get("step_hours", 0)), 0, 0])
             + (0).to_bytes(2, "big")  # number in average
             + bytes([0, century, 0])  # missing, century, sub-centre
             + struct.pack(">H", _sm16(decimal_scale))
@@ -311,6 +319,13 @@ def read_grib1(path: str, want: set[int] | None = None) -> list[dict]:
         century = pds[24]
         year = (century - 1) * 100 + yoc
         ref_time = pd.Timestamp(year=year, month=month, day=day, hour=hour, minute=minute)
+        time_unit, p1, tri = pds[17], pds[18], pds[20]
+        if tri != 0:
+            raise NotImplementedError(f"GRIB1 time range indicator {tri} (instantaneous only)")
+        unit_hours = {0: 1.0 / 60.0, 1: 1.0, 2: 24.0}
+        if time_unit not in unit_hours:
+            raise NotImplementedError(f"GRIB1 forecast time unit {time_unit}")
+        step_hours = p1 * unit_hours[time_unit]
         D = _sm16d(struct.unpack_from(">H", pds, 26)[0])
 
         gds = msg[8 + pds_len :]
@@ -363,6 +378,8 @@ def read_grib1(path: str, want: set[int] | None = None) -> list[dict]:
             {
                 "param": _REV_PARAMS1.get(indicator, f"p{indicator}"),
                 "ref_time": ref_time,
+                "step_hours": step_hours,
+                "valid_time": ref_time + pd.Timedelta(hours=step_hours),
                 "lats": lats,
                 "lons": lons,
                 "values": vals.reshape(nj, ni),
@@ -380,15 +397,21 @@ def grib1_decode(path: str, opts=None) -> pd.DataFrame:
     variables = getattr(opts, "variables", None) if opts is not None else None
     if variables:
         want = {PARAMS1[v] for v in variables if v in PARAMS1}
+    messages = read_grib1(path, want)
+    has_step = any(m["step_hours"] for m in messages)
     frames: dict[tuple, pd.DataFrame] = {}
-    for m in read_grib1(path, want):
+    for m in messages:
         la, lo = np.meshgrid(m["lats"], m["lons"], indexing="ij")
-        key = (m["ref_time"], m["lats"].tobytes(), m["lons"].tobytes())
+        key = (m["ref_time"], m["step_hours"], m["lats"].tobytes(), m["lons"].tobytes())
         pdf = frames.get(key)
         if pdf is None:
-            pdf = pd.DataFrame(
-                {"time": m["ref_time"], "latitude": la.ravel(), "longitude": lo.ravel()}
-            )
+            cols = {"time": m["ref_time"]}
+            if has_step:  # step as seconds-FLOAT64 (reference bq.py:440-441)
+                cols["step"] = m["step_hours"] * 3600.0
+                cols["valid_time"] = m["valid_time"]
+            cols["latitude"] = la.ravel()
+            cols["longitude"] = lo.ravel()
+            pdf = pd.DataFrame(cols)
             frames[key] = pdf
         pdf[m["param"]] = m["values"].ravel()
     if not frames:

@@ -478,7 +478,16 @@ def write_grib2(
             sec3_body = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0) + tmpl30
             sec3 = struct.pack(">IB", 5 + len(sec3_body), 3) + sec3_body
 
-        lvl_type, lvl_val = _LEVELS[name]
+        # per-message level override: ("isobaric", hPa) or a raw
+        # (fixed-surface type, scaled value) pair — the vertical axis
+        # of the hypercube (pressure-level products)
+        lvl = msg.get("level")
+        if lvl is None:
+            lvl_type, lvl_val = _LEVELS[name]
+        elif lvl[0] == "isobaric":
+            lvl_type, lvl_val = 100, int(lvl[1]) * 100  # hPa → Pa
+        else:
+            lvl_type, lvl_val = int(lvl[0]), int(lvl[1])
         step_hours = int(msg.get("step_hours", 0))
         member = msg.get("member")
         tmpl4 = struct.pack(
@@ -653,6 +662,11 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
             raise NotImplementedError(f"forecast time unit {time_unit}")
         step_hours = ftime * unit_hours[time_unit]
         member = s4[35] if ptmpl == 1 else None
+        lvl_type = s4[22]
+        lvl_scale = s4[23]
+        lvl_scale = -(lvl_scale & 0x7F) if lvl_scale & 0x80 else lvl_scale
+        lvl_raw, = struct.unpack_from(">I", s4, 24)
+        level_value = lvl_raw * 10.0 ** (-lvl_scale)
 
         s1 = sections[1]
         year, = struct.unpack_from(">H", s1, 12)
@@ -735,6 +749,8 @@ def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list
             "step_hours": step_hours,
             "valid_time": ref_time + pd.Timedelta(hours=step_hours),
             "member": member,
+            "level_type": lvl_type,
+            "level": level_value,
             "lats": lats,
             "lons": lons,
             # reduced grids are ragged: values stay a flat point array
@@ -947,13 +963,25 @@ def grib2_decode(path: str, opts=None) -> pd.DataFrame:
     # keeps its 3-coordinate schema
     has_step = any(m["step_hours"] for m in messages)
     has_member = any(m["member"] is not None for m in messages)
+    # the vertical axis exists when some PARAMETER appears at more than
+    # one level — different variables at their own fixed surfaces
+    # (2 m dewpoint, 10 m wind) still merge into one wide row set
+    lv: dict[str, set] = {}
+    for m in messages:
+        lv.setdefault(m["param"], set()).add((m["level_type"], m["level"]))
+    has_level = any(len(s) > 1 for s in lv.values())
     frames: dict[tuple, pd.DataFrame] = {}
     for m in messages:
         if "lat_grid" in m:  # curvilinear (Lambert) grid: per-point coords
             la, lo = m["lat_grid"], m["lon_grid"]
         else:
             la, lo = np.meshgrid(m["lats"], m["lons"], indexing="ij")
-        key = (m["ref_time"], m["step_hours"], m["member"], la.tobytes(), lo.tobytes())
+        key = (
+            m["ref_time"], m["step_hours"], m["member"],
+            m["level_type"] if has_level else None,
+            m["level"] if has_level else None,
+            la.tobytes(), lo.tobytes(),
+        )
         pdf = frames.get(key)
         if pdf is None:
             cols = {"time": m["ref_time"]}
@@ -964,6 +992,8 @@ def grib2_decode(path: str, opts=None) -> pd.DataFrame:
                 cols["valid_time"] = m["valid_time"]
             if has_member:
                 cols["number"] = -1 if m["member"] is None else int(m["member"])
+            if has_level:  # vertical axis (e.g. isobaric surfaces, Pa)
+                cols["level"] = m["level"]
             cols["latitude"] = la.ravel()
             cols["longitude"] = lo.ravel()
             pdf = pd.DataFrame(cols)
