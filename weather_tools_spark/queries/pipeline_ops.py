@@ -913,6 +913,70 @@ def grib1_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dl_config_grammar_fanout",
+    oracle="""
+    WITH y AS (SELECT unnest(['2015','2016']) AS year),
+         m AS (SELECT lpad(CAST(i AS VARCHAR), 2, '0') AS month
+               FROM (SELECT unnest(range(1, 13)) AS i))
+    SELECT year, month,
+           concat('gs://bucket/era5/', year, '-', month, '.nc') AS target,
+           CAST(2 AS BIGINT) AS n_variables,
+           CAST(3 AS BIGINT) AS n_levels,
+           CAST(4 AS BIGINT) AS n_times
+    FROM y, m
+    ORDER BY year, month
+    """,
+)
+def dl_config_grammar_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weather-dl CONFIG-FILE grammar end to end: a reference-style
+    ``*.cfg`` text (multiline lists, explicit ``500/850/1000`` MARS
+    list, ``01/to/12`` and ``00/to/18/by/6`` MARS ranges, API-key
+    subsections) parses through pipeline/configfile.process_config
+    (parsers.py:157-487 semantics) and drives the Cartesian fan-out;
+    the oracle recomputes the partition product and target paths, and
+    the selection-list lengths gate the MARS expansions — a hash gate
+    over the grammar itself."""
+    from weather_tools_spark.pipeline.configfile import process_config
+    from weather_tools_spark.pipeline.partition import fanout
+
+    cfg_text = """
+[parameters]
+client=cds
+dataset=reanalysis-era5-pressure-levels
+target_path=gs://bucket/era5/{year}-{month}.nc
+partition_keys=
+    year
+    month
+
+[parameters.alice]
+api_key=KKKK1
+api_url=https://cds.example/v1
+
+[selection]
+product_type=reanalysis
+variable=
+    u_component_of_wind
+    v_component_of_wind
+pressure_level=500/850/1000
+year=
+    2015
+    2016
+month=01/to/12
+time=00/to/18/by/6
+"""
+    config = process_config(cfg_text, "era5.cfg")
+    parts = fanout(spark, config)
+    return parts.select(
+        "year",
+        "month",
+        "target",
+        F.lit(len(config.selection["variable"])).cast("bigint").alias("n_variables"),
+        F.lit(len(config.selection["pressure_level"])).cast("bigint").alias("n_levels"),
+        F.lit(len(config.selection["time"])).cast("bigint").alias("n_times"),
+    ).orderBy("year", "month")
+
+
 def _reduced_gauss_expectations() -> dict:
     """Deterministic facts about the reduced-Gaussian test grid,
     computed once at import from the exact Gauss-Legendre nodes and
