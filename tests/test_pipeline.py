@@ -142,3 +142,75 @@ def test_splitter_melt_and_partitioned_write(spark):
         # partition pruning on the split dimension reads one partition
         only_d2m = spark.read.parquet(f"{d}/out").filter(F.col("variable") == "d2m")
         assert only_d2m.count() == 2
+
+
+def test_file_native_grib_split_byte_identical(tmp_path):
+    """weather-sp file-native splitting (grib_copy semantics,
+    file_splitters.py:159-238): per-parameter outputs are VERBATIM
+    concatenations of the original message bytes — no re-encode —
+    for both GRIB editions."""
+    import struct
+
+    import numpy as np
+
+    from weather_tools_spark.pipeline.splitter import split_grib_by_param
+    from weather_tools_spark.sources import grib1 as G1
+    from weather_tools_spark.sources import grib2 as G2
+
+    lats = np.array([49.0, 48.75])
+    lons = np.array([2.0, 2.25, 2.5])
+    base = np.arange(6, dtype="f8").reshape(2, 3)
+    src = str(tmp_path / "multi.grib2")
+    G2.write_grib2(src, [{"param": p, "ref_time": "2024-06-01", "lats": lats,
+                          "lons": lons, "values": base + i, "step_hours": 6 * i}
+                         for i, p in enumerate(["d2m", "u10", "d2m", "v10"])])
+    outs = split_grib_by_param(src, str(tmp_path))
+    assert set(outs) == {"d2m", "u10", "v10"}
+
+    buf = open(src, "rb").read()
+    msgs, p = [], 0
+    while p < len(buf):
+        (total,) = struct.unpack_from(">Q", buf, p + 8)
+        msgs.append(buf[p : p + total])
+        p += total
+    assert open(outs["d2m"], "rb").read() == msgs[0] + msgs[2]  # byte-identical
+    back = G2.read_grib2(outs["d2m"])
+    assert len(back) == 2 and back[1]["step_hours"] == 12.0
+
+    src1 = str(tmp_path / "old.grib")
+    G1.write_grib1(src1, [{"param": p, "ref_time": "2024-06-01", "lats": lats,
+                           "lons": lons, "values": base} for p in ("d2m", "u10")])
+    outs1 = split_grib_by_param(src1, str(tmp_path))
+    assert open(outs1["u10"], "rb").read() in open(src1, "rb").read()
+
+
+def test_file_native_netcdf_split_and_distributed(spark, tmp_path):
+    import numpy as np
+
+    from weather_tools_spark.pipeline.splitter import (
+        split_grib_files_partitioned,
+        split_netcdf_by_variable,
+    )
+    from weather_tools_spark.sources import grib2 as G2
+    from weather_tools_spark.sources import netcdf3 as N3
+
+    lats = np.array([49.0, 48.75])
+    lons = np.array([2.0, 2.25, 2.5])
+    base = np.arange(6, dtype="f8").reshape(2, 3)
+    srcn = str(tmp_path / "wide.nc")
+    N3.write_netcdf3(
+        srcn,
+        {"time": np.array([0], dtype=">i4"), "latitude": lats, "longitude": lons},
+        {"d2m": base.reshape(1, 2, 3), "u10": (base * 2).reshape(1, 2, 3)},
+    )
+    outs = split_netcdf_by_variable(srcn, str(tmp_path))
+    c, d, _ = N3.read_netcdf3(outs["u10"])
+    assert set(d) == {"u10"}
+    np.testing.assert_array_equal(d["u10"], (base * 2).reshape(1, 2, 3))
+    np.testing.assert_array_equal(np.asarray(c["latitude"]), lats)
+
+    src2 = str(tmp_path / "m.grib2")
+    G2.write_grib2(src2, [{"param": p, "ref_time": "2024-06-01", "lats": lats,
+                           "lons": lons, "values": base} for p in ("d2m", "v10")])
+    n = split_grib_files_partitioned(spark, [src2], str(tmp_path / "split"))
+    assert n == 2

@@ -52,3 +52,106 @@ def split_by_variable(
     the 'split by variable' mode of weather-sp."""
     long_df = melt_variables(df, id_cols, var_cols)
     split_by_dims(long_df, out_dir, ["variable"], mode=mode)
+
+
+def split_grib_by_param(path: str, out_dir: str, template: str = "{stem}_{param}.grib2") -> dict[str, str]:
+    """FILE-NATIVE GRIB splitting with BYTE-IDENTICAL messages — the
+    reference's grib_copy semantics (weather_sp
+    file_splitters.py:159-238 shells out to ecCodes): a GRIB file is a
+    plain concatenation of self-contained messages, so splitting by
+    parameter is grouping the original message byte ranges by their
+    section-4 parameter and concatenating them verbatim per output.
+    No re-encode: every output message is bit-for-bit the input
+    message (pinned in tests). Works for edition 1 and 2; the walk
+    touches only section headers (total length + PDS/param octets).
+
+    Returns {param name: output path}. Designed to run one whole file
+    per executor task (see :func:`split_grib_files_partitioned`).
+    """
+    import os
+    import struct
+
+    from weather_tools_spark.sources.grib1 import _REV_PARAMS1
+    from weather_tools_spark.sources.grib2 import _REV_PARAMS
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    groups: dict[str, list[bytes]] = {}
+    p = 0
+    while p < len(buf):
+        if buf[p : p + 4] != b"GRIB":
+            raise ValueError(f"{path}: not GRIB at offset {p}")
+        edition = buf[p + 7]
+        if edition == 2:
+            (total,) = struct.unpack_from(">Q", buf, p + 8)
+            disc = buf[p + 6]
+            # walk to section 4 for (discipline, category, number)
+            q = p + 16
+            name = None
+            while q < p + total - 4:
+                (slen,) = struct.unpack_from(">I", buf, q)
+                if buf[q + 4] == 4:
+                    cat, num = buf[q + 9], buf[q + 10]
+                    name = _REV_PARAMS.get((disc, cat, num), f"p{disc}_{cat}_{num}")
+                    break
+                q += slen
+        elif edition == 1:
+            total = int.from_bytes(buf[p + 4 : p + 7], "big")
+            indicator = buf[p + 8 + 8]  # PDS octet 9
+            name = _REV_PARAMS1.get(indicator, f"p{indicator}")
+        else:
+            raise ValueError(f"{path}: GRIB edition {edition}")
+        if name is None:
+            raise ValueError(f"{path}: message at {p} has no product section")
+        groups.setdefault(name, []).append(buf[p : p + total])
+        p += total
+
+    os.makedirs(out_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(path))[0]
+    out: dict[str, str] = {}
+    for name, msgs in groups.items():
+        target = os.path.join(out_dir, template.format(stem=stem, param=name))
+        with open(target, "wb") as f:
+            f.write(b"".join(msgs))
+        out[name] = target
+    return out
+
+
+def split_netcdf_by_variable(path: str, out_dir: str, template: str = "{stem}_{var}.nc") -> dict[str, str]:
+    """FILE-NATIVE classic-NetCDF splitting: one output file per data
+    variable, coordinates carried into every output (weather_sp
+    file_splitters.py:241-300 semantics via the stdlib codec — the
+    reference uses netCDF4/xarray)."""
+    import os
+
+    from weather_tools_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+    coords, data, _attrs = read_netcdf3(path)
+    os.makedirs(out_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(path))[0]
+    out: dict[str, str] = {}
+    for var, arr in data.items():
+        target = os.path.join(out_dir, template.format(stem=stem, var=var))
+        write_netcdf3(target, coords, {var: arr})
+        out[var] = target
+    return out
+
+
+def split_grib_files_partitioned(spark, paths: list[str], out_dir: str) -> int:
+    """Distributed file-native splitter: whole input files are the unit
+    of parallelism (the reference's one-file-per-worker shape); each
+    executor task splits its file byte-identically. Returns the number
+    of output files written."""
+    import pandas as pd
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    )
+
+    def run(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                outs = split_grib_by_param(p, out_dir)
+                yield pd.DataFrame({"src": [p] * len(outs), "out": list(outs.values())})
+
+    return files.mapInPandas(run, "src string, out string").count()
