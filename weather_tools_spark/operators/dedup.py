@@ -309,10 +309,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("s")
         )
-        # the capped frame feeds both remaining consumers — persist it
-        # so the df-filter join runs once, not per consumer
-        exploded = _persist(exploded.join(F.broadcast(frequent), "s", "left_anti"))
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        exploded = exploded.join(F.broadcast(frequent), "s", "left_anti")
+    if max_shingle_df is None:
+        sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         # Capped path: every surviving shingle touches ≤ cap docs, so
         # grouping by shingle and expanding the C(m,2) in-bucket combos
@@ -320,14 +319,19 @@ def ngram_jaccard_pairs(
         # self-join with ONE aggregation — one fewer wide shuffle, and
         # the pair fan-out happens as a narrow transform. doc lists are
         # sorted so emitted pairs are canonical (a < b) with no dedup.
-        # Per-doc set sizes are attached BEFORE expansion: the (doc,
-        # shingle, n_sh) frame is |exploded| rows and the size side of
-        # the join is one row per doc (AQE broadcasts it when small;
-        # co-partitioned by doc_id at scale), so the candidate-pair
-        # frame — the largest in the plan, Σ C(m,2) rows — carries its
-        # Jaccard denominators through the final aggregation and never
-        # gets joined again.
-        with_sz = exploded.join(sizes, "doc_id")
+        # Per-doc set sizes are attached BEFORE expansion as a WINDOW
+        # count over doc_id: one shuffle annotates every (doc, shingle)
+        # row with its doc's capped set size — no size aggregate, no
+        # join-back, and the capped frame has exactly one consumer (so
+        # only the pre-cap exploded frame needs a persist). The
+        # candidate-pair frame — the largest in the plan, Σ C(m,2)
+        # rows — then carries its Jaccard denominators through the
+        # final aggregation and never gets joined again.
+        from pyspark.sql import Window as _W
+
+        with_sz = exploded.withColumn(
+            "n_sh", F.count(F.lit(1)).over(_W.partitionBy("doc_id"))
+        )
         byshingle = (
             with_sz.groupBy("s")
             .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("d"))
