@@ -43,6 +43,7 @@ CHECK_CHANGED: list[str] = [
     "weather_forecast_leadtime",   # r4: NEW — step/valid_time lead-time semantics, oracle-gated
     "grib_reduced_gaussian_agg",   # r4: NEW — ERA5-native reduced-Gaussian decode, oracle-gated
     "dl_config_grammar_fanout",    # r4: NEW — weather-dl .cfg grammar → fan-out, oracle-gated
+    "dq_distribution_drift",       # r4: NEW — PSI drift between corpus snapshots, oracle-gated
     "xql_zarr_daily_avg",          # r4: NEW — flagship xql-over-Zarr flow, oracle-gated
     "text_pii_scrub",              # r4: NEW — PII redaction, digest-gated
     "corpus_chunk_documents",      # r4: NEW — sliding-window chunking, per-chunk hash-gated

@@ -552,6 +552,84 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_distribution_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bucket,
+             event_id % 2 = 0 AS is_old
+      FROM events
+    ),
+    b AS (SELECT unnest(range(0, 10)) AS bucket),
+    cnt AS (
+      SELECT b.bucket,
+             0.5 + coalesce(sum(CASE WHEN is_old THEN 1 END), 0) AS n_old,
+             0.5 + coalesce(sum(CASE WHEN NOT is_old THEN 1 END), 0) AS n_new
+      FROM b LEFT JOIN ev ON b.bucket = ev.bucket
+      GROUP BY b.bucket
+    ),
+    tot AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM cnt)
+    SELECT bucket,
+           CAST(n_old - 0.5 AS BIGINT) AS n_old,
+           CAST(n_new - 0.5 AS BIGINT) AS n_new,
+           round(n_old / t_old, 6) AS p_old,
+           round(n_new / t_new, 6) AS p_new,
+           round((n_new / t_new - n_old / t_old) * ln((n_new / t_new) / (n_old / t_old)), 6)
+             AS psi_term
+    FROM cnt, tot
+    ORDER BY bucket
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection (population stability index) — the
+    check a training-data pipeline runs between corpus snapshots before
+    accepting a refresh. Two deterministic cohorts of the events table
+    (event_id parity ≈ old/new snapshot) are histogrammed into fixed
+    50-unit value buckets; each bucket's PSI term
+    (p_new − p_old)·ln(p_new/p_old) is computed with Laplace-smoothed
+    (+0.5) counts so empty buckets stay finite. One map-combinable
+    aggregation over the fact table — the same shape at 100 TB; the
+    oracle recomputes every term with its own arithmetic."""
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(9)
+    ).cast("bigint")
+    cnt = (
+        ev.select(bucket.alias("bucket"), (F.col("event_id") % 2 == 0).alias("is_old"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("raw_old"),
+            F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("raw_new"),
+        )
+    )
+    buckets = spark.range(10).select(F.col("id").alias("bucket"))
+    cnt = (
+        buckets.join(cnt, "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("raw_old"), F.lit(0)) + 0.5).alias("n_old"),
+            (F.coalesce(F.col("raw_new"), F.lit(0)) + 0.5).alias("n_new"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    p_old = F.col("n_old") / F.col("t_old")
+    p_new = F.col("n_new") / F.col("t_new")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.col("n_old") - 0.5).cast("bigint").alias("n_old"),
+            (F.col("n_new") - 0.5).cast("bigint").alias("n_new"),
+            F.round(p_old, 6).alias("p_old"),
+            F.round(p_new, 6).alias("p_new"),
+            F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "join_salted_equivalence",
     oracle="""
     SELECT o_orderpriority,
