@@ -44,6 +44,7 @@ CHECK_CHANGED: list[str] = [
     "grib_reduced_gaussian_agg",   # r4: NEW — ERA5-native reduced-Gaussian decode, oracle-gated
     "dl_config_grammar_fanout",    # r4: NEW — weather-dl .cfg grammar → fan-out, oracle-gated
     "dq_distribution_drift",       # r4: NEW — PSI drift between corpus snapshots, oracle-gated
+    "grib_manifest_pruned_scan",   # r4: NEW — kerchunk-style byte-range manifest scan, oracle-gated
     "xql_zarr_daily_avg",          # r4: NEW — flagship xql-over-Zarr flow, oracle-gated
     "text_pii_scrub",              # r4: NEW — PII redaction, digest-gated
     "corpus_chunk_documents",      # r4: NEW — sliding-window chunking, per-chunk hash-gated

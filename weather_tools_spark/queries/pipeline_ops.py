@@ -977,6 +977,91 @@ time=00/to/18/by/6
     ).orderBy("year", "month")
 
 
+@register(
+    "grib_manifest_pruned_scan",
+    oracle="""
+    WITH cells AS (
+      SELECT d.i AS di, s.i AS si, r.i AS row_i, c.i AS col_i
+      FROM (SELECT unnest(range(0, 3)) AS i) d,
+           (SELECT unnest(range(0, 4)) AS i) s,
+           (SELECT unnest(range(0, 2)) AS i) r,
+           (SELECT unnest(range(0, 3)) AS i) c
+      -- pruned slice: u10 only exists as every message; select days {0,1}, steps ≤ 6h
+      WHERE d.i <= 1 AND s.i <= 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(DISTINCT di) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT si) AS BIGINT) AS n_steps,
+           round(sum(di * 1000 + si * 100 + row_i * 10 + col_i + 0.625), 3) AS sum_value,
+           round(max(di * 1000 + si * 100 + row_i * 10 + col_i + 0.625), 3) AS max_value
+    FROM cells
+    """,
+)
+def grib_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kerchunk-style GRIB access path end to end: a 3-day,
+    4-step, 2-parameter corpus is written by the DISTRIBUTED sink, a
+    message-level manifest is built from SECTION HEADERS ONLY (one
+    task per file), and the scan decodes ONLY the byte ranges whose
+    manifest rows survive the parameter/time/step predicates — here
+    u10 within the first two days at steps ≤ 6 h (4 of 24 messages).
+    Values are exact functions of (day, step, grid index), so the
+    DuckDB oracle recomputes the pruned slice arithmetically — a hash
+    gate over both the pruning logic and the byte-range decode.
+    Reference granularity: cfgrib filter-by-key open, weather_mv
+    loader_pipeline/sinks.py:437-519."""
+    import os
+    import tempfile
+
+    from weather_tools_spark.sources import grib2 as G2
+    from weather_tools_spark.sources.grib_manifest import (
+        build_grib_manifest,
+        scan_grib_manifest,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="wts_gman_")
+    lats, lons = [49.0, 48.75], [2.0, 2.25, 2.5]
+
+    def write_day(key, pdf) -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        (di,) = key
+        idx = np.arange(6, dtype="f8")
+        grid = (idx // 3 * 10 + idx % 3).reshape(2, 3)
+        msgs = []
+        for si in range(4):
+            for prm, off in (("u10", 0.625), ("v10", 0.375)):
+                msgs.append({
+                    "param": prm,
+                    "ref_time": f"2024-07-{10 + int(di):02d} 00:00:00",
+                    "lats": np.array(lats), "lons": np.array(lons),
+                    "values": grid + di * 1000 + si * 100 + off,
+                    "step_hours": 6 * si,
+                })
+        path = os.path.join(out_dir, f"fc-{int(di)}.grib2")
+        G2.write_grib2(path, msgs)
+        return pd.DataFrame({"path": [path]})
+
+    files = (
+        spark.range(3).selectExpr("id as di")
+        .repartition(3)
+        .groupBy("di").applyInPandas(write_day, "path string")
+        .collect()
+    )
+    manifest = build_grib_manifest(spark, sorted(r.path for r in files))
+    rows = scan_grib_manifest(
+        spark, manifest, params=["u10"],
+        time_range=("2024-07-10", "2024-07-12"), max_step_hours=6,
+    )
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct(F.to_date("time")).alias("n_days"),
+        F.countDistinct("step").alias("n_steps"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.round(F.max("value"), 3).alias("max_value"),
+    )
+
+
 def _reduced_gauss_expectations() -> dict:
     """Deterministic facts about the reduced-Gaussian test grid,
     computed once at import from the exact Gauss-Legendre nodes and

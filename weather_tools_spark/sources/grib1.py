@@ -289,11 +289,21 @@ def list_params1(path: str) -> list[str]:
 
 
 def read_grib1(path: str, want: set[int] | None = None) -> list[dict]:
-    """Parse GRIB1 messages. ``want`` is the message filter (table-2
-    indicator numbers); non-matching messages are SKIPPED by total
-    length after the PDS header — their data section is never unpacked."""
+    """Parse GRIB1 messages from a file. ``want`` is the message filter
+    (table-2 indicator numbers); non-matching messages are SKIPPED by
+    total length after the PDS header — their data section is never
+    unpacked."""
     with open(path, "rb") as f:
         buf = f.read()
+    return read_grib1_bytes(buf, want, origin=path)
+
+
+def read_grib1_bytes(
+    buf: bytes, want: set[int] | None = None, origin: str = "<bytes>"
+) -> list[dict]:
+    """Bytes-level GRIB1 message parser — kernel behind
+    :func:`read_grib1` and byte-range manifest decodes."""
+    path = origin  # error-message context only
     msgs: list[dict] = []
     p = 0
     while p < len(buf):

@@ -614,12 +614,24 @@ def list_params(path: str) -> list[str]:
 
 
 def read_grib2(path: str, want: set[tuple[int, int, int]] | None = None) -> list[dict]:
-    """Parse GRIB2 messages. ``want`` is the message filter (reference
-    semantics: select messages by parameter before decode) — messages
-    whose (discipline, category, number) is not wanted are SKIPPED by
-    total length without unpacking their data section."""
+    """Parse GRIB2 messages from a file. ``want`` is the message filter
+    (reference semantics: select messages by parameter before decode) —
+    messages whose (discipline, category, number) is not wanted are
+    SKIPPED by total length without unpacking their data section."""
     with open(path, "rb") as f:
         buf = f.read()
+    return read_grib2_bytes(buf, want, origin=path)
+
+
+def read_grib2_bytes(
+    buf: bytes,
+    want: set[tuple[int, int, int]] | None = None,
+    origin: str = "<bytes>",
+) -> list[dict]:
+    """Bytes-level GRIB2 message parser — the kernel behind
+    :func:`read_grib2` and the manifest scan's byte-range decode
+    (message slices concatenate into a valid buffer)."""
+    path = origin  # error-message context only
     msgs: list[dict] = []
     p = 0
     while p < len(buf):
