@@ -56,6 +56,8 @@ CHECK_CHANGED: list[str] = [
     "corpus_decontamination",      # r4: arrow shingle kernel
     "dedup_minhash_lsh_pairs",     # r4: carried-signature banding + arrow shingles
     "dedup_winnowing_pairs",       # r4: arrow ordered-shingle kernel
+    "geo_utm_project",             # r4: NEW — ellipsoidal UTM (Krüger series), oracle-gated
+    "geo_datum_shift",             # r4: NEW — ECEF + 7-param Helmert datum leg, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -579,3 +579,159 @@ def geo_lambert_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.select(
         "latitude", "longitude", F.round(x, 3).alias("x"), F.round(y, 3).alias("y")
     ).orderBy("latitude", "longitude")
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoidal CRS transforms (functions/geodesy.py)
+# ---------------------------------------------------------------------------
+
+
+def _utm_oracle_sql() -> str:
+    """Build the DuckDB twin of the Krüger-series UTM forward. The
+    series coefficients (exact rationals in the third flattening,
+    functions/geodesy.krueger_coeffs) are embedded as literals; sinh /
+    cosh / asinh — absent in DuckDB — are written out via exp/ln. The
+    oracle therefore recomputes the projection from first principles
+    with DuckDB's own libm, and the mm rounding keeps last-ulp
+    differences out of the hash gate."""
+    from weather_tools_spark.functions.geodesy import utm_params
+
+    p = utm_params(zone=31)
+    e, ka, lon0 = p["e"], p["kA"], p["lon0"]
+    xi_terms, eta_terms = [], []
+    for j in range(1, 7):
+        aj = p["alpha"][j]
+        tj = float(2 * j)
+        xi_terms.append(
+            f"{aj!r} * sin({tj!r} * xip) * (exp({tj!r} * etap) + exp(-{tj!r} * etap)) / 2"
+        )
+        eta_terms.append(
+            f"{aj!r} * cos({tj!r} * xip) * (exp({tj!r} * etap) - exp(-{tj!r} * etap)) / 2"
+        )
+    xi_sum = " + ".join(xi_terms)
+    eta_sum = " + ".join(eta_terms)
+    return f"""
+    WITH geo AS (
+      SELECT DISTINCT
+             (user_id % 160) - 80.0 + 0.25 AS latitude,
+             (event_id % 6) + 0.25         AS longitude
+      FROM events
+    ), ang AS (
+      SELECT latitude, longitude,
+             radians(latitude) AS phi,
+             radians(longitude - {lon0!r}) AS lam
+      FROM geo
+    ), conf AS (
+      SELECT latitude, longitude, lam, tan(phi) AS tau,
+             (pow((1 + {e!r} * sin(phi)) / (1 - {e!r} * sin(phi)), {e / 2.0!r})
+              - pow((1 + {e!r} * sin(phi)) / (1 - {e!r} * sin(phi)), {-e / 2.0!r})) / 2
+               AS sigma
+      FROM ang
+    ), gs AS (
+      SELECT latitude, longitude, lam,
+             tau * sqrt(1 + sigma * sigma) - sigma * sqrt(1 + tau * tau) AS taup
+      FROM conf
+    ), gs2 AS (
+      SELECT latitude, longitude,
+             atan2(taup, cos(lam)) AS xip,
+             ln(sin(lam) / sqrt(taup * taup + cos(lam) * cos(lam))
+                + sqrt(sin(lam) * sin(lam) / (taup * taup + cos(lam) * cos(lam)) + 1))
+               AS etap
+      FROM gs
+    ), series AS (
+      SELECT latitude, longitude,
+             xip + {xi_sum} AS xi,
+             etap + {eta_sum} AS eta
+      FROM gs2
+    )
+    SELECT latitude, longitude,
+           round(500000.0 + {ka!r} * eta, 3) AS x,
+           round({ka!r} * xi, 3) AS y
+    FROM series
+    ORDER BY latitude, longitude
+    """
+
+
+@register("geo_utm_project", oracle=_utm_oracle_sql())
+def geo_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS transform surface #3: ELLIPSOIDAL transverse Mercator —
+    EPSG:32631 (UTM zone 31N on WGS84) — via the Krüger series
+    (functions/geodesy.py), the same algorithm GeographicLib/proj use
+    for UTM. The reference delegates this to pyproj
+    (weather_mv loader_pipeline/sinks.py:149-227); here the full series
+    is a JVM column expression tree and the DuckDB oracle recomputes it
+    from the same driver-side constants with its own trig/exp. Points
+    span latitudes −79.75°…79.25° within the zone's longitude band."""
+    from weather_tools_spark.functions.geodesy import transverse_mercator_ell_xy, utm_params
+
+    p = utm_params(zone=31)
+    ev = load_table(spark, "events", sf_dir)
+    geo = ev.select(
+        ((F.col("user_id") % 160) - 80.0 + 0.25).alias("latitude"),
+        ((F.col("event_id") % 6) + 0.25).alias("longitude"),
+    ).distinct()
+    x, y = transverse_mercator_ell_xy(F.col("latitude"), F.col("longitude"), p)
+    return geo.select(
+        "latitude", "longitude", F.round(x, 3).alias("x"), F.round(y, 3).alias("y")
+    ).orderBy("latitude", "longitude")
+
+
+def _datum_oracle_sql() -> str:
+    from weather_tools_spark.functions.geodesy import WGS84
+    import math as _m
+
+    a, e2 = WGS84.a, WGS84.e2
+    tx, ty, tz, rx, ry, rz, s_ppm = -446.448, 125.157, -542.06, -0.1502, -0.247, -0.8421, 20.4894
+    asec = _m.pi / 648000.0
+    rxr, ryr, rzr, sc = rx * asec, ry * asec, rz * asec, 1.0 + s_ppm * 1e-6
+    return f"""
+    WITH geo AS (
+      SELECT DISTINCT
+             (user_id % 170) - 85.0 + 0.5   AS latitude,
+             (event_id % 360) - 180.0 + 0.5 AS longitude,
+             (user_id % 9) * 250.0          AS h
+      FROM events
+    ), ecef AS (
+      SELECT latitude, longitude, h,
+             ({a!r} / sqrt(1 - {e2!r} * sin(radians(latitude)) * sin(radians(latitude))) + h)
+               * cos(radians(latitude)) * cos(radians(longitude)) AS ex,
+             ({a!r} / sqrt(1 - {e2!r} * sin(radians(latitude)) * sin(radians(latitude))) + h)
+               * cos(radians(latitude)) * sin(radians(longitude)) AS ey,
+             ({a!r} / sqrt(1 - {e2!r} * sin(radians(latitude)) * sin(radians(latitude))) * (1 - {e2!r}) + h)
+               * sin(radians(latitude)) AS ez
+      FROM geo
+    )
+    SELECT latitude, longitude, h,
+           round(({tx!r}) + ({sc!r}) * (ex - ({rzr!r}) * ey + ({ryr!r}) * ez), 3) AS x,
+           round(({ty!r}) + ({sc!r}) * (({rzr!r}) * ex + ey - ({rxr!r}) * ez), 3) AS y,
+           round(({tz!r}) + ({sc!r}) * (({(-ryr)!r}) * ex + ({rxr!r}) * ey + ez), 3) AS z
+    FROM ecef
+    ORDER BY latitude, longitude, h
+    """
+
+
+@register("geo_datum_shift", oracle=_datum_oracle_sql())
+def geo_datum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datum-shift pipeline: geodetic (WGS84) → ECEF → 7-parameter
+    Helmert (position-vector convention, OSGB-magnitude parameters) —
+    the standard CRS datum leg pyproj performs inside the reference's
+    reprojection (sinks.py:149-227), as three closed-form JVM column
+    expressions (functions/geodesy.py geodetic_to_ecef +
+    helmert_transform). Oracle recomputes both legs in SQL; mm
+    rounding absorbs libm ulp drift."""
+    from weather_tools_spark.functions.geodesy import geodetic_to_ecef, helmert_transform
+
+    ev = load_table(spark, "events", sf_dir)
+    geo = ev.select(
+        ((F.col("user_id") % 170) - 85.0 + 0.5).alias("latitude"),
+        ((F.col("event_id") % 360) - 180.0 + 0.5).alias("longitude"),
+        ((F.col("user_id") % 9) * 250.0).alias("h"),
+    ).distinct()
+    ex, ey, ez = geodetic_to_ecef(F.col("latitude"), F.col("longitude"), F.col("h"))
+    x, y, z = helmert_transform(
+        ex, ey, ez, (-446.448, 125.157, -542.06, -0.1502, -0.247, -0.8421, 20.4894)
+    )
+    return geo.select(
+        "latitude", "longitude", "h",
+        F.round(x, 3).alias("x"), F.round(y, 3).alias("y"), F.round(z, 3).alias("z"),
+    ).orderBy("latitude", "longitude", "h")
