@@ -58,6 +58,10 @@ CHECK_CHANGED: list[str] = [
     "dedup_winnowing_pairs",       # r4: arrow ordered-shingle kernel
     "geo_utm_project",             # r4: NEW — ellipsoidal UTM (Krüger series), oracle-gated
     "geo_datum_shift",             # r4: NEW — ECEF + 7-param Helmert datum leg, oracle-gated
+    "ml_kmeans_cluster_summary",   # r4: NEW — distributed Lloyd's k-means, oracle replays all iterations
+    "ml_semdedup_keep_rate",       # r4: NEW — SemDeDup within-cluster near-dup removal, oracle-gated
+    "text_bm25_topk",              # r4: NEW — Okapi BM25 retrieval scoring, oracle-gated
+    "corpus_quality_classifier",   # r4: NEW — hashing-trick linear quality filter, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -255,3 +255,154 @@ def multimodal_frame_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding clustering (operators/clustering.py): k-means + SemDeDup
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS = 8, 3
+_SEMDEDUP_TAU = 0.45
+
+
+def _kmeans_cte_chain() -> str:
+    """Chained-CTE replay of the EXACT Lloyd schedule kmeans_fit runs:
+    seeds = k lowest-id vectors; each iteration assigns by squared
+    distance (‖x‖²−2x·c+‖c‖², ties → lower cluster id) then updates
+    centroids as element-wise means (empty cluster keeps its previous
+    centroid); all arithmetic in fp64. Returns CTEs ending in
+    ``final`` = (vec_id, cluster, dist2, v) against the post-iteration
+    centroids ``c{iters}``."""
+    k, iters = _KM_K, _KM_ITERS
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, s.cid AS cluster,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, s.c)
+                          + list_dot_product(s.c, s.c), s.cid) AS rn
+        FROM emb e CROSS JOIN c{t - 1} s)
+      WHERE rn = 1
+    )""")
+        parts.append(f"""c{t} AS (
+      SELECT s.cid, coalesce(m.c, s.c) AS c
+      FROM c{t - 1} s LEFT JOIN (
+        SELECT cid, list(mv ORDER BY pos) AS c FROM (
+          SELECT cluster AS cid, pos, avg(val) AS mv FROM (
+            SELECT a.cluster, unnest(e.v) AS val, unnest(range(0, len(e.v))) AS pos
+            FROM a{t} a JOIN emb e USING (vec_id))
+          GROUP BY cluster, pos)
+        GROUP BY cid) m ON s.cid = m.cid
+    )""")
+    parts.append(f"""final AS (
+      SELECT vec_id, cluster, dist2, v FROM (
+        SELECT e.vec_id, s.cid AS cluster, e.v,
+               list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, s.c)
+                 + list_dot_product(s.c, s.c) AS dist2,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, s.c)
+                          + list_dot_product(s.c, s.c), s.cid) AS rn
+        FROM emb e CROSS JOIN c{iters} s)
+      WHERE rn = 1
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "ml_kmeans_cluster_summary",
+    oracle=f"""
+    WITH {_kmeans_cte_chain()}
+    SELECT f.cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(f.dist2), 3) AS inertia,
+           round(any_value(sqrt(list_dot_product(c.c, c.c))), 6) AS centroid_norm
+    FROM final f JOIN c{_KM_ITERS} c ON f.cluster = c.cid
+    GROUP BY f.cluster
+    ORDER BY f.cluster
+    """,
+)
+def ml_kmeans_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus
+    (operators/clustering.py): k=8 seeds = lowest ids, 3
+    assignment+update passes (each ONE mapInPandas emitting per-batch
+    partial sums — k×d doubles per batch, not n rows), then a final
+    assignment. The DuckDB oracle replays the identical schedule as a
+    chained-CTE program, so the hash gate certifies every iteration:
+    assignment ties, empty-cluster handling, fp64 means, and the final
+    inertia — an ITERATIVE algorithm under the oracle, not rows-only."""
+    from weather_tools_spark.operators import clustering as C
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = C.kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    assigned = C.kmeans_assign(emb, cents)
+    norms = spark.createDataFrame(
+        [(i, float(sum(x * x for x in c) ** 0.5)) for i, c in enumerate(cents)],
+        "cluster int, centroid_norm double",
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("dist2"), 3).alias("inertia"))
+        .join(F.broadcast(norms), "cluster")
+        .select("cluster", "n", "inertia", F.round("centroid_norm", 6).alias("centroid_norm"))
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "ml_semdedup_keep_rate",
+    oracle=f"""
+    WITH {_kmeans_cte_chain()},
+    normed AS (
+      SELECT vec_id, cluster,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM final
+    ),
+    dups AS (
+      SELECT b.vec_id
+      FROM normed a JOIN normed b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.u, b.u) >= {_SEMDEDUP_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT n.cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE d.vec_id IS NULL) AS BIGINT) AS kept,
+           round(count(*) FILTER (WHERE d.vec_id IS NULL) * 1.0 / count(*), 6) AS keep_rate
+    FROM normed n LEFT JOIN dups d ON n.vec_id = d.vec_id
+    GROUP BY n.cluster
+    ORDER BY n.cluster
+    """,
+)
+def ml_semdedup_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, then mark a
+    document as a near-duplicate when some lower-id document in the SAME
+    cluster has cosine ≥ τ — the clustering bounds the quadratic search
+    per cluster. Per-cluster applyInPandas dgemm on the Spark side; the
+    oracle replays the full k-means chain plus the within-cluster pair
+    scan in SQL. Output: per-cluster corpus size, survivors, keep rate."""
+    from weather_tools_spark.operators import clustering as C
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = C.kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    marked = C.semdedup(emb, cents, threshold=_SEMDEDUP_TAU)
+    return (
+        marked.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        )
+        .select(
+            "cluster", "n", "kept",
+            F.round(F.col("kept") / F.col("n"), 6).alias("keep_rate"),
+        )
+        .orderBy("cluster")
+    )

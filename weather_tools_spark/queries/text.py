@@ -895,3 +895,161 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("total_tokens"),
         (F.sum("n") % ctx).cast("long").alias("tail_fill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval scoring + model-based quality filtering
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "table", "join", "query")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(len(t)) AS avg_len FROM toks
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM (
+        SELECT doc_id, unnest(t) AS term, len(t) AS dl FROM toks)
+      WHERE term IN {tuple(_BM25_TERMS)!r}
+      GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term, ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf FROM (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term) d
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT f.doc_id,
+             sum(i.idf * f.tf * ({_BM25_K1!r} + 1)
+                 / (f.tf + {_BM25_K1!r} * (1 - {_BM25_B!r} + {_BM25_B!r} * f.dl / s.avg_len)))
+               AS score
+      FROM tf f JOIN idf i USING (term) CROSS JOIN stats s
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+    FROM scored
+    ORDER BY rk LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck-Jones, the Okapi
+    formula) for a fixed keyword query over the corpus — the classic
+    inverted-index ranking as a distributed DataFrame plan: tokenize →
+    explode FILTERED to the query terms (the filter sits under the
+    shuffle, so only matching postings move), per-(doc, term) tf, df →
+    idf as a broadcast dim, one map-combinable per-doc sum, top-20.
+    The corpus-level scalars (N, avg doc length) ride a single-row
+    broadcast. Oracle recomputes the identical formula in SQL."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).select("doc_id", "t", F.size("t").alias("dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_len")
+    )
+    tf = (
+        toks.select("doc_id", "dl", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select("term", F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats.select("avg_len")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf") * F.col("tf") * (_BM25_K1 + 1)
+                / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_len")))
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    # distributed top-k (TakeOrdered), THEN rank the 20 survivors — the
+    # row_number window only ever sees k rows, never the corpus
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
+        .select("doc_id", F.round("score", 6).alias("score"), "rk")
+        .orderBy("rk")
+    )
+
+
+_CLS_BUCKETS = 4096
+
+
+@register(
+    "corpus_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, source, dl,
+             ((('0x' || substr(md5(term), 1, 8))::BIGINT % {_CLS_BUCKETS})
+               * 2654435761) % 4294967296 / 2147483648.0 - 1.0 AS w
+      FROM tok
+    ), scored AS (
+      SELECT doc_id, any_value(source) AS source,
+             1.0 / (1.0 + exp(-4.0 * sum(w) / any_value(dl))) AS score
+      FROM feats GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE score >= 0.5) AS BIGINT) AS kept,
+           round(avg(score), 6) AS avg_score,
+           round(count(*) FILTER (WHERE score >= 0.5) * 1.0 / count(*), 6) AS keep_rate
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the FineWeb-Edu / DCLM pipeline
+    stage): a linear classifier over hashing-trick bag-of-words
+    features, scored entirely JVM-side — feature hash = first 8 hex
+    digits of md5(token) mod B, weight = a fixed multiplicative-hash
+    lookup (w(b) = (b·2654435761 mod 2³²)/2³¹ − 1, a deterministic
+    stand-in for trained weights with the exact runtime shape of the
+    real thing), doc score = σ(4·Σw/len). At 100 TB this is one
+    map-side pass + a per-source combinable aggregate: no shuffle of
+    token rows (partial aggregation), no Python. Oracle recomputes the
+    identical hash/weights/sigmoid in SQL."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).select("doc_id", "source", F.size("t").alias("dl"), F.explode("t").alias("term"))
+    bucket = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % _CLS_BUCKETS
+    w = ((bucket * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(2147483648.0) - 1.0
+    scored = (
+        tok.withColumn("w", w)
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            (1.0 / (1.0 + F.exp(-4.0 * F.sum("w") / F.first("dl")))).alias("score"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") >= 0.5).cast("long")).alias("kept"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .select(
+            "source", "n_docs", "kept", "avg_score",
+            F.round(F.col("kept") / F.col("n_docs"), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
