@@ -650,3 +650,94 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (doc_a < doc_b) with n-gram Jaccard ≥ threshold — EXACT
+    and uncapped, via prefix filtering (Chaudhuri/Ganti/Kaushik 2006;
+    Xiao et al. PPJoin, WWW'08): order every document's shingles by
+    ascending global document frequency (rarest first, ties by value)
+    and emit only the first ``p = |x| − ⌈τ·|x|⌉ + 1`` as join keys.
+
+    Completeness: J(a,b) ≥ τ forces an overlap ≥ ⌈τ·max(|a|,|b|)⌉
+    (i ≥ τ(|a|+|b|−i) ⇒ i ≥ τ·|b|), and two sets whose length-p
+    prefixes of a COMMON total order are disjoint can overlap in at
+    most |x| − p = ⌈τ·|x|⌉ − 1 elements — so every qualifying pair
+    shares a prefix token and survives filtering; exact verification
+    then removes false candidates. Unlike the ``max_shingle_df`` cap in
+    :func:`ngram_jaccard_pairs` this needs NO frequency cutoff to stay
+    subquadratic: boilerplate (high-df) shingles sort LAST and almost
+    never enter a prefix, so the candidate join touches only rare
+    tokens. This is the 100 TB exact-pairs plan; the capped variant
+    remains the cap-semantics twin.
+
+    Plan shape: one (doc, shingle) explode → df aggregation → equi-join
+    back (both sides partitioned by shingle) → per-doc sort/slice (all
+    array ops, JVM-side) → candidate equi-join on prefix tokens →
+    verification join on the bounded per-doc arrays. No global rank,
+    no single-partition window — ordering is by the (df, shingle) pair
+    itself."""
+    sh = with_shingles(df, id_col, text_col, n)
+    exploded = _persist(sh.select(F.col("doc_id"), F.explode("shingles").alias("s")))
+    dfreq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # one row per doc with its df-ordered shingle array — three
+    # consumers (prefix generation + both verification sides), so
+    # persist like the exploded frame above
+    docs = _persist(
+        exploded.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("sz"),
+            F.expr(
+                f"slice(toks, 1, size(toks) - cast(ceil({threshold} * size(toks)) as int) + 1)"
+            ).alias("prefix"),
+        )
+    )
+    pref = docs.select("doc_id", F.col("sz"), F.explode("prefix").alias("p"))
+    # PPJoin length filter rides the candidate join: J(a,b) >= t forces
+    # t*|a| <= |b| <= |a|/t, so mismatched sizes never become candidates.
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(threshold) <= F.col("b.sz")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"), F.col("sz").alias("n_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"), F.col("sz").alias("n_b"))
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)

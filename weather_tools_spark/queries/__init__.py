@@ -62,6 +62,11 @@ CHECK_CHANGED: list[str] = [
     "ml_semdedup_keep_rate",       # r4: NEW — SemDeDup within-cluster near-dup removal, oracle-gated
     "text_bm25_topk",              # r4: NEW — Okapi BM25 retrieval scoring, oracle-gated
     "corpus_quality_classifier",   # r4: NEW — hashing-trick linear quality filter, oracle-gated
+    "weather_climatology_anomaly", # r4: NEW — day-of-year climatology + anomaly workflow, oracle-gated
+    "weather_degree_days",         # r4: NEW — HDD/CDD/frost-day aggregation, oracle-gated
+    "dedup_jaccard_prefix_pairs",  # r4: NEW — PPJoin prefix-filtered exact Jaccard, uncapped oracle
+    "graph_pagerank_nations",      # r4: NEW — weighted PageRank power iteration, oracle replays iterations
+    "geo_radius_join_bucketed",    # r4: NEW — grid-bucketed spatial radius join (no cross join), oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -989,3 +989,117 @@ def orders_open_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("d", "yyyy-MM").alias("month"), F.col("n_open"))
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics: PageRank by power iteration
+# ---------------------------------------------------------------------------
+
+_PR_D, _PR_ITERS = 0.85, 3
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE replay of the exact power-iteration schedule: edge
+    weights from the orders⋈lineitem fact join, uniform init 1/N,
+    r' = (1−d)/N + d·Σ inflow (nodes with no in-edges keep the teleport
+    term via the LEFT JOIN coalesce)."""
+    d, iters = _PR_D, _PR_ITERS
+    parts = [
+        """edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    )""",
+        """outw AS (SELECT src, sum(w) AS tot FROM edges GROUP BY src)""",
+        """nodes AS (SELECT DISTINCT nk FROM (SELECT src AS nk FROM edges
+                                   UNION SELECT dst FROM edges))""",
+        """nn AS (SELECT count(*) AS n FROM nodes)""",
+        """r0 AS (SELECT nk, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""r{t} AS (
+      SELECT nodes.nk,
+             (1 - {d!r}) / nn.n + {d!r} * coalesce(fl.inflow, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS nk, sum(p.r * e.w / o.tot) AS inflow
+        FROM r{t - 1} p JOIN edges e ON p.nk = e.src JOIN outw o ON e.src = o.src
+        GROUP BY e.dst) fl ON nodes.nk = fl.nk
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "graph_pagerank_nations",
+    oracle=f"""
+    WITH {_pagerank_oracle()}
+    SELECT nk AS nationkey, round(r, 9) AS pagerank,
+           CAST(row_number() OVER (ORDER BY r DESC, nk) AS BIGINT) AS rk
+    FROM r{_PR_ITERS}
+    ORDER BY rk
+    """,
+)
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the customer-nation → supplier-nation
+    trade graph (edge weight = lineitem count routed between the two
+    nations), 3 power iterations, d=0.85 — the canonical iterative
+    join-based graph algorithm expressed as DataFrame ops.
+
+    Scale split: the EXPENSIVE stage is building the edge list — a
+    fact-fact join (orders⋈lineitem) plus two broadcast dims, fully
+    distributed and map-combinable into ≤ |nations|² rows. The power
+    iteration then runs on that tiny aggregated graph (joins on
+    broadcast-sized frames), so iterations cost nothing at any scale —
+    the standard "aggregate the fact table into a graph summary, then
+    iterate on the summary" topology. The oracle replays the identical
+    schedule (init, damping, in-flow sums, no-in-edge teleport) as
+    chained CTEs — like the k-means query, an iterative algorithm
+    certified by the hash gate, not rows-only."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    edges = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = edges.persist()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
+    nodes = (
+        edges.select(F.col("src").alias("nk"))
+        .union(edges.select(F.col("dst").alias("nk")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # bounded: ≤ |nations|
+    rank = nodes.select("nk", F.lit(1.0 / n_nodes).alias("r"))
+    contrib_edges = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("tot")).alias("frac")
+    )
+    for _ in range(_PR_ITERS):
+        inflow = (
+            rank.join(contrib_edges, rank.nk == contrib_edges.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("frac")).alias("inflow"))
+        )
+        rank = nodes.join(inflow, nodes.nk == inflow.dst, "left").select(
+            "nk",
+            (F.lit((1 - _PR_D) / n_nodes) + _PR_D * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("r"),
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("r").desc(), "nk")
+    out = (
+        rank.withColumn("rk", F.row_number().over(w).cast("long"))
+        .select(F.col("nk").alias("nationkey"), F.round("r", 9).alias("pagerank"), "rk")
+        .orderBy("rk")
+    )
+    return out

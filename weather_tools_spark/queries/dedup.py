@@ -167,3 +167,40 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=20)
     return D.connected_components(pairs).orderBy("doc_id")
+
+
+@register(
+    "dedup_jaccard_prefix_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS s
+           FROM toks),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(1.0 * n_inter / (ca.n + cb.n - n_inter), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE 1.0 * n_inter / (ca.n + cb.n - n_inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED exact 5-gram Jaccard ≥ 0.5 pairs via prefix filtering
+    (PPJoin) — same answer as a full shingle self-join, but the
+    candidate join only touches each document's rarest
+    ``|x| − ⌈τ|x|⌉ + 1`` shingles, so boilerplate shingles never fan
+    out. The oracle is the PLAIN uncapped all-pairs SQL: the hash gate
+    certifies that prefix filtering loses nothing. This is the exact
+    dedup plan that survives 100 TB; ``dedup_ngram_jaccard_pairs``
+    keeps the df-cap semantics twin."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_prefix_pairs(docs, "doc_id", "text", n=5, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")

@@ -735,3 +735,216 @@ def geo_datum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "latitude", "longitude", "h",
         F.round(x, 3).alias("x"), F.round(y, 3).alias("y"), F.round(z, 3).alias("z"),
     ).orderBy("latitude", "longitude", "h")
+
+
+# ---------------------------------------------------------------------------
+# Climatology analytics over the hypercube row model
+# ---------------------------------------------------------------------------
+
+# Deterministic 3-year × 365-day × (2×3)-cell temperature cube: seasonal
+# cycle + per-cell offset + a year trend + a deterministic pseudo-noise
+# term — every statistic is an exact function of indices, so the DuckDB
+# oracle recomputes the whole pipeline arithmetically.
+_CLIM_YEARS, _CLIM_DAYS, _CLIM_LA, _CLIM_LO = 3, 365, 2, 3
+_CLIM_CUBE_SQL = f"""
+      SELECT y.i AS year_i, d.i AS doy, la.i AS lai, lo.i AS loi,
+             15.0 + 10.0 * sin(2 * pi() * d.i / 365.0)
+                  + la.i * 2.5 - lo.i * 1.25
+                  + y.i * 0.3
+                  + ((y.i * 7919 + d.i * 104729 + la.i * 1299709 + lo.i * 15485863) % 97) / 97.0 - 0.5
+               AS t2m
+      FROM (SELECT unnest(range(0, {_CLIM_YEARS})) AS i) y,
+           (SELECT unnest(range(0, {_CLIM_DAYS})) AS i) d,
+           (SELECT unnest(range(0, {_CLIM_LA})) AS i) la,
+           (SELECT unnest(range(0, {_CLIM_LO})) AS i) lo
+"""
+
+
+def _clim_cube(spark: SparkSession) -> DataFrame:
+    n = _CLIM_YEARS * _CLIM_DAYS * _CLIM_LA * _CLIM_LO
+    per_year = _CLIM_DAYS * _CLIM_LA * _CLIM_LO
+    return (
+        spark.range(n)
+        .select(
+            (F.col("id") / per_year).cast("long").alias("year_i"),
+            ((F.col("id") / (_CLIM_LA * _CLIM_LO)) % _CLIM_DAYS).cast("long").alias("doy"),
+            ((F.col("id") / _CLIM_LO) % _CLIM_LA).cast("long").alias("lai"),
+            (F.col("id") % _CLIM_LO).alias("loi"),
+        )
+        .withColumn(
+            "t2m",
+            15.0 + 10.0 * F.sin(2 * F.lit(__import__("math").pi) * F.col("doy") / 365.0)
+            + F.col("lai") * 2.5 - F.col("loi") * 1.25
+            + F.col("year_i") * 0.3
+            + ((F.col("year_i") * 7919 + F.col("doy") * 104729
+                + F.col("lai") * 1299709 + F.col("loi") * 15485863) % 97) / 97.0 - 0.5,
+        )
+    )
+
+
+@register(
+    "weather_climatology_anomaly",
+    oracle=f"""
+    WITH cube AS ({_CLIM_CUBE_SQL}),
+    clim AS (
+      SELECT doy, lai, loi, avg(t2m) AS clim_t2m
+      FROM cube GROUP BY doy, lai, loi
+    ),
+    anom AS (
+      SELECT c.year_i, c.lai, c.loi, c.t2m - m.clim_t2m AS anomaly
+      FROM cube c JOIN clim m USING (doy, lai, loi)
+    )
+    SELECT year_i, lai, loi,
+           round(avg(anomaly), 6) AS mean_anomaly,
+           round(max(abs(anomaly)), 6) AS max_abs_anomaly,
+           round(sum(CASE WHEN anomaly > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS warm_fraction
+    FROM anom GROUP BY year_i, lai, loi
+    ORDER BY year_i, lai, loi
+    """,
+)
+def weather_climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Climatology + anomaly — THE canonical reanalysis workflow (e.g.
+    ERA5 'temperature anomaly vs the day-of-year climatology'): compute
+    the per-(day-of-year, cell) mean across years, join it back, and
+    aggregate per (year, cell). Both stages are map-combinable
+    aggregations on (doy, cell) keys — partial aggregation on every
+    executor, one shuffle each; the climatology frame (days × cells,
+    tiny next to the fact cube) broadcasts into the join at scale."""
+    cube = _clim_cube(spark)
+    clim = cube.groupBy("doy", "lai", "loi").agg(F.avg("t2m").alias("clim_t2m"))
+    anom = cube.join(F.broadcast(clim), ["doy", "lai", "loi"]).withColumn(
+        "anomaly", F.col("t2m") - F.col("clim_t2m")
+    )
+    return (
+        anom.groupBy("year_i", "lai", "loi")
+        .agg(
+            F.round(F.avg("anomaly"), 6).alias("mean_anomaly"),
+            F.round(F.max(F.abs(F.col("anomaly"))), 6).alias("max_abs_anomaly"),
+            F.round(
+                F.sum(F.when(F.col("anomaly") > 0, 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("warm_fraction"),
+        )
+        .orderBy("year_i", "lai", "loi")
+    )
+
+
+@register(
+    "weather_degree_days",
+    oracle=f"""
+    WITH cube AS ({_CLIM_CUBE_SQL})
+    SELECT year_i, lai, loi,
+           round(sum(greatest(0, 18.0 - t2m)), 6) AS hdd,
+           round(sum(greatest(0, t2m - 18.0)), 6) AS cdd,
+           CAST(sum(CASE WHEN t2m < 0 THEN 1 ELSE 0 END) AS BIGINT) AS frost_days
+    FROM cube GROUP BY year_i, lai, loi
+    ORDER BY year_i, lai, loi
+    """,
+)
+def weather_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heating/cooling degree-days + frost-day counts per (year, cell) —
+    the standard energy-sector aggregation over a temperature series
+    (base 18 °C). One map-combinable groupBy; every input is an exact
+    function of indices, so the oracle recomputes it bit-for-bit."""
+    cube = _clim_cube(spark)
+    return (
+        cube.groupBy("year_i", "lai", "loi")
+        .agg(
+            F.round(F.sum(F.greatest(F.lit(0.0), 18.0 - F.col("t2m"))), 6).alias("hdd"),
+            F.round(F.sum(F.greatest(F.lit(0.0), F.col("t2m") - 18.0)), 6).alias("cdd"),
+            F.sum(F.when(F.col("t2m") < 0, 1).otherwise(0)).alias("frost_days"),
+        )
+        .orderBy("year_i", "lai", "loi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial radius join via grid bucketing
+# ---------------------------------------------------------------------------
+
+_RJ_KM = 150.0            # match radius
+_RJ_EARTH = 6371.0088     # IUGG mean earth radius, km
+_RJ_DLAT = 1.5            # cell height deg  (> 150 km / 111.19 ≈ 1.35)
+_RJ_DLON = 3.0            # cell width deg at |lat| ≤ 60 (> 150/55.6 ≈ 2.70)
+
+_RJ_HAV = (
+    "2 * {re} * asin(sqrt("
+    "pow(sin(radians(({lat_b}) - ({lat_a})) / 2), 2)"
+    " + cos(radians({lat_a})) * cos(radians({lat_b}))"
+    " * pow(sin(radians(({lon_b}) - ({lon_a})) / 2), 2)))"
+)
+
+
+@register(
+    "geo_radius_join_bucketed",
+    oracle=f"""
+    WITH stations AS (
+      SELECT DISTINCT (user_id % 97) * 1.23 - 59.0 AS lat,
+                      (user_id % 89) * 4.01 - 178.0 AS lon,
+                      user_id % 97 * 89 + user_id % 89 AS sid
+      FROM events WHERE user_id % 7 = 0
+    ), obs AS (
+      SELECT DISTINCT (event_id % 113) * 1.06 - 59.5 AS lat,
+                      (event_id % 127) * 2.83 - 179.0 AS lon,
+                      event_id % 113 * 127 + event_id % 127 AS oid
+      FROM events
+    ), pairs AS (
+      SELECT s.sid, o.oid,
+             {_RJ_HAV.format(re=_RJ_EARTH, lat_a='s.lat', lon_a='s.lon', lat_b='o.lat', lon_b='o.lon')} AS d
+      FROM stations s JOIN obs o ON abs(s.lat - o.lat) <= {_RJ_DLAT!r} * 1.5
+    )
+    SELECT sid, oid, round(d, 3) AS dist_km
+    FROM pairs WHERE d <= {_RJ_KM!r}
+    ORDER BY sid, oid
+    """,
+)
+def geo_radius_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join (all station↔observation pairs within 150 km)
+    WITHOUT a cross join: both sides bucket into a fixed lat/lon grid
+    sized so any qualifying pair lands in adjacent cells (Δlat=1.5° >
+    150 km meridionally; Δlon=3° > 150 km zonally at the |lat| ≤ 60°
+    band these points occupy), each observation fans out to its 3×3
+    neighborhood (a 9× map-side explode), and the pair search becomes
+    an EQUI-join on the cell key — shuffle-partitioned by cell,
+    broadcastable when one side is small, exact haversine applied after.
+    This is the canonical distributed spatial-join topology (same plan
+    family as the as-of and range joins). The oracle uses a latitude
+    band-join + brute-force haversine — different plan, same answer."""
+    ev = load_table(spark, "events", sf_dir)
+    stations = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .select(
+            ((F.col("user_id") % 97) * 1.23 - 59.0).alias("lat"),
+            ((F.col("user_id") % 89) * 4.01 - 178.0).alias("lon"),
+            ((F.col("user_id") % 97) * 89 + (F.col("user_id") % 89)).alias("sid"),
+        )
+        .distinct()
+    )
+    obs = ev.select(
+        ((F.col("event_id") % 113) * 1.06 - 59.5).alias("lat"),
+        ((F.col("event_id") % 127) * 2.83 - 179.0).alias("lon"),
+        ((F.col("event_id") % 113) * 127 + (F.col("event_id") % 127)).alias("oid"),
+    ).distinct()
+    ci = F.floor(F.col("lat") / _RJ_DLAT).cast("int")
+    cj = F.floor(F.col("lon") / _RJ_DLON).cast("int")
+    st_cells = stations.select("sid", "lat", "lon", ci.alias("ci"), cj.alias("cj"))
+    offsets = spark.createDataFrame(
+        [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)], "di int, dj int"
+    )
+    ob_cells = (
+        obs.crossJoin(F.broadcast(offsets))
+        .select(
+            "oid", "lat", "lon",
+            (ci + F.col("di")).alias("ci"), (cj + F.col("dj")).alias("cj"),
+        )
+    )
+    joined = st_cells.alias("s").join(ob_cells.alias("o"), ["ci", "cj"])
+    dist = F.expr(
+        _RJ_HAV.format(re=_RJ_EARTH, lat_a="s.lat", lon_a="s.lon", lat_b="o.lat", lon_b="o.lon")
+    )
+    return (
+        joined.select("sid", "oid", dist.alias("d"))
+        .filter(F.col("d") <= _RJ_KM)
+        .select("sid", "oid", F.round("d", 3).alias("dist_km"))
+        .orderBy("sid", "oid")
+    )
