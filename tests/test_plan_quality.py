@@ -206,3 +206,68 @@ def test_pii_scrub_and_chunking_are_map_only(spark, sf_dir):
         n_exch = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
         assert n_exch <= max_exch, f"{name}: {n_exch} exchanges\n{plan}"
         assert "Join" not in plan, name
+
+
+def test_climatology_broadcasts_and_no_cartesian(spark, sf_dir):
+    plan = _formatted_plan(spark, "weather_climatology_anomaly", sf_dir)
+    assert "BroadcastHashJoin" in plan        # climatology joins back broadcast
+    assert "CartesianProduct" not in plan
+    assert "partial_avg" in plan or "HashAggregate" in plan
+
+
+def test_radius_join_is_equi_join_on_cells(spark, sf_dir):
+    """The spatial join must run as a hash join on the (ci, cj) cell key
+    — never a cartesian/nested-loop pair scan; only the tiny 9-row
+    offset frame may ride a BroadcastNestedLoopJoin-free cross join."""
+    plan = _formatted_plan(spark, "geo_radius_join_bucketed", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_bm25_topk_no_global_window(spark, sf_dir):
+    """Top-k must be TakeOrdered (distributed), with the rank window
+    applied only after the limit — a global unpartitioned Window over
+    the scored corpus would serialize on one task."""
+    plan = _formatted_plan(spark, "text_bm25_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_prefix_jaccard_no_global_window(spark, sf_dir):
+    """The prefix-filter pipeline orders shingles by the (df, shingle)
+    pair itself — no global rank, so no single-partition Window may
+    appear anywhere in the plan."""
+    plan = _formatted_plan(spark, "dedup_jaccard_prefix_pairs", sf_dir)
+    assert "Window" not in plan, "global window leaked into prefix-join plan"
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_stay_on_summary(spark, sf_dir):
+    """The fact join builds the edge summary once; iterations must not
+    re-scan lineitem — the plan may contain at most one lineitem scan
+    thanks to the persisted edge frame."""
+    plan = _formatted_plan(spark, "graph_pagerank_nations", sf_dir)
+    assert plan.count("lineitem.parquet") <= 1, plan.count("lineitem.parquet")
+
+
+def test_classifier_single_pass_partial_agg(spark, sf_dir):
+    """The quality classifier is one explode + two map-combinable
+    aggregations: no joins at all may appear (weights are expressions,
+    not a lookup table), and aggregation must be two-phase."""
+    plan = _formatted_plan(spark, "corpus_quality_classifier", sf_dir)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan, j
+    assert "HashAggregate" in plan
+
+
+def test_ewma_window_is_partitioned(spark, sf_dir):
+    """The EWMA window must partition by the series key — a global
+    unpartitioned window would collapse the series scan to one task."""
+    import re as _re
+
+    plan = _formatted_plan(spark, "events_ewma_daily", sf_dir)
+    assert "Window" in plan
+    # every Window operator in the plan must carry a partition spec
+    specs = _re.findall(r"Arguments: \[[^\]]*\], \[([^\]]*)\], \[[^\]]*\]", plan)
+    win_args = [a for a in _re.findall(r"\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan)]
+    assert win_args and all("partitionBy" not in a or "event_type" in a for a in win_args)
+    assert "event_type" in " ".join(win_args)

@@ -67,6 +67,8 @@ CHECK_CHANGED: list[str] = [
     "dedup_jaccard_prefix_pairs",  # r4: NEW — PPJoin prefix-filtered exact Jaccard, uncapped oracle
     "graph_pagerank_nations",      # r4: NEW — weighted PageRank power iteration, oracle replays iterations
     "geo_radius_join_bucketed",    # r4: NEW — grid-bucketed spatial radius join (no cross join), oracle-gated
+    "events_ewma_daily",           # r4: NEW — EWMA smoothing as a closed-form windowed sum, oracle-gated
+    "corpus_mixture_plan",         # r4: NEW — training-mix token allocation (rates/epochs/budget), oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

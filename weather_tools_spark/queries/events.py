@@ -643,3 +643,72 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential smoothing over the daily series
+# ---------------------------------------------------------------------------
+
+_EWMA_A = 0.3
+
+
+@register(
+    "events_ewma_daily",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(value), 6) AS x
+      FROM events GROUP BY event_type, day
+    ), idx AS (
+      SELECT event_type, day, x,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+             first_value(x) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+             sum(x * pow({1 - _EWMA_A!r}, -t_inner)) OVER (
+               PARTITION BY event_type ORDER BY day) AS cum
+      FROM (SELECT event_type, day, x,
+                   CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t_inner
+            FROM d)
+    )
+    SELECT event_type, day, x,
+           round(CASE WHEN t = 1 THEN x1
+                 ELSE {_EWMA_A!r} * pow({1 - _EWMA_A!r}, t)
+                        * (cum - x1 * pow({1 - _EWMA_A!r}, -1))
+                      + pow({1 - _EWMA_A!r}, t - 1) * x1 END, 6) AS ewma
+    FROM idx
+    ORDER BY event_type, day
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (EWMA, α=0.3, s₁=x₁) of each event type's
+    daily mean — the sequential recurrence re-expressed as a CLOSED-FORM
+    windowed sum so it stays one distributed window pass instead of a
+    per-series loop: sₜ = α(1−α)ᵗ·Σ_{{i≤t}} xᵢ(1−α)⁻ⁱ (i≥2 terms)
+    + (1−α)ᵗ⁻¹x₁. Exponents are bounded by the series length (30 days),
+    so the rescaled cumulative sum stays well-conditioned; the window
+    partitions by series key — no global single-partition window. Same
+    formula in the oracle."""
+    from pyspark.sql import Window
+    from weather_tools_spark.queries.core_sql import _davg
+
+    ev = load_table(spark, "events", sf_dir)
+    a = _EWMA_A
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(_davg(F.col("value")), 6).alias("x"))
+    wseq = Window.partitionBy("event_type").orderBy("day")
+    idx = d.select(
+        "event_type", "day", "x",
+        F.row_number().over(wseq).cast("long").alias("t"),
+        F.first("x").over(wseq).alias("x1"),
+    ).withColumn(
+        "cum",
+        F.sum(F.col("x") * F.pow(F.lit(1 - a), -F.col("t"))).over(wseq),
+    )
+    ewma = F.when(F.col("t") == 1, F.col("x1")).otherwise(
+        a * F.pow(F.lit(1 - a), F.col("t"))
+        * (F.col("cum") - F.col("x1") * F.pow(F.lit(1 - a), F.lit(-1.0)))
+        + F.pow(F.lit(1 - a), F.col("t") - 1) * F.col("x1")
+    )
+    return idx.select(
+        "event_type", "day", "x", F.round(ewma, 6).alias("ewma")
+    ).orderBy("event_type", "day")

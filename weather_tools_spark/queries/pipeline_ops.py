@@ -1293,3 +1293,69 @@ def xql_zarr_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT time_date, AVG('d2m') FROM era5_zarr GROUP BY time_date ORDER BY time_date",
     )
     return out.select("time_date", F.round("avg_d2m", 6).alias("avg_d2m"))
+
+
+# ---------------------------------------------------------------------------
+# Training-mix token allocation
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_FRAC = 0.5  # token budget = 50% of corpus tokens
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS DOUBLE) AS wf,
+             sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(wf) AS wsum, sum(tokens) AS tsum FROM tok
+    )
+    SELECT source,
+           CAST(tokens AS BIGINT) AS tokens,
+           round(wf / tot.wsum, 6) AS target_weight,
+           round(least(1.0, (wf / tot.wsum) * ({_MIX_BUDGET_FRAC!r} * tot.tsum) / tokens), 6)
+             AS sample_rate,
+           round((wf / tot.wsum) * ({_MIX_BUDGET_FRAC!r} * tot.tsum) / tokens, 6) AS epochs,
+           CAST(round((wf / tot.wsum) * ({_MIX_BUDGET_FRAC!r} * tot.tsum), 0) AS BIGINT)
+             AS planned_tokens
+    FROM tok CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning (the DoReMi/Pile-style domain-weighting
+    stage): given per-source token counts and target mixture weights
+    (deterministic per-source factors standing in for a tuned weight
+    table), compute each source's sampling rate (≤1 → subsample),
+    epoch multiplier (>1 → repeat upweighted domains), and planned
+    token count against a 50%-of-corpus budget. One map-combinable
+    token count + a broadcast scalar; everything downstream is
+    arithmetic on the |sources| summary frame."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = (
+        docs.select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+            ((F.substring("source", 4, 10).cast("int") % 4) + 1).cast("double").alias("wf"),
+        )
+        .groupBy("source")
+        .agg(F.first("wf").alias("wf"), F.sum("n_tok").alias("tokens"))
+    )
+    tot = tok.agg(F.sum("wf").alias("wsum"), F.sum("tokens").alias("tsum"))
+    j = tok.crossJoin(F.broadcast(tot))
+    budget = _MIX_BUDGET_FRAC * F.col("tsum")
+    weight = F.col("wf") / F.col("wsum")
+    return (
+        j.select(
+            "source",
+            F.col("tokens").cast("long").alias("tokens"),
+            F.round(weight, 6).alias("target_weight"),
+            F.round(F.least(F.lit(1.0), weight * budget / F.col("tokens")), 6).alias("sample_rate"),
+            F.round(weight * budget / F.col("tokens"), 6).alias("epochs"),
+            F.round(weight * budget, 0).cast("long").alias("planned_tokens"),
+        )
+        .orderBy("source")
+    )
