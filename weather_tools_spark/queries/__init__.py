@@ -69,6 +69,8 @@ CHECK_CHANGED: list[str] = [
     "geo_radius_join_bucketed",    # r4: NEW — grid-bucketed spatial radius join (no cross join), oracle-gated
     "events_ewma_daily",           # r4: NEW — EWMA smoothing as a closed-form windowed sum, oracle-gated
     "corpus_mixture_plan",         # r4: NEW — training-mix token allocation (rates/epochs/budget), oracle-gated
+    "orders_status_islands",       # r4: NEW — gaps-and-islands run compression, oracle-gated
+    "linkage_part_duplicates",     # r4: NEW — Fellegi-Sunter probabilistic record linkage, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1103,3 +1103,155 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rk")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands run compression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_status_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                                ORDER BY o_orderdate, o_orderkey) AS rn_s
+      FROM orders
+    ), islands AS (
+      SELECT o_custkey, o_orderstatus, rn - rn_s AS grp,
+             count(*) AS run_len
+      FROM seq GROUP BY o_custkey, o_orderstatus, rn - rn_s
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(run_len) AS BIGINT) AS max_run,
+           round(avg(run_len), 6) AS avg_run,
+           CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS long_runs
+    FROM islands GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def orders_status_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each customer's order-status timeline
+    into maximal same-status runs with the classic double-row_number
+    difference (rn − rn_per_status = island id), then profile run
+    lengths per status. Both windows partition by customer (and
+    customer+status) — parallel across the key space, never a global
+    window; the island aggregation is map-combinable."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_st = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+        (F.row_number().over(w_all) - F.row_number().over(w_st)).alias("grp"),
+    )
+    islands = seq.groupBy("o_custkey", "o_orderstatus", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        islands.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("run_len").alias("max_run"),
+            F.round(F.avg("run_len"), 6).alias("avg_run"),
+            F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0)).alias("long_runs"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi-Sunter)
+# ---------------------------------------------------------------------------
+
+# log2(m/u) agreement / disagreement weights per comparison field —
+# fixed public-methodology constants (Fellegi & Sunter 1969 scoring).
+_FS_W = {
+    "type": (0.9, 0.3),   # m, u for p_type equality
+    "adj": (0.85, 0.1),   # first word of p_name
+    "size": (0.8, 0.2),   # |Δ p_size| <= 1
+}
+_FS_THRESHOLD = 2.0
+
+
+def _fs_weight_sql(agree_expr: str, field: str) -> str:
+    import math
+
+    m, u = _FS_W[field]
+    wa = math.log2(m / u)
+    wd = math.log2((1 - m) / (1 - u))
+    return f"CASE WHEN {agree_expr} THEN {wa!r} ELSE {wd!r} END"
+
+
+@register(
+    "linkage_part_duplicates",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_type, p_size,
+             string_split(p_name, ' ')[1] AS adj,
+             string_split(p_name, ' ')[2] AS noun
+      FROM part
+    ), cand AS (
+      SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+             {_fs_weight_sql('a.p_type = b.p_type', 'type')}
+             + {_fs_weight_sql('a.adj = b.adj', 'adj')}
+             + {_fs_weight_sql('abs(a.p_size - b.p_size) <= 1', 'size')} AS score
+      FROM p a JOIN p b
+        ON a.noun = b.noun AND a.p_brand = b.p_brand
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT part_a, part_b, round(score, 6) AS score
+    FROM cand WHERE score > {_FS_THRESHOLD!r}
+    ORDER BY part_a, part_b
+    """,
+)
+def linkage_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi-Sunter 1969): block
+    candidate pairs on (name noun, brand) — an equi-join, never a cross
+    join — then score remaining fields with log2(m/u) agreement /
+    log2((1−m)/(1−u)) disagreement weights and keep pairs above the
+    match threshold. The attainable score sums are a discrete set with
+    ≥0.28 margin to the threshold, so the float gate is safe. The
+    classic data-integration operator for entity resolution beyond
+    exact/fuzzy string distance."""
+    import math
+
+    part = load_table(spark, "part", sf_dir)
+    p = part.select(
+        "p_partkey", "p_brand", "p_type", "p_size",
+        F.split("p_name", " ").getItem(0).alias("adj"),
+        F.split("p_name", " ").getItem(1).alias("noun"),
+    )
+
+    def w(agree, field):
+        m, u = _FS_W[field]
+        return F.when(agree, math.log2(m / u)).otherwise(math.log2((1 - m) / (1 - u)))
+
+    a, b = p.alias("a"), p.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.noun") == F.col("b.noun"))
+        & (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    score = (
+        w(F.col("a.p_type") == F.col("b.p_type"), "type")
+        + w(F.col("a.adj") == F.col("b.adj"), "adj")
+        + w(F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 1, "size")
+    )
+    return (
+        cand.select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") > _FS_THRESHOLD)
+        .select("part_a", "part_b", F.round("score", 6).alias("score"))
+        .orderBy("part_a", "part_b")
+    )
