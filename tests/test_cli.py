@@ -1,0 +1,106 @@
+"""CLI surface (weather_tools_spark/cli.py): the four reference verbs
+driven end-to-end in-process — dl (config → fan-out → fake-client
+fetch + skip-existing), mv (GRIB glob → long rows → parquet sink with
+area filter + geo column), sp (file-native GRIB split), xql (--query
+and the open-then-query flow)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from weather_tools_spark.cli import main
+
+CFG = """
+[parameters]
+client=fake
+dataset=test-ds
+target_path={dir}/out-{{year}}-{{month}}.nc
+partition_keys=
+    year
+    month
+
+[selection]
+year=2020/to/2021
+month=01/02
+"""
+
+
+@pytest.fixture()
+def grib_file(tmp_path):
+    from weather_tools_spark.sources.grib2 import write_grib2
+
+    lats = np.array([50.0, 49.0, 48.0])
+    lons = np.array([10.0, 11.0, 12.0, 13.0])
+    vals = np.arange(12, dtype="f8").reshape(3, 4) / 4 + 1.0
+    p = tmp_path / "era5-sample.grib2"
+    write_grib2(
+        str(p),
+        [
+            {"param": "d2m", "ref_time": "2024-01-01T00:00", "lats": lats, "lons": lons, "values": vals},
+            {"param": "u10", "ref_time": "2024-01-01T00:00", "lats": lats, "lons": lons, "values": vals + 10},
+        ],
+    )
+    return str(p)
+
+
+def test_dl_dry_run_and_fetch(spark, tmp_path, capsys):
+    cfg = tmp_path / "era5.cfg"
+    cfg.write_text(CFG.format(dir=tmp_path))
+    rc = main(["dl", str(cfg), "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dry-run: 4 partition(s)" in out  # 2 years × 2 months
+    # real fetch with the fake client materializes every target
+    rc = main(["dl", str(cfg)])
+    assert rc == 0
+    made = sorted(os.listdir(tmp_path))
+    assert sum(1 for f in made if f.startswith("out-")) == 4
+    # second run: skip-existing leaves nothing to fetch
+    rc = main(["dl", str(cfg), "--dry-run"])
+    out = capsys.readouterr().out
+    assert "dry-run: 0 partition(s)" in out
+
+
+def test_mv_grib_to_parquet(spark, tmp_path, grib_file, capsys):
+    out = str(tmp_path / "rows.parquet")
+    rc = main([
+        "mv", "--uris", grib_file, "--output", out,
+        "--area", "50", "10", "49", "12", "--variables", "d2m", "--geo",
+    ])
+    assert rc == 0
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"time", "latitude", "longitude", "d2m", "geo_point"}
+    # area N=50 W=10 S=49 E=12 keeps lats {50,49} × lons {10,11,12}
+    assert df.count() == 6
+    assert df.filter("latitude < 49 or longitude > 12").count() == 0
+
+
+def test_sp_splits_grib_by_param(spark, tmp_path, grib_file, capsys):
+    outdir = str(tmp_path / "split")
+    rc = main(["sp", "--input-pattern", grib_file, "--output-dir", outdir])
+    assert rc == 0
+    made = sorted(os.listdir(outdir))
+    assert len(made) == 2 and any("d2m" in f for f in made) and any("u10" in f for f in made)
+
+
+def test_xql_query_over_store(spark, tmp_path, grib_file, capsys):
+    rc = main([
+        "xql",
+        "--uri", grib_file,
+        "--view", "weather",
+        "--query",
+        "SELECT round(avg(u10), 3) AS avg_u10 FROM weather",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "avg_u10"
+    # mean of vals+10 = mean(0..11)/4 + 11 = 1.375 + 10 = 12.375
+    assert abs(float(out[1]) - 12.375) < 1e-9
+
+
+def test_cli_unknown_pattern_errors(tmp_path):
+    rc = main(["sp", "--input-pattern", str(tmp_path / "nope-*.grib2"), "--output-dir", str(tmp_path)])
+    assert rc == 2

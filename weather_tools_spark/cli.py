@@ -1,0 +1,242 @@
+"""Command-line surface: the four reference tools as one entry point.
+
+The reference ships four CLIs (SURVEY.md §3): ``weather-dl CONFIG``
+(weather_dl/weather-dl cli docs), ``weather-mv bq --uris … --output_table …``
+(weather_mv/loader_pipeline/pipeline.py arg surface), ``weather-sp
+--input-pattern … --output-dir …`` (weather_sp/splitter_pipeline), and
+the ``xql`` REPL (xql/src/main.py). A reference user drives everything
+through these commands, so the engine exposes the same verbs::
+
+    python -m weather_tools_spark dl CONFIG.cfg [--dry-run] [--num-licenses N]
+    python -m weather_tools_spark mv --uris GLOB --output PATH
+        [--variables v1,v2] [--area N W S E]
+    python -m weather_tools_spark sp --input-pattern GLOB --output-dir DIR
+    python -m weather_tools_spark xql [--query SQL] [--uri STORE --view w]
+
+Each verb is a thin argparse adapter over the library machinery
+(configfile grammar → partition fan-out → client strategies; opener →
+long-format ingest → columnar sink; file-native splitter; xql rewrite →
+Catalyst). No logic lives here — the CLI builds the same plans the
+registry queries exercise, so everything it runs is oracle/pytest
+covered already.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as _glob
+import json
+import sys
+
+
+def _spark(app: str):
+    from weather_tools_spark.session import get_spark
+
+    return get_spark(app)
+
+
+# ---------------------------------------------------------------------------
+# weather-dl
+# ---------------------------------------------------------------------------
+
+
+def cmd_dl(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from weather_tools_spark.pipeline.clients import get_client, with_retries
+    from weather_tools_spark.pipeline.configfile import get_subsections, process_config
+    from weather_tools_spark.pipeline.partition import (
+        assign_licenses,
+        fanout,
+        run_fetches,
+        skip_existing,
+    )
+
+    spark = _spark("weather-dl")
+    import os as _os
+
+    if _os.path.exists(args.config):
+        with open(args.config) as fh:
+            cfg = process_config(fh, _os.path.basename(args.config))
+        with open(args.config) as fh:
+            n_sub = len(get_subsections(fh.read())) or 1
+    else:  # inline config text (tests / heredocs)
+        cfg = process_config(args.config)
+        n_sub = len(get_subsections(args.config)) or 1
+    parts = fanout(spark, cfg)
+    # skip-existing: LEFT ANTI against already-materialized targets
+    import re as _re
+
+    pattern = _re.sub(r"\{[^}]*\}", "*", cfg.target_template)
+    existing = sorted(_glob.glob(pattern))
+    if existing:
+        parts = skip_existing(
+            parts, spark.createDataFrame([(t,) for t in existing], "target string")
+        )
+    n_lic = args.num_licenses or n_sub
+    parts = assign_licenses(parts, n_lic, fair=args.fair_scheduling)
+    total = parts.count()
+    if args.dry_run:
+        print(f"dry-run: {total} partition(s), {n_lic} license slot(s)")
+        for r in parts.limit(args.show).collect():
+            print(" ", r.target)
+        return 0
+    client = get_client(cfg.client)
+    sel_keys = cfg.partition_keys
+
+    def fetch(rows) -> None:
+        for row in rows:
+            selection = {k: row[k] for k in sel_keys}
+            with_retries(lambda: client.retrieve(cfg.dataset, selection, row["target"]))
+
+    run_fetches(parts, fetch, n_lic)
+    print(f"fetched {total} partition(s) with client={cfg.client}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# weather-mv
+# ---------------------------------------------------------------------------
+
+
+def cmd_mv(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from weather_tools_spark.sources.opener import open_dataset
+
+    spark = _spark("weather-mv")
+    lat_range = lon_range = None
+    if args.area:
+        n, w, s, e = args.area
+        lat_range, lon_range = (s, n), (w, e)
+    df = open_dataset(spark, args.uris, lat_range=lat_range, lon_range=lon_range)
+    if args.variables:
+        keep = [v for v in args.variables.split(",") if v]
+        dims = [c for c in ("time", "latitude", "longitude") if c in df.columns]
+        df = df.select(*dims, *keep)
+    if args.geo:
+        from weather_tools_spark.functions.geo import geo_point
+
+        df = df.withColumn("geo_point", geo_point(F.col("latitude"), F.col("longitude")))
+    # parquet sink: swaps to .format("bigquery") where the connector is
+    # deployed (reference bq.py WriteToBigQuery append semantics)
+    df.write.mode(args.mode).parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"wrote {n} row(s) -> {args.output}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# weather-sp
+# ---------------------------------------------------------------------------
+
+
+def cmd_sp(args: argparse.Namespace) -> int:
+    from weather_tools_spark.pipeline.splitter import (
+        split_grib_files_partitioned,
+        split_netcdf_by_variable,
+    )
+    from weather_tools_spark.sources.opener import detect
+
+    spark = _spark("weather-sp")
+    paths = sorted(_glob.glob(args.input_pattern))
+    if not paths:
+        print(f"no files match {args.input_pattern!r}", file=sys.stderr)
+        return 2
+    kinds = {detect(p) for p in paths}
+    if kinds <= {"grib2", "grib1"}:
+        n = split_grib_files_partitioned(spark, paths, args.output_dir)
+        print(f"split {len(paths)} GRIB file(s) -> {n} output file(s) in {args.output_dir}")
+    elif kinds == {"netcdf3"}:
+        total = 0
+        for p in paths:
+            out = split_netcdf_by_variable(p, args.output_dir)
+            total += len(out)
+        print(f"split {len(paths)} NetCDF file(s) -> {total} output file(s) in {args.output_dir}")
+    else:
+        print(f"unsupported/mixed formats: {sorted(kinds)}", file=sys.stderr)
+        return 2
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# xql
+# ---------------------------------------------------------------------------
+
+
+def _print_df(df, limit: int) -> None:
+    rows = df.limit(limit).collect()
+    cols = df.columns
+    print(",".join(cols))
+    for r in rows:
+        print(",".join("" if r[c] is None else str(r[c]) for c in cols))
+
+
+def cmd_xql(args: argparse.Namespace) -> int:
+    from weather_tools_spark.plans.xql import run_query
+    from weather_tools_spark.sources.opener import open_dataset
+
+    spark = _spark("xql")
+    if args.uri:
+        open_dataset(spark, args.uri, view=args.view)
+    if args.query:
+        _print_df(run_query(spark, args.query), args.limit)
+        return 0
+    # REPL (reference xql/src/main.py loop): read one statement per line
+    print("xql> enter SQL (blank line or EOF exits)", file=sys.stderr)
+    for line in sys.stdin:
+        sql = line.strip()
+        if not sql:
+            break
+        try:
+            _print_df(run_query(spark, sql), args.limit)
+        except Exception as exc:  # surface the error, keep the loop alive
+            print(f"error: {exc}", file=sys.stderr)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="weather_tools_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    dl = sub.add_parser("dl", help="weather-dl: config-driven partitioned download")
+    dl.add_argument("config")
+    dl.add_argument("--dry-run", action="store_true")
+    dl.add_argument("--num-licenses", type=int, default=0)
+    dl.add_argument("--fair-scheduling", action="store_true")
+    dl.add_argument("--show", type=int, default=5, help="targets to print on dry-run")
+    dl.set_defaults(fn=cmd_dl)
+
+    mv = sub.add_parser("mv", help="weather-mv: files -> columnar rows")
+    mv.add_argument("--uris", required=True)
+    mv.add_argument("--output", required=True)
+    mv.add_argument("--variables", default="")
+    mv.add_argument("--area", nargs=4, type=float, metavar=("N", "W", "S", "E"))
+    mv.add_argument("--geo", action="store_true", help="attach GeoJSON geo_point")
+    mv.add_argument("--mode", default="overwrite")
+    mv.set_defaults(fn=cmd_mv)
+
+    sp = sub.add_parser("sp", help="weather-sp: split files by parameter/variable")
+    sp.add_argument("--input-pattern", required=True)
+    sp.add_argument("--output-dir", required=True)
+    sp.set_defaults(fn=cmd_sp)
+
+    xq = sub.add_parser("xql", help="SQL over weather stores (REPL without --query)")
+    xq.add_argument("--query", default="")
+    xq.add_argument("--uri", default="", help="store/file/glob to open first")
+    xq.add_argument("--view", default="weather", help="view name for --uri")
+    xq.add_argument("--limit", type=int, default=50)
+    xq.set_defaults(fn=cmd_xql)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

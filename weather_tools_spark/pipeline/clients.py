@@ -77,6 +77,17 @@ class FakeClient(Client):
             self._failures[target] = seen + 1
             raise IOError(f"transient failure {seen + 1} for {target}")
         self.calls.append((dataset, target))
+        # materialize the target like the reference's fake (it copies a
+        # sample file into place) so skip-existing and downstream ingest
+        # see a real artifact; deterministic payload = the selection.
+        import json as _json
+        import os as _os
+
+        d = _os.path.dirname(target)
+        if d:
+            _os.makedirs(d, exist_ok=True)
+        with open(target, "w") as fh:
+            _json.dump({"dataset": dataset, "selection": selection}, fh, sort_keys=True)
 
 
 CLIENTS: dict[str, type[Client]] = {
