@@ -104,3 +104,15 @@ def test_xql_query_over_store(spark, tmp_path, grib_file, capsys):
 def test_cli_unknown_pattern_errors(tmp_path):
     rc = main(["sp", "--input-pattern", str(tmp_path / "nope-*.grib2"), "--output-dir", str(tmp_path)])
     assert rc == 2
+
+
+def test_dl_records_manifest(spark, tmp_path):
+    cfg = tmp_path / "era5.cfg"
+    cfg.write_text(CFG.format(dir=tmp_path / "dl"))
+    man = str(tmp_path / "manifest")
+    rc = main(["dl", str(cfg), "--manifest", man])
+    assert rc == 0
+    rows = spark.read.parquet(man).collect()
+    assert len(rows) == 4                      # one state row per partition
+    assert {r.status for r in rows} == {"success"}  # all transitions applied
+    assert all(r.selection and r.location for r in rows)

@@ -257,3 +257,43 @@ def test_stream_stream_left_outer_join_flushes_on_watermark(spark, sf_dir, tmp_p
     assert got_unmatched, "watermark never flushed any outer rows"
     assert got_unmatched <= want_unmatched | set(), got_unmatched - want_unmatched
     assert not (got_unmatched & want_matched)
+
+
+def test_stream_heavy_hitters_guarantees(spark, sf_dir):
+    """Streaming MG summaries must honor the batch operator's contract
+    on the final per-shard snapshots: merged counters are lower bounds
+    of exact counts, every key with total count > n/capacity is present,
+    and per-shard state never exceeds capacity×state_factor entries."""
+    from pyspark.sql import functions as F
+
+    cap, factor, shards = 16, 4, 4
+    stream = SE.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = SE.run_stream_to_memory(
+        spark,
+        SE.heavy_hitters_stream(stream, "user_id", n_shards=shards, capacity=cap, state_factor=factor),
+        "stream_hh",
+        output_mode="update",
+    )
+    # keep each shard's final (max batch_seq) snapshot, then merge
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard")
+    final = (
+        out.withColumn("mx", F.max("batch_seq").over(w))
+        .filter(F.col("batch_seq") == F.col("mx"))
+    )
+    # state bound: final snapshot per shard ≤ capacity × state_factor rows
+    per_shard = {r.shard: r.n for r in final.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert per_shard and all(n <= cap * factor for n in per_shard.values()), per_shard
+    merged = {r.key: r.cnt for r in final.groupBy("key").agg(F.sum("cnt").alias("cnt")).collect()}
+    exact = {
+        str(r.user_id): r.n
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    for k, lb in merged.items():
+        assert lb <= exact[k], (k, lb, exact[k])
+    for k, c in exact.items():
+        if c > n_total / cap:
+            assert k in merged and merged[k] > 0, (k, c)

@@ -89,9 +89,46 @@ def cmd_dl(args: argparse.Namespace) -> int:
             selection = {k: row[k] for k in sel_keys}
             with_retries(lambda: client.retrieve(cfg.dataset, selection, row["target"]))
 
+    manifest = None
+    if args.manifest:
+        from weather_tools_spark.pipeline.manifest import ParquetManifest
+
+        manifest = ParquetManifest(spark, args.manifest)
+        manifest.apply(_manifest_batch(spark, cfg, parts, "scheduled", seq=1))
     run_fetches(parts, fetch, n_lic)
+    if manifest is not None:
+        # the fetch loop completed every partition (run_fetches raises
+        # through on failure), so the whole batch transitions to success
+        manifest.apply(_manifest_batch(spark, cfg, parts, "in-progress", seq=2))
+        manifest.apply(_manifest_batch(spark, cfg, parts, "success", seq=3))
     print(f"fetched {total} partition(s) with client={cfg.client}")
     return 0
+
+
+def _manifest_batch(spark, cfg, parts, status: str, seq: int):
+    """One manifest update row per partition (reference manifest row
+    shape: config/dataset/selection-JSON keyed by target location)."""
+    from pyspark.sql import functions as F
+
+    from weather_tools_spark.pipeline.manifest import MANIFEST_SCHEMA
+
+    sel = F.to_json(F.struct(*[F.col(k) for k in cfg.partition_keys]))
+    base = parts.select(
+        F.col("config_name"),
+        F.lit(cfg.dataset).alias("dataset"),
+        sel.alias("selection"),
+        F.col("target").alias("location"),
+        F.lit(status).alias("status"),
+        F.lit("cli").alias("username"),
+        F.current_timestamp().alias("scheduled_time"),
+        F.lit(seq).cast("long").alias("_seq"),
+    )
+    missing = [f.name for f in MANIFEST_SCHEMA.fields if f.name not in base.columns]
+    for name in missing:
+        base = base.withColumn(
+            name, F.lit(None).cast(MANIFEST_SCHEMA[name].dataType)
+        )
+    return base.select(*[f.name for f in MANIFEST_SCHEMA.fields])
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +245,7 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--num-licenses", type=int, default=0)
     dl.add_argument("--fair-scheduling", action="store_true")
     dl.add_argument("--show", type=int, default=5, help="targets to print on dry-run")
+    dl.add_argument("--manifest", default="", help="parquet manifest dir to record fetch state")
     dl.set_defaults(fn=cmd_dl)
 
     mv = sub.add_parser("mv", help="weather-mv: files -> columnar rows")

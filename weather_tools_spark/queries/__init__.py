@@ -71,6 +71,7 @@ CHECK_CHANGED: list[str] = [
     "corpus_mixture_plan",         # r4: NEW — training-mix token allocation (rates/epochs/budget), oracle-gated
     "orders_status_islands",       # r4: NEW — gaps-and-islands run compression, oracle-gated
     "linkage_part_duplicates",     # r4: NEW — Fellegi-Sunter probabilistic record linkage, oracle-gated
+    "corpus_perplexity_filter",    # r4: NEW — CCNet bigram-LM perplexity filter, oracle retrains the LM
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

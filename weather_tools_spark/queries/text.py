@@ -1053,3 +1053,91 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PPL_K = 0.5        # add-k smoothing
+_PPL_THR = 29.5     # keep threshold — inside the corpus PPL distribution
+                    # (min |ppl-thr| ≥ 4e-4 at both SFs vs ~1e-11 engine drift)
+
+
+@register(
+    "corpus_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), cbg AS (
+      SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+    ), cleft AS (
+      SELECT w1, count(*) AS cl FROM bg GROUP BY w1
+    ), vocab AS (
+      SELECT count(DISTINCT w) AS v FROM (
+        SELECT unnest(t) AS w FROM toks)
+    ), scored AS (
+      SELECT b.doc_id, any_value(b.source) AS source,
+             pow(2.0, -avg(log2((c.c + {_PPL_K!r}) / (l.cl + {_PPL_K!r} * vocab.v)))) AS ppl
+      FROM bg b
+      JOIN cbg c ON b.w1 = c.w1 AND b.w2 = c.w2
+      JOIN cleft l ON b.w1 = l.w1
+      CROSS JOIN vocab
+      GROUP BY b.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ppl), 6) AS avg_ppl,
+           CAST(count(*) FILTER (WHERE ppl <= {_PPL_THR!r}) AS BIGINT) AS kept,
+           round(count(*) FILTER (WHERE ppl <= {_PPL_THR!r}) * 1.0 / count(*), 6) AS keep_rate
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filtering (the CCNet stage, Wenzek et
+    al. 2020): train an add-k-smoothed bigram LM on the corpus itself —
+    P(w₂|w₁) = (c(w₁,w₂)+k)/(c(w₁·)+k·V) — then score every document
+    with PPL = 2^(−mean log₂ P) and keep documents under the threshold.
+    Plan shape at scale: bigram explode (map-side) → two count
+    aggregations → equi-joins back on the bigram/left-context keys (all
+    co-partitioned by token keys, map-combinable) → per-doc then
+    per-source aggregation; the vocabulary size rides a one-row
+    broadcast. The oracle retrains the identical LM in SQL."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    bg = toks.select(
+        "doc_id", "source",
+        F.expr("explode(transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)))").alias("p"),
+    ).select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cleft = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cleft, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.pow(
+                F.lit(2.0),
+                -F.avg(F.log2((F.col("c") + _PPL_K) / (F.col("cl") + _PPL_K * F.col("v")))),
+            ).alias("ppl"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+            F.sum((F.col("ppl") <= _PPL_THR).cast("long")).alias("kept"),
+        )
+        .select(
+            "source", "n_docs", "avg_ppl", "kept",
+            F.round(F.col("kept") / F.col("n_docs"), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

@@ -281,3 +281,81 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+        T.StructField("batch_seq", T.LongType()),
+    ]
+)
+
+HH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("batch_seq", T.LongType()),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+    capacity: int = 64,
+    state_factor: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters: the batch Misra-Gries summary
+    (operators/heavyhitters.py — same ``_mg_update`` kernel, same
+    ≤ capacity×state_factor state bound and n/C presence guarantee) as
+    a custom stateful operator. Keys shard by hash so state parallelism
+    is n_shards regardless of key cardinality; each shard's MG summary
+    lives in ``applyInPandasWithState`` state as two bounded arrays and
+    is re-emitted per micro-batch tagged with a monotone ``batch_seq``
+    (consumers keep each shard's max-seq snapshot; merging shard
+    snapshots = groupBy key sum, exactly the batch merge). State per
+    shard is O(capacity×state_factor) forever — the unbounded-keys
+    problem the MG summary exists to solve, now on an unbounded
+    STREAM."""
+    import pandas as pd
+
+    from weather_tools_spark.operators.heavyhitters import _mg_update
+
+    m = capacity * state_factor
+
+    def update(key, pdfs, state):
+        if state.exists:
+            keys, cnts, seq = state.get()
+            counts = dict(zip(keys, cnts))
+        else:
+            counts, seq = {}, 0
+        for pdf in pdfs:
+            vc = pdf["__hh_key"].value_counts()
+            counts = _mg_update(counts, map(str, vc.index), vc.to_numpy(), m)
+        seq += 1
+        state.update((list(counts.keys()), [int(v) for v in counts.values()], seq))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counts),
+                "key": list(counts.keys()),
+                "cnt": [int(v) for v in counts.values()],
+                "batch_seq": [seq] * len(counts),
+            }
+        )
+
+    sharded = df.select(
+        F.col(key_col).cast("string").alias("__hh_key"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
