@@ -116,3 +116,16 @@ def test_dl_records_manifest(spark, tmp_path):
     assert len(rows) == 4                      # one state row per partition
     assert {r.status for r in rows} == {"success"}  # all transitions applied
     assert all(r.selection and r.location for r in rows)
+
+
+def test_mv_to_zarr_roundtrip(spark, tmp_path, grib_file):
+    from weather_tools_spark.sources.opener import open_dataset
+
+    store = str(tmp_path / "store.zarr")
+    rc = main(["mv", "--uris", grib_file, "--output", store, "--zarr", "--chunks", "1,2,2"])
+    assert rc == 0
+    back = open_dataset(spark, store)
+    src = open_dataset(spark, grib_file)
+    a = {(r.latitude, r.longitude): (round(r.d2m, 3), round(r.u10, 3)) for r in src.collect()}
+    b = {(r.latitude, r.longitude): (round(r.d2m, 3), round(r.u10, 3)) for r in back.collect()}
+    assert a == b and len(a) == 12

@@ -419,3 +419,39 @@ def test_isobaric_levels(tmp_path):
     pdf = G2.grib2_decode(path, None)
     assert sorted(pdf["level"].unique()) == [50000.0, 85000.0, 100000.0]
     assert len(pdf) == 36
+
+
+def test_mercator_grid_roundtrip(tmp_path):
+    """Grid template 3.10: encode a Mercator grid (true scale 20°),
+    decode, and verify coordinates against an independent computation
+    of the spherical Mercator graticule plus exact value roundtrip."""
+    import math
+
+    import numpy as np
+
+    from weather_tools_spark.functions.geo import GRIB_SPHERE_R
+    from weather_tools_spark.sources.grib2 import read_grib2, write_grib2
+
+    nx, ny = 5, 4
+    vals = (np.arange(nx * ny, dtype="f8").reshape(ny, nx) / 8) + 290.0
+    g = {"type": "mercator", "lat1": -10.0, "lon1": 100.0, "lad": 20.0,
+         "dx_m": 50_000.0, "dy_m": 60_000.0}
+    p = str(tmp_path / "merc.grib2")
+    write_grib2(p, [{"param": "d2m", "ref_time": "2024-03-01T06:00",
+                     "grid": g, "values": vals}])
+    (m,) = read_grib2(p)
+    assert m["values"].shape == (ny, nx)
+    np.testing.assert_allclose(m["values"], vals, atol=1e-3)
+    # independent graticule: x=Rk·λ, y=Rk·ln tan(π/4+φ/2)
+    k = math.cos(math.radians(20.0))
+    x1 = GRIB_SPHERE_R * k * math.radians(100.0)
+    y1 = GRIB_SPHERE_R * k * math.log(math.tan(math.pi / 4 + math.radians(-10.0) / 2))
+    exp_lons = [(x1 + i * 50_000.0) / (GRIB_SPHERE_R * k) / math.radians(1) for i in range(nx)]
+    exp_lats = [
+        math.degrees(2 * math.atan(math.exp((y1 + j * 60_000.0) / (GRIB_SPHERE_R * k))) - math.pi / 2)
+        for j in range(ny)
+    ]
+    np.testing.assert_allclose(m["lons"], exp_lons, atol=2e-5)  # µdeg quantization
+    np.testing.assert_allclose(m["lats"], exp_lats, atol=2e-5)
+    assert m["lats"][0] == pytest.approx(-10.0, abs=1e-5)
+    assert m["lons"][0] == pytest.approx(100.0, abs=1e-5)

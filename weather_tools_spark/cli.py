@@ -155,6 +155,32 @@ def cmd_mv(args: argparse.Namespace) -> int:
         from weather_tools_spark.functions.geo import geo_point
 
         df = df.withColumn("geo_point", geo_point(F.col("latitude"), F.col("longitude")))
+    if args.zarr:
+        # Zarr sink (the reference's xbeam ChunksToZarr path): derive
+        # the coordinate axes driver-side (axes are dimension-sized —
+        # the same bounded contract as the geo lookup) and hand the
+        # long-format rows to the distributed chunk writer.
+        from weather_tools_spark.sources.zarr_scan import ChunkedDatasetMeta
+        from weather_tools_spark.sources.zarr_v2 import write_zarr_v2
+
+        if "time" not in df.columns:
+            print("--zarr needs a time axis (GRIB/NetCDF input)", file=sys.stderr)
+            return 2
+        times = [
+            r[0].isoformat()
+            for r in df.select("time").distinct().orderBy("time").collect()
+        ]
+        lats = [r[0] for r in df.select("latitude").distinct().orderBy(F.col("latitude").desc()).collect()]
+        lons = [r[0] for r in df.select("longitude").distinct().orderBy("longitude").collect()]
+        variables = tuple(c for c in df.columns if c not in ("time", "latitude", "longitude"))
+        ct, cla, clo = (int(x) for x in args.chunks.split(","))
+        meta = ChunkedDatasetMeta(
+            uri=args.output, times=times, lats=lats, lons=lons,
+            chunk_time=ct, chunk_lat=cla, chunk_lon=clo, variables=variables,
+        )
+        n_chunks = write_zarr_v2(df, args.output, meta)
+        print(f"wrote {n_chunks} chunk(s), vars={list(variables)} -> {args.output}")
+        return 0
     # parquet sink: swaps to .format("bigquery") where the connector is
     # deployed (reference bq.py WriteToBigQuery append semantics)
     df.write.mode(args.mode).parquet(args.output)
@@ -255,6 +281,8 @@ def build_parser() -> argparse.ArgumentParser:
     mv.add_argument("--area", nargs=4, type=float, metavar=("N", "W", "S", "E"))
     mv.add_argument("--geo", action="store_true", help="attach GeoJSON geo_point")
     mv.add_argument("--mode", default="overwrite")
+    mv.add_argument("--zarr", action="store_true", help="write a Zarr v2 store instead of parquet")
+    mv.add_argument("--chunks", default="24,8,8", help="time,lat,lon chunk shape for --zarr")
     mv.set_defaults(fn=cmd_mv)
 
     sp = sub.add_parser("sp", help="weather-sp: split files by parameter/variable")

@@ -72,6 +72,8 @@ CHECK_CHANGED: list[str] = [
     "orders_status_islands",       # r4: NEW — gaps-and-islands run compression, oracle-gated
     "linkage_part_duplicates",     # r4: NEW — Fellegi-Sunter probabilistic record linkage, oracle-gated
     "corpus_perplexity_filter",    # r4: NEW — CCNet bigram-LM perplexity filter, oracle retrains the LM
+    "weather_derived_variables",   # r4: NEW — wind speed/circular-mean direction + solar zenith, oracle-gated
+    "weather_vertical_interp",     # r4: NEW — ln(p) vertical interpolation to target levels, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

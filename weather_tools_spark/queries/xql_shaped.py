@@ -948,3 +948,163 @@ def geo_radius_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sid", "oid", F.round("d", 3).alias("dist_km"))
         .orderBy("sid", "oid")
     )
+
+
+@register(
+    "weather_derived_variables",
+    oracle="""
+    WITH cube AS (
+      SELECT la.i AS lai, h.i AS hour, d.i AS doy,
+             30.0 - la.i * 20.0 AS lat,
+             5.0 * sin(d.i * 0.7 + la.i) + h.i * 0.3 - 2.0 AS u10,
+             4.0 * cos(d.i * 0.9 + h.i * 0.5) + la.i * 0.5 AS v10
+      FROM (SELECT unnest(range(0, 4)) AS i) la,
+           (SELECT unnest(range(0, 24, 4)) AS i) h,
+           (SELECT unnest(range(0, 30)) AS i) d
+    ), derived AS (
+      SELECT lat, hour,
+             sqrt(u10 * u10 + v10 * v10) AS speed,
+             sin(radians(270.0 - degrees(atan2(v10, u10)))) AS dsin,
+             cos(radians(270.0 - degrees(atan2(v10, u10)))) AS dcos,
+             sin(radians(lat)) * sin(radians(-23.44 * cos(2 * pi() * (doy + 10) / 365.0)))
+             + cos(radians(lat)) * cos(radians(-23.44 * cos(2 * pi() * (doy + 10) / 365.0)))
+               * cos(radians(15.0 * (hour - 12))) AS cos_zenith
+      FROM cube
+    )
+    SELECT lat, hour,
+           round(avg(speed), 6) AS avg_speed,
+           round(((degrees(atan2(avg(dsin), avg(dcos))) % 360) + 360) % 360, 6)
+             AS mean_dir_deg,
+           round(avg(greatest(cos_zenith, 0.0)), 6) AS avg_daylight_cosz
+    FROM derived GROUP BY lat, hour ORDER BY lat, hour
+    """,
+)
+def weather_derived_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived meteorological variables — the standard post-ingest
+    feature computations every weather pipeline runs on (u, v) winds
+    and solar geometry: wind speed, the METEOROLOGICAL wind direction
+    (direction the wind blows FROM: 270° − atan2(v, u), wrapped to
+    [0, 360)), circular-mean direction per (lat, hour) via the vector
+    average (never the arithmetic mean of angles), and daylight-clipped
+    cosine solar zenith from the declination formula
+    δ = −23.44°·cos(2π(d+10)/365) with the hour angle. All JVM trig on
+    a deterministic cube; one map-combinable aggregate."""
+    import math
+
+    n_la, hours, n_d = 4, list(range(0, 24, 4)), 30
+    n_h = len(hours)
+    cube = (
+        spark.range(n_la * n_h * n_d)
+        .select(
+            (F.col("id") / (n_h * n_d)).cast("long").alias("lai"),
+            ((F.col("id") / n_d) % n_h).cast("long").alias("hi"),
+            (F.col("id") % n_d).alias("doy"),
+        )
+        .select(
+            (30.0 - F.col("lai") * 20.0).alias("lat"),
+            (F.col("hi") * 4).alias("hour"),
+            "doy",
+            (5.0 * F.sin(F.col("doy") * 0.7 + F.col("lai")) + F.col("hi") * 4 * 0.3 - 2.0).alias("u10"),
+            (4.0 * F.cos(F.col("doy") * 0.9 + F.col("hi") * 4 * 0.5) + F.col("lai") * 0.5).alias("v10"),
+        )
+    )
+    decl = F.radians(F.lit(-23.44) * F.cos(2 * math.pi * (F.col("doy") + 10) / 365.0))
+    dir_rad = F.radians(F.lit(270.0) - F.degrees(F.atan2("v10", "u10")))
+    derived = cube.select(
+        "lat", "hour",
+        F.sqrt(F.col("u10") * F.col("u10") + F.col("v10") * F.col("v10")).alias("speed"),
+        F.sin(dir_rad).alias("dsin"),
+        F.cos(dir_rad).alias("dcos"),
+        (
+            F.sin(F.radians("lat")) * F.sin(decl)
+            + F.cos(F.radians("lat")) * F.cos(decl)
+            * F.cos(F.radians(15.0 * (F.col("hour") - 12)))
+        ).alias("cos_zenith"),
+    )
+    mean_dir = F.degrees(F.atan2(F.avg("dsin"), F.avg("dcos")))
+    return (
+        derived.groupBy("lat", "hour")
+        .agg(
+            F.round(F.avg("speed"), 6).alias("avg_speed"),
+            F.round(((mean_dir % 360) + 360) % 360, 6).alias("mean_dir_deg"),
+            F.round(F.avg(F.greatest(F.col("cos_zenith"), F.lit(0.0))), 6).alias("avg_daylight_cosz"),
+        )
+        .orderBy("lat", "hour")
+    )
+
+
+@register(
+    "weather_vertical_interp",
+    oracle="""
+    WITH cube AS (
+      SELECT c.i AS cell, l.lev,
+             288.0 - 0.065 * (288.0 / 0.0065 * (1.0 - pow(l.lev / 1013.25, 0.190284)))
+                   / 10.0 + c.i * 0.8 + sin(l.lev * 0.01 + c.i) AS t
+      FROM (SELECT unnest(range(0, 6)) AS i) c,
+           (SELECT unnest([1000.0, 925.0, 850.0, 700.0, 500.0]) AS lev) l
+    ), arrs AS (
+      SELECT cell, list_sort(list({'lev': lev, 't': t})) AS lv FROM (
+        SELECT cell, lev, t FROM cube) GROUP BY cell
+    ), tgt AS (SELECT unnest([975.0, 800.0, 600.0]) AS p), interp AS (
+      SELECT a.cell, tgt.p,
+             list_filter(a.lv, x -> x.lev >= tgt.p)[1] AS lo,
+             list_filter(a.lv, x -> x.lev <= tgt.p)[-1] AS hi
+      FROM arrs a CROSS JOIN tgt
+    )
+    SELECT cell, p AS target_level,
+           round(lo.t * (1 - (ln(lo.lev) - ln(p)) / (ln(lo.lev) - ln(hi.lev)))
+                 + hi.t * ((ln(lo.lev) - ln(p)) / (ln(lo.lev) - ln(hi.lev))), 6)
+             AS t_interp
+    FROM interp
+    ORDER BY cell, target_level DESC
+    """,
+)
+def weather_vertical_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical interpolation to target pressure levels — the standard
+    vertical-regrid every NWP post-processor runs (MetView/earthkit
+    ``ml_to_pl`` analog): per column, interpolate temperature linearly
+    in ln(p) between the bracketing model levels. The per-column level
+    axis is tiny, so it rides as a sorted array and the bracketing +
+    interpolation are pure JVM array expressions (filter/element_at) —
+    no join, no shuffle beyond the one collect_list groupBy; targets
+    broadcast. Deterministic ISA-style profile → exact SQL twin."""
+    levels = [1000.0, 925.0, 850.0, 700.0, 500.0]
+    targets = [975.0, 800.0, 600.0]
+    n_cells = 6
+    cube = (
+        spark.range(n_cells * len(levels))
+        .select(
+            (F.col("id") / len(levels)).cast("long").alias("cell"),
+            F.element_at(
+                F.array(*[F.lit(v) for v in levels]),
+                (F.col("id") % len(levels) + 1).cast("int"),
+            ).alias("lev"),
+        )
+        .select(
+            "cell", "lev",
+            (
+                288.0
+                - 0.065 * (288.0 / 0.0065 * (1.0 - F.pow(F.col("lev") / 1013.25, 0.190284))) / 10.0
+                + F.col("cell") * 0.8
+                + F.sin(F.col("lev") * 0.01 + F.col("cell"))
+            ).alias("t"),
+        )
+    )
+    arrs = cube.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("lev", "t"))).alias("lv")
+    )
+    tgt = arrs.sparkSession.createDataFrame([(p,) for p in targets], "p double")
+    j = arrs.crossJoin(F.broadcast(tgt)).select(
+        "cell", "p",
+        F.expr("element_at(filter(lv, x -> x.lev >= p), 1)").alias("lo"),
+        F.expr("element_at(filter(lv, x -> x.lev <= p), -1)").alias("hi"),
+    )
+    w = (F.log("lo.lev") - F.log("p")) / (F.log("lo.lev") - F.log("hi.lev"))
+    return (
+        j.select(
+            "cell",
+            F.col("p").alias("target_level"),
+            F.round(F.col("lo.t") * (1 - w) + F.col("hi.t") * w, 6).alias("t_interp"),
+        )
+        .orderBy("cell", F.col("target_level").desc())
+    )

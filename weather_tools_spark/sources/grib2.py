@@ -229,6 +229,68 @@ def _decode_polar_grid(s3: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
     return lat, (((lon % 360) + 540) % 360) - 180, nx, ny
 
 
+def _encode_mercator_grid(g: dict, nx: int, ny: int) -> bytes:
+    """Section 3 with grid template 3.10 (Mercator — the grid tropical
+    /regional products ship): first/last-point lat/lon in microdegrees,
+    LaD (latitude of true scale), Di/Dj in MILLIMETERS of projection
+    distance at LaD, scan +i +j. ``g`` keys: lat1, lon1, lad, dx_m,
+    dy_m (the last point is derived on decode from nx/ny — it is
+    carried for parity with the official octet layout)."""
+    import math
+
+    from weather_tools_spark.functions.geo import GRIB_SPHERE_R
+
+    d2r = math.pi / 180.0
+    k = math.cos(g["lad"] * d2r)
+    x1 = GRIB_SPHERE_R * k * g["lon1"] * d2r
+    y1 = GRIB_SPHERE_R * k * math.log(math.tan(math.pi / 4 + g["lat1"] * d2r / 2))
+    x2 = x1 + (nx - 1) * g["dx_m"]
+    y2 = y1 + (ny - 1) * g["dy_m"]
+    lat2 = (2 * math.atan(math.exp(y2 / (GRIB_SPHERE_R * k))) - math.pi / 2) / d2r
+    lon2 = x2 / (GRIB_SPHERE_R * k) / d2r
+    tmpl = (
+        struct.pack(">B", 6) + b"\x00" * 15
+        + struct.pack(">II", nx, ny)
+        + struct.pack(">II", _sm32(_micro(g["lat1"])), _sm32(_micro(g["lon1"])))
+        + struct.pack(">B", 0x30)
+        + struct.pack(">I", _sm32(_micro(g["lad"])))
+        + struct.pack(">II", _sm32(_micro(lat2)), _sm32(_micro(lon2)))
+        + struct.pack(">B", 0x40)  # scan +i +j
+        + struct.pack(">I", 0)     # grid orientation
+        + struct.pack(">II", int(round(g["dx_m"] * 1000)), int(round(g["dy_m"] * 1000)))
+    )
+    body = struct.pack(">BIBBH", 0, nx * ny, 0, 0, 10) + tmpl
+    return struct.pack(">IB", 5 + len(body), 3) + body
+
+
+def _decode_mercator_grid(s3: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Grid template 3.10 → (1-D lats ascending with +j, 1-D lons, nx,
+    ny) via the inverse spherical Mercator with true scale at LaD
+    (x = R·k·λ, y = R·k·ln tan(π/4+φ/2), k = cos LaD)."""
+    import math
+
+    from weather_tools_spark.functions.geo import GRIB_SPHERE_R
+
+    nx, ny = struct.unpack_from(">II", s3, 30)
+    lat1 = _sm32d(struct.unpack_from(">I", s3, 38)[0]) / 1e6
+    lon1 = _sm32d(struct.unpack_from(">I", s3, 42)[0]) / 1e6
+    lad = _sm32d(struct.unpack_from(">I", s3, 47)[0]) / 1e6
+    scan = s3[59]
+    if scan != 0x40:
+        raise NotImplementedError(f"Mercator scanning mode {scan:#x} (+i +j only)")
+    dx = struct.unpack_from(">I", s3, 64)[0] / 1e3
+    dy = struct.unpack_from(">I", s3, 68)[0] / 1e3
+    d2r = math.pi / 180.0
+    k = math.cos(lad * d2r)
+    x1 = GRIB_SPHERE_R * k * lon1 * d2r
+    y1 = GRIB_SPHERE_R * k * math.log(math.tan(math.pi / 4 + lat1 * d2r / 2))
+    ys = y1 + np.arange(ny) * dy
+    lats = (2 * np.arctan(np.exp(ys / (GRIB_SPHERE_R * k))) - np.pi / 2) / d2r
+    lons = (x1 + np.arange(nx) * dx) / (GRIB_SPHERE_R * k) / d2r
+    lons = (((lons % 360) + 540) % 360) - 180
+    return lats, lons, nx, ny
+
+
 def gaussian_latitudes(n: int) -> np.ndarray:
     """Latitudes of a regular Gaussian grid with N lines pole-to-
     equator: the 2N Gauss-Legendre nodes (roots of P_2N) mapped to
@@ -456,6 +518,8 @@ def write_grib2(
                 sec3 = _encode_polar_grid(msg["grid"], ni, nj)
             elif gtype == "gaussian":
                 sec3 = _encode_gaussian_grid(msg["grid"], ni, nj)
+            elif gtype == "mercator":
+                sec3 = _encode_mercator_grid(msg["grid"], ni, nj)
             else:
                 raise ValueError(f"unknown grid type {gtype!r}")
         else:
@@ -710,10 +774,13 @@ def read_grib2_bytes(
             if ni is None:  # reduced grid: per-point coordinate arrays
                 lat_grid, lon_grid = lats, lons
                 lats = lons = None
+        elif gtmpl == 10:
+            lats, lons, ni, nj = _decode_mercator_grid(s3)
         else:
             raise NotImplementedError(
                 f"grid definition template {gtmpl} "
-                "(lat/lon 3.0, polar-stereo 3.20, Lambert 3.30, Gaussian 3.40)"
+                "(lat/lon 3.0, Mercator 3.10, polar-stereo 3.20, Lambert 3.30, "
+                "Gaussian 3.40)"
             )
 
         s5 = sections[5]
