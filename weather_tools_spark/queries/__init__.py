@@ -74,6 +74,7 @@ CHECK_CHANGED: list[str] = [
     "corpus_perplexity_filter",    # r4: NEW — CCNet bigram-LM perplexity filter, oracle retrains the LM
     "weather_derived_variables",   # r4: NEW — wind speed/circular-mean direction + solar zenith, oracle-gated
     "weather_vertical_interp",     # r4: NEW — ln(p) vertical interpolation to target levels, oracle-gated
+    "weather_grid_smoothing",      # r4: NEW — 9-point neighborhood smoother via offset fan-out, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

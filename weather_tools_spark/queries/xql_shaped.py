@@ -1108,3 +1108,68 @@ def weather_vertical_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell", F.col("target_level").desc())
     )
+
+
+@register(
+    "weather_grid_smoothing",
+    oracle="""
+    WITH cube AS (
+      SELECT la.i AS lai, lo.i AS loi,
+             sin(la.i * 0.8) * cos(lo.i * 0.6) * 10.0 + la.i * 0.25 + 280.0 AS t2m
+      FROM (SELECT unnest(range(0, 12)) AS i) la,
+           (SELECT unnest(range(0, 16)) AS i) lo
+    ), neigh AS (
+      SELECT c.lai, c.loi, n.t2m
+      FROM cube c JOIN cube n
+        ON abs(c.lai - n.lai) <= 1 AND abs(c.loi - n.loi) <= 1
+    )
+    SELECT lai, loi,
+           round(avg(t2m), 6) AS t2m_smooth,
+           CAST(count(*) AS BIGINT) AS n_neighbors
+    FROM neigh GROUP BY lai, loi ORDER BY lai, loi
+    """,
+)
+def weather_grid_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial smoothing — the 9-point neighborhood mean every NWP
+    post-processor applies before contouring (GRIB 'filter' step).
+    Scale topology: explode each cell to its 3×3 neighborhood
+    (map-side, 9×) and aggregate BY TARGET CELL — an equi-join-free
+    groupBy on the cell key, identical at any grid size; edge cells
+    average their real (5/6/8-point) neighborhoods, exactly like the
+    band-join oracle. Never a windowed self-join over the whole grid."""
+    n_la, n_lo = 12, 16
+    cube = (
+        spark.range(n_la * n_lo)
+        .select(
+            (F.col("id") / n_lo).cast("long").alias("lai"),
+            (F.col("id") % n_lo).alias("loi"),
+        )
+        .withColumn(
+            "t2m",
+            F.sin(F.col("lai") * 0.8) * F.cos(F.col("loi") * 0.6) * 10.0
+            + F.col("lai") * 0.25 + 280.0,
+        )
+    )
+    offsets = spark.createDataFrame(
+        [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)], "di long, dj long"
+    )
+    fanned = (
+        cube.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("lai") + F.col("di")).alias("lai"),
+            (F.col("loi") + F.col("dj")).alias("loi"),
+            "t2m",
+        )
+        .filter(
+            (F.col("lai") >= 0) & (F.col("lai") < n_la)
+            & (F.col("loi") >= 0) & (F.col("loi") < n_lo)
+        )
+    )
+    return (
+        fanned.groupBy("lai", "loi")
+        .agg(
+            F.round(F.avg("t2m"), 6).alias("t2m_smooth"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+        )
+        .orderBy("lai", "loi")
+    )
