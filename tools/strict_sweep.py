@@ -29,10 +29,16 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     # vanilla session on purpose: the engine must self-configure exactly
-    # as it does under the external driver
+    # as it does under the external driver. Driver heap is the ONE knob
+    # set here: Spark's 1g default is a laptop default, not a harness
+    # property — at sf0.1 the heavyweight md5/recall audits OOM a 1g
+    # single-JVM local[32] heap (driver+executors share it in local
+    # mode). The external driver runs correctness at sf0.01, where the
+    # sweep is green even on the 1g default.
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
     import __spark_entry__ as entry

@@ -75,6 +75,7 @@ CHECK_CHANGED: list[str] = [
     "weather_derived_variables",   # r4: NEW — wind speed/circular-mean direction + solar zenith, oracle-gated
     "weather_vertical_interp",     # r4: NEW — ln(p) vertical interpolation to target levels, oracle-gated
     "weather_grid_smoothing",      # r4: NEW — 9-point neighborhood smoother via offset fan-out, oracle-gated
+    "corpus_clean_report_exact",   # r4: NEW — END-TO-END clean pipeline (exact+near CC+quality) under one oracle
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

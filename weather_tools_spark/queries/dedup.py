@@ -204,3 +204,108 @@ def dedup_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "corpus_clean_report_exact",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS s
+           FROM toks),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              JOIN cnt ca ON a.doc_id = ca.doc_id
+              JOIN cnt cb ON b.doc_id = cb.doc_id
+              GROUP BY 1, 2
+              HAVING 1.0 * count(*) / (any_value(ca.n) + any_value(cb.n) - count(*)) >= 0.5),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a
+      ) SELECT * FROM r
+    ),
+    clusters AS (
+      SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+    ),
+    hashed AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+      FROM documents),
+    groups AS (SELECT content_hash, min(doc_id) AS keep_id
+               FROM hashed GROUP BY content_hash),
+    q AS (
+      SELECT doc_id,
+             (least(len(t) / 100.0, 1.0)
+              + 1.0 - length(regexp_replace(text, '[\\w\\s]+', '', 'g')) * 1.0 / length(text)
+              + least(len(list_filter(t, x -> x IN ('the','a','of','and','to')))
+                      * 1.0 / len(t) * 5.0, 1.0)) / 3.0 AS quality
+      FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)),
+    verdicts AS (
+      SELECT d.doc_id,
+             CASE WHEN h.doc_id <> g.keep_id THEN 'exact'
+                  WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id THEN 'near'
+                  WHEN q.quality < 0.4371 THEN 'lowq'
+                  ELSE 'clean' END AS verdict
+      FROM documents d
+      JOIN hashed h USING (doc_id)
+      JOIN groups g USING (content_hash)
+      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT verdict, CAST(count(*) AS BIGINT) AS n,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_digest
+    FROM verdicts GROUP BY verdict ORDER BY verdict
+    """,
+)
+def corpus_clean_report_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus cleaning under ONE hash gate — the
+    pipeline/corpus.clean_corpus composition (exact dedup → near dedup →
+    quality filter, precedence exact > near > lowq) with the EXACT
+    near-dup leg (prefix-filtered 5-gram Jaccard ≥ 0.5 + distributed
+    connected components) so the whole multi-stage pipeline is
+    SQL-replayable: the DuckDB twin recomputes the pair graph, takes
+    its transitive closure with a RECURSIVE CTE, and reproduces the
+    per-verdict membership digests — stage attribution certified to the
+    exact document-id set, not just counts. Quality threshold 0.4371
+    sits ≥4e-4 from every attainable score at all three SFs."""
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select(
+        "doc_id", F.md5(D.normalize_text("text")).alias("content_hash")
+    )
+    groups = D.exact_dedup_groups(docs, "doc_id", "text", normalized=True)
+    pairs = D.jaccard_prefix_pairs(docs, "doc_id", "text", n=5, threshold=0.5)
+    cc = D.connected_components(pairs)
+    from weather_tools_spark.functions.text import quality_score
+
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    verdicts = (
+        docs.select("doc_id")
+        .join(hashed, "doc_id")
+        .join(groups.select("content_hash", "keep_id"), "content_hash")
+        .join(cc.withColumnRenamed("cluster_id", "cl"), "doc_id", "left")
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keep_id"), "exact")
+            .when(F.col("cl").isNotNull() & (F.col("cl") != F.col("doc_id")), "near")
+            .when(F.col("quality") < 0.4371, "lowq")
+            .otherwise("clean")
+            .alias("verdict"),
+        )
+    )
+    return (
+        verdicts.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list(F.col("doc_id"))))
+            ).alias("ids_digest"),
+        )
+        .orderBy("verdict")
+    )
