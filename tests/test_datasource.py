@@ -1,0 +1,95 @@
+"""Python DataSource integration (sources/datasource.py):
+``spark.read.format("weather")`` must agree with the functional opener
+on every format it claims, absorb pushable range filters (applied
+in-source, remainder returned to Catalyst), and plan one partition per
+matched file."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from weather_tools_spark.sources.datasource import (
+    WeatherReader,
+    register,
+)
+
+
+@pytest.fixture(scope="module")
+def fmt(spark):
+    register(spark)
+    return "weather"
+
+
+@pytest.fixture()
+def grib_files(tmp_path):
+    from weather_tools_spark.sources.grib2 import write_grib2
+
+    lats = np.array([50.0, 49.0, 48.0])
+    lons = np.array([10.0, 11.0, 12.0, 13.0])
+    paths = []
+    for i, ts in enumerate(["2024-01-01T00:00", "2024-01-01T06:00"]):
+        vals = np.arange(12, dtype="f8").reshape(3, 4) / 4 + i
+        p = str(tmp_path / f"f{i}.grib2")
+        write_grib2(p, [{"param": "d2m", "ref_time": ts, "lats": lats, "lons": lons, "values": vals}])
+        paths.append(p)
+    return str(tmp_path / "f*.grib2")
+
+
+def test_format_matches_opener(spark, fmt, grib_files):
+    from weather_tools_spark.sources.opener import open_dataset
+
+    via_fmt = spark.read.format(fmt).load(grib_files)
+    via_open = open_dataset(spark, grib_files)
+    a = {(r.time, r.latitude, r.longitude): round(r.d2m, 3) for r in via_fmt.collect()}
+    b = {(r.time, r.latitude, r.longitude): round(r.d2m, 3) for r in via_open.collect()}
+    assert a == b and len(a) == 24
+
+
+def test_pushed_filters_applied_in_source(spark, fmt, grib_files):
+    df = (
+        spark.read.format(fmt)
+        .load(grib_files)
+        .filter((F.col("latitude") >= 49.0) & (F.col("longitude") < 12.0))
+    )
+    rows = df.collect()
+    assert len(rows) == 2 * 2 * 2  # 2 files × lats{50,49} × lons{10,11}
+    assert all(r.latitude >= 49.0 and r.longitude < 12.0 for r in rows)
+
+
+def test_push_filters_partitioning_unit():
+    r = WeatherReader(["a", "b", "c"], "grib2", ["time", "latitude", "longitude", "d2m"])
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull
+
+    unsupported = list(
+        r.pushFilters([
+            GreaterThanOrEqual(("latitude",), 10.0),
+            EqualTo(("d2m",), 1.0),       # non-pushable column
+            IsNotNull(("latitude",)),      # non-pushable predicate type
+        ])
+    )
+    # exactly the two non-range/-column filters come back to Catalyst
+    assert len(unsupported) == 2
+    assert r._ranges == [("latitude", ">=", 10.0)]
+    assert len(r.partitions()) == 3  # one partition per file
+
+
+def test_format_reads_netcdf(spark, fmt, tmp_path):
+    from weather_tools_spark.sources.netcdf3 import write_netcdf3
+
+    p = str(tmp_path / "x.nc")
+    write_netcdf3(
+        p,
+        coords={
+            "time": np.array([0, 3600], dtype="i4"),
+            "latitude": np.array([10.0, 20.0]),
+            "longitude": np.array([100.0, 110.0, 120.0]),
+        },
+        variables={"t2m": np.arange(12, dtype="f8").reshape(2, 2, 3) + 280.0},
+    )
+    df = spark.read.format(fmt).load(p)
+    assert df.count() == 12
+    got = df.agg(F.round(F.sum("t2m"), 3)).collect()[0][0]
+    assert got == pytest.approx(12 * 280.0 + sum(range(12)), abs=1e-6)

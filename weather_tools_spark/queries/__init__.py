@@ -76,6 +76,7 @@ CHECK_CHANGED: list[str] = [
     "weather_vertical_interp",     # r4: NEW — ln(p) vertical interpolation to target levels, oracle-gated
     "weather_grid_smoothing",      # r4: NEW — 9-point neighborhood smoother via offset fan-out, oracle-gated
     "corpus_clean_report_exact",   # r4: NEW — END-TO-END clean pipeline (exact+near CC+quality) under one oracle
+    "weather_format_scan_agg",     # r4: NEW — spark.read.format("weather") Python DataSource + pushFilters, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

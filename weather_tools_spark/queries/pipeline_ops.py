@@ -1359,3 +1359,75 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "weather_format_scan_agg",
+    oracle="""
+    WITH cells AS (
+      SELECT h.i AS hi, r.i AS row_i, c.i AS col_i,
+             49.0 - r.i * 0.25 AS latitude,
+             2.0 + c.i * 0.25 AS longitude,
+             h.i * 1000 + r.i * 10 + c.i + 0.125 AS d2m,
+             h.i * 2000 - r.i * 20 - c.i - 0.25 AS u10
+      FROM (SELECT unnest(range(0, 2)) AS i) h,
+           (SELECT unnest(range(0, 3)) AS i) r,
+           (SELECT unnest(range(0, 4)) AS i) c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(d2m), 3) AS sum_d2m,
+           round(sum(u10), 3) AS sum_u10,
+           round(min(latitude), 2) AS min_lat
+    FROM cells
+    WHERE latitude >= 48.75 AND longitude < 2.75
+    """,
+)
+def weather_format_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PySpark-4 Python DataSource path end-to-end: the same
+    deterministic grid as grib_roundtrip_agg flows through the
+    distributed GRIB2 sink, then back in via
+    ``spark.read.format("weather")`` (sources/datasource.py) with
+    latitude/longitude predicates that the source ABSORBS through
+    ``pushFilters`` — rows are dropped inside the decode task, before
+    Spark sees them — and one partition per file. The oracle recomputes
+    the filtered aggregate arithmetically, so the hash gate covers the
+    DataSource read, the pushdown semantics, and the Arrow hand-off."""
+    import os
+    import tempfile
+
+    from weather_tools_spark.sources import grib2 as G2
+    from weather_tools_spark.sources.datasource import register as register_fmt
+
+    out_dir = tempfile.mkdtemp(prefix="wts_fmt_")
+    nh, nr, nc = 2, 3, 4
+    grid = (
+        spark.range(nh * nr * nc)
+        .select(
+            (F.col("id") / (nr * nc)).cast("int").alias("hi"),
+            ((F.col("id") / nc) % nr).cast("int").alias("row_i"),
+            (F.col("id") % nc).cast("int").alias("col_i"),
+        )
+        .select(
+            F.to_timestamp(
+                F.concat(F.lit("2024-06-03 "), F.lpad((F.col("hi") * 12).cast("string"), 2, "0"),
+                         F.lit(":00:00"))
+            ).alias("time"),
+            (F.lit(49.0) - F.col("row_i") * 0.25).alias("latitude"),
+            (F.lit(2.0) + F.col("col_i") * 0.25).alias("longitude"),
+            (F.col("hi") * 1000 + F.col("row_i") * 10 + F.col("col_i") + 0.125).alias("d2m"),
+            (F.col("hi") * 2000 - F.col("row_i") * 20 - F.col("col_i") - 0.25).alias("u10"),
+        )
+    )
+    G2.write_grib2_partitioned(grid, out_dir, ["d2m", "u10"])
+    register_fmt(spark)
+    df = (
+        spark.read.format("weather")
+        .load(os.path.join(out_dir, "*"))
+        .filter((F.col("latitude") >= 48.75) & (F.col("longitude") < 2.75))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("d2m"), 3).alias("sum_d2m"),
+        F.round(F.sum("u10"), 3).alias("sum_u10"),
+        F.round(F.min("latitude"), 2).alias("min_lat"),
+    )

@@ -51,6 +51,9 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Python DataSource filter pushdown (sources/datasource.py
+        # absorbs lat/lon/time range predicates inside the decode task)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # spill-awareness at scale: 128 MB input splits keep a task's
         # working set well inside executor memory even for wide rows;
         # AQE's advisory size governs post-shuffle partition sizing

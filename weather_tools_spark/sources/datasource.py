@@ -1,0 +1,200 @@
+"""``spark.read.format("weather")`` — the stdlib codecs as a first-class
+PySpark 4 Python DataSource.
+
+The opener (:mod:`weather_tools_spark.sources.opener`) gives the
+functional path (``open_dataset``); this module plugs the SAME codecs
+into Spark's DataSource API so the engine composes with everything that
+expects a format string::
+
+    from weather_tools_spark.sources.datasource import register
+    register(spark)
+    df = spark.read.format("weather").load("/data/era5-*.grib2")
+
+Spark-native integration points implemented (not just ``read``):
+
+- **partition planning**: one input partition per matched file — whole
+  files are the unit of parallelism, exactly like the mapInPandas plan
+  the opener builds, but visible to Spark's scheduler as a real scan;
+- **filter pushdown** (``pushFilters``): comparison predicates on
+  ``latitude`` / ``longitude`` / ``time`` are absorbed by the source and
+  applied inside the decode task before rows reach Spark (and the
+  remaining filters are returned so Catalyst re-applies only those);
+- **Arrow hand-off**: ``read`` yields ``pyarrow.RecordBatch`` — the
+  columnar boundary, no per-row Python objects.
+
+The reference's analog is the xarray engine dispatch in
+``xql/src/xql/open.py:68-98`` + the Beam file ingest
+(``weather_mv/loader_pipeline/sinks.py``); here it is the idiomatic
+Spark-4 surface over the same byte-level codecs.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import DoubleType, StructField, StructType, TimestampType
+
+_PUSHABLE_COLS = ("latitude", "longitude", "time")
+
+
+def _expand(path: str) -> list[str]:
+    uris = sorted(_glob.glob(path)) if any(ch in path for ch in "*?[") else [path]
+    if not uris:
+        raise ValueError(f"no files match {path!r}")
+    return uris
+
+
+def _decoder_for(kind: str, first: str):
+    """(decode_one, columns) for a single-file format — the same pairing
+    ``opener.open_dataset`` uses for its mapInPandas plan."""
+    if kind == "netcdf3":
+        from .netcdf3 import list_variables, nc3_decode
+
+        return (lambda p: nc3_decode(p, None)), ["time", "latitude", "longitude"] + sorted(
+            list_variables(first)
+        )
+    if kind == "netcdf4":
+        from .hdf5 import list_variables_h5, nc4_decode
+
+        return (lambda p: nc4_decode(p, None)), ["time", "latitude", "longitude"] + list_variables_h5(first)
+    if kind == "grib2":
+        from .grib2 import grib2_decode, list_params
+
+        return (lambda p: grib2_decode(p, None)), ["time", "latitude", "longitude"] + sorted(
+            set(list_params(first))
+        )
+    if kind == "grib1":
+        from .grib1 import grib1_decode, list_params1
+
+        return (lambda p: grib1_decode(p, None)), ["time", "latitude", "longitude"] + sorted(
+            set(list_params1(first))
+        )
+    if kind == "geotiff":
+        from .geotiff import gtiff_decode
+
+        return (lambda p: gtiff_decode(p)), ["latitude", "longitude", "value"]
+    raise ValueError(f"format {kind!r} has no single-file decoder (zarr: use open_dataset)")
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WeatherReader(DataSourceReader):
+    def __init__(self, paths: list[str], kind: str, columns: list[str]):
+        self._paths = paths
+        self._kind = kind
+        self._columns = columns
+        self._ranges: list[tuple[str, str, float]] = []  # (col, op, value)
+
+    # -- filter pushdown ---------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            col = f.attribute[0] if hasattr(f, "attribute") else None
+            if (
+                isinstance(f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo))
+                and col in _PUSHABLE_COLS
+                and col in self._columns
+            ):
+                op = {
+                    GreaterThan: ">",
+                    GreaterThanOrEqual: ">=",
+                    LessThan: "<",
+                    LessThanOrEqual: "<=",
+                    EqualTo: "==",
+                }[type(f)]
+                self._ranges.append((col, op, f.value))
+            else:
+                yield f  # not ours — Catalyst keeps it
+
+    # -- planning ----------------------------------------------------------
+    def partitions(self) -> list[InputPartition]:
+        return [_FilePartition(p) for p in self._paths]
+
+    # -- execution ---------------------------------------------------------
+    def read(self, partition: _FilePartition):
+        import pandas as pd
+        import pyarrow as pa
+
+        decode_one, cols = _decoder_for(self._kind, partition.path)
+        pdf = decode_one(partition.path).reindex(columns=self._columns)
+        for col, op, val in self._ranges:
+            if col == "time":
+                val = pd.Timestamp(val)
+            series = pdf[col]
+            mask = {
+                ">": series > val,
+                ">=": series >= val,
+                "<": series < val,
+                "<=": series <= val,
+                "==": series == val,
+            }[op]
+            pdf = pdf[mask]
+        # Arrow hand-off with the exact declared schema (µs timestamps,
+        # float64 data columns)
+        fields = []
+        for c in self._columns:
+            if c == "time":
+                fields.append(pa.field(c, pa.timestamp("us")))
+                pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+            else:
+                fields.append(pa.field(c, pa.float64()))
+                pdf[c] = pdf[c].astype("float64")
+        table = pa.Table.from_pandas(pdf, schema=pa.schema(fields), preserve_index=False)
+        yield from table.to_batches()
+
+
+class WeatherDataSource(DataSource):
+    """``format("weather")``: auto-detects GRIB1/GRIB2/NetCDF-3/
+    NetCDF-4/GeoTIFF by magic bytes (zarr stores go through
+    ``open_dataset`` — a chunked store is not a file glob)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "weather"
+
+    def schema(self) -> StructType:
+        from .opener import detect
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError('format("weather") needs .load(path)')
+        uris = _expand(path)
+        kind = detect(uris[0])
+        _, cols = _decoder_for(kind, uris[0])
+        return StructType(
+            [
+                StructField(c, TimestampType() if c == "time" else DoubleType())
+                for c in cols
+            ]
+        )
+
+    def reader(self, schema: StructType) -> WeatherReader:
+        from .opener import detect
+
+        uris = _expand(self.options["path"])
+        kinds = {detect(u) for u in uris}
+        if len(kinds) > 1:
+            raise ValueError(f"mixed formats: {sorted(kinds)}")
+        return WeatherReader(uris, kinds.pop(), [f.name for f in schema.fields])
+
+
+def register(spark) -> None:
+    """Register ``format("weather")`` on a session (idempotent). Also
+    flips on Python-source filter pushdown — a runtime SQL conf, so it
+    works on driver-provided vanilla sessions too."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(WeatherDataSource)
