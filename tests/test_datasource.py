@@ -93,3 +93,32 @@ def test_format_reads_netcdf(spark, fmt, tmp_path):
     assert df.count() == 12
     got = df.agg(F.round(F.sum("t2m"), 3)).collect()[0][0]
     assert got == pytest.approx(12 * 280.0 + sum(range(12)), abs=1e-6)
+
+
+def test_write_format_roundtrip(spark, fmt, tmp_path):
+    import os
+
+    out = str(tmp_path / "out")
+    n_la, n_lo = 3, 4
+    grid = (
+        spark.range(2 * n_la * n_lo)
+        .selectExpr(
+            "timestamp(concat('2024-02-01 ', lpad(cast(cast(id / 12 as int) * 6 as string), 2, '0'), ':00:00')) AS time",
+            "50.0 - cast(cast(id / 4 as int) % 3 as double) * 0.5 AS latitude",
+            "8.0 + cast(id % 4 as double) * 0.5 AS longitude",
+            "cast(id as double) / 8 + 273.0 AS d2m",
+        )
+        .repartition(2, "time")
+    )
+    grid.write.format(fmt).mode("overwrite").save(out)
+    made = sorted(os.listdir(out))
+    assert "_MANIFEST" in made
+    gribs = [f for f in made if f.endswith(".grib2")]
+    assert len(gribs) == 2  # one file per time slice (repartitioned by time)
+    back = spark.read.format(fmt).load(os.path.join(out, "*.grib2"))
+    a = {(r.time, r.latitude, r.longitude): round(r.d2m, 3) for r in back.collect()}
+    b = {(r.time, r.latitude, r.longitude): round(r.d2m, 3) for r in grid.collect()}
+    assert a == b and len(a) == 24
+    # overwrite replaces, not appends
+    grid.write.format(fmt).mode("overwrite").save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".grib2")]) == 2

@@ -36,6 +36,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -43,6 +44,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import DoubleType, StructField, StructType, TimestampType
 
@@ -191,6 +193,9 @@ class WeatherDataSource(DataSource):
             raise ValueError(f"mixed formats: {sorted(kinds)}")
         return WeatherReader(uris, kinds.pop(), [f.name for f in schema.fields])
 
+    def writer(self, schema: StructType, overwrite: bool) -> "WeatherWriter":
+        return WeatherWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     """Register ``format("weather")`` on a session (idempotent). Also
@@ -198,3 +203,91 @@ def register(spark) -> None:
     works on driver-provided vanilla sessions too."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(WeatherDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer: df.write.format("weather").save(dir) → partitioned GRIB2
+# ---------------------------------------------------------------------------
+
+
+class _WroteFiles(WriterCommitMessage):
+    def __init__(self, paths: list[str]):
+        self.paths = paths
+
+
+class WeatherWriter(DataSourceWriter):
+    """Each Spark write task serializes its rows as whole GRIB2 files —
+    one multi-message file per time slice seen in the partition (the
+    ``write_grib2_partitioned`` layout, WMO sections + simple packing).
+    Repartition by a time bucket upstream for exactly one file per
+    slice; unrepartitioned input still round-trips (multiple files per
+    slice, unique task-tagged names). ``commit`` writes a _MANIFEST
+    json listing every committed file — the all-or-nothing marker."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError('format("weather") write needs .save(path)')
+        self._cols = [f.name for f in schema.fields]
+        for required in ("time", "latitude", "longitude"):
+            if required not in self._cols:
+                raise ValueError(f"weather write needs a {required!r} column")
+        self._vars = [c for c in self._cols if c not in ("time", "latitude", "longitude")]
+        import os
+        import shutil
+
+        if overwrite and os.path.isdir(self._dir):
+            shutil.rmtree(self._dir)
+        os.makedirs(self._dir, exist_ok=True)
+
+    def write(self, iterator) -> "_WroteFiles":
+        import os
+        import uuid
+
+        import numpy as np
+        import pandas as pd
+
+        from .grib2 import write_grib2
+
+        rows = list(iterator)
+        if not rows:
+            return _WroteFiles([])
+        pdf = pd.DataFrame(rows, columns=self._cols)
+        tag = uuid.uuid4().hex[:8]
+        out: list[str] = []
+        for ts, g in pdf.groupby(pdf["time"].astype("datetime64[us]")):
+            lats = np.sort(g["latitude"].unique())[::-1]
+            lons = np.sort(g["longitude"].unique())
+            ila = g["latitude"].map({v: i for i, v in enumerate(lats)}).to_numpy()
+            ilo = g["longitude"].map({v: i for i, v in enumerate(lons)}).to_numpy()
+            messages = []
+            for v in self._vars:
+                grid = np.zeros((len(lats), len(lons)))
+                grid[ila, ilo] = g[v].to_numpy(dtype="f8")
+                messages.append(
+                    {"param": v, "ref_time": ts, "lats": lats, "lons": lons, "values": grid}
+                )
+            path = os.path.join(
+                self._dir, f"{pd.Timestamp(ts).strftime('%Y-%m-%dT%H%M')}-{tag}.grib2"
+            )
+            write_grib2(path, messages)
+            out.append(path)
+        return _WroteFiles(out)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        files = sorted(p for m in messages for p in getattr(m, "paths", []))
+        with open(os.path.join(self._dir, "_MANIFEST"), "w") as fh:
+            json.dump({"files": [os.path.basename(p) for p in files]}, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            for p in getattr(m, "paths", []) or []:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
