@@ -122,3 +122,46 @@ def test_write_format_roundtrip(spark, fmt, tmp_path):
     # overwrite replaces, not appends
     grid.write.format(fmt).mode("overwrite").save(out)
     assert len([f for f in os.listdir(out) if f.endswith(".grib2")]) == 2
+
+
+def test_stream_format_picks_up_new_files(spark, fmt, tmp_path):
+    """spark.readStream.format('weather'): micro-batch 1 sees the
+    existing file, a file added between runs arrives in the next
+    availableNow pass through the checkpointed offset."""
+    import os
+
+    import numpy as np
+
+    from weather_tools_spark.sources.grib2 import write_grib2
+
+    lats = np.array([40.0, 39.0])
+    lons = np.array([1.0, 2.0])
+    indir = tmp_path / "in"; indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(i):
+        vals = np.full((2, 2), float(i))
+        write_grib2(str(indir / f"s{i}.grib2"),
+                    [{"param": "d2m", "ref_time": f"2024-03-0{i+1}T00:00",
+                      "lats": lats, "lons": lons, "values": vals}])
+
+    add_file(0)
+    # schema probe needs one existing file; the glob then keeps watching
+    stream = spark.readStream.format(fmt).load(str(indir / "*.grib2"))
+    assert stream.isStreaming
+
+    out = str(tmp_path / "sink")
+
+    def run_once():
+        q = (
+            stream.writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.processAllAvailable(); q.stop()
+        return sorted(r.d2m for r in spark.read.parquet(out).select("d2m").collect())
+
+    assert run_once() == [0.0] * 4
+    add_file(1)
+    # restart from the checkpoint: ONLY the new file lands in the sink
+    assert run_once() == [0.0] * 4 + [1.0] * 4

@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    SimpleDataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -196,6 +197,9 @@ class WeatherDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "WeatherWriter":
         return WeatherWriter(self.options, schema, overwrite)
 
+    def simpleStreamReader(self, schema: StructType) -> "WeatherStreamReader":
+        return WeatherStreamReader(self.options, schema)
+
 
 def register(spark) -> None:
     """Register ``format("weather")`` on a session (idempotent). Also
@@ -291,3 +295,60 @@ class WeatherWriter(DataSourceWriter):
                     os.remove(p)
                 except OSError:
                     pass
+
+
+# ---------------------------------------------------------------------------
+# Streaming source: spark.readStream.format("weather")
+# ---------------------------------------------------------------------------
+
+
+class WeatherStreamReader(SimpleDataSourceStreamReader):
+    """File-monitor streaming source over the same codecs: each
+    micro-batch decodes the files that appeared since the last offset.
+    The offset is the sorted list of consumed file names — replayable,
+    so ``readBetweenOffsets`` re-decodes exactly the delta on recovery
+    (files are immutable once written, the property every file-based
+    exactly-once source relies on)."""
+
+    def __init__(self, options, schema: StructType):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError('streaming format("weather") needs .load(path)')
+        self._columns = [f.name for f in schema.fields]
+
+    def _current(self) -> list[str]:
+        try:
+            return _expand(self._path)
+        except ValueError:  # nothing yet — an empty directory is a valid stream start
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _decode_files(self, files: list[str]) -> list[tuple]:
+        # a concrete list, not a generator: Spark's prefetching offset
+        # cache copies (and may pickle) the returned iterator
+        from .opener import detect
+
+        rows: list[tuple] = []
+        for p in files:
+            decode_one, _ = _decoder_for(detect(p), p)
+            pdf = decode_one(p).reindex(columns=self._columns)
+            if "time" in pdf.columns:
+                # Spark's tuple converter localizes timestamps — hand it
+                # tz-aware UTC datetimes (session tz is UTC)
+                import pandas as pd
+
+                pdf["time"] = pd.to_datetime(pdf["time"]).dt.tz_localize("UTC")
+            rows.extend(tuple(r) for r in pdf.itertuples(index=False))
+        return rows
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        new = sorted(set(self._current()) - seen)
+        end = {"files": sorted(seen | set(new))}
+        return self._decode_files(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        delta = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        return self._decode_files(delta)
