@@ -103,6 +103,14 @@ def main() -> None:
 
     load_table(spark, "lineitem", sf_dir).count()
     SPARK[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ...and the shingle/pair-expansion codegen path: the exploded-
+    # combination expressions take ~3 executions to reach steady state
+    # (measured 3.3 -> 2.4 s across 5 runs), so one untimed pass keeps
+    # min-of-2 from recording mid-JIT numbers for the dedup family
+    SPARK["dedup_ngram_jaccard_pairs"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from weather_tools_spark.operators.dedup import release_persisted as _rp
+
+    _rp()
     # ...and warm the Python/Arrow worker pool: the first Arrow stage of
     # the session pays worker spawn + numpy/pandas import on every core
     # (~5-10s across 32 workers) — a fixed session cost, not per-query
