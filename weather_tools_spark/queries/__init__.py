@@ -77,6 +77,9 @@ CHECK_CHANGED: list[str] = [
     "weather_grid_smoothing",      # r4: NEW — 9-point neighborhood smoother via offset fan-out, oracle-gated
     "corpus_clean_report_exact",   # r4: NEW — END-TO-END clean pipeline (exact+near CC+quality) under one oracle
     "weather_format_scan_agg",     # r4: NEW — spark.read.format("weather") Python DataSource + pushFilters, oracle-gated
+    "geo_polar_stereo_project",    # r4: NEW — ellipsoidal EPSG:3413 polar stereographic, oracle-gated
+    "text_tfidf_keywords",         # r4: NEW — per-doc TF-IDF keyword extraction, oracle-gated
+    "weather_station_idw_analysis",# r4: NEW — IDW objective analysis via band-join, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

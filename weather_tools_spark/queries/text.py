@@ -1141,3 +1141,61 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) * 1.0 / any_value(dl) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term, ln((SELECT count(DISTINCT doc_id) FROM tok) * 1.0 / count(DISTINCT doc_id)) AS idf
+      FROM tok GROUP BY term
+    ), scored AS (
+      SELECT f.doc_id, f.term, f.tf * i.idf AS w,
+             row_number() OVER (PARTITION BY f.doc_id
+                                ORDER BY f.tf * i.idf DESC, f.term) AS rk
+      FROM tf f JOIN idf i USING (term)
+    )
+    SELECT doc_id, term, round(w, 6) AS tfidf, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 3 AND doc_id < 40
+    ORDER BY doc_id, rk
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction — TF-IDF top-3 terms per doc
+    (the tagging/labeling stage of corpus curation): term frequency
+    normalized by doc length × smooth-free idf ln(N/df); ranking ties
+    broken lexicographically so both engines agree deterministically.
+    Plan: one token explode → two map-combinable aggregates → a
+    broadcast idf join → per-doc window (PARTITIONED by doc — parallel
+    across the corpus). Output limited to doc_id < 40 to keep the
+    verification frame small; the plan is identical at any cut."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),
+    )
+    n_docs = docs.count()  # bounded scalar (dimension count)
+    tf = tok.groupBy("doc_id", "term").agg(
+        (F.count(F.lit(1)) / F.first("dl")).alias("tf")
+    )
+    idf = tok.groupBy("term").agg(
+        F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id")).alias("idf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .select("doc_id", "term", (F.col("tf") * F.col("idf")).alias("w"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 40))
+        .select("doc_id", "term", F.round("w", 6).alias("tfidf"), "rk")
+        .orderBy("doc_id", "rk")
+    )

@@ -1173,3 +1173,137 @@ def weather_grid_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lai", "loi")
     )
+
+
+def _ps_oracle_sql() -> str:
+    """DuckDB twin of the ellipsoidal polar stereographic (EPSG:3413
+    constants): ρ = ρ_c·t(φ) with Snyder's t — the conformal factor
+    written out with pow/tan — recomputed from the same driver-side
+    ρ_c literal."""
+    from weather_tools_spark.functions.geodesy import polar_stereo_ell_params
+
+    p = polar_stereo_ell_params()  # 70N, -45, WGS84
+    e, rc, lon0 = p["e"], p["rho_c"], p["lon0"]
+    t = (f"tan(pi()/4 - radians(latitude)/2)"
+         f" / pow((1 - {e!r} * sin(radians(latitude))) / (1 + {e!r} * sin(radians(latitude))), {e / 2.0!r})")
+    return f"""
+    WITH geo AS (
+      SELECT DISTINCT
+             60.0 + (user_id % 28)           AS latitude,
+             (event_id % 360) - 180.0 + 0.5  AS longitude
+      FROM events
+    )
+    SELECT latitude, longitude,
+           round({rc!r} * ({t}) * sin(radians(longitude - ({lon0!r}))), 3) AS x,
+           round(-{rc!r} * ({t}) * cos(radians(longitude - ({lon0!r}))), 3) AS y
+    FROM geo
+    ORDER BY latitude, longitude
+    """
+
+
+@register("geo_polar_stereo_project", oracle=_ps_oracle_sql())
+def geo_polar_stereo_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS transform surface #4: ELLIPSOIDAL north-polar stereographic —
+    EPSG:3413 (NSIDC sea-ice grid: WGS84, true scale 70°N, λ0 = −45°) —
+    via functions/geodesy.py. Points span the 60–87°N cap the grid
+    covers; the oracle recomputes Snyder's conformal factor from the
+    same derived ρ_c constant with its own trig, mm rounding."""
+    from weather_tools_spark.functions.geodesy import (
+        polar_stereo_ell_params,
+        polar_stereo_ell_xy,
+    )
+
+    p = polar_stereo_ell_params()
+    ev = load_table(spark, "events", sf_dir)
+    geo = ev.select(
+        (60.0 + (F.col("user_id") % 28)).alias("latitude"),
+        ((F.col("event_id") % 360) - 180.0 + 0.5).alias("longitude"),
+    ).distinct()
+    x, y = polar_stereo_ell_xy(F.col("latitude"), F.col("longitude"), p)
+    return geo.select(
+        "latitude", "longitude", F.round(x, 3).alias("x"), F.round(y, 3).alias("y")
+    ).orderBy("latitude", "longitude")
+
+
+_IDW_R, _IDW_P = 400.0, 2.0  # influence radius km, distance power
+
+
+@register(
+    "weather_station_idw_analysis",
+    oracle=f"""
+    WITH stations AS (
+      SELECT DISTINCT (user_id % 37) * 1.3 - 20.0 AS slat,
+                      (user_id % 31) * 2.1 - 30.0 AS slon,
+                      (user_id % 37) * 0.5 + (user_id % 31) * 0.25 + 10.0 AS obs
+      FROM events WHERE user_id % 11 = 0
+    ), grid AS (
+      SELECT la.i * 2.0 - 18.0 AS glat, lo.i * 3.0 - 28.0 AS glon
+      FROM (SELECT unnest(range(0, 12)) AS i) la,
+           (SELECT unnest(range(0, 11)) AS i) lo
+    ), pairs AS (
+      SELECT g.glat, g.glon, s.obs,
+             {_RJ_HAV.format(re=_RJ_EARTH, lat_a='g.glat', lon_a='g.glon', lat_b='s.slat', lon_b='s.slon')} AS d
+      FROM grid g JOIN stations s ON abs(g.glat - s.slat) <= 4.0
+    )
+    SELECT glat, glon,
+           CAST(count(*) FILTER (WHERE d <= {_IDW_R!r}) AS BIGINT) AS n_stations,
+           round(sum(obs / pow(d, {_IDW_P!r})) FILTER (WHERE d <= {_IDW_R!r})
+                 / sum(1.0 / pow(d, {_IDW_P!r})) FILTER (WHERE d <= {_IDW_R!r}), 6)
+             AS analysis
+    FROM pairs
+    GROUP BY glat, glon
+    HAVING count(*) FILTER (WHERE d <= {_IDW_R!r}) > 0
+    ORDER BY glat, glon
+    """,
+)
+def weather_station_idw_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Objective analysis — inverse-distance-weighted interpolation of
+    scattered station observations onto a regular grid (the Cressman/
+    Shepard scheme every surface-analysis pipeline starts from):
+    analysis(g) = Σ obs/dᵖ / Σ 1/dᵖ over stations within the influence
+    radius. Scale topology: latitude-BAND equi-join (|Δlat| ≤ 4° covers
+    the 400 km radius) bounds candidate pairs the same way the
+    grid-bucketed radius join does — never grid × stations cross join —
+    then one map-combinable weighted aggregate per grid point. The
+    station set is deterministic from events, so the oracle recomputes
+    the identical analysis."""
+    ev = load_table(spark, "events", sf_dir)
+    stations = (
+        ev.filter(F.col("user_id") % 11 == 0)
+        .select(
+            ((F.col("user_id") % 37) * 1.3 - 20.0).alias("slat"),
+            ((F.col("user_id") % 31) * 2.1 - 30.0).alias("slon"),
+            ((F.col("user_id") % 37) * 0.5 + (F.col("user_id") % 31) * 0.25 + 10.0).alias("obs"),
+        )
+        .distinct()
+    )
+    n_la, n_lo = 12, 11
+    grid = (
+        spark.range(n_la * n_lo)
+        .select(
+            ((F.col("id") / n_lo).cast("long") * 2.0 - 18.0).alias("glat"),
+            ((F.col("id") % n_lo) * 3.0 - 28.0).alias("glon"),
+        )
+    )
+    joined = grid.alias("g").join(
+        stations.alias("s"), F.abs(F.col("g.glat") - F.col("s.slat")) <= 4.0
+    )
+    d = F.expr(
+        _RJ_HAV.format(re=_RJ_EARTH, lat_a="g.glat", lon_a="g.glon", lat_b="s.slat", lon_b="s.slon")
+    )
+    within = d <= _IDW_R
+    wgt = 1.0 / F.pow(d, _IDW_P)
+    return (
+        joined.select("g.glat", "g.glon", "s.obs", d.alias("d"))
+        .groupBy("glat", "glon")
+        .agg(
+            F.sum(F.when(F.col("d") <= _IDW_R, 1).otherwise(0)).alias("n_stations"),
+            F.round(
+                F.sum(F.when(F.col("d") <= _IDW_R, F.col("obs") / F.pow("d", _IDW_P)))
+                / F.sum(F.when(F.col("d") <= _IDW_R, 1.0 / F.pow("d", _IDW_P))),
+                6,
+            ).alias("analysis"),
+        )
+        .filter(F.col("n_stations") > 0)
+        .orderBy("glat", "glon")
+    )
