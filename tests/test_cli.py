@@ -129,3 +129,26 @@ def test_mv_to_zarr_roundtrip(spark, tmp_path, grib_file):
     a = {(r.latitude, r.longitude): (round(r.d2m, 3), round(r.u10, 3)) for r in src.collect()}
     b = {(r.latitude, r.longitude): (round(r.d2m, 3), round(r.u10, 3)) for r in back.collect()}
     assert a == b and len(a) == 12
+
+
+def test_xql_repl_loop(spark, tmp_path, grib_file, capsys, monkeypatch):
+    """The REPL path: statements stream from stdin, an error keeps the
+    loop alive, a blank line exits."""
+    import io
+
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO(
+            "SELECT count(*) AS n FROM weather\n"
+            "SELECT broken syntax here\n"
+            "SELECT round(max(d2m), 3) AS mx FROM weather\n"
+            "\n"
+        ),
+    )
+    rc = main(["xql", "--uri", grib_file, "--view", "weather"])
+    assert rc == 0
+    cap = capsys.readouterr()
+    out = cap.out.strip().splitlines()
+    assert out[0] == "n" and out[1] == "12"
+    assert out[-2] == "mx"  # the loop survived the broken statement
+    assert "error:" in cap.err

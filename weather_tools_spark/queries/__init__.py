@@ -80,6 +80,7 @@ CHECK_CHANGED: list[str] = [
     "geo_polar_stereo_project",    # r4: NEW — ellipsoidal EPSG:3413 polar stereographic, oracle-gated
     "text_tfidf_keywords",         # r4: NEW — per-doc TF-IDF keyword extraction, oracle-gated
     "weather_station_idw_analysis",# r4: NEW — IDW objective analysis via band-join, oracle-gated
+    "basket_part_pair_lift",       # r4: NEW — market-basket support/confidence/lift, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

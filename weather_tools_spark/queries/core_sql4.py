@@ -1255,3 +1255,84 @@ def linkage_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "part_b", F.round("score", 6).alias("score"))
         .orderBy("part_a", "part_b")
     )
+
+
+@register(
+    "basket_part_pair_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT count(DISTINCT l_orderkey) AS n FROM baskets
+    ), item_freq AS (
+      SELECT l_partkey, count(*) AS f FROM baskets GROUP BY l_partkey
+    ), pair_freq AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pf
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.part_a, p.part_b, p.pf,
+             p.pf * 1.0 / n.n AS support,
+             p.pf * 1.0 / fa.f AS confidence,
+             p.pf * 1.0 * n.n / (fa.f * fb.f) AS lift
+      FROM pair_freq p
+      JOIN item_freq fa ON p.part_a = fa.l_partkey
+      JOIN item_freq fb ON p.part_b = fb.l_partkey
+      CROSS JOIN n_orders n
+      WHERE p.pf >= 3
+    )
+    SELECT part_a, part_b, CAST(pf AS BIGINT) AS pf,
+           round(support, 6) AS support, round(confidence, 6) AS confidence,
+           round(lift, 6) AS lift
+    FROM scored
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity (association rules): co-occurrence
+    of part pairs within an order with support / confidence / lift, the
+    Apriori-style first pass. Scale topology: the pair join is WITHIN
+    basket (equi-join on the order key, fan-out bounded by per-order
+    item count — C(k,2) per basket, never corpus-quadratic), item
+    frequencies broadcast, min-support prunes before ranking, and the
+    top-k is a distributed TakeOrdered."""
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().count()  # bounded scalar
+    item_freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_freq = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pf"))
+        .filter(F.col("pf") >= 3)
+    )
+    fa = item_freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("fa"))
+    fb = item_freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("fb"))
+    scored = (
+        pair_freq.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a", "part_b", "pf",
+            (F.col("pf") / F.lit(float(n_orders))).alias("support"),
+            (F.col("pf") / F.col("fa")).alias("confidence"),
+            (F.col("pf") * F.lit(float(n_orders)) / (F.col("fa") * F.col("fb"))).alias("lift"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(20)
+    return top.select(
+        "part_a", "part_b", F.col("pf").cast("long").alias("pf"),
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    ).orderBy(F.col("lift").desc(), "part_a", "part_b")
