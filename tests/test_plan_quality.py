@@ -271,3 +271,24 @@ def test_ewma_window_is_partitioned(spark, sf_dir):
     win_args = [a for a in _re.findall(r"\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan)]
     assert win_args and all("partitionBy" not in a or "event_type" in a for a in win_args)
     assert "event_type" in " ".join(win_args)
+
+
+def test_tfidf_window_partitioned_and_idw_no_cartesian(spark, sf_dir):
+    plan = _formatted_plan(spark, "text_tfidf_keywords", sf_dir)
+    assert "CartesianProduct" not in plan
+    import re as _re
+    wins = _re.findall(r"\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan)
+    assert wins and all("doc_id" in w for w in wins)  # never a global window
+    plan2 = _formatted_plan(spark, "weather_station_idw_analysis", sf_dir)
+    assert "CartesianProduct" not in plan2
+    plan3 = _formatted_plan(spark, "basket_part_pair_lift", sf_dir)
+    assert "CartesianProduct" not in plan3
+    assert "TakeOrderedAndProject" in plan3  # top-k stays distributed
+
+
+def test_linear_trend_single_aggregate(spark, sf_dir):
+    """The OLS fit must reduce to sufficient-statistic sums: exactly one
+    aggregation over the indexed series, no join back to the raw data."""
+    plan = _formatted_plan(spark, "events_linear_trend", sf_dir)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan, j

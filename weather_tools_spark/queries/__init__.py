@@ -81,6 +81,8 @@ CHECK_CHANGED: list[str] = [
     "text_tfidf_keywords",         # r4: NEW — per-doc TF-IDF keyword extraction, oracle-gated
     "weather_station_idw_analysis",# r4: NEW — IDW objective analysis via band-join, oracle-gated
     "basket_part_pair_lift",       # r4: NEW — market-basket support/confidence/lift, oracle-gated
+    "events_linear_trend",         # r4: NEW — OLS trend from sufficient statistics, oracle-gated
+    "events_seasonal_decompose",   # r4: NEW — classical MA seasonal decomposition, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

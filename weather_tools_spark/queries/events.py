@@ -712,3 +712,146 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.select(
         "event_type", "day", "x", F.round(ewma, 6).alias("ewma")
     ).orderBy("event_type", "day")
+
+
+@register(
+    "events_linear_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(value), 6) AS x
+      FROM events GROUP BY event_type, day
+    ), idx AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS t
+      FROM d
+    ), m AS (
+      SELECT event_type, count(*) AS n, sum(t) AS st, sum(x) AS sx,
+             sum(t * t) AS stt, sum(t * x) AS stx, sum(x * x) AS sxx
+      FROM idx GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           round((n * stx - st * sx) / (n * stt - st * st), 6) AS slope,
+           round((sx - (n * stx - st * sx) / (n * stt - st * st) * st) / n, 6) AS intercept,
+           round(pow(n * stx - st * sx, 2) / ((n * stt - st * st) * (n * sxx - sx * sx)), 6) AS r2
+    FROM m ORDER BY event_type
+    """,
+)
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series ordinary-least-squares trend — slope/intercept/R² of
+    each event type's daily mean against the day index, computed from
+    the five sufficient statistics (n, Σt, Σx, Σtt, Σtx, Σxx) so the
+    whole fit is ONE map-combinable aggregate per series: no window
+    over the raw series, no collect, closed-form normal equations.
+    The same statistic-sums discipline fits 10⁹-row series unchanged."""
+    from weather_tools_spark.queries.core_sql import _davg
+
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(_davg(F.col("value")), 6).alias("x"))
+    idx = d.select(
+        "event_type", "x",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).cast("double").alias("t"),
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").alias("st"), F.sum("x").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("x")).alias("stx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sx") - slope * F.col("st")) / F.col("n"), 6).alias("intercept"),
+        F.round(
+            F.pow(F.col("n") * F.col("stx") - F.col("st") * F.col("sx"), 2)
+            / (
+                (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+                * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(strftime(ts, '%w') AS INT) AS dow,
+             round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(value), 6) AS x
+      FROM events GROUP BY event_type, day, dow
+    ), tr AS (
+      SELECT event_type, day, dow, x,
+             avg(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+      FROM d
+    ), detr AS (
+      SELECT event_type, dow, x - trend AS detrended, x, trend
+      FROM tr WHERE wn = 7
+    ), seas AS (
+      SELECT event_type, dow, avg(detrended) AS s
+      FROM detr GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.dow,
+           round(s.s, 6) AS seasonal,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(d.detrended - s.s)), 6) AS mean_abs_residual
+    FROM detr d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
+    GROUP BY d.event_type, d.dow, s.s
+    ORDER BY d.event_type, d.dow
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (moving-average method, the
+    statsmodels ``seasonal_decompose`` algorithm): trend = centered
+    7-day moving average (full windows only), seasonal index = mean
+    detrended value per day-of-week, residual = what's left — reported
+    as per-(series, weekday) seasonal effects with mean absolute
+    residual. All windows PARTITION by series key; the seasonal and
+    residual passes are map-combinable aggregates."""
+    from weather_tools_spark.queries.core_sql import _davg
+
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.dayofweek("ts").alias("dow_1based"),
+    ).agg(F.round(_davg(F.col("value")), 6).alias("x"))
+    # DuckDB %w is 0=Sunday; Spark dayofweek is 1=Sunday
+    d = d.select(
+        "event_type", "day", (F.col("dow_1based") - 1).alias("dow"), "x"
+    )
+    wma = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = d.select(
+        "event_type", "dow", "x",
+        F.avg("x").over(wma).alias("trend"),
+        F.count(F.lit(1)).over(wma).alias("wn"),
+    )
+    detr = tr.filter(F.col("wn") == 7).select(
+        "event_type", "dow", (F.col("x") - F.col("trend")).alias("detrended")
+    )
+    seas = detr.groupBy("event_type", "dow").agg(F.avg("detrended").alias("s"))
+    return (
+        detr.join(seas, ["event_type", "dow"])
+        .groupBy("event_type", "dow", "s")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.abs(F.col("detrended") - F.col("s"))), 6).alias("mean_abs_residual"),
+        )
+        .select(
+            "event_type", "dow", F.round("s", 6).alias("seasonal"),
+            "n_days", "mean_abs_residual",
+        )
+        .orderBy("event_type", "dow")
+    )
