@@ -83,6 +83,8 @@ CHECK_CHANGED: list[str] = [
     "basket_part_pair_lift",       # r4: NEW — market-basket support/confidence/lift, oracle-gated
     "events_linear_trend",         # r4: NEW — OLS trend from sufficient statistics, oracle-gated
     "events_seasonal_decompose",   # r4: NEW — classical MA seasonal decomposition, oracle-gated
+    "weather_ensemble_probability",# r4: NEW — exceedance probability / expected-exceedance products, oracle-gated
+    "geo_greatcircle_waypoints",   # r4: NEW — great-circle slerp route interpolation, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1307,3 +1307,150 @@ def weather_station_idw_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_stations") > 0)
         .orderBy("glat", "glon")
     )
+
+
+@register(
+    "weather_ensemble_probability",
+    oracle="""
+    WITH cube AS (
+      SELECT n.i AS num, la.i AS lai, lo.i AS loi,
+             n.i * 3 + la.i * 17 + lo.i * 5 + 0.25
+             + CASE WHEN n.i % 2 = 1 THEN 1.5 ELSE 0 END AS d2m
+      FROM (SELECT unnest(range(0, 10)) AS i) n,
+           (SELECT unnest(range(0, 3)) AS i) la,
+           (SELECT unnest(range(0, 4)) AS i) lo
+    )
+    SELECT round(48.0 - lai * 0.5, 2) AS latitude,
+           round(5.0 + loi * 0.5, 2) AS longitude,
+           round(sum(CASE WHEN d2m > 20.0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS p_above,
+           round(sum(CASE WHEN d2m > 20.0 THEN d2m - 20.0 ELSE 0 END) * 1.0 / count(*), 6)
+             AS expected_exceedance,
+           CAST(CASE WHEN sum(CASE WHEN d2m > 20.0 THEN 1 ELSE 0 END) * 2 >= count(*)
+                THEN 1 ELSE 0 END AS BIGINT) AS majority_above
+    FROM cube GROUP BY lai, loi
+    ORDER BY latitude DESC, longitude
+    """,
+)
+def weather_ensemble_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic forecast products from the ensemble axis: exceedance
+    probability P(d2m > τ), expected exceedance (the CRPS-style partial
+    expectation), and the majority vote — the derived probability
+    fields ensemble systems actually publish. Same deterministic member
+    cube as weather_ensemble_stats; one map-combinable aggregate."""
+    nm, nla, nlo = 10, 3, 4
+    cube = (
+        spark.range(nm * nla * nlo)
+        .select(
+            (F.col("id") / (nla * nlo)).cast("long").alias("num"),
+            ((F.col("id") / nlo) % nla).cast("long").alias("lai"),
+            (F.col("id") % nlo).alias("loi"),
+        )
+        .select(
+            "lai", "loi",
+            (
+                F.col("num") * 3 + F.col("lai") * 17 + F.col("loi") * 5 + 0.25
+                + F.when(F.col("num") % 2 == 1, 1.5).otherwise(0.0)
+            ).alias("d2m"),
+        )
+    )
+    above = F.when(F.col("d2m") > 20.0, 1).otherwise(0)
+    return (
+        cube.groupBy("lai", "loi")
+        .agg(
+            F.round(F.sum(above) / F.count(F.lit(1)), 6).alias("p_above"),
+            F.round(
+                F.sum(F.when(F.col("d2m") > 20.0, F.col("d2m") - 20.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("expected_exceedance"),
+            F.when(F.sum(above) * 2 >= F.count(F.lit(1)), 1).otherwise(0)
+            .cast("long").alias("majority_above"),
+        )
+        .select(
+            F.round(48.0 - F.col("lai") * 0.5, 2).alias("latitude"),
+            F.round(5.0 + F.col("loi") * 0.5, 2).alias("longitude"),
+            "p_above", "expected_exceedance", "majority_above",
+        )
+        .orderBy(F.col("latitude").desc(), "longitude")
+    )
+
+
+@register(
+    "geo_greatcircle_waypoints",
+    oracle="""
+    WITH routes AS (
+      SELECT * FROM (VALUES
+        (1, 48.8566, 2.3522, 40.7128, -74.0060),
+        (2, 35.6762, 139.6503, -33.8688, 151.2093),
+        (3, 51.4700, -0.4543, 1.3644, 103.9915)
+      ) AS t(route_id, lat1, lon1, lat2, lon2)
+    ), ang AS (
+      SELECT route_id,
+             radians(lat1) AS p1, radians(lon1) AS l1,
+             radians(lat2) AS p2, radians(lon2) AS l2,
+             2 * asin(sqrt(pow(sin((radians(lat2) - radians(lat1)) / 2), 2)
+                           + cos(radians(lat1)) * cos(radians(lat2))
+                             * pow(sin((radians(lon2) - radians(lon1)) / 2), 2))) AS delta
+      FROM routes
+    ), wp AS (
+      SELECT route_id, delta, f.i * 0.25 AS frac,
+             sin((1 - f.i * 0.25) * delta) / sin(delta) AS a,
+             sin(f.i * 0.25 * delta) / sin(delta) AS b,
+             p1, l1, p2, l2
+      FROM ang, (SELECT unnest(range(0, 5)) AS i) f
+    ), xyz AS (
+      SELECT route_id, frac, delta,
+             a * cos(p1) * cos(l1) + b * cos(p2) * cos(l2) AS x,
+             a * cos(p1) * sin(l1) + b * cos(p2) * sin(l2) AS y,
+             a * sin(p1) + b * sin(p2) AS z
+      FROM wp
+    )
+    SELECT route_id, round(frac, 2) AS frac,
+           round(degrees(atan2(z, sqrt(x * x + y * y))), 6) AS lat,
+           round(degrees(atan2(y, x)), 6) AS lon,
+           round(6371.0088 * delta, 3) AS total_km
+    FROM xyz
+    ORDER BY route_id, frac
+    """,
+)
+def geo_greatcircle_waypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle route interpolation (the aviation/shipping slerp):
+    intermediate points at fractions f of the central angle δ via
+    A = sin((1−f)δ)/sin δ, B = sin(fδ)/sin δ on the unit sphere —
+    closed-form JVM trig per (route, waypoint), the per-route constants
+    fold into the expression tree. Completes the great-circle surface
+    next to the haversine radius join (same _RJ family constants)."""
+    routes = spark.createDataFrame(
+        [
+            (1, 48.8566, 2.3522, 40.7128, -74.0060),
+            (2, 35.6762, 139.6503, -33.8688, 151.2093),
+            (3, 51.4700, -0.4543, 1.3644, 103.9915),
+        ],
+        "route_id int, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    fr = spark.createDataFrame([(i * 0.25,) for i in range(5)], "frac double")
+    p1, l1 = F.radians("lat1"), F.radians("lon1")
+    p2, l2 = F.radians("lat2"), F.radians("lon2")
+    delta = 2 * F.asin(
+        F.sqrt(
+            F.pow(F.sin((p2 - p1) / 2), 2)
+            + F.cos(p1) * F.cos(p2) * F.pow(F.sin((l2 - l1) / 2), 2)
+        )
+    )
+    j = routes.crossJoin(F.broadcast(fr)).withColumn("delta", delta)
+    a = F.sin((1 - F.col("frac")) * F.col("delta")) / F.sin("delta")
+    b = F.sin(F.col("frac") * F.col("delta")) / F.sin("delta")
+    x = a * F.cos(p1) * F.cos(l1) + b * F.cos(p2) * F.cos(l2)
+    y = a * F.cos(p1) * F.sin(l1) + b * F.cos(p2) * F.sin(l2)
+    z = a * F.sin(p1) + b * F.sin(p2)
+    return (
+        j.select(
+            "route_id",
+            F.round("frac", 2).alias("frac"),
+            F.round(F.degrees(F.atan2(z, F.sqrt(x * x + y * y))), 6).alias("lat"),
+            F.round(F.degrees(F.atan2(y, x)), 6).alias("lon"),
+            F.round(F.lit(_RJ_EARTH) * F.col("delta"), 3).alias("total_km"),
+        )
+        .orderBy("route_id", "frac")
+    )
