@@ -152,3 +152,25 @@ def test_xql_repl_loop(spark, tmp_path, grib_file, capsys, monkeypatch):
     assert out[0] == "n" and out[1] == "12"
     assert out[-2] == "mx"  # the loop survived the broken statement
     assert "error:" in cap.err
+
+
+def test_mv_to_netcdf_and_sp_netcdf_split(spark, tmp_path, grib_file):
+    from weather_tools_spark.sources.opener import open_dataset
+
+    # mv: GRIB -> classic NetCDF files
+    out = str(tmp_path / "nc_out")
+    rc = main(["mv", "--uris", grib_file, "--output", out, "--netcdf"])
+    assert rc == 0
+    ncs = sorted(os.listdir(out))
+    assert ncs and all(f.endswith(".nc") for f in ncs)
+    back = open_dataset(spark, os.path.join(out, "*.nc"))
+    src = open_dataset(spark, grib_file)
+    a = {(r.latitude, r.longitude): round(r.d2m, 3) for r in back.collect()}
+    b = {(r.latitude, r.longitude): round(r.d2m, 3) for r in src.collect()}
+    assert a == b
+    # sp: split those NetCDF files by variable through the CLI
+    split_dir = str(tmp_path / "nc_split")
+    rc = main(["sp", "--input-pattern", os.path.join(out, "*.nc"), "--output-dir", split_dir])
+    assert rc == 0
+    made = sorted(os.listdir(split_dir))
+    assert any("d2m" in f for f in made) and any("u10" in f for f in made)

@@ -292,3 +292,11 @@ def test_linear_trend_single_aggregate(spark, sf_dir):
     plan = _formatted_plan(spark, "events_linear_trend", sf_dir)
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in plan, j
+
+
+def test_seasonal_decompose_windows_partitioned(spark, sf_dir):
+    import re as _re
+
+    plan = _formatted_plan(spark, "events_seasonal_decompose", sf_dir)
+    wins = _re.findall(r"\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan)
+    assert wins and all("event_type" in w for w in wins), wins

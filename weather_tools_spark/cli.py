@@ -155,6 +155,18 @@ def cmd_mv(args: argparse.Namespace) -> int:
         from weather_tools_spark.functions.geo import geo_point
 
         df = df.withColumn("geo_point", geo_point(F.col("latitude"), F.col("longitude")))
+    if args.netcdf:
+        # classic-NetCDF sink: one whole .nc file per calendar day per
+        # task (the reference splitter's whole-file parallel unit)
+        from weather_tools_spark.sources.netcdf3 import write_netcdf3_partitioned
+
+        if "time" not in df.columns:
+            print("--netcdf needs a time axis (GRIB/NetCDF input)", file=sys.stderr)
+            return 2
+        variables = [c for c in df.columns if c not in ("time", "latitude", "longitude")]
+        n = write_netcdf3_partitioned(df, args.output, variables)
+        print(f"wrote {n} NetCDF file(s), vars={variables} -> {args.output}")
+        return 0
     if args.zarr:
         # Zarr sink (the reference's xbeam ChunksToZarr path): derive
         # the coordinate axes driver-side (axes are dimension-sized —
@@ -282,6 +294,7 @@ def build_parser() -> argparse.ArgumentParser:
     mv.add_argument("--geo", action="store_true", help="attach GeoJSON geo_point")
     mv.add_argument("--mode", default="overwrite")
     mv.add_argument("--zarr", action="store_true", help="write a Zarr v2 store instead of parquet")
+    mv.add_argument("--netcdf", action="store_true", help="write classic NetCDF files instead of parquet")
     mv.add_argument("--chunks", default="24,8,8", help="time,lat,lon chunk shape for --zarr")
     mv.set_defaults(fn=cmd_mv)
 
