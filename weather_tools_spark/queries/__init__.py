@@ -85,6 +85,7 @@ CHECK_CHANGED: list[str] = [
     "events_seasonal_decompose",   # r4: NEW — classical MA seasonal decomposition, oracle-gated
     "weather_ensemble_probability",# r4: NEW — exceedance probability / expected-exceedance products, oracle-gated
     "geo_greatcircle_waypoints",   # r4: NEW — great-circle slerp route interpolation, oracle-gated
+    "weather_storm_objects",       # r4: NEW — MODE-style space-time feature detection via distributed CC, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

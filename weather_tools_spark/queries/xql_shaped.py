@@ -1454,3 +1454,116 @@ def geo_greatcircle_waypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("route_id", "frac")
     )
+
+
+@register(
+    "weather_storm_objects",
+    oracle="""
+    WITH cube AS (
+      SELECT t.i AS ti, la.i AS lai, lo.i AS loi,
+             t.i * 100 + la.i * 10 + lo.i AS cell_id,
+             CASE WHEN ((t.i // 2) * 5 + (la.i // 3) * 3 + (lo.i // 3) * 7) % 4 = 0
+                  THEN 30.0 + (t.i * 13 + la.i * 7 + lo.i * 5) % 10
+                  ELSE 5.0 + (t.i * 3 + la.i + lo.i) % 8 END AS rr
+      FROM (SELECT unnest(range(0, 6)) AS i) t,
+           (SELECT unnest(range(0, 8)) AS i) la,
+           (SELECT unnest(range(0, 8)) AS i) lo
+    ), wet AS (
+      SELECT * FROM cube WHERE rr >= 25.0
+    ), und AS (
+      SELECT a.cell_id AS a, b.cell_id AS b
+      FROM wet a JOIN wet b
+        ON abs(a.ti - b.ti) + abs(a.lai - b.lai) + abs(a.loi - b.loi) = 1
+    ), reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a
+      ) SELECT * FROM r
+    ), labels AS (
+      SELECT w.cell_id, least(coalesce(min(r.b), w.cell_id), w.cell_id) AS obj
+      FROM wet w LEFT JOIN reach r ON r.a = w.cell_id
+      GROUP BY w.cell_id
+    ), objects AS (
+      SELECT l.obj, count(*) AS n_cells,
+             max(c.ti) - min(c.ti) + 1 AS duration,
+             round(max(c.rr), 6) AS peak_rr
+      FROM labels l JOIN cube c ON l.cell_id = c.cell_id
+      GROUP BY l.obj
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_objects,
+           CAST(max(n_cells) AS BIGINT) AS largest_cells,
+           CAST(max(duration) AS BIGINT) AS longest_duration,
+           round(max(peak_rr), 6) AS max_peak,
+           CAST(sum(CASE WHEN n_cells >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_significant
+    FROM objects
+    """,
+)
+def weather_storm_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-based feature detection (MODE-style storm tracking):
+    threshold the precipitation cube, connect cells that are adjacent
+    in SPACE-TIME (6-connectivity: |Δt|+|Δlat|+|Δlon| = 1), and label
+    connected components as storm objects — count, footprint, lifetime,
+    peak intensity. The adjacency join is a band-join on the first
+    index (never wet × wet cross join at scale — the same topology as
+    the radius join), and the labeling reuses the distributed
+    min-label-propagation CC operator. The oracle replays the closure
+    with a RECURSIVE CTE, so the object decomposition itself is under
+    the hash gate."""
+    from weather_tools_spark.operators.dedup import connected_components
+
+    nt, nla, nlo = 6, 8, 8
+    cube = (
+        spark.range(nt * nla * nlo)
+        .select(
+            (F.col("id") / (nla * nlo)).cast("long").alias("ti"),
+            ((F.col("id") / nlo) % nla).cast("long").alias("lai"),
+            (F.col("id") % nlo).alias("loi"),
+        )
+        .select(
+            "ti", "lai", "loi",
+            (F.col("ti") * 100 + F.col("lai") * 10 + F.col("loi")).alias("cell_id"),
+            F.when(
+                ((F.col("ti") / 2).cast("long") * 5
+                 + (F.col("lai") / 3).cast("long") * 3
+                 + (F.col("loi") / 3).cast("long") * 7) % 4 == 0,
+                30.0 + (F.col("ti") * 13 + F.col("lai") * 7 + F.col("loi") * 5) % 10,
+            )
+            .otherwise(5.0 + (F.col("ti") * 3 + F.col("lai") + F.col("loi")) % 8)
+            .alias("rr"),
+        )
+    )
+    wet = cube.filter(F.col("rr") >= 25.0)
+    a, b = wet.alias("a"), wet.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.ti") - F.col("b.ti"))
+         + F.abs(F.col("a.lai") - F.col("b.lai"))
+         + F.abs(F.col("a.loi") - F.col("b.loi")) == 1)
+        & (F.col("a.cell_id") < F.col("b.cell_id")),
+    ).select(F.col("a.cell_id").alias("doc_a"), F.col("b.cell_id").alias("doc_b"))
+    cc = connected_components(edges)  # only cells WITH neighbors appear
+    labels = (
+        wet.select("cell_id")
+        .join(cc.withColumnRenamed("doc_id", "cell_id"), "cell_id", "left")
+        .select(
+            "cell_id",
+            F.least(F.coalesce(F.col("cluster_id"), F.col("cell_id")), F.col("cell_id")).alias("obj"),
+        )
+    )
+    objects = (
+        labels.join(cube, "cell_id")
+        .groupBy("obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            (F.max("ti") - F.min("ti") + 1).alias("duration"),
+            F.round(F.max("rr"), 6).alias("peak_rr"),
+        )
+    )
+    return objects.agg(
+        F.count(F.lit(1)).alias("n_objects"),
+        F.max("n_cells").alias("largest_cells"),
+        F.max("duration").alias("longest_duration"),
+        F.round(F.max("peak_rr"), 6).alias("max_peak"),
+        F.sum(F.when(F.col("n_cells") >= 3, 1).otherwise(0)).alias("n_significant"),
+    )
