@@ -86,6 +86,8 @@ CHECK_CHANGED: list[str] = [
     "weather_ensemble_probability",# r4: NEW — exceedance probability / expected-exceedance products, oracle-gated
     "geo_greatcircle_waypoints",   # r4: NEW — great-circle slerp route interpolation, oracle-gated
     "weather_storm_objects",       # r4: NEW — MODE-style space-time feature detection via distributed CC, oracle-gated
+    "regrid_bilinear_agg",         # r4: NEW — bilinear regrid onto an off-lattice target grid, oracle-gated
+    "ml_label_propagation",        # r4: NEW — semi-supervised kNN label propagation, oracle replays both rounds
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

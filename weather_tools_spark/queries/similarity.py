@@ -406,3 +406,121 @@ def ml_semdedup_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised kNN label propagation
+# ---------------------------------------------------------------------------
+
+_LP_K, _LP_ITERS = 5, 2
+
+
+def _lp_oracle() -> str:
+    """Chained-CTE replay of the kNN label-propagation schedule: seeds
+    = vec_id % 5 == 0 with their true labels; each iteration labels
+    every still-unlabeled vector by the MAJORITY label of its k nearest
+    LABELED neighbors (cosine; rank ties → lower neighbor id; vote ties
+    → smaller label)."""
+    parts = [
+        """emb AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+      FROM embeddings)""",
+        "k0 AS (SELECT vec_id, label FROM emb WHERE vec_id % 5 = 0)",
+    ]
+    for t in range(1, _LP_ITERS + 1):
+        parts.append(f"""nn{t} AS (
+      SELECT query_id, label FROM (
+        SELECT e.vec_id AS query_id, kk.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_dot_product(e.u, l.u) DESC, l.vec_id) AS rk
+        FROM emb e
+        JOIN k{t - 1} kk ON TRUE
+        JOIN emb l ON l.vec_id = kk.vec_id
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM k{t - 1}))
+      WHERE rk <= {_LP_K})""")
+        parts.append(f"""v{t} AS (
+      SELECT query_id AS vec_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY count(*) DESC, label) AS vr
+        FROM nn{t} GROUP BY query_id, label)
+      WHERE vr = 1)""")
+        parts.append(f"k{t} AS (SELECT * FROM k{t - 1} UNION ALL SELECT * FROM v{t})")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "ml_label_propagation",
+    oracle=f"""
+    WITH {_lp_oracle()},
+    final AS (
+      SELECT k.vec_id, k.label AS assigned, e.label AS true_label,
+             CASE WHEN k.vec_id % 5 = 0 THEN 'seed' ELSE 'propagated' END AS kind
+      FROM k{_LP_ITERS} k JOIN emb e ON k.vec_id = e.vec_id
+    )
+    SELECT assigned AS label,
+           CAST(count(*) FILTER (WHERE kind = 'seed') AS BIGINT) AS n_seed,
+           CAST(count(*) FILTER (WHERE kind = 'propagated') AS BIGINT) AS n_propagated,
+           CAST(count(*) FILTER (WHERE kind = 'propagated' AND assigned = true_label) AS BIGINT)
+             AS n_correct
+    FROM final GROUP BY assigned ORDER BY assigned
+    """,
+)
+def ml_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised kNN label propagation: 20% of the corpus keeps
+    its label (seeds), then two rounds of 'label every unlabeled vector
+    by the majority label of its 5 nearest labeled neighbors' — the
+    classic graph-based SSL scheme, with every tie rule pinned
+    (cosine-rank ties → lower id, vote ties → smaller label) so the
+    DuckDB oracle can replay BOTH iterations as chained CTEs. Spark
+    side: each round is one broadcast-query dgemm top-k
+    (operators/similarity.cosine_topk — batch-local top-k, P×k shuffle
+    rows) + a map-combinable vote; the labeled frame grows between
+    rounds exactly as the oracle's UNION ALL does. Reported as
+    per-label seed/propagated/accuracy counts."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    known = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "label")
+    for _ in range(_LP_ITERS):
+        labeled_vecs = emb.join(known.select("vec_id"), "vec_id")
+        unlabeled = emb.join(known.select("vec_id"), "vec_id", "left_anti")
+        if unlabeled.limit(1).count() == 0:
+            break  # converged — every vector labeled (oracle's nnT is empty too)
+        nn = S.cosine_topk(labeled_vecs, unlabeled, k=_LP_K)
+        votes = (
+            nn.join(
+                known.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+            )
+            .groupBy("query_id", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wv = Window.partitionBy("query_id").orderBy(F.col("n").desc(), "label")
+        new = (
+            votes.withColumn("vr", F.row_number().over(wv))
+            .filter(F.col("vr") == 1)
+            .select(F.col("query_id").alias("vec_id"), "label")
+        )
+        known = known.unionByName(new)
+    final = known.join(
+        emb.select("vec_id", F.col("label").alias("true_label")), "vec_id"
+    ).select(
+        F.col("label").alias("assigned"),
+        "true_label",
+        F.when(F.col("vec_id") % 5 == 0, "seed").otherwise("propagated").alias("kind"),
+    )
+    return (
+        final.groupBy(F.col("assigned").alias("label"))
+        .agg(
+            F.sum(F.when(F.col("kind") == "seed", 1).otherwise(0)).alias("n_seed"),
+            F.sum(F.when(F.col("kind") == "propagated", 1).otherwise(0)).alias("n_propagated"),
+            F.sum(
+                F.when(
+                    (F.col("kind") == "propagated") & (F.col("assigned") == F.col("true_label")), 1
+                ).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .orderBy("label")
+    )

@@ -1567,3 +1567,65 @@ def weather_storm_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("peak_rr"), 6).alias("max_peak"),
         F.sum(F.when(F.col("n_cells") >= 3, 1).otherwise(0)).alias("n_significant"),
     )
+
+
+@register(
+    "regrid_bilinear_agg",
+    oracle="""
+    WITH tgt AS (
+      SELECT 0.25 + i.i * 0.75 AS tla, 0.5 + j.i * 0.85 AS tlo
+      FROM (SELECT unnest(range(0, 11)) AS i) i,
+           (SELECT unnest(range(0, 12)) AS i) j
+    ), w AS (
+      SELECT tla, tlo,
+             floor(tla) AS la0, floor(tlo) AS lo0,
+             tla - floor(tla) AS fy, tlo - floor(tlo) AS fx
+      FROM tgt
+    ), interp AS (
+      SELECT tla, tlo,
+             (1 - fy) * (1 - fx) * (la0 * 3 + lo0 * 5 + 0.25 + sin(la0) * 2)
+           + fy * (1 - fx) * ((la0 + 1) * 3 + lo0 * 5 + 0.25 + sin(la0 + 1) * 2)
+           + (1 - fy) * fx * (la0 * 3 + (lo0 + 1) * 5 + 0.25 + sin(la0) * 2)
+           + fy * fx * ((la0 + 1) * 3 + (lo0 + 1) * 5 + 0.25 + sin(la0 + 1) * 2) AS v
+      FROM w
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(sum(v), 6) AS sum_v,
+           round(min(v), 6) AS min_v,
+           round(max(v), 6) AS max_v
+    FROM interp
+    """,
+)
+def regrid_bilinear_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear regrid under the hash gate (completing the regrid
+    family next to the conservative remap): a deterministic 1° source
+    grid flows through operators/regrid.regrid_bilinear — 4-corner
+    weight explode, integer-index equi-join, weight-sum — onto an
+    off-lattice 0.25°-offset target grid fully inside the hull; the
+    oracle recomputes the interpolation arithmetically from the same
+    closed-form field (MetView/earthkit ``interpolate`` semantics)."""
+    from weather_tools_spark.operators.regrid import regrid_bilinear
+
+    n_la, n_lo = 10, 12
+    src = (
+        spark.range(n_la * n_lo)
+        .select(
+            (F.col("id") / n_lo).cast("long").alias("la_i"),
+            (F.col("id") % n_lo).alias("lo_i"),
+        )
+        .select(
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("time"),
+            F.col("la_i").cast("double").alias("latitude"),
+            F.col("lo_i").cast("double").alias("longitude"),
+            (F.col("la_i") * 3 + F.col("lo_i") * 5 + 0.25 + F.sin("la_i") * 2).alias("v"),
+        )
+    )
+    t_lats = [0.25 + i * 0.75 for i in range(11)]
+    t_lons = [0.5 + j * 0.85 for j in range(12)]
+    out = regrid_bilinear(src, t_lats, t_lons, 1.0, 1.0, ["v"])
+    return out.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("v"), 6).alias("sum_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
