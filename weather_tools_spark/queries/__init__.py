@@ -88,6 +88,7 @@ CHECK_CHANGED: list[str] = [
     "weather_storm_objects",       # r4: NEW — MODE-style space-time feature detection via distributed CC, oracle-gated
     "regrid_bilinear_agg",         # r4: NEW — bilinear regrid onto an off-lattice target grid, oracle-gated
     "ml_label_propagation",        # r4: NEW — semi-supervised kNN label propagation, oracle replays both rounds
+    "weather_gradient_fronts",     # r4: NEW — |∇T| frontal detection via signed-stencil fan-out, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1629,3 +1629,92 @@ def regrid_bilinear_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+@register(
+    "weather_gradient_fronts",
+    oracle="""
+    WITH cube AS (
+      SELECT la.i AS lai, lo.i AS loi,
+             280.0 + la.i * 0.8 + 6.0 * sin(la.i * 0.5) * cos(lo.i * 0.4) AS t2m
+      FROM (SELECT unnest(range(0, 14)) AS i) la,
+           (SELECT unnest(range(0, 18)) AS i) lo
+    ), grad AS (
+      SELECT c.lai, c.loi,
+             (e.t2m - w.t2m) / 2.0 AS dtdx,
+             (n.t2m - s.t2m) / 2.0 AS dtdy
+      FROM cube c
+      JOIN cube e ON e.lai = c.lai AND e.loi = c.loi + 1
+      JOIN cube w ON w.lai = c.lai AND w.loi = c.loi - 1
+      JOIN cube n ON n.lai = c.lai + 1 AND n.loi = c.loi
+      JOIN cube s ON s.lai = c.lai - 1 AND s.loi = c.loi
+    ), mag AS (
+      SELECT lai, loi, sqrt(dtdx * dtdx + dtdy * dtdy) AS g FROM grad
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_interior,
+           round(avg(g), 6) AS mean_gradient,
+           round(max(g), 6) AS max_gradient,
+           CAST(count(*) FILTER (WHERE g >= 2.0) AS BIGINT) AS n_frontal
+    FROM mag
+    """,
+)
+def weather_gradient_fronts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontal-zone detection — the horizontal temperature-gradient
+    magnitude |∇T| by centered finite differences, thresholded to flag
+    frontal cells (the standard objective front-identification first
+    step). Scale topology: the four neighbor samples arrive by the SAME
+    offset fan-out as the smoother (explode 4 shifted copies, groupBy
+    the target cell) rather than four self-joins — one shuffle on the
+    cell key regardless of grid size; interior cells only (all four
+    neighbors present). The oracle computes the identical stencil with
+    explicit neighbor joins — different plan, same field."""
+    n_la, n_lo = 14, 18
+    cube = (
+        spark.range(n_la * n_lo)
+        .select(
+            (F.col("id") / n_lo).cast("long").alias("lai"),
+            (F.col("id") % n_lo).alias("loi"),
+        )
+        .withColumn(
+            "t2m",
+            280.0 + F.col("lai") * 0.8
+            + 6.0 * F.sin(F.col("lai") * 0.5) * F.cos(F.col("loi") * 0.4),
+        )
+    )
+    # each cell contributes to its 4 neighbors' stencils with a signed
+    # coefficient; summing contributions per target cell reconstructs
+    # the centered differences in ONE groupBy
+    offsets = cube.sparkSession.createDataFrame(
+        [  # (dlai, dloi, coef_x, coef_y) — contribution of THIS cell to
+           # the stencil of the cell at (lai+dlai, loi+dloi)
+            (0, 1, -0.5, 0.0),   # this cell is the WEST neighbor of target
+            (0, -1, 0.5, 0.0),   # EAST neighbor
+            (1, 0, 0.0, -0.5),   # SOUTH neighbor
+            (-1, 0, 0.0, 0.5),   # NORTH neighbor
+        ],
+        "dlai long, dloi long, cx double, cy double",
+    )
+    contrib = (
+        cube.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("lai") + F.col("dlai")).alias("lai"),
+            (F.col("loi") + F.col("dloi")).alias("loi"),
+            (F.col("t2m") * F.col("cx")).alias("gx"),
+            (F.col("t2m") * F.col("cy")).alias("gy"),
+        )
+        .filter(
+            (F.col("lai") >= 1) & (F.col("lai") < n_la - 1)
+            & (F.col("loi") >= 1) & (F.col("loi") < n_lo - 1)
+        )
+    )
+    mag = (
+        contrib.groupBy("lai", "loi")
+        .agg(F.sum("gx").alias("dtdx"), F.sum("gy").alias("dtdy"))
+        .select(F.sqrt(F.col("dtdx") ** 2 + F.col("dtdy") ** 2).alias("g"))
+    )
+    return mag.agg(
+        F.count(F.lit(1)).alias("n_interior"),
+        F.round(F.avg("g"), 6).alias("mean_gradient"),
+        F.round(F.max("g"), 6).alias("max_gradient"),
+        F.sum(F.when(F.col("g") >= 2.0, 1).otherwise(0)).alias("n_frontal"),
+    )
