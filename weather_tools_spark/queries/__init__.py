@@ -89,6 +89,8 @@ CHECK_CHANGED: list[str] = [
     "regrid_bilinear_agg",         # r4: NEW — bilinear regrid onto an off-lattice target grid, oracle-gated
     "ml_label_propagation",        # r4: NEW — semi-supervised kNN label propagation, oracle replays both rounds
     "weather_gradient_fronts",     # r4: NEW — |∇T| frontal detection via signed-stencil fan-out, oracle-gated
+    "weather_comfort_indices",     # r4: NEW — NWS heat-index/wind-chill polynomials + danger counts, oracle-gated
+    "text_zipf_fit",               # r4: NEW — Zipf-law OLS fit over the vocabulary, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

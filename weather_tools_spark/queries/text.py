@@ -1199,3 +1199,69 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", F.round("w", 6).alias("tfidf"), "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents
+    ), freq AS (
+      SELECT term, count(*) AS f FROM tok GROUP BY term
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, term) AS DOUBLE)) AS lr,
+             ln(CAST(f AS DOUBLE)) AS lf
+      FROM freq
+    ), m AS (
+      SELECT count(*) AS n, sum(lr) AS sx, sum(lf) AS sy,
+             sum(lr * lr) AS sxx, sum(lr * lf) AS sxy, sum(lf * lf) AS syy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_exponent,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log-frequency against log-rank (rank ties broken by term so both
+    engines rank identically) — the standard corpus-statistics
+    diagnostic (natural text ⇒ exponent ≈ 1). Same sufficient-statistic
+    reduction as events_linear_trend: the fit is one combinable
+    aggregate over the ranked vocabulary; the only ordered step is the
+    vocabulary ranking itself (a dimension-sized sort)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    freq = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # vocabulary-sized global sort (dimension scale, like the geo lookup)
+    ranked = freq.select(
+        F.log(F.row_number().over(Window.orderBy(F.col("f").desc(), "term")).cast("double")).alias("lr"),
+        F.log(F.col("f").cast("double")).alias("lf"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lr").alias("sx"), F.sum("lf").alias("sy"),
+        F.sum(F.col("lr") * F.col("lr")).alias("sxx"),
+        F.sum(F.col("lr") * F.col("lf")).alias("sxy"),
+        F.sum(F.col("lf") * F.col("lf")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(-num / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 6).alias("zipf_exponent"),
+        F.round(
+            F.pow(num, 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )

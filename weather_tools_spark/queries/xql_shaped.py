@@ -1718,3 +1718,83 @@ def weather_gradient_fronts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("g"), 6).alias("max_gradient"),
         F.sum(F.when(F.col("g") >= 2.0, 1).otherwise(0)).alias("n_frontal"),
     )
+
+
+@register(
+    "weather_comfort_indices",
+    oracle="""
+    WITH cube AS (
+      SELECT t.i AS ti, h.i AS hi,
+             -30.0 + t.i * 1.4 AS temp_f_base,
+             20.0 + h.i * 10.0 AS rh
+      FROM (SELECT unnest(range(0, 50)) AS i) t,
+           (SELECT unnest(range(0, 8)) AS i) h
+    ), obs AS (
+      SELECT 32.0 + temp_f_base * 1.8 AS temp_f, rh,
+             5.0 + (ti % 7) * 4.0 AS wind_mph
+      FROM cube
+    ), idx AS (
+      SELECT temp_f, rh, wind_mph,
+             CASE WHEN temp_f >= 80.0 THEN
+               -42.379 + 2.04901523 * temp_f + 10.14333127 * rh
+               - 0.22475541 * temp_f * rh - 0.00683783 * temp_f * temp_f
+               - 0.05481717 * rh * rh + 0.00122874 * temp_f * temp_f * rh
+               + 0.00085282 * temp_f * rh * rh
+               - 0.00000199 * temp_f * temp_f * rh * rh
+             END AS heat_index,
+             CASE WHEN temp_f <= 50.0 AND wind_mph > 3.0 THEN
+               35.74 + 0.6215 * temp_f - 35.75 * pow(wind_mph, 0.16)
+               + 0.4275 * temp_f * pow(wind_mph, 0.16)
+             END AS wind_chill
+      FROM obs
+    )
+    SELECT CAST(count(heat_index) AS BIGINT) AS n_heat,
+           round(max(heat_index), 6) AS max_heat_index,
+           CAST(count(wind_chill) AS BIGINT) AS n_chill,
+           round(min(wind_chill), 6) AS min_wind_chill,
+           CAST(count(*) FILTER (WHERE heat_index >= 103.0) AS BIGINT) AS n_danger,
+           CAST(count(*) FILTER (WHERE wind_chill <= -18.0) AS BIGINT) AS n_frostbite
+    FROM idx
+    """,
+)
+def weather_comfort_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biometeorological indices — the NWS Rothfusz heat-index
+    regression (valid T ≥ 80 °F) and the 2001 NWS/JAG wind-chill
+    formula (T ≤ 50 °F, wind > 3 mph) — the derived comfort products
+    every public forecast feed computes, as pure JVM polynomial
+    expressions over a deterministic (T, RH, wind) cube with danger-
+    threshold exceedance counts. Map-only + one combinable aggregate."""
+    n_t, n_h = 50, 8
+    cube = (
+        spark.range(n_t * n_h)
+        .select(
+            (F.col("id") / n_h).cast("long").alias("ti"),
+            (F.col("id") % n_h).alias("hi"),
+        )
+        .select(
+            (32.0 + (-30.0 + F.col("ti") * 1.4) * 1.8).alias("temp_f"),
+            (20.0 + F.col("hi") * 10.0).alias("rh"),
+            (5.0 + (F.col("ti") % 7) * 4.0).alias("wind_mph"),
+        )
+    )
+    t, rh, w = F.col("temp_f"), F.col("rh"), F.col("wind_mph")
+    heat = F.when(
+        t >= 80.0,
+        -42.379 + 2.04901523 * t + 10.14333127 * rh
+        - 0.22475541 * t * rh - 0.00683783 * t * t
+        - 0.05481717 * rh * rh + 0.00122874 * t * t * rh
+        + 0.00085282 * t * rh * rh - 0.00000199 * t * t * rh * rh,
+    )
+    chill = F.when(
+        (t <= 50.0) & (w > 3.0),
+        35.74 + 0.6215 * t - 35.75 * F.pow(w, 0.16) + 0.4275 * t * F.pow(w, 0.16),
+    )
+    idx = cube.select(heat.alias("heat_index"), chill.alias("wind_chill"))
+    return idx.agg(
+        F.count("heat_index").alias("n_heat"),
+        F.round(F.max("heat_index"), 6).alias("max_heat_index"),
+        F.count("wind_chill").alias("n_chill"),
+        F.round(F.min("wind_chill"), 6).alias("min_wind_chill"),
+        F.sum(F.when(F.col("heat_index") >= 103.0, 1).otherwise(0)).alias("n_danger"),
+        F.sum(F.when(F.col("wind_chill") <= -18.0, 1).otherwise(0)).alias("n_frostbite"),
+    )
