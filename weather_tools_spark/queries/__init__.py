@@ -91,6 +91,7 @@ CHECK_CHANGED: list[str] = [
     "weather_gradient_fronts",     # r4: NEW — |∇T| frontal detection via signed-stencil fan-out, oracle-gated
     "weather_comfort_indices",     # r4: NEW — NWS heat-index/wind-chill polynomials + danger counts, oracle-gated
     "text_zipf_fit",               # r4: NEW — Zipf-law OLS fit over the vocabulary, oracle-gated
+    "weather_etccdi_tx90p",        # r4: NEW — ETCCDI TX90p percentile-of-climatology index, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1798,3 +1798,51 @@ def weather_comfort_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("heat_index") >= 103.0, 1).otherwise(0)).alias("n_danger"),
         F.sum(F.when(F.col("wind_chill") <= -18.0, 1).otherwise(0)).alias("n_frostbite"),
     )
+
+
+@register(
+    "weather_etccdi_tx90p",
+    oracle=f"""
+    WITH cube AS ({_CLIM_CUBE_SQL}),
+    clim AS (
+      SELECT doy, lai, loi, quantile_cont(t2m, 0.9) AS p90
+      FROM cube GROUP BY doy, lai, loi
+    ),
+    flagged AS (
+      SELECT c.year_i, c.lai, c.loi,
+             CASE WHEN c.t2m > m.p90 THEN 1 ELSE 0 END AS warm
+      FROM cube c JOIN clim m USING (doy, lai, loi)
+    )
+    SELECT year_i, lai, loi,
+           CAST(sum(warm) AS BIGINT) AS tx90p_days,
+           round(sum(warm) * 100.0 / count(*), 6) AS tx90p_pct
+    FROM flagged GROUP BY year_i, lai, loi
+    ORDER BY year_i, lai, loi
+    """,
+)
+def weather_etccdi_tx90p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETCCDI climate index TX90p — days per year above the
+    calendar-day 90th-percentile climatology — the percentile-of-
+    climatology pattern behind the WMO extreme-indices suite. Exact
+    interpolated percentile per (day-of-year, cell) across years
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the equivalence
+    already pinned by orders_price_percentiles), broadcast back, one
+    exceedance aggregate. Same deterministic cube as the climatology
+    queries; the strict > comparison sits on exact rationals on both
+    engines, so the count can't drift."""
+    cube = _clim_cube(spark)
+    clim = cube.groupBy("doy", "lai", "loi").agg(
+        F.expr("percentile(t2m, 0.9)").alias("p90")
+    )
+    flagged = cube.join(F.broadcast(clim), ["doy", "lai", "loi"]).select(
+        "year_i", "lai", "loi",
+        F.when(F.col("t2m") > F.col("p90"), 1).otherwise(0).alias("warm"),
+    )
+    return (
+        flagged.groupBy("year_i", "lai", "loi")
+        .agg(
+            F.sum("warm").alias("tx90p_days"),
+            F.round(F.sum("warm") * 100.0 / F.count(F.lit(1)), 6).alias("tx90p_pct"),
+        )
+        .orderBy("year_i", "lai", "loi")
+    )
