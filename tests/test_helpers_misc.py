@@ -112,3 +112,32 @@ def test_catalog_default_sf_dir_env(monkeypatch):
     assert C.DEFAULT_SF_DIR == "/root/testdata/sf0.001"
     monkeypatch.delenv("SPARK_GRAFT_SF_DIR")
     importlib.reload(C)
+
+
+def test_query_cli_list_and_oracle(capsys):
+    """tools/query_cli.py: list filters the registry, oracle prints the
+    DuckDB twin, unknown names error with exit 2 — all without a Spark
+    session."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "query_cli", os.path.join(os.path.dirname(__file__), "..", "tools", "query_cli.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import sys
+
+    old = sys.argv
+    try:
+        sys.argv = ["query_cli.py", "list", "kmeans"]
+        assert mod.main() == 0
+        out = capsys.readouterr().out
+        assert "ml_kmeans_cluster_summary  [oracle]" in out
+        sys.argv = ["query_cli.py", "oracle", "q6_forecast_revenue"]
+        assert mod.main() == 0
+        assert "FROM lineitem" in capsys.readouterr().out
+        sys.argv = ["query_cli.py", "run", "no_such_query"]
+        assert mod.main() == 2
+    finally:
+        sys.argv = old
