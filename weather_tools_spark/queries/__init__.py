@@ -92,6 +92,8 @@ CHECK_CHANGED: list[str] = [
     "weather_comfort_indices",     # r4: NEW — NWS heat-index/wind-chill polynomials + danger counts, oracle-gated
     "text_zipf_fit",               # r4: NEW — Zipf-law OLS fit over the vocabulary, oracle-gated
     "weather_etccdi_tx90p",        # r4: NEW — ETCCDI TX90p percentile-of-climatology index, oracle-gated
+    "corpus_bpe_train",            # r4: NEW — distributed BPE merge training, oracle replays all iterations
+    "corpus_gopher_rules",         # r4: NEW — Gopher-style named quality rules (integer gates), oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the
@@ -155,6 +157,7 @@ def _load_all() -> None:
         core_sql4,
         dedup,
         events,
+        llm_pipeline,
         pipeline_ops,
         similarity,
         text,

@@ -1,0 +1,219 @@
+"""LLM-training-data pipeline stages, wave 2: tokenizer training (BPE)
+and named quality-rule filtering (Gopher-style), each mirrored in
+portable SQL for the DuckDB oracle.
+
+These extend the reference's data-prep surface (the reference has no
+tokenizer or quality stage; SURVEY.md §2 extensions) with the stages a
+real pretraining pipeline runs between raw text and packed sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.functions import text as TX
+from weather_tools_spark.operators.bpe import bpe_train
+from weather_tools_spark.queries import register
+
+# The oracle replays ALL THREE merge iterations: pair counting from the
+# delimited symbol string, deterministic argmax (cnt DESC, lhs, rhs),
+# then a RECURSIVE-CTE fixpoint that splices the FIRST occurrence per
+# pass — which is provably equivalent to greedy left-to-right
+# non-overlapping merging because a splice can never create an earlier
+# match (the merged symbol contains no separator, so it can't act as
+# either side of the pattern). The '_' separator is unambiguous: symbols
+# come from an [a-z]+ extraction.
+_BPE_STEP_TEMPLATE = """
+p{k} AS (
+  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, list_filter(str_split(seq, '_'), x -> x <> '') AS syms
+        FROM v{prev}) s,
+       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT lhs, rhs, cnt FROM p{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+r{k} AS (
+  SELECT word, freq, seq, 0 AS it FROM v{prev}
+  UNION ALL
+  SELECT word, freq,
+         substr(seq, 1, strpos(seq, '_' || lhs || '_' || rhs || '_') - 1)
+           || '_' || lhs || rhs || '_'
+           || substr(seq, strpos(seq, '_' || lhs || '_' || rhs || '_')
+                          + length('_' || lhs || '_' || rhs || '_')),
+         it + 1
+  FROM r{k}, b{k}
+  WHERE strpos(seq, '_' || lhs || '_' || rhs || '_') > 0
+),
+v{k} AS (
+  SELECT word, freq, seq FROM (
+    SELECT word, freq, seq,
+           row_number() OVER (PARTITION BY word ORDER BY it DESC) AS rn
+    FROM r{k}
+  ) WHERE rn = 1
+),
+a{k} AS (
+  SELECT CAST(sum(len(list_filter(str_split(seq, '_'), x -> x <> '')) * freq)
+              AS BIGINT) AS symbols_after
+  FROM v{k}
+)
+"""
+
+_BPE_ORACLE = (
+    """
+    WITH RECURSIVE words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents) u
+      GROUP BY w
+    ),
+    v0 AS (
+      SELECT word, freq, '_' || regexp_replace(word, '(.)', '\\1_', 'g') AS seq
+      FROM words
+    ),
+    """
+    + ",\n".join(
+        _BPE_STEP_TEMPLATE.format(k=k, prev=k - 1) for k in (1, 2, 3)
+    )
+    + """
+    SELECT * FROM (
+      SELECT 1 AS step, lhs, rhs, lhs || rhs AS merged, cnt AS pair_freq,
+             (SELECT symbols_after FROM a1) AS symbols_after FROM b1
+      UNION ALL
+      SELECT 2, lhs, rhs, lhs || rhs, cnt,
+             (SELECT symbols_after FROM a2) FROM b2
+      UNION ALL
+      SELECT 3, lhs, rhs, lhs || rhs, cnt,
+             (SELECT symbols_after FROM a3) FROM b3
+    ) ORDER BY step
+    """
+)
+
+
+@register("corpus_bpe_train", oracle=_BPE_ORACLE)
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 3 BPE merges over the documents corpus — the tokenizer-
+    training stage of an LLM data pipeline (engine addition; the
+    reference has no tokenizer stage). Distributed pair counting over
+    the vocabulary frame; the oracle replays every merge iteration with
+    recursive-CTE fixpoints, so both the argmax AND the full greedy
+    merge application are hash-gated (symbols_after is not derivable
+    from pair_freq when occurrences overlap)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_train(spark, docs, n_merges=3).orderBy("step")
+
+
+_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         len(toks) AS n_words,
+         CAST(len(list_filter(toks,
+              x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS stop_count,
+         (SELECT CAST(coalesce(sum(length(x.tok)), 0) AS BIGINT)
+          FROM unnest(toks) AS x(tok)) AS total_chars,
+         (SELECT CAST(coalesce(max(c), 0) AS BIGINT)
+          FROM (SELECT count(*) AS c FROM unnest(toks) AS x(tok)
+                GROUP BY x.tok)) AS max_tok
+  FROM t
+),
+f AS (
+  SELECT source,
+         CASE WHEN n_words NOT BETWEEN 15 AND 80 THEN 1 ELSE 0 END AS f_wc,
+         CASE WHEN total_chars < 4 * n_words OR 10 * total_chars > 47 * n_words
+              THEN 1 ELSE 0 END AS f_ml,
+         CASE WHEN stop_count < 2 THEN 1 ELSE 0 END AS f_sw,
+         CASE WHEN 5 * max_tok > n_words THEN 1 ELSE 0 END AS f_rep
+  FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f_wc) AS BIGINT) AS fail_wordcount,
+       CAST(sum(f_ml) AS BIGINT) AS fail_meanlen,
+       CAST(sum(f_sw) AS BIGINT) AS fail_stopword,
+       CAST(sum(f_rep) AS BIGINT) AS fail_repetition,
+       CAST(sum(CASE WHEN f_wc = 0 AND f_ml = 0 AND f_sw = 0 AND f_rep = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+@register("corpus_gopher_rules", oracle=_GOPHER_ORACLE)
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style named quality rules (Rae et al. 2021 §A1.1 shape):
+    word-count range, mean-word-length range, minimum stopword evidence,
+    top-token repetition cap — per-source failure counts + keep count.
+    All rule arithmetic is INTEGER (mean-length and repetition
+    thresholds are cross-multiplied), so the gate has no float boundary
+    at any scale factor. The per-doc top-token count is computed by
+    explode + two-level groupBy (map-combinable), not a per-row O(n^2)
+    array scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(r"filter(split(trim(text), '\\s+'), x -> x <> '')").alias("toks"),
+    )
+    # Per-doc token mode frequency via distributed counting.
+    tok_counts = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok"))
+    )
+    m = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.size("toks").alias("n_words"),
+            F.expr(
+                "cast(size(filter(toks, x -> x IN ('the','a','of','and','to'))) as bigint)"
+            ).alias("stop_count"),
+            F.expr(
+                "cast(aggregate(toks, 0L, (acc, x) -> acc + length(x)) as bigint)"
+            ).alias("total_chars"),
+        )
+        .join(tok_counts, "doc_id")
+    )
+    f = m.select(
+        "source",
+        F.when(~F.col("n_words").between(15, 80), 1).otherwise(0).alias("f_wc"),
+        F.when(
+            (F.col("total_chars") < 4 * F.col("n_words"))
+            | (10 * F.col("total_chars") > 47 * F.col("n_words")),
+            1,
+        )
+        .otherwise(0)
+        .alias("f_ml"),
+        F.when(F.col("stop_count") < 2, 1).otherwise(0).alias("f_sw"),
+        F.when(5 * F.col("max_tok") > F.col("n_words"), 1).otherwise(0).alias("f_rep"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_wc").cast("long").alias("fail_wordcount"),
+            F.sum("f_ml").cast("long").alias("fail_meanlen"),
+            F.sum("f_sw").cast("long").alias("fail_stopword"),
+            F.sum("f_rep").cast("long").alias("fail_repetition"),
+            F.sum(
+                F.when(
+                    (F.col("f_wc") == 0)
+                    & (F.col("f_ml") == 0)
+                    & (F.col("f_sw") == 0)
+                    & (F.col("f_rep") == 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_keep"),
+        )
+        .orderBy("source")
+    )
