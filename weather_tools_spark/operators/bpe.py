@@ -104,56 +104,66 @@ def build_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bpe_fit(
+    spark: SparkSession, docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> tuple[list[BpeMerge], DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merges. Returns (merges, final_vocab,
+    persisted_base): ``final_vocab`` is the (word, freq, syms) frame
+    AFTER all merges are applied — the fitted tokenizer state — and
+    ``persisted_base`` must be unpersisted by the caller once derived
+    results are materialized."""
+    vocab = build_vocab(docs, text_col).persist()
+    merges: list[BpeMerge] = []
+    cur = vocab
+    for step in range(1, n_merges + 1):
+        pairs = (
+            cur.where(F.expr("size(syms) >= 2"))
+            .select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best_rows = (
+            pairs.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per merge step
+        )
+        if not best_rows:
+            break
+        best = best_rows[0]
+        merged = best["lhs"] + best["rhs"]
+        cur = cur.withColumn(
+            "syms", F.expr(_merge_fold_expr(best["lhs"], best["rhs"], merged))
+        )
+        symbols_after = cur.agg(
+            F.sum(F.size("syms") * F.col("freq")).alias("s")
+        ).collect()[0]["s"]  # bounded: one scalar per merge step
+        merges.append(
+            BpeMerge(
+                step=step,
+                lhs=best["lhs"],
+                rhs=best["rhs"],
+                merged=merged,
+                pair_freq=int(best["cnt"]),
+                symbols_after=int(symbols_after),
+            )
+        )
+    return merges, cur, vocab
+
+
 def bpe_train(
     spark: SparkSession, docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     (step, lhs, rhs, merged, pair_freq, symbols_after)."""
-    vocab = build_vocab(docs, text_col).persist()
-    try:
-        merges: list[BpeMerge] = []
-        cur = vocab
-        for step in range(1, n_merges + 1):
-            pairs = (
-                cur.where(F.expr("size(syms) >= 2"))
-                .select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-                .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
-                .agg(F.sum("freq").alias("cnt"))
-            )
-            best_rows = (
-                pairs.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
-                .limit(1)
-                .collect()  # bounded: exactly one row per merge step
-            )
-            if not best_rows:
-                break
-            best = best_rows[0]
-            merged = best["lhs"] + best["rhs"]
-            cur = cur.withColumn(
-                "syms", F.expr(_merge_fold_expr(best["lhs"], best["rhs"], merged))
-            )
-            symbols_after = cur.agg(
-                F.sum(F.size("syms") * F.col("freq")).alias("s")
-            ).collect()[0]["s"]  # bounded: one scalar per merge step
-            merges.append(
-                BpeMerge(
-                    step=step,
-                    lhs=best["lhs"],
-                    rhs=best["rhs"],
-                    merged=merged,
-                    pair_freq=int(best["cnt"]),
-                    symbols_after=int(symbols_after),
-                )
-            )
-        return spark.createDataFrame(
-            [
-                (m.step, m.lhs, m.rhs, m.merged, m.pair_freq, m.symbols_after)
-                for m in merges
-            ],
-            MERGE_SCHEMA,
-        )
-    finally:
-        vocab.unpersist()
+    merges, _final, base = bpe_fit(spark, docs, n_merges, text_col)
+    base.unpersist()
+    return spark.createDataFrame(
+        [
+            (m.step, m.lhs, m.rhs, m.merged, m.pair_freq, m.symbols_after)
+            for m in merges
+        ],
+        MERGE_SCHEMA,
+    )
 
 
 def bpe_train_python(word_freq: dict[str, int], n_merges: int) -> list[BpeMerge]:

@@ -94,6 +94,9 @@ CHECK_CHANGED: list[str] = [
     "weather_etccdi_tx90p",        # r4: NEW — ETCCDI TX90p percentile-of-climatology index, oracle-gated
     "corpus_bpe_train",            # r4: NEW — distributed BPE merge training, oracle replays all iterations
     "corpus_gopher_rules",         # r4: NEW — Gopher-style named quality rules (integer gates), oracle-gated
+    "corpus_bpe_tokenize",         # r4: NEW — fitted-BPE token vocabulary histogram, oracle-gated
+    "weather_etccdi_spells",       # r4: NEW — WSDI-style spell-duration indices via gaps-and-islands, oracle-gated
+    "graph_triangle_census",       # r4: NEW — oriented two-hop triangle counting + clustering coefficient, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1336,3 +1336,105 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("confidence", 6).alias("confidence"),
         F.round("lift", 6).alias("lift"),
     ).orderBy(F.col("lift").desc(), "part_a", "part_b")
+
+
+@register(
+    "graph_triangle_census",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
+           round((SELECT n_triangles FROM tri) * 3.0
+                 / (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+             AS global_clustering
+    """,
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts sharing an
+    order), the classic distributed graph kernel: orient every edge
+    low-id -> high-id, then one two-hop equi-join path e1(a,b)⋈e2(b,c)
+    closed by e3(a,c) counts each triangle EXACTLY once (a<b<c by
+    construction) — no factor-6 overcount, no cross join. Census row:
+    nodes, edges, triangles, wedges (Σ C(deg,2)), max degree, and the
+    global clustering coefficient 3T/wedges.
+
+    Scale topology: edge construction fans out C(k,2) per order (bounded
+    by basket size, never corpus-quadratic); the triangle path is two
+    shuffle equi-joins on node keys — the standard MapReduce triangle
+    algorithm; degree/wedge stats are map-combinable. Integer outputs
+    plus one rounded ratio.
+
+    Reference parity: no graph surface exists in the reference; engine
+    addition beside graph_pagerank_nations (SURVEY.md §2 extensions)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    out = (
+        tri.crossJoin(stats)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            "n_wedges",
+            "max_degree",
+            F.round(F.col("n_triangles") * 3.0 / F.col("n_wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)  # bounded: 1 row
+    edges.unpersist()
+    return out

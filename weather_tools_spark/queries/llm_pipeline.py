@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from weather_tools_spark.catalog import load_table
 from weather_tools_spark.functions import text as TX
-from weather_tools_spark.operators.bpe import bpe_train
+from weather_tools_spark.operators.bpe import bpe_fit, bpe_train
 from weather_tools_spark.queries import register
 
 # The oracle replays ALL THREE merge iterations: pair counting from the
@@ -102,6 +102,55 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pair_freq when occurrences overlap)."""
     docs = load_table(spark, "documents", sf_dir)
     return bpe_train(spark, docs, n_merges=3).orderBy("step")
+
+
+_BPE_TOKENIZE_ORACLE = (
+    """
+    WITH RECURSIVE words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents) u
+      GROUP BY w
+    ),
+    v0 AS (
+      SELECT word, freq, '_' || regexp_replace(word, '(.)', '\\1_', 'g') AS seq
+      FROM words
+    ),
+    """
+    + ",\n".join(
+        _BPE_STEP_TEMPLATE.format(k=k, prev=k - 1) for k in (1, 2, 3)
+    )
+    + """
+    SELECT tok, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT freq, unnest(list_filter(str_split(seq, '_'), x -> x <> '')) AS tok
+      FROM v3
+    )
+    GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 20
+    """
+)
+
+
+@register("corpus_bpe_tokenize", oracle=_BPE_TOKENIZE_ORACLE)
+def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 3 learned BPE merges to the corpus and emit the top-20
+    resulting token vocabulary (deterministic freq DESC, token ASC
+    tie-break) — the train-then-apply half of the tokenizer stage. The
+    token histogram comes straight off the fitted vocabulary frame
+    (explode symbols, weight by word frequency — map-combinable), so at
+    100 TB the corpus is still read exactly once."""
+    docs = load_table(spark, "documents", sf_dir)
+    _merges, fitted, base = bpe_fit(spark, docs, n_merges=3)
+    out = (
+        fitted.select("freq", F.explode("syms").alias("tok"))
+        .groupBy("tok")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(20)
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    base.unpersist()
+    return out
 
 
 _GOPHER_ORACLE = """

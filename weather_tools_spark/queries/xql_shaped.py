@@ -1846,3 +1846,67 @@ def weather_etccdi_tx90p(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year_i", "lai", "loi")
     )
+
+
+@register(
+    "weather_etccdi_spells",
+    oracle=f"""
+    WITH cube AS ({_CLIM_CUBE_SQL}),
+    w AS (
+      SELECT year_i, lai, loi, doy FROM cube WHERE t2m > 25.0
+    ),
+    g AS (
+      SELECT year_i, lai, loi, doy,
+             doy - row_number() OVER (PARTITION BY year_i, lai, loi ORDER BY doy)
+               AS grp
+      FROM w
+    ),
+    s AS (
+      SELECT year_i, lai, loi, grp, CAST(count(*) AS BIGINT) AS len
+      FROM g GROUP BY year_i, lai, loi, grp
+    )
+    SELECT year_i, lai, loi,
+           CAST(count(*) AS BIGINT) AS n_spells,
+           CAST(sum(CASE WHEN len >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_spells,
+           CAST(max(len) AS BIGINT) AS longest_spell,
+           CAST(sum(len) AS BIGINT) AS warm_days,
+           CAST(sum(CASE WHEN len >= 6 THEN len ELSE 0 END) AS BIGINT) AS wsdi_days
+    FROM s GROUP BY year_i, lai, loi
+    ORDER BY year_i, lai, loi
+    """,
+)
+def weather_etccdi_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETCCDI spell-duration indices (WSDI shape, WMO climate-index
+    family): per (year, cell), compress consecutive warm days
+    (t2m > 25 °C) into runs via gaps-and-islands (doy minus the
+    per-partition row number is constant within a run), then census the
+    runs — spell count, ≥6-day spell count (the WSDI qualifier), longest
+    spell, warm days, and WSDI day total. All outputs are integers; the
+    one float comparison (t2m > 25.0) clears the engine-libm drift by a
+    2.9e-3 margin (audited). The window partitions by (year, cell) —
+    at 100 TB each partition is one cell-year series (≤366 rows), so the
+    sort is local and skew-free.
+
+    Reference parity: the reference has no run-length analytics; this is
+    an engine addition on the hypercube row model (SURVEY.md §2.5
+    extension), sibling to weather_etccdi_tx90p."""
+    from pyspark.sql import Window
+
+    cube = _clim_cube(spark)
+    w = cube.filter(F.col("t2m") > 25.0).select("year_i", "lai", "loi", "doy")
+    win = Window.partitionBy("year_i", "lai", "loi").orderBy("doy")
+    g = w.withColumn("grp", F.col("doy") - F.row_number().over(win))
+    s = g.groupBy("year_i", "lai", "loi", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        s.groupBy("year_i", "lai", "loi")
+        .agg(
+            F.count(F.lit(1)).alias("n_spells"),
+            F.sum(F.when(F.col("len") >= 6, 1).otherwise(0)).alias("n_long_spells"),
+            F.max("len").alias("longest_spell"),
+            F.sum("len").alias("warm_days"),
+            F.sum(F.when(F.col("len") >= 6, F.col("len")).otherwise(0)).alias("wsdi_days"),
+        )
+        .orderBy("year_i", "lai", "loi")
+    )
