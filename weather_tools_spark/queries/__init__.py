@@ -97,6 +97,10 @@ CHECK_CHANGED: list[str] = [
     "corpus_bpe_tokenize",         # r4: NEW — fitted-BPE token vocabulary histogram, oracle-gated
     "weather_etccdi_spells",       # r4: NEW — WSDI-style spell-duration indices via gaps-and-islands, oracle-gated
     "graph_triangle_census",       # r4: NEW — oriented two-hop triangle counting + clustering coefficient, oracle-gated
+    "multimodal_image_decode_agg", # r4: NEW — real BMP encode->decode channel means, oracle-gated
+    "multimodal_image_resize_agg", # r4: NEW — real nearest-neighbor resize roundtrip, oracle-gated
+    "multimodal_audio_features",   # r4: NEW — real WAV PCM16 RMS/zero-crossings, oracle-gated
+    "multimodal_video_framesample",# r4: NEW — real RVID byte-range frame sampling, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the
@@ -161,6 +165,7 @@ def _load_all() -> None:
         dedup,
         events,
         llm_pipeline,
+        media,
         pipeline_ops,
         similarity,
         text,

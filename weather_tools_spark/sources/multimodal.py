@@ -2,11 +2,12 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched mapInPandas operators.
 
-The decode internals require media libraries absent from this container;
-they are STUBBED with a clearly-marked deterministic fake (or raise
-NotImplementedError when ``strict=True``). Everything Spark-side —
-schemas, batch shapes, UDF signatures, partitioning — is real and
-covered by tests/test_multimodal.py.
+Decode is REAL for the stdlib codec formats (BMP images, WAV PCM16
+audio, RVID raw-frame video — sources/media_codecs.py): pixels and
+samples are genuinely parsed, resized, and frame-sampled. Formats that
+require external libraries (JPEG/PNG/mp4 demux) remain behind the
+deterministic-fake gate (or raise NotImplementedError when
+``strict=True``); ``sniff_media`` magic bytes pick the path at runtime.
 
 Scale design: media bytes ride in the DataFrame as a binary column
 (parquet BYTE_ARRAY). Feature extraction is embarrassingly parallel —
@@ -106,3 +107,135 @@ def resize_spec(df: DataFrame, max_side: int = 256) -> DataFrame:
     return df.withColumn("target_width", F.ceil(F.col("width") * scale).cast("int")).withColumn(
         "target_height", F.ceil(F.col("height") * scale).cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# Real decode paths (stdlib codecs: BMP / WAV / RVID)
+# --------------------------------------------------------------------------
+
+from weather_tools_spark.sources import media_codecs as MC  # noqa: E402
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """REAL BMP decode -> per-image integer channel sums (exact int64, so
+    downstream means are reproducible bit-for-bit in SQL). Zero shuffle:
+    one Arrow batch in, one out, per partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rgb = MC.bmp_decode(bytes(content)).astype(np.int64)
+                out["media_id"].append(mid)
+                out["height"].append(rgb.shape[0])
+                out["width"].append(rgb.shape[1])
+                s = rgb.sum(axis=(0, 1))
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize: decode BMP, resample with the
+    floor-index mapping (src = (i * src_dim) // target_dim), re-encode
+    BMP. Returns (media_id, content) with genuine resized files."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                MC.bmp_encode(
+                    MC.image_resize_nearest(MC.bmp_decode(bytes(c)), target_w, target_h)
+                )
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": content})
+
+    return df.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """REAL WAV PCM16 decode -> per-clip sample count, integer energy
+    (sum of squares) and zero-crossing count (strict sign product < 0,
+    the definition the oracle replays)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_samples", "sample_rate", "sum_sq", "zero_crossings")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = MC.wav_decode(bytes(content))
+                mono = samples[:, 0].astype(np.int64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(int(mono.size))
+                out["sample_rate"].append(rate)
+                out["sum_sq"].append(int((mono * mono).sum()))
+                out["zero_crossings"].append(int(((mono[:-1] * mono[1:]) < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 3) -> DataFrame:
+    """REAL frame sampling over the RVID container: decode ONLY frames
+    0, every_n, 2*every_n, ... (byte-range slices — a 1000-frame video
+    contributes 1000/every_n frame reads, not 1000) and emit per-frame
+    integer channel sums."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "sum_r", "sum_g", "sum_b")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                _w, _h, _fps, n = MC.rvid_info(data)
+                for f in range(0, n, every_n):
+                    rgb = MC.rvid_frame(data, f).astype(np.int64)
+                    s = rgb.sum(axis=(0, 1))
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["sum_r"].append(int(s[0]))
+                    out["sum_g"].append(int(s[1]))
+                    out["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_STATS_SCHEMA)
