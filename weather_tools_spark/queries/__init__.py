@@ -101,6 +101,9 @@ CHECK_CHANGED: list[str] = [
     "multimodal_image_resize_agg", # r4: NEW — real nearest-neighbor resize roundtrip, oracle-gated
     "multimodal_audio_features",   # r4: NEW — real WAV PCM16 RMS/zero-crossings, oracle-gated
     "multimodal_video_framesample",# r4: NEW — real RVID byte-range frame sampling, oracle-gated
+    "sketch_hll_registers",        # r4: NEW — HyperLogLog with exact register replay, oracle-gated
+    "sketch_kmv_distinct",         # r4: NEW — KMV distinct sketch with exact k-min replay, oracle-gated
+    "sketch_countmin_point",       # r4: NEW — Count-Min with exact counter replay, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the
@@ -167,6 +170,7 @@ def _load_all() -> None:
         llm_pipeline,
         media,
         pipeline_ops,
+        sketches,
         similarity,
         text,
         xql_shaped,

@@ -1,0 +1,275 @@
+"""Mergeable sketches with EXACT oracle replay.
+
+HyperLogLog, KMV (k-minimum-values), and Count-Min are usually treated
+as "approximate therefore unverifiable" — but given a fixed hash
+function they are fully deterministic, so the DuckDB oracle can replay
+the register/counter state bit-for-bit and hash-gate the sketch
+implementation itself (not just its error bound). That upgrades the
+sketch family from rows-only to the same gate every exact operator gets;
+the probabilistic *accuracy* contracts stay covered by
+sketch_error_bounds_audit / tests.
+
+All three use md5 (identical lowercase hex in Spark and DuckDB) as the
+hash; register math is integer or exactly-representable binary
+fractions, so no engine-libm drift can touch a gate (the one ln() in
+HLL linear counting is rounded at 1e-6 against ~1e-15 drift).
+
+Scale notes: every sketch here is a map-combinable aggregation —
+registers merge with max, KMV merges with min-k, Count-Min merges with
++ — which is the whole point of sketches at 100 TB: one pass, fixed
+memory, shuffle only the sketch state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.queries import register
+
+# rho = position of the first 1-bit in the 32-bit suffix (1-based), 33
+# if the suffix is all zeros. A pure integer CASE chain — no log2()
+# float boundary anywhere.
+_RHO_CASE = (
+    "CASE "
+    + " ".join(f"WHEN v32 >= {2 ** (32 - i)} THEN {i}" for i in range(1, 33))
+    + " ELSE 33 END"
+)
+
+_HLL_M = 256
+# alpha_256 = 0.7213/(1 + 1.079/256) precomputed as an exact double
+# literal: spelled inline, Spark SQL would parse the decimals as
+# DECIMAL and produce different last-ulp arithmetic than DuckDB.
+_HLL_ALPHA_VAL = 0.7182725932495458
+_HLL_ALPHA = f"CAST({_HLL_ALPHA_VAL!r} AS DOUBLE)"
+
+
+@register(
+    "sketch_hll_registers",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT md5('u:' || CAST(user_id AS VARCHAR)) AS h FROM events
+    ),
+    bv AS (
+      SELECT ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+             ('0x' || substr(h, 3, 8))::BIGINT AS v32
+      FROM h
+    ),
+    reg AS (
+      SELECT bucket, max({_RHO_CASE}) AS rho FROM bv GROUP BY bucket
+    ),
+    z AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nonempty,
+             sum(pow(2.0, -rho)) AS z_nonempty
+      FROM reg
+    ),
+    est AS (
+      SELECT n_nonempty,
+             {_HLL_M} - n_nonempty AS n_zero,
+             ({_HLL_ALPHA}) * {_HLL_M} * {_HLL_M}
+               / (z_nonempty + ({_HLL_M} - n_nonempty) * 1.0) AS raw
+      FROM z
+    ),
+    ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+    SELECT {_HLL_M} AS m, ex.n_exact, est.n_zero,
+           round(est.raw, 6) AS raw_estimate,
+           round(CASE WHEN est.raw <= 2.5 * {_HLL_M} AND est.n_zero > 0
+                      THEN {_HLL_M} * ln({_HLL_M} * 1.0 / est.n_zero)
+                      ELSE est.raw END, 6) AS estimate,
+           round(abs(CASE WHEN est.raw <= 2.5 * {_HLL_M} AND est.n_zero > 0
+                          THEN {_HLL_M} * ln({_HLL_M} * 1.0 / est.n_zero)
+                          ELSE est.raw END - ex.n_exact) / ex.n_exact, 6)
+             AS rel_error
+    FROM est, ex
+    """,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate with EXACT register replay:
+    md5 hex digits 1-2 pick one of 256 registers, digits 3-10 give the
+    32-bit suffix whose first-1-bit position (integer CASE chain, no
+    log2) is max-merged per register; the harmonic mean and the
+    small-range linear-counting branch follow Flajolet et al. 2007. The
+    oracle recomputes every register — a wrong bucket split, rho
+    off-by-one, or a missing empty-register term flips the gate. The
+    register aggregation is max-mergeable: one pass, 256 longs of state
+    per executor."""
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.select(
+        F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string"))).alias("h")
+    ).distinct()
+    bv = h.select(
+        F.expr("cast(conv(substr(h, 1, 2), 16, 10) as bigint)").alias("bucket"),
+        F.expr("cast(conv(substr(h, 3, 8), 16, 10) as bigint)").alias("v32"),
+    )
+    reg = bv.groupBy("bucket").agg(F.expr(f"max({_RHO_CASE})").alias("rho"))
+    z = reg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonempty"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_nonempty"),
+    )
+    est = z.select(
+        "n_nonempty",
+        (F.lit(_HLL_M) - F.col("n_nonempty")).alias("n_zero"),
+        (
+            F.lit(_HLL_ALPHA_VAL)
+            * _HLL_M
+            * _HLL_M
+            / (F.col("z_nonempty") + (F.lit(_HLL_M) - F.col("n_nonempty")) * 1.0)
+        ).alias("raw"),
+    )
+    ex = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    corrected = F.when(
+        (F.col("raw") <= 2.5 * _HLL_M) & (F.col("n_zero") > 0),
+        _HLL_M * F.log(_HLL_M * 1.0 / F.col("n_zero")),
+    ).otherwise(F.col("raw"))
+    return est.crossJoin(ex).select(
+        F.lit(_HLL_M).alias("m"),
+        "n_exact",
+        "n_zero",
+        F.round(F.col("raw"), 6).alias("raw_estimate"),
+        F.round(corrected, 6).alias("estimate"),
+        F.round(F.abs(corrected - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_error"
+        ),
+    )
+
+
+_KMV_K = 64
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT md5('u:' || CAST(user_id AS VARCHAR)) AS h FROM events
+    ),
+    topk AS (
+      SELECT h FROM h ORDER BY h LIMIT {_KMV_K}
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+      FROM topk
+    ),
+    ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+    SELECT {_KMV_K} AS k, ex.n_exact, s.n_kept,
+           round(CASE WHEN s.n_kept < {_KMV_K}
+                      THEN s.n_kept * 1.0
+                      ELSE ({_KMV_K} - 1)
+                           / (('0x' || substr(s.kth, 1, 12))::BIGINT
+                              / (16.0 * 16 * 16 * 16 * 16 * 16 * 16 * 16 * 16 * 16 * 16 * 16))
+                      END, 6) AS estimate,
+           round(abs(CASE WHEN s.n_kept < {_KMV_K}
+                          THEN s.n_kept * 1.0
+                          ELSE ({_KMV_K} - 1)
+                               / (('0x' || substr(s.kth, 1, 12))::BIGINT
+                                  / (16.0 * 16 * 16 * 16 * 16 * 16 * 16 * 16 * 16 * 16 * 16 * 16))
+                          END - ex.n_exact) / ex.n_exact, 6) AS rel_error
+    FROM stats s, ex
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, exactly replayed:
+    keep the k=64 lexicographically smallest md5 hashes (fixed-width
+    lowercase hex, so lexical order IS numeric order); the estimate is
+    (k-1)/f_k with f_k the k-th minimum as a 48-bit binary fraction
+    (exactly representable — no float drift). Fewer than k distinct
+    values degrades to the exact count, the standard KMV convention —
+    the sf0.001 gate exercises that branch, larger SFs the estimator
+    branch. The top-k is a distributed TakeOrdered (min-k merges), not
+    a global sort."""
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.select(
+        F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string"))).alias("h")
+    ).distinct()
+    topk = h.orderBy("h").limit(_KMV_K)
+    stats = topk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"), F.max("h").alias("kth")
+    )
+    ex = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    frac = F.expr("cast(conv(substr(kth, 1, 12), 16, 10) as bigint)") / F.lit(
+        float(16**12)
+    )
+    est = F.when(F.col("n_kept") < _KMV_K, F.col("n_kept") * 1.0).otherwise(
+        (_KMV_K - 1) / frac
+    )
+    return stats.crossJoin(ex).select(
+        F.lit(_KMV_K).alias("k"),
+        "n_exact",
+        "n_kept",
+        F.round(est, 6).alias("estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_error"),
+    )
+
+
+_CM_D, _CM_W = 4, 64
+
+
+@register(
+    "sketch_countmin_point",
+    oracle=f"""
+    WITH rows_ AS (SELECT unnest(range(0, {_CM_D})) AS r),
+    hashed AS (
+      SELECT r.r AS r,
+             ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || e.event_type), 1, 2))::BIGINT
+               % {_CM_W} AS bucket
+      FROM events e CROSS JOIN rows_ r
+    ),
+    counters AS (
+      SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM hashed GROUP BY r, bucket
+    ),
+    truth AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS true_n FROM events
+      GROUP BY event_type
+    ),
+    probes AS (
+      SELECT t.event_type, t.true_n, r.r AS r,
+             ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.event_type), 1, 2))::BIGINT
+               % {_CM_W} AS bucket
+      FROM truth t CROSS JOIN rows_ r
+    )
+    SELECT p.event_type, p.true_n,
+           CAST(min(c.c) AS BIGINT) AS cm_estimate,
+           CAST(min(c.c) - p.true_n AS BIGINT) AS overestimate
+    FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.event_type, p.true_n
+    ORDER BY p.event_type
+    """,
+)
+def sketch_countmin_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 4 x width 64) over event-type frequencies
+    with EXACT counter replay: each row's md5-derived bucket counter is
+    sum-merged (one groupBy over d x w cells of state), and the point
+    estimate min-over-rows is probed for every distinct type. Outputs
+    are pure integers — true count, CM estimate, and the (always
+    nonnegative) collision overestimate, which the oracle reproduces
+    counter-for-counter."""
+    ev = load_table(spark, "events", sf_dir)
+    rows_ = spark.range(_CM_D).select(F.col("id").cast("int").alias("r"))
+    hashed = ev.crossJoin(F.broadcast(rows_)).select(
+        "r",
+        F.expr(
+            f"cast(conv(substr(md5(concat(cast(r as string), ':', event_type)), 1, 2), 16, 10) as bigint) % {_CM_W}"
+        ).alias("bucket"),
+    )
+    counters = hashed.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    truth = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    probes = truth.crossJoin(F.broadcast(rows_)).select(
+        "event_type",
+        "true_n",
+        "r",
+        F.expr(
+            f"cast(conv(substr(md5(concat(cast(r as string), ':', event_type)), 1, 2), 16, 10) as bigint) % {_CM_W}"
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(counters, ["r", "bucket"])
+        .groupBy("event_type", "true_n")
+        .agg(
+            F.min("c").cast("long").alias("cm_estimate"),
+            (F.min("c") - F.col("true_n")).cast("long").alias("overestimate"),
+        )
+        .orderBy("event_type")
+    )
