@@ -164,3 +164,30 @@ def test_sample_video_frames_spark(spark):
     for r in rows:
         s = frames[r.frame_idx].astype(np.int64).sum(axis=(0, 1))
         assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(v) for v in s)
+
+
+def test_extract_features_real_formats(spark):
+    rgb = _img(8, 4, seed=1)
+    wav = MC.wav_encode(np.array([100, -100, 100, -100], dtype=np.int16), 8000)
+    vid = MC.rvid_encode(np.stack([_img(4, 2, seed=9)] * 3), fps=12)
+    df = spark.createDataFrame(
+        [
+            (1, "image", "image/bmp", 8, 4, None, bytearray(MC.bmp_encode(rgb))),
+            (2, "audio", "audio/wav", None, None, 1, bytearray(wav)),
+            (3, "video", "video/rvid", 4, 2, 250, bytearray(vid)),
+            (4, "image", "image/png", 1, 1, None, bytearray(b"\x89PNG-unknown")),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r.feature for r in MM.extract_features(df).collect()}
+    assert feats[1][0] == 1.0 and abs(feats[1][3] - rgb[:, :, 0].mean() / 255.0) < 1e-6
+    assert feats[2][0] == 2.0 and abs(feats[2][4] - 1.0) < 1e-6  # ZCR of alternating signs
+    assert feats[3][0] == 3.0 and feats[3][4] == pytest.approx(3 / 1e4)
+    assert len(feats[4]) == MM.FEATURE_DIM  # unknown -> deterministic fake
+    # strict raises only for the genuinely library-bound format
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        MM.extract_features(df.filter("media_id = 4"), strict=True).collect()
+    ok = MM.extract_features(df.filter("media_id < 4"), strict=True).count()
+    assert ok == 3

@@ -104,6 +104,7 @@ CHECK_CHANGED: list[str] = [
     "sketch_hll_registers",        # r4: NEW — HyperLogLog with exact register replay, oracle-gated
     "sketch_kmv_distinct",         # r4: NEW — KMV distinct sketch with exact k-min replay, oracle-gated
     "sketch_countmin_point",       # r4: NEW — Count-Min with exact counter replay, oracle-gated
+    "events_funnel_steps",         # r4: NEW — first-touch ordered funnel with shared deadline, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -855,3 +855,96 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.tv AND e.ts <= v.tv + INTERVAL 60 MINUTE
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e
+      JOIN v ON e.user_id = v.user_id
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.tc AND e.ts <= v.tv + INTERVAL 60 MINUTE
+      GROUP BY e.user_id
+    )
+    SELECT CAST(v.tv AS DATE) AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_view,
+           CAST(count(c.tc) AS BIGINT) AS n_click,
+           CAST(count(p.tp) AS BIGINT) AS n_purchase,
+           round(CAST(count(c.tc) AS DOUBLE) / count(*), 6) AS view_to_click,
+           round(CAST(count(p.tp) AS DOUBLE) / count(*), 6) AS view_to_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    GROUP BY cohort_day ORDER BY cohort_day
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered funnel (view -> click -> purchase, strictly
+    increasing timestamps, all within 60 minutes of the user's FIRST
+    view), cohorted by first-view day — the product-analytics funnel
+    operator. Each stage is a per-user min aggregation followed by an
+    equi-join on user_id (map-combinable aggs, hash joins on the user
+    key; at 100 TB the per-stage frames are one row per user, far
+    smaller than the event fact). The strict ordering and the shared
+    60-minute deadline make the stage predicates non-commutative — a
+    wrong join bound flips the gate.
+
+    Reference parity: no funnel surface in the reference; engine
+    addition in the events family (SURVEY.md §2.9 extensions)."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("tv"))
+            & (F.col("ts") <= F.col("tv") + F.expr("INTERVAL 60 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("tc"))
+            & (F.col("ts") <= F.col("tv") + F.expr("INTERVAL 60 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .groupBy(F.col("tv").cast("date").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("tc").alias("n_click"),
+            F.count("tp").alias("n_purchase"),
+            F.round(F.count("tc").cast("double") / F.count(F.lit(1)), 6).alias(
+                "view_to_click"
+            ),
+            F.round(F.count("tp").cast("double") / F.count(F.lit(1)), 6).alias(
+                "view_to_purchase"
+            ),
+        )
+        .orderBy("cohort_day")
+    )

@@ -59,23 +59,63 @@ def _fake_decode_features(content: bytes) -> np.ndarray:
     return rng.rand(FEATURE_DIM).astype(np.float32)
 
 
+def _decode_features(content: bytes, strict: bool) -> np.ndarray:
+    """Dispatch on magic bytes: REAL features for the stdlib codec
+    formats (BMP / WAV / RVID — see media_codecs), deterministic fake
+    for formats that need external libraries (JPEG/PNG/mp4)."""
+    from weather_tools_spark.sources import media_codecs as _mc
+
+    kind = _mc.sniff_media(content)
+    vec = np.zeros(FEATURE_DIM, dtype=np.float32)
+    if kind == "bmp":
+        rgb = _mc.bmp_decode(content).astype(np.float64)
+        h, w, _ = rgb.shape
+        vec[0] = 1.0
+        vec[1], vec[2] = w / 4096.0, h / 4096.0
+        vec[3:6] = rgb.mean(axis=(0, 1)) / 255.0
+        return vec
+    if kind == "wav":
+        samples, rate = _mc.wav_decode(content)
+        mono = samples[:, 0].astype(np.float64)
+        n = mono.size
+        vec[0] = 2.0
+        vec[1] = n / 1e6
+        vec[2] = rate / 1e5
+        vec[3] = float(np.sqrt((mono * mono).mean())) / 32768.0 if n else 0.0
+        vec[4] = float(((mono[:-1] * mono[1:]) < 0).mean()) if n > 1 else 0.0
+        return vec
+    if kind == "rvid":
+        w, h, fps, n = _mc.rvid_info(content)
+        first = _mc.rvid_frame(content, 0).astype(np.float64)
+        vec[0] = 3.0
+        vec[1], vec[2] = w / 4096.0, h / 4096.0
+        vec[3], vec[4] = fps / 120.0, n / 1e4
+        vec[5:8] = first.mean(axis=(0, 1)) / 255.0
+        return vec
+    if strict:
+        raise NotImplementedError(
+            "real decoding of this media format requires libraries not present "
+            "in this container (stdlib formats BMP/WAV/RVID decode for real)"
+        )
+    return _fake_decode_features(content)
+
+
 def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
     """binary content → fixed-width feature vectors via mapInPandas
-    (Arrow batches; one task per input partition, zero shuffle)."""
+    (Arrow batches; one task per input partition, zero shuffle).
+    Stdlib-codec formats decode for REAL; others use the deterministic
+    fake, or raise when ``strict=True``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "real media decoding requires image/audio libraries not present "
-                "in this container"
-            )
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["content"].map(len).astype("int32"),
-                    "feature": pdf["content"].map(lambda b: _fake_decode_features(b).tolist()),
+                    "feature": pdf["content"].map(
+                        lambda b: _decode_features(bytes(b), strict).tolist()
+                    ),
                 }
             )
 
