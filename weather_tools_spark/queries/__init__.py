@@ -105,6 +105,9 @@ CHECK_CHANGED: list[str] = [
     "sketch_kmv_distinct",         # r4: NEW — KMV distinct sketch with exact k-min replay, oracle-gated
     "sketch_countmin_point",       # r4: NEW — Count-Min with exact counter replay, oracle-gated
     "events_funnel_steps",         # r4: NEW — first-touch ordered funnel with shared deadline, oracle-gated
+    "mv_incremental_refresh",      # r4: NEW — algebraic MV maintenance (merge == recompute), oracle-gated
+    "cdc_apply_latest_snapshot",   # r4: NEW — CDC op-log collapse with tombstones, oracle-gated
+    "weather_vorticity_divergence",# r4: NEW — wind-field vorticity/divergence via signed stencil, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

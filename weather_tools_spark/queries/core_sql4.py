@@ -1438,3 +1438,135 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(out.collect(), out.schema)  # bounded: 1 row
     edges.unpersist()
     return out
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+             AS qty_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic materialized-view maintenance: the fact table arrives
+    as a BASE snapshot plus a DELTA batch (10% of order keys); each side
+    produces its partial aggregate state independently, and the refresh
+    MERGES the two states (union + re-aggregate — count and sum are
+    commutative monoids, so partial states compose) instead of
+    rescanning the base. The oracle aggregates the whole table directly,
+    so the hash gate proves merge(partial(base), partial(delta)) ==
+    recompute(full) — the invariant incremental view maintenance rests
+    on. Monetary values are cent-integers end to end.
+
+    At 100 TB this is THE refresh pattern: the delta is a day's
+    partition, the base state is the stored MV, and the merge touches
+    |MV| + |delta| rows, never the history."""
+    li = load_table(spark, "lineitem", sf_dir)
+    base = li.filter(F.col("l_orderkey") % 10 != 0)
+    delta = li.filter(F.col("l_orderkey") % 10 == 0)
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_cents"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+
+    merged = (
+        partial_state(base)
+        .unionByName(partial_state(delta))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("qty_cents").alias("qty_cents"),
+            F.sum("price_cents").alias("price_cents"),
+        )
+    )
+    return merged.orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "cdc_apply_latest_snapshot",
+    oracle="""
+    WITH ops AS (
+      SELECT o_custkey AS key, o_orderdate, o_orderkey,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+                  THEN 'D' ELSE 'U' END AS op,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    latest AS (
+      SELECT key, op, price_cents FROM (
+        SELECT key, op, price_cents,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM ops
+      ) WHERE rn = 1
+    ),
+    snap AS (SELECT key, price_cents FROM latest WHERE op = 'U')
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(s.key) AS BIGINT) AS n_present,
+           CAST(count(*) - count(s.key) AS BIGINT) AS n_tombstoned,
+           CAST(coalesce(sum(s.price_cents), 0) AS BIGINT) AS total_cents
+    FROM customer c
+    JOIN (SELECT DISTINCT key FROM ops) k ON k.key = c.c_custkey
+    LEFT JOIN snap s ON s.key = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def cdc_apply_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: a keyed op-log (upserts + tombstone
+    deletes, here derived deterministically from the orders stream) is
+    collapsed to the latest state per key by a partitioned ranking
+    window with a total ordering tie-break, deletes drop the key from
+    the snapshot, and the surviving state is summarized per customer
+    segment. This is the lakehouse MERGE/CDC-apply kernel (the batch
+    form of the manifest state machine in pipeline/manifest.py): one
+    shuffle on the key for the window, one broadcastable dimension
+    join. Monetary values are cent-integers."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    ops = orders.select(
+        F.col("o_custkey").alias("key"),
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0), "D"
+        )
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "price_cents")
+    )
+    snap = latest.filter(F.col("op") == "U").select("key", "price_cents")
+    keys = ops.select("key").distinct()
+    return (
+        cust.join(keys, cust.c_custkey == keys.key)
+        .join(snap.withColumnRenamed("key", "s_key"),
+              F.col("c_custkey") == F.col("s_key"), "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("s_key").alias("n_present"),
+            (F.count(F.lit(1)) - F.count("s_key")).alias("n_tombstoned"),
+            F.coalesce(F.sum("price_cents"), F.lit(0)).alias("total_cents"),
+        )
+        .orderBy("segment")
+    )

@@ -1910,3 +1910,105 @@ def weather_etccdi_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year_i", "lai", "loi")
     )
+
+
+@register(
+    "weather_vorticity_divergence",
+    oracle="""
+    WITH cube AS (
+      SELECT la.i AS lai, lo.i AS loi,
+             5.0 + 2.0 * sin(la.i * 0.3) * cos(lo.i * 0.5) AS u,
+             3.0 + 1.5 * cos(la.i * 0.4) * sin(lo.i * 0.6) AS v
+      FROM (SELECT unnest(range(0, 16)) AS i) la,
+           (SELECT unnest(range(0, 20)) AS i) lo
+    ), der AS (
+      SELECT c.lai, c.loi,
+             (e.u - w.u) / 2.0 AS dudx, (n.u - s.u) / 2.0 AS dudy,
+             (e.v - w.v) / 2.0 AS dvdx, (n.v - s.v) / 2.0 AS dvdy
+      FROM cube c
+      JOIN cube e ON e.lai = c.lai AND e.loi = c.loi + 1
+      JOIN cube w ON w.lai = c.lai AND w.loi = c.loi - 1
+      JOIN cube n ON n.lai = c.lai + 1 AND n.loi = c.loi
+      JOIN cube s ON s.lai = c.lai - 1 AND s.loi = c.loi
+    ), fields AS (
+      SELECT dvdx - dudy AS zeta, dudx + dvdy AS div FROM der
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_interior,
+           round(avg(zeta), 6) AS mean_vorticity,
+           round(max(abs(zeta)), 6) AS max_abs_vorticity,
+           round(avg(div), 6) AS mean_divergence,
+           round(max(abs(div)), 6) AS max_abs_divergence,
+           round(0.5 * avg(zeta * zeta), 6) AS enstrophy
+    FROM fields
+    """,
+)
+def weather_vorticity_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative vorticity (dv/dx - du/dy) and horizontal divergence
+    (du/dx + dv/dy) of a wind field by centered differences — the
+    vector-calculus siblings of the |∇T| front detector, and the first
+    derived products any dynamics pipeline computes from (u, v). Same
+    scale topology as the smoother/gradient: each cell's (u, v) is
+    exploded to its four neighbors with signed coefficients and ONE
+    groupBy per target cell reconstructs all four partials — one
+    shuffle on the cell key, no 4-way self-join. The oracle computes
+    the identical stencil with explicit neighbor joins."""
+    n_la, n_lo = 16, 20
+    cube = (
+        spark.range(n_la * n_lo)
+        .select(
+            (F.col("id") / n_lo).cast("long").alias("lai"),
+            (F.col("id") % n_lo).alias("loi"),
+        )
+        .withColumn(
+            "u", 5.0 + 2.0 * F.sin(F.col("lai") * 0.3) * F.cos(F.col("loi") * 0.5)
+        )
+        .withColumn(
+            "v", 3.0 + 1.5 * F.cos(F.col("lai") * 0.4) * F.sin(F.col("loi") * 0.6)
+        )
+    )
+    offsets = cube.sparkSession.createDataFrame(
+        [  # contribution of THIS cell to the target at (lai+dlai, loi+dloi):
+           # cx multiplies into the target's d/dx, cy into its d/dy
+            (0, 1, -0.5, 0.0),   # this cell is WEST of target
+            (0, -1, 0.5, 0.0),   # EAST
+            (1, 0, 0.0, -0.5),   # SOUTH
+            (-1, 0, 0.0, 0.5),   # NORTH
+        ],
+        "dlai long, dloi long, cx double, cy double",
+    )
+    contrib = (
+        cube.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("lai") + F.col("dlai")).alias("lai"),
+            (F.col("loi") + F.col("dloi")).alias("loi"),
+            (F.col("u") * F.col("cx")).alias("dudx"),
+            (F.col("u") * F.col("cy")).alias("dudy"),
+            (F.col("v") * F.col("cx")).alias("dvdx"),
+            (F.col("v") * F.col("cy")).alias("dvdy"),
+        )
+        .filter(
+            (F.col("lai") >= 1) & (F.col("lai") < n_la - 1)
+            & (F.col("loi") >= 1) & (F.col("loi") < n_lo - 1)
+        )
+    )
+    fields = (
+        contrib.groupBy("lai", "loi")
+        .agg(
+            F.sum("dudx").alias("dudx"),
+            F.sum("dudy").alias("dudy"),
+            F.sum("dvdx").alias("dvdx"),
+            F.sum("dvdy").alias("dvdy"),
+        )
+        .select(
+            (F.col("dvdx") - F.col("dudy")).alias("zeta"),
+            (F.col("dudx") + F.col("dvdy")).alias("div"),
+        )
+    )
+    return fields.agg(
+        F.count(F.lit(1)).alias("n_interior"),
+        F.round(F.avg("zeta"), 6).alias("mean_vorticity"),
+        F.round(F.max(F.abs(F.col("zeta"))), 6).alias("max_abs_vorticity"),
+        F.round(F.avg("div"), 6).alias("mean_divergence"),
+        F.round(F.max(F.abs(F.col("div"))), 6).alias("max_abs_divergence"),
+        F.round(0.5 * F.avg(F.col("zeta") * F.col("zeta")), 6).alias("enstrophy"),
+    )
