@@ -300,3 +300,68 @@ def test_seasonal_decompose_windows_partitioned(spark, sf_dir):
     plan = _formatted_plan(spark, "events_seasonal_decompose", sf_dir)
     wins = _re.findall(r"\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan)
     assert wins and all("event_type" in w for w in wins), wins
+
+
+def test_funnel_joins_hash_based(spark, sf_dir):
+    """Every funnel stage joins on the user key — hash/broadcast joins
+    only, never a cartesian pair scan; aggregation stays two-phase."""
+    plan = _formatted_plan(spark, "events_funnel_steps", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "HashAggregate" in plan
+
+
+def test_kmv_topk_distributed(spark, sf_dir):
+    """The k smallest hashes must come from a distributed TakeOrdered
+    (min-k merge), not a global sort of the distinct-hash frame."""
+    plan = _formatted_plan(spark, "sketch_kmv_distinct", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_sketch_plans_no_cartesian_blowup(spark, sf_dir):
+    """HLL/Count-Min stay single-pass aggregations; the only non-equi
+    joins allowed are single-row/4-row broadcast attaches."""
+    for name in ("sketch_hll_registers", "sketch_countmin_point"):
+        plan = _formatted_plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "HashAggregate" in plan, name
+
+
+def test_mv_refresh_is_pure_aggregation(spark, sf_dir):
+    """The incremental-refresh merge is union + re-aggregate: no joins
+    at all, partial aggregation on both branches."""
+    plan = _formatted_plan(spark, "mv_incremental_refresh", sf_dir)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan, j
+    assert "HashAggregate" in plan
+    assert "Union" in plan
+
+
+def test_cdc_window_partitioned_by_key(spark, sf_dir):
+    """The latest-state ranking window must partition by the CDC key —
+    a global window would serialize the op-log on one task."""
+    import re as _re
+
+    plan = _formatted_plan(spark, "cdc_apply_latest_snapshot", sf_dir)
+    wins = _re.findall(r"\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan)
+    assert wins and all("key" in w for w in wins)
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_single_shuffle_per_stage(spark, sf_dir):
+    """Rule metrics are JVM-side array folds; the only shuffles are the
+    per-doc token-mode groupBy pair and the final per-source rollup —
+    no window, no cartesian."""
+    plan = _formatted_plan(spark, "corpus_gopher_rules", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_vorticity_stencil_one_groupby(spark, sf_dir):
+    """The stencil must be offset fan-out + ONE groupBy — the 4-row
+    offsets frame broadcasts; no self-join of the cube against itself."""
+    plan = _formatted_plan(spark, "weather_vorticity_divergence", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
