@@ -297,3 +297,46 @@ def test_stream_heavy_hitters_guarantees(spark, sf_dir):
     for k, c in exact.items():
         if c > n_total / cap:
             assert k in merged and merged[k] > 0, (k, c)
+
+
+def test_cdc_latest_state_stream_matches_batch(spark, sf_dir):
+    """Streaming CDC latest-state (one bounded state row per key) must
+    agree with the batch ranking-window collapse over the same events:
+    same winning (ts, seq) per user, same op, same payload."""
+    from pyspark.sql import Window
+
+    stream = SE.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = SE.run_stream_to_memory(
+        spark, SE.cdc_latest_state_stream(stream), "stream_cdc", output_mode="update"
+    )
+    # update mode re-emits the running latest per batch; keep the final
+    # emission per user (max ts_us/seq_id across emissions)
+    got = {}
+    for r in out.collect():
+        cur = got.get(r.user_id)
+        if cur is None or (r.ts_us, r.seq_id) > (cur[0], cur[1]):
+            got[r.user_id] = (r.ts_us, r.seq_id, r.op, r.value)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").alias("seq_id"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            "value",
+        )
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts_us").desc(), F.col("seq_id").desc()
+            )
+        ))
+        .filter(F.col("rn") == 1)
+    )
+    want = {
+        r.user_id: (r.ts_us, r.seq_id, r.op, r.value) for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    assert got == want

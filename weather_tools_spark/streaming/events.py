@@ -359,3 +359,73 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+CDC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+CDC_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def cdc_latest_state_stream(df: DataFrame) -> DataFrame:
+    """Streaming CDC latest-state: the unbounded twin of the batch
+    cdc_apply_latest_snapshot kernel. Per key (user), keep only the
+    single most recent op under the total order (ts, event_id) in
+    ``applyInPandasWithState`` state — one bounded row per key
+    regardless of stream length — and emit the updated latest state
+    every micro-batch. Op derivation matches the batch test twin:
+    ``error`` events are tombstones ('D'), everything else upserts the
+    event's value. Downstream, filtering ``op != 'D'`` on the final
+    snapshot materializes the live table — MERGE semantics on a stream.
+    """
+    import pandas as pd
+
+    ops = df.select(
+        "user_id",
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+        F.col("event_id").alias("seq_id"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+
+    def update(key, pdfs, state):
+        best = state.get() if state.exists else None
+        for pdf in pdfs:
+            for ts_us, seq_id, op, value in zip(
+                pdf["ts_us"], pdf["seq_id"], pdf["op"], pdf["value"]
+            ):
+                cand = (int(ts_us), int(seq_id), str(op), float(value))
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "op": [best[2]],
+                "ts_us": [best[0]],
+                "seq_id": [best[1]],
+                "value": [best[3]],
+            }
+        )
+
+    return ops.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
