@@ -87,6 +87,17 @@ HEADLINE = [
     "events_hourly_seasonality",
     "text_heavy_hitters_audit",
     "orders_open_backlog_monthly",
+    # round-4 session-4 additions (cheap representatives; the heavy
+    # graph_triangle_census stays oracle-checked but out of the
+    # headline set like the audits, to keep bench variance low)
+    "corpus_bpe_train",
+    "corpus_gopher_rules",
+    "sketch_hll_registers",
+    "events_funnel_steps",
+    "mv_incremental_refresh",
+    "cdc_apply_latest_snapshot",
+    "multimodal_image_decode_agg",
+    "weather_etccdi_spells",
 ]
 
 
