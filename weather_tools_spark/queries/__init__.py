@@ -108,6 +108,8 @@ CHECK_CHANGED: list[str] = [
     "mv_incremental_refresh",      # r4: NEW — algebraic MV maintenance (merge == recompute), oracle-gated
     "cdc_apply_latest_snapshot",   # r4: NEW — CDC op-log collapse with tombstones, oracle-gated
     "weather_vorticity_divergence",# r4: NEW — wind-field vorticity/divergence via signed stencil, oracle-gated
+    "corpus_exact_substring_dedup",# r4: NEW — ExactSubstr duplicated-span coverage (Lee et al.), oracle-gated
+    "weather_forecast_verification",# r4: NEW — bias/RMSE/MAE/Pearson per lead time, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -266,3 +266,116 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SUBSTR_K = 40
+
+_SUBSTR_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, length(text) AS nc, text,
+         unnest(range(1, length(text) - {_SUBSTR_K} + 2)) AS p
+  FROM documents
+  WHERE length(text) >= {_SUBSTR_K}
+),
+grams AS (
+  SELECT doc_id, nc, p, substr(text, p, {_SUBSTR_K}) AS g FROM pos
+),
+dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+),
+hits AS (
+  SELECT doc_id, nc, p FROM grams WHERE g IN (SELECT g FROM dup)
+),
+isl AS (
+  SELECT doc_id, nc, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   <= {_SUBSTR_K} THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, nc, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, nc, island,
+         max(p) + {_SUBSTR_K} - min(p) AS covered
+  FROM grp GROUP BY doc_id, nc, island
+)
+SELECT doc_id,
+       CAST(nc AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(covered) AS BIGINT) AS dup_chars,
+       round(CAST(sum(covered) AS DOUBLE) / nc, 6) AS dup_fraction
+FROM spans GROUP BY doc_id, nc ORDER BY doc_id
+"""
+
+
+@register("corpus_exact_substring_dedup", oracle=_SUBSTR_ORACLE)
+def corpus_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (the ExactSubstr stage of
+    Lee et al. 2022, 'Deduplicating Training Data Makes Language Models
+    Better'): every 40-char gram that occurs more than once corpus-wide
+    marks its occurrences, and per document the marked start positions
+    are merged into maximal covered spans (gaps-and-islands with a
+    gap-of-k rule, so overlapping/adjacent grams union into one span) —
+    yielding the exact number of duplicated characters per document.
+
+    Scale topology: gram fan-out is length-linear (one row per start
+    position, the suffix-array-free formulation); the duplicate-gram
+    filter is one map-combinable count; coverage merge is a window
+    partitioned per document (≤ doc length rows each). First positions
+    of a gram count as duplicated too — matching the symmetric
+    definition the oracle replays."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    k = _SUBSTR_K
+    grams = (
+        docs.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.explode(
+                F.expr(f"sequence(1, length(text) - {k} + 1)")
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id", "n_chars", "p", F.expr(f"substring(text, p, {k})").alias("g")
+        )
+    )
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    hits = grams.join(dup.select("g"), "g", "left_semi").select(
+        "doc_id", "n_chars", "p"
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(w) <= k, 0).otherwise(1),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "n_chars", "island").agg(
+        (F.max("p") + k - F.min("p")).alias("covered")
+    )
+    return (
+        spans.groupBy("doc_id", "n_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("covered").alias("dup_chars"),
+            F.round(
+                F.sum("covered").cast("double") / F.col("n_chars"), 6
+            ).alias("dup_fraction"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "n_spans",
+            "dup_chars",
+            "dup_fraction",
+        )
+        .orderBy("doc_id")
+    )

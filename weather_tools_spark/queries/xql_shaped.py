@@ -2012,3 +2012,119 @@ def weather_vorticity_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs(F.col("div"))), 6).alias("max_abs_divergence"),
         F.round(0.5 * F.avg(F.col("zeta") * F.col("zeta")), 6).alias("enstrophy"),
     )
+
+
+_VERIF_CUBE_SQL = """
+      SELECT d.i AS d, x.i AS x, y.i AS y, l.i AS lead_h,
+             10.0 + 5.0 * sin(d.i * 0.2) + x.i * 0.5 - y.i * 0.3
+                  + ((d.i * 7919 + x.i * 104729 + y.i * 1299709) % 83) / 83.0 - 0.5
+               AS truth,
+             10.0 + 5.0 * sin(d.i * 0.2) + x.i * 0.5 - y.i * 0.3
+                  + ((d.i * 7919 + x.i * 104729 + y.i * 1299709) % 83) / 83.0 - 0.5
+                  + 0.1 * l.i / 24.0
+                  + (((d.i * 13 + x.i * 7 + y.i * 11 + l.i) % 17) / 17.0 - 0.5)
+                    * (l.i / 24.0)
+               AS fcst
+      FROM (SELECT unnest(range(0, 20)) AS i) d,
+           (SELECT unnest(range(0, 8)) AS i) x,
+           (SELECT unnest(range(0, 6)) AS i) y,
+           (SELECT unnest([24, 48, 72]) AS i) l
+"""
+
+
+@register(
+    "weather_forecast_verification",
+    oracle=f"""
+    WITH v AS ({_VERIF_CUBE_SQL}),
+    e AS (
+      SELECT lead_h, truth, fcst, fcst - truth AS err FROM v
+    ),
+    s AS (
+      SELECT lead_h,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(err) AS bias,
+             avg(err * err) AS mse,
+             avg(abs(err)) AS mae,
+             avg(truth) AS mt, avg(fcst) AS mf,
+             avg(truth * fcst) AS mtf,
+             avg(truth * truth) AS mtt,
+             avg(fcst * fcst) AS mff
+      FROM e GROUP BY lead_h
+    )
+    SELECT lead_h, n,
+           round(bias, 6) AS bias,
+           round(sqrt(mse), 6) AS rmse,
+           round(mae, 6) AS mae,
+           round((mtf - mt * mf) / sqrt((mtt - mt * mt) * (mff - mf * mf)), 6)
+             AS pearson_r
+    FROM s ORDER BY lead_h
+    """,
+)
+def weather_forecast_verification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast verification scores — bias, RMSE, MAE, and Pearson
+    correlation of forecast vs analysis per lead time, the standard NWP
+    evaluation table (WMO verification practice). One map-combinable
+    aggregation per lead computes every sufficient statistic (means of
+    err, err², |err|, cross-products) — at 100 TB this is a single pass
+    over the forecast archive with 9 doubles of state per lead. The
+    synthetic truth/forecast pair is an exact function of indices
+    (lead-growing noise + systematic drift), so the oracle recomputes
+    every score arithmetically."""
+    d = F.col("d")
+    x = F.col("x")
+    y = F.col("y")
+    lead = F.col("lead_h")
+    base = (
+        10.0 + 5.0 * F.sin(d * 0.2) + x * 0.5 - y * 0.3
+        + ((d * 7919 + x * 104729 + y * 1299709) % 83) / 83.0 - 0.5
+    )
+    n_d, n_x, n_y = 20, 8, 6
+    grid = (
+        spark.range(n_d * n_x * n_y)
+        .select(
+            (F.col("id") / (n_x * n_y)).cast("long").alias("d"),
+            ((F.col("id") / n_y) % n_x).cast("long").alias("x"),
+            (F.col("id") % n_y).alias("y"),
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(24,), (48,), (72,)], "lead_h long")
+            )
+        )
+    )
+    v = grid.select(
+        "lead_h",
+        base.alias("truth"),
+        (
+            base
+            + 0.1 * lead / 24.0
+            + (((d * 13 + x * 7 + y * 11 + lead) % 17) / 17.0 - 0.5) * (lead / 24.0)
+        ).alias("fcst"),
+    )
+    e = v.withColumn("err", F.col("fcst") - F.col("truth"))
+    s = e.groupBy("lead_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("err").alias("bias"),
+        F.avg(F.col("err") * F.col("err")).alias("mse"),
+        F.avg(F.abs(F.col("err"))).alias("mae"),
+        F.avg("truth").alias("mt"),
+        F.avg("fcst").alias("mf"),
+        F.avg(F.col("truth") * F.col("fcst")).alias("mtf"),
+        F.avg(F.col("truth") * F.col("truth")).alias("mtt"),
+        F.avg(F.col("fcst") * F.col("fcst")).alias("mff"),
+    )
+    return s.select(
+        "lead_h",
+        "n",
+        F.round("bias", 6).alias("bias"),
+        F.round(F.sqrt("mse"), 6).alias("rmse"),
+        F.round("mae", 6).alias("mae"),
+        F.round(
+            (F.col("mtf") - F.col("mt") * F.col("mf"))
+            / F.sqrt(
+                (F.col("mtt") - F.col("mt") * F.col("mt"))
+                * (F.col("mff") - F.col("mf") * F.col("mf"))
+            ),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("lead_h")
