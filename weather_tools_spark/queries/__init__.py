@@ -110,6 +110,8 @@ CHECK_CHANGED: list[str] = [
     "weather_vorticity_divergence",# r4: NEW — wind-field vorticity/divergence via signed stencil, oracle-gated
     "corpus_exact_substring_dedup",# r4: NEW — ExactSubstr duplicated-span coverage (Lee et al.), oracle-gated
     "weather_forecast_verification",# r4: NEW — bias/RMSE/MAE/Pearson per lead time, oracle-gated
+    "sim_hard_negative_mining",    # r4: NEW — contrastive hard-negative/positive mining, oracle-gated
+    "events_ab_test_zscore",       # r4: NEW — two-sample Welch z-test experiment readout, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

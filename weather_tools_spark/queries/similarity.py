@@ -524,3 +524,87 @@ def ml_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "sim_hard_negative_mining",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS q_label FROM e
+          WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id, c.label AS n_label,
+             list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ),
+    negs AS (
+      SELECT query_id, 'hard_negative' AS kind, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored WHERE n_label <> q_label
+    ),
+    pos AS (
+      SELECT query_id, 'hard_positive' AS kind, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored WHERE n_label = q_label
+    )
+    SELECT query_id, kind, neighbor_id, round(cosine, 6) AS cosine, rk
+    FROM (SELECT * FROM negs WHERE rk <= 2
+          UNION ALL SELECT * FROM pos WHERE rk <= 1)
+    ORDER BY query_id, kind, rk
+    """,
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training data: for
+    each anchor, the 2 most similar DIFFERENT-label vectors (hard
+    negatives — the examples a contrastive loss learns most from) and
+    the most similar same-label vector (hard positive). Pure JVM
+    arithmetic: the 20-row anchor set broadcasts against the corpus,
+    cosines run as zip_with/aggregate folds inside codegen, and ranking
+    is a window partitioned per anchor — the corpus is read once, no
+    driver collection."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            (dot / (nrm(F.col("qv")) * nrm(F.col("v")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id", "kind").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    tagged = scored.withColumn(
+        "kind",
+        F.when(F.col("n_label") != F.col("q_label"), "hard_negative").otherwise(
+            "hard_positive"
+        ),
+    ).withColumn("rk", F.row_number().over(w))
+    keep = tagged.filter(
+        ((F.col("kind") == "hard_negative") & (F.col("rk") <= 2))
+        | ((F.col("kind") == "hard_positive") & (F.col("rk") <= 1))
+    )
+    return keep.select(
+        "query_id", "kind", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    ).orderBy("query_id", "kind", "rk")
