@@ -340,3 +340,36 @@ def test_cdc_latest_state_stream_matches_batch(spark, sf_dir):
     }
     assert set(got) == set(want)
     assert got == want
+
+
+def test_hll_registers_stream_matches_batch(spark, sf_dir):
+    """Streaming HLL registers (max-merged applyInPandasWithState state)
+    must equal the batch register computation exactly — same buckets,
+    same max rho per bucket."""
+    stream = SE.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = SE.run_stream_to_memory(
+        spark, SE.hll_registers_stream(stream), "stream_hll", output_mode="update"
+    )
+    got = {}
+    for r in out.collect():
+        got[r.bucket] = max(got.get(r.bucket, 0), r.rho)
+    rho_case = (
+        "CASE "
+        + " ".join(f"WHEN v32 >= {2 ** (32 - i)} THEN {i}" for i in range(1, 33))
+        + " ELSE 33 END"
+    )
+    ev = load_table(spark, "events", sf_dir)
+    batch = (
+        ev.select(
+            F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string"))).alias("h")
+        )
+        .distinct()
+        .select(
+            F.expr("cast(conv(substr(h, 1, 2), 16, 10) as bigint)").alias("bucket"),
+            F.expr("cast(conv(substr(h, 3, 8), 16, 10) as bigint)").alias("v32"),
+        )
+        .groupBy("bucket")
+        .agg(F.expr(f"max({rho_case})").alias("rho"))
+    )
+    want = {r.bucket: r.rho for r in batch.collect()}
+    assert got == want

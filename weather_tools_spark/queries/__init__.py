@@ -112,6 +112,7 @@ CHECK_CHANGED: list[str] = [
     "weather_forecast_verification",# r4: NEW — bias/RMSE/MAE/Pearson per lead time, oracle-gated
     "sim_hard_negative_mining",    # r4: NEW — contrastive hard-negative/positive mining, oracle-gated
     "events_ab_test_zscore",       # r4: NEW — two-sample Welch z-test experiment readout, oracle-gated
+    "dq_expectation_suite",        # r4: NEW — declarative DQ checks incl. FK anti-joins, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1431,3 +1431,110 @@ def weather_format_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("u10"), 3).alias("sum_u10"),
         F.round(F.min("latitude"), 2).alias("min_lat"),
     )
+
+
+@register(
+    "dq_expectation_suite",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orders_totalprice_positive' AS check_name,
+             CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orders_date_in_range',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                            AND o_orderdate < TIMESTAMP '1999-01-01'
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_custkey_fk_resolves',
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'customer_custkey_unique',
+             CAST((SELECT count(*) FROM customer) AS BIGINT),
+             CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+               AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem_quantity_in_domain',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk_resolves',
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    )
+    SELECT check_name, n_checked, n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM checks ORDER BY check_name
+    """,
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (Great-Expectations /
+    dbt-test shape): domain checks (positive amounts, date ranges, value
+    domains), uniqueness, and referential integrity (FK orphans via
+    LEFT ANTI joins) — each check one map-combinable aggregate or one
+    anti-join, unioned into a single pass/fail report that gates a
+    pipeline promotion step. At 100 TB the FK checks are the only
+    shuffles (anti-join on the key); everything else is map-side."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def agg_check(name: str, df: DataFrame, ok) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("n_violations"),
+        )
+
+    c1 = agg_check("orders_totalprice_positive", orders, F.col("o_totalprice") > 0)
+    c2 = agg_check(
+        "orders_date_in_range",
+        orders,
+        (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")),
+    )
+    orphans_o = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).count()
+    n_orders = orders.count()
+    c3 = spark.createDataFrame(
+        [("orders_custkey_fk_resolves", n_orders, orphans_o)],
+        "check_name string, n_checked long, n_violations long",
+    )
+    n_cust = cust.count()
+    n_cust_distinct = cust.select("c_custkey").distinct().count()
+    c4 = spark.createDataFrame(
+        [("customer_custkey_unique", n_cust, n_cust - n_cust_distinct)],
+        "check_name string, n_checked long, n_violations long",
+    )
+    c5 = agg_check(
+        "lineitem_quantity_in_domain",
+        li,
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+    )
+    orphans_l = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    ).count()
+    n_li = li.count()
+    c6 = spark.createDataFrame(
+        [("lineitem_orderkey_fk_resolves", n_li, orphans_l)],
+        "check_name string, n_checked long, n_violations long",
+    )
+    report = c1.unionByName(c2).unionByName(c3).unionByName(c4).unionByName(c5).unionByName(c6)
+    return report.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, 1).otherwise(0).cast("long").alias("passed"),
+    ).orderBy("check_name")

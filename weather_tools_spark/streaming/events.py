@@ -429,3 +429,54 @@ def cdc_latest_state_stream(df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+HLL_STATE_SCHEMA = T.StructType([T.StructField("rho", T.LongType())])
+HLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("rho", T.LongType()),
+    ]
+)
+
+
+def hll_registers_stream(df: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog: maintain the 256 distinct-user registers
+    on an unbounded event stream. The (bucket, rho) pair is computed
+    JVM-side per event (md5 hex digits, integer first-1-bit CASE chain —
+    the same arithmetic as the batch sketch_hll_registers query), and
+    ``applyInPandasWithState`` keeps ONE long per register — max-merge
+    is order-insensitive, so late/duplicate arrivals can never corrupt
+    the sketch. Emits the updated register each batch; the final
+    snapshot plugs into the standard harmonic-mean estimate and must
+    equal the batch registers exactly (pinned in test_streaming)."""
+    import pandas as pd
+
+    rho_case = (
+        "CASE "
+        + " ".join(f"WHEN v32 >= {2 ** (32 - i)} THEN {i}" for i in range(1, 33))
+        + " ELSE 33 END"
+    )
+    bv = df.select(
+        F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string"))).alias("h")
+    ).select(
+        F.expr("cast(conv(substr(h, 1, 2), 16, 10) as bigint)").alias("bucket"),
+        F.expr("cast(conv(substr(h, 3, 8), 16, 10) as bigint)").alias("v32"),
+    ).select("bucket", F.expr(rho_case).alias("rho"))
+
+    def update(key, pdfs, state):
+        best = state.get()[0] if state.exists else 0
+        for pdf in pdfs:
+            m = int(pdf["rho"].max()) if len(pdf) else 0
+            if m > best:
+                best = m
+        state.update((best,))
+        yield pd.DataFrame({"bucket": [key[0]], "rho": [best]})
+
+    return bv.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
