@@ -113,6 +113,9 @@ CHECK_CHANGED: list[str] = [
     "sim_hard_negative_mining",    # r4: NEW — contrastive hard-negative/positive mining, oracle-gated
     "events_ab_test_zscore",       # r4: NEW — two-sample Welch z-test experiment readout, oracle-gated
     "dq_expectation_suite",        # r4: NEW — declarative DQ checks incl. FK anti-joins, oracle-gated
+    "geo_point_in_polygon",        # r4: NEW — ray-casting containment vs non-convex polygon, oracle-gated
+    "weather_parcel_trajectory",   # r4: NEW — Euler advection, oracle replays every step, oracle-gated
+    "text_collocations_pmi",       # r4: NEW — PMI collocation extraction, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

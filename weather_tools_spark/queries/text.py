@@ -1265,3 +1265,103 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(t) AS w FROM toks
+      ) GROUP BY w
+    ),
+    n_tok AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+      ) GROUP BY w1, w2
+    ),
+    n_bi AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bi),
+    scored AS (
+      SELECT b.w1, b.w2, b.c AS pair_count,
+             ln((CAST(b.c AS DOUBLE) / nb.n)
+                / ((CAST(u1.c AS DOUBLE) / nt.n) * (CAST(u2.c AS DOUBLE) / nt.n)))
+               AS pmi
+      FROM bi b
+      JOIN uni u1 ON b.w1 = u1.w
+      JOIN uni u2 ON b.w2 = u2.w
+      CROSS JOIN n_tok nt CROSS JOIN n_bi nb
+      WHERE b.c >= 5
+    )
+    SELECT w1, w2, pair_count, round(pmi, 6) AS pmi
+    FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 15
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information — the
+    classic NLP association measure over adjacent word pairs (min pair
+    count 5, top-15 by PMI with full deterministic tie-break). Unigram
+    and bigram counts are map-combinable aggregations; the corpus
+    scalars broadcast; the final top-k is a distributed TakeOrdered.
+    At 100 TB the joined frames are vocabulary-sized, never
+    corpus-sized."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.expr(r"filter(split(trim(text), '\\s+'), x -> x <> '')").alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN cast(array() as array<struct<w1:string,w2:string>>) "
+                    "ELSE transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, cast(i as int)) AS w1, "
+                    "element_at(t, cast(i + 1 as int)) AS w2)) END"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    n_tok = uni.agg(F.sum("c").alias("nt"))
+    n_bi_all = (
+        toks.select(
+            F.expr("cast(greatest(size(t) - 1, 0) as bigint)").alias("k")
+        ).agg(F.sum("k").alias("nb"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi_all))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            F.log(
+                (F.col("c").cast("double") / F.col("nb"))
+                / (
+                    (F.col("c1").cast("double") / F.col("nt"))
+                    * (F.col("c2").cast("double") / F.col("nt"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(15)
+    return top.select(
+        "w1", "w2", "pair_count", F.round("pmi", 6).alias("pmi")
+    ).orderBy(F.col("pmi").desc(), "w1", "w2")

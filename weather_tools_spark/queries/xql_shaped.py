@@ -2128,3 +2128,154 @@ def weather_forecast_verification(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("pearson_r"),
     ).orderBy("lead_h")
+
+
+# Non-convex star polygon (integer vertices) around (10, 10); test
+# points carry 0.137/0.211 offsets so no point ever ties a vertex or
+# edge ordinate — the crossing comparisons stay far from boundaries.
+_PIP_VERTS = [
+    (10, 16), (12, 12), (16, 12), (13, 9), (14, 4),
+    (10, 7), (6, 4), (7, 9), (4, 12), (8, 12),
+]
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH verts(i, x, y) AS (
+      VALUES {", ".join(f"({i}, {x}, {y})" for i, (x, y) in enumerate(_PIP_VERTS))}
+    ),
+    edges AS (
+      SELECT v1.x AS x1, v1.y AS y1, v2.x AS x2, v2.y AS y2
+      FROM verts v1 JOIN verts v2
+        ON v2.i = (v1.i + 1) % {len(_PIP_VERTS)}
+    ),
+    pts AS (
+      SELECT g.i AS pid,
+             (g.i % 20) + 0.137 AS px,
+             ((g.i * 7) % 20) + 0.211 AS py
+      FROM (SELECT unnest(range(0, 400)) AS i) g
+    ),
+    crossings AS (
+      SELECT p.pid, p.px, p.py,
+             CAST(sum(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                            AND p.px < e.x1 + (p.py - e.y1) * (e.x2 - e.x1)
+                                              / (e.y2 - e.y1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nx
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.pid, p.px, p.py
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN nx % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           CAST(sum(CASE WHEN nx % 2 = 1 THEN pid ELSE 0 END) AS BIGINT)
+             AS inside_id_checksum,
+           round(sum(CASE WHEN nx % 2 = 1 THEN px + py ELSE 0.0 END), 6)
+             AS inside_coord_sum
+    FROM crossings
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon via ray casting against a NON-convex star
+    polygon — the GIS containment primitive (even-odd rule). The
+    polygon's edge list rides as an array literal and each point's
+    crossing count is a pure JVM ``aggregate()`` fold over the 10 edges
+    — map-only, no join, no UDF; at 100 TB this is the shape of a
+    broadcast-polygon containment filter over a point fact table. The
+    oracle computes the identical crossings with an explicit edge
+    cross-join. Integer vertices + fractional point offsets keep every
+    comparison away from edge/vertex ties."""
+    n = len(_PIP_VERTS)
+    edges = ", ".join(
+        f"struct({x1}D as x1, {y1}D as y1, {x2}D as x2, {y2}D as y2)"
+        for (x1, y1), (x2, y2) in zip(_PIP_VERTS, _PIP_VERTS[1:] + _PIP_VERTS[:1])
+    )
+    pts = spark.range(400).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") % 20) + 0.137).alias("px"),
+        (((F.col("id") * 7) % 20) + 0.211).alias("py"),
+    )
+    crossed = pts.withColumn(
+        "nx",
+        F.expr(
+            f"""
+            aggregate(array({edges}), 0L, (acc, e) ->
+              acc + CASE WHEN (e.y1 > py) != (e.y2 > py)
+                          AND px < e.x1 + (py - e.y1) * (e.x2 - e.x1)
+                                          / (e.y2 - e.y1)
+                         THEN 1L ELSE 0L END)
+            """
+        ),
+    )
+    return crossed.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.when(F.col("nx") % 2 == 1, 1).otherwise(0)).alias("n_inside"),
+        F.sum(F.when(F.col("nx") % 2 == 1, F.col("pid")).otherwise(0)).alias(
+            "inside_id_checksum"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("nx") % 2 == 1, F.col("px") + F.col("py")).otherwise(0.0)
+            ),
+            6,
+        ).alias("inside_coord_sum"),
+    )
+
+
+_TRAJ_STEP = """
+    SELECT pid,
+           x + 0.5 * (2.0 + sin(y * 0.4)) AS x,
+           y + 0.5 * (1.0 + 0.8 * cos(x * 0.3)) AS y,
+           dist + 0.5 * sqrt(pow(2.0 + sin(y * 0.4), 2)
+                             + pow(1.0 + 0.8 * cos(x * 0.3), 2)) AS dist
+    FROM {src}
+"""
+
+
+@register(
+    "weather_parcel_trajectory",
+    oracle=f"""
+    WITH p0 AS (
+      SELECT g.i AS pid,
+             (g.i * 3) % 11 + 0.5 AS x,
+             (g.i * 5) % 7 + 0.5 AS y,
+             0.0 AS dist
+      FROM (SELECT unnest(range(0, 6)) AS i) g
+    ),
+    p1 AS ({_TRAJ_STEP.format(src="p0")}),
+    p2 AS ({_TRAJ_STEP.format(src="p1")}),
+    p3 AS ({_TRAJ_STEP.format(src="p2")})
+    SELECT pid, round(x, 6) AS x_final, round(y, 6) AS y_final,
+           round(dist, 6) AS path_length
+    FROM p3 ORDER BY pid
+    """,
+)
+def weather_parcel_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward parcel trajectories (HYSPLIT-style advection): three
+    explicit Euler steps through an analytic steady wind field
+    u = 2+sin(0.4y), v = 1+0.8cos(0.3x), dt = 0.5 — the fourth
+    iterative algorithm whose every iteration the oracle replays
+    (chained CTEs), beside k-means, PageRank, and label propagation.
+    Each step is a closed-form column rewrite — parcels advect
+    embarrassingly parallel, no shuffle at any step; at 100 TB each
+    parcel row carries its own state."""
+    p = spark.range(6).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 3) % 11 + 0.5).alias("x"),
+        ((F.col("id") * 5) % 7 + 0.5).alias("y"),
+        F.lit(0.0).alias("dist"),
+    )
+    for _ in range(3):
+        u = 2.0 + F.sin(F.col("y") * 0.4)
+        v = 1.0 + 0.8 * F.cos(F.col("x") * 0.3)
+        p = p.select(
+            "pid",
+            (F.col("x") + 0.5 * u).alias("x"),
+            (F.col("y") + 0.5 * v).alias("y"),
+            (F.col("dist") + 0.5 * F.sqrt(u * u + v * v)).alias("dist"),
+        )
+    return p.select(
+        "pid",
+        F.round("x", 6).alias("x_final"),
+        F.round("y", 6).alias("y_final"),
+        F.round("dist", 6).alias("path_length"),
+    ).orderBy("pid")
