@@ -116,6 +116,7 @@ CHECK_CHANGED: list[str] = [
     "geo_point_in_polygon",        # r4: NEW — ray-casting containment vs non-convex polygon, oracle-gated
     "weather_parcel_trajectory",   # r4: NEW — Euler advection, oracle replays every step, oracle-gated
     "text_collocations_pmi",       # r4: NEW — PMI collocation extraction, oracle-gated
+    "sketch_bloom_membership",     # r4: NEW — Bloom filter with exact bit replay + FP census, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -273,3 +273,109 @@ def sketch_countmin_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    rows_ AS (SELECT unnest(range(0, {_BLOOM_K})) AS r),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                                 || CAST(k.key AS VARCHAR)), 1, 4))::BIGINT
+               % {_BLOOM_M} AS pos
+      FROM keys k CROSS JOIN rows_ r
+    ),
+    probes AS (SELECT unnest(range(1, 3001)) AS p),
+    probe_bits AS (
+      SELECT p.p, r.r,
+             ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                                 || CAST(p.p AS VARCHAR)), 1, 4))::BIGINT
+               % {_BLOOM_M} AS pos
+      FROM probes p CROSS JOIN rows_ r
+    ),
+    verdicts AS (
+      SELECT pb.p,
+             CASE WHEN count(b.pos) = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_pos
+      FROM probe_bits pb LEFT JOIN bits b ON pb.pos = b.pos
+      GROUP BY pb.p
+    ),
+    truth AS (
+      SELECT p.p, CASE WHEN k.key IS NULL THEN 0 ELSE 1 END AS member
+      FROM probes p LEFT JOIN keys k ON k.key = p.p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(t.member) AS BIGINT) AS n_members,
+           CAST(sum(v.bloom_pos) AS BIGINT) AS n_bloom_positive,
+           CAST(sum(CASE WHEN v.bloom_pos = 1 AND t.member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+           CAST(sum(CASE WHEN v.bloom_pos = 0 AND t.member = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative,
+           round(CAST(sum(CASE WHEN v.bloom_pos = 1 AND t.member = 0
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / greatest(count(*) - sum(t.member), 1), 6) AS fp_rate
+    FROM verdicts v JOIN truth t ON v.p = t.p
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership with EXACT bit replay: a 4096-bit /
+    3-hash filter over the distinct order-customer keys, probed with a
+    fixed integer range. Build and probe positions come from md5 hex
+    arithmetic, so the oracle reconstructs the identical bit set and the
+    report's false-positive count is exact — and the n_false_negative
+    column is a structural zero the gate enforces (Bloom filters never
+    false-negative). This is the semi-join-reduction primitive: at
+    100 TB the bit set (512 bytes here, KBs in practice) broadcasts to
+    prune a fact scan before the real join."""
+    orders = load_table(spark, "orders", sf_dir)
+    keys = orders.select(F.col("o_custkey").alias("key")).distinct()
+    rows_ = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("r"))
+    bits = (
+        keys.crossJoin(F.broadcast(rows_))
+        .select(
+            F.expr(
+                f"cast(conv(substr(md5(concat(cast(r as string), ':', cast(key as string))), 1, 4), 16, 10) as bigint) % {_BLOOM_M}"
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probes = spark.range(1, 3001).select(F.col("id").alias("p"))
+    probe_bits = probes.crossJoin(F.broadcast(rows_)).select(
+        "p",
+        F.expr(
+            f"cast(conv(substr(md5(concat(cast(r as string), ':', cast(p as string))), 1, 4), 16, 10) as bigint) % {_BLOOM_M}"
+        ).alias("pos"),
+    )
+    verdicts = (
+        probe_bits.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("p")
+        .agg(
+            F.when(F.count("hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_pos")
+        )
+    )
+    truth = probes.join(
+        keys.withColumn("member", F.lit(1)), probes.p == keys.key, "left"
+    ).select("p", F.coalesce("member", F.lit(0)).alias("member"))
+    j = verdicts.join(truth, "p")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("member").cast("long").alias("n_members"),
+        F.sum("bloom_pos").cast("long").alias("n_bloom_positive"),
+        F.sum(F.when((F.col("bloom_pos") == 1) & (F.col("member") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positive"),
+        F.sum(F.when((F.col("bloom_pos") == 0) & (F.col("member") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_negative"),
+        F.round(
+            F.sum(
+                F.when((F.col("bloom_pos") == 1) & (F.col("member") == 0), 1).otherwise(0)
+            ).cast("double")
+            / F.greatest(F.count(F.lit(1)) - F.sum("member"), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )
