@@ -365,3 +365,39 @@ def test_vorticity_stencil_one_groupby(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_pmi_topk_distributed_and_small_joins_broadcast(spark, sf_dir):
+    plan = _formatted_plan(spark, "text_collocations_pmi", sf_dir)
+    assert "TakeOrderedAndProject" in plan      # top-k never a global sort
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan          # unigram frames broadcast
+
+
+def test_point_in_polygon_map_only(spark, sf_dir):
+    """Containment is a broadcast-polygon fold: no join of any kind."""
+    plan = _formatted_plan(spark, "geo_point_in_polygon", sf_dir)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan, j
+
+
+def test_trajectory_shuffle_free(spark, sf_dir):
+    """Each advection step is a column rewrite — zero Exchanges."""
+    plan = _formatted_plan(spark, "weather_parcel_trajectory", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_joins_hash_based(spark, sf_dir):
+    plan = _formatted_plan(spark, "sketch_bloom_membership", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan          # bit set broadcasts
+
+
+def test_substring_dedup_windows_partitioned(spark, sf_dir):
+    import re as _re
+
+    plan = _formatted_plan(spark, "corpus_exact_substring_dedup", sf_dir)
+    wins = _re.findall(r"\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan)
+    assert wins and all("doc_id" in w for w in wins)  # never a global window
+    assert "CartesianProduct" not in plan
