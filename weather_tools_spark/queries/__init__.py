@@ -117,6 +117,7 @@ CHECK_CHANGED: list[str] = [
     "weather_parcel_trajectory",   # r4: NEW — Euler advection, oracle replays every step, oracle-gated
     "text_collocations_pmi",       # r4: NEW — PMI collocation extraction, oracle-gated
     "sketch_bloom_membership",     # r4: NEW — Bloom filter with exact bit replay + FP census, oracle-gated
+    "events_survival_kaplan_meier",# r4: NEW — product-limit survival curve with censoring, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1021,3 +1021,137 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(se, 6).alias("se"),
         F.round((F.col("mean_b") - F.col("mean_a")) / se, 6).alias("z_score"),
     )
+
+
+@register(
+    "events_survival_kaplan_meier",
+    oracle="""
+    WITH births AS (
+      SELECT user_id, min(ts) AS birth FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    deaths AS (
+      SELECT e.user_id, min(e.ts) AS death
+      FROM events e JOIN births b ON e.user_id = b.user_id
+      WHERE e.event_type = 'error' AND e.ts > b.birth
+      GROUP BY e.user_id
+    ),
+    horizon AS (SELECT max(ts) AS h FROM events),
+    obs AS (
+      SELECT b.user_id,
+             CASE WHEN d.death IS NULL THEN 0 ELSE 1 END AS died,
+             CAST(floor(epoch(CASE WHEN d.death IS NULL THEN hz.h
+                                   ELSE d.death END - b.birth)
+                        / 86400.0) AS BIGINT) AS t
+      FROM births b LEFT JOIN deaths d ON b.user_id = d.user_id
+      CROSS JOIN horizon hz
+    ),
+    death_days AS (
+      SELECT t, CAST(sum(died) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS ending
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             (SELECT CAST(count(*) AS BIGINT) FROM obs o WHERE o.t >= dd.t)
+               AS n_at_risk
+      FROM death_days dd WHERE d > 0
+    ),
+    km AS (
+      -- d = n_at_risk would be ln(0): contribute 0 to the log-sum and
+      -- zero the curve via the flag instead (identical in Spark)
+      SELECT t, d, n_at_risk,
+             CASE WHEN sum(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
+                  THEN 0.0
+                  ELSE exp(sum(ln(CASE WHEN d = n_at_risk THEN 1.0
+                                       ELSE 1.0 - CAST(d AS DOUBLE) / n_at_risk END))
+                           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+             END AS survival
+      FROM risk
+    )
+    SELECT t AS day, n_at_risk, d AS n_deaths, round(survival, 6) AS survival
+    FROM km ORDER BY day
+    """,
+)
+def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator — time from first signup to
+    first subsequent error, right-censored at the corpus horizon: the
+    standard churn/survival readout. Per-user birth/death are min
+    aggregations + one user-key join; the risk set per death day comes
+    from a cumulative count (here an explicit >= aggregate on the tiny
+    death-day frame, distributed as a broadcast join at scale), and the
+    product-limit curve is exp(Σ ln(1 - d/n)) over an ordered window on
+    the death-day frame (≤ horizon-days rows — the global window is on
+    the TINY frame, never the events fact)."""
+    ev = load_table(spark, "events", sf_dir)
+    births = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("birth"))
+    )
+    deaths = (
+        ev.filter(F.col("event_type") == "error")
+        .join(births, "user_id")
+        .filter(F.col("ts") > F.col("birth"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("death"))
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    obs = (
+        births.join(deaths, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.when(F.col("death").isNull(), 0).otherwise(1).alias("died"),
+            F.floor(
+                (
+                    (
+                        F.unix_micros(
+                            F.when(F.col("death").isNull(), F.col("h")).otherwise(
+                                F.col("death")
+                            )
+                        )
+                        - F.unix_micros("birth")
+                    )
+                    / 1_000_000.0  # micros -> seconds, then seconds -> days:
+                )
+                / 86400.0  # mirrors the oracle's epoch()/86400.0 op order
+            ).cast("long").alias("t"),
+        )
+    )
+    death_days = obs.groupBy("t").agg(
+        F.sum("died").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("ending"),
+    )
+    # risk set: users still under observation at day t (obs_time >= t).
+    # The death-day frame is tiny (<= horizon days), so the theta join
+    # against per-day counts broadcasts.
+    day_counts = obs.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    dd = death_days.filter(F.col("d") > 0).select(
+        F.col("t").alias("td"), "d"
+    )
+    risk = (
+        dd.join(F.broadcast(day_counts), F.col("t") >= F.col("td"))
+        .groupBy("td", "d")
+        .agg(F.sum("c").cast("long").alias("n_at_risk"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("td").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.when(F.col("d") == F.col("n_at_risk"), F.lit(1.0)).otherwise(
+        1.0 - F.col("d").cast("double") / F.col("n_at_risk")
+    )
+    dead_flag = F.sum(
+        F.when(F.col("d") == F.col("n_at_risk"), 1).otherwise(0)
+    ).over(w)
+    km = risk.withColumn(
+        "survival",
+        F.when(dead_flag > 0, F.lit(0.0)).otherwise(F.exp(F.sum(F.log(term)).over(w))),
+    )
+    return km.select(
+        F.col("td").alias("day"),
+        "n_at_risk",
+        F.col("d").alias("n_deaths"),
+        F.round("survival", 6).alias("survival"),
+    ).orderBy("day")
