@@ -401,3 +401,45 @@ def test_substring_dedup_windows_partitioned(spark, sf_dir):
     wins = _re.findall(r"\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan)
     assert wins and all("doc_id" in w for w in wins)  # never a global window
     assert "CartesianProduct" not in plan
+
+
+def test_skyline_stage1_window_bucket_partitioned(spark, sf_dir):
+    # The first (stage-1) window must partition by the hash bucket —
+    # a global single-partition window over the full pair frame would
+    # serialize the scan at scale. Stage 2's window runs on the tiny
+    # survivor frame and may be global (bounded contract).
+    plan = _formatted_plan(spark, "analytics_skyline_parts", sf_dir)
+    wins = re.findall(r"\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan)
+    assert len(wins) == 2, wins
+    # plan prints bottom-up inside each detail block; identify stage 1
+    # as the window that carries the bucket column
+    assert any("bkt" in w for w in wins), wins
+    assert "CartesianProduct" not in plan
+
+
+def test_shortest_paths_frontier_joins_broadcast(spark, sf_dir):
+    # Frontier expansions join frontier x edges on the tiny aggregated
+    # graph — every per-level join must be hash-based (broadcast at
+    # this size), never a cartesian; the only shuffles belong to the
+    # distributed edge build.
+    plan = _formatted_plan(spark, "graph_shortest_paths", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_acf_and_benford_reduce_before_joining(spark, sf_dir):
+    # Both queries must aggregate the fact table ONCE and do all
+    # subsequent math on tiny frames: exactly one scan of events /
+    # orders in the plan.
+    # count detail headers "(N) Scan parquet" — the tree section repeats
+    # each node name, so raw substring counts double-report a single scan
+    def _scans(p: str) -> int:
+        return len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+
+    plan = _formatted_plan(spark, "events_autocorrelation", sf_dir)
+    assert _scans(plan) <= 1, _scans(plan)
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    )  # scalar attach may BNLJ; no true cartesian
+    plan_b = _formatted_plan(spark, "dq_benford_first_digit", sf_dir)
+    assert _scans(plan_b) == 1, _scans(plan_b)

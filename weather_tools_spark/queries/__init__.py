@@ -118,6 +118,10 @@ CHECK_CHANGED: list[str] = [
     "text_collocations_pmi",       # r4: NEW — PMI collocation extraction, oracle-gated
     "sketch_bloom_membership",     # r4: NEW — Bloom filter with exact bit replay + FP census, oracle-gated
     "events_survival_kaplan_meier",# r4: NEW — product-limit survival curve with censoring, oracle-gated
+    "graph_shortest_paths",        # r4: NEW — layered BFS with shortest-path counting, oracle replays every level
+    "analytics_skyline_parts",     # r4: NEW — two-stage distributed skyline, oracle is the NOT-EXISTS definition
+    "events_autocorrelation",      # r4: NEW — daily-series ACF at lags 1..7, oracle-gated
+    "dq_benford_first_digit",      # r4: NEW — Benford first-digit audit in the exact integer domain, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the
@@ -174,6 +178,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def _load_all() -> None:
     # Import for registration side-effects; keep modules independent.
     from weather_tools_spark.queries import (  # noqa: F401
+        analytics,
         audits,
         core_sql,
         core_sql2,
