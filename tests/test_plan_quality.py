@@ -443,3 +443,38 @@ def test_acf_and_benford_reduce_before_joining(spark, sf_dir):
     )  # scalar attach may BNLJ; no true cartesian
     plan_b = _formatted_plan(spark, "dq_benford_first_digit", sf_dir)
     assert _scans(plan_b) == 1, _scans(plan_b)
+
+
+def test_json_extract_and_geohash_single_scan(spark, sf_dir):
+    # JSON extraction and geohash encoding are pure column expressions:
+    # one fact scan, one map-combinable aggregation, no joins at all.
+    def _scans(p: str) -> int:
+        return len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+
+    for name in ("events_json_props_extract", "geo_geohash_cells"):
+        plan = _formatted_plan(spark, name, sf_dir)
+        assert _scans(plan) == 1, (name, _scans(plan))
+        assert "Join" not in plan, name
+        # partial aggregation present (map-side combine before shuffle)
+        assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2, name
+
+
+def test_priority_sampling_uses_takeordered(spark, sf_dir):
+    # The top-k by priority must be a distributed TakeOrdered (per-
+    # partition min-k merge), never a global Sort of the fact table.
+    plan = _formatted_plan(spark, "sample_weighted_priority", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    sorts = re.findall(r"^\(\d+\) Sort\b.*$[\s\S]*?Arguments: ([^\n]*)", plan, re.MULTILINE)
+    # any residual Sort may only order the <= k+1-row result frame
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_reduces_then_windows(spark, sf_dir):
+    # The fact is reduced to <= horizon-days rows map-combinably before
+    # the ordered window pass (bounded-contract global window).
+    def _scans(p: str) -> int:
+        return len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+
+    plan = _formatted_plan(spark, "events_cusum_changepoint", sf_dir)
+    assert _scans(plan) <= 1, _scans(plan)
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")

@@ -122,6 +122,11 @@ CHECK_CHANGED: list[str] = [
     "analytics_skyline_parts",     # r4: NEW — two-stage distributed skyline, oracle is the NOT-EXISTS definition
     "events_autocorrelation",      # r4: NEW — daily-series ACF at lags 1..7, oracle-gated
     "dq_benford_first_digit",      # r4: NEW — Benford first-digit audit in the exact integer domain, oracle-gated
+    "events_json_props_extract",   # r4: NEW — JSON property extraction + per-type aggregates, oracle-gated
+    "events_cusum_changepoint",    # r4: NEW — integer-exact CUSUM changepoint detector, oracle-gated
+    "sample_weighted_priority",    # r4: NEW — priority sampling (w/u keys, libm-free), oracle-gated
+    "geo_geohash_cells",           # r4: NEW — exact-dyadic geohash encoding + prefix census, oracle-gated
+    "sketch_kmv_setops",           # r4: NEW — theta-sketch union/intersection/difference, oracle replays state
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

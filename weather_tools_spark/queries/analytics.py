@@ -305,6 +305,358 @@ def _benford_case_sql(col: str) -> str:
     return f"CASE {arms} END"
 
 
+# ---------------------------------------------------------------------------
+# Semi-structured JSON property extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_props_extract",
+    oracle="""
+    WITH k AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(kv) AS BIGINT) AS n_present,
+           CAST(sum(kv) AS BIGINT) AS sum_k,
+           CAST(min(kv) AS BIGINT) AS min_k,
+           CAST(max(kv) AS BIGINT) AS max_k,
+           round(sum(kv) * 1.0 / count(kv), 6) AS avg_k
+    FROM k GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer property ``$.k`` out
+    of the JSON ``props`` column (Spark ``get_json_object`` — JVM-side
+    Jackson path evaluation, no Python) and aggregate per event type.
+    The JSON parse happens inside the single fact scan; everything after
+    is one map-combinable aggregation. The average is computed as
+    exact-integer sum / exact-integer count — one correctly-rounded
+    division, so the 6-decimal round can never sit on an engine-drift
+    boundary."""
+    ev = load_table(spark, "events", sf_dir)
+    k = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("kv"),
+    )
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("kv").alias("n_present"),
+            F.sum("kv").alias("sum_k"),
+            F.min("kv").alias("min_k"),
+            F.max("kv").alias("max_k"),
+            F.round(F.sum("kv") * 1.0 / F.count("kv"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+# Slack and alarm threshold as exact rational multiples of the series
+# mean: kappa = mean/100, H = mean/50 (chosen so alarm AND quiet days
+# both occur at every test SF — the flag's two branches are live under
+# the gate). Scaling every term by 100*n_days keeps the whole
+# recurrence in BIGINT — no float ever enters the comparison, so the
+# alarm flag cannot flip on engine libm/summation-order drift; ANY
+# integer margin is a safe margin.
+_CUSUM_KAPPA_NUM = 1   # kappa = mean * 1/100
+_CUSUM_KAPPA_DEN = 100
+_CUSUM_H_NUM = 1       # H = mean * 1/50
+_CUSUM_H_DEN = 50
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle=f"""
+    WITH days AS (
+      SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM days
+    ),
+    scaled AS (
+      -- y_scaled = (x - mean - kappa) * (den*n), all integer:
+      --   den*n*x - den*s - num*s   with den=100, num=1
+      SELECT d.day, d.x,
+             {_CUSUM_KAPPA_DEN} * t.n * d.x
+               - {_CUSUM_KAPPA_DEN} * t.s - {_CUSUM_KAPPA_NUM} * t.s AS y,
+             t.n, t.s
+      FROM days d CROSS JOIN tot t
+    ),
+    cum AS (
+      SELECT day, x, n, s,
+             sum(y) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      FROM scaled
+    ),
+    cusum AS (
+      SELECT day, x, n, s, m,
+             m - least(0, min(m) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS c
+      FROM cum
+    )
+    SELECT day, x,
+           round(c / ({float(_CUSUM_KAPPA_DEN)!r} * n), 6) AS cusum,
+           CASE WHEN c * {_CUSUM_H_DEN} > {_CUSUM_H_NUM} * {_CUSUM_KAPPA_DEN} * s
+                THEN 1 ELSE 0 END AS alarm
+    FROM cusum ORDER BY day
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detector over the daily event-count
+    series: S_t = max(0, S_{{t-1}} + x_t - mu - kappa), alarm when
+    S_t > H (kappa = mu/100, H = mu/50). The max(0,...) recurrence is
+    restated closed-form as M_t - min(0, min_{{j<=t}} M_j) over the
+    prefix sums M — one ordered window pass, no iteration. Every term
+    is scaled by 100*n_days so the entire recurrence runs in exact
+    BIGINT arithmetic: the alarm comparison is integer-vs-integer and
+    cannot flip on summation-order or libm drift (the float division
+    appears only in the reported, rounded cusum value). The series is
+    first reduced to <= horizon-days rows map-combinably; the global
+    ordered window runs on that tiny frame (same bounded contract as
+    the Kaplan-Meier curve)."""
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.groupBy(
+        F.floor(F.unix_micros("ts") / 1_000_000.0 / 86400.0).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    den, num, hn, hd = (
+        _CUSUM_KAPPA_DEN,
+        _CUSUM_KAPPA_NUM,
+        _CUSUM_H_NUM,
+        _CUSUM_H_DEN,
+    )
+    # totals via a full-frame window over the <= horizon-days frame: a
+    # separate .agg branch would re-scan the events fact (two scans)
+    wt = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scaled = (
+        days.withColumn("n", F.count(F.lit(1)).over(wt).cast("long"))
+        .withColumn("s", F.sum("x").over(wt).cast("long"))
+        .withColumn(
+            "y", den * F.col("n") * F.col("x") - den * F.col("s") - num * F.col("s")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = scaled.withColumn("m", F.sum("y").over(w))
+    cusum = cum.withColumn("c", F.col("m") - F.least(F.lit(0), F.min("m").over(w)))
+    return cusum.select(
+        "day",
+        "x",
+        F.round(F.col("c") / (float(_CUSUM_KAPPA_DEN) * F.col("n")), 6).alias("cusum"),
+        F.when(F.col("c") * hd > hn * den * F.col("s"), 1).otherwise(0).alias("alarm"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 24
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH pri AS (
+      SELECT o_orderkey, o_totalprice AS w,
+             o_totalprice /
+               (('0x' || substr(md5('ps:' || CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+                / 281474976710656.0) AS q
+      FROM orders
+    ),
+    top1 AS (SELECT * FROM pri ORDER BY q DESC, o_orderkey LIMIT {_PRIO_K + 1}),
+    tau AS (SELECT min(q) AS tau FROM top1),
+    samp AS (SELECT * FROM pri ORDER BY q DESC, o_orderkey LIMIT {_PRIO_K})
+    SELECT s.o_orderkey, round(s.w, 2) AS weight,
+           round(greatest(s.w, t.tau), 4) AS est_weight
+    FROM samp s CROSS JOIN tau t
+    ORDER BY s.o_orderkey
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield, Lund & Thorup): each order gets priority q = w/u with w
+    its totalprice and u a deterministic 48-bit md5 fraction; the sample
+    is the top-k by priority and each member's Horvitz-Thompson weight
+    estimate is max(w, tau) with tau the (k+1)-th priority. u is an
+    exact dyadic rational (48-bit integer / 2^48) and q is a single
+    correctly-rounded IEEE division — no libm call anywhere — so both
+    engines rank bit-identical priorities; no log()-of-uniform
+    (Efraimidis-Spirakis keys) whose libm drift could flip adjacent
+    ranks. The top-k is a distributed TakeOrdered (min-k merge per
+    partition), never a global sort; tau attaches as a broadcast
+    scalar. This is the corpus-subsampling stage of a training-data
+    pipeline with per-document importance weights."""
+    orders = load_table(spark, "orders", sf_dir)
+    u = F.expr(
+        "cast(conv(substr(md5(concat('ps:', cast(o_orderkey as string))), 1, 12),"
+        " 16, 10) as bigint)"
+    ) / F.lit(float(1 << 48))
+    pri = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("w"),
+        (F.col("o_totalprice") / u).alias("q"),
+    )
+    top1 = pri.orderBy(F.col("q").desc(), "o_orderkey").limit(_PRIO_K + 1)
+    tau = top1.agg(F.min("q").alias("tau"))
+    samp = pri.orderBy(F.col("q").desc(), "o_orderkey").limit(_PRIO_K)
+    return (
+        samp.crossJoin(F.broadcast(tau))
+        .select(
+            "o_orderkey",
+            F.round("w", 2).alias("weight"),
+            F.round(F.greatest(F.col("w"), F.col("tau")), 4).alias("est_weight"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geohash encoding in the exact dyadic domain
+# ---------------------------------------------------------------------------
+
+_GH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_CHARS = 5  # 25 bits: 13 lon + 12 lat
+
+
+def _gh_b32_sql(num_expr: str, nchars: int) -> str:
+    """Base32-encode the top `nchars` chars of a 25-bit cell number.
+    The alphabet is ASCII-ascending, so lexicographic geohash order ==
+    numeric cellnum order — which is why min(cellnum) (a hash-aggregable
+    BIGINT buffer) can replace min(geohash) (a string buffer that would
+    force SortAggregate over the whole fact)."""
+    chars = [
+        f"substr('{_GH_BASE32}',"
+        f" CAST(CAST(floor(({num_expr}) / {32 ** (4 - m)}) AS BIGINT) % 32"
+        f" AS INTEGER) + 1, 1)"
+        for m in range(nchars)
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
+def _gh_cellnum_expr(lon_frac: str, lat_frac: str) -> str:
+    """The 25-bit geohash cell number as one integer: every
+    interleaved bit (lon-first, the standard layout) shifted into
+    place. Bit j of a fraction t is floor(t * 2^(j+1)) % 2 — and
+    because t here is an exact 48-bit dyadic rational and multiplying a
+    double by a power of two only shifts the exponent (never rounds),
+    the floor argument is exact, so no bit can land on an
+    engine-dependent rounding boundary. Summed per prefix group, the
+    cell number hash-gates EVERY point's complete encoding even when
+    the group key is only the 2-char prefix."""
+    terms = []
+    for g in range(5 * _GH_CHARS):
+        t = lon_frac if g % 2 == 0 else lat_frac
+        j = g // 2
+        terms.append(
+            f"(CAST(floor({t} * {1 << (j + 1)}) AS BIGINT) % 2)"
+            f" * {1 << (5 * _GH_CHARS - 1 - g)}"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "geo_geohash_cells",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+               / 281474976710656.0 AS tlon,
+             ('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+               / 281474976710656.0 AS tlat
+      FROM customer
+    ),
+    hashed AS (
+      SELECT c_custkey, tlon, tlat,
+             {_gh_cellnum_expr("tlon", "tlat")} AS cellnum
+      FROM pts
+    ),
+    cells AS (
+      SELECT CAST(floor(cellnum / 32768) AS BIGINT) AS cell2num,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(min(c_custkey) AS BIGINT) AS min_custkey,
+             CAST(min(cellnum) AS BIGINT) AS min_cellnum,
+             CAST(sum(cellnum) AS BIGINT) AS sum_cellnum,
+             round(min(tlon) * 360 - 180, 6) AS min_lon,
+             round(min(tlat) * 180 - 90, 6) AS min_lat
+      FROM hashed GROUP BY 1
+    )
+    SELECT {_gh_b32_sql("cell2num * 32768", 2)} AS cell2,
+           n_customers, min_custkey,
+           {_gh_b32_sql("min_cellnum", 5)} AS first_geohash,
+           sum_cellnum, min_lon, min_lat
+    FROM cells
+    ORDER BY cell2
+    """,
+)
+def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash spatial bucketing: encode deterministic per-customer
+    points to 5-character geohashes (the standard lon-first
+    bit-interleaved base32 encoding) and census the occupied cells at
+    the 2-character prefix level — the hierarchical prefix-joinable
+    cell index used for spatial partitioning and neighbor search at
+    scale (a coarser cell is literally a prefix of a finer one). The
+    per-group sum of exact 25-bit cell numbers hash-gates EVERY point's
+    full-precision encoding, not just the group keys. The bit
+    extraction runs in the exact dyadic domain: each coordinate is a
+    48-bit md5 fraction, so floor(t * 2^j) is exact and both engines
+    produce identical bits (no degree-domain division whose rounding
+    could straddle a cell boundary). Encoding is a pure JVM column
+    expression inside the single scan; the census is one
+    map-combinable aggregation on the cell key."""
+    cust = load_table(spark, "customer", sf_dir)
+
+    def frac(tag: str) -> str:
+        # divide by CAST(2^48 AS DOUBLE): an inline 281474976710656.0
+        # literal parses as DECIMAL in Spark SQL (recorded lesson) and
+        # would drag the whole expression into decimal arithmetic
+        return (
+            f"(cast(conv(substr(md5(concat('{tag}:', cast(c_custkey as string))),"
+            f" 1, 12), 16, 10) as bigint) / cast({1 << 48} as double))"
+        )
+
+    tlon, tlat = frac("lon"), frac("lat")
+    pts = cust.select(
+        "c_custkey",
+        F.expr(tlon).alias("tlon"),
+        F.expr(tlat).alias("tlat"),
+    )
+    cellnum = F.expr(_gh_cellnum_expr("tlon", "tlat"))
+    cells = (
+        pts.withColumn("cellnum", cellnum)
+        .groupBy(F.expr("cast(floor(cellnum / 32768) as bigint)").alias("cell2num"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.min("cellnum").cast("long").alias("min_cellnum"),
+            F.sum("cellnum").cast("long").alias("sum_cellnum"),
+            F.round(F.min("tlon") * 360 - 180, 6).alias("min_lon"),
+            F.round(F.min("tlat") * 180 - 90, 6).alias("min_lat"),
+        )
+    )
+    return cells.select(
+        F.expr(_gh_b32_sql("cell2num * 32768", 2)).alias("cell2"),
+        "n_customers",
+        "min_custkey",
+        F.expr(_gh_b32_sql("min_cellnum", 5)).alias("first_geohash"),
+        "sum_cellnum",
+        "min_lon",
+        "min_lat",
+    ).orderBy("cell2")
+
+
 @register(
     "dq_benford_first_digit",
     oracle=f"""

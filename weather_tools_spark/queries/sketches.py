@@ -379,3 +379,130 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set operations over KMV sketches
+# ---------------------------------------------------------------------------
+
+_TH_K = 32
+_TH_A, _TH_B = "click", "purchase"
+# frac(h) = first 48 md5 bits as an exact dyadic fraction in [0, 1)
+_TH_FRAC_SPARK = (
+    # CAST(2^48 AS DOUBLE): an inline .0 literal parses as DECIMAL in
+    # Spark SQL and would make the fraction (and theta) decimal-typed
+    f"cast(conv(substr(h, 1, 12), 16, 10) as bigint) / cast({1 << 48} as double)"
+)
+_TH_FRAC_DUCK = "('0x' || substr(h, 1, 12))::BIGINT / 281474976710656.0"
+
+
+def _theta_side_sql(side: str, etype: str) -> str:
+    """CTEs building one side's distinct-hash frame, k-min sketch and
+    theta (kth fraction, or 1.0 below k — the exact-regime convention)."""
+    return f"""
+    h{side} AS (
+      SELECT DISTINCT md5('u:' || CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE event_type = '{etype}'
+    ),
+    sk{side} AS (SELECT h FROM h{side} ORDER BY h LIMIT {_TH_K}),
+    th{side} AS (
+      SELECT CASE WHEN (SELECT count(*) FROM h{side}) >= {_TH_K}
+                  THEN (SELECT max({_TH_FRAC_DUCK}) FROM sk{side})
+                  ELSE 1.0 END AS theta
+    )"""
+
+
+@register(
+    "sketch_kmv_setops",
+    oracle=f"""
+    WITH {_theta_side_sql("a", _TH_A)},
+    {_theta_side_sql("b", _TH_B)},
+    th AS (SELECT least(a.theta, b.theta) AS theta FROM tha a, thb b),
+    sa AS (SELECT h FROM ska, th WHERE {_TH_FRAC_DUCK} < th.theta),
+    sb AS (SELECT h FROM skb, th WHERE {_TH_FRAC_DUCK} < th.theta),
+    counts AS (
+      SELECT (SELECT count(*) FROM sa) AS na,
+             (SELECT count(*) FROM sb) AS nb,
+             (SELECT count(*) FROM sa WHERE h IN (SELECT h FROM sb)) AS ni,
+             (SELECT theta FROM th) AS theta
+    ),
+    exact AS (
+      SELECT (SELECT count(*) FROM ha) AS xa,
+             (SELECT count(*) FROM hb) AS xb,
+             (SELECT count(*) FROM ha WHERE h IN (SELECT h FROM hb)) AS xi
+    )
+    SELECT {_TH_K} AS k,
+           CAST(e.xa AS BIGINT) AS exact_a,
+           CAST(e.xb AS BIGINT) AS exact_b,
+           CAST(e.xa + e.xb - e.xi AS BIGINT) AS exact_union,
+           CAST(e.xi AS BIGINT) AS exact_intersection,
+           round((c.na + c.nb - c.ni) / c.theta, 6) AS est_union,
+           round(c.ni / c.theta, 6) AS est_intersection,
+           round((c.na - c.ni) / c.theta, 6) AS est_a_minus_b
+    FROM counts c, exact e
+    """,
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over two KMV sketches: estimate
+    |A ∪ B|, |A ∩ B| and |A \\ B| for the click-user and purchase-user
+    sets from their k-minimum-value sketches alone — the standard theta
+    intersection (cut both retained sets at theta = min(theta_a,
+    theta_b); any set expression's cardinality is |survivors| / theta),
+    the composability that makes KMV the sketch of choice for audience
+    overlap at 100 TB. Deterministic end to end: md5 hashes, theta as
+    an exact dyadic 48-bit fraction, integer survivor counts, one
+    correctly-rounded division per estimate — the oracle replays the
+    full sketch state. Below k the sketch is exact (theta = 1.0, the
+    sf0.001 gate exercises that regime; larger SFs exercise the
+    estimator). The per-side distinct is the only shuffle on the fact;
+    sketches, thetas and survivor joins are <= k-row frames."""
+    ev = load_table(spark, "events", sf_dir)
+    frac = F.expr(_TH_FRAC_SPARK)
+
+    def side(etype: str):
+        h = (
+            ev.filter(F.col("event_type") == etype)
+            .select(F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string"))).alias("h"))
+            .distinct()
+        )
+        sk = h.orderBy("h").limit(_TH_K)
+        n = h.agg(F.count(F.lit(1)).alias("n"))
+        kth = sk.agg(F.max(frac).alias("kth"))
+        theta = (
+            n.crossJoin(kth)
+            .select(
+                F.when(F.col("n") >= _TH_K, F.col("kth")).otherwise(F.lit(1.0)).alias("theta"),
+                F.col("n"),
+            )
+        )
+        return h, sk, theta
+
+    ha, ska, ta = side(_TH_A)
+    hb, skb, tb = side(_TH_B)
+    th = (
+        ta.select(F.col("theta").alias("theta_a"), F.col("n").alias("xa"))
+        .crossJoin(tb.select(F.col("theta").alias("theta_b"), F.col("n").alias("xb")))
+        .select(F.least("theta_a", "theta_b").alias("theta"), "xa", "xb")
+    )
+    sa = ska.crossJoin(F.broadcast(th.select("theta"))).filter(frac < F.col("theta"))
+    sb = skb.crossJoin(F.broadcast(th.select("theta"))).filter(frac < F.col("theta"))
+    na = sa.agg(F.count(F.lit(1)).alias("na"))
+    nb = sb.agg(F.count(F.lit(1)).alias("nb"))
+    ni = sa.select("h").join(sb.select("h"), "h").agg(F.count(F.lit(1)).alias("ni"))
+    xi = ha.join(hb, "h").agg(F.count(F.lit(1)).alias("xi"))
+    return (
+        th.crossJoin(na)
+        .crossJoin(nb)
+        .crossJoin(ni)
+        .crossJoin(xi)
+        .select(
+            F.lit(_TH_K).alias("k"),
+            F.col("xa").cast("long").alias("exact_a"),
+            F.col("xb").cast("long").alias("exact_b"),
+            (F.col("xa") + F.col("xb") - F.col("xi")).cast("long").alias("exact_union"),
+            F.col("xi").cast("long").alias("exact_intersection"),
+            F.round((F.col("na") + F.col("nb") - F.col("ni")) / F.col("theta"), 6).alias("est_union"),
+            F.round(F.col("ni") / F.col("theta"), 6).alias("est_intersection"),
+            F.round((F.col("na") - F.col("ni")) / F.col("theta"), 6).alias("est_a_minus_b"),
+        )
+    )
