@@ -99,3 +99,74 @@ def test_semdedup_matches_bruteforce(spark, emb):
         assert bool(marked.loc[vid, "keep"]) == keep, vid
     # dedup must actually fire on this corpus at this threshold
     assert (~marked["keep"]).sum() > 0
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from weather_tools_spark.operators.similarity import gram_matrix
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(4)
+    g = gram_matrix(df, "embedding", 8).toPandas().pivot(index="gi", columns="gj", values="g")
+    expect = x.astype(np.float64).T @ x.astype(np.float64)
+    assert np.allclose(g.to_numpy(), expect, rtol=0, atol=1e-9)
+    # symmetric and complete
+    assert g.shape == (8, 8)
+    assert np.allclose(g.to_numpy(), g.to_numpy().T, rtol=0, atol=1e-9)
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    import numpy as np
+
+    from weather_tools_spark.queries.similarity import (
+        _PCA_D,
+        _PCA_ITERS,
+        _PCA_V0,
+        ml_pca_power_iteration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = ml_pca_power_iteration(spark, sf).toPandas()
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    x = np.vstack(emb.embedding.to_numpy()).astype(np.float64)
+    g = x.T @ x
+    v = np.full(_PCA_D, _PCA_V0)
+    for _ in range(_PCA_ITERS):
+        w = g @ v
+        nrm = np.sqrt((w * w).sum())
+        v = w / nrm
+    assert np.allclose(out.loading.to_numpy(), v, rtol=0, atol=1e-6)
+    assert abs(out.eigenvalue.iloc[0] - nrm) < 1e-3
+
+
+def test_power_iteration_converges_on_anisotropic_corpus(spark):
+    # The registry corpus is isotropic (near-flat spectrum), so the
+    # query certifies machinery, not convergence. Here: a corpus with a
+    # strong dominant direction must converge to it in a few steps.
+    import numpy as np
+
+    from weather_tools_spark.operators.similarity import gram_matrix, power_iteration
+
+    rng = np.random.default_rng(11)
+    d, n = 8, 200
+    direction = np.ones(d) / np.sqrt(d)
+    x = (rng.normal(size=(n, 1)) * 6.0) @ direction[None, :] + rng.normal(
+        size=(n, d)
+    ) * 0.3
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+    g = gram_matrix(df, "embedding", d)
+    vdf, nrmdf = power_iteration(g, d, iters=5, v0=float(1 / np.sqrt(d)))
+    v = vdf.orderBy("vi").toPandas().vv.to_numpy()
+    lam = float(nrmdf.toPandas().nrm.iloc[0])
+    gg = x.T @ x
+    evals, evecs = np.linalg.eigh(gg)
+    top = evecs[:, -1]
+    assert abs(float(top @ v)) > 0.999
+    assert abs(lam - evals[-1]) / evals[-1] < 1e-3

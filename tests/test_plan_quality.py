@@ -478,3 +478,14 @@ def test_cusum_reduces_then_windows(spark, sf_dir):
     plan = _formatted_plan(spark, "events_cusum_changepoint", sf_dir)
     assert _scans(plan) <= 1, _scans(plan)
     assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_pca_gram_is_bounded_mapinpandas(spark, sf_dir):
+    # The Gram build must be the mapInPandas partial-sum kernel (d^2
+    # rows per batch) + one map-combinable aggregation; the iteration
+    # joins run broadcast on the tiny G frame. No corpus collect, no
+    # cartesian (the 1-row norm attach may BNLJ).
+    plan = _formatted_plan(spark, "ml_pca_power_iteration", sf_dir)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

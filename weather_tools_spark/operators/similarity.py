@@ -535,3 +535,60 @@ def lsh_topk(
     scored = _score_pairs(candidates)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Distributed Gram matrix G = X^T X: one ``mapInPandas`` pass where
+    each Arrow batch computes its partial X_b^T X_b by fp64 dgemm and
+    emits d*d (i, j, partial) rows — d^2 doubles per batch, never n
+    rows — merged by one map-combinable sum. This is the covariance /
+    PCA building block: shuffle volume is O(batches * d^2) regardless
+    of corpus size, the same bounded-state contract as the k-means
+    partial-sum pass. Component indices are 1-based (aligned with SQL
+    ``generate_subscripts``)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            ii, jj = np.meshgrid(np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij")
+            yield pd.DataFrame(
+                {"gi": ii.ravel(), "gj": jj.ravel(), "partial": g.ravel()}
+            )
+
+    parts = df.select(vec_col).mapInPandas(gen, "gi int, gj int, partial double")
+    return parts.groupBy("gi", "gj").agg(F.sum("partial").alias("g"))
+
+
+def power_iteration(
+    g: DataFrame, dim: int, iters: int, v0: float
+) -> tuple[DataFrame, DataFrame]:
+    """Power iteration v <- G v / ||G v|| on a (gi, gj, g) Gram frame:
+    each step is one broadcast join + map-combinable matvec sum on the
+    tiny d^2-row frame. Returns (v, norm) after `iters` steps; the norm
+    of the last un-normalized iterate is the Rayleigh-quotient estimate
+    of the dominant eigenvalue. Convergence is spectrum-dependent
+    (alignment error ~ (lambda2/lambda1)^iters); the machinery is
+    deterministic regardless."""
+    spark = g.sparkSession
+    v = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("vi"), F.lit(v0).alias("vv")
+    )
+    nrm = None
+    for _ in range(iters):
+        w = (
+            g.join(F.broadcast(v), g.gj == v.vi)
+            .groupBy("gi")
+            .agg(F.sum(F.col("g") * F.col("vv")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("gi").alias("vi"), (F.col("w") / F.col("nrm")).alias("vv")
+        )
+    return v, nrm

@@ -127,6 +127,7 @@ CHECK_CHANGED: list[str] = [
     "sample_weighted_priority",    # r4: NEW — priority sampling (w/u keys, libm-free), oracle-gated
     "geo_geohash_cells",           # r4: NEW — exact-dyadic geohash encoding + prefix census, oracle-gated
     "sketch_kmv_setops",           # r4: NEW — theta-sketch union/intersection/difference, oracle replays state
+    "ml_pca_power_iteration",      # r4: NEW — distributed Gram + power iteration, oracle replays all steps
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

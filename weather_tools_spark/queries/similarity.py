@@ -608,3 +608,87 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select(
         "query_id", "kind", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
     ).orderBy("query_id", "kind", "rk")
+
+
+# ---------------------------------------------------------------------------
+# PCA top component by power iteration on the distributed Gram matrix
+# ---------------------------------------------------------------------------
+
+_PCA_D = 64
+_PCA_ITERS = 3
+_PCA_V0 = 0.125  # 1/sqrt(64): exact dyadic, so both engines start identically
+
+
+def _pca_oracle() -> str:
+    parts = [
+        f"""
+    e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    g AS (
+      SELECT a.i AS gi, b.i AS gj, sum(a.v * b.v) AS g
+      FROM e a JOIN e b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    v0 AS (
+      SELECT unnest(generate_series(1, {_PCA_D})) AS vi, {_PCA_V0!r} AS vv
+    )"""
+    ]
+    for it in range(1, _PCA_ITERS + 1):
+        parts.append(f"""
+    w{it} AS (
+      SELECT gi, sum(g.g * v.vv) AS w
+      FROM g JOIN v{it - 1} v ON g.gj = v.vi
+      GROUP BY gi
+    ),
+    n{it} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{it}),
+    v{it} AS (SELECT gi AS vi, w / nrm AS vv FROM w{it}, n{it})""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT v.vi AS component,
+           round(v.vv, 6) AS loading,
+           round(n.nrm, 4) AS eigenvalue
+    FROM v{_PCA_ITERS} v CROSS JOIN n{_PCA_ITERS} n
+    ORDER BY component
+    """
+    )
+
+
+@register("ml_pca_power_iteration", oracle=_pca_oracle())
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power
+    iteration: the Gram matrix G = X^T X is computed DISTRIBUTED (one
+    mapInPandas pass emitting d^2 partial sums per batch — shuffle
+    volume O(batches * d^2), corpus never collected), then the
+    iteration v <- G v / ||G v|| runs as broadcast joins on the tiny
+    d^2-row G frame, with the final norm as the Rayleigh-quotient
+    eigenvalue estimate. Starts from the exact dyadic uniform unit
+    vector 1/8, so both engines iterate from identical state; the
+    oracle replays the Gram build AND all three iterations as chained
+    CTEs (sixth iterative algorithm fully under the hash gate). sqrt
+    and division are IEEE correctly-rounded — the only cross-engine
+    divergence is last-ulp summation order inside the Gram/matvec
+    sums, absorbed by the 6-decimal rounding. On this isotropic
+    synthetic corpus the Gram spectrum is near-flat, so three
+    iterations certify the machinery rather than a converged
+    eigenvector (alignment error ~ (lambda2/lambda1)^iters);
+    test_clustering pins actual convergence on an anisotropic
+    corpus."""
+    from weather_tools_spark.operators.similarity import gram_matrix, power_iteration
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    g = gram_matrix(emb, "embedding", _PCA_D).persist()
+    v, nrm = power_iteration(g, _PCA_D, _PCA_ITERS, _PCA_V0)
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("vi").alias("component"),
+            F.round("vv", 6).alias("loading"),
+            F.round("nrm", 4).alias("eigenvalue"),
+        )
+        .orderBy("component")
+    )
