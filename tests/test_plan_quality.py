@@ -489,3 +489,20 @@ def test_pca_gram_is_bounded_mapinpandas(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_window_partitioned_by_key(spark, sf_dir):
+    # The version-close lead() must run partitioned by the CDC key —
+    # a global window over the op-log would serialize at fact scale.
+    plan = _formatted_plan(spark, "cdc_scd2_history", sf_dir)
+    wins = re.findall(r"^\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan, re.MULTILINE)
+    assert wins and all("key" in w for w in wins), wins
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_linkage_reduces_names_before_pairing(spark, sf_dir):
+    # The quadratic stage must run on the distinct-name frame (bounded
+    # by vocabulary, not rows): an aggregate must sit below the join.
+    plan = _formatted_plan(spark, "linkage_fuzzy_part_names", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2

@@ -128,6 +128,8 @@ CHECK_CHANGED: list[str] = [
     "geo_geohash_cells",           # r4: NEW — exact-dyadic geohash encoding + prefix census, oracle-gated
     "sketch_kmv_setops",           # r4: NEW — theta-sketch union/intersection/difference, oracle replays state
     "ml_pca_power_iteration",      # r4: NEW — distributed Gram + power iteration, oracle replays all steps
+    "cdc_scd2_history",            # r4: NEW — SCD Type 2 effective-dated history census, oracle-gated
+    "linkage_fuzzy_part_names",    # r4: NEW — blocked Levenshtein fuzzy linkage, integer DP, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1570,3 +1570,171 @@ def cdc_apply_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    WITH ops AS (
+      SELECT o_custkey AS key, o_orderdate, o_orderkey,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+                  THEN 'D' ELSE 'U' END AS op
+      FROM orders
+    ),
+    seq AS (
+      SELECT key, o_orderdate AS valid_from, op,
+             lead(o_orderdate) OVER (PARTITION BY key
+                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+      FROM ops
+    ),
+    versions AS (SELECT * FROM seq WHERE op = 'U'),
+    per_key AS (
+      SELECT key,
+             CAST(count(*) AS BIGINT) AS n_versions,
+             CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+             CAST(coalesce(sum(CASE WHEN valid_to IS NOT NULL
+                  THEN date_diff('day', valid_from, valid_to) END), 0) AS BIGINT) AS dur_days
+      FROM versions GROUP BY key
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(p.n_versions) AS BIGINT) AS n_versions,
+           CAST(sum(p.n_current) AS BIGINT) AS n_current,
+           CAST(sum(p.n_versions - p.n_current) AS BIGINT) AS n_closed,
+           CAST(sum(p.dur_days) AS BIGINT) AS sum_duration_days,
+           CAST(max(p.n_versions) AS BIGINT) AS max_versions_per_key
+    FROM per_key p JOIN customer c ON c.c_custkey = p.key
+    GROUP BY segment ORDER BY segment
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history build from the CDC
+    op-log of cdc_apply_latest_snapshot: every upsert opens an
+    effective-dated version [valid_from, valid_to) whose close date is
+    the NEXT op on the key (update or tombstone) via one partitioned
+    lead() window — a key whose last op is a delete ends with no
+    current version. The per-segment census (versions, currents,
+    closed-version duration in exact integer days, max version depth)
+    summarizes the history table a warehouse MERGE would materialize.
+    One shuffle on the key for the window, two map-combinable
+    aggregation levels, broadcastable dimension join — the standard
+    SCD2 topology at fact scale."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    ops = orders.select(
+        F.col("o_custkey").alias("key"),
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0), "D"
+        )
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("key").orderBy("o_orderdate", "o_orderkey")
+    versions = (
+        ops.withColumn("valid_to", F.lead("o_orderdate").over(w))
+        .filter(F.col("op") == "U")
+        .select("key", F.col("o_orderdate").alias("valid_from"), "valid_to")
+    )
+    per_key = versions.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias("n_current"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("valid_to").isNotNull(),
+                    F.datediff("valid_to", "valid_from"),
+                )
+            ),
+            F.lit(0),
+        ).alias("dur_days"),
+    )
+    return (
+        per_key.join(F.broadcast(cust), per_key.key == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_versions").alias("n_versions"),
+            F.sum("n_current").alias("n_current"),
+            F.sum(F.col("n_versions") - F.col("n_current")).alias("n_closed"),
+            F.sum("dur_days").alias("sum_duration_days"),
+            F.max("n_versions").alias("max_versions_per_key"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "linkage_fuzzy_part_names",
+    oracle="""
+    WITH names AS (
+      SELECT p_name,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(min(p_partkey) AS BIGINT) AS min_partkey
+      FROM part GROUP BY p_name
+    ),
+    keyed AS (
+      SELECT p_name, n_parts,
+             substr(p_name, strpos(p_name, ' ') + 1) AS noun
+      FROM names
+    )
+    SELECT a.noun,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           CAST(a.n_parts * b.n_parts AS BIGINT) AS pair_weight
+    FROM keyed a JOIN keyed b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY a.noun, name_a, name_b
+    """,
+)
+def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-string record linkage: candidate part-name pairs blocked
+    on the head noun (classic blocking — candidates only form inside a
+    block, never corpus-quadratic) and scored by Levenshtein edit
+    distance <= 4, weighted by the product of the names' part counts.
+    The name frame is first reduced map-combinably (64 distinct names
+    regardless of fact size), so the quadratic stage is bounded by
+    distinct-values-per-block, not rows — the same
+    reduce-then-block-then-pair topology the Fellegi-Sunter linkage
+    query uses for discrete fields. Levenshtein is an integer DP,
+    identical in both engines — no float anywhere."""
+    part = load_table(spark, "part", sf_dir)
+    names = part.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+    keyed = names.select(
+        "p_name",
+        "n_parts",
+        F.expr("substr(p_name, instr(p_name, ' ') + 1)").alias("noun"),
+    )
+    a = keyed.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("na"),
+        F.col("noun").alias("noun"),
+    )
+    b = keyed.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("nb"),
+        F.col("noun").alias("noun_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("noun") == F.col("noun_b")) & (F.col("name_a") < F.col("name_b")),
+    )
+    return (
+        pairs.withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 4)
+        .select(
+            "noun",
+            "name_a",
+            "name_b",
+            "dist",
+            (F.col("na") * F.col("nb")).cast("long").alias("pair_weight"),
+        )
+        .orderBy("noun", "name_a", "name_b")
+    )
