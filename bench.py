@@ -98,6 +98,18 @@ HEADLINE = [
     "cdc_apply_latest_snapshot",
     "multimodal_image_decode_agg",
     "weather_etccdi_spells",
+    # round-4 session-5 additions (cheap representatives; the heavier
+    # graph_shortest_paths stays oracle-checked but out of the headline
+    # set like the audits)
+    "events_autocorrelation",
+    "dq_benford_first_digit",
+    "events_json_props_extract",
+    "events_cusum_changepoint",
+    "sample_weighted_priority",
+    "geo_geohash_cells",
+    "sketch_kmv_setops",
+    "analytics_skyline_parts",
+    "ml_pca_power_iteration",
 ]
 
 

@@ -417,14 +417,22 @@ def test_skyline_stage1_window_bucket_partitioned(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_shortest_paths_frontier_joins_broadcast(spark, sf_dir):
-    # Frontier expansions join frontier x edges on the tiny aggregated
-    # graph — every per-level join must be hash-based (broadcast at
-    # this size), never a cartesian; the only shuffles belong to the
-    # distributed edge build.
-    plan = _formatted_plan(spark, "graph_shortest_paths", sf_dir)
+def test_shortest_paths_edge_build_distributed(spark, sf_dir):
+    # The fact-scale stage (edge aggregation) must stay distributed:
+    # hash joins, map-side partial aggregation, a key-partitioned
+    # ranking window — never a cartesian. The BFS itself runs on the
+    # collected bounded summary (<= |nations| * topk rows).
+    from weather_tools_spark.queries.analytics import _sp_edges_df
+
+    df = _sp_edges_df(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2
+    wins = re.findall(r"^\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan, re.MULTILINE)
+    assert wins and all("src" in w for w in wins), wins
 
 
 def test_acf_and_benford_reduce_before_joining(spark, sf_dir):
@@ -506,3 +514,23 @@ def test_fuzzy_linkage_reduces_names_before_pairing(spark, sf_dir):
     plan = _formatted_plan(spark, "linkage_fuzzy_part_names", sf_dir)
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2
+
+
+def test_allocation_windows_partitioned_by_order(spark, sf_dir):
+    # Every proration window must partition by l_orderkey — the
+    # allocation is per-order math and must never serialize globally.
+    plan = _formatted_plan(spark, "finance_largest_remainder_allocation", sf_dir)
+    wins = re.findall(r"^\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan, re.MULTILINE)
+    assert wins and all("l_orderkey" in w for w in wins), wins
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_explodes_mapside_only(spark, sf_dir):
+    # The x16 resample fan-out must be a broadcast nested-loop of the
+    # tiny literal frame (map-side row multiplication), with the only
+    # real shuffle being the 16-group aggregate.
+    plan = _formatted_plan(spark, "stats_poisson_bootstrap_ci", sf_dir)
+    assert "CartesianProduct" not in plan
+    def _scans(p):
+        return len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+    assert _scans(plan) <= 2  # fact scan + the point-estimate branch

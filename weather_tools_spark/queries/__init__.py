@@ -130,6 +130,8 @@ CHECK_CHANGED: list[str] = [
     "ml_pca_power_iteration",      # r4: NEW — distributed Gram + power iteration, oracle replays all steps
     "cdc_scd2_history",            # r4: NEW — SCD Type 2 effective-dated history census, oracle-gated
     "linkage_fuzzy_part_names",    # r4: NEW — blocked Levenshtein fuzzy linkage, integer DP, oracle-gated
+    "finance_largest_remainder_allocation",  # r4: NEW — exact integer proration, invariant-carrying, oracle-gated
+    "stats_poisson_bootstrap_ci",  # r4: NEW — distributed Poisson bootstrap CI, deterministic draws, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -70,6 +70,30 @@ def _sp_bfs_sql() -> str:
     return ",\n".join(parts)
 
 
+def _sp_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed edge build: fact-fact join aggregated
+    map-combinably into <= |nations|^2 weighted edges, then the
+    per-source top-k cap via a key-partitioned ranking window.
+    Factored out so the plan-quality suite can pin its topology."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    raw = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wk = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    return (
+        raw.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _SP_TOPK)
+        .select("src", "dst")
+    )
+
+
 @register(
     "graph_shortest_paths",
     oracle=f"""
@@ -85,52 +109,40 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting (the betweenness-centrality forward pass) over the
     customer-nation -> supplier-nation trade graph, kept sparse by a
     per-source top-k out-edge cap so multi-hop structure actually
-    exists. Layered BFS: frontier L+1 = LEFT-ANTI(unreached) neighbors
-    of frontier L, npaths = sum over predecessors — each level is one
-    join + one map-combinable aggregation on the TINY aggregated graph
-    (<= |nations|^2 edges); the expensive stage is the fully
-    distributed fact-join edge build, exactly like graph_pagerank.
-    The oracle replays every frontier expansion as chained CTEs, so the
-    hash gate certifies the iteration schedule itself (fifth iterative
-    algorithm under the oracle, after k-means, PageRank, label
-    propagation, and parcel advection)."""
-    orders = load_table(spark, "orders", sf_dir)
-    cust = load_table(spark, "customer", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
-    supp = load_table(spark, "supplier", sf_dir)
-    raw = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    wk = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
-    edges = (
-        raw.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= _SP_TOPK)
-        .select("src", "dst")
-        .persist()
-    )
-    reached = spark.createDataFrame(
-        [(_SP_SOURCE, 0, 1)], "nk INT, dist INT, npaths BIGINT"
-    )
+    exists. Layered BFS: frontier L+1 = unreached out-neighbors of
+    frontier L, npaths = sum over predecessors. The EXPENSIVE stage is
+    the fully distributed fact-join edge build (map-combinable into
+    <= |nations|^2 rows, exactly like graph_pagerank); the frontier
+    schedule then runs on the COLLECTED edge summary — a bounded
+    collect of <= |nations| * topk rows, the same documented contract
+    as the PageRank node count and the k-means centroid merge. (A
+    DataFrame-join level loop is the right shape when the vertex set
+    exceeds driver memory, but on an aggregated dimension-sized graph
+    it pays ~10 s of per-level stage overhead to shuffle 25-row
+    frames — measured 14 s vs 1.5 s at sf0.01.) The oracle replays
+    every frontier expansion as chained CTEs, so the hash gate
+    certifies the iteration schedule itself (fifth iterative algorithm
+    under the oracle, after k-means, PageRank, label propagation, and
+    parcel advection)."""
+    edge_rows = _sp_edges_df(spark, sf_dir).collect()  # bounded: <= |nations| * topk rows
+    out_adj: dict[int, list[int]] = {}
+    for r in edge_rows:
+        out_adj.setdefault(int(r.src), []).append(int(r.dst))
+    reached: dict[int, tuple[int, int]] = {_SP_SOURCE: (0, 1)}
+    frontier = [_SP_SOURCE]
     for lvl in range(1, _SP_LEVELS + 1):
-        frontier = (
-            reached.filter(F.col("dist") == lvl - 1)
-            .join(edges, F.col("nk") == F.col("src"))
-            .join(reached.select(F.col("nk").alias("dst")), "dst", "left_anti")
-            .groupBy("dst")
-            .agg(F.sum("npaths").alias("npaths"))
-            .select(
-                F.col("dst").alias("nk"),
-                F.lit(lvl).cast("int").alias("dist"),
-                F.col("npaths").cast("long").alias("npaths"),
-            )
-        )
-        reached = reached.unionByName(frontier)
-    return reached.select(
-        F.col("nk").cast("int").alias("nationkey"), "dist", "npaths"
+        counts: dict[int, int] = {}
+        for nk in frontier:
+            npaths = reached[nk][1]
+            for dst in out_adj.get(nk, ()):
+                if dst not in reached:
+                    counts[dst] = counts.get(dst, 0) + npaths
+        for dst, c in counts.items():
+            reached[dst] = (lvl, c)
+        frontier = sorted(counts)
+    rows = [(nk, d, c) for nk, (d, c) in reached.items()]
+    return spark.createDataFrame(
+        rows, "nationkey INT, dist INT, npaths BIGINT"
     ).orderBy("dist", "nationkey")
 
 
@@ -722,4 +734,244 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder allocation (exact integer proration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "finance_largest_remainder_allocation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS t
+      FROM orders
+    ),
+    j AS (
+      SELECT li.l_orderkey, li.l_linenumber, li.w, o.t, o.o_orderpriority,
+             sum(li.w) OVER (PARTITION BY li.l_orderkey) AS wsum
+      FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+    ),
+    base AS (
+      SELECT *,
+             CAST(floor((t * w) / wsum) AS BIGINT) AS base_cents,
+             (t * w) % wsum AS rem
+      FROM j
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rk,
+             t - sum(base_cents) OVER (PARTITION BY l_orderkey) AS shortfall
+      FROM base
+    ),
+    alloc AS (
+      SELECT o_orderpriority, l_orderkey, t,
+             base_cents + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS alloc_cents,
+             CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS bumped
+      FROM ranked
+    ),
+    per_order AS (
+      SELECT o_orderpriority, l_orderkey,
+             max(t) AS t, sum(alloc_cents) AS allocated, sum(bumped) AS n_bumped,
+             count(*) AS n_items
+      FROM alloc GROUP BY 1, 2
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_items) AS BIGINT) AS n_lineitems,
+           CAST(sum(t) AS BIGINT) AS total_cents,
+           CAST(sum(allocated) AS BIGINT) AS allocated_cents,
+           CAST(sum(n_bumped) AS BIGINT) AS n_bumped,
+           CAST(sum(CASE WHEN allocated <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched
+    FROM per_order
+    GROUP BY 1 ORDER BY priority
+    """,
+)
+def finance_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation: prorate each order's
+    total cents across its lineitems proportional to extended price,
+    in EXACT integer arithmetic — base share floor(t*w / W), then the
+    per-order shortfall (at most items-1 cents) goes one cent each to
+    the largest remainders, ties to the lower line number. The
+    invariant sum(alloc) == total holds exactly per order and is
+    emitted as n_mismatched (must be 0) — the property float proration
+    cannot give. Topology: one equi-join, two key-partitioned windows
+    on the fact, map-combinable rollups; products t*w stay under 2^53
+    for TPC-H magnitudes and under BIGINT far beyond."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("w"),
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("t"),
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "wsum", F.sum("w").over(W.partitionBy("l_orderkey"))
+    )
+    base = j.withColumn(
+        "base_cents", F.floor((F.col("t") * F.col("w")) / F.col("wsum")).cast("long")
+    ).withColumn("rem", (F.col("t") * F.col("w")) % F.col("wsum"))
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("l_orderkey").orderBy(F.col("rem").desc(), "l_linenumber")
+        ),
+    ).withColumn(
+        "shortfall", F.col("t") - F.sum("base_cents").over(W.partitionBy("l_orderkey"))
+    )
+    alloc = ranked.select(
+        "o_orderpriority",
+        "l_orderkey",
+        "t",
+        (F.col("base_cents") + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)).alias(
+            "alloc_cents"
+        ),
+        F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0).alias("bumped"),
+    )
+    per_order = alloc.groupBy("o_orderpriority", "l_orderkey").agg(
+        F.max("t").alias("t"),
+        F.sum("alloc_cents").alias("allocated"),
+        F.sum("bumped").alias("n_bumped"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return (
+        per_order.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").alias("n_lineitems"),
+            F.sum("t").alias("total_cents"),
+            F.sum("allocated").alias("allocated_cents"),
+            F.sum("n_bumped").alias("n_bumped"),
+            F.sum(F.when(F.col("allocated") != F.col("t"), 1).otherwise(0)).alias(
+                "n_mismatched"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BS_B = 16
+# Poisson(1) CDF thresholds as exact double literals: weight k is drawn
+# when u lands in (P_{k-1}, P_k]; u is an exact dyadic md5 fraction, so
+# the comparisons are deterministic in both engines.
+_BS_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+]
+
+
+def _bs_weight_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} <= {t!r} THEN {k}" for k, t in enumerate(_BS_POIS_CDF)
+    )
+    return f"CASE {arms} ELSE {len(_BS_POIS_CDF)} END"
+
+
+@register(
+    "stats_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH draws AS (
+      SELECT r.r, o.o_orderkey, o.o_totalprice AS x,
+             {_bs_weight_sql("(('0x' || substr(md5('bs:' || CAST(r.r AS VARCHAR) || ':' || CAST(o.o_orderkey AS VARCHAR)), 1, 12))::BIGINT / 281474976710656.0)")} AS w
+      FROM orders o
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BS_B - 1})) AS r) r
+    ),
+    means AS (
+      SELECT r, CAST(sum(w) AS BIGINT) AS n_drawn,
+             round(sum(w * x) / sum(w), 4) AS mean
+      FROM draws GROUP BY r
+    ),
+    point AS (SELECT round(avg(o_totalprice), 4) AS pt FROM orders),
+    ci AS (
+      SELECT round(quantile_cont(mean, 0.05), 4) AS ci_low,
+             round(quantile_cont(mean, 0.95), 4) AS ci_high
+      FROM means
+    )
+    SELECT m.r AS resample, m.n_drawn, m.mean,
+           p.pt AS point_estimate, c.ci_low, c.ci_high
+    FROM means m CROSS JOIN point p CROSS JOIN ci c
+    ORDER BY m.r
+    """,
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value — THE distributed
+    bootstrap: instead of materializing B resamples-with-replacement
+    (impossible to coordinate across executors), each row draws an
+    independent Poisson(1) replication weight per resample, which
+    converges to multinomial resampling as n grows. Weights come from
+    exact dyadic md5 fractions cut against precomputed Poisson-CDF
+    double literals (deterministic CASE, no RNG state, reproducible on
+    any cluster topology). The per-resample means reduce
+    map-combinably; the 90% CI interpolates order statistics of the 16
+    ROUNDED means (exact dyadic interpolation positions), so the gate
+    is drift-free end to end. The fact is scanned once and exploded
+    x16 map-side — no shuffle grows with B beyond the 16-group
+    aggregate."""
+    orders = load_table(spark, "orders", sf_dir)
+    r = spark.range(_BS_B).select(F.col("id").cast("int").alias("r"))
+    u = F.expr(
+        "cast(conv(substr(md5(concat('bs:', cast(r as string), ':',"
+        " cast(o_orderkey as string))), 1, 12), 16, 10) as bigint)"
+        f" / cast({1 << 48} as double)"
+    )
+    w = F.coalesce(
+        *[
+            F.when(u <= F.lit(t), F.lit(k))
+            for k, t in enumerate(_BS_POIS_CDF)
+        ],
+        F.lit(len(_BS_POIS_CDF)),
+    )
+    draws = orders.crossJoin(F.broadcast(r)).select(
+        "r", F.col("o_totalprice").alias("x"), w.alias("w")
+    )
+    # persist the 16-row means frame: the CI branch would otherwise
+    # re-derive it from the draws lineage and re-scan the fact
+    means = (
+        draws.groupBy("r")
+        .agg(
+            F.sum("w").cast("long").alias("n_drawn"),
+            F.round(F.sum(F.col("w") * F.col("x")) / F.sum("w"), 4).alias("mean"),
+        )
+        .persist()
+    )
+    point = orders.agg(F.round(F.avg("o_totalprice"), 4).alias("point_estimate"))
+    ci = means.agg(
+        F.round(F.expr("percentile(mean, 0.05)"), 4).alias("ci_low"),
+        F.round(F.expr("percentile(mean, 0.95)"), 4).alias("ci_high"),
+    )
+    return (
+        means.crossJoin(F.broadcast(point))
+        .crossJoin(F.broadcast(ci))
+        .select(
+            F.col("r").alias("resample"),
+            "n_drawn",
+            "mean",
+            "point_estimate",
+            "ci_low",
+            "ci_high",
+        )
+        .orderBy("resample")
     )
