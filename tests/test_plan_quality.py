@@ -534,3 +534,14 @@ def test_bootstrap_explodes_mapside_only(spark, sf_dir):
     def _scans(p):
         return len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
     assert _scans(plan) <= 2  # fact scan + the point-estimate branch
+
+
+def test_privacy_queries_single_pass(spark, sf_dir):
+    # Both privacy audits are one map-combinable pass over customer
+    # (plus a broadcast nation dim for the quasi-identifier) — no
+    # fact-fact join, no window, no cartesian.
+    for name in ("privacy_dp_noisy_counts", "privacy_k_anonymity"):
+        plan = _formatted_plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert not re.search(r"^\(\d+\) Window", plan, re.MULTILINE), name
+        assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2, name

@@ -132,6 +132,8 @@ CHECK_CHANGED: list[str] = [
     "linkage_fuzzy_part_names",    # r4: NEW — blocked Levenshtein fuzzy linkage, integer DP, oracle-gated
     "finance_largest_remainder_allocation",  # r4: NEW — exact integer proration, invariant-carrying, oracle-gated
     "stats_poisson_bootstrap_ci",  # r4: NEW — distributed Poisson bootstrap CI, deterministic draws, oracle-gated
+    "privacy_dp_noisy_counts",     # r4: NEW — epsilon-DP Laplace release with deterministic draws, oracle-gated
+    "privacy_k_anonymity",         # r4: NEW — k-anonymity violating-group census, integer-exact, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

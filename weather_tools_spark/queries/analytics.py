@@ -975,3 +975,114 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("resample")
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy: differentially-private counts and k-anonymity audit
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.5        # per-release epsilon
+_DP_SCALE = 1.0 / _DP_EPS
+_KANON_K = 20
+
+
+@register(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS true_count
+      FROM customer GROUP BY 1
+    ),
+    noise AS (
+      SELECT segment, true_count,
+             ('0x' || substr(md5('dp:' || segment), 1, 12))::BIGINT
+               / 281474976710656.0 - 0.5 AS u
+      FROM g
+    )
+    SELECT segment, true_count,
+           round(true_count
+                 - {_DP_SCALE!r} * sign(u) * ln(1.0 - 2.0 * abs(u)), 4) AS noisy_count,
+           round(abs({_DP_SCALE!r} * sign(u) * ln(1.0 - 2.0 * abs(u))), 4) AS abs_noise,
+           {_DP_EPS!r} AS epsilon
+    FROM noise ORDER BY segment
+    """,
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-segment customer counts:
+    Laplace(1/epsilon) noise via the inverse CDF
+    -b*sign(u)*ln(1-2|u|) over a centered md5 fraction — the
+    deterministic-seed variant a reproducible pipeline needs (the same
+    release is bit-stable across reruns, while a fresh salt would give
+    a fresh draw). Counting queries have sensitivity 1, so scale = 1/
+    epsilon gives epsilon-DP per release. The aggregate is one
+    map-combinable count; the noise attaches map-side. The single
+    ln() is the HLL-precedent libm call: rounded at 1e-4 against
+    ~1e-15 cross-engine drift."""
+    cust = load_table(spark, "customer", sf_dir)
+    g = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    u = F.expr(
+        "cast(conv(substr(md5(concat('dp:', segment)), 1, 12), 16, 10) as bigint)"
+        f" / cast({1 << 48} as double)"
+    ) - F.lit(0.5)
+    noise = F.lit(_DP_SCALE) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+    return g.select(
+        "segment",
+        "true_count",
+        F.round(F.col("true_count") - noise, 4).alias("noisy_count"),
+        F.round(F.abs(noise), 4).alias("abs_noise"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    ).orderBy("segment")
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN group_size < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(sum(CASE WHEN group_size < {_KANON_K} THEN group_size ELSE 0 END) AS BIGINT)
+             AS n_suppressed_rows,
+           CAST(min(group_size) AS BIGINT) AS min_group_size,
+           CAST(sum(group_size) AS BIGINT) AS n_rows,
+           {_KANON_K} AS k
+    FROM qi
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (nation, segment):
+    every released row must be indistinguishable among >= k records
+    sharing its quasi-identifier tuple. Reports the violating-group
+    census and the suppression cost (rows a k-anonymizing release
+    would drop) — the pre-release privacy gate of a data-publishing
+    pipeline. Pure integer aggregation: one map-combinable group pass
+    on the quasi-identifier, one scalar rollup, broadcast dimension
+    join."""
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    qi = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    )
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("group_size") < _KANON_K, 1).otherwise(0)).alias(
+            "n_violating_groups"
+        ),
+        F.sum(
+            F.when(F.col("group_size") < _KANON_K, F.col("group_size")).otherwise(0)
+        ).alias("n_suppressed_rows"),
+        F.min("group_size").alias("min_group_size"),
+        F.sum("group_size").alias("n_rows"),
+        F.lit(_KANON_K).alias("k"),
+    )
