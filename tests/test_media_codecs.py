@@ -191,3 +191,27 @@ def test_extract_features_real_formats(spark):
         MM.extract_features(df.filter("media_id = 4"), strict=True).collect()
     ok = MM.extract_features(df.filter("media_id < 4"), strict=True).count()
     assert ok == 3
+
+
+def test_video_frame_diffs_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from weather_tools_spark.sources import media_codecs as MC
+    from weather_tools_spark.sources.multimodal import video_frame_diffs
+
+    rng = np.random.default_rng(3)
+    vids = []
+    expect = {}
+    for mid in range(4):
+        frames = rng.integers(0, 256, size=(5 + mid, 4, 6, 3), dtype=np.uint8)
+        vids.append((mid, MC.rvid_encode(frames)))
+        d = np.abs(frames[1:].astype(np.int64) - frames[:-1].astype(np.int64))
+        expect[mid] = d.sum(axis=(1, 2, 3)).tolist()
+    df = spark.createDataFrame(vids, "media_id long, content binary")
+    out = video_frame_diffs(df).toPandas().sort_values(["media_id", "frame_idx"])
+    for mid, sums in expect.items():
+        got = out[out.media_id == mid]
+        assert got.frame_idx.tolist() == list(range(1, len(sums) + 1))
+        assert got.sum_abs_diff.tolist() == sums
+        assert (got.n_frames == len(sums) + 1).all()

@@ -134,6 +134,7 @@ CHECK_CHANGED: list[str] = [
     "stats_poisson_bootstrap_ci",  # r4: NEW — distributed Poisson bootstrap CI, deterministic draws, oracle-gated
     "privacy_dp_noisy_counts",     # r4: NEW — epsilon-DP Laplace release with deterministic draws, oracle-gated
     "privacy_k_anonymity",         # r4: NEW — k-anonymity violating-group census, integer-exact, oracle-gated
+    "multimodal_video_scene_changes",  # r4: NEW — shot detection over real RVID bytes, integer diffs, oracle-gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

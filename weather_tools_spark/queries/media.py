@@ -263,3 +263,94 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "multimodal_video_scene_changes",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id, 8 + (doc_id % 5) AS nf FROM documents
+    ),
+    -- only scene-boundary frames (f % 3 = 0, f >= 3) can differ: within
+    -- a scene the generating formula is frame-invariant, so those diffs
+    -- are exactly 0 and contribute nothing to any output column. The
+    -- Spark side still sums EVERY consecutive diff, so a codec bug that
+    -- leaks nonzero within-scene differences flips total_abs_diff.
+    b0 AS (SELECT media_id, nf, unnest([3, 6, 9, 12]) AS f FROM v),
+    b AS (SELECT media_id, nf, f FROM b0 WHERE f < nf),
+    p0 AS (SELECT media_id, nf, f, unnest(range(0, 8)) AS x FROM b),
+    p1 AS (SELECT media_id, nf, f, x, unnest(range(0, 6)) AS y FROM p0),
+    px AS (SELECT media_id, nf, f, x, y, unnest(range(0, 3)) AS c FROM p1),
+    diffs AS (
+      SELECT media_id, f,
+             sum(abs(
+               (media_id * 11 + (f // 3) * 89 + x * 13 + y * 31 + c * 5) % 256
+               - (media_id * 11 + ((f - 1) // 3) * 89 + x * 13 + y * 31 + c * 5) % 256
+             )) AS sum_abs_diff
+      FROM px GROUP BY media_id, f
+    ),
+    agg AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN sum_abs_diff > 1152 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scene_changes,
+             CAST(min(CASE WHEN sum_abs_diff > 1152 THEN f END) AS BIGINT)
+               AS first_change_frame,
+             CAST(sum(sum_abs_diff) AS BIGINT) AS total_abs_diff
+      FROM diffs GROUP BY media_id
+    )
+    SELECT v.media_id, CAST(v.nf AS INT) AS n_frames,
+           coalesce(a.n_scene_changes, 0) AS n_scene_changes,
+           coalesce(a.n_scene_changes, 0) + 1 AS n_scenes,
+           a.first_change_frame,
+           coalesce(a.total_abs_diff, 0) AS total_abs_diff
+    FROM v LEFT JOIN agg a ON v.media_id = a.media_id
+    ORDER BY v.media_id
+    """,
+)
+def multimodal_video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection through REAL RVID bytes: videos are
+    generated with genuine scene structure (scene id = frame // 3, so
+    frames within a scene are identical and boundaries jump), encoded
+    to the raw-frame container, then decoded frame-by-frame by the
+    sequential byte-range kernel emitting EXACT integer
+    consecutive-frame |delta| sums. A boundary is a scene change when
+    the summed difference exceeds mad 8 per pixel-channel (integer
+    threshold 8 * 8*6*3 = 1152 — no float comparison anywhere). The
+    oracle replays the per-pixel difference arithmetic from the
+    generating formula, so any frame-offset or row-order bug in the
+    codec flips the gate. Parallelism is across videos; per-video
+    decode is the sequential unit (frames are a data-dependent chain),
+    which is the correct distribution grain for shot detection at
+    scale."""
+    from weather_tools_spark.sources.multimodal import video_frame_diffs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for d in pdf["media_id"]:
+                d = int(d)
+                nf = 8 + (d % 5)
+                f, y, x, c = np.ogrid[0:nf, 0:6, 0:8, 0:3]
+                s = f // 3
+                frames = ((d * 11 + s * 89 + x * 13 + y * 31 + c * 5) % 256).astype(
+                    np.uint8
+                )
+                content.append(MC.rvid_encode(frames, fps=10))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": content})
+
+    vids = _ids(spark, sf_dir).mapInPandas(gen, "media_id long, content binary")
+    diffs = video_frame_diffs(vids)
+    change = F.when(F.col("sum_abs_diff") > 1152, 1).otherwise(0)
+    return (
+        diffs.groupBy("media_id")
+        .agg(
+            F.max("n_frames").alias("n_frames"),
+            F.sum(change).alias("n_scene_changes"),
+            (F.sum(change) + 1).alias("n_scenes"),
+            F.min(F.when(F.col("sum_abs_diff") > 1152, F.col("frame_idx"))).cast("long").alias(
+                "first_change_frame"
+            ),
+            F.sum("sum_abs_diff").alias("total_abs_diff"),
+        )
+        .orderBy("media_id")
+    )

@@ -279,3 +279,42 @@ def sample_video_frames(df: DataFrame, every_n: int = 3) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAME_STATS_SCHEMA)
+
+
+VIDEO_DIFF_SCHEMA = (
+    "media_id long, frame_idx int, n_frames int, sum_abs_diff long"
+)
+
+
+def video_frame_diffs(df: DataFrame) -> DataFrame:
+    """Consecutive-frame absolute pixel differences over the RVID
+    container: per video, decode frames sequentially (one byte-range
+    slice each, previous frame kept — O(frame) memory) and emit one
+    integer row per boundary f-1 -> f with the summed |delta| over all
+    pixels and channels. Scene-change detection thresholds these exact
+    integer sums; parallelism is across videos (one task decodes whole
+    videos, the natural unit — frames of one video are sequential by
+    data dependency)."""
+    import numpy as np
+    import pandas as pd
+
+    from weather_tools_spark.sources import media_codecs as MC
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "n_frames", "sum_abs_diff")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                _w, _h, _fps, n = MC.rvid_info(data)
+                prev = None
+                for f in range(n):
+                    cur = MC.rvid_frame(data, f).astype(np.int64)
+                    if prev is not None:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(f)
+                        out["n_frames"].append(n)
+                        out["sum_abs_diff"].append(int(np.abs(cur - prev).sum()))
+                    prev = cur
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=VIDEO_DIFF_SCHEMA)
