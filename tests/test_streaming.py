@@ -373,3 +373,37 @@ def test_hll_registers_stream_matches_batch(spark, sf_dir):
     )
     want = {r.bucket: r.rho for r in batch.collect()}
     assert got == want
+
+
+def test_cusum_stream_matches_batch_closed_form(spark, sf_dir):
+    """Streaming CUSUM (fixed mu0, additive per-day state) must equal
+    the batch closed form S_t = M_t - min(0, running-min M) exactly;
+    only the final batch's emission counts (update mode re-emits the
+    full corrected sequence per batch)."""
+    from pyspark.sql import Window
+
+    mu0, h = 300, 100
+    stream = SE.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = SE.run_stream_to_memory(
+        spark, SE.cusum_stream(stream, mu0=mu0, h=h), "stream_cusum",
+        output_mode="update",
+    )
+    rows = out.collect()
+    last = max(r.batch_seq for r in rows)
+    got = {r.day: (r.x, r.cusum, r.alarm) for r in rows if r.batch_seq == last}
+
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.groupBy(
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = days.withColumn("m", F.sum(F.col("x") - F.lit(mu0)).over(w))
+    cs = cum.withColumn(
+        "c", F.col("m") - F.least(F.lit(0), F.min("m").over(w))
+    ).select(
+        "day", "x", F.col("c").cast("long").alias("cusum"),
+        F.when(F.col("c") > h, 1).otherwise(0).alias("alarm"),
+    )
+    want = {r.day: (r.x, r.cusum, r.alarm) for r in cs.collect()}
+    assert got == want
+    assert len(want) > 0

@@ -480,3 +480,78 @@ def hll_registers_stream(df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("days", T.ArrayType(T.LongType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+        T.StructField("batch_seq", T.LongType()),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("cusum", T.LongType()),
+        T.StructField("alarm", T.IntegerType()),
+        T.StructField("batch_seq", T.LongType()),
+    ]
+)
+
+
+def cusum_stream(df: DataFrame, mu0: int = 300, h: int = 100) -> DataFrame:
+    """Streaming one-sided CUSUM control chart over the daily event-count
+    series with FIXED reference parameters (mu0 = in-control daily mean,
+    zero slack, alarm at S > h) — the SPC shape where the reference is
+    known a priori, unlike the batch events_cusum_changepoint which
+    estimates mu from the full series. State is the per-day count map
+    (two bounded arrays, <= horizon days — the additive merge is
+    batch-split- and order-insensitive, so a day straddling micro-batches
+    can never corrupt the statistic); every batch re-emits the exact
+    integer CUSUM sequence S_t = max(0, S_{t-1} + x_t - mu0) recomputed
+    from the merged counts. The final snapshot must equal the batch
+    closed form exactly (pinned in test_streaming)."""
+    import pandas as pd
+
+    days = df.select(
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day")
+    ).withColumn("g", F.lit(0))
+
+    def update(key, pdfs, state):
+        if state.exists:
+            ds, cs, seq = state.get()
+            counts = dict(zip(ds, cs))
+            seq = int(seq)
+        else:
+            counts, seq = {}, -1
+        for pdf in pdfs:
+            if len(pdf):
+                for d, c in pdf.groupby("day").size().items():
+                    counts[int(d)] = counts.get(int(d), 0) + int(c)
+        seq += 1
+        items = sorted(counts.items())
+        state.update((
+            [d for d, _ in items],
+            [c for _, c in items],
+            seq,
+        ))
+        out = {"day": [], "x": [], "cusum": [], "alarm": [], "batch_seq": []}
+        s = 0
+        for d, c in items:
+            s = max(0, s + c - mu0)
+            out["day"].append(d)
+            out["x"].append(c)
+            out["cusum"].append(s)
+            out["alarm"].append(1 if s > h else 0)
+            out["batch_seq"].append(seq)
+        yield pd.DataFrame(out)
+
+    return days.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
