@@ -545,3 +545,12 @@ def test_privacy_queries_single_pass(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert not re.search(r"^\(\d+\) Window", plan, re.MULTILINE), name
         assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2, name
+
+
+def test_sliding_window_expands_mapside(spark, sf_dir):
+    # Spark's sliding window must be a map-side Generate (window
+    # expansion) + two-phase aggregate — never a spine self-join.
+    plan = _formatted_plan(spark, "events_sliding_window_agg", sf_dir)
+    assert len(re.findall(r"^\(\d+\) (Generate|Expand)", plan, re.MULTILINE)) >= 1
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2

@@ -135,6 +135,8 @@ CHECK_CHANGED: list[str] = [
     "privacy_dp_noisy_counts",     # r4: NEW — epsilon-DP Laplace release with deterministic draws, oracle-gated
     "privacy_k_anonymity",         # r4: NEW — k-anonymity violating-group census, integer-exact, oracle-gated
     "multimodal_video_scene_changes",  # r4: NEW — shot detection over real RVID bytes, integer diffs, oracle-gated
+    "events_sliding_window_agg",   # r4: NEW — 1h/15min sliding windows vs explicit band-join oracle
+    "sketch_hll_merge_parity",     # r4: NEW — register-wise merge == direct sketch, losslessness gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1155,3 +1155,61 @@ def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_deaths"),
         F.round("survival", 6).alias("survival"),
     ).orderBy("day")
+
+
+@register(
+    "events_sliding_window_agg",
+    oracle="""
+    WITH bounds AS (
+      SELECT unnest(generate_series(
+        TIMESTAMP '2024-01-05 00:00:00',
+        TIMESTAMP '2024-01-05 23:45:00',
+        INTERVAL 15 MINUTE
+      )) AS ws
+    ),
+    w AS (
+      SELECT ws, ws + INTERVAL 1 HOUR AS we FROM bounds
+    ),
+    j AS (
+      SELECT w.ws, w.we, e.value
+      FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= TIMESTAMP '2024-01-05 00:00:00'
+        AND e.ts < TIMESTAMP '2024-01-06 00:00:00'
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM j GROUP BY ws ORDER BY window_start
+    """,
+)
+def events_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1-hour length, 15-minute slide) over
+    one day of purchases — each event lands in up to 4 overlapping
+    windows via Spark's native ``window(ts, '1 hour', '15 minutes')``,
+    which expands windows map-side (a Generate node) and aggregates
+    map-combinably: no self-join, no per-window scan. The oracle builds
+    the window spine explicitly and band-joins, so the hash gate proves
+    Spark's epoch-aligned slide assignment against the declarative
+    window definition. Windows that start before the day but overlap it
+    are excluded symmetrically by filtering window_start >= the day
+    start."""
+    ev = events_time_between(
+        load_table(spark, "events", sf_dir),
+        "2024-01-05 00:00:00",
+        "2024-01-06 00:00:00",
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .filter(F.col("w.start") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )

@@ -506,3 +506,109 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("na") - F.col("ni")) / F.col("theta"), 6).alias("est_a_minus_b"),
         )
     )
+
+
+@register(
+    "sketch_hll_merge_parity",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, md5('u:' || CAST(user_id AS VARCHAR)) AS h
+      FROM events GROUP BY event_type, user_id
+    ),
+    bv AS (
+      SELECT event_type,
+             ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+             ('0x' || substr(h, 3, 8))::BIGINT AS v32
+      FROM h
+    ),
+    -- per-partition (event_type) sketches
+    part_reg AS (
+      SELECT event_type, bucket, max({_RHO_CASE}) AS rho
+      FROM bv GROUP BY event_type, bucket
+    ),
+    -- merge the partition sketches: register-wise max
+    merged AS (
+      SELECT bucket, max(rho) AS rho FROM part_reg GROUP BY bucket
+    ),
+    -- direct global sketch over the union
+    direct AS (
+      SELECT bucket, max({_RHO_CASE}) AS rho
+      FROM (SELECT DISTINCT bucket, v32 FROM bv) GROUP BY bucket
+    ),
+    cmp AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM merged) AS n_merged,
+        (SELECT CAST(count(*) AS BIGINT) FROM direct) AS n_direct,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM merged m JOIN direct d
+           ON m.bucket = d.bucket AND m.rho = d.rho) AS n_equal,
+        (SELECT CAST(sum(rho) AS BIGINT) FROM merged) AS sum_rho,
+        (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM part_reg)
+          AS n_partitions
+    )
+    SELECT n_partitions, n_merged, n_direct, n_equal, sum_rho,
+           CASE WHEN n_merged = n_direct AND n_equal = n_merged
+                THEN 1 ELSE 0 END AS merge_is_lossless
+    FROM cmp
+    """,
+)
+def sketch_hll_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches THE 100 TB cardinality tool,
+    demonstrated and gated: build an independent HLL register set per
+    event_type partition, merge them register-wise (max), and prove the
+    merged sketch is IDENTICAL to the sketch built directly over the
+    union — merge_is_lossless must be 1, and the oracle replays both
+    constructions plus the register-level equality join. This is the
+    algebra that lets per-shard/per-day sketches roll up to any
+    grouping without touching raw data again (partial aggregation in
+    sketch space). All integer arithmetic."""
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.select(
+        "event_type",
+        F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string"))).alias("h"),
+    ).distinct()
+    bv = h.select(
+        "event_type",
+        F.expr("cast(conv(substr(h, 1, 2), 16, 10) as bigint)").alias("bucket"),
+        F.expr("cast(conv(substr(h, 3, 8), 16, 10) as bigint)").alias("v32"),
+    )
+    part_reg = bv.groupBy("event_type", "bucket").agg(
+        F.expr(f"max({_RHO_CASE})").alias("rho")
+    )
+    merged = part_reg.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    direct = (
+        bv.select("bucket", "v32")
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.expr(f"max({_RHO_CASE})").alias("rho"))
+    )
+    n_merged = merged.agg(F.count(F.lit(1)).alias("n_merged"))
+    n_direct = direct.agg(F.count(F.lit(1)).alias("n_direct"))
+    n_equal = (
+        merged.join(direct, ["bucket", "rho"])
+        .agg(F.count(F.lit(1)).alias("n_equal"))
+    )
+    sum_rho = merged.agg(F.sum("rho").cast("long").alias("sum_rho"))
+    n_parts = part_reg.select("event_type").distinct().agg(
+        F.count(F.lit(1)).alias("n_partitions")
+    )
+    return (
+        n_parts.crossJoin(n_merged)
+        .crossJoin(n_direct)
+        .crossJoin(n_equal)
+        .crossJoin(sum_rho)
+        .select(
+            "n_partitions",
+            "n_merged",
+            "n_direct",
+            "n_equal",
+            "sum_rho",
+            F.when(
+                (F.col("n_merged") == F.col("n_direct"))
+                & (F.col("n_equal") == F.col("n_merged")),
+                1,
+            )
+            .otherwise(0)
+            .alias("merge_is_lossless"),
+        )
+    )
