@@ -554,3 +554,12 @@ def test_sliding_window_expands_mapside(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) (Generate|Expand)", plan, re.MULTILINE)) >= 1
     assert "Join" not in plan
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2
+
+
+def test_mad_windows_partitioned_by_type(spark, sf_dir):
+    # Both rank-selection windows must partition by event_type — the
+    # per-group grain that scales; never a global window on the fact.
+    plan = _formatted_plan(spark, "events_mad_outliers", sf_dir)
+    wins = re.findall(r"^\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan, re.MULTILINE)
+    assert wins and all("event_type" in w for w in wins), wins
+    assert "CartesianProduct" not in plan

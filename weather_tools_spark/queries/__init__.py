@@ -137,6 +137,8 @@ CHECK_CHANGED: list[str] = [
     "multimodal_video_scene_changes",  # r4: NEW — shot detection over real RVID bytes, integer diffs, oracle-gated
     "events_sliding_window_agg",   # r4: NEW — 1h/15min sliding windows vs explicit band-join oracle
     "sketch_hll_merge_parity",     # r4: NEW — register-wise merge == direct sketch, losslessness gated
+    "events_mad_outliers",         # r4: NEW — MAD robust outliers, rank-arithmetic medians, all integer
+    "ml_classifier_eval",          # r4: NEW — confusion matrix + metric suite, exact-integer ratios
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

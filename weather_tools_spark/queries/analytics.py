@@ -1086,3 +1086,114 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("group_size").alias("n_rows"),
         F.lit(_KANON_K).alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers in the exact integer domain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vc
+      FROM events
+    ),
+    rv AS (
+      SELECT event_type, vc,
+             row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    med AS (
+      -- median in HALF-cents: sum of the two middle order statistics
+      -- (equal ranks when n is odd) — integer, no interpolation
+      -- multiplicity 1 + n%2 doubles the single middle row when n is
+      -- odd (the two selected ranks coincide)
+      SELECT event_type, CAST(sum(vc * (1 + n % 2)) AS BIGINT) AS med2
+      FROM rv WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, v.vc, abs(2 * v.vc - m.med2) AS d2
+      FROM v JOIN med m ON v.event_type = m.event_type
+    ),
+    rd AS (
+      SELECT event_type, d2,
+             row_number() OVER (PARTITION BY event_type ORDER BY d2) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, CAST(sum(d2 * (1 + n % 2)) AS BIGINT) AS mad4
+      FROM rd WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(m2.med2) / 200.0, 4) AS median,
+           round(max(ma.mad4) / 400.0, 4) AS mad,
+           CAST(sum(CASE WHEN 2 * d.d2 > 3 * ma.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(max(d.d2) / 200.0, 4) AS max_abs_dev
+    FROM dev d
+    JOIN med m2 ON d.event_type = m2.event_type
+    JOIN mad ma ON d.event_type = ma.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation, computed
+    ENTIRELY in exact integers: values are cent-integers, the median is
+    kept in half-cents as the SUM of the two middle order statistics
+    (no interpolation arithmetic — a 1-ulp divergence between the two
+    engines' percentile interpolation could flip a point sitting
+    exactly on the 3-MAD boundary, and this corpus has such points),
+    deviations in half-cents, the MAD in quarter-cents, and the outlier
+    test 2*d > 3*mad as pure integer comparison. Rank selection is a
+    key-partitioned window (per event type — the scalable grain);
+    floats appear only in the final rounded report columns, each one
+    exact-rounded division of integers."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("vc")
+    ).persist()
+
+    def int_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        wk = W.partitionBy("event_type")
+        rv = df.withColumn("rk", F.row_number().over(wk.orderBy(col))).withColumn(
+            "n", F.count(F.lit(1)).over(wk)
+        )
+        return (
+            rv.filter(
+                (F.col("rk") == F.floor((F.col("n") + 1) / 2))
+                | (F.col("rk") == F.floor((F.col("n") + 2) / 2))
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.col(col) * (1 + F.col("n") % 2)).cast("long").alias(out)
+            )
+        )
+
+    med = int_median(v, "vc", "med2")
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "vc", F.abs(2 * F.col("vc") - F.col("med2")).alias("d2")
+    )
+    mad = int_median(dev, "d2", "mad4")
+    j = dev.join(F.broadcast(med), "event_type").join(F.broadcast(mad), "event_type")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med2") / 200.0, 4).alias("median"),
+            F.round(F.max("mad4") / 400.0, 4).alias("mad"),
+            F.sum(
+                F.when(2 * F.col("d2") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.max("d2") / 200.0, 4).alias("max_abs_dev"),
+        )
+        .orderBy("event_type")
+    )

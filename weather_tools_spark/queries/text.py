@@ -1365,3 +1365,93 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "w1", "w2", "pair_count", F.round("pmi", 6).alias("pmi")
     ).orderBy(F.col("pmi").desc(), "w1", "w2")
+
+
+@register(
+    "ml_classifier_eval",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang, dl,
+             ((('0x' || substr(md5(term), 1, 8))::BIGINT % {_CLS_BUCKETS})
+               * 2654435761) % 4294967296 / 2147483648.0 - 1.0 AS w
+      FROM tok
+    ), scored AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             1.0 / (1.0 + exp(-4.0 * sum(w) / any_value(dl))) AS score
+      FROM feats GROUP BY doc_id
+    ), cm AS (
+      SELECT
+        CAST(count(*) FILTER (WHERE score >= 0.5 AND lang = 'en') AS BIGINT) AS tp,
+        CAST(count(*) FILTER (WHERE score >= 0.5 AND lang <> 'en') AS BIGINT) AS fp,
+        CAST(count(*) FILTER (WHERE score < 0.5 AND lang = 'en') AS BIGINT) AS fn,
+        CAST(count(*) FILTER (WHERE score < 0.5 AND lang <> 'en') AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy,
+           round(tp * 1.0 / (tp + fp), 6) AS precision,
+           round(tp * 1.0 / (tp + fn), 6) AS recall,
+           round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+           round(((tp + fp) * 1.0 / (tp + fp + fn + tn))
+                 * ((tp + fn) * 1.0 / (tp + fp + fn + tn))
+                 + ((tn + fn) * 1.0 / (tp + fp + fn + tn))
+                 * ((tn + fp) * 1.0 / (tp + fp + fn + tn)), 6) AS expected_agreement
+    FROM cm
+    """,
+)
+def ml_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation harness: confusion matrix and the derived
+    metric suite (accuracy, precision, recall, F1, and the chance-
+    agreement term of Cohen's kappa) for the hashing-trick quality
+    classifier scored against the lang == 'en' reference labels — the
+    model-eval readout an MLOps pipeline runs after every retrain. The
+    scoring pass is the same single map-combinable token aggregation as
+    corpus_quality_classifier (no token shuffle); the matrix is one
+    conditional-count pass and every metric is an exact-integer ratio
+    rounded once (F1 as 2TP/(2TP+FP+FN) avoids the precision*recall
+    intermediate division). The 0.5 cut reuses the decision margins
+    certified for the classifier query."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).select("doc_id", "lang", F.size("t").alias("dl"), F.explode("t").alias("term"))
+    bucket = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % _CLS_BUCKETS
+    w = ((bucket * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(2147483648.0) - 1.0
+    scored = (
+        tok.withColumn("w", w)
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            (1.0 / (1.0 + F.exp(-4.0 * F.sum("w") / F.first("dl")))).alias("score"),
+        )
+    )
+    pred = F.col("score") >= 0.5
+    en = F.col("lang") == "en"
+    cm = scored.agg(
+        F.sum(F.when(pred & en, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(pred & ~en, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~pred & en, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~pred & ~en, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    tot = (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")) * 1.0
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round((F.col("tp") + F.col("tn")) / tot, 6).alias("accuracy"),
+        F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+        F.round(
+            ((F.col("tp") + F.col("fp")) / tot) * ((F.col("tp") + F.col("fn")) / tot)
+            + ((F.col("tn") + F.col("fn")) / tot) * ((F.col("tn") + F.col("fp")) / tot),
+            6,
+        ).alias("expected_agreement"),
+    )
