@@ -563,3 +563,21 @@ def test_mad_windows_partitioned_by_type(spark, sf_dir):
     wins = re.findall(r"^\(\d+\) Window[\s\S]*?Arguments: ([^\n]*)", plan, re.MULTILINE)
     assert wins and all("event_type" in w for w in wins), wins
     assert "CartesianProduct" not in plan
+
+
+def test_join_delta_refresh_broadcasts_dim(spark, sf_dir):
+    # All four view-state terms must broadcast the customer dimension;
+    # the fact joins may shuffle but never nest-loop/cartesian.
+    plan = _formatted_plan(spark, "mv_join_delta_refresh", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_census_single_scan(spark, sf_dir):
+    def _scans(p):
+        return len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+    plan = _formatted_plan(spark, "storage_zorder_clustering", sf_dir)
+    assert _scans(plan) == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2

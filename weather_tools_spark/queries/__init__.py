@@ -139,6 +139,8 @@ CHECK_CHANGED: list[str] = [
     "sketch_hll_merge_parity",     # r4: NEW — register-wise merge == direct sketch, losslessness gated
     "events_mad_outliers",         # r4: NEW — MAD robust outliers, rank-arithmetic medians, all integer
     "ml_classifier_eval",          # r4: NEW — confusion matrix + metric suite, exact-integer ratios
+    "mv_join_delta_refresh",       # r4: NEW — delta-join IVM algebra, merge == recompute gated
+    "storage_zorder_clustering",   # r4: NEW — Morton bit-interleave bucket census, integer replay
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1738,3 +1738,68 @@ def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("noun", "name_a", "name_b")
     )
+
+
+@register(
+    "mv_join_delta_refresh",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY segment ORDER BY segment
+    """,
+)
+def mv_join_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-join algebra:
+    with orders arriving as base A + delta dA and lineitem as base B +
+    delta dB, the view delta of A join B is
+
+        d(A join B) = dA join B  +  A join dB  +  dA join dB
+
+    so the refresh aggregates THREE delta joins plus the stored base
+    state and merges the partial aggregates (commutative monoids), never
+    rescanning base-join-base. Deltas are deterministic key slices
+    (order keys % 7 == 0 on the orders side, lineitem line numbers > 4
+    on the other) so all four terms are non-empty and every algebra
+    branch is exercised. The oracle recomputes the whole view directly —
+    the hash gate proves base_state + three delta terms == full
+    recompute, the identity streaming/lakehouse view maintenance rests
+    on. Cent-integer money; the customer dimension broadcasts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+
+    a = orders.filter(F.col("o_orderkey") % 7 != 0)       # base orders
+    da = orders.filter(F.col("o_orderkey") % 7 == 0)      # delta orders
+    b = li.filter(F.col("l_linenumber") <= 4)             # base lineitem
+    db = li.filter(F.col("l_linenumber") > 4)             # delta lineitem
+
+    def view_state(o: DataFrame, l: DataFrame) -> DataFrame:
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                    "price_cents"
+                ),
+            )
+        )
+
+    merged = (
+        view_state(a, b)            # stored base state
+        .unionByName(view_state(da, b))   # dA join B
+        .unionByName(view_state(a, db))   # A join dB
+        .unionByName(view_state(da, db))  # dA join dB
+        .groupBy("segment")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("price_cents").alias("price_cents"),
+        )
+    )
+    return merged.orderBy("segment")

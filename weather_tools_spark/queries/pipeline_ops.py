@@ -1538,3 +1538,100 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         F.when(F.col("n_violations") == 0, 1).otherwise(0).cast("long").alias("passed"),
     ).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering quality census
+# ---------------------------------------------------------------------------
+
+_ZO_BITS = 8          # 8 bits per dimension -> 16-bit Morton key
+_ZO_BUCKETS = 16      # files the clustered write would produce
+
+
+def _zo_spread_sql(expr: str) -> str:
+    """Bit-dilate the low 8 bits of `expr` (bit i -> position 2i) in
+    pure integer //, %, * arithmetic — same in both engines."""
+    terms = [
+        f"((CAST(floor(({expr}) / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i)})"
+        for i in range(_ZO_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "storage_zorder_clustering",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5('zx:' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+               % 256 AS xi,
+             ('0x' || substr(md5('zy:' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+               % 256 AS yi
+      FROM customer
+    ),
+    keyed AS (
+      SELECT c_custkey, xi, yi,
+             {_zo_spread_sql("xi")} + 2 * {_zo_spread_sql("yi")} AS z
+      FROM pts
+    ),
+    bucketed AS (
+      SELECT CAST(floor(z / {(1 << (2 * _ZO_BITS)) // _ZO_BUCKETS}) AS BIGINT)
+               AS bucket, c_custkey, xi, yi
+      FROM keyed
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(xi) AS BIGINT) AS min_x, CAST(max(xi) AS BIGINT) AS max_x,
+           CAST(min(yi) AS BIGINT) AS min_y, CAST(max(yi) AS BIGINT) AS max_y,
+           CAST((max(xi) - min(xi) + 1) * (max(yi) - min(yi) + 1) AS BIGINT)
+             AS bbox_area
+    FROM bucketed
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def storage_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering census — the data-skipping layout
+    Delta/Iceberg ZORDER BY produces: interleave the bits of two
+    8-bit grid indices (pure integer bit dilation, replayed by the
+    oracle with // and % arithmetic) and range-bucket rows by the
+    Morton key into the files a clustered write would emit. Each
+    bucket's per-dimension min/max footprint IS the parquet min/max
+    statistic a scan would prune on, and the reported bbox_area per
+    bucket is the clustering-quality figure: a Morton bucket covers
+    ~1/16 of the 2-D square in BOTH dimensions (area ~ 2^16/16),
+    where a single-column sort leaves every file spanning the full
+    range of the other dimension (area ~ 256 * 16). The real sorted
+    write + row-group pruning proof lives in operators/zorder.py and
+    test_scale_helpers; this query hash-gates the key arithmetic that
+    write relies on."""
+    cust = load_table(spark, "customer", sf_dir)
+
+    def frac16(tag: str) -> str:
+        return (
+            f"cast(conv(substr(md5(concat('{tag}:', cast(c_custkey as string))),"
+            f" 1, 4), 16, 10) as bigint) % 256"
+        )
+
+    pts = cust.select(
+        "c_custkey",
+        F.expr(frac16("zx")).alias("xi"),
+        F.expr(frac16("zy")).alias("yi"),
+    )
+    z = F.expr(_zo_spread_sql("xi")) + 2 * F.expr(_zo_spread_sql("yi"))
+    bucket_div = (1 << (2 * _ZO_BITS)) // _ZO_BUCKETS
+    return (
+        pts.withColumn("z", z)
+        .withColumn("bucket", F.floor(F.col("z") / bucket_div).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xi").alias("min_x"),
+            F.max("xi").alias("max_x"),
+            F.min("yi").alias("min_y"),
+            F.max("yi").alias("max_y"),
+            ((F.max("xi") - F.min("xi") + 1) * (F.max("yi") - F.min("yi") + 1)).alias(
+                "bbox_area"
+            ),
+        )
+        .orderBy("bucket")
+    )
