@@ -141,6 +141,7 @@ CHECK_CHANGED: list[str] = [
     "ml_classifier_eval",          # r4: NEW — confusion matrix + metric suite, exact-integer ratios
     "mv_join_delta_refresh",       # r4: NEW — delta-join IVM algebra, merge == recompute gated
     "storage_zorder_clustering",   # r4: NEW — Morton bit-interleave bucket census, integer replay
+    "dq_median_imputation",        # r4: NEW — per-group integer median repair of masked missingness
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

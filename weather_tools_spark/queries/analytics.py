@@ -1197,3 +1197,104 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Median imputation of deterministically-masked missing values
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_median_imputation",
+    oracle="""
+    WITH masked AS (
+      -- deterministic 10% missingness: md5 bucket of the event id
+      SELECT event_type,
+             CASE WHEN ('0x' || substr(md5('miss:' || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 10 = 0
+                  THEN NULL
+                  ELSE CAST(round(value * 100, 0) AS BIGINT) END AS vc
+      FROM events
+    ),
+    present AS (SELECT event_type, vc FROM masked WHERE vc IS NOT NULL),
+    rv AS (
+      SELECT event_type, vc,
+             row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM present
+    ),
+    med AS (
+      SELECT event_type, CAST(sum(vc * (1 + n % 2)) AS BIGINT) AS med2
+      FROM rv WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(m.vc) AS BIGINT) AS n_imputed,
+           round(max(d.med2) / 200.0, 4) AS imputed_value,
+           CAST(sum(coalesce(m.vc, 0)) AS BIGINT) AS sum_cents_before,
+           CAST(2 * sum(coalesce(m.vc, 0)) + (count(*) - count(m.vc)) * max(d.med2)
+                AS BIGINT) AS sum_halfcents_after
+    FROM masked m JOIN med d ON m.event_type = d.event_type
+    GROUP BY m.event_type ORDER BY m.event_type
+    """,
+)
+def dq_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair by per-group median imputation — the
+    cleaning stage between ingest and training. Missingness is a
+    deterministic 10% md5 mask (so the gate replays it); the imputation
+    median uses the exact integer rank-arithmetic of
+    events_mad_outliers (sum of the two middle order statistics in
+    half-cents — no interpolation arithmetic that could diverge between
+    engines), and the repaired total is reported in half-cents so
+    before/after reconciliation stays in BIGINT. One key-partitioned
+    ranking window on the present values, one broadcast join-back of
+    the <= |types|-row median frame."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    miss = (
+        F.expr(
+            "cast(conv(substr(md5(concat('miss:', cast(event_id as string))),"
+            " 1, 4), 16, 10) as bigint)"
+        )
+        % 10
+        == 0
+    )
+    masked = ev.select(
+        "event_type",
+        F.when(miss, F.lit(None)).otherwise(
+            F.round(F.col("value") * 100, 0).cast("long")
+        ).alias("vc"),
+    ).persist()
+    present = masked.filter(F.col("vc").isNotNull())
+    wk = W.partitionBy("event_type")
+    rv = present.withColumn("rk", F.row_number().over(wk.orderBy("vc"))).withColumn(
+        "n", F.count(F.lit(1)).over(wk)
+    )
+    med = (
+        rv.filter(
+            (F.col("rk") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rk") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.col("vc") * (1 + F.col("n") % 2)).cast("long").alias("med2"))
+    )
+    return (
+        masked.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count("vc")).alias("n_imputed"),
+            F.round(F.max("med2") / 200.0, 4).alias("imputed_value"),
+            F.sum(F.coalesce(F.col("vc"), F.lit(0))).cast("long").alias(
+                "sum_cents_before"
+            ),
+            (
+                2 * F.sum(F.coalesce(F.col("vc"), F.lit(0)))
+                + (F.count(F.lit(1)) - F.count("vc")) * F.max("med2")
+            )
+            .cast("long")
+            .alias("sum_halfcents_after"),
+        )
+        .orderBy("event_type")
+    )
