@@ -142,6 +142,7 @@ CHECK_CHANGED: list[str] = [
     "mv_join_delta_refresh",       # r4: NEW — delta-join IVM algebra, merge == recompute gated
     "storage_zorder_clustering",   # r4: NEW — Morton bit-interleave bucket census, integer replay
     "dq_median_imputation",        # r4: NEW — per-group integer median repair of masked missingness
+    "weather_station_qc",          # r4: NEW — WMO range/step/persistence QC flags, integer domain
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

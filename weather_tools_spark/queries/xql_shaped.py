@@ -2279,3 +2279,147 @@ def weather_parcel_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("y", 6).alias("y_final"),
         F.round("dist", 6).alias("path_length"),
     ).orderBy("pid")
+
+
+# ---------------------------------------------------------------------------
+# Station observation quality control (WMO-style flags, integer domain)
+# ---------------------------------------------------------------------------
+
+_QC_STATIONS = 10
+_QC_STEPS = 500
+
+
+_QC_SERIES_SQL = f"""
+      SELECT s.i AS station, t.i AS t,
+             CASE WHEN s.i % 3 = 0 AND t.i >= 200 AND t.i < 210 THEN 137
+                  ELSE 100 + abs((t.i % 100) - 50) * 3
+                       + (s.i * 7919 + t.i * 104729) % 21 - 10
+                       + CASE WHEN (s.i * 15485863 + t.i * 1299709) % 101 = 0
+                              THEN 800 ELSE 0 END
+             END AS v
+      FROM (SELECT unnest(range(0, {_QC_STATIONS})) AS i) s,
+           (SELECT unnest(range(0, {_QC_STEPS})) AS i) t
+"""
+
+
+@register(
+    "weather_station_qc",
+    oracle=f"""
+    WITH obs AS ({_QC_SERIES_SQL}),
+    lagged AS (
+      SELECT station, t, v,
+             lag(v) OVER (PARTITION BY station ORDER BY t) AS pv
+      FROM obs
+    ),
+    flagged AS (
+      SELECT station, t, v,
+             CASE WHEN v > 600 OR v < -800 THEN 1 ELSE 0 END AS f_range,
+             CASE WHEN pv IS NOT NULL AND abs(v - pv) > 300 THEN 1 ELSE 0 END AS f_step,
+             CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END AS chg
+      FROM lagged
+    ),
+    runs AS (
+      SELECT station, t, v, f_range, f_step,
+             sum(chg) OVER (PARTITION BY station ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ),
+    runlen AS (
+      SELECT station, t, f_range, f_step,
+             count(*) OVER (PARTITION BY station, run_id) AS rl
+      FROM runs
+    ),
+    qc AS (
+      SELECT station, f_range, f_step,
+             CASE WHEN rl >= 5 THEN 1 ELSE 0 END AS f_persist
+      FROM runlen
+    )
+    SELECT station,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(f_range) AS BIGINT) AS n_range_fail,
+           CAST(sum(f_step) AS BIGINT) AS n_step_fail,
+           CAST(sum(f_persist) AS BIGINT) AS n_persist_fail,
+           CAST(sum(CASE WHEN f_range + f_step + f_persist > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           round(sum(CASE WHEN f_range + f_step + f_persist > 0 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS flag_rate
+    FROM qc GROUP BY station ORDER BY station
+    """,
+)
+def weather_station_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WMO-style station observation quality control — the three
+    standard automatic tests, all in exact integer deci-degrees so no
+    flag can sit on a float boundary: RANGE (plausible-limit check),
+    STEP (|delta| vs the previous observation via a station-partitioned
+    lag), and PERSISTENCE (flatline runs >= 5 identical values found by
+    gaps-and-islands run ids — a change-counter running sum). The
+    synthetic series injects real faults deterministically: hash-timed
+    spikes (trip range AND both step sides) and a 10-step flatline on
+    every third station. Per-station flag census; windows partition by
+    station (the scalable grain — stations are independent)."""
+    from pyspark.sql import Window as W
+
+    stations = spark.range(_QC_STATIONS * _QC_STEPS).select(
+        (F.col("id") / _QC_STEPS).cast("long").alias("station"),
+        (F.col("id") % _QC_STEPS).alias("t"),
+    )
+    spike = (
+        (F.col("station") * 15485863 + F.col("t") * 1299709) % 101 == 0
+    )
+    base = (
+        100
+        + F.abs((F.col("t") % 100) - 50) * 3
+        + (F.col("station") * 7919 + F.col("t") * 104729) % 21
+        - 10
+        + F.when(spike, 800).otherwise(0)
+    )
+    obs = stations.withColumn(
+        "v",
+        F.when(
+            (F.col("station") % 3 == 0) & (F.col("t") >= 200) & (F.col("t") < 210),
+            F.lit(137),
+        ).otherwise(base),
+    )
+    wk = W.partitionBy("station").orderBy("t")
+    lagged = obs.withColumn("pv", F.lag("v").over(wk))
+    flagged = lagged.select(
+        "station",
+        "t",
+        "v",
+        F.when((F.col("v") > 600) | (F.col("v") < -800), 1).otherwise(0).alias("f_range"),
+        F.when(
+            F.col("pv").isNotNull() & (F.abs(F.col("v") - F.col("pv")) > 300), 1
+        )
+        .otherwise(0)
+        .alias("f_step"),
+        F.when(F.col("pv").isNull() | (F.col("v") != F.col("pv")), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(wk.rowsBetween(W.unboundedPreceding, 0))
+    )
+    runlen = runs.withColumn(
+        "rl", F.count(F.lit(1)).over(W.partitionBy("station", "run_id"))
+    )
+    qc = runlen.select(
+        "station",
+        "f_range",
+        "f_step",
+        F.when(F.col("rl") >= 5, 1).otherwise(0).alias("f_persist"),
+    )
+    any_flag = F.col("f_range") + F.col("f_step") + F.col("f_persist") > 0
+    return (
+        qc.groupBy("station")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("f_range").alias("n_range_fail"),
+            F.sum("f_step").alias("n_step_fail"),
+            F.sum("f_persist").alias("n_persist_fail"),
+            F.sum(F.when(any_flag, 1).otherwise(0)).alias("n_flagged"),
+            F.round(
+                F.sum(F.when(any_flag, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("flag_rate"),
+        )
+        .orderBy("station")
+    )
