@@ -459,7 +459,7 @@ def test_json_extract_and_geohash_single_scan(spark, sf_dir):
     def _scans(p: str) -> int:
         return len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
 
-    for name in ("events_json_props_extract", "geo_geohash_cells"):
+    for name in ("events_json_native_extract", "geo_geohash_cells"):
         plan = _formatted_plan(spark, name, sf_dir)
         assert _scans(plan) == 1, (name, _scans(plan))
         assert "Join" not in plan, name

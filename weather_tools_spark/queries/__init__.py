@@ -122,7 +122,7 @@ CHECK_CHANGED: list[str] = [
     "analytics_skyline_parts",     # r4: NEW — two-stage distributed skyline, oracle is the NOT-EXISTS definition
     "events_autocorrelation",      # r4: NEW — daily-series ACF at lags 1..7, oracle-gated
     "dq_benford_first_digit",      # r4: NEW — Benford first-digit audit in the exact integer domain, oracle-gated
-    "events_json_props_extract",   # r4: NEW — JSON property extraction + per-type aggregates, oracle-gated
+    "events_json_native_extract",  # r4: NEW — native JSON-path extraction (get_json_object), oracle-gated
     "events_cusum_changepoint",    # r4: NEW — integer-exact CUSUM changepoint detector, oracle-gated
     "sample_weighted_priority",    # r4: NEW — priority sampling (w/u keys, libm-free), oracle-gated
     "geo_geohash_cells",           # r4: NEW — exact-dyadic geohash encoding + prefix census, oracle-gated
@@ -143,6 +143,7 @@ CHECK_CHANGED: list[str] = [
     "storage_zorder_clustering",   # r4: NEW — Morton bit-interleave bucket census, integer replay
     "dq_median_imputation",        # r4: NEW — per-group integer median repair of masked missingness
     "weather_station_qc",          # r4: NEW — WMO range/step/persistence QC flags, integer domain
+    "events_attribution_linear",   # r4: NEW — multi-touch attribution with exact cent conservation
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the
@@ -188,6 +189,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     """Decorator: add a query (and optionally its oracle SQL) to the registry."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in SPARK:
+            raise ValueError(f"duplicate query registration: {name}")
         SPARK[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

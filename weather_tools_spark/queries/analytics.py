@@ -323,7 +323,7 @@ def _benford_case_sql(col: str) -> str:
 
 
 @register(
-    "events_json_props_extract",
+    "events_json_native_extract",
     oracle="""
     WITH k AS (
       SELECT event_type,
@@ -340,10 +340,13 @@ def _benford_case_sql(col: str) -> str:
     FROM k GROUP BY event_type ORDER BY event_type
     """,
 )
-def events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: pull the integer property ``$.k`` out
-    of the JSON ``props`` column (Spark ``get_json_object`` — JVM-side
-    Jackson path evaluation, no Python) and aggregate per event type.
+def events_json_native_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via NATIVE JSON path evaluation:
+    pull the integer property ``$.k`` out of the JSON ``props`` column
+    with Spark ``get_json_object`` (JVM-side Jackson) against DuckDB
+    ``json_extract_string`` — the real JSON engines on both sides,
+    complementing events_json_props_extract's dialect-neutral regexp
+    variant — and aggregate per event type.
     The JSON parse happens inside the single fact scan; everything after
     is one map-combinable aggregation. The average is computed as
     exact-integer sum / exact-integer count — one correctly-rounded

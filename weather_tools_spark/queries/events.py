@@ -1213,3 +1213,105 @@ def events_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@register(
+    "events_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS tid, user_id, ts AS tts, event_type AS touch_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT p.pid, p.cents, t.tid, t.touch_type, t.tts
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.tts <= p.pts AND t.tts > p.pts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+      SELECT pid, cents, tid, touch_type,
+             row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rk,
+             count(*) OVER (PARTITION BY pid) AS k
+      FROM j
+    ),
+    credit AS (
+      SELECT touch_type,
+             CAST(floor(cents / k) AS BIGINT)
+               + CASE WHEN rk <= cents % k THEN 1 ELSE 0 END AS c
+      FROM ranked
+    ),
+    touched AS (SELECT DISTINCT pid FROM j),
+    unattributed AS (
+      SELECT 'none' AS touch_type, p.cents AS c
+      FROM p WHERE p.pid NOT IN (SELECT pid FROM touched)
+    ),
+    allc AS (
+      SELECT touch_type, c FROM credit
+      UNION ALL SELECT touch_type, c FROM unattributed
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(c) AS BIGINT) AS credited_cents
+    FROM allc GROUP BY touch_type ORDER BY touch_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution, linear model with EXACT cent
+    conservation: every purchase's revenue splits equally across its
+    view/click touches of the prior 7 days — base share floor(c/k),
+    the c mod k remainder cents going one each to the earliest touches
+    (the largest-remainder discipline of the finance allocation query,
+    here with equal proportions so arrival order breaks the tie).
+    Purchases with no touch window report under 'none', so
+    sum(credited_cents) over ALL rows equals total purchase cents
+    exactly — the reconciliation a revenue pipeline must pass. The
+    touch join is a user-key equi-join with a time-band residual (the
+    conversion-window topology, hash-joinable at scale); ranking
+    windows partition by purchase."""
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("tts") <= F.col("pts"))
+        & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    )
+    wk = W.partitionBy("pid")
+    ranked = j.withColumn(
+        "rk", F.row_number().over(wk.orderBy("tts", "tid"))
+    ).withColumn("k", F.count(F.lit(1)).over(wk))
+    credit = ranked.select(
+        "touch_type",
+        (
+            F.floor(F.col("cents") / F.col("k")).cast("long")
+            + F.when(F.col("rk") <= F.col("cents") % F.col("k"), 1).otherwise(0)
+        ).alias("c"),
+    )
+    unattributed = (
+        p.join(j.select("pid").distinct(), "pid", "left_anti")
+        .select(F.lit("none").alias("touch_type"), F.col("cents").alias("c"))
+    )
+    return (
+        credit.unionByName(unattributed)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("c").cast("long").alias("credited_cents"),
+        )
+        .orderBy("touch_type")
+    )
