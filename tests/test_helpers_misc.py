@@ -141,3 +141,28 @@ def test_query_cli_list_and_oracle(capsys):
         assert mod.main() == 2
     finally:
         sys.argv = old
+
+
+def test_kcore_rounds_reach_fixpoint(spark):
+    """_KC_ROUNDS must be past the peeling fixpoint at every SF: one
+    extra round leaves the node set unchanged (otherwise the fixed
+    round count in the oracle would under-peel)."""
+    from weather_tools_spark.queries.analytics import _KC_K, _KC_ROUNDS, _sp_edges_df
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        edge_rows = _sp_edges_df(spark, sf).collect()
+        und = set()
+        for r in edge_rows:
+            s, d = int(r.src), int(r.dst)
+            if s != d:
+                und.add((s, d)); und.add((d, s))
+        nodes = {u for u, _ in und}
+        history = []
+        for _ in range(_KC_ROUNDS + 1):
+            deg = {}
+            for u, v in und:
+                if u in nodes and v in nodes:
+                    deg[u] = deg.get(u, 0) + 1
+            nodes = {u for u, d in deg.items() if d >= _KC_K}
+            history.append(frozenset(nodes))
+        assert history[_KC_ROUNDS] == history[_KC_ROUNDS - 1], sf

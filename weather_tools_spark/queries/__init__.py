@@ -144,6 +144,8 @@ CHECK_CHANGED: list[str] = [
     "dq_median_imputation",        # r4: NEW — per-group integer median repair of masked missingness
     "weather_station_qc",          # r4: NEW — WMO range/step/persistence QC flags, integer domain
     "events_attribution_linear",   # r4: NEW — multi-touch attribution with exact cent conservation
+    "graph_kcore",                 # r4: NEW — k-core peeling, oracle replays every round (materialized CTEs)
+    "events_holt_forecast",        # r4: NEW — Holt smoothing, Arrow kernel vs recursive-CTE oracle, dyadic-exact
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1301,3 +1301,176 @@ def dq_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the trade graph
+# ---------------------------------------------------------------------------
+
+_KC_K = 2
+_KC_ROUNDS = 6  # fixpoint certified reached (pytest asserts stability)
+
+
+def _kcore_oracle() -> str:
+    # MATERIALIZED: DuckDB inlines plain CTEs, and each peel round
+    # references the previous round twice, so without materialization
+    # the fact-join edge build would be re-evaluated 2^rounds times
+    # (measured 19 s -> 0.2 s).
+    parts = [f"""
+    und AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM e WHERE src <> dst
+      UNION
+      SELECT dst AS u, src AS v FROM e WHERE src <> dst
+    ),
+    n0 AS (SELECT DISTINCT u AS nk FROM und)"""]
+    for r in range(1, _KC_ROUNDS + 1):
+        prev = f"n{r - 1}"
+        parts.append(f"""
+    d{r} AS (
+      SELECT und.u AS nk, CAST(count(*) AS BIGINT) AS deg
+      FROM und
+      JOIN {prev} a ON und.u = a.nk
+      JOIN {prev} b ON und.v = b.nk
+      GROUP BY und.u
+    ),
+    n{r} AS MATERIALIZED (SELECT nk FROM d{r} WHERE deg >= {_KC_K})""")
+    return ",".join(parts)
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH {_sp_edges_sql()},
+    {_kcore_oracle()},
+    final_deg AS (
+      SELECT und.u AS nk, CAST(count(*) AS BIGINT) AS core_degree
+      FROM und
+      JOIN n{_KC_ROUNDS} a ON und.u = a.nk
+      JOIN n{_KC_ROUNDS} b ON und.v = b.nk
+      GROUP BY und.u
+    )
+    SELECT nk AS nationkey, core_degree
+    FROM final_deg ORDER BY nationkey
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = {_KC_K}) of the undirected capped trade
+    graph: iteratively peel nodes of degree < k until the remaining
+    subgraph is stable — the standard community-coreness primitive.
+    Same split as the BFS query: the fact-scale work is the distributed
+    edge aggregation (reused from graph_shortest_paths); the peeling
+    schedule runs on the collected bounded edge summary, and the oracle
+    replays every peel round as chained CTEs, so the hash gate
+    certifies the round-by-round schedule. {_KC_ROUNDS} rounds is past
+    the fixpoint on every SF (pytest asserts one extra round changes
+    nothing)."""
+    edge_rows = _sp_edges_df(spark, sf_dir).collect()
+    und: set[tuple[int, int]] = set()
+    for r in edge_rows:
+        s, d = int(r.src), int(r.dst)
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    nodes = {u for u, _ in und}
+    for _ in range(_KC_ROUNDS):
+        deg: dict[int, int] = {}
+        for u, v in und:
+            if u in nodes and v in nodes:
+                deg[u] = deg.get(u, 0) + 1
+        nodes = {u for u, d in deg.items() if d >= _KC_K}
+    deg = {}
+    for u, v in und:
+        if u in nodes and v in nodes:
+            deg[u] = deg.get(u, 0) + 1
+    rows = sorted(deg.items())
+    return spark.createDataFrame(rows, "nationkey INT, core_degree BIGINT").orderBy(
+        "nationkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double exponential) smoothing per event-type series
+# ---------------------------------------------------------------------------
+
+_HOLT_H = 3  # forecast horizon (days)
+
+
+@register(
+    "events_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE days AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM days
+    ),
+    rec AS (
+      SELECT event_type, rn, n, x, x AS l, CAST(0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.n, s.x,
+             0.5 * s.x + 0.5 * (r.l + r.b) AS l,
+             0.5 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b AS b
+      FROM rec r JOIN seq s
+        ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + {_HOLT_H} * b, 6) AS forecast
+    FROM rec WHERE rn = n
+    ORDER BY event_type
+    """,
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double exponential) smoothing of each event type's
+    daily-count series, alpha = beta = 1/2: level and trend follow the
+    coupled recurrence l' = a*x + (1-a)(l+b), b' = g*(l'-l) + (1-g)*b,
+    with a 3-day-ahead forecast l + 3b. The genuinely sequential
+    recurrence runs as an Arrow ``applyInPandas`` kernel per SERIES —
+    the correct distribution grain (series are independent; time within
+    one series is a data dependency) — while the oracle replays it with
+    a recursive CTE walking the same row order. With dyadic smoothing
+    constants and integer counts every intermediate is an exact binary
+    rational well inside double precision, so both engines produce
+    bit-identical trajectories (the rounds are formatting, not
+    tolerance)."""
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 1_000_000.0 / 86400.0).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        xs = pdf["x"].tolist()
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            new_level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.5 * (new_level - level) + 0.5 * trend
+            level = new_level
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(xs)],
+                "level": [round(level, 6)],
+                "trend": [round(trend, 6)],
+                "forecast": [round(level + _HOLT_H * trend, 6)],
+            }
+        )
+
+    return (
+        days.groupBy("event_type")
+        .applyInPandas(
+            holt,
+            "event_type string, n_days long, level double, trend double, forecast double",
+        )
+        .orderBy("event_type")
+    )
