@@ -146,6 +146,9 @@ CHECK_CHANGED: list[str] = [
     "events_attribution_linear",   # r4: NEW — multi-touch attribution with exact cent conservation
     "graph_kcore",                 # r4: NEW — k-core peeling, oracle replays every round (materialized CTEs)
     "events_holt_forecast",        # r4: NEW — Holt smoothing, Arrow kernel vs recursive-CTE oracle, dyadic-exact
+    "orders_hhi_concentration",    # r4: NEW — Herfindahl revenue concentration, integer cents + stable ratio
+    "text_readability_flesch",     # r4: NEW — Flesch readability via integer regexp counts, oracle-gated
+    "sim_mmr_diverse_topk",        # r4: NEW — MMR diverse retrieval on rounded-grid cosines, all steps replayed
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

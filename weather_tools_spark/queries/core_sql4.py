@@ -1803,3 +1803,67 @@ def mv_join_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("segment")
+
+
+@register(
+    "orders_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT nationkey,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             sum(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)) AS sum_sq,
+             CAST(max(cents) AS BIGINT) AS top_cents
+      FROM rev GROUP BY nationkey
+    )
+    SELECT nationkey, n_customers, total_cents,
+           round(sum_sq / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6)
+             AS hhi,
+           round(CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+             AS top_share
+    FROM agg ORDER BY nationkey
+    """,
+)
+def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per customer nation:
+    HHI = sum of squared customer revenue shares — the
+    market-concentration readout (1/n_customers = perfectly even, 1.0 =
+    monopoly). Per-customer revenue reduces map-combinably to exact
+    integer cents; the squared-share sum runs in double (each square is
+    one correctly-rounded op; the 1e-16 summation-order drift is
+    nine orders below the 6-decimal round). Two stacked map-combinable
+    aggregations, one broadcast dimension join, no window."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), F.col("o_custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    agg = rev.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("cents").cast("double") * F.col("cents").cast("double")).alias(
+            "sum_sq"
+        ),
+        F.max("cents").cast("long").alias("top_cents"),
+    )
+    tot_d = F.col("total_cents").cast("double")
+    return agg.select(
+        "nationkey",
+        "n_customers",
+        "total_cents",
+        F.round(F.col("sum_sq") / (tot_d * tot_d), 6).alias("hhi"),
+        F.round(F.col("top_cents").cast("double") / tot_d, 6).alias("top_share"),
+    ).orderBy("nationkey")

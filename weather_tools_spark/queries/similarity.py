@@ -692,3 +692,199 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance diverse top-k
+# ---------------------------------------------------------------------------
+
+_MMR_QUERIES = 4     # query vectors: vec_id < 4
+_MMR_POOL = 12       # candidate pool per query (top by relevance)
+_MMR_K = 4           # diverse results to select
+# lambda = 1/2 (dyadic): score = (rel - max_sim_to_selected) / 2
+
+
+def _mmr_steps_sql() -> str:
+    """Chained-CTE replay of the greedy MMR selection: step 1 takes the
+    most relevant candidate; step k maximizes
+    0.5*rel - 0.5*max(sim to already-selected), ties to the lower
+    neighbor id. All comparisons run on 6-rounded cosines, so both
+    engines rank identical grid values."""
+    parts = [
+        """
+    s1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel, 1 AS pick
+      FROM (
+        SELECT query_id, neighbor_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, neighbor_id) AS rk
+        FROM pool
+      ) WHERE rk = 1
+    ),
+    sel1 AS (SELECT query_id, neighbor_id, pick FROM s1)"""
+    ]
+    for k in range(2, _MMR_K + 1):
+        parts.append(f"""
+    s{k} AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel, {k} AS pick
+      FROM (
+        SELECT p.query_id, p.neighbor_id, p.rel,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY 0.5 * p.rel - 0.5 * mx.msim DESC, p.neighbor_id) AS rk
+        FROM pool p
+        JOIN (
+          SELECT p2.query_id, p2.neighbor_id, max(pw.sim) AS msim
+          FROM pool p2
+          JOIN sel{k - 1} s ON s.query_id = p2.query_id
+          JOIN pairwise pw ON pw.query_id = p2.query_id
+            AND pw.a = p2.neighbor_id AND pw.b = s.neighbor_id
+          GROUP BY p2.query_id, p2.neighbor_id
+        ) mx ON mx.query_id = p.query_id AND mx.neighbor_id = p.neighbor_id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sel{k - 1} s
+          WHERE s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id
+        )
+      ) WHERE rk = 1
+    ),
+    sel{k} AS (
+      SELECT query_id, neighbor_id, pick FROM sel{k - 1}
+      UNION ALL SELECT query_id, neighbor_id, pick FROM s{k}
+    )""")
+    return ",".join(parts)
+
+
+@register(
+    "sim_mmr_diverse_topk",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_MMR_QUERIES}
+    ),
+    scored AS MATERIALIZED (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]))), 6) AS rel
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    pool AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT query_id, neighbor_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= {_MMR_POOL}
+    ),
+    pairwise AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+             round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 6)
+               AS sim
+      FROM pool a
+      JOIN pool b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ),
+    {_mmr_steps_sql()}
+    SELECT s.query_id, s.pick, s.neighbor_id, p.rel
+    FROM sel{_MMR_K} s JOIN pool p
+      ON p.query_id = s.query_id AND p.neighbor_id = s.neighbor_id
+    ORDER BY s.query_id, s.pick
+    """,
+)
+def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diverse retrieval: greedily select
+    k=4 results per query maximizing 0.5*relevance - 0.5*max
+    similarity to the already-selected set — the diversity re-ranking
+    stage of a RAG/retrieval pipeline (plain top-k returns near
+    duplicates; MMR spends the budget on coverage). The relevance pool
+    is a distributed broadcast-queries scan; the sequential greedy
+    selection runs as an Arrow applyInPandas kernel per QUERY (queries
+    are the distribution grain; inside one query the selection is a
+    data-dependent chain over a {_MMR_POOL}-candidate pool). Every
+    cosine is rounded to 6 decimals BEFORE any comparison, so both
+    engines rank identical grid values and the argmax cannot flip on
+    dgemm-vs-sequential dot-product summation order; ties break to the
+    lower neighbor id. The oracle replays pool construction, the
+    pairwise matrix, and all greedy steps as chained CTEs."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < _MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, embedding, (a, b) -> cast(a as double) * cast(b as double)), 0D, (s, x) -> s + x)"
+                )
+                / (
+                    F.sqrt(
+                        F.expr(
+                            "aggregate(transform(qv, a -> cast(a as double) * cast(a as double)), 0D, (s, x) -> s + x)"
+                        )
+                    )
+                    * F.sqrt(
+                        F.expr(
+                            "aggregate(transform(embedding, a -> cast(a as double) * cast(a as double)), 0D, (s, x) -> s + x)"
+                        )
+                    )
+                ),
+                6,
+            ).alias("rel"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "neighbor_id")
+    pool = scored.withColumn("rk", F.row_number().over(wq)).filter(
+        F.col("rk") <= _MMR_POOL
+    )
+
+    def mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        vecs = np.vstack(pdf["nv"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        sims = np.round((vecs @ vecs.T) / np.outer(norms, norms), 6)
+        ids = pdf["neighbor_id"].to_numpy()
+        rels = pdf["rel"].to_numpy()
+        selected: list[int] = []
+        out = {"query_id": [], "pick": [], "neighbor_id": [], "rel": []}
+        for pick in range(1, _MMR_K + 1):
+            best_i, best_score = None, None
+            for i in range(len(ids)):
+                if i in selected:
+                    continue
+                if pick == 1:
+                    score = rels[i]
+                else:
+                    score = 0.5 * rels[i] - 0.5 * max(sims[i, j] for j in selected)
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and ids[i] < ids[best_i])
+                ):
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            out["query_id"].append(int(pdf["query_id"].iloc[0]))
+            out["pick"].append(pick)
+            out["neighbor_id"].append(int(ids[best_i]))
+            out["rel"].append(float(rels[best_i]))
+        return pd.DataFrame(out)
+
+    return (
+        pool.select("query_id", "neighbor_id", "nv", "rel")
+        .groupBy("query_id")
+        .applyInPandas(mmr, "query_id long, pick int, neighbor_id long, rel double")
+        .orderBy("query_id", "pick")
+    )

@@ -1455,3 +1455,79 @@ def ml_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("expected_agreement"),
     )
+
+
+@register(
+    "text_readability_flesch",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS words,
+             greatest(1, len(regexp_replace(text, '[^.!?]', '', 'g'))) AS sents,
+             greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS sylls
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang, words, sents, sylls,
+             CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / sents)
+               - CAST(84.6 AS DOUBLE) * (CAST(sylls AS DOUBLE) / words) AS flesch
+      FROM d
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS total_words,
+           CAST(sum(sylls) AS BIGINT) AS total_syllables,
+           round(sum(words) * 1.0 / sum(sents), 6) AS words_per_sentence,
+           round(avg(flesch), 6) AS mean_flesch,
+           CAST(count(*) FILTER (WHERE flesch < 30) AS BIGINT) AS n_hard_docs
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease readability profiling per language — the
+    document-difficulty feature readability-based corpus filters use.
+    Words are whitespace tokens, sentences count terminator characters
+    (.!?), and syllables use the standard maximal-vowel-run heuristic —
+    all three are integer regexp counts identical in both engines
+    (greedy character-class runs), so the only floats are the score's
+    two correctly-rounded divisions against exact double constants.
+    One map-side scoring pass, one map-combinable aggregate; the
+    hard-document census (score < 30) rides the same pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sents = F.greatest(
+        F.lit(1), F.length(F.regexp_replace(F.col("text"), r"[^.!?]", ""))
+    )
+    sylls = F.greatest(
+        F.lit(1),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+    )
+    d = docs.select(
+        "lang",
+        words.alias("words"),
+        sents.alias("sents"),
+        sylls.alias("sylls"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sents"))
+        - F.lit(84.6) * (F.col("sylls").cast("double") / F.col("words"))
+    )
+    scored = d.withColumn("flesch", flesch)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").cast("long").alias("total_words"),
+            F.sum("sylls").cast("long").alias("total_syllables"),
+            F.round(F.sum("words") * 1.0 / F.sum("sents"), 6).alias(
+                "words_per_sentence"
+            ),
+            F.round(F.avg("flesch"), 6).alias("mean_flesch"),
+            F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hard_docs"),
+        )
+        .orderBy("lang")
+    )
