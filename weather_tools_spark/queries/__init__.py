@@ -149,6 +149,7 @@ CHECK_CHANGED: list[str] = [
     "orders_hhi_concentration",    # r4: NEW — Herfindahl revenue concentration, integer cents + stable ratio
     "text_readability_flesch",     # r4: NEW — Flesch readability via integer regexp counts, oracle-gated
     "sim_mmr_diverse_topk",        # r4: NEW — MMR diverse retrieval on rounded-grid cosines, all steps replayed
+    "format_transcode_chain",      # r4: NEW — GRIB2->ingest->Zarr->pruned-scan transcode, all legs gated
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1635,3 +1635,103 @@ def storage_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "format_transcode_chain",
+    oracle="""
+    WITH cells AS (
+      SELECT t.i AS ti, la.i AS lai, lo.i AS loi,
+             ti * 100 + lai * 10 + loi + 0.5 AS v
+      FROM (SELECT unnest(range(0, 2)) AS i) t,
+           (SELECT unnest(range(0, 4)) AS i) la,
+           (SELECT unnest(range(0, 3)) AS i) lo
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells_full,
+           round(sum(v), 3) AS sum_full,
+           CAST(count(*) FILTER (WHERE lai IN (1, 2)) AS BIGINT) AS n_cells_bbox,
+           round(sum(v) FILTER (WHERE lai IN (1, 2)), 3) AS sum_bbox,
+           round(avg(v) FILTER (WHERE lai IN (1, 2)), 6) AS avg_bbox
+    FROM cells
+    """,
+)
+def format_transcode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format TRANSCODING proof — the interop a format library
+    must actually deliver: a deterministic hypercube is written as REAL
+    GRIB2 (distributed multi-message sink, simple packing), decoded
+    back through magic-byte ingest, re-written as a REAL Zarr v2 store
+    (distributed chunk sink, zlib), and finally read through the
+    chunk-PRUNED Zarr scan with a latitude bbox — four codec legs
+    chained through the public surfaces, with the full-domain and
+    pruned-bbox aggregates both gated against the generating formula.
+    A bit error in any leg (packing, section lengths, chunk layout,
+    pruning arithmetic) flips the hash. Values are exact multiples of
+    10^-3 so GRIB D=3 packing is lossless."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from weather_tools_spark.sources import grib2 as G2
+    from weather_tools_spark.sources import hypercube as H
+    from weather_tools_spark.sources import opener as OP
+    from weather_tools_spark.sources import zarr_scan as ZS
+    from weather_tools_spark.sources import zarr_v2 as Z2
+
+    tmp = tempfile.mkdtemp(prefix="wts_transcode_")
+    grib_dir = os.path.join(tmp, "grib")
+    os.makedirs(grib_dir)
+    store = os.path.join(tmp, "transcoded.zarr")
+
+    times = ["2024-06-03 00:00:00", "2024-06-03 12:00:00"]
+    lats = [49.0, 48.75, 48.5, 48.25]
+    lons = [2.0, 2.25, 2.5]
+    nt, nla, nlo = len(times), len(lats), len(lons)
+    t_map = F.create_map(
+        *[x for i, s in enumerate(times) for x in (F.lit(i), F.lit(s))]
+    )
+    grid = (
+        spark.range(nt * nla * nlo)
+        .select(
+            (F.col("id") / (nla * nlo)).cast("int").alias("ti"),
+            ((F.col("id") / nlo) % nla).cast("int").alias("lai"),
+            (F.col("id") % nlo).cast("int").alias("loi"),
+        )
+        .select(
+            F.to_timestamp(t_map[F.col("ti")]).alias("time"),
+            (F.lit(49.0) - F.col("lai") * 0.25).alias("latitude"),
+            (F.lit(2.0) + F.col("loi") * 0.25).alias("longitude"),
+            (F.col("ti") * 100 + F.col("lai") * 10 + F.col("loi") + 0.5).alias("d2m"),
+        )
+    )
+    G2.write_grib2_partitioned(grid, grib_dir, ["d2m"])
+    paths = sorted(os.path.join(grib_dir, f) for f in os.listdir(grib_dir))
+    decoded = H.ingest(
+        spark,
+        paths,
+        schema=_parse_datatype_string(
+            "time timestamp, latitude double, longitude double, "
+            "d2m double, data_uri string, data_first_step timestamp"
+        ),
+    ).select("time", "latitude", "longitude", "d2m")
+
+    meta = ZS.ChunkedDatasetMeta(
+        uri=store, times=times, lats=lats, lons=lons,
+        chunk_time=2, chunk_lat=2, chunk_lon=2, variables=("d2m",),
+    )
+    Z2.write_zarr_v2(decoded, store, meta)
+
+    OP.open_dataset(spark, store, view="transcoded_full")
+    OP.open_dataset(
+        spark, store, lat_range=(48.4, 48.9), view="transcoded_bbox"
+    )
+    full = spark.sql(
+        "SELECT CAST(count(*) AS BIGINT) AS n_cells_full,"
+        " round(sum(d2m), 3) AS sum_full FROM transcoded_full"
+    )
+    bbox = spark.sql(
+        "SELECT CAST(count(*) AS BIGINT) AS n_cells_bbox,"
+        " round(sum(d2m), 3) AS sum_bbox,"
+        " round(avg(d2m), 6) AS avg_bbox FROM transcoded_bbox"
+    )
+    return full.crossJoin(bbox)
