@@ -110,6 +110,18 @@ HEADLINE = [
     "sketch_kmv_setops",
     "analytics_skyline_parts",
     "ml_pca_power_iteration",
+    # session-5 later waves (cheap representatives; the transcode chain
+    # and scene-change decode stay oracle-checked but out of the
+    # headline set like the audits)
+    "events_mad_outliers",
+    "dq_median_imputation",
+    "events_holt_forecast",
+    "orders_hhi_concentration",
+    "text_readability_flesch",
+    "storage_zorder_clustering",
+    "mv_join_delta_refresh",
+    "events_attribution_linear",
+    "sim_mmr_diverse_topk",
 ]
 
 
