@@ -150,6 +150,8 @@ CHECK_CHANGED: list[str] = [
     "text_readability_flesch",     # r4: NEW — Flesch readability via integer regexp counts, oracle-gated
     "sim_mmr_diverse_topk",        # r4: NEW — MMR diverse retrieval on rounded-grid cosines, all steps replayed
     "format_transcode_chain",      # r4: NEW — GRIB2->ingest->Zarr->pruned-scan transcode, all legs gated
+    "weather_return_period",       # r4: NEW — Weibull plotting-position return periods, integer domain
+    "events_periodogram",          # r4: NEW — Schuster periodogram at shared-literal trig arguments
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

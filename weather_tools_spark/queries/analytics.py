@@ -1474,3 +1474,83 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram of the daily event-count series
+# ---------------------------------------------------------------------------
+
+_PG_MAX_K = 10
+_PG_TWO_PI = 6.283185307179586  # precomputed double literal (no pi() parse drift)
+
+
+@register(
+    "events_periodogram",
+    oracle=f"""
+    WITH days AS (
+      SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, x,
+             row_number() OVER (ORDER BY day) - 1 AS t,
+             count(*) OVER () AS n
+      FROM days
+    ),
+    freqs AS (SELECT unnest(generate_series(1, {_PG_MAX_K})) AS k),
+    terms AS (
+      SELECT f.k, i.n,
+             sum(i.x * cos({_PG_TWO_PI!r} * f.k * i.t / i.n)) AS c,
+             sum(i.x * sin({_PG_TWO_PI!r} * f.k * i.t / i.n)) AS s
+      FROM freqs f CROSS JOIN idx i
+      GROUP BY f.k, i.n
+    )
+    SELECT k, CAST(n AS BIGINT) AS n_days,
+           round((c * c + s * s) / n, 4) AS power
+    FROM terms ORDER BY k
+    """,
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram of the daily event-count series at
+    frequencies k = 1..10 cycles per record length — the spectral
+    companion to events_autocorrelation for periodicity detection:
+    P(k) = ((sum x cos)^2 + (sum x sin)^2) / n over the raw series
+    (the mean leaks only into k=0, which is not emitted). The
+    fact reduces to <= horizon-days rows map-combinably; the k x days
+    trig expansion runs on that tiny frame with a broadcast frequency
+    spine. 2*pi is a shared precomputed double literal so both engines
+    evaluate cos/sin at bit-identical arguments; the <= 1-ulp libm
+    spread on the results sits nine orders below the 4-decimal round
+    (the HLL-ln precedent)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.groupBy(
+        F.floor(F.unix_micros("ts") / 1_000_000.0 / 86400.0).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    wall = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    idx = (
+        days.withColumn("t", F.row_number().over(W.orderBy("day")) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    freqs = spark.range(1, _PG_MAX_K + 1).select(F.col("id").alias("k"))
+    arg = F.lit(_PG_TWO_PI) * F.col("k") * F.col("t") / F.col("n")
+    terms = (
+        F.broadcast(freqs)
+        .crossJoin(idx)
+        .groupBy("k", "n")
+        .agg(
+            F.sum(F.col("x") * F.cos(arg)).alias("c"),
+            F.sum(F.col("x") * F.sin(arg)).alias("s"),
+        )
+    )
+    return terms.select(
+        "k",
+        F.col("n").cast("long").alias("n_days"),
+        F.round((F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"), 4).alias(
+            "power"
+        ),
+    ).orderBy("k")

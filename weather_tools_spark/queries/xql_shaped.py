@@ -2423,3 +2423,82 @@ def weather_station_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("station")
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical return periods of annual maxima
+# ---------------------------------------------------------------------------
+
+_RP_YEARS = 20
+_RP_DAYS = 365
+
+
+@register(
+    "weather_return_period",
+    oracle=f"""
+    WITH series AS (
+      SELECT y.i AS year_i, d.i AS doy,
+             100 + abs((d.i % 120) - 60) * 2
+               + (y.i * 7919 + d.i * 104729) % 41
+               + CASE WHEN (y.i * 15485863 + d.i * 1299709) % 503 = 0
+                      THEN 150 ELSE 0 END AS v
+      FROM (SELECT unnest(range(0, {_RP_YEARS})) AS i) y,
+           (SELECT unnest(range(0, {_RP_DAYS})) AS i) d
+    ),
+    ann AS (
+      SELECT year_i, CAST(max(v) AS BIGINT) AS annual_max
+      FROM series GROUP BY year_i
+    ),
+    ranked AS (
+      SELECT year_i, annual_max,
+             row_number() OVER (ORDER BY annual_max DESC, year_i) AS rk
+      FROM ann
+    )
+    SELECT year_i, annual_max, CAST(rk AS BIGINT) AS rank,
+           round(({_RP_YEARS} + 1) * 1.0 / rk, 6) AS return_period_years,
+           round(rk * 1.0 / ({_RP_YEARS} + 1), 6) AS exceedance_prob
+    FROM ranked ORDER BY rank
+    """,
+)
+def weather_return_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical return periods of annual maxima (the Weibull plotting
+    position T = (n+1)/rank) — the extreme-value readout behind design
+    storms and flood frequency, computed WITHOUT distribution fitting:
+    a 20-year daily series in exact integer deci-units (triangular
+    seasonality + deterministic noise + hash-timed extreme spikes),
+    reduced map-combinably to annual maxima, ranked descending with a
+    year tie-break. All integer until the two final exact-division
+    ratios. The annual-max reduction is the scalable stage; the
+    ranking window runs on the <= n_years frame."""
+    from pyspark.sql import Window as W
+
+    series = spark.range(_RP_YEARS * _RP_DAYS).select(
+        (F.col("id") / _RP_DAYS).cast("long").alias("year_i"),
+        (F.col("id") % _RP_DAYS).alias("doy"),
+    )
+    spike = (F.col("year_i") * 15485863 + F.col("doy") * 1299709) % 503 == 0
+    v = (
+        100
+        + F.abs((F.col("doy") % 120) - 60) * 2
+        + (F.col("year_i") * 7919 + F.col("doy") * 104729) % 41
+        + F.when(spike, 150).otherwise(0)
+    )
+    ann = (
+        series.withColumn("v", v)
+        .groupBy("year_i")
+        .agg(F.max("v").cast("long").alias("annual_max"))
+    )
+    ranked = ann.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("annual_max").desc(), "year_i"))
+        .cast("long"),
+    )
+    n1 = _RP_YEARS + 1
+    return ranked.select(
+        "year_i",
+        "annual_max",
+        "rank",
+        F.round(F.lit(n1) * 1.0 / F.col("rank"), 6).alias("return_period_years"),
+        F.round(F.col("rank") * 1.0 / n1, 6).alias("exceedance_prob"),
+    ).orderBy("rank")
