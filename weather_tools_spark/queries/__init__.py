@@ -152,6 +152,7 @@ CHECK_CHANGED: list[str] = [
     "format_transcode_chain",      # r4: NEW — GRIB2->ingest->Zarr->pruned-scan transcode, all legs gated
     "weather_return_period",       # r4: NEW — Weibull plotting-position return periods, integer domain
     "events_periodogram",          # r4: NEW — Schuster periodogram at shared-literal trig arguments
+    "analytics_abc_classification",# r4: NEW — Pareto ABC classes with cross-multiplied integer cutoffs
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1867,3 +1867,89 @@ def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_sq") / (tot_d * tot_d), 6).alias("hhi"),
         F.round(F.col("top_cents").cast("double") / tot_d, 6).alias("top_share"),
     ).orderBy("nationkey")
+
+
+@register(
+    "analytics_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_partkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT p_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, p_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(cents) OVER () AS total_cents
+      FROM rev
+    ),
+    classed AS (
+      SELECT p_partkey, cents,
+             CASE WHEN cum_cents * 100 <= 80 * total_cents THEN 'A'
+                  WHEN cum_cents * 100 <= 95 * total_cents THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_cents,
+           round(sum(cents) * 1.0 / max(t.total), 6) AS revenue_share,
+           CAST(min(cents) AS BIGINT) AS min_part_cents
+    FROM classed CROSS JOIN (SELECT sum(cents) AS total FROM rev) t
+    GROUP BY abc ORDER BY abc
+    """,
+)
+def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: rank parts by revenue,
+    class A = parts covering the first 80% of cumulative revenue, B to
+    95%, C the tail — the stock-policy segmentation every supply-chain
+    warehouse runs. Revenue reduces map-combinably to exact integer
+    cents; the class boundary test is cross-multiplied integers
+    (cum*100 <= 80*total), so no cumulative-share float can sit on the
+    cutoff. The ranking window is global but runs over the
+    parts-aggregate frame (|parts| rows, not the fact) — the documented
+    bounded contract; at larger dimension cardinality the same query
+    shape runs on a two-stage percentile split."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wcum = W.orderBy(F.col("cents").desc(), "p_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = rev.withColumn("cum_cents", F.sum("cents").over(wcum)).withColumn(
+        "total_cents", F.sum("cents").over(wall)
+    )
+    classed = ranked.withColumn(
+        "abc",
+        F.when(F.col("cum_cents") * 100 <= 80 * F.col("total_cents"), "A")
+        .when(F.col("cum_cents") * 100 <= 95 * F.col("total_cents"), "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_cents"),
+            F.round(F.sum("cents") * 1.0 / F.max("total_cents"), 6).alias(
+                "revenue_share"
+            ),
+            F.min("cents").cast("long").alias("min_part_cents"),
+        )
+        .orderBy("abc")
+    )
