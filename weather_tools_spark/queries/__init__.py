@@ -153,6 +153,7 @@ CHECK_CHANGED: list[str] = [
     "weather_return_period",       # r4: NEW — Weibull plotting-position return periods, integer domain
     "events_periodogram",          # r4: NEW — Schuster periodogram at shared-literal trig arguments
     "analytics_abc_classification",# r4: NEW — Pareto ABC classes with cross-multiplied integer cutoffs
+    "corpus_span_corruption_plan", # r4: NEW — T5 span-masking budget accounting, integer geometry
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

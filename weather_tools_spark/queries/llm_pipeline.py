@@ -379,3 +379,81 @@ def corpus_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_span_corruption_plan",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    plan AS (
+      -- T5-style span corruption geometry at noise density 15%, mean
+      -- span 3: n_spans = round(0.15 * n / 3) (at least 1 for docs
+      -- with >= 7 tokens), masked = n_spans * 3 capped at n // 2,
+      -- sentinel tokens = n_spans, target length = masked + n_spans.
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens >= 7
+                  THEN greatest(1, CAST(floor((15 * n_tokens + 150) / 300) AS BIGINT))
+                  ELSE 0 END AS n_spans
+      FROM tok
+    ),
+    sized AS (
+      SELECT doc_id, n_tokens, n_spans,
+             least(n_spans * 3, n_tokens // 2) AS n_masked
+      FROM plan
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_spans = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_short,
+           CAST(sum(n_spans) AS BIGINT) AS total_spans,
+           CAST(sum(n_masked) AS BIGINT) AS total_masked,
+           CAST(sum(n_tokens - n_masked + n_spans) AS BIGINT) AS input_len_total,
+           CAST(sum(n_masked + n_spans) AS BIGINT) AS target_len_total,
+           round(sum(n_masked) * 1.0 / sum(n_tokens), 6) AS mask_rate
+    FROM sized
+    """,
+)
+def corpus_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLANNING over the corpus: for each
+    document, how many length-3 spans a 15% noise density masks
+    (integer arithmetic: round(0.15*n/3) computed cross-multiplied as
+    floor((15n+150)/300), capped at half the doc), and the resulting
+    encoder-input / decoder-target token budgets including one sentinel
+    per span — the pretraining-batch accounting a seq2seq data pipeline
+    must produce before materializing examples. Token counts are the
+    whitespace-regexp integers of the tokenizer family; one map-side
+    pass, one global rollup, everything BIGINT until the final
+    mask-rate division."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    tok = docs.select(n_tokens.alias("n_tokens"))
+    n_spans = F.when(
+        F.col("n_tokens") >= 7,
+        F.greatest(
+            F.lit(1), F.floor((15 * F.col("n_tokens") + 150) / 300).cast("long")
+        ),
+    ).otherwise(0)
+    sized = tok.withColumn("n_spans", n_spans).withColumn(
+        "n_masked",
+        F.least(F.col("n_spans") * 3, F.floor(F.col("n_tokens") / 2).cast("long")),
+    )
+    return sized.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("n_spans") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_too_short"),
+        F.sum("n_spans").cast("long").alias("total_spans"),
+        F.sum("n_masked").cast("long").alias("total_masked"),
+        F.sum(F.col("n_tokens") - F.col("n_masked") + F.col("n_spans"))
+        .cast("long")
+        .alias("input_len_total"),
+        F.sum(F.col("n_masked") + F.col("n_spans"))
+        .cast("long")
+        .alias("target_len_total"),
+        F.round(F.sum("n_masked") * 1.0 / F.sum("n_tokens"), 6).alias("mask_rate"),
+    )
