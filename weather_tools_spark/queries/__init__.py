@@ -154,6 +154,7 @@ CHECK_CHANGED: list[str] = [
     "events_periodogram",          # r4: NEW — Schuster periodogram at shared-literal trig arguments
     "analytics_abc_classification",# r4: NEW — Pareto ABC classes with cross-multiplied integer cutoffs
     "corpus_span_corruption_plan", # r4: NEW — T5 span-masking budget accounting, integer geometry
+    "agg_weighted_median",         # r4: NEW — integer cumulative-weight median, no interpolation
 ]
 
 # Names of queries first registered in round 2 — surfaced early in the

@@ -1953,3 +1953,69 @@ def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT o.o_orderpriority AS priority, o.o_orderkey,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS wt
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT priority, cents, wt,
+             sum(wt) OVER (PARTITION BY priority ORDER BY cents, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY priority) AS tw
+      FROM w
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+             AS weighted_median_cents
+    FROM cum GROUP BY priority ORDER BY priority
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median of order value per priority, weighted by
+    each order's lineitem count — the robust center used when rows
+    represent unequal masses (documents weighted by tokens, orders by
+    items). Entirely exact integers: cent values, integer weights, a
+    key-partitioned cumulative-weight window, and the median as the
+    smallest value whose doubled cumulative weight reaches the total —
+    an integer comparison, no interpolation, no float boundary. The
+    weight build is one map-combinable fact join; the quantile scan is
+    a per-group ordered window (the scalable grain)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    w = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+    )
+    wk = W.partitionBy("priority")
+    cum = w.withColumn(
+        "cw",
+        F.sum("wt").over(wk.orderBy("cents", "o_orderkey").rowsBetween(W.unboundedPreceding, 0)),
+    ).withColumn("tw", F.sum("wt").over(wk))
+    return (
+        cum.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("tw").cast("long").alias("total_weight"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+            .cast("long")
+            .alias("weighted_median_cents"),
+        )
+        .orderBy("priority")
+    )
