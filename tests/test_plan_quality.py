@@ -472,8 +472,14 @@ def test_priority_sampling_uses_takeordered(spark, sf_dir):
     # partition min-k merge), never a global Sort of the fact table.
     plan = _formatted_plan(spark, "sample_weighted_priority", sf_dir)
     assert "TakeOrderedAndProject" in plan
-    sorts = re.findall(r"^\(\d+\) Sort\b.*$[\s\S]*?Arguments: ([^\n]*)", plan, re.MULTILINE)
-    # any residual Sort may only order the <= k+1-row result frame
+    # any residual Sort may only order the <= k+1-row result frame:
+    # formatted-plan ids are assigned bottom-up (parents get HIGHER
+    # ids), so every Sort must sit ABOVE all TakeOrdered nodes — a Sort
+    # with a lower id would be ordering fact-scale rows below the top-k.
+    take_ids = [int(m) for m in re.findall(r"^\((\d+)\) TakeOrderedAndProject", plan, re.MULTILINE)]
+    sort_ids = [int(m) for m in re.findall(r"^\((\d+)\) Sort\b", plan, re.MULTILINE)]
+    assert take_ids, plan
+    assert all(sid > max(take_ids) for sid in sort_ids), (sort_ids, take_ids)
     assert "CartesianProduct" not in plan
 
 

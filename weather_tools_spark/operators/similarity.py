@@ -556,6 +556,12 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> Dat
             if len(pdf) == 0:
                 continue
             x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if x.shape[1] != dim:
+                raise ValueError(
+                    f"gram_matrix: embedding width {x.shape[1]} != dim={dim}; "
+                    "a ragged or mis-declared vector column would silently "
+                    "misalign g.ravel() against the index meshgrid"
+                )
             g = x.T @ x
             ii, jj = np.meshgrid(np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij")
             yield pd.DataFrame(
@@ -576,6 +582,10 @@ def power_iteration(
     of the dominant eigenvalue. Convergence is spectrum-dependent
     (alignment error ~ (lambda2/lambda1)^iters); the machinery is
     deterministic regardless."""
+    if iters < 1:
+        # callers crossJoin the returned norm frame; a None from an
+        # empty loop would raise far from the cause — fail here instead
+        raise ValueError(f"power_iteration: iters must be >= 1, got {iters}")
     spark = g.sparkSession
     v = spark.range(1, dim + 1).select(
         F.col("id").cast("int").alias("vi"), F.lit(v0).alias("vv")

@@ -1354,16 +1354,16 @@ def _kcore_oracle() -> str:
     """,
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition (k = {_KC_K}) of the undirected capped trade
-    graph: iteratively peel nodes of degree < k until the remaining
-    subgraph is stable — the standard community-coreness primitive.
-    Same split as the BFS query: the fact-scale work is the distributed
-    edge aggregation (reused from graph_shortest_paths); the peeling
-    schedule runs on the collected bounded edge summary, and the oracle
-    replays every peel round as chained CTEs, so the hash gate
-    certifies the round-by-round schedule. {_KC_ROUNDS} rounds is past
-    the fixpoint on every SF (pytest asserts one extra round changes
-    nothing)."""
+    """k-core decomposition (k = 2, matching ``_KC_K``) of the
+    undirected capped trade graph: iteratively peel nodes of degree < k
+    until the remaining subgraph is stable — the standard
+    community-coreness primitive. Same split as the BFS query: the
+    fact-scale work is the distributed edge aggregation (reused from
+    graph_shortest_paths); the peeling schedule runs on the collected
+    bounded edge summary, and the oracle replays every peel round as
+    chained CTEs, so the hash gate certifies the round-by-round
+    schedule. 6 rounds (``_KC_ROUNDS``) is past the fixpoint on every
+    SF (pytest asserts one extra round changes nothing)."""
     edge_rows = _sp_edges_df(spark, sf_dir).collect()
     und: set[tuple[int, int]] = set()
     for r in edge_rows:
