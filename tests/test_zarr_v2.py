@@ -47,7 +47,14 @@ def _source_frame(spark, meta):
     return spark.createDataFrame(rows, cols), rows, cols
 
 
-@pytest.mark.parametrize("compressor", [{"id": "zlib", "level": 1}, None])
+@pytest.mark.parametrize(
+    "compressor",
+    [
+        {"id": "zlib", "level": 1},
+        None,
+        {"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 1},
+    ],
+)
 def test_roundtrip_byte_identical(spark, tmp_path, compressor):
     store = str(tmp_path / "store.zarr")
     meta = _meta(store)
@@ -59,8 +66,10 @@ def test_roundtrip_byte_identical(spark, tmp_path, compressor):
     za = json.load(open(os.path.join(store, "d2m", ".zarray")))
     assert za["zarr_format"] == 2 and za["chunks"] == [2, 2, 3]
     buf = open(os.path.join(store, "d2m", "0.0.0"), "rb").read()
-    if compressor:
+    if compressor and compressor["id"] == "zlib":
         buf = zlib.decompress(buf)
+    elif compressor and compressor["id"] == "blosc":
+        buf = Z2.blosc_decompress(buf)
     arr = np.frombuffer(buf, "<f8").reshape(2, 2, 3)
     assert arr[0, 0, 0] == 0.25 and arr[1, 1, 2] == 10102.25
 
@@ -125,9 +134,91 @@ def test_missing_cells_keep_fill_value(spark, tmp_path):
 
 def test_unsupported_compressor_raises(tmp_path):
     with pytest.raises(NotImplementedError):
-        Z2._decompress(b"", {"id": "blosc"})
-    with pytest.raises(NotImplementedError):
         Z2._compress(b"", {"id": "lz4"})
+    # blosc with a non-zlib inner codec: gated on WRITE by cname...
+    with pytest.raises(NotImplementedError, match="lz4"):
+        Z2._compress(b"\x00" * 32, {"id": "blosc", "cname": "lz4"})
+    # ...and on READ by the codec id bits in the container header
+    # (bits 5-7 = 1 → lz4), independent of the .zarray metadata
+    import struct
+
+    lz4_hdr = struct.pack("<BBBBiii", 2, 1, 1 << 5, 8, 32, 32, 16 + 4 + 4 + 8)
+    with pytest.raises(NotImplementedError, match="lz4"):
+        Z2.blosc_decompress(lz4_hdr + b"\x00" * 16)
+    # bit-shuffle filter: gated by flag bit 2
+    bits_hdr = struct.pack("<BBBBiii", 2, 1, (3 << 5) | 0x4, 8, 32, 32, 16 + 16)
+    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+        Z2.blosc_decompress(bits_hdr + b"\x00" * 16)
+
+
+def test_blosc_container_roundtrip_layouts():
+    """Encoder/decoder agree across every container layout the format
+    allows: single-block, multi-block (absolute bstarts), shuffle
+    on/off, raw splits (incompressible blocks), memcpy fallback, and
+    the empty chunk."""
+    rng = np.random.default_rng(7)
+    cases = [
+        (np.arange(4096, dtype="<f8").tobytes(), 8, 1, 0),       # 1 block, shuffled
+        (np.arange(40000, dtype="<f8").tobytes(), 8, 1, 0),      # 5 blocks @64KiB
+        (np.arange(40000, dtype="<f8").tobytes(), 8, 0, 0),      # no shuffle
+        (np.arange(9999, dtype="<i4").tobytes(), 4, 1, 1 << 12), # explicit blocksize
+        (rng.bytes(300000), 1, 1, 0),                            # incompressible → raw/memcpy
+        (b"", 8, 1, 0),                                          # empty chunk
+        (b"abc", 8, 1, 0),                                       # shorter than one element
+    ]
+    for data, ts, sh, bs in cases:
+        enc = Z2.blosc_compress(data, typesize=ts, shuffle=sh, blocksize=bs)
+        assert Z2.blosc_decompress(enc) == data, (ts, sh, bs, len(data))
+        # header honesty: cbytes == container length, nbytes == payload
+        import struct
+
+        nbytes, _, cbytes = struct.unpack_from("<iii", enc, 4)
+        assert nbytes == len(data) and cbytes == len(enc)
+
+
+def test_blosc_golden_container_decodes():
+    """Decode a container hand-assembled from the public c-blosc spec
+    (README_HEADER.rst) — independent of our encoder, so the two can't
+    share a misreading of the format: 16 int32s, typesize 4, byte
+    shuffle, zlib codec (id 3), two 32-byte blocks."""
+    import struct
+
+    values = np.arange(16, dtype="<i4")  # 64 bytes
+    blocksize = 32  # → 2 blocks of 8 elements
+    blocks = []
+    for j in range(2):
+        raw = values[j * 8 : (j + 1) * 8].tobytes()
+        # byte shuffle, typesize 4: lane-major transpose
+        sh = bytes(raw[e * 4 + lane] for lane in range(4) for e in range(8))
+        comp = zlib.compress(sh, 6)
+        assert len(comp) < 32  # stays a compressed split
+        blocks.append(struct.pack("<i", len(comp)) + comp)
+    bstart0 = 16 + 2 * 4
+    bstart1 = bstart0 + len(blocks[0])
+    body = struct.pack("<ii", bstart0, bstart1) + b"".join(blocks)
+    flags = (3 << 5) | 0x1  # zlib codec, byte-shuffled
+    hdr = struct.pack("<BBBBiii", 2, 1, flags, 4, 64, blocksize, 16 + len(body))
+    assert Z2.blosc_decompress(hdr + body) == values.tobytes()
+
+    # memcpy-flagged container (flags bit 1): payload is the raw bytes
+    hdr = struct.pack("<BBBBiii", 2, 1, flags | 0x2, 4, 64, blocksize, 16 + 64)
+    assert Z2.blosc_decompress(hdr + values.tobytes()) == values.tobytes()
+
+
+def test_blosc_pruned_scan_matches_zlib_store(spark, tmp_path):
+    """The same dataset written blosc-zlib and plain-zlib decodes to
+    identical rows through the pruned Spark scan path."""
+    meta_b = _meta(str(tmp_path / "b.zarr"))
+    meta_z = _meta(str(tmp_path / "z.zarr"))
+    src, rows, cols = _source_frame(spark, meta_b)
+    Z2.write_zarr_v2(src, meta_b.uri, meta_b,
+                     compressor={"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 1})
+    Z2.write_zarr_v2(src, meta_z.uri, meta_z, compressor={"id": "zlib", "level": 1})
+    got_b = sorted(tuple(r) for r in ZS.scan(spark, Z2.open_zarr_v2(meta_b.uri),
+                                             decoder="zarr2").drop("data_uri").collect())
+    got_z = sorted(tuple(r) for r in ZS.scan(spark, Z2.open_zarr_v2(meta_z.uri),
+                                             decoder="zarr2").drop("data_uri").collect())
+    assert got_b == got_z and len(got_b) == 5 * 3 * 4
 
 
 def test_stream_ingest_real_zarr_decode(spark, tmp_path):

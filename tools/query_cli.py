@@ -35,13 +35,19 @@ def main() -> int:
         print(__doc__, file=sys.stderr)
         return 2
     cmd = args[0]
-    from weather_tools_spark.queries import ORACLE, SPARK
+    from weather_tools_spark.queries import AUDIT_ONLY, ORACLE, SPARK
 
     if cmd == "list":
         sub = args[1] if len(args) > 1 else ""
         for name in sorted(SPARK):
             if sub in name:
-                print(f"{name}  [{'oracle' if name in ORACLE else 'rows-only'}]")
+                tags = ["oracle" if name in ORACLE else "rows-only"]
+                if name in AUDIT_ONLY:
+                    # verification instrument (~2x operator cost, 16g
+                    # heap for the recall audits at sf0.1) — schedule
+                    # as CI/canary, not as a production pipeline
+                    tags.append("audit-only")
+                print(f"{name}  [{', '.join(tags)}]")
         return 0
 
     name = args[1] if len(args) > 1 else ""

@@ -183,7 +183,7 @@ def semdedup(
     assigned = kmeans_assign(df, centroids, id_col, vec_col).drop("dist2")
     with_vec = assigned.join(df.select(id_col, vec_col), id_col)
 
-    def kernel(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def kernel(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         x /= np.linalg.norm(x, axis=1, keepdims=True)

@@ -1,0 +1,67 @@
+"""Distributed graph kernels over edge-list DataFrames.
+
+The triangle kernel uses DEGREE-ORDERED edge orientation — the standard
+O(m^1.5) algorithm: every undirected edge points from its lower-degree
+endpoint to its higher-degree endpoint (ties by id). If a vertex has
+oriented out-degree k, each of its k out-neighbors has degree >= k, so
+m >= k^2/2 and therefore max out-degree <= sqrt(2m) REGARDLESS of the
+degree distribution. Wedges are enumerated only at each triangle's
+minimum vertex in that order (sum of C(outdeg,2) <= O(m^1.5) candidate
+rows) where id-ordered orientation degrades toward sum of C(deg,2) on
+hub-heavy graphs — the high-degree-vertex problem, solved declaratively
+instead of with an explicit vertex split.
+
+Everything is plain DataFrame algebra (two shuffle equi-joins, map-
+combinable aggregates); no driver-side materialization at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_degrees(edges: DataFrame) -> DataFrame:
+    """(v, d) undirected degree frame for an (a, b) unique-edge list."""
+    return (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def orient_by_degree(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each undirected edge (a, b) from its lower-(degree, id)
+    endpoint to the higher one. Returns (lo, hi, khi) where khi is the
+    packed (degree, id) order key of the head — carried so the wedge
+    join can order a vertex's out-neighborhood without re-joining
+    degrees. The pack ``d * 2^32 + v`` is collision-free while both
+    degree and id fit in 31 bits (true for any graph whose edge list
+    fits in an int64-keyed table)."""
+    dk = deg.select("v", (F.col("d").cast("long") * F.lit(1 << 32) + F.col("v")).alias("okey"))
+    return (
+        edges.join(dk.select(F.col("v").alias("a"), F.col("okey").alias("ka")), "a")
+        .join(dk.select(F.col("v").alias("b"), F.col("okey").alias("kb")), "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.greatest("ka", "kb").alias("khi"),
+        )
+    )
+
+
+def oriented_triangle_count(oriented: DataFrame) -> DataFrame:
+    """One-row (n_triangles) frame from a degree-oriented (lo, hi, khi)
+    edge frame: wedge at the minimum-order vertex, closed by the
+    oriented (hi1, hi2) edge — each triangle {x < y < z in degree
+    order} is counted exactly once, at u=x with closing edge y->z."""
+    w1, w2, e3 = oriented.alias("w1"), oriented.alias("w2"), oriented.alias("e3")
+    return (
+        w1.join(w2, (F.col("w1.lo") == F.col("w2.lo")) & (F.col("w1.khi") < F.col("w2.khi")))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("w1.hi")) & (F.col("e3.hi") == F.col("w2.hi")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -187,7 +187,7 @@ def embedding_cosine_pairs_blocked(
         F.broadcast(pairs_df), (F.col("blk") == F.col("pi")) | (F.col("blk") == F.col("pj"))
     )
 
-    def pair_kernel(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def pair_kernel(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         pi, pj = key
         ids = pdf["vid"].to_numpy()
         x = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)

@@ -39,6 +39,29 @@ CHECK_CHANGED: list[str] = [
     # Re-add a name here ONLY when its oracle or execution path changes.
 ]
 
+# Verification-only queries: each recomputes an approximate operator's
+# result AND its exact ground truth (md5-keyed signature replay, banded
+# recall, ANN recall, sketch error bounds) to cross-certify the
+# approximate path. They are correctness instruments, not production
+# pipelines: intentionally ~2x the work of the operator they audit, and
+# the recall audits are the queries that need the 16 GiB single-JVM
+# heap at sf0.1 (ROUND4_NOTES) — a real deployment should schedule them
+# as CI/canary jobs, never as data-plane pipelines. Surfaced in
+# `tools/query_cli.py list` as [audit-only]; the bench headline set
+# keeps only the cheap md5/heavy-hitter representatives
+# (tests/test_registry_tags.py pins that intersection).
+AUDIT_ONLY: frozenset[str] = frozenset(
+    {
+        "dedup_minhash_md5_audit",
+        "dedup_winnowing_md5_audit",
+        "dedup_simhash_md5_audit",
+        "dedup_banded_recall_audit",
+        "sim_ann_recall_audit",
+        "sketch_error_bounds_audit",
+        "text_heavy_hitters_audit",
+    }
+)
+
 # Names of queries first registered in round 2 — surfaced early in the
 # driver ordering (see __spark_entry__._ordered) so a prefix-sampling
 # driver verifies them the round they land.

@@ -1372,18 +1372,26 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the part co-purchase graph (parts sharing an
-    order), the classic distributed graph kernel: orient every edge
-    low-id -> high-id, then one two-hop equi-join path e1(a,b)⋈e2(b,c)
-    closed by e3(a,c) counts each triangle EXACTLY once (a<b<c by
-    construction) — no factor-6 overcount, no cross join. Census row:
-    nodes, edges, triangles, wedges (Σ C(deg,2)), max degree, and the
-    global clustering coefficient 3T/wedges.
+    order), the classic distributed graph kernel — via DEGREE-ORDERED
+    edge orientation: every undirected edge points from its lower-degree
+    endpoint to its higher-degree endpoint (ties by id), wedges are
+    enumerated only at each triangle's minimum-degree vertex, and the
+    closing edge lookup is one equi-join. Census row: nodes, edges,
+    triangles, wedges (Σ C(deg,2) over UNDIRECTED degrees — the
+    clustering-coefficient denominator), max degree, and the global
+    clustering coefficient 3T/wedges.
 
-    Scale topology: edge construction fans out C(k,2) per order (bounded
-    by basket size, never corpus-quadratic); the triangle path is two
-    shuffle equi-joins on node keys — the standard MapReduce triangle
-    algorithm; degree/wedge stats are map-combinable. Integer outputs
-    plus one rounded ratio.
+    Scale topology: this is the O(m^1.5) algorithm — the oriented
+    out-degree of every vertex is O(sqrt(m)) regardless of skew, so the
+    wedge join fans out Σ C(outdeg,2) = O(m^1.5) candidate rows where
+    id-ordered orientation (the r4 path; SCALING.md watch item at 5.0x
+    per 100x data) degrades toward Σ C(deg,2) on hub-heavy graphs. A
+    power-law hub of degree h contributes C(h,2) id-ordered wedges but
+    only C(sqrt(m),2)-bounded degree-ordered ones — the standard
+    high-degree-vertex split, expressed declaratively. Edge
+    construction fans out C(k,2) per order (bounded by basket size);
+    the two joins are shuffle equi-joins on node keys; degree/wedge
+    stats are map-combinable. Integer outputs plus one rounded ratio.
 
     Reference parity: no graph surface exists in the reference; engine
     addition beside graph_pagerank_nations (SURVEY.md §2 extensions)."""
@@ -1406,12 +1414,28 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # total order for orientation: (degree, id) packed into one BIGINT
+    # (degrees and part ids both < 2^31, so the pack is collision-free)
+    dk = deg.select("v", (F.col("d").cast("long") * F.lit(1 << 32) + F.col("v")).alias("okey"))
+    oriented = (
+        edges.join(dk.select(F.col("v").alias("a"), F.col("okey").alias("ka")), "a")
+        .join(dk.select(F.col("v").alias("b"), F.col("okey").alias("kb")), "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.greatest("ka", "kb").alias("khi"),
+        )
+        .persist()
+    )
+    w1, w2, e3 = oriented.alias("w1"), oriented.alias("w2"), oriented.alias("e3")
+    # wedge at the min-degree vertex, closed by the oriented (hi1, hi2)
+    # edge: each triangle {x<y<z in degree order} is counted exactly
+    # once, at u=x with the closing edge oriented y->z
     tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        w1.join(w2, (F.col("w1.lo") == F.col("w2.lo")) & (F.col("w1.khi") < F.col("w2.khi")))
         .join(
             e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            (F.col("e3.lo") == F.col("w1.hi")) & (F.col("e3.hi") == F.col("w2.hi")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -1436,6 +1460,7 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = spark.createDataFrame(out.collect(), out.schema)  # bounded: 1 row
+    oriented.unpersist()
     edges.unpersist()
     return out
 

@@ -1021,7 +1021,7 @@ def grib_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="wts_gman_")
     lats, lons = [49.0, 48.75], [2.0, 2.25, 2.5]
 
-    def write_day(key, pdf) -> "pd.DataFrame":
+    def write_day(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
         import pandas as pd
 

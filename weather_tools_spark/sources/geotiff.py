@@ -373,7 +373,7 @@ def write_geotiff_partitioned(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_slice(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def write_slice(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (ts,) = key
         lats = np.sort(pdf["latitude"].unique())[::-1]  # north-up
         lons = np.sort(pdf["longitude"].unique())

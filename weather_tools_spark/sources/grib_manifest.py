@@ -155,7 +155,7 @@ def scan_grib_manifest(
     if max_step_hours is not None:
         sel = sel.filter(F.col("step_hours") <= max_step_hours)
 
-    def decode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def decode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         from .grib1 import read_grib1_bytes

@@ -804,7 +804,7 @@ def write_netcdf4_partitioned(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_day(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def write_day(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (day,) = key
         times = np.sort(pdf["time"].unique())
         lats = np.sort(pdf["latitude"].unique())[::-1]

@@ -369,7 +369,7 @@ def write_netcdf3_partitioned(rows, out_dir: str, variables: list[str]) -> int:
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_day(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def write_day(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (day,) = key
         times = np.sort(pdf["time"].unique())
         lats = np.sort(pdf["latitude"].unique())[::-1]  # descending (ERA5 convention)

@@ -21,8 +21,12 @@ value). This module implements that format directly:
   used by ``zarr_scan._decode_specs(decoder="zarr2")`` inside the
   pruned ``mapInPandas`` scan.
 
-Compressor support is the v2 baseline pair {None (raw), zlib}; blosc
-etc. would need the respective C libs and raise a clear error.
+Compressor support: None (raw), zlib, gzip (v3), and the blosc1
+container with the zlib inner codec — the container format is parsed
+here (header/bstarts/splits/byte-shuffle, see the blosc section below),
+so blosc-zlib stores, the common real-world layout, decode stdlib-only.
+blosc with lz4/zstd/snappy/blosclz payloads or the bit-shuffle filter
+raises a gated error naming the library branch.
 
 Cluster note: chunk files are written with plain ``open`` — correct on
 local / NFS / FUSE-mounted object stores. A direct object-store writer
@@ -35,6 +39,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import struct
 import zlib
 from typing import Iterator
 
@@ -63,7 +68,141 @@ def _zarray(shape, chunks, dtype, compressor, fill_value):
     }
 
 
-def _compress(buf: bytes, compressor: dict | None) -> bytes:
+# ---------------------------------------------------------------------------
+# blosc1 container codec — the compressor real-world Zarr v2 stores (ERA5
+# mirrors on GCS etc.) almost universally use. The container format is
+# public (c-blosc README_HEADER.rst): a 16-byte header, an int32 block
+# offset table, and per-block [int32 csize][payload] records, with an
+# optional byte-transpose ("shuffle") filter applied per block before
+# compression. The inner codec is selectable; zlib is stdlib-decodable,
+# so blosc-zlib chunks decode here with no third-party library. The
+# other inner codecs (lz4 being the numcodecs default) raise a gated
+# NotImplementedError naming the library branch.
+# ---------------------------------------------------------------------------
+
+_BLOSC_CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+_BLOSC_FLAG_BYTE_SHUFFLE = 0x1
+_BLOSC_FLAG_MEMCPY = 0x2
+_BLOSC_FLAG_BIT_SHUFFLE = 0x4
+
+
+def _byte_shuffle(buf: bytes, typesize: int) -> bytes:
+    """c-blosc byte shuffle over one block: transpose the leading
+    ``nelem*typesize`` bytes into ``typesize`` byte lanes; any tail
+    shorter than one element is copied through unshuffled."""
+    nelem = len(buf) // typesize
+    head = nelem * typesize
+    if typesize <= 1 or nelem == 0:
+        return buf
+    a = np.frombuffer(buf[:head], dtype=np.uint8).reshape(nelem, typesize)
+    return a.T.tobytes() + buf[head:]
+
+
+def _byte_unshuffle(buf: bytes, typesize: int) -> bytes:
+    nelem = len(buf) // typesize
+    head = nelem * typesize
+    if typesize <= 1 or nelem == 0:
+        return buf
+    a = np.frombuffer(buf[:head], dtype=np.uint8).reshape(typesize, nelem)
+    return a.T.tobytes() + buf[head:]
+
+
+def blosc_decompress(chunk: bytes) -> bytes:
+    """Decode one blosc1 container (any block layout a conforming
+    encoder may choose). Inner codec: zlib (stdlib). lz4/zstd/snappy/
+    blosclz payloads and the bit-shuffle filter raise gated errors."""
+    if len(chunk) < 16:
+        raise ValueError(f"blosc chunk shorter than its 16-byte header: {len(chunk)}B")
+    flags, typesize = chunk[2], chunk[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<iii", chunk, 4)
+    if cbytes != len(chunk):
+        raise ValueError(f"blosc header cbytes={cbytes} != container size {len(chunk)}")
+    if nbytes == 0:
+        return b""
+    if flags & _BLOSC_FLAG_MEMCPY:
+        return bytes(chunk[16 : 16 + nbytes])
+    if flags & _BLOSC_FLAG_BIT_SHUFFLE:
+        raise NotImplementedError(
+            "blosc bit-shuffle filter needs the bitshuffle/c-blosc library; "
+            "only the byte-shuffle and no-shuffle filters are stdlib-decodable"
+        )
+    codec = _BLOSC_CODEC_NAMES.get((flags >> 5) & 0x7, f"code{(flags >> 5) & 0x7}")
+    if codec != "zlib":
+        raise NotImplementedError(
+            f"blosc inner codec {codec!r} requires the c-blosc/python-blosc "
+            "library; only blosc-zlib chunks are stdlib-decodable (re-encode "
+            "the store with cname='zlib', or install blosc and route decode "
+            "through it)"
+        )
+    typesize = typesize or 1
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    bstarts = struct.unpack_from(f"<{nblocks}i", chunk, 16)
+    out = bytearray()
+    for j, off in enumerate(bstarts):
+        neblock = min(blocksize, nbytes - j * blocksize)
+        # zlib is in c-blosc's "never split" codec set: one split/block
+        (csize,) = struct.unpack_from("<i", chunk, off)
+        payload = chunk[off + 4 : off + 4 + csize]
+        block = bytes(payload) if csize == neblock else zlib.decompress(payload)
+        if len(block) != neblock:
+            raise ValueError(f"blosc block {j}: got {len(block)}B, expected {neblock}B")
+        if flags & _BLOSC_FLAG_BYTE_SHUFFLE:
+            block = _byte_unshuffle(block, typesize)
+        out += block
+    return bytes(out)
+
+
+def blosc_compress(
+    data: bytes, typesize: int, clevel: int = 5, shuffle: int = 1, blocksize: int = 0
+) -> bytes:
+    """Encode one blosc1 container with the zlib inner codec (the
+    stdlib-writable branch; numcodecs ``shuffle``: 0 none, 1 byte).
+    Mirrors the container rules c-blosc follows — blocksize a multiple
+    of typesize, per-block shuffle-then-compress, raw split stored when
+    compression does not shrink a block — so any conforming blosc
+    reader decodes the output."""
+    if shuffle == 2:
+        raise NotImplementedError("blosc bit-shuffle write needs the bitshuffle library")
+    typesize = typesize if 0 < typesize <= 255 else 1
+    nbytes = len(data)
+    header_flags = (3 << 5) | (_BLOSC_FLAG_BYTE_SHUFFLE if shuffle == 1 else 0)
+    if nbytes == 0:
+        return struct.pack("<BBBBiii", 2, 1, header_flags | _BLOSC_FLAG_MEMCPY, typesize, 0, 0, 16)
+    if blocksize <= 0:
+        blocksize = min(nbytes, 1 << 16)
+    blocksize -= blocksize % typesize
+    blocksize = max(blocksize, typesize)
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    bstarts: list[int] = []
+    blobs: list[bytes] = []
+    pos = 16 + 4 * nblocks
+    for j in range(nblocks):
+        neblock = min(blocksize, nbytes - j * blocksize)
+        block = data[j * blocksize : j * blocksize + neblock]
+        if shuffle == 1:
+            block = _byte_shuffle(block, typesize)
+        comp = zlib.compress(block, clevel if 1 <= clevel <= 9 else 6)
+        if len(comp) >= neblock:  # raw split: csize == neblock marks it
+            comp = block
+        blobs.append(struct.pack("<i", len(comp)) + comp)
+        bstarts.append(pos)
+        pos += len(blobs[-1])
+    body = struct.pack(f"<{nblocks}i", *bstarts) + b"".join(blobs)
+    if 16 + len(body) >= 16 + nbytes:  # whole-container memcpy fallback
+        return (
+            struct.pack(
+                "<BBBBiii", 2, 1, header_flags | _BLOSC_FLAG_MEMCPY, typesize,
+                nbytes, blocksize, 16 + nbytes,
+            )
+            + data
+        )
+    return (
+        struct.pack("<BBBBiii", 2, 1, header_flags, typesize, nbytes, blocksize, 16 + len(body))
+        + body
+    )
+
+
+def _compress(buf: bytes, compressor: dict | None, typesize: int = 1) -> bytes:
     if compressor is None:
         return buf
     if compressor.get("id") == "zlib":
@@ -72,6 +211,20 @@ def _compress(buf: bytes, compressor: dict | None) -> bytes:
         import gzip
 
         return gzip.compress(buf, compressor.get("level", 1), mtime=0)
+    if compressor.get("id") == "blosc":
+        cname = compressor.get("cname", "lz4")
+        if cname != "zlib":
+            raise NotImplementedError(
+                f"blosc inner codec {cname!r} needs the c-blosc library on "
+                "write; use cname='zlib' for the stdlib branch"
+            )
+        return blosc_compress(
+            buf,
+            typesize=typesize,
+            clevel=compressor.get("clevel", 5),
+            shuffle=compressor.get("shuffle", 1),
+            blocksize=compressor.get("blocksize", 0),
+        )
     raise NotImplementedError(f"unsupported zarr compressor {compressor!r}")
 
 
@@ -84,6 +237,8 @@ def _decompress(buf: bytes, compressor: dict | None) -> bytes:
         import gzip
 
         return gzip.decompress(buf)
+    if compressor.get("id") == "blosc":
+        return blosc_decompress(buf)
     raise NotImplementedError(f"unsupported zarr compressor {compressor!r}")
 
 
@@ -105,7 +260,7 @@ def _write_array(store: str, name: str, arr: np.ndarray, dims, compressor) -> di
         zattrs["calendar"] = "proleptic_gregorian"
     _put_bytes(
         os.path.join(store, name, ".".join("0" for _ in arr.shape)),
-        _compress(np.ascontiguousarray(arr, dtype=dtype).tobytes(), compressor),
+        _compress(np.ascontiguousarray(arr, dtype=dtype).tobytes(), compressor, dtype.itemsize),
     )
     _put_bytes(os.path.join(store, name, ".zarray"), json.dumps(zarray).encode())
     _put_bytes(os.path.join(store, name, ".zattrs"), json.dumps(zattrs).encode())
@@ -200,7 +355,7 @@ def _distributed_chunk_write(
         for v in variables:
             arr = np.full(chunks, np.nan, dtype="<f8")  # padded edge chunks
             arr[ot, ola, olo] = pdf[v].to_numpy(dtype="f8")
-            data = _compress(arr.tobytes(), compressor)
+            data = _compress(arr.tobytes(), compressor, arr.dtype.itemsize)
             _put_bytes(os.path.join(store, v, key), data)
             nbytes += len(data)
         return pd.DataFrame(
@@ -325,7 +480,11 @@ def write_zarr_v3(
         _put_bytes(os.path.join(store, name, "zarr.json"), json.dumps(cfg).encode())
         _put_bytes(
             os.path.join(store, name, "c/0"),
-            _compress(np.ascontiguousarray(arr, _V3_DTYPES[data_type]).tobytes(), compressor),
+            _compress(
+                np.ascontiguousarray(arr, _V3_DTYPES[data_type]).tobytes(),
+                compressor,
+                np.dtype(_V3_DTYPES[data_type]).itemsize,
+            ),
         )
 
     coord(
