@@ -480,6 +480,22 @@ def test_priority_sampling_uses_takeordered(spark, sf_dir):
     sort_ids = [int(m) for m in re.findall(r"^\((\d+)\) Sort\b", plan, re.MULTILINE)]
     assert take_ids, plan
     assert all(sid > max(take_ids) for sid in sort_ids), (sort_ids, take_ids)
+    # id ordering alone is weak in multi-branch plans (ids are assigned
+    # post-order across sibling subtrees, so a sibling-branch fact Sort
+    # could outrank the TakeOrdered): also bound the Sort count — the
+    # only legitimate Sort is the single final order of the k-row result
+    assert len(sort_ids) <= 1, (sort_ids, plan[:2000])
+    # and verify structurally in the tree header that no Sort sits
+    # BELOW the TakeOrdered (deeper indentation within its subtree)
+    tree = plan.split("\n\n")[0].splitlines()
+    take_rows = [(i, ln.index("TakeOrderedAndProject")) for i, ln in enumerate(tree) if "TakeOrderedAndProject" in ln]
+    for i, ln in enumerate(tree):
+        if re.search(r"\bSort\b", ln) and "SortMergeJoin" not in ln:
+            depth = len(ln) - len(ln.lstrip(" +-*"))
+            assert all(i < ti or depth <= td for ti, td in take_rows), (
+                "Sort nested below TakeOrdered",
+                ln,
+            )
     assert "CartesianProduct" not in plan
 
 

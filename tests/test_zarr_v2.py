@@ -135,16 +135,17 @@ def test_missing_cells_keep_fill_value(spark, tmp_path):
 def test_unsupported_compressor_raises(tmp_path):
     with pytest.raises(NotImplementedError):
         Z2._compress(b"", {"id": "lz4"})
-    # blosc with a non-zlib inner codec: gated on WRITE by cname...
+    # blosc with a non-zlib inner codec: gated on WRITE by cname
+    # (lz4 is READ-supported via the stdlib block decoder, write-gated)
     with pytest.raises(NotImplementedError, match="lz4"):
         Z2._compress(b"\x00" * 32, {"id": "blosc", "cname": "lz4"})
-    # ...and on READ by the codec id bits in the container header
-    # (bits 5-7 = 1 → lz4), independent of the .zarray metadata
+    # READ gate: codec id bits in the container header (bits 5-7 = 4 →
+    # zstd, stdlib-undecodable), independent of the .zarray metadata
     import struct
 
-    lz4_hdr = struct.pack("<BBBBiii", 2, 1, 1 << 5, 8, 32, 32, 16 + 4 + 4 + 8)
-    with pytest.raises(NotImplementedError, match="lz4"):
-        Z2.blosc_decompress(lz4_hdr + b"\x00" * 16)
+    zstd_hdr = struct.pack("<BBBBiii", 2, 1, 4 << 5, 8, 32, 32, 16 + 4 + 4 + 8)
+    with pytest.raises(NotImplementedError, match="zstd"):
+        Z2.blosc_decompress(zstd_hdr + b"\x00" * 16)
     # bit-shuffle filter: gated by flag bit 2
     bits_hdr = struct.pack("<BBBBiii", 2, 1, (3 << 5) | 0x4, 8, 32, 32, 16 + 16)
     with pytest.raises(NotImplementedError, match="bit-shuffle"):
@@ -203,6 +204,190 @@ def test_blosc_golden_container_decodes():
     # memcpy-flagged container (flags bit 1): payload is the raw bytes
     hdr = struct.pack("<BBBBiii", 2, 1, flags | 0x2, 4, 64, blocksize, 16 + 64)
     assert Z2.blosc_decompress(hdr + values.tobytes()) == values.tobytes()
+
+
+# --- LZ4 block format + blosc-lz4 containers (stdlib read path) ---------
+
+
+def _lz4_block_compress(data: bytes) -> bytes:
+    """Minimal greedy LZ4 block encoder (test-side reference, written
+    from lz4_Block_format.md, independent of the decoder under test):
+    hash-table match finder, min match 4, 2-byte LE offsets."""
+    out = bytearray()
+    i, n = 0, len(data)
+    anchor = 0
+    table: dict[bytes, int] = {}
+
+    def emit(lit: bytes, mlen: int, offset: int) -> None:
+        lt = len(lit)
+        token = (min(lt, 15) << 4) | (min(mlen - 4, 15) if mlen else 0)
+        out.append(token)
+        if lt >= 15:
+            rem = lt - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(lit)
+        if mlen:
+            out.extend(offset.to_bytes(2, "little"))
+            if mlen - 4 >= 15:
+                rem = mlen - 4 - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= 0xFFFF and data[cand : cand + 4] == key:
+            mlen = 4
+            while i + mlen < n and data[cand + mlen] == data[i + mlen]:
+                mlen += 1
+            emit(data[anchor:i], mlen, i - cand)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    emit(data[anchor:], 0, 0)  # final literals-only sequence
+    return bytes(out)
+
+
+def test_lz4_block_golden_vectors():
+    """Hand-assembled sequences from the public LZ4 block spec —
+    independent of both the test encoder and the decoder."""
+    # pure literals: token 0x50, 5 literal bytes
+    assert Z2._lz4_block_decompress(b"\x50hello", 5) == b"hello"
+    # 3 literals + match len 9 offset 3 → "abc" * 4
+    assert Z2._lz4_block_decompress(b"\x35abc\x03\x00", 12) == b"abcabcabcabc"
+    # extended literal length: 15+5=20 literals
+    assert Z2._lz4_block_decompress(b"\xf0\x05" + b"x" * 20, 20) == b"x" * 20
+    # extended match length: 2 literals + overlap match (offset 2) of
+    # 15+4+11=30 bytes → "ab" * 16
+    assert Z2._lz4_block_decompress(b"\x2fab\x02\x00\x0b", 32) == b"ab" * 16
+    # wrong declared size / corrupt offsets raise, never mis-decode
+    with pytest.raises(ValueError):
+        Z2._lz4_block_decompress(b"\x50hello", 6)
+    with pytest.raises(ValueError):
+        Z2._lz4_block_decompress(b"\x35abc\x00\x00", 12)  # offset 0
+    with pytest.raises(ValueError):
+        Z2._lz4_block_decompress(b"\x35abc\x09\x00", 12)  # offset > window
+
+
+def test_lz4_block_roundtrip():
+    rng = np.random.default_rng(11)
+    cases = [
+        b"",
+        b"a",
+        b"the quick brown fox " * 40,
+        np.arange(5000, dtype="<i4").tobytes(),
+        rng.integers(0, 4, 8192, dtype=np.uint8).tobytes(),  # matchy
+        rng.bytes(4096),  # incompressible
+    ]
+    for data in cases:
+        enc = _lz4_block_compress(data)
+        assert Z2._lz4_block_decompress(enc, len(data)) == data
+
+
+def _blosc_lz4_container(data: bytes, typesize: int, blocksize: int, shuffle: bool) -> bytes:
+    """Assemble a blosc1 lz4 container per the c-blosc split rule
+    (FORWARD_COMPAT: lz4 splits non-leftover blocks into `typesize`
+    streams when typesize<=16 and blocksize/typesize>=128), shuffle
+    applied per block before splitting. Raw-stores a split when
+    compression does not shrink it — exactly what c-blosc emits."""
+    import struct as _s
+
+    nbytes = len(data)
+    flags = (1 << 5) | (0x1 if shuffle else 0)
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    blobs, bstarts = [], []
+    pos = 16 + 4 * nblocks
+    for j in range(nblocks):
+        neblock = min(blocksize, nbytes - j * blocksize)
+        block = data[j * blocksize : j * blocksize + neblock]
+        if shuffle:
+            block = Z2._byte_shuffle(block, typesize)
+        split = (
+            1 < typesize <= 16
+            and blocksize // typesize >= 128
+            and neblock == blocksize
+        )
+        nsplits = typesize if split else 1
+        spl = neblock // nsplits
+        rec = bytearray()
+        for k in range(nsplits):
+            part = block[k * spl : (k + 1) * spl]
+            comp = _lz4_block_compress(part)
+            if len(comp) >= spl:
+                comp = part  # raw split: csize == split size
+            rec += _s.pack("<i", len(comp)) + comp
+        blobs.append(bytes(rec))
+        bstarts.append(pos)
+        pos += len(rec)
+    body = _s.pack(f"<{nblocks}i", *bstarts) + b"".join(blobs)
+    return _s.pack("<BBBBiii", 2, 1, flags, typesize, nbytes, blocksize, 16 + len(body)) + body
+
+
+def test_blosc_lz4_container_decodes():
+    """blosc-lz4 (the numcodecs DEFAULT — the actual ERA5-mirror
+    layout) decodes stdlib-only: split + unsplit, shuffled + not,
+    leftover blocks, raw splits."""
+    rng = np.random.default_rng(3)
+    arr = np.arange(1280, dtype="<i4")  # 5120B → 5 full blocks @1024
+    cases = [
+        (arr.tobytes(), 4, 1024, True),   # split (4 streams/block), shuffled
+        (arr.tobytes(), 4, 1024, False),  # split, unshuffled
+        (arr.tobytes()[:4608], 4, 1024, True),   # leftover final block (unsplit)
+        (np.arange(600, dtype="<f8").tobytes(), 8, 4800, True),  # 1 block, split 8
+        (arr.tobytes(), 32, 1024, True),  # typesize>16 → never split
+        (rng.bytes(2048), 4, 1024, False),  # incompressible → raw splits
+    ]
+    for data, ts, bs, sh in cases:
+        enc = _blosc_lz4_container(data, ts, bs, sh)
+        assert Z2.blosc_decompress(enc) == data, (ts, bs, sh, len(data))
+
+
+def test_blosc_legacy_zlib_split_container_decodes():
+    """Legacy c-blosc (< 1.11 / ALWAYS_SPLIT) split zlib blocks into
+    `typesize` streams too — the ADVICE-flagged layout. The zlib path
+    iterates [csize][payload] records until the block fills, so these
+    decode instead of failing with a size mismatch."""
+    import struct as _s
+
+    values = np.arange(256, dtype="<i4")  # 1024B, one block
+    typesize, blocksize = 4, 1024
+    block = Z2._byte_shuffle(values.tobytes(), typesize)
+    rec = bytearray()
+    for k in range(typesize):  # 4 splits of 256B
+        part = block[k * 256 : (k + 1) * 256]
+        comp = zlib.compress(part, 6)
+        if len(comp) >= 256:
+            comp = part
+        rec += _s.pack("<i", len(comp)) + comp
+    body = _s.pack("<i", 20) + bytes(rec)
+    flags = (3 << 5) | 0x1
+    enc = _s.pack("<BBBBiii", 2, 1, flags, typesize, 1024, blocksize, 16 + len(body)) + body
+    assert Z2.blosc_decompress(enc) == values.tobytes()
+
+
+def test_blosc_corrupt_headers_raise_cleanly():
+    """Malformed headers raise ValueError (never ZeroDivisionError /
+    struct.error): blocksize=0 with nbytes>0, out-of-range bstarts,
+    truncated block index."""
+    import struct as _s
+
+    flags = 3 << 5
+    bad_bs = _s.pack("<BBBBiii", 2, 1, flags, 4, 64, 0, 16 + 16)
+    with pytest.raises(ValueError, match="blocksize"):
+        Z2.blosc_decompress(bad_bs + b"\x00" * 16)
+    bad_off = _s.pack("<BBBBiii", 2, 1, flags, 4, 64, 64, 16 + 8) + _s.pack("<i", 9999) + b"\x00" * 4
+    with pytest.raises(ValueError, match="block index"):
+        Z2.blosc_decompress(bad_off)
+    trunc = _s.pack("<BBBBiii", 2, 1, flags, 4, 1 << 20, 64, 18) + b"\x00\x00"
+    with pytest.raises(ValueError, match="truncated"):
+        Z2.blosc_decompress(trunc)
 
 
 def test_blosc_pruned_scan_matches_zlib_store(spark, tmp_path):

@@ -1395,6 +1395,12 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: no graph surface exists in the reference; engine
     addition beside graph_pagerank_nations (SURVEY.md §2 extensions)."""
+    from weather_tools_spark.operators.graph import (
+        orient_by_degree,
+        oriented_triangle_count,
+        undirected_degrees,
+    )
+
     li = load_table(spark, "lineitem", sf_dir)
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     a, b = baskets.alias("a"), baskets.alias("b")
@@ -1408,37 +1414,9 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    deg = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    # total order for orientation: (degree, id) packed into one BIGINT
-    # (degrees and part ids both < 2^31, so the pack is collision-free)
-    dk = deg.select("v", (F.col("d").cast("long") * F.lit(1 << 32) + F.col("v")).alias("okey"))
-    oriented = (
-        edges.join(dk.select(F.col("v").alias("a"), F.col("okey").alias("ka")), "a")
-        .join(dk.select(F.col("v").alias("b"), F.col("okey").alias("kb")), "b")
-        .select(
-            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
-            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
-            F.greatest("ka", "kb").alias("khi"),
-        )
-        .persist()
-    )
-    w1, w2, e3 = oriented.alias("w1"), oriented.alias("w2"), oriented.alias("e3")
-    # wedge at the min-degree vertex, closed by the oriented (hi1, hi2)
-    # edge: each triangle {x<y<z in degree order} is counted exactly
-    # once, at u=x with the closing edge oriented y->z
-    tri = (
-        w1.join(w2, (F.col("w1.lo") == F.col("w2.lo")) & (F.col("w1.khi") < F.col("w2.khi")))
-        .join(
-            e3,
-            (F.col("e3.lo") == F.col("w1.hi")) & (F.col("e3.hi") == F.col("w2.hi")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    deg = undirected_degrees(edges)
+    oriented = orient_by_degree(edges, deg).persist()
+    tri = oriented_triangle_count(oriented)
     stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),

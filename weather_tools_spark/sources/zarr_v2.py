@@ -22,11 +22,16 @@ value). This module implements that format directly:
   pruned ``mapInPandas`` scan.
 
 Compressor support: None (raw), zlib, gzip (v3), and the blosc1
-container with the zlib inner codec — the container format is parsed
-here (header/bstarts/splits/byte-shuffle, see the blosc section below),
-so blosc-zlib stores, the common real-world layout, decode stdlib-only.
-blosc with lz4/zstd/snappy/blosclz payloads or the bit-shuffle filter
-raises a gated error naming the library branch.
+container — the container format is parsed here (header/bstarts/splits/
+byte-shuffle, see the blosc section below). READ decodes both stdlib
+inner codecs: zlib AND lz4 (raw LZ4 block format, so numcodecs-default
+``cname='lz4'`` stores — the real-world ERA5-mirror layout — decode
+with no third-party library), including legacy typesize-split block
+layouts. WRITE is deliberately asymmetric: :func:`blosc_compress` emits
+zlib payloads only (it exists for roundtrip tests and conforming-store
+output; an lz4 *encoder* buys nothing here since any conforming blosc
+reader handles zlib). blosc with zstd/snappy/blosclz payloads or the
+bit-shuffle filter raises a gated error naming the library branch.
 
 Cluster note: chunk files are written with plain ``open`` — correct on
 local / NFS / FUSE-mounted object stores. A direct object-store writer
@@ -74,16 +79,83 @@ def _zarray(shape, chunks, dtype, compressor, fill_value):
 # public (c-blosc README_HEADER.rst): a 16-byte header, an int32 block
 # offset table, and per-block [int32 csize][payload] records, with an
 # optional byte-transpose ("shuffle") filter applied per block before
-# compression. The inner codec is selectable; zlib is stdlib-decodable,
-# so blosc-zlib chunks decode here with no third-party library. The
-# other inner codecs (lz4 being the numcodecs default) raise a gated
-# NotImplementedError naming the library branch.
+# compression. The inner codec is selectable; zlib (RFC 1950, stdlib)
+# and lz4 (raw block format, decoded by _lz4_block_decompress below)
+# both decode here with no third-party library — covering numcodecs'
+# default cname='lz4' and cname='zlib'. zstd/snappy/blosclz raise a
+# gated NotImplementedError naming the library branch.
 # ---------------------------------------------------------------------------
 
 _BLOSC_CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _BLOSC_FLAG_BYTE_SHUFFLE = 0x1
 _BLOSC_FLAG_MEMCPY = 0x2
 _BLOSC_FLAG_BIT_SHUFFLE = 0x4
+# c-blosc split constants (blosc.h): a non-leftover block whose codec
+# splits is stored as `typesize` independent streams of neblock/typesize
+# bytes each, [int32 csize][payload] back to back.
+_BLOSC_MAX_SPLITS = 16
+_BLOSC_MIN_BUFFERSIZE = 128
+
+
+def _lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
+    """Decode one raw LZ4 *block* (the format blosc's lz4 streams use —
+    token / literals / 2-byte LE offset / overlap-allowed match copy;
+    lz4_Block_format.md). Pure stdlib: numcodecs-default blosc-lz4 Zarr
+    stores (the common ERA5-mirror layout) decode with no library."""
+    dst = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if lit:
+            if i + lit > n:
+                raise ValueError("lz4 block: literal run past end of input")
+            dst += src[i : i + lit]
+            i += lit
+        if i >= n:  # final sequence carries literals only
+            break
+        if i + 2 > n:
+            raise ValueError("lz4 block: truncated match offset")
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0 or offset > len(dst):
+            raise ValueError(f"lz4 block: match offset {offset} outside output window")
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(dst) - offset
+        if offset >= mlen:
+            dst += dst[start : start + mlen]
+        else:  # overlapping match: the trailing `offset` bytes repeat
+            pat = bytes(dst[start:])
+            dst += (pat * (mlen // offset + 1))[:mlen]
+    if len(dst) != dst_size:
+        raise ValueError(f"lz4 block: decoded {len(dst)}B, expected {dst_size}B")
+    return bytes(dst)
+
+
+def _looks_like_zlib(payload: bytes) -> bool:
+    """RFC 1950 CMF/FLG sanity: deflate method and a valid header
+    checksum — gates the try-decompress path so raw-stored splits are
+    not mistaken for zlib streams."""
+    return (
+        len(payload) >= 2
+        and (payload[0] & 0x0F) == 8
+        and ((payload[0] << 8) | payload[1]) % 31 == 0
+    )
 
 
 def _byte_shuffle(buf: bytes, typesize: int) -> bytes:
@@ -109,14 +181,28 @@ def _byte_unshuffle(buf: bytes, typesize: int) -> bytes:
 
 def blosc_decompress(chunk: bytes) -> bytes:
     """Decode one blosc1 container (any block layout a conforming
-    encoder may choose). Inner codec: zlib (stdlib). lz4/zstd/snappy/
-    blosclz payloads and the bit-shuffle filter raise gated errors."""
+    encoder may choose, split or unsplit). Inner codecs: zlib and lz4
+    — both stdlib-decoded, covering numcodecs' default ``cname='lz4'``
+    (the real-world ERA5-mirror layout) and ``cname='zlib'``.
+    zstd/snappy/blosclz payloads and the bit-shuffle filter raise gated
+    errors naming the library branch.
+
+    Split handling: modern c-blosc (>= 1.11 FORWARD_COMPAT) splits
+    lz4/blosclz blocks into ``typesize`` streams and never splits
+    zlib/zstd; legacy c-blosc (< 1.11, and ALWAYS_SPLIT mode) split
+    every codec. lz4 splits follow the deterministic c-blosc rule; zlib
+    blocks iterate [csize][payload] records until ``neblock`` bytes
+    accumulate, so both legacy-split and modern-unsplit zlib layouts
+    decode (a raw-stored split is recognized by its non-RFC1950
+    header)."""
     if len(chunk) < 16:
         raise ValueError(f"blosc chunk shorter than its 16-byte header: {len(chunk)}B")
     flags, typesize = chunk[2], chunk[3]
     nbytes, blocksize, cbytes = struct.unpack_from("<iii", chunk, 4)
     if cbytes != len(chunk):
         raise ValueError(f"blosc header cbytes={cbytes} != container size {len(chunk)}")
+    if nbytes < 0:
+        raise ValueError(f"corrupt blosc header: negative nbytes={nbytes}")
     if nbytes == 0:
         return b""
     if flags & _BLOSC_FLAG_MEMCPY:
@@ -127,27 +213,74 @@ def blosc_decompress(chunk: bytes) -> bytes:
             "only the byte-shuffle and no-shuffle filters are stdlib-decodable"
         )
     codec = _BLOSC_CODEC_NAMES.get((flags >> 5) & 0x7, f"code{(flags >> 5) & 0x7}")
-    if codec != "zlib":
+    if codec not in ("zlib", "lz4"):
         raise NotImplementedError(
             f"blosc inner codec {codec!r} requires the c-blosc/python-blosc "
-            "library; only blosc-zlib chunks are stdlib-decodable (re-encode "
-            "the store with cname='zlib', or install blosc and route decode "
-            "through it)"
+            "library; blosc-zlib and blosc-lz4 chunks are stdlib-decodable "
+            "(re-encode the store with cname in ('zlib', 'lz4'), or install "
+            "blosc and route decode through it)"
         )
     typesize = typesize or 1
+    if blocksize <= 0:
+        raise ValueError(
+            f"corrupt blosc header: blocksize={blocksize} with nbytes={nbytes}"
+        )
     nblocks = (nbytes + blocksize - 1) // blocksize
+    if len(chunk) < 16 + 4 * nblocks:
+        raise ValueError(f"blosc chunk truncated before its {nblocks}-entry block index")
     bstarts = struct.unpack_from(f"<{nblocks}i", chunk, 16)
     out = bytearray()
     for j, off in enumerate(bstarts):
+        if not (16 + 4 * nblocks <= off <= len(chunk) - 4):
+            raise ValueError(f"corrupt blosc block index: block {j} offset {off}")
         neblock = min(blocksize, nbytes - j * blocksize)
-        # zlib is in c-blosc's "never split" codec set: one split/block
-        (csize,) = struct.unpack_from("<i", chunk, off)
-        payload = chunk[off + 4 : off + 4 + csize]
-        block = bytes(payload) if csize == neblock else zlib.decompress(payload)
+        if codec == "lz4":
+            # Deterministic c-blosc split rule for lz4 (identical in
+            # legacy and FORWARD_COMPAT modes): non-leftover blocks
+            # split into `typesize` streams when typesize <= 16 and
+            # blocksize/typesize >= 128. csize == split size marks a
+            # raw-stored split (c-blosc only stores compressed when
+            # strictly smaller).
+            split = (
+                1 < typesize <= _BLOSC_MAX_SPLITS
+                and blocksize // typesize >= _BLOSC_MIN_BUFFERSIZE
+                and neblock == blocksize
+            )
+            nsplits = typesize if split else 1
+            spl_bytes = neblock // nsplits
+            block = bytearray()
+            pos = off
+            for _ in range(nsplits):
+                (csize,) = struct.unpack_from("<i", chunk, pos)
+                payload = bytes(chunk[pos + 4 : pos + 4 + csize])
+                pos += 4 + csize
+                block += (
+                    payload
+                    if csize == spl_bytes
+                    else _lz4_block_decompress(payload, spl_bytes)
+                )
+        else:  # zlib: iterate records until the block is full — covers
+            # modern unsplit AND legacy typesize-split containers
+            block = bytearray()
+            pos = off
+            while len(block) < neblock:
+                if pos + 4 > len(chunk):
+                    raise ValueError(f"blosc block {j}: truncated split record")
+                (csize,) = struct.unpack_from("<i", chunk, pos)
+                payload = bytes(chunk[pos + 4 : pos + 4 + csize])
+                pos += 4 + csize
+                if csize == neblock - len(block):
+                    # raw-stored: c-blosc only stores compressed output
+                    # when strictly smaller than the uncompressed split
+                    block += payload
+                elif _looks_like_zlib(payload):
+                    block += zlib.decompress(payload)
+                else:
+                    block += payload  # raw-stored split
         if len(block) != neblock:
             raise ValueError(f"blosc block {j}: got {len(block)}B, expected {neblock}B")
         if flags & _BLOSC_FLAG_BYTE_SHUFFLE:
-            block = _byte_unshuffle(block, typesize)
+            block = _byte_unshuffle(bytes(block), typesize)
         out += block
     return bytes(out)
 
