@@ -23,9 +23,13 @@ file offsets. This module implements that layout directly:
 
 Scope: fixed-size AND record (unlimited-dimension) variables — the
 interleaved record layout growable-time exports use — over the six
-classic external types plus the CDF-5 additions; no packing/
-scale-offset. NetCDF-4/HDF5 files route to the stdlib HDF5 subset
-codec (sources/hdf5.py).
+classic external types plus the CDF-5 additions. Decode handles the
+CF conventions real producers emit: any "<unit> since <epoch>" time
+encoding (ERA5 CDS uses ``hours since 1900-01-01 00:00:00.0``) on
+real-world calendars, and scale_factor/add_offset packed variables
+with _FillValue/missing_value → NaN (the CDS int16 layout); the
+idealized 360_day/noleap model calendars are gated. NetCDF-4/HDF5
+files route to the stdlib HDF5 subset codec (sources/hdf5.py).
 
 Distributed sink: one classic file is a single stream, so the parallel
 shape is file-per-slice — :func:`write_netcdf3_partitioned` has each
@@ -328,22 +332,81 @@ def _parse(buf: bytes, header_only: bool = False):
     return coords, data, attrs
 
 
+_CF_UNIT_SECONDS = {
+    "s": 1, "sec": 1, "secs": 1, "second": 1, "seconds": 1,
+    "min": 60, "mins": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hr": 3600, "hrs": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+}
+_CF_REAL_CALENDARS = {
+    "standard", "gregorian", "proleptic_gregorian", "julian", "", None,
+}
+
+
+def cf_decode_time(values: np.ndarray, units: str, calendar: str | None = None):
+    """CF time decode: ``"<unit> since <epoch>"`` → pandas datetimes.
+    Handles the epoch/unit spellings real producers emit (ERA5 CDS
+    NetCDF uses ``hours since 1900-01-01 00:00:00.0``, CMIP ``days
+    since ...``) on real-world calendars; the idealized 360_day/noleap
+    model calendars are gated (they need a cftime-style arithmetic)."""
+    if calendar is not None and calendar.lower() not in _CF_REAL_CALENDARS:
+        raise NotImplementedError(
+            f"CF calendar {calendar!r} needs cftime-style date arithmetic; "
+            "standard/gregorian/proleptic_gregorian/julian are supported"
+        )
+    parts = units.split("since", 1)
+    if len(parts) != 2:
+        raise ValueError(f"unparseable CF time units {units!r}")
+    unit = parts[0].strip().lower()
+    if unit not in _CF_UNIT_SECONDS:
+        raise ValueError(f"unknown CF time unit {unit!r} in {units!r}")
+    epoch = pd.Timestamp(parts[1].strip())
+    offsets = np.asarray(values, dtype="f8") * _CF_UNIT_SECONDS[unit]
+    return epoch + pd.to_timedelta(offsets, unit="s")
+
+
+def _cf_unpack(arr: np.ndarray, atts: dict) -> np.ndarray:
+    """CF packed-data decode: mask ``_FillValue``/``missing_value``
+    sentinels to NaN, then apply ``scale_factor``/``add_offset`` —
+    the int16-packed layout CDS/ERA5 NetCDF exports use."""
+
+    def _scalar(key):
+        v = atts.get(key)
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return v[0] if len(v) else None
+        return v
+
+    out = np.asarray(arr, dtype="f8")
+    for key in ("_FillValue", "missing_value"):
+        sentinel = _scalar(key)
+        if sentinel is not None:
+            out = np.where(np.asarray(arr) == sentinel, np.nan, out)
+    scale, offset = _scalar("scale_factor"), _scalar("add_offset")
+    if scale is not None or offset is not None:
+        out = out * (scale if scale is not None else 1.0) + (
+            offset if offset is not None else 0.0
+        )
+    return out
+
+
 def nc3_decode(path: str, opts) -> pd.DataFrame:
     """Hypercube-ingest decoder over classic NetCDF bytes — the
     ``DECODERS["netcdf3"]`` branch (same output contract as the xarray
     branch: long-format time/latitude/longitude + variable columns).
-    Time decoded from the CF ``units`` epoch attribute."""
+    Time decoded from the CF ``units`` epoch attribute (any
+    "<unit> since <epoch>" spelling); packed variables unpacked via
+    scale_factor/add_offset with fill sentinels → NaN."""
     coords, data, attrs = read_netcdf3(path)
-    units = attrs.get("time", {}).get("units", _TIME_UNITS)
-    if units != _TIME_UNITS:
-        raise NotImplementedError(f"unsupported time units {units!r}")
-    times = pd.to_datetime(np.asarray(coords["time"], dtype="int64"), unit="s")
+    tatts = attrs.get("time", {})
+    units = tatts.get("units", _TIME_UNITS)
+    calendar = tatts.get("calendar")
+    times = cf_decode_time(coords["time"], units, calendar)
     lats = np.asarray(coords["latitude"], dtype="f8")
     lons = np.asarray(coords["longitude"], dtype="f8")
     tt, la, lo = np.meshgrid(times, lats, lons, indexing="ij")
     out = {"time": tt.ravel(), "latitude": la.ravel(), "longitude": lo.ravel()}
     for v, arr in data.items():
-        out[v] = np.asarray(arr, dtype="f8").ravel()
+        out[v] = _cf_unpack(arr, attrs.get(v, {})).ravel()
     pdf = pd.DataFrame(out)
     if opts is not None:
         if getattr(opts, "start_time", None) is not None:
