@@ -261,3 +261,35 @@ def test_zarr_chunk_codec_byte_identity(flat, codec):
     buf = Z2._compress(arr.tobytes(), codec)
     back = np.frombuffer(Z2._decompress(buf, codec), "<f8")
     assert np.array_equal(back, arr)
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096), matchy=st.booleans())
+def test_lz4_block_roundtrip_any_bytes(data, matchy):
+    """The stdlib LZ4 block decoder inverts the test-side greedy
+    encoder on arbitrary byte strings — including highly repetitive
+    input (long overlap matches) and incompressible noise (literal-only
+    final sequences)."""
+    from tests.test_zarr_v2 import _lz4_block_compress
+
+    if matchy and data:  # amplify match coverage: repeat the prefix
+        data = (data * (8192 // max(1, len(data)) + 1))[:8192]
+    enc = _lz4_block_compress(data)
+    assert Z2._lz4_block_decompress(enc, len(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    flat=st.lists(_vals, min_size=1, max_size=256),
+    typesize=st.sampled_from([1, 2, 4, 8]),
+    shuffle=st.booleans(),
+)
+def test_blosc_zlib_container_roundtrip_any(flat, typesize, shuffle):
+    """blosc_compress/blosc_decompress agree for arbitrary payloads and
+    container geometries (blocksize forced small so multi-block and
+    leftover-block layouts are exercised)."""
+    data = np.array(flat, dtype="<f8").tobytes()
+    enc = Z2.blosc_compress(
+        data, typesize=typesize, shuffle=1 if shuffle else 0, blocksize=256
+    )
+    assert Z2.blosc_decompress(enc) == data

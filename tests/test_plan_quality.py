@@ -511,14 +511,29 @@ def test_cusum_reduces_then_windows(spark, sf_dir):
 
 
 def test_pca_gram_is_bounded_mapinpandas(spark, sf_dir):
-    # The Gram build must be the mapInPandas partial-sum kernel (d^2
-    # rows per batch) + one map-combinable aggregation; the iteration
-    # joins run broadcast on the tiny G frame. No corpus collect, no
-    # cartesian (the 1-row norm attach may BNLJ).
+    # The scale-critical Gram build must be the mapInPandas partial-sum
+    # kernel (d^2 rows per batch) + one two-phase map-combinable
+    # aggregation — the corpus itself is never collected; the iteration
+    # then runs on the bounded d^2-row collect (power_iteration), so
+    # the query's RESULT frame is a local tiny frame that re-reads
+    # nothing.
+    import re as _re
+
+    from weather_tools_spark.catalog import load_table
+    from weather_tools_spark.operators.similarity import gram_matrix
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    gdf = gram_matrix(emb, "embedding", 64)
+    gplan = gdf._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "MapInPandas" in gplan
+    assert len(_re.findall(r"^\(\d+\) HashAggregate", gplan, _re.MULTILINE)) >= 2
+    assert "CartesianProduct" not in gplan
+
     plan = _formatted_plan(spark, "ml_pca_power_iteration", sf_dir)
-    assert "MapInPandas" in plan
+    assert "Scan parquet" not in plan  # heavy work ended with the Gram job
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
 
 
 def test_scd2_window_partitioned_by_key(spark, sf_dir):

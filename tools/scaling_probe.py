@@ -75,6 +75,64 @@ PROBES = [
 
 SFS = ["0.001", "0.01", "0.1"]
 
+# One-line shuffle-topology explanations for queries whose measured
+# sf0.1/sf0.001 ratio exceeds 3x per 100x data (verdict r5 task 5).
+# Kept here so regenerating SCALING.md preserves them.
+NOTES = {
+    "dedup_minhash_md5_audit": (
+        "AUDIT_ONLY regression canary: computes banded LSH pairs AND exact "
+        "md5 signatures to cross-certify, so its cost is two pipelines; the "
+        "banded-pair join volume grows with true near-dup density, which the "
+        "synthetic corpus scales super-linearly at these toy SFs."
+    ),
+    "dedup_simhash_md5_audit": (
+        "AUDIT_ONLY twin of the minhash audit — same double-pipeline "
+        "cross-certification cost, same banded-pair growth."
+    ),
+    "dedup_winnowing_md5_audit": (
+        "AUDIT_ONLY twin — fingerprint-band pairs plus exact md5 audit."
+    ),
+    "graph_triangle_census": (
+        "O(m^1.5) degree-ordered wedge join: candidate volume grows m^1.5 "
+        "per m edges by design — sub-quadratic but super-linear; the ratio "
+        "reflects the algorithm's bound, not a shuffle pathology."
+    ),
+    "join_salted_equivalence": (
+        "Deliberately materializes BOTH the salted and unsalted join to "
+        "hash-gate their equivalence — twice the join volume of a production "
+        "plan; the salt fan-out multiplies probe rows by the salt width."
+    ),
+    "orders_price_percentiles": (
+        "Exact percentiles build per-group sorted value sketches; value "
+        "volume grows linearly and the percentile merge is the documented "
+        "exact-quantile cost (the approx path is the scale default)."
+    ),
+    "mv_incremental_refresh": (
+        "Union + full re-aggregate of base and delta at every refresh: cost "
+        "tracks total input size by construction; at production scale the "
+        "delta partition-prunes and the base aggregate is the stored MV."
+    ),
+    "unpivot_lineitem_metrics": (
+        "Stack/unpivot multiplies rows by the metric count before the "
+        "aggregate, so input volume (and the partial-agg combine) scales "
+        "with rows x metrics — map-side only, no extra shuffle."
+    ),
+    "text_bigram_counts": (
+        "Explode to one row per bigram token before the count aggregate: "
+        "row volume is corpus tokens, the dominant linear term; two-phase "
+        "agg keeps the shuffle bounded by distinct bigrams."
+    ),
+    "corpus_gopher_rules": (
+        "Explode-to-tokens rule evaluation: per-token row volume dominates; "
+        "all aggregates are map-combinable, no joins."
+    ),
+    "events_sliding_window_agg": (
+        "Range-frame window over per-key event sequences: state per key "
+        "grows with events/key at larger SFs; partitioned by key, no "
+        "global window."
+    ),
+}
+
 
 def _all_probes() -> list[str]:
     """The curated probe list UNION the full bench headline set, so
@@ -145,12 +203,17 @@ def main() -> None:
         )
         lines.append("")
         for name, ratio in sorted(hot, key=lambda t: -t[1]):
-            lines.append(f"- **{name}** ({ratio:.1f}x): TODO topology note")
+            note = NOTES.get(
+                name,
+                "UNEXPLAINED — inspect the plan before shipping (PLANS.md row, "
+                ".explain('formatted')).",
+            )
+            lines.append(f"- **{name}** ({ratio:.1f}x): {note}")
         lines.append("")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "SCALING.md"), "w") as f:
         f.write("\n".join(lines))
-    print(f"SCALING.md written: {len(PROBES)} probes x {len(SFS)} SFs")
+    print(f"SCALING.md written: {len(probes)} probes x {len(SFS)} SFs")
     spark.stop()
 
 

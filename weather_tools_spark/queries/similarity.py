@@ -664,9 +664,10 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration: the Gram matrix G = X^T X is computed DISTRIBUTED (one
     mapInPandas pass emitting d^2 partial sums per batch — shuffle
     volume O(batches * d^2), corpus never collected), then the
-    iteration v <- G v / ||G v|| runs as broadcast joins on the tiny
-    d^2-row G frame, with the final norm as the Rayleigh-quotient
-    eigenvalue estimate. Starts from the exact dyadic uniform unit
+    iteration v <- G v / ||G v|| runs on one bounded collect of the
+    d^2-row G frame (32 KB at d=64, corpus-independent — the k-means
+    centroid-collect contract class), with the final norm as the
+    Rayleigh-quotient eigenvalue estimate. Starts from the exact dyadic uniform unit
     vector 1/8, so both engines iterate from identical state; the
     oracle replays the Gram build AND all three iterations as chained
     CTEs (sixth iterative algorithm fully under the hash gate). sqrt
@@ -681,7 +682,7 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_tools_spark.operators.similarity import gram_matrix, power_iteration
 
     emb = load_table(spark, "embeddings", sf_dir)
-    g = gram_matrix(emb, "embedding", _PCA_D).persist()
+    g = gram_matrix(emb, "embedding", _PCA_D)
     v, nrm = power_iteration(g, _PCA_D, _PCA_ITERS, _PCA_V0)
     return (
         v.crossJoin(F.broadcast(nrm))
