@@ -232,3 +232,136 @@ def test_lookup3_known_values():
     long = bytes(range(64))
     assert H5._lookup3(long) == H5._lookup3(long)
     assert H5._lookup3(long) != H5._lookup3(long[:-1])
+
+
+def test_dense_layout_roundtrip_many_variables(tmp_path):
+    """``layout='dense'``: root links stored as managed objects in a
+    real fractal heap (FRHP/FHDB) located through a v2 B-tree name
+    index (BTHD/BTLF) — the storage libraries switch to above the
+    compact-link limit (~8), i.e. the many-variable NetCDF-4 case.
+    20 variables: over every compact/symbol-table limit in this module."""
+    rng = np.random.RandomState(9)
+    ds = {f"var{i:02d}": rng.randn(3, 4) for i in range(17)}
+    ds["latitude"] = np.linspace(52.0, 50.0, 3)
+    ds["longitude"] = np.linspace(5.0, 7.0, 4)
+    ds["time"] = (np.arange(2) * 3600 + 1_700_000_000).astype("f8")
+    path = str(tmp_path / "dense.h5")
+    H5.write_hdf5(
+        path, ds, layout="dense",
+        attrs={"time": {"units": "seconds since 1970-01-01T00:00:00"}},
+    )
+    buf = open(path, "rb").read()
+    # structure golden: dense signatures present, compact/group ones absent
+    for sig in (b"FRHP", b"FHDB", b"BTHD", b"BTLF"):
+        assert sig in buf, sig
+    assert b"SNOD" not in buf
+    back, attrs = H5.read_hdf5(path)
+    assert set(back) == set(ds)
+    for k in ds:
+        np.testing.assert_array_equal(back[k], ds[k])
+    assert attrs["time"]["units"].startswith("seconds since")
+
+
+def test_dense_layout_structure_golden(tmp_path):
+    """Field-level golden on the dense structures, independent of the
+    roundtrip: FRHP header geometry (7-byte heap IDs, width-4 doubling
+    table, 512/8192 block sizes), B-tree record size 11 = 4-byte
+    lookup3 name hash + heap ID, record count == link count, and every
+    B-tree record's hash matching lookup3 of the name its heap ID
+    resolves to."""
+    ds = {f"v{i}": np.arange(4, dtype="f8") for i in range(12)}
+    path = str(tmp_path / "dense.h5")
+    H5.write_hdf5(path, ds, layout="dense")
+    buf = open(path, "rb").read()
+    fr = buf.index(b"FRHP")
+    hdr = H5._parse_frhp(buf, fr)
+    assert hdr["heap_id_len"] == 7
+    assert hdr["width"] == 4
+    assert (hdr["start_block"], hdr["max_direct"]) == (512, 8192)
+    assert (hdr["off_size"], hdr["len_size"]) == (4, 2)
+    assert hdr["cur_rows"] == 0  # root is a single direct block
+    bt = buf.index(b"BTHD")
+    node_size, = struct.unpack_from("<I", buf, bt + 6)
+    rec_size, depth = struct.unpack_from("<HH", buf, bt + 10)
+    assert (node_size, rec_size, depth) == (2048, 11, 0)
+    recs = H5._bt2_records(buf, bt)
+    assert len(recs) == len(ds)
+    for rec in recs:
+        hash_, = struct.unpack_from("<I", rec, 0)
+        body = H5._fheap_managed_bytes(buf, hdr, rec[4:11])
+        name, _addr = H5._parse_link(body)
+        assert hash_ == H5._lookup3(name.encode())
+
+
+def test_dense_indirect_and_checksummed_blocks():
+    """Hand-assembled fractal heap (independent of the writer) with a
+    root INDIRECT block (FHIB), two checksummed direct blocks, and
+    objects in both — exercises the doubling-table block lookup and
+    the reader's indifference to the optional direct-block checksums
+    (heap offsets already include all header bytes)."""
+    width, start, max_direct, heap_bits = 4, 512, 8192, 32
+    off_size = 4
+    dh = 4 + 1 + 8 + off_size + 4  # direct header WITH checksum (flags&2)
+    payloads = [b"alpha-link-bytes", b"beta-link-bytes!!"]
+    # block 0 @heap offset 0 holds payloads[0]; block 1 @512 holds [1]
+    base = 2000  # heap header file address (arbitrary, self-referenced)
+    hdr = b"FRHP" + struct.pack("<BHHB", 0, 7, 0, 0x02)
+    hdr += struct.pack("<I", 4096) + struct.pack("<QQ", 0, H5._UNDEF)
+    hdr += struct.pack("<QQ", 0, H5._UNDEF)
+    hdr += struct.pack("<QQQQ", 1024, 1024, 1024, 2)
+    hdr += struct.pack("<QQQQ", 0, 0, 0, 0)
+    hdr += struct.pack("<H", width) + struct.pack("<QQ", start, max_direct)
+    hdr += struct.pack("<HH", heap_bits, 1)
+    hdr_len = len(hdr) + 8 + 2 + 4
+    iaddr = base + hdr_len  # indirect block right after header
+    hdr += struct.pack("<QH", iaddr, 1) + struct.pack("<I", 0)  # cur_rows=1
+    d0 = iaddr + 4 + 1 + 8 + off_size + width * 8 + 4  # after FHIB
+    d1 = d0 + start
+    ib = b"FHIB" + struct.pack("<B", 0) + struct.pack("<Q", base)
+    ib += (0).to_bytes(off_size, "little")
+    ib += struct.pack("<QQQQ", d0, d1, H5._UNDEF, H5._UNDEF) + struct.pack("<I", 0)
+    assert iaddr + len(ib) == d0
+
+    def dblock(boff: int, obj: bytes) -> bytes:
+        b = b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", base)
+        b += boff.to_bytes(off_size, "little") + struct.pack("<I", 0)  # checksum
+        b += obj + b"\x00" * (start - dh - len(obj))
+        return b
+
+    img = bytearray(b"\x00" * base)
+    img += hdr + ib + dblock(0, payloads[0]) + dblock(512, payloads[1])
+    buf = bytes(img)
+    parsed = H5._parse_frhp(buf, base)
+    id0 = b"\x00" + (dh).to_bytes(4, "little") + len(payloads[0]).to_bytes(2, "little")
+    id1 = b"\x00" + (512 + dh).to_bytes(4, "little") + len(payloads[1]).to_bytes(2, "little")
+    assert H5._fheap_managed_bytes(buf, parsed, id0) == payloads[0]
+    assert H5._fheap_managed_bytes(buf, parsed, id1) == payloads[1]
+    # huge/tiny IDs stay gated
+    with pytest.raises(NotImplementedError, match="huge/tiny"):
+        H5._fheap_managed_bytes(buf, parsed, b"\x10" + id0[1:])
+
+
+def test_dense_nc4_decode_end_to_end(spark, tmp_path):
+    """A dense-layout NetCDF-4 hypercube decodes through the same
+    ingest path as the compact layouts (auto-detected by magic)."""
+    coords = _coords()
+    shape = (4, 3, 5)
+    t2m = np.arange(np.prod(shape), dtype="f8").reshape(shape)
+    ds = dict(coords)
+    ds["time"] = np.asarray(ds["time"], dtype="f8")
+    ds["t2m"] = t2m
+    # pad with extra variables to force realistic dense-group sizes
+    for i in range(10):
+        ds[f"aux{i}"] = np.full(shape, float(i))
+    path = str(tmp_path / "dense.nc4")
+    H5.write_hdf5(
+        path, ds, layout="dense",
+        attrs={"time": {"units": "seconds since 1970-01-01T00:00:00"}},
+    )
+    pdf = H5.nc4_decode(path, None)
+    assert len(pdf) == np.prod(shape)
+    assert "t2m" in pdf.columns and "aux7" in pdf.columns
+    got = pdf.sort_values(["time", "latitude", "longitude"])["t2m"].to_numpy()
+    lat_order = np.argsort(coords["latitude"])
+    expect = t2m[:, lat_order, :].ravel()
+    assert np.array_equal(got, expect)

@@ -15,12 +15,14 @@ actually occupy, for both write and read:
     — chunked data indexed by a v1 B-tree (node type 1), one key per
     chunk: [chunk bytes, filter mask, chunk grid offsets, 0].
 
-The READER additionally accepts superblock v2/v3 and v2 (``OHDR``)
+The READER additionally accepts superblock v2/v3, v2 (``OHDR``)
 object headers with compact link messages — the layout h5py's
-``libver='latest'`` emits — so files from standard tools parse as long
-as they use these structures; fractal-heap groups, v2 B-trees, and
-virtual/external layouts raise a clear ``NotImplementedError`` toward
-the xarray gate.
+``libver='latest'`` emits — AND dense (fractal-heap) group storage:
+link messages resolved out of FRHP/FHDB heap blocks through the v2
+B-tree name index, the layout libraries switch to above ~8 links (the
+many-variable NetCDF-4 case). Remaining gates (clear errors toward
+the xarray branch): huge/tiny heap IDs, filtered heap blocks, B-tree
+depth > 1, multi-level indirect blocks, virtual/external layouts.
 
 NetCDF-4 semantics on top of raw HDF5 follow the same CF conventions
 as the classic codec (sources/netcdf3.py): coordinate variables are
@@ -224,6 +226,99 @@ def _msg_v2(mtype: int, body: bytes) -> bytes:
     return struct.pack("<BHB", mtype, len(body), 0) + body
 
 
+# Dense-group write geometry: the libhdf5 group-heap defaults
+# (H5Gpkg.h) — width 4, 512B starting block, 8KiB max direct block,
+# 32-bit heap space, 7-byte heap IDs; v2 B-tree node 2048B.
+_DENSE_WIDTH = 4
+_DENSE_START = 512
+_DENSE_MAX_DIRECT = 8192
+_DENSE_HEAP_BITS = 32
+_DENSE_HEAP_ID_LEN = 7
+_DENSE_BT2_NODE = 2048
+
+
+def _write_dense_group(out: "_Out", entries: list[tuple[str, int]]) -> tuple[int, int]:
+    """Emit fractal heap + v2 B-tree name index for ``entries`` and
+    return (heap header addr, B-tree header addr) — the dense group
+    storage libraries switch to above the compact-link limit. Single
+    root direct block (doubling sizes 512..8192 → hundreds of links);
+    beyond that raises rather than emitting multi-block layouts the
+    reader would accept but real tools might not."""
+    off_size = _DENSE_HEAP_BITS // 8
+    len_size = (_DENSE_MAX_DIRECT.bit_length() + 7) // 8
+    dblock_header = 4 + 1 + 8 + off_size  # sig, version, heap hdr addr, block offset
+    links = [_link_message(n, a) for n, a in entries]
+    need = dblock_header + sum(len(b) for b in links)
+    block_size = _DENSE_START
+    while block_size < need:
+        block_size *= 2
+        if block_size > _DENSE_MAX_DIRECT:
+            raise NotImplementedError(
+                f"{len(entries)} links overflow one direct block "
+                f"({need}B > {_DENSE_MAX_DIRECT}B) — multi-block dense write"
+            )
+    heap_hdr_addr_pos = out.put(b"")  # heap header goes first (address known now)
+    # assemble the direct block (heap offset 0), objects packed after header
+    ids: list[bytes] = []
+    body = bytearray()
+    for lb in links:
+        obj_off = dblock_header + len(body)
+        ids.append(
+            b"\x00"
+            + obj_off.to_bytes(off_size, "little")
+            + len(lb).to_bytes(len_size, "little")
+        )
+        body += lb
+    dblock = (
+        b"FHDB"
+        + struct.pack("<B", 0)
+        + struct.pack("<Q", heap_hdr_addr_pos)
+        + (0).to_bytes(off_size, "little")
+        + bytes(body)
+        + b"\x00" * (block_size - dblock_header - len(body))
+    )
+    # heap header (FRHP), flags=0: direct blocks unchecksummed
+    hdr = b"FRHP" + struct.pack("<BHHB", 0, _DENSE_HEAP_ID_LEN, 0, 0)
+    hdr += struct.pack("<I", 4096)  # max size of managed objects
+    hdr += struct.pack("<QQ", 0, _UNDEF)  # next huge id, huge bt2
+    hdr += struct.pack("<QQ", block_size - need, _UNDEF)  # free space, fs mgr
+    hdr += struct.pack(
+        "<QQQQ", block_size, block_size, need, len(entries)
+    )  # managed space, allocated, iterator, n_managed
+    hdr += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny size+count
+    hdr += struct.pack("<H", _DENSE_WIDTH)
+    hdr += struct.pack("<QQ", _DENSE_START, _DENSE_MAX_DIRECT)
+    hdr += struct.pack("<HH", _DENSE_HEAP_BITS, 1)  # max heap size, start rows
+    dblock_addr = heap_hdr_addr_pos  # placeholder, patched after hdr length known
+    hdr_len = len(hdr) + 8 + 2 + 4  # + root addr, cur rows, checksum
+    dblock_addr = heap_hdr_addr_pos + hdr_len
+    hdr += struct.pack("<QH", dblock_addr, 0)  # root = direct block, cur rows 0
+    hdr += struct.pack("<I", _lookup3(hdr))
+    out.buf += hdr + dblock
+    assert len(out.buf) == dblock_addr + block_size
+
+    # v2 B-tree name index: records (name-hash, heap id) sorted by hash
+    rec_size = 4 + _DENSE_HEAP_ID_LEN
+    recs = [
+        struct.pack("<I", _lookup3(n.encode())) + hid
+        for (n, _a), hid in zip(entries, ids)
+    ]
+    recs.sort(key=lambda r: struct.unpack("<I", r[:4])[0])
+    if len(recs) > (_DENSE_BT2_NODE - 10) // rec_size:
+        raise NotImplementedError("dense-group link count overflows one B-tree leaf")
+    leaf = b"BTLF" + struct.pack("<BB", 0, 5) + b"".join(recs)
+    leaf += struct.pack("<I", _lookup3(leaf))
+    leaf_addr = out.put(leaf)
+    bthd = b"BTHD" + struct.pack("<BB", 0, 5)
+    bthd += struct.pack("<IHH", _DENSE_BT2_NODE, rec_size, 0)  # node size, rec size, depth
+    bthd += struct.pack("<BB", 100, 40)  # split/merge percents
+    bthd += struct.pack("<QH", leaf_addr, len(recs))
+    bthd += struct.pack("<Q", len(recs))  # total records
+    bthd += struct.pack("<I", _lookup3(bthd))
+    bt2_addr = out.put(bthd)
+    return heap_hdr_addr_pos, bt2_addr
+
+
 def write_hdf5(
     path: str,
     datasets: dict[str, np.ndarray],
@@ -242,8 +337,10 @@ def write_hdf5(
     paths against genuine bytes. ``chunks[name]`` makes that dataset
     chunked (v1 B-tree index); ``compression='deflate'`` (+ optional
     byte ``shuffle``) builds a real filter pipeline. ``attrs[name]``
-    attaches fixed-string attributes."""
-    if layout not in ("v0", "latest"):
+    attaches fixed-string attributes. ``layout='dense'`` emits the
+    fractal-heap + v2-B-tree dense root group (what libraries switch
+    to above ~8 links — the many-variable NetCDF-4 layout)."""
+    if layout not in ("v0", "latest", "dense"):
         raise ValueError(f"unknown HDF5 layout {layout!r}")
     attrs = attrs or {}
     chunks = chunks or {}
@@ -316,13 +413,20 @@ def write_hdf5(
             msgs.append(_attribute(aname, aval))
         entries.append((name, out.put(_object_header(msgs))))
 
-    if layout == "latest":
-        # root group as a v2 object header with compact link messages
-        root_addr = out.put(
-            _object_header_v2(
-                [_msg_v2(0x0006, _link_message(n, a)) for n, a in entries]
+    if layout in ("latest", "dense"):
+        if layout == "dense":
+            # root group as a v2 object header whose single Link Info
+            # message points at real fractal-heap + v2-B-tree storage
+            fheap_addr, bt2_addr = _write_dense_group(out, entries)
+            info = struct.pack("<BB", 0, 0) + struct.pack("<QQ", fheap_addr, bt2_addr)
+            root_addr = out.put(_object_header_v2([_msg_v2(0x0002, info)]))
+        else:
+            # root group as a v2 object header with compact link messages
+            root_addr = out.put(
+                _object_header_v2(
+                    [_msg_v2(0x0006, _link_message(n, a)) for n, a in entries]
+                )
             )
-        )
         eof = len(out.buf)
         sb = MAGIC + struct.pack(
             "<BBBBQQQQ", 3, 8, 8, 0, 0, _UNDEF, eof, root_addr
@@ -638,11 +742,161 @@ def _root_entries(buf: bytes) -> list[tuple[str, int]]:
         elif mtype == 0x0006:  # link message (compact group)
             entries.append(_parse_link(body))
         elif mtype == 0x0002:  # link info: dense (fractal heap) storage
-            fheap, = struct.unpack_from("<Q", body, 2 + (8 if body[1] & 1 else 0))
+            p = 2 + (8 if body[1] & 1 else 0)
+            fheap, bt2 = struct.unpack_from("<QQ", body, p)
             if fheap != _UNDEF:
-                raise NotImplementedError(
-                    "fractal-heap (dense) group storage — xarray branch required"
-                )
+                entries += _walk_dense_group(buf, fheap, bt2)
+    return entries
+
+
+# ------------------------------------------------- dense (fractal-heap) groups
+#
+# When a group exceeds the compact-link limit (netCDF4/h5py default: 8
+# links) the library switches to "dense" storage: link messages live as
+# managed objects in a FRACTAL HEAP ("FRHP" header + FHDB direct blocks
+# laid out by a width-doubling table), located by 7-byte heap IDs held
+# in the records of a v2 B-TREE name index ("BTHD"/"BTIN"/"BTLF").
+# Reading a dense group = enumerate the B-tree records, resolve each
+# managed heap ID to its byte range, parse the bytes as a link message.
+# Scope gates (clear errors, not wrong answers): huge/tiny heap IDs,
+# I/O-filtered heap blocks, indirect-block recursion beyond one level,
+# and B-tree depth > 1 — none of which a group of link messages
+# produces at realistic variable counts.
+
+
+def _parse_frhp(buf: bytes, addr: int) -> dict:
+    if buf[addr : addr + 4] != b"FRHP":
+        raise ValueError(f"bad fractal heap signature at {addr}")
+    p = addr + 4
+    version = buf[p]; p += 1
+    heap_id_len, io_filter_len = struct.unpack_from("<HH", buf, p); p += 4
+    flags = buf[p]; p += 1
+    p += 4          # max size of managed objects
+    p += 8 * 2      # next huge id, huge-object v2 btree addr
+    p += 8 * 2      # free space, free-space manager addr
+    p += 8 * 8      # managed space, allocated space, iterator offset,
+    #                 n_managed, huge size, n_huge, tiny size, n_tiny
+    table_width, = struct.unpack_from("<H", buf, p); p += 2
+    start_block, max_direct = struct.unpack_from("<QQ", buf, p); p += 16
+    max_heap_bits, start_rows = struct.unpack_from("<HH", buf, p); p += 4
+    root_addr, = struct.unpack_from("<Q", buf, p); p += 8
+    cur_rows, = struct.unpack_from("<H", buf, p); p += 2
+    if version != 0:
+        raise NotImplementedError(f"fractal heap version {version}")
+    if io_filter_len:
+        raise NotImplementedError("I/O-filtered fractal heap blocks")
+    return {
+        "addr": addr,
+        "heap_id_len": heap_id_len,
+        "checksum_dblocks": bool(flags & 0x02),
+        "width": table_width,
+        "start_block": start_block,
+        "max_direct": max_direct,
+        "off_size": (max_heap_bits + 7) // 8,
+        "len_size": (int(max_direct).bit_length() + 7) // 8,
+        "root_addr": root_addr,
+        "cur_rows": cur_rows,
+    }
+
+
+def _fheap_row_size(hdr: dict, row: int) -> int:
+    return hdr["start_block"] if row < 2 else hdr["start_block"] << (row - 1)
+
+
+def _fheap_direct_addr(buf: bytes, hdr: dict, offset: int) -> int:
+    """File address of the direct block whose heap space contains
+    ``offset`` (root-direct and one-level root-indirect layouts)."""
+    if hdr["cur_rows"] == 0:  # root IS a single direct block at offset 0
+        return hdr["root_addr"]
+    a = hdr["root_addr"]
+    if buf[a : a + 4] != b"FHIB":
+        raise ValueError(f"bad fractal heap indirect block at {a}")
+    p = a + 4 + 1 + 8 + hdr["off_size"]  # sig, version, heap hdr addr, block offset
+    children = []
+    for _ in range(hdr["cur_rows"] * hdr["width"]):
+        child, = struct.unpack_from("<Q", buf, p)
+        children.append(child)
+        p += 8
+    acc = 0
+    for row in range(hdr["cur_rows"]):
+        rs = _fheap_row_size(hdr, row)
+        if rs > hdr["max_direct"]:
+            raise NotImplementedError(
+                "fractal heap indirect-block rows beyond the direct-row region"
+            )
+        span = hdr["width"] * rs
+        if offset < acc + span:
+            return children[row * hdr["width"] + (offset - acc) // rs]
+        acc += span
+    raise ValueError(f"heap offset {offset} beyond current fractal heap rows")
+
+
+def _fheap_managed_bytes(buf: bytes, hdr: dict, heap_id: bytes) -> bytes:
+    idtype = (heap_id[0] >> 4) & 0x3
+    if idtype != 0:
+        raise NotImplementedError(
+            f"fractal heap ID type {idtype} (huge/tiny) — managed objects only"
+        )
+    o, ln = hdr["off_size"], hdr["len_size"]
+    offset = int.from_bytes(heap_id[1 : 1 + o], "little")
+    length = int.from_bytes(heap_id[1 + o : 1 + o + ln], "little")
+    baddr = _fheap_direct_addr(buf, hdr, offset)
+    if buf[baddr : baddr + 4] != b"FHDB":
+        raise ValueError(f"bad fractal heap direct block at {baddr}")
+    boff = int.from_bytes(
+        buf[baddr + 4 + 1 + 8 : baddr + 4 + 1 + 8 + hdr["off_size"]], "little"
+    )
+    start = baddr + (offset - boff)
+    return bytes(buf[start : start + length])
+
+
+def _bt2_records(buf: bytes, addr: int) -> list[bytes]:
+    """All records of a v2 B-tree (depth ≤ 1), in tree order."""
+    if buf[addr : addr + 4] != b"BTHD":
+        raise ValueError(f"bad v2 B-tree header at {addr}")
+    p = addr + 4
+    version, btype = buf[p], buf[p + 1]; p += 2
+    node_size, = struct.unpack_from("<I", buf, p); p += 4
+    rec_size, depth = struct.unpack_from("<HH", buf, p); p += 4
+    p += 2  # split/merge percents
+    root_addr, = struct.unpack_from("<Q", buf, p); p += 8
+    root_nrec, = struct.unpack_from("<H", buf, p); p += 2
+    del version, btype
+    if depth > 1:
+        raise NotImplementedError(f"v2 B-tree depth {depth} (0/1 supported)")
+
+    def leaf(a: int, n: int) -> list[bytes]:
+        if buf[a : a + 4] != b"BTLF":
+            raise ValueError(f"bad v2 B-tree leaf at {a}")
+        q = a + 6
+        return [bytes(buf[q + i * rec_size : q + (i + 1) * rec_size]) for i in range(n)]
+
+    if depth == 0:
+        return leaf(root_addr, root_nrec)
+    # internal root (BTIN): N records then N+1 child pointers
+    if buf[root_addr : root_addr + 4] != b"BTIN":
+        raise ValueError(f"bad v2 B-tree internal node at {root_addr}")
+    q = root_addr + 6
+    irecs = [bytes(buf[q + i * rec_size : q + (i + 1) * rec_size]) for i in range(root_nrec)]
+    q += root_nrec * rec_size
+    max_leaf_nrec = (node_size - 10) // rec_size
+    nrec_width = (int(max_leaf_nrec).bit_length() + 7) // 8
+    out: list[bytes] = []
+    for i in range(root_nrec + 1):
+        child, = struct.unpack_from("<Q", buf, q); q += 8
+        cnt = int.from_bytes(buf[q : q + nrec_width], "little"); q += nrec_width
+        out += leaf(child, cnt)
+        if i < root_nrec:
+            out.append(irecs[i])
+    return out
+
+
+def _walk_dense_group(buf: bytes, fheap_addr: int, bt2_addr: int) -> list[tuple[str, int]]:
+    hdr = _parse_frhp(buf, fheap_addr)
+    entries: list[tuple[str, int]] = []
+    for rec in _bt2_records(buf, bt2_addr):
+        heap_id = rec[4 : 4 + hdr["heap_id_len"]]  # after the 4-byte name hash
+        entries.append(_parse_link(_fheap_managed_bytes(buf, hdr, heap_id)))
     return entries
 
 
