@@ -15,7 +15,10 @@ big-endian sections —
     references + bit widths, optional 1st/2nd-order spatial
     differencing — the packing operational NCEP products ship;
     template 5.41 PNG packing: offsets as a grayscale PNG stream,
-    stdlib zlib codec with all five scanline filters on decode) ·
+    stdlib zlib codec with all five scanline filters on decode;
+    template 5.40 JPEG 2000 packing: offsets as a lossless
+    single-component codestream via the stdlib EBCOT/MQ/5-3-DWT codec
+    in sources/jpeg2000.py) ·
     6 bitmap · 7 data (packed offsets
     X: value = (R + X·2^E) / 10^D) · 8 '7777'
 
@@ -26,7 +29,7 @@ implements that profile directly:
   with ``packing`` = simple (byte-aligned 8/16/32-bit widths),
   complex, complex with spatial differencing (exact int64 roundtrip
   at any magnitude — the differencing descriptors carry the level, so
-  no float32 reference-value drift), or png; NaN values produce a
+  no float32 reference-value drift), png, or jpeg2000; NaN values produce a
   real section-6 BITMAP (data section holds present points only);
 - :func:`read_grib2` — parse messages back; a ``want`` parameter set
   implements the reference's GRIB *message filter* as true pushdown:
@@ -505,8 +508,8 @@ def write_grib2(
         if reduced:
             if vals.ndim != 1:
                 raise ValueError("reduced-Gaussian values must be a flat point array")
-            if packing == "png":
-                raise NotImplementedError("PNG packing needs a rectangular grid")
+            if packing in ("png", "jpeg2000"):
+                raise NotImplementedError(f"{packing} packing needs a rectangular grid")
             nj = ni = None
             sec3 = _encode_reduced_gaussian_grid(msg["grid"], vals.size)
         elif "grid" in msg:
@@ -593,10 +596,10 @@ def write_grib2(
             bm = np.packbits(present.astype(np.uint8)).tobytes()
             sec6 = struct.pack(">IBB", 6 + len(bm), 6, 0) + bm
             kept = flat[present]
-            if packing == "png":
-                raise NotImplementedError("bitmap + PNG packing (rectangular image)")
+            if packing in ("png", "jpeg2000"):
+                raise NotImplementedError(f"bitmap + {packing} packing (rectangular image)")
         scaled = np.round(kept * (10 ** decimal_scale)).astype("i8")
-        if packing == "png":
+        if packing in ("png", "jpeg2000"):
             scaled = scaled.reshape(nj, ni)
         if packing == "complex":
             sec5, sec7 = _encode_complex(scaled, decimal_scale, order=0)
@@ -606,6 +609,8 @@ def write_grib2(
             sec5, sec7 = _encode_complex(scaled, decimal_scale, order=2)
         elif packing == "png":
             sec5, sec7 = _encode_png_packing(scaled, decimal_scale)
+        elif packing == "jpeg2000":
+            sec5, sec7 = _encode_j2k_packing(scaled, decimal_scale)
         elif packing != "simple":
             raise ValueError(f"unknown packing {packing!r}")
         else:
@@ -813,9 +818,14 @@ def read_grib2_bytes(
             X = _decode_complex(s5, s7, npts).astype("f8")
         elif tmpl == 41:
             X = _png_decode(s7[5:]).astype("f8").ravel()
+        elif tmpl == 40:
+            from .jpeg2000 import decode_j2k
+
+            X = decode_j2k(s7[5:]).astype("f8").ravel()
         else:
             raise NotImplementedError(
-                f"data representation template {tmpl} (simple/complex/PNG packing only)"
+                f"data representation template {tmpl} "
+                "(simple/complex/PNG/JPEG2000 packing only)"
             )
         vals = (float(ref) + X * (2.0 ** E)) / (10.0 ** D)
         if mask is not None:
@@ -938,6 +948,30 @@ def _png_decode(buf: bytes) -> np.ndarray:
     if bit_depth == 16:
         return np.frombuffer(out.tobytes(), dtype=">u2").reshape(height, width).astype("i8")
     return out.reshape(height, width).astype("i8")
+
+
+def _encode_j2k_packing(scaled: np.ndarray, decimal_scale: int) -> tuple[bytes, bytes]:
+    """Sections 5+7 for template 5.40 (JPEG 2000 packing, lossless):
+    offsets from the float32-quantized reference encoded as a
+    single-component lossless codestream (sources/jpeg2000.py)."""
+    from .jpeg2000 import encode_j2k
+
+    nj, ni = scaled.shape
+    ref = _quantized_f32_ref(int(scaled.min()))
+    offsets = np.round(scaled.astype("f8") - ref).astype("i8")
+    span = int(offsets.max()) if offsets.size else 0
+    depth = max(1, span.bit_length())
+    if depth > 31:
+        raise ValueError(f"value span needs {depth} bits > 31 (JPEG 2000 packing)")
+    j2k = encode_j2k(offsets.reshape(nj, ni), depth)
+    sec7 = struct.pack(">IB", 5 + len(j2k), 7) + j2k
+    # template 5.40: 5.0 core fields + compression type 0 (lossless) +
+    # target compression ratio 255 (lossless marker)
+    sec5 = struct.pack(
+        ">IBIHfHHBBBB",
+        23, 5, ni * nj, 40, ref, _sm16(0), _sm16(decimal_scale), depth, 0, 0, 255,
+    )
+    return sec5, sec7
 
 
 def _encode_png_packing(scaled: np.ndarray, decimal_scale: int) -> tuple[bytes, bytes]:

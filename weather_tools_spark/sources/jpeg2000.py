@@ -597,3 +597,456 @@ def t1_decode(
         done += 1
         st.pi[:] = 0
     return v, sgn
+
+
+# --------------------------------------------------- Tier-2: tag trees
+# Annex B.10.2: quad-tree over the code-block grid; each node's value
+# is the min over its subtree; encoder/decoder share incremental
+# knowledge (low bound + exactly-known flag) across calls.
+
+
+class TagTree:
+    def __init__(self, ny: int, nx: int) -> None:
+        self.levels: list[tuple[int, int]] = []
+        y, x = ny, nx
+        while True:
+            self.levels.append((y, x))
+            if y == 1 and x == 1:
+                break
+            y, x = (y + 1) // 2, (x + 1) // 2
+        self.levels.reverse()  # root first
+        self.value = [np.zeros(l, np.int64) for l in self.levels]
+        self.low = [np.zeros(l, np.int64) for l in self.levels]
+        self.known = [np.zeros(l, bool) for l in self.levels]
+
+    def set_values(self, leaf_vals: np.ndarray) -> None:
+        """Encoder side: populate node values as subtree minima."""
+        self.value[-1][:] = leaf_vals
+        for d in range(len(self.levels) - 2, -1, -1):
+            child = self.value[d + 1]
+            ny, nx = self.levels[d]
+            for i in range(ny):
+                for j in range(nx):
+                    sub = child[2 * i : 2 * i + 2, 2 * j : 2 * j + 2]
+                    self.value[d][i, j] = sub.min()
+
+    def _path(self, y: int, x: int):
+        out = []
+        for d in range(len(self.levels)):
+            shift = len(self.levels) - 1 - d
+            out.append((d, y >> shift, x >> shift))
+        return out
+
+    def encode(self, y: int, x: int, threshold: int, bits: "_BitWriter") -> None:
+        low = 0
+        for d, i, j in self._path(y, x):
+            low = max(low, int(self.low[d][i, j]))
+            while True:
+                if self.known[d][i, j]:
+                    low = max(low, int(self.value[d][i, j]))
+                    break
+                if low >= threshold:
+                    break
+                if low == self.value[d][i, j]:
+                    bits.put(1)
+                    self.known[d][i, j] = True
+                    break
+                bits.put(0)
+                low += 1
+            self.low[d][i, j] = low
+            if not self.known[d][i, j] and low >= threshold:
+                return
+
+    def decode(self, y: int, x: int, threshold: int, bits: "_BitReader") -> int:
+        """Returns the leaf value if resolved below threshold, else
+        ``threshold`` (meaning >= threshold)."""
+        low = 0
+        for d, i, j in self._path(y, x):
+            low = max(low, int(self.low[d][i, j]))
+            while True:
+                if self.known[d][i, j]:
+                    low = max(low, int(self.value[d][i, j]))
+                    break
+                if low >= threshold:
+                    break
+                if bits.get():
+                    self.value[d][i, j] = low
+                    self.known[d][i, j] = True
+                    break
+                low += 1
+            self.low[d][i, j] = low
+            if not self.known[d][i, j] and low >= threshold:
+                return threshold
+        d, i, j = self._path(y, x)[-1]
+        return int(self.value[d][i, j]) if self.known[d][i, j] else low
+
+
+class _BitWriter:
+    """MSB-first packet-header bit packer with 0xFF stuffing: after an
+    emitted 0xFF byte the next byte carries only 7 bits (its MSB is a
+    stuffed 0). A header may not end with 0xFF (B.10.1)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def _limit(self) -> int:
+        return 7 if self.out and self.out[-1] == 0xFF else 8
+
+    def put(self, bit: int) -> None:
+        self.acc = (self.acc << 1) | (bit & 1)
+        self.nbits += 1
+        if self.nbits == self._limit():
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+
+    def put_bits(self, val: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.put((val >> k) & 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc << (self._limit() - self.nbits))
+            self.acc = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def get(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 7 if self.prev_ff else 8
+            self.prev_ff = b == 0xFF
+            self.acc = b & ((1 << self.nbits) - 1)
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self) -> int:
+        """Finish the current byte (and the stuffed byte after a
+        trailing 0xFF) and return the next whole-byte position."""
+        self.nbits = 0
+        if self.prev_ff:
+            # header ended on a 0xFF: the following stuffed byte
+            # belongs to the header only if it was started; B.10.1
+            # guarantees a 0x00 follows, consume it
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1
+            self.prev_ff = False
+        return self.pos
+
+
+def _put_npasses(n: int, bits: _BitWriter) -> None:
+    if n == 1:
+        bits.put(0)
+    elif n == 2:
+        bits.put_bits(0b10, 2)
+    elif n <= 5:
+        bits.put_bits(0b11, 2)
+        bits.put_bits(n - 3, 2)
+    elif n <= 36:
+        bits.put_bits(0b1111, 4)
+        bits.put_bits(n - 6, 5)
+    elif n <= 164:
+        bits.put_bits(0b111111111, 9)
+        bits.put_bits(n - 37, 7)
+    else:
+        raise ValueError(f"{n} coding passes cannot be signalled")
+
+
+def _get_npasses(bits: _BitReader) -> int:
+    if not bits.get():
+        return 1
+    if not bits.get():
+        return 2
+    v = bits.get_bits(2)
+    if v < 3:
+        return 3 + v
+    v = bits.get_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + bits.get_bits(7)
+
+
+# ------------------------------------------------- codestream (Annex A/B)
+
+_CB_LOG = 6  # 64x64 code-blocks
+_GUARD = 2
+_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _band_shapes(h: int, w: int, levels: int) -> list[dict[str, tuple[int, int]]]:
+    """Subband shapes per DWT level (finest-first, mirroring fdwt53)."""
+    out = []
+    for _ in range(levels):
+        hl = ((h + 1) // 2, w // 2)
+        lh = (h // 2, (w + 1) // 2)
+        hh = (h // 2, w // 2)
+        out.append({"HL": hl, "LH": lh, "HH": hh})
+        h, w = (h + 1) // 2, (w + 1) // 2
+    out.append({"LL": (h, w)})
+    return out
+
+
+def _resolution_bands(levels: int):
+    """LRCP band iteration: resolution 0 -> [LL at coarsest]; resolution
+    r>=1 -> HL/LH/HH of DWT level (levels - r), as indices into the
+    fdwt53 output list."""
+    yield 0, [("LL", levels)]
+    for r in range(1, levels + 1):
+        yield r, [("HL", levels - r), ("LH", levels - r), ("HH", levels - r)]
+
+
+def _encode_packet(band_blocks: list[tuple[str, list[dict]]]) -> bytes:
+    """One packet (single layer): header bits + aligned bodies.
+    ``band_blocks``: per band, the list of code-block dicts with keys
+    seg/nbps/npasses/zb and grid position iy/ix plus grid shape ny/nx."""
+    anything = any(b["npasses"] > 0 for _nm, blocks in band_blocks for b in blocks)
+    bw = _BitWriter()
+    if not anything:
+        bw.put(0)
+        return bw.flush()
+    bw.put(1)
+    bodies = []
+    for _nm, blocks in band_blocks:
+        if not blocks:
+            continue
+        ny = max(b["iy"] for b in blocks) + 1
+        nx = max(b["ix"] for b in blocks) + 1
+        inc = TagTree(ny, nx)
+        zbt = TagTree(ny, nx)
+        incv = np.ones((ny, nx), np.int64)
+        zbv = np.zeros((ny, nx), np.int64)
+        for b in blocks:
+            incv[b["iy"], b["ix"]] = 0 if b["npasses"] else 1
+            zbv[b["iy"], b["ix"]] = b["zb"]
+        inc.set_values(incv)
+        zbt.set_values(zbv)
+        for b in blocks:
+            inc.encode(b["iy"], b["ix"], 1, bw)
+            if not b["npasses"]:
+                continue
+            # zero bit-planes: encode to full resolution
+            zbt.encode(b["iy"], b["ix"], int(zbv[b["iy"], b["ix"]]) + 1, bw)
+            _put_npasses(b["npasses"], bw)
+            lblock = 3
+            nbits = lblock + int(b["npasses"]).bit_length() - 1
+            while len(b["seg"]) >= (1 << nbits):
+                bw.put(1)
+                lblock += 1
+                nbits += 1
+            bw.put(0)
+            bw.put_bits(len(b["seg"]), nbits)
+            bodies.append(b["seg"])
+    return bw.flush() + b"".join(bodies)
+
+
+def _decode_packet(
+    data: bytes, pos: int, grids: list[tuple[str, int, int]]
+) -> tuple[int, list[list[dict]]]:
+    """Parse one packet at ``pos``: returns (new pos, per-band list of
+    included block dicts {iy, ix, zb, npasses, seg})."""
+    br = _BitReader(data, pos)
+    out: list[list[dict]] = [[] for _ in grids]
+    if not br.get():
+        return br.align(), out
+    lens: list[tuple[int, int, int, int, int]] = []  # (band#, iy, ix, ...)
+    for bi, (_nm, ny, nx) in enumerate(grids):
+        if ny == 0 or nx == 0:
+            continue
+        inc = TagTree(ny, nx)
+        zbt = TagTree(ny, nx)
+        for iy in range(ny):
+            for ix in range(nx):
+                if inc.decode(iy, ix, 1, br) >= 1:
+                    continue
+                t = 1
+                while zbt.decode(iy, ix, t, br) >= t:
+                    t += 1
+                zb = zbt.decode(iy, ix, t, br)
+                npasses = _get_npasses(br)
+                lblock = 3
+                while br.get():
+                    lblock += 1
+                nbits = lblock + npasses.bit_length() - 1
+                seglen = br.get_bits(nbits)
+                out[bi].append(
+                    {"iy": iy, "ix": ix, "zb": zb, "npasses": npasses, "len": seglen}
+                )
+    pos = br.align()
+    for blocks in out:
+        for b in blocks:
+            b["seg"] = data[pos : pos + b["len"]]
+            pos += b["len"]
+    return pos, out
+
+
+def encode_j2k(img: np.ndarray, depth: int, levels: int = 5) -> bytes:
+    """Encode a 2-D unsigned integer image as a lossless single-tile
+    JPEG 2000 codestream (the GRIB2 template 5.40 payload profile)."""
+    h, w = img.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    levels = max(0, min(levels, (min(h, w) - 1).bit_length()))
+    shifted = img.astype(np.int64) - (1 << (depth - 1))
+    bands = fdwt53(shifted, levels)
+    packets = []
+    for _r, blist in _resolution_bands(levels):
+        band_blocks = []
+        for nm, li in blist:
+            arr = bands[li][nm]
+            bh, bw_ = arr.shape
+            blocks = []
+            if bh and bw_:
+                mb = depth + _GAIN[nm] + _GUARD - 1
+                for iy in range((bh + 63) >> _CB_LOG):
+                    for ix in range((bw_ + 63) >> _CB_LOG):
+                        blk = arr[iy * 64 : iy * 64 + 64, ix * 64 : ix * 64 + 64]
+                        mag = np.abs(blk)
+                        sg = (blk < 0).astype(np.uint8)
+                        seg, nbps, npasses = t1_encode(mag, sg, nm)
+                        if nbps > mb:
+                            raise ValueError(
+                                f"{nm} coefficients need {nbps} planes > Mb={mb}"
+                            )
+                        blocks.append(
+                            {
+                                "iy": iy, "ix": ix, "seg": seg,
+                                "nbps": nbps, "npasses": npasses,
+                                "zb": mb - nbps if npasses else 0,
+                            }
+                        )
+            band_blocks.append((nm, blocks))
+        packets.append(_encode_packet(band_blocks))
+    body = b"".join(packets)
+
+    siz = struct.pack(
+        ">HHIIIIIIIIHBBB",
+        41, 0, w, h, 0, 0, w, h, 0, 0, 1, depth - 1, 1, 1,
+    )
+    cod = struct.pack(">HBBHBBBBBB", 12, 0, 0, 1, 0, levels, 4, 4, 0, 1)
+    nb = 3 * levels + 1
+    exps = [depth + _GAIN["LL"]]
+    for r in range(1, levels + 1):
+        for nm in ("HL", "LH", "HH"):
+            exps.append(depth + _GAIN[nm])
+    qcd = struct.pack(">HB", 3 + nb, (_GUARD << 5) | 0) + bytes(e << 3 for e in exps)
+    sot_len = 12 + 2 + len(body)  # SOT segment + SOD marker + packets
+    sot = struct.pack(">HHIBB", 10, 0, sot_len, 0, 1)
+    return (
+        b"\xff\x4f"
+        + b"\xff\x51" + siz
+        + b"\xff\x52" + cod
+        + b"\xff\x5c" + qcd
+        + b"\xff\x90" + sot
+        + b"\xff\x93" + body
+        + b"\xff\xd9"
+    )
+
+
+def decode_j2k(buf: bytes) -> np.ndarray:
+    """Decode a codestream produced by the profile :func:`encode_j2k`
+    writes (single tile/component, reversible 5/3, default precincts,
+    one layer). Other streams raise NotImplementedError naming the
+    openjpeg branch."""
+    if buf[:2] != b"\xff\x4f":
+        raise ValueError("not a JPEG 2000 codestream (no SOC)")
+    pos = 2
+    w = h = depth = levels = None
+    while pos < len(buf):
+        marker = buf[pos : pos + 2]
+        pos += 2
+        if marker == b"\xff\x93":  # SOD
+            break
+        (ln,) = struct.unpack_from(">H", buf, pos)
+        seg = buf[pos + 2 : pos + ln]
+        if marker == b"\xff\x51":  # SIZ
+            (_rsiz, xs, ys, xo, yo, xt, yt, xto, yto, cs) = struct.unpack_from(
+                ">HIIIIIIIIH", seg, 0
+            )
+            if cs != 1:
+                raise NotImplementedError(
+                    f"{cs}-component JPEG 2000 (openjpeg branch required)"
+                )
+            if (xo, yo, xto, yto) != (0, 0, 0, 0) or (xt, yt) != (xs, ys):
+                raise NotImplementedError("multi-tile / offset JPEG 2000 grid")
+            ssiz, xr, yr = seg[36], seg[37], seg[38]
+            if ssiz & 0x80:
+                raise NotImplementedError("signed-component JPEG 2000")
+            if (xr, yr) != (1, 1):
+                raise NotImplementedError("subsampled JPEG 2000 component")
+            w, h, depth = xs, ys, (ssiz & 0x7F) + 1
+        elif marker == b"\xff\x52":  # COD
+            scod, prog, layers, mct = seg[0], seg[1], struct.unpack_from(">H", seg, 2)[0], seg[4]
+            levels, cbw, cbh, cbstyle, transform = seg[5], seg[6], seg[7], seg[8], seg[9]
+            if scod & 0x01:
+                raise NotImplementedError("non-default JPEG 2000 precincts")
+            if layers != 1:
+                raise NotImplementedError(f"{layers}-layer JPEG 2000 stream")
+            if prog != 0 and layers != 1:
+                raise NotImplementedError(f"progression order {prog}")
+            if mct:
+                raise NotImplementedError("JPEG 2000 multi-component transform")
+            if (cbw, cbh) != (4, 4):
+                raise NotImplementedError(
+                    f"code-block size 2^{cbw + 2}x2^{cbh + 2} (64x64 only)"
+                )
+            if cbstyle:
+                raise NotImplementedError(f"code-block style {cbstyle:#x}")
+            if transform != 1:
+                raise NotImplementedError("irreversible 9/7 wavelet (openjpeg branch)")
+        elif marker == b"\xff\x5c":  # QCD
+            if seg[0] & 0x1F:
+                raise NotImplementedError("quantized JPEG 2000 stream")
+        elif marker == b"\xff\x90":  # SOT
+            pass
+        elif marker in (b"\xff\x64", b"\xff\x63", b"\xff\x55", b"\xff\x58"):
+            pass  # COM / informational segments: skip
+        else:
+            raise NotImplementedError(f"JPEG 2000 marker {marker.hex()}")
+        pos += ln
+    if w is None or levels is None:
+        raise ValueError("JPEG 2000 codestream missing SIZ/COD before SOD")
+
+    shapes = _band_shapes(h, w, levels)
+    bands: list[dict[str, np.ndarray]] = [
+        {nm: np.zeros(s, np.int64) for nm, s in lev.items()} for lev in shapes
+    ]
+    for _r, blist in _resolution_bands(levels):
+        grids = []
+        for nm, li in blist:
+            bh, bw_ = shapes[li][nm]
+            grids.append(
+                (nm, (bh + 63) >> _CB_LOG if bh else 0, (bw_ + 63) >> _CB_LOG if bw_ else 0)
+            )
+        pos, per_band = _decode_packet(buf, pos, grids)
+        for (nm, li), blocks in zip(blist, per_band):
+            arr = bands[li][nm]
+            for b in blocks:
+                y0, x0 = b["iy"] * 64, b["ix"] * 64
+                bh = min(64, arr.shape[0] - y0)
+                bw_ = min(64, arr.shape[1] - x0)
+                mb = depth + _GAIN[nm] + _GUARD - 1
+                nbps = mb - b["zb"]
+                mag, sg = t1_decode(b["seg"], bh, bw_, nm, nbps, b["npasses"])
+                arr[y0 : y0 + bh, x0 : x0 + bw_] = np.where(sg == 1, -mag, mag)
+    out = idwt53(bands) + (1 << (depth - 1))
+    return out
