@@ -505,3 +505,116 @@ def test_zarr_v3_unsupported_codec_raises(tmp_path):
 
     with _pytest.raises(NotImplementedError, match="blosc"):
         Z2.read_store_metadata(store)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Minimal greedy snappy encoder (test-side reference, written from
+    the public snappy format description, independent of the decoder
+    under test)."""
+    out = bytearray()
+    n = len(data)
+    v = n
+    while True:  # uncompressed-length varint
+        if v < 0x80:
+            out.append(v)
+            break
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+
+    def emit_literal(lit: bytes) -> None:
+        ln = len(lit) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        else:
+            nb = (ln.bit_length() + 7) // 8
+            out.append((59 + nb) << 2)
+            out.extend(ln.to_bytes(nb, "little"))
+        out.extend(lit)
+
+    i = anchor = 0
+    table: dict[bytes, int] = {}
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= 0xFFFF and data[cand : cand + 4] == key:
+            if i > anchor:
+                emit_literal(data[anchor:i])
+            ln = 4
+            while i + ln < n and data[cand + ln] == data[i + ln] and ln < 64:
+                ln += 1
+            off = i - cand
+            if 4 <= ln <= 11 and off < 2048:  # 1-byte-offset copy
+                out.append(((off >> 8) << 5) | ((ln - 4) << 2) | 1)
+                out.append(off & 0xFF)
+            else:  # 2-byte-offset copy
+                out.append(((ln - 1) << 2) | 2)
+                out.extend(off.to_bytes(2, "little"))
+            i += ln
+            anchor = i
+        else:
+            i += 1
+    if anchor < n:
+        emit_literal(data[anchor:])
+    return bytes(out)
+
+
+def test_snappy_block_roundtrip_and_goldens():
+    # golden: pure literal
+    assert Z2._snappy_decompress(b"\x05\x10hello") == b"hello"
+    # golden: 'ab' + copy(offset 2, len 6) -> 'abababab'
+    enc = b"\x08" + b"\x04ab" + bytes([((2 >> 8) << 5) | ((6 - 4) << 2) | 1, 2])
+    assert Z2._snappy_decompress(enc) == b"abababab"
+    with pytest.raises(ValueError, match="declared"):
+        Z2._snappy_decompress(b"\x09\x10hello")  # wrong declared length
+    with pytest.raises(ValueError, match="offset"):
+        Z2._snappy_decompress(b"\x08\x04ab" + bytes([(0 << 5) | (2 << 2) | 1, 9]))
+    rng = np.random.default_rng(13)
+    cases = [
+        b"", b"x", b"the quick brown fox " * 50,
+        np.arange(3000, dtype="<i4").tobytes(),
+        rng.integers(0, 3, 8192, dtype=np.uint8).tobytes(),
+        rng.bytes(4096),
+    ]
+    for data in cases:
+        assert Z2._snappy_decompress(_snappy_compress(data)) == data
+
+
+def test_blosc_snappy_container_decodes():
+    """blosc-snappy containers (inner codec id 2) decode stdlib-only:
+    single and legacy-split blocks, shuffled and raw-split."""
+    import struct as _s
+
+    rng = np.random.default_rng(4)
+    for data, typesize, blocksize, shuffle, nsplits in [
+        (np.arange(512, dtype="<i4").tobytes(), 4, 2048, True, 1),
+        (np.arange(512, dtype="<i4").tobytes(), 4, 1024, False, 4),  # legacy split
+        (rng.bytes(1500), 1, 1024, False, 1),  # incompressible -> raw
+    ]:
+        nbytes = len(data)
+        flags = (2 << 5) | (0x1 if shuffle else 0)
+        nblocks = (nbytes + blocksize - 1) // blocksize
+        blobs, bstarts = [], []
+        pos = 16 + 4 * nblocks
+        for j in range(nblocks):
+            neblock = min(blocksize, nbytes - j * blocksize)
+            block = data[j * blocksize : j * blocksize + neblock]
+            if shuffle:
+                block = Z2._byte_shuffle(block, typesize)
+            ns = nsplits if neblock == blocksize else 1
+            spl = neblock // ns
+            rec = bytearray()
+            for k in range(ns):
+                part = block[k * spl : (k + 1) * spl]
+                comp = _snappy_compress(part)
+                if len(comp) >= spl:
+                    comp = part
+                rec += _s.pack("<i", len(comp)) + comp
+            blobs.append(bytes(rec))
+            bstarts.append(pos)
+            pos += len(rec)
+        body = _s.pack(f"<{nblocks}i", *bstarts) + b"".join(blobs)
+        enc = _s.pack(
+            "<BBBBiii", 2, 1, flags, typesize, nbytes, blocksize, 16 + len(body)
+        ) + body
+        assert Z2.blosc_decompress(enc) == data, (typesize, blocksize, shuffle)

@@ -23,15 +23,18 @@ value). This module implements that format directly:
 
 Compressor support: None (raw), zlib, gzip (v3), and the blosc1
 container — the container format is parsed here (header/bstarts/splits/
-byte-shuffle, see the blosc section below). READ decodes both stdlib
-inner codecs: zlib AND lz4 (raw LZ4 block format, so numcodecs-default
-``cname='lz4'`` stores — the real-world ERA5-mirror layout — decode
-with no third-party library), including legacy typesize-split block
-layouts. WRITE is deliberately asymmetric: :func:`blosc_compress` emits
+byte-shuffle, see the blosc section below). READ decodes three
+inner codecs stdlib-only: zlib, lz4 (raw LZ4 block format, so
+numcodecs-default ``cname='lz4'`` stores — the real-world ERA5-mirror
+layout — decode with no third-party library) and snappy, including
+legacy typesize-split block layouts. WRITE is deliberately asymmetric: :func:`blosc_compress` emits
 zlib payloads only (it exists for roundtrip tests and conforming-store
 output; an lz4 *encoder* buys nothing here since any conforming blosc
-reader handles zlib). blosc with zstd/snappy/blosclz payloads or the
-bit-shuffle filter raises a gated error naming the library branch.
+reader handles zlib). blosc with zstd/blosclz payloads or the
+bit-shuffle filter raises a gated error naming the library branch
+(bit-shuffle deliberately: its exact bit-order conventions cannot be
+verified without the reference library, and a plausibly-wrong decode
+of foreign data would be worse than the clear gate).
 
 Cluster note: chunk files are written with plain ``open`` — correct on
 local / NFS / FUSE-mounted object stores. A direct object-store writer
@@ -79,11 +82,11 @@ def _zarray(shape, chunks, dtype, compressor, fill_value):
 # public (c-blosc README_HEADER.rst): a 16-byte header, an int32 block
 # offset table, and per-block [int32 csize][payload] records, with an
 # optional byte-transpose ("shuffle") filter applied per block before
-# compression. The inner codec is selectable; zlib (RFC 1950, stdlib)
-# and lz4 (raw block format, decoded by _lz4_block_decompress below)
-# both decode here with no third-party library — covering numcodecs'
-# default cname='lz4' and cname='zlib'. zstd/snappy/blosclz raise a
-# gated NotImplementedError naming the library branch.
+# compression. The inner codec is selectable; zlib (RFC 1950, stdlib),
+# lz4 (raw block format, _lz4_block_decompress) and snappy
+# (_snappy_decompress) all decode here with no third-party library —
+# covering numcodecs' default cname='lz4' plus 'zlib'/'snappy'.
+# zstd/blosclz raise a gated NotImplementedError naming the branch.
 # ---------------------------------------------------------------------------
 
 _BLOSC_CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
@@ -144,6 +147,68 @@ def _lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
             dst += (pat * (mlen // offset + 1))[:mlen]
     if len(dst) != dst_size:
         raise ValueError(f"lz4 block: decoded {len(dst)}B, expected {dst_size}B")
+    return bytes(dst)
+
+
+def _snappy_decompress(src: bytes) -> bytes:
+    """Raw snappy block decode (the public snappy format: leading
+    uncompressed-length varint, then 2-bit-tagged literal/copy
+    elements). Pure stdlib; used for blosc's snappy inner codec."""
+    n = 0
+    shift = 0
+    i = 0
+    while True:
+        if i >= len(src):
+            raise ValueError("snappy: truncated length varint")
+        b = src[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy: length varint too long")
+    dst = bytearray()
+    while i < len(src):
+        tag = src[i]
+        i += 1
+        t = tag & 3
+        if t == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                if i + nb > len(src):
+                    raise ValueError("snappy: truncated literal length")
+                ln = int.from_bytes(src[i : i + nb], "little")
+                i += nb
+            ln += 1
+            if i + ln > len(src):
+                raise ValueError("snappy: literal run past end of input")
+            dst += src[i : i + ln]
+            i += ln
+            continue
+        if t == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | src[i]
+            i += 1
+        elif t == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 2], "little")
+            i += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 4], "little")
+            i += 4
+        if off == 0 or off > len(dst):
+            raise ValueError(f"snappy: copy offset {off} outside output window")
+        start = len(dst) - off
+        if off >= ln:
+            dst += dst[start : start + ln]
+        else:  # overlapping copy repeats the trailing `off` bytes
+            pat = bytes(dst[start:])
+            dst += (pat * (ln // off + 1))[:ln]
+    if len(dst) != n:
+        raise ValueError(f"snappy: decoded {len(dst)}B, declared {n}B")
     return bytes(dst)
 
 
@@ -213,12 +278,12 @@ def blosc_decompress(chunk: bytes) -> bytes:
             "only the byte-shuffle and no-shuffle filters are stdlib-decodable"
         )
     codec = _BLOSC_CODEC_NAMES.get((flags >> 5) & 0x7, f"code{(flags >> 5) & 0x7}")
-    if codec not in ("zlib", "lz4"):
+    if codec not in ("zlib", "lz4", "snappy"):
         raise NotImplementedError(
             f"blosc inner codec {codec!r} requires the c-blosc/python-blosc "
-            "library; blosc-zlib and blosc-lz4 chunks are stdlib-decodable "
-            "(re-encode the store with cname in ('zlib', 'lz4'), or install "
-            "blosc and route decode through it)"
+            "library; blosc-zlib, blosc-lz4 and blosc-snappy chunks are "
+            "stdlib-decodable (re-encode the store with one of those cnames, "
+            "or install blosc and route decode through it)"
         )
     typesize = typesize or 1
     if blocksize <= 0:
@@ -259,8 +324,8 @@ def blosc_decompress(chunk: bytes) -> bytes:
                     if csize == spl_bytes
                     else _lz4_block_decompress(payload, spl_bytes)
                 )
-        else:  # zlib: iterate records until the block is full — covers
-            # modern unsplit AND legacy typesize-split containers
+        else:  # zlib/snappy: iterate records until the block is full —
+            # covers modern unsplit AND legacy typesize-split containers
             block = bytearray()
             pos = off
             while len(block) < neblock:
@@ -273,8 +338,13 @@ def blosc_decompress(chunk: bytes) -> bytes:
                     # raw-stored: c-blosc only stores compressed output
                     # when strictly smaller than the uncompressed split
                     block += payload
-                elif _looks_like_zlib(payload):
+                elif codec == "zlib" and _looks_like_zlib(payload):
                     block += zlib.decompress(payload)
+                elif codec == "snappy":
+                    try:
+                        block += _snappy_decompress(payload)
+                    except (ValueError, IndexError):
+                        block += payload  # raw-stored split
                 else:
                     block += payload  # raw-stored split
         if len(block) != neblock:
