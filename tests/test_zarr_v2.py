@@ -139,13 +139,13 @@ def test_unsupported_compressor_raises(tmp_path):
     # (lz4 is READ-supported via the stdlib block decoder, write-gated)
     with pytest.raises(NotImplementedError, match="lz4"):
         Z2._compress(b"\x00" * 32, {"id": "blosc", "cname": "lz4"})
-    # READ gate: codec id bits in the container header (bits 5-7 = 4 →
-    # zstd, stdlib-undecodable), independent of the .zarray metadata
+    # READ gate: codec id bits in the container header (bits 5-7 = 0 →
+    # blosclz, stdlib-undecodable), independent of the .zarray metadata
     import struct
 
-    zstd_hdr = struct.pack("<BBBBiii", 2, 1, 4 << 5, 8, 32, 32, 16 + 4 + 4 + 8)
-    with pytest.raises(NotImplementedError, match="zstd"):
-        Z2.blosc_decompress(zstd_hdr + b"\x00" * 16)
+    blz_hdr = struct.pack("<BBBBiii", 2, 1, 0 << 5, 8, 32, 32, 16 + 4 + 4 + 8)
+    with pytest.raises(NotImplementedError, match="blosclz"):
+        Z2.blosc_decompress(blz_hdr + b"\x00" * 16)
     # bit-shuffle filter: gated by flag bit 2
     bits_hdr = struct.pack("<BBBBiii", 2, 1, (3 << 5) | 0x4, 8, 32, 32, 16 + 16)
     with pytest.raises(NotImplementedError, match="bit-shuffle"):
@@ -618,3 +618,43 @@ def test_blosc_snappy_container_decodes():
             "<BBBBiii", 2, 1, flags, typesize, nbytes, blocksize, 16 + len(body)
         ) + body
         assert Z2.blosc_decompress(enc) == data, (typesize, blocksize, shuffle)
+
+
+def _liblz4():
+    import ctypes, ctypes.util
+
+    name = ctypes.util.find_library("lz4")
+    if not name:
+        return None
+    lib = ctypes.CDLL(name)
+    lib.LZ4_compress_default.restype = ctypes.c_int
+    lib.LZ4_compressBound.restype = ctypes.c_int
+    return lib
+
+
+@pytest.mark.skipif(_liblz4() is None, reason="reference liblz4 not present")
+def test_lz4_decoder_matches_reference_liblz4():
+    """External conformance: raw LZ4 blocks produced by the REFERENCE
+    liblz4 (ctypes, test-side only) decode byte-identically through the
+    stdlib _lz4_block_decompress — the decoder is validated against the
+    real library, not just our own test encoder."""
+    import ctypes
+
+    lib = _liblz4()
+    rng = np.random.default_rng(21)
+    cases = [
+        b"A" * 10000,
+        b"the quick brown fox jumps over the lazy dog " * 200,
+        np.arange(20000, dtype="<i4").tobytes(),
+        rng.integers(0, 5, 65536, dtype=np.uint8).tobytes(),
+        rng.bytes(3000),
+        b"",
+        b"x",
+    ]
+    for data in cases:
+        bound = lib.LZ4_compressBound(len(data))
+        dst = ctypes.create_string_buffer(bound)
+        n = lib.LZ4_compress_default(data, dst, len(data), bound)
+        assert n > 0 or len(data) == 0
+        enc = dst.raw[:n]
+        assert Z2._lz4_block_decompress(enc, len(data)) == data

@@ -23,15 +23,18 @@ value). This module implements that format directly:
 
 Compressor support: None (raw), zlib, gzip (v3), and the blosc1
 container — the container format is parsed here (header/bstarts/splits/
-byte-shuffle, see the blosc section below). READ decodes three
-inner codecs stdlib-only: zlib, lz4 (raw LZ4 block format, so
+byte-shuffle, see the blosc section below). READ decodes four inner
+codecs stdlib-only: zlib, lz4 (raw LZ4 block format, so
 numcodecs-default ``cname='lz4'`` stores — the real-world ERA5-mirror
-layout — decode with no third-party library) and snappy, including
-legacy typesize-split block layouts. WRITE is deliberately asymmetric: :func:`blosc_compress` emits
-zlib payloads only (it exists for roundtrip tests and conforming-store
-output; an lz4 *encoder* buys nothing here since any conforming blosc
-reader handles zlib). blosc with zstd/blosclz payloads or the
-bit-shuffle filter raises a gated error naming the library branch
+layout — decode with no third-party library), snappy, and zstd (the
+RFC 8878 decoder in sources/zstd_codec.py, which also serves the
+numcodecs ``Zstd`` compressor and the Zarr v3 ``zstd`` codec),
+including legacy typesize-split block layouts. WRITE is deliberately
+asymmetric: :func:`blosc_compress` emits zlib payloads only (it exists
+for roundtrip tests and conforming-store output; other encoders buy
+nothing here since any conforming blosc reader handles zlib). blosc
+with blosclz payloads or the bit-shuffle filter raises a gated error
+naming the library branch
 (bit-shuffle deliberately: its exact bit-order conventions cannot be
 verified without the reference library, and a plausibly-wrong decode
 of foreign data would be worse than the clear gate).
@@ -84,9 +87,10 @@ def _zarray(shape, chunks, dtype, compressor, fill_value):
 # optional byte-transpose ("shuffle") filter applied per block before
 # compression. The inner codec is selectable; zlib (RFC 1950, stdlib),
 # lz4 (raw block format, _lz4_block_decompress) and snappy
-# (_snappy_decompress) all decode here with no third-party library —
-# covering numcodecs' default cname='lz4' plus 'zlib'/'snappy'.
-# zstd/blosclz raise a gated NotImplementedError naming the branch.
+# (_snappy_decompress) and zstd (sources/zstd_codec.py) all decode
+# here with no third-party library — covering numcodecs' default
+# cname='lz4' plus 'zlib'/'snappy'/'zstd'. blosclz raises a gated
+# NotImplementedError naming the branch.
 # ---------------------------------------------------------------------------
 
 _BLOSC_CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
@@ -246,11 +250,10 @@ def _byte_unshuffle(buf: bytes, typesize: int) -> bytes:
 
 def blosc_decompress(chunk: bytes) -> bytes:
     """Decode one blosc1 container (any block layout a conforming
-    encoder may choose, split or unsplit). Inner codecs: zlib and lz4
-    — both stdlib-decoded, covering numcodecs' default ``cname='lz4'``
-    (the real-world ERA5-mirror layout) and ``cname='zlib'``.
-    zstd/snappy/blosclz payloads and the bit-shuffle filter raise gated
-    errors naming the library branch.
+    encoder may choose, split or unsplit). Inner codecs decoded
+    stdlib-only: zlib, lz4 (numcodecs' default — the real-world
+    ERA5-mirror layout), snappy, and zstd. blosclz payloads and the
+    bit-shuffle filter raise gated errors naming the library branch.
 
     Split handling: modern c-blosc (>= 1.11 FORWARD_COMPAT) splits
     lz4/blosclz blocks into ``typesize`` streams and never splits
@@ -278,7 +281,7 @@ def blosc_decompress(chunk: bytes) -> bytes:
             "only the byte-shuffle and no-shuffle filters are stdlib-decodable"
         )
     codec = _BLOSC_CODEC_NAMES.get((flags >> 5) & 0x7, f"code{(flags >> 5) & 0x7}")
-    if codec not in ("zlib", "lz4", "snappy"):
+    if codec not in ("zlib", "lz4", "snappy", "zstd"):
         raise NotImplementedError(
             f"blosc inner codec {codec!r} requires the c-blosc/python-blosc "
             "library; blosc-zlib, blosc-lz4 and blosc-snappy chunks are "
@@ -345,6 +348,15 @@ def blosc_decompress(chunk: bytes) -> bytes:
                         block += _snappy_decompress(payload)
                     except (ValueError, IndexError):
                         block += payload  # raw-stored split
+                elif codec == "zstd":
+                    # c-blosc wraps each split in a zstd frame; a
+                    # payload without the frame magic is raw-stored
+                    if payload[:4] == b"\x28\xb5\x2f\xfd":
+                        from .zstd_codec import zstd_decompress
+
+                        block += zstd_decompress(payload)
+                    else:
+                        block += payload
                 else:
                     block += payload  # raw-stored split
         if len(block) != neblock:
@@ -440,6 +452,10 @@ def _decompress(buf: bytes, compressor: dict | None) -> bytes:
         import gzip
 
         return gzip.decompress(buf)
+    if compressor.get("id") == "zstd":
+        from .zstd_codec import zstd_decompress
+
+        return zstd_decompress(buf)
     if compressor.get("id") == "blosc":
         return blosc_decompress(buf)
     raise NotImplementedError(f"unsupported zarr compressor {compressor!r}")
@@ -630,6 +646,8 @@ def _v3_normalize(cfg: dict) -> tuple[dict, dict]:
     for c in codecs[1:]:
         if c.get("name") == "gzip":
             compressor = {"id": "gzip", "level": c.get("configuration", {}).get("level", 1)}
+        elif c.get("name") == "zstd":
+            compressor = {"id": "zstd"}  # decode-only (stdlib RFC 8878 reader)
         else:
             raise NotImplementedError(f"unsupported v3 codec {c.get('name')!r}")
     za = {

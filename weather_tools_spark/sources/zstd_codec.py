@@ -1,0 +1,496 @@
+"""Zstandard (RFC 8878) frame DECODER — stdlib-only (struct + bit math).
+
+Real-world Zarr stores increasingly use zstd: numcodecs ``Zstd``, Zarr
+v3's ``zstd`` codec, and blosc's inner codec 4. No zstd module exists
+in this Python (3.11) and the engine ships no native code, but the
+format is a public RFC. This module implements the full decode path:
+
+- frames (header descriptor, window/content sizes, multi-frame input,
+  skippable frames, content checksum skipped);
+- blocks: raw / RLE / compressed;
+- literals: raw / RLE / Huffman-compressed / treeless (table reuse),
+  1-stream and 4-stream with the jump table; Huffman tables from
+  direct 4-bit weights or FSE-compressed weights (the interleaved
+  2-state decode);
+- sequences: the three FSE tables (literal-length / offset / match-
+  length) in all four modes — predefined (RFC distributions), RLE,
+  FSE-compressed, repeat — decoded from the backward bitstream with
+  the three-slot repeated-offset history.
+
+DECODE ONLY, by design: writing zstd buys nothing here (any conforming
+store can be written zlib/lz4), while reading foreign stores requires
+exactly this. Conformance is pinned in tests against the reference
+``zstd`` CLI and libzstd (test-side only — the engine path stays
+stdlib). Dictionaries raise a gated NotImplementedError.
+
+Reference parity: the xarray/numcodecs decode branch of the reference's
+Zarr open (xql/src/xql/open.py:69-98).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = 0xFD2FB528
+_SKIP_MAGIC_LO = 0x184D2A50  # ..5F: skippable frames
+
+# RFC 8878 predefined FSE distributions (3.1.1.3.2.2)
+_LL_DEFAULT = [
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+]
+_LL_DEFAULT_AL = 6
+_ML_DEFAULT = [
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1, -1, -1,
+]
+_ML_DEFAULT_AL = 6
+_OF_DEFAULT = [
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1,
+]
+_OF_DEFAULT_AL = 5
+
+# literal-length code -> (baseline, extra bits)   (3.1.1.3.2.1.1)
+_LL_CODE = [(i, 0) for i in range(16)] + [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3), (40, 3),
+    (48, 4), (64, 6), (128, 7), (256, 8), (512, 9), (1024, 10), (2048, 11),
+    (4096, 12), (8192, 13), (16384, 14), (32768, 15), (65536, 16),
+]
+# match-length code -> (baseline, extra bits)
+_ML_CODE = [(i + 3, 0) for i in range(32)] + [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3), (59, 3),
+    (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9), (1027, 10),
+    (2051, 11), (4099, 12), (8195, 13), (16387, 14), (32771, 15), (65539, 16),
+]
+
+
+class _BackBits:
+    """Backward little-endian bitstream: written LSB-first, read from
+    the end; the last byte's highest set bit is the padding sentinel.
+    Reads past the start return zero bits and set ``overflow``."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data or data[-1] == 0:
+            raise ValueError("zstd: corrupt bitstream (no padding sentinel)")
+        self.data = data
+        self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+        self.overflow = False
+
+    def _extract(self, p: int, n: int) -> int:
+        b0 = p >> 3
+        nbytes = (p + n + 7) // 8 - b0
+        val = int.from_bytes(self.data[b0 : b0 + nbytes], "little") >> (p & 7)
+        return val & ((1 << n) - 1)
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.pos -= n
+        p = self.pos
+        if p < 0:
+            self.overflow = True
+            if p + n <= 0:
+                return 0
+            return self._extract(0, p + n)
+        return self._extract(p, n)
+
+    def peek_pad(self, n: int) -> int:
+        """Peek the next n bits without consuming; bits below the start
+        of the stream read as zeros aligned at the LOW end (the Huffman
+        tail convention)."""
+        if self.pos >= n:
+            return self._extract(self.pos - n, n)
+        avail = max(0, self.pos)
+        return self._extract(0, avail) << (n - avail)
+
+
+class _FSETable:
+    __slots__ = ("sym", "nbits", "base", "al")
+
+    def __init__(self, probs: list[int], al: int) -> None:
+        size = 1 << al
+        self.al = al
+        self.sym = [0] * size
+        self.nbits = [0] * size
+        self.base = [0] * size
+        high = size - 1
+        for s, p in enumerate(probs):
+            if p == -1:
+                self.sym[high] = s
+                high -= 1
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, p in enumerate(probs):
+            for _ in range(max(0, p)):
+                self.sym[pos] = s
+                pos = (pos + step) & mask
+                while pos > high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ValueError("zstd: corrupt FSE distribution (spread mismatch)")
+        # cell -> (nbits, new-state base), iterating cells in state order
+        counter = {}
+        freq = {s: (1 if p == -1 else p) for s, p in enumerate(probs) if p != 0}
+        for i in range(size):
+            s = self.sym[i]
+            desc = freq[s] + counter.get(s, 0)
+            counter[s] = counter.get(s, 0) + 1
+            nb = al - (desc.bit_length() - 1)
+            self.nbits[i] = nb
+            self.base[i] = (desc << nb) - size
+
+    @classmethod
+    def rle(cls, symbol: int) -> "_FSETable":
+        t = cls.__new__(cls)
+        t.al = 0
+        t.sym = [symbol]
+        t.nbits = [0]
+        t.base = [0]
+        return t
+
+
+def _read_fse_distribution(data: bytes, pos: int, max_al: int) -> tuple[list[int], int, int]:
+    """Parse an FSE table description → (probs, accuracy_log, new pos
+    in bytes). Forward little-endian bit reading with the RFC's
+    small-value optimization (read bit_length(remaining) bits, rewind
+    one when the low bits fall under the short-code threshold)."""
+    bitpos = pos * 8
+
+    def read(n: int) -> int:
+        nonlocal bitpos
+        b0 = bitpos >> 3
+        nbytes = (bitpos + n + 7) // 8 - b0
+        if b0 + nbytes > len(data):
+            raise ValueError("zstd: truncated FSE table description")
+        val = int.from_bytes(data[b0 : b0 + nbytes], "little") >> (bitpos & 7)
+        bitpos += n
+        return val & ((1 << n) - 1)
+
+    al = read(4) + 5
+    if al > max_al:
+        raise ValueError(f"zstd: accuracy log {al} exceeds bound {max_al}")
+    remaining = (1 << al) + 1
+    probs: list[int] = []
+    while remaining > 1:
+        nbits = remaining.bit_length()
+        val = read(nbits)
+        lower_mask = (1 << (nbits - 1)) - 1
+        threshold = (1 << nbits) - 1 - remaining
+        if (val & lower_mask) < threshold:
+            bitpos -= 1  # short code: only nbits-1 bits were needed
+            prob = (val & lower_mask) - 1
+        elif val > lower_mask:
+            prob = val - threshold - 1
+        else:
+            prob = val - 1
+        probs.append(prob)
+        remaining -= -prob if prob < 0 else prob
+        if prob == 0:
+            while True:
+                rep = read(2)
+                probs.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining != 1:
+        raise ValueError("zstd: corrupt FSE distribution (counts overshoot)")
+    return probs, al, (bitpos + 7) // 8
+
+
+def _huf_table_from_weights(weights: list[int]) -> tuple[list[tuple[int, int]], int]:
+    """Canonical Huffman lookup table from the explicit weights (the
+    final symbol's weight is implied: it completes the 2^(w-1) sum to
+    the next power of two). Returns (table of (symbol, nbits) cells of
+    size 2^max_bits, max_bits). Cells are filled lowest-weight-first,
+    symbol-ascending — the canonical zstd assignment, so indexing the
+    table with the next max_bits bits of the stream yields the symbol
+    and its true code length."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: empty Huffman weight set")
+    max_bits = total.bit_length()  # smallest k with 2^k > total
+    last = (1 << max_bits) - total
+    if last <= 0 or last & (last - 1):
+        raise ValueError("zstd: corrupt Huffman weights (no implied last)")
+    weights = weights + [last.bit_length()]  # implied final weight
+    table: list[tuple[int, int]] = [(0, 0)] * (1 << max_bits)
+    pos = 0
+    for w in range(1, max_bits + 1):
+        for s, ws in enumerate(weights):
+            if ws != w:
+                continue
+            span = 1 << (w - 1)
+            nb = max_bits + 1 - w
+            for k in range(pos, pos + span):
+                table[k] = (s, nb)
+            pos += span
+    if pos != 1 << max_bits:
+        raise ValueError("zstd: Huffman table does not fill its span")
+    return table, max_bits
+
+
+def _decode_huf_weights(data: bytes, pos: int) -> tuple[list[int], int]:
+    hdr = data[pos]
+    pos += 1
+    if hdr >= 128:  # direct 4-bit weights
+        n = hdr - 127
+        nb = (n + 1) // 2
+        raw = data[pos : pos + nb]
+        weights = []
+        for i in range(n):
+            b = raw[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return weights, pos + nb
+    # FSE-compressed weights: hdr bytes, interleaved 2-state decode
+    comp = data[pos : pos + hdr]
+    probs, al, used = _read_fse_distribution(comp, 0, 6)
+    table = _FSETable(probs, al)
+    bits = _BackBits(comp[used:])
+    s1 = bits.read(table.al)
+    s2 = bits.read(table.al)
+    weights: list[int] = []
+    # Interleaved 2-state decode, faithful to the reference reader:
+    # keep emitting through exact exhaustion (zero-bit state updates
+    # may continue past it); stop only when an update READS PAST the
+    # end (pos < 0) — that update's state is garbage, and the other
+    # state's current symbol is the single remaining flush.
+    state, other = s1, s2
+    while True:
+        weights.append(table.sym[state])
+        new = table.base[state] + bits.read(table.nbits[state])
+        if bits.pos < 0:
+            weights.append(table.sym[other])
+            break
+        state, other = other, new
+        if len(weights) > 255:
+            raise ValueError("zstd: runaway Huffman weight stream")
+    return weights, pos + hdr
+
+
+def _huf_decode_stream(table, max_bits: int, data: bytes, out_len: int) -> bytes:
+    """Decode one Huffman-coded literal stream (backward bitstream):
+    peek max_bits (zero-padded near the start), look the symbol up,
+    consume its true code length."""
+    bits = _BackBits(data)
+    out = bytearray()
+    while len(out) < out_len:
+        sym, nb = table[bits.peek_pad(max_bits)]
+        out.append(sym)
+        bits.pos -= nb
+        if bits.pos < -max_bits:
+            raise ValueError("zstd: Huffman stream exhausted early")
+    return bytes(out)
+
+
+def _decode_literals(block: bytes, pos: int, ctx: dict) -> tuple[bytes, int]:
+    b0 = block[pos]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # raw / RLE
+        if sf in (0, 2):
+            rs = b0 >> 3
+            pos += 1
+        elif sf == 1:
+            rs = (b0 >> 4) | (block[pos + 1] << 4)
+            pos += 2
+        else:
+            rs = (b0 >> 4) | (block[pos + 1] << 4) | (block[pos + 2] << 12)
+            pos += 3
+        if ltype == 0:
+            lit = block[pos : pos + rs]
+            if len(lit) != rs:
+                raise ValueError("zstd: truncated raw literals")
+            return bytes(lit), pos + rs
+        lit = bytes([block[pos]]) * rs
+        return lit, pos + 1
+    # compressed (2) / treeless (3)
+    if sf == 0:
+        rs = (b0 >> 4) | ((block[pos + 1] & 0x3F) << 4)
+        cs = (block[pos + 1] >> 6) | (block[pos + 2] << 2)
+        pos += 3
+        streams = 1
+    elif sf == 1:
+        rs = (b0 >> 4) | ((block[pos + 1] & 0x3F) << 4)
+        cs = (block[pos + 1] >> 6) | (block[pos + 2] << 2)
+        pos += 3
+        streams = 4
+    elif sf == 2:
+        rs = (b0 >> 4) | (block[pos + 1] << 4) | ((block[pos + 2] & 0x3) << 12)
+        cs = (block[pos + 2] >> 2) | (block[pos + 3] << 6)
+        pos += 4
+        streams = 4
+    else:
+        rs = (b0 >> 4) | (block[pos + 1] << 4) | ((block[pos + 2] & 0x3F) << 12)
+        cs = ((block[pos + 2] >> 6) | (block[pos + 3] << 2) | (block[pos + 4] << 10))
+        pos += 5
+        streams = 4
+    payload = block[pos : pos + cs]
+    if len(payload) != cs:
+        raise ValueError("zstd: truncated compressed literals")
+    pos += cs
+    p = 0
+    if ltype == 2:
+        weights, p = _decode_huf_weights(payload, 0)
+        table, max_bits = _huf_table_from_weights(weights)
+        ctx["huf"] = (table, max_bits)
+    elif "huf" not in ctx:
+        raise ValueError("zstd: treeless literals with no previous table")
+    table, max_bits = ctx["huf"]
+    if streams == 1:
+        return _huf_decode_stream(table, max_bits, payload[p:], rs), pos
+    if cs - p < 6 + 4:
+        raise ValueError("zstd: 4-stream literals too short for jump table")
+    s1, s2, s3 = struct.unpack_from("<HHH", payload, p)
+    p += 6
+    part = (rs + 3) // 4
+    sizes = [s1, s2, s3, cs - p - s1 - s2 - s3]
+    outs = []
+    lens = [part, part, part, rs - 3 * part]
+    for sz, ln in zip(sizes, lens):
+        outs.append(_huf_decode_stream(table, max_bits, payload[p : p + sz], ln))
+        p += sz
+    return b"".join(outs), pos
+
+
+def _seq_table(block: bytes, pos: int, mode: int, default, default_al, max_al,
+               ctx: dict, key: str) -> tuple["_FSETable", int]:
+    if mode == 0:  # predefined
+        t = _FSETable(default, default_al)
+    elif mode == 1:  # RLE: one byte symbol
+        t = _FSETable.rle(block[pos])
+        pos += 1
+    elif mode == 2:  # FSE-compressed
+        probs, al, used = _read_fse_distribution(block[pos:], 0, max_al)
+        t = _FSETable(probs, al)
+        pos += used
+    else:  # repeat
+        if key not in ctx:
+            raise ValueError(f"zstd: repeat mode for {key} with no previous table")
+        t = ctx[key]
+    ctx[key] = t
+    return t, pos
+
+
+def _decode_block(block: bytes, ctx: dict, out: bytearray) -> None:
+    lit, pos = _decode_literals(block, 0, ctx)
+    # sequences header
+    b0 = block[pos]
+    pos += 1
+    if b0 == 0:
+        out.extend(lit)
+        return
+    if b0 < 128:
+        nseq = b0
+    elif b0 < 255:
+        nseq = ((b0 - 128) << 8) + block[pos]
+        pos += 1
+    else:
+        nseq = block[pos] + (block[pos + 1] << 8) + 0x7F00
+        pos += 2
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence-mode bits set")
+    ll_t, pos = _seq_table(block, pos, (modes >> 6) & 3, _LL_DEFAULT, _LL_DEFAULT_AL, 9, ctx, "ll")
+    of_t, pos = _seq_table(block, pos, (modes >> 4) & 3, _OF_DEFAULT, _OF_DEFAULT_AL, 8, ctx, "of")
+    ml_t, pos = _seq_table(block, pos, (modes >> 2) & 3, _ML_DEFAULT, _ML_DEFAULT_AL, 9, ctx, "ml")
+    bits = _BackBits(block[pos:])
+    ll_s = bits.read(ll_t.al)
+    of_s = bits.read(of_t.al)
+    ml_s = bits.read(ml_t.al)
+    reps = ctx.setdefault("reps", [1, 4, 8])
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_t.sym[of_s]
+        ofv = (1 << of_code) + bits.read(of_code)
+        ml_base, ml_extra = _ML_CODE[ml_t.sym[ml_s]]
+        ml = ml_base + bits.read(ml_extra)
+        ll_base, ll_extra = _LL_CODE[ll_t.sym[ll_s]]
+        ll = ll_base + bits.read(ll_extra)
+        # resolve offset with the 3-slot repeat history
+        if ofv > 3:
+            off = ofv - 3
+            reps[:] = [off, reps[0], reps[1]]
+        else:
+            idx = ofv - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                off = reps[0]
+            elif idx == 1:
+                off = reps[1]
+                reps[:] = [off, reps[0], reps[2]]
+            elif idx == 2:
+                off = reps[2]
+                reps[:] = [off, reps[0], reps[1]]
+            else:
+                off = reps[0] - 1
+                if off == 0:
+                    raise ValueError("zstd: repeated offset underflow")
+                reps[:] = [off, reps[0], reps[1]]
+        out.extend(lit[lit_pos : lit_pos + ll])
+        lit_pos += ll
+        if off > len(out):
+            raise ValueError(f"zstd: match offset {off} beyond window")
+        start = len(out) - off
+        if off >= ml:
+            out.extend(out[start : start + ml])
+        else:
+            pat = bytes(out[start:])
+            out.extend((pat * (ml // off + 1))[:ml])
+        if i < nseq - 1:
+            ll_s = ll_t.base[ll_s] + bits.read(ll_t.nbits[ll_s])
+            ml_s = ml_t.base[ml_s] + bits.read(ml_t.nbits[ml_s])
+            of_s = of_t.base[of_s] + bits.read(of_t.nbits[of_s])
+    out.extend(lit[lit_pos:])
+
+
+def zstd_decompress(data: bytes) -> bytes:
+    """Decode one or more concatenated zstd frames."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        (magic,) = struct.unpack_from("<I", data, pos)
+        if (magic & 0xFFFFFFF0) == _SKIP_MAGIC_LO:
+            (sz,) = struct.unpack_from("<I", data, pos + 4)
+            pos += 8 + sz
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"zstd: bad frame magic {magic:#x}")
+        pos += 4
+        fhd = data[pos]
+        pos += 1
+        dict_flag = fhd & 3
+        checksum = (fhd >> 2) & 1
+        single_seg = (fhd >> 5) & 1
+        fcs_flag = fhd >> 6
+        if not single_seg:
+            pos += 1  # window descriptor
+        if dict_flag:
+            raise NotImplementedError(
+                "zstd dictionaries require the zstd library (gated)"
+            )
+        fcs_len = {0: (1 if single_seg else 0), 1: 2, 2: 4, 3: 8}[fcs_flag]
+        pos += fcs_len
+        ctx: dict = {}
+        while True:
+            (bh,) = struct.unpack_from("<I", data, pos)
+            bh &= 0xFFFFFF
+            pos += 3
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if btype == 0:
+                out.extend(data[pos : pos + bsize])
+                pos += bsize
+            elif btype == 1:
+                out.extend(data[pos : pos + 1] * bsize)
+                pos += 1
+            elif btype == 2:
+                _decode_block(data[pos : pos + bsize], ctx, out)
+                pos += bsize
+            else:
+                raise ValueError("zstd: reserved block type")
+            if last:
+                break
+        if checksum:
+            pos += 4
+    return bytes(out)
