@@ -365,3 +365,42 @@ def test_dense_nc4_decode_end_to_end(spark, tmp_path):
     lat_order = np.argsort(coords["latitude"])
     expect = t2m[:, lat_order, :].ravel()
     assert np.array_equal(got, expect)
+
+
+def test_bt2_depth1_internal_node():
+    """Hand-assembled v2 B-tree of depth 1 (BTHD + BTIN root + two
+    BTLF leaves): records come back in tree order — leaf0, root
+    record, leaf1 — covering the internal-node branch the depth-0
+    writer never emits."""
+    node_size, rec_size = 512, 11
+    recs = [bytes([i]) * rec_size for i in range(5)]
+    # leaves at arbitrary addresses inside the image
+    leaf0 = b"BTLF" + struct.pack("<BB", 0, 5) + recs[0] + recs[1] + struct.pack("<I", 0)
+    leaf1 = b"BTLF" + struct.pack("<BB", 0, 5) + recs[3] + recs[4] + struct.pack("<I", 0)
+    base = 1000
+    a_leaf0 = base + 200
+    a_leaf1 = a_leaf0 + len(leaf0)
+    max_leaf_nrec = (node_size - 10) // rec_size
+    nrw = (max_leaf_nrec.bit_length() + 7) // 8
+    root = b"BTIN" + struct.pack("<BB", 0, 5) + recs[2]
+    root += struct.pack("<Q", a_leaf0) + (2).to_bytes(nrw, "little")
+    root += struct.pack("<Q", a_leaf1) + (2).to_bytes(nrw, "little")
+    root += struct.pack("<I", 0)
+    a_root = a_leaf1 + len(leaf1)
+    hdr = b"BTHD" + struct.pack("<BB", 0, 5)
+    hdr += struct.pack("<IHH", node_size, rec_size, 1)  # depth 1
+    hdr += struct.pack("<BB", 100, 40)
+    hdr += struct.pack("<QH", a_root, 1)  # root has 1 record
+    hdr += struct.pack("<Q", 5) + struct.pack("<I", 0)
+    img = bytearray(b"\x00" * base)
+    img += hdr
+    img += b"\x00" * (a_leaf0 - len(img))
+    img += leaf0 + leaf1 + root
+    got = H5._bt2_records(bytes(img), base)
+    assert got == [recs[0], recs[1], recs[2], recs[3], recs[4]]
+    # depth 2 stays gated
+    hdr2 = bytearray(hdr)
+    struct.pack_into("<H", hdr2, 12, 2)
+    img2 = bytes(img[:base]) + bytes(hdr2) + bytes(img[base + len(hdr):])
+    with pytest.raises(NotImplementedError, match="depth"):
+        H5._bt2_records(img2, base)
