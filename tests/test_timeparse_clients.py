@@ -5,6 +5,7 @@ fetch execution with per-license serialization."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 
@@ -116,23 +117,24 @@ def test_token_bucket_paces():
     assert all(abs(s - 0.5) < 1e-9 for s in slept)
 
 
-def test_client_retry_then_success():
+def test_client_retry_then_success(tmp_path):
     client = C.FakeClient(fail_first=2)
     sleeps = []
+    t1 = str(tmp_path / "t1")
     C.with_retries(
-        lambda: client.retrieve(None, {}, "t1"),
+        lambda: client.retrieve(None, {}, t1),
         C.RetryPolicy(max_retries=5, initial_delay=1.0),
         sleep=sleeps.append,
     )
-    assert [c[1] for c in client.calls] == ["t1"]
+    assert [c[1] for c in client.calls] == [t1]
     assert sleeps == [1.0, 2.0]  # exponential backoff observed
 
 
-def test_client_retry_budget_exhausted():
+def test_client_retry_budget_exhausted(tmp_path):
     client = C.FakeClient(fail_first=99)
     with pytest.raises(IOError):
         C.with_retries(
-            lambda: client.retrieve(None, {}, "t2"),
+            lambda: client.retrieve(None, {}, str(tmp_path / "t2")),
             C.RetryPolicy(max_retries=3, initial_delay=0.0),
             sleep=lambda s: None,
         )
@@ -143,7 +145,7 @@ def test_run_fetches_end_to_end(spark, tmp_path):
     results to disk (executors share the local FS in local mode)."""
     cfg = P.DownloadConfig(
         name="c",
-        target_template="t-{year}-{level}.nc",
+        target_template=str(tmp_path / "dl" / "t-{year}-{level}.nc"),
         partition_keys=["year", "level"],
         selection={"year": [2016, 2017], "level": [500, 850]},
     )
@@ -156,7 +158,7 @@ def test_run_fetches_end_to_end(spark, tmp_path):
         for r in rows:
             C.with_retries(lambda r=r: client.retrieve(None, {}, r["target"]), sleep=lambda s: None)
         for _, target in client.calls:
-            (out / target).touch()
+            (out / os.path.basename(target)).touch()
 
     P.run_fetches(parts, fetch, n_licenses=2)
     assert sorted(p.name for p in out.iterdir()) == [
