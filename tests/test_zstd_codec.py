@@ -199,3 +199,28 @@ def test_zarr_v3_zstd_codec_parses(tmp_path):
     assert za["compressor"] == {"id": "zstd"}
     got = Z2.decode_chunk(store, "t2m", za, (0, 0, 0))
     assert np.array_equal(got, arr)
+
+
+def test_xxh64_reference_vectors():
+    """XXH64 pinned against the reference implementation's published
+    test values (seed 0)."""
+    from weather_tools_spark.sources.zstd_codec import xxh64
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    # >32B exercises the 4-lane main loop + merge
+    assert xxh64(b"abcdefghijklmnopqrstuvwxyz0123456789") != xxh64(b"")
+
+
+@pytest.mark.skipif(not _HAS_CLI, reason="reference zstd CLI not present")
+def test_content_checksum_verified():
+    """Checksummed reference frames decode; a flipped content byte is
+    DETECTED (checksum mismatch), not silently returned."""
+    data = np.arange(20000, dtype="<i4").tobytes()
+    enc = bytearray(_cli(data, "-3"))  # CLI writes checksums by default
+    assert zstd_decompress(bytes(enc)) == data
+    # flip one byte in the middle of the compressed payload
+    enc[len(enc) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(enc))

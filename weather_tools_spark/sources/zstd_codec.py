@@ -6,7 +6,8 @@ in this Python (3.11) and the engine ships no native code, but the
 format is a public RFC. This module implements the full decode path:
 
 - frames (header descriptor, window/content sizes, multi-frame input,
-  skippable frames, content checksum skipped);
+  skippable frames); content checksums VERIFIED with the in-module
+  XXH64 (reference-vector-pinned) so chunk corruption fails loudly;
 - blocks: raw / RLE / compressed;
 - literals: raw / RLE / Huffman-compressed / treeless (table reuse),
   1-stream and 4-stream with the jump table; Huffman tables from
@@ -458,6 +459,7 @@ def zstd_decompress(data: bytes) -> bytes:
         if magic != _MAGIC:
             raise ValueError(f"zstd: bad frame magic {magic:#x}")
         pos += 4
+        frame_start = len(out)
         fhd = data[pos]
         pos += 1
         dict_flag = fhd & 3
@@ -492,5 +494,81 @@ def zstd_decompress(data: bytes) -> bytes:
             if last:
                 break
         if checksum:
+            (want,) = struct.unpack_from("<I", data, pos)
+            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError(
+                    f"zstd: content checksum mismatch ({got:#010x} != {want:#010x})"
+                )
             pos += 4
     return bytes(out)
+
+
+# ----------------------------------------------------------- XXH64
+# Frame content checksums are XXH64(content) & 0xFFFFFFFF (RFC 8878
+# 3.1.1: the lower 4 bytes, seed 0). Implemented here so checksummed
+# frames are VERIFIED, not skipped — silent corruption of a 100 TB
+# scan's chunk bytes should fail loudly at decode time.
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def _merge(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return ((acc * _P1) + _P4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        h = _merge(h, v1)
+        h = _merge(h, v2)
+        h = _merge(h, v3)
+        h = _merge(h, v4)
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
