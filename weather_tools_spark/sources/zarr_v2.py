@@ -638,6 +638,42 @@ def _v3_normalize(cfg: dict) -> tuple[dict, dict]:
         .get("separator", "/")
     )
     codecs = cfg.get("codecs", [])
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        # ARCO-style sharded array: the store-level "chunk" is a SHARD
+        # containing a grid of inner chunks plus a trailing (or
+        # leading) [offset, nbytes] index. Normalize the inner chain
+        # recursively and carry the shard geometry on the compressor.
+        sc = codecs[0].get("configuration", {})
+        inner_cfg = dict(cfg)
+        inner_cfg["codecs"] = sc.get("codecs", [])
+        inner_norm, _ = _v3_normalize({**inner_cfg, "chunk_grid": cfg["chunk_grid"]})
+        index_codecs = [c.get("name") for c in sc.get("index_codecs", [])]
+        for nm in index_codecs:
+            if nm not in ("bytes", "crc32c"):
+                raise NotImplementedError(f"v3 shard index codec {nm!r}")
+        compressor = {
+            "id": "sharding_indexed",
+            "inner_chunks": list(sc["chunk_shape"]),
+            "inner_compressor": inner_norm["compressor"],
+            "index_location": sc.get("index_location", "end"),
+            "index_crc": "crc32c" in index_codecs,
+        }
+        za = {
+            "zarr_format": 3,
+            "shape": cfg["shape"],
+            "chunks": grid["configuration"]["chunk_shape"],
+            "dtype": _V3_DTYPES[cfg["data_type"]],
+            "compressor": compressor,
+            "fill_value": cfg.get("fill_value", "NaN"),
+            "order": "C",
+            "filters": None,
+            "key_style": "v3",
+            "key_separator": sep,
+        }
+        zattrs = dict(cfg.get("attributes", {}))
+        if "dimension_names" in cfg:
+            zattrs["_ARRAY_DIMENSIONS"] = list(cfg["dimension_names"])
+        return za, zattrs
     if not codecs or codecs[0].get("name") != "bytes":
         raise NotImplementedError("v3 codec chain must start with 'bytes'")
     if codecs[0].get("configuration", {}).get("endian", "little") != "little":
@@ -808,11 +844,86 @@ def decode_chunk(store: str, var: str, za: dict, key: tuple[int, int, int]) -> n
     valid extent on edge chunks). Raw/zlib/gzip codecs; C order; v2
     dotted or v3 ``c/``-prefixed chunk keys."""
     path = os.path.join(store, var, _chunk_key(za, key))
-    with open(path, "rb") as f:
-        buf = _decompress(f.read(), za["compressor"])
     if za.get("order", "C") != "C" or za.get("filters"):
         raise NotImplementedError("only C-order unfiltered zarr v2 chunks supported")
+    comp = za["compressor"]
+    if comp and comp.get("id") == "sharding_indexed":
+        with open(path, "rb") as f:
+            return _decode_shard(f.read(), za)
+    with open(path, "rb") as f:
+        buf = _decompress(f.read(), comp)
     return np.frombuffer(buf, dtype=np.dtype(za["dtype"])).reshape(za["chunks"])
+
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the v3 shard
+    index checksum. Table-driven; check value crc32c(b'123456789') =
+    0xE3069283 pinned in tests."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _decode_shard(buf: bytes, za: dict) -> np.ndarray:
+    """Decode one v3 ``sharding_indexed`` shard → the full shard array:
+    parse the [offset, nbytes] uint64-pair index (crc32c-verified when
+    declared), decode each present inner chunk with the inner codec
+    chain, and assemble over the fill value (offset == nbytes ==
+    2^64-1 marks a missing inner chunk)."""
+    comp = za["compressor"]
+    shard_shape = tuple(za["chunks"])
+    inner_shape = tuple(comp["inner_chunks"])
+    if any(s % i for s, i in zip(shard_shape, inner_shape)):
+        raise ValueError(
+            f"shard shape {shard_shape} not divisible by inner chunks {inner_shape}"
+        )
+    grid = tuple(s // i for s, i in zip(shard_shape, inner_shape))
+    n = int(np.prod(grid))
+    idx_len = n * 16 + (4 if comp["index_crc"] else 0)
+    if len(buf) < idx_len:
+        raise ValueError(f"shard smaller than its {idx_len}B index")
+    raw_idx = buf[-idx_len:] if comp["index_location"] == "end" else buf[:idx_len]
+    if comp["index_crc"]:
+        body, want = raw_idx[:-4], int.from_bytes(raw_idx[-4:], "little")
+        got = _crc32c(body)
+        if got != want:
+            raise ValueError(
+                f"shard index crc32c mismatch ({got:#010x} != {want:#010x})"
+            )
+        raw_idx = body
+    pairs = np.frombuffer(raw_idx, dtype="<u8").reshape(n, 2)
+    dt = np.dtype(za["dtype"])
+    fill = za.get("fill_value")
+    fill_scalar = np.nan if fill in ("NaN", None) else fill
+    out = np.full(shard_shape, fill_scalar, dtype=dt)
+    missing = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for flat, (off, nb) in enumerate(pairs):
+        if off == missing and nb == missing:
+            continue
+        off_i, nb_i = int(off), int(nb)
+        if off_i + nb_i > len(buf):
+            raise ValueError(f"inner chunk {flat} range beyond shard")
+        inner = _decompress(buf[off_i : off_i + nb_i], comp["inner_compressor"])
+        arr = np.frombuffer(inner, dtype=dt).reshape(inner_shape)
+        pos = np.unravel_index(flat, grid)
+        sl = tuple(
+            slice(p * i, (p + 1) * i) for p, i in zip(pos, inner_shape)
+        )
+        out[sl] = arr
+    return out
 
 
 def zarr2_decode_specs(meta: ChunkedDatasetMeta):
