@@ -744,3 +744,43 @@ def test_v3_sharding_indexed_decodes(tmp_path):
         f.write(bytes(bad))
     with pytest.raises(ValueError, match="crc32c"):
         Z2.decode_chunk(store, "t2m", za, (0, 0, 0))
+
+
+def test_v3_sharded_write_roundtrip(spark, tmp_path):
+    """Sharded v3 WRITE → open → scan roundtrip: shard_factors=(2,2,2)
+    groups 8 inner chunks per stored object (the object-count fix at
+    scale), one executor task per shard; the scan reads back every
+    source row exactly and the store carries genuine sharding_indexed
+    metadata + crc32c-checked shard indexes."""
+    store = str(tmp_path / "sharded_w.zarr")
+    meta = _meta(store)
+    src, rows, cols = _source_frame(spark, meta)
+    n = Z2.write_zarr_v3(src, store, meta, shard_factors=(2, 2, 2))
+    # shard grid: time ceil(5/4)=2, lat ceil(3/4)=1, lon ceil(4/6)=1
+    assert n == 2 * 1 * 1  # vs 12 unsharded chunks
+    cfg = json.load(open(os.path.join(store, "d2m", "zarr.json")))
+    assert cfg["codecs"][0]["name"] == "sharding_indexed"
+    assert cfg["codecs"][0]["configuration"]["chunk_shape"] == [2, 2, 3]
+    assert cfg["chunk_grid"]["configuration"]["chunk_shape"] == [4, 4, 6]
+
+    got_meta = Z2.open_zarr_v2(store)
+    assert (got_meta.chunk_time, got_meta.chunk_lat, got_meta.chunk_lon) == (4, 4, 6)
+    out = ZS.scan(spark, got_meta, decoder="zarr2")
+    got = sorted(tuple(r) for r in out.drop("data_uri").collect())
+    want = sorted(rows)
+    assert len(got) == len(want) == 5 * 3 * 4
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3] and all(gv == wv for gv, wv in zip(g[3:], w[3:]))
+
+    # the edge shard (time 4..7 over a 5-long axis) has inner chunks
+    # entirely beyond the data -> stored as MISSING index entries
+    # (sparse shards carry no bytes for empty regions)
+    shard1 = open(os.path.join(store, "d2m", "c", "1", "0", "0"), "rb").read()
+    idx = shard1[-(8 * 16 + 4):-4]
+    pairs = np.frombuffer(idx, dtype="<u8").reshape(8, 2)
+    assert (pairs == np.uint64(0xFFFFFFFFFFFFFFFF)).any()  # some missing
+    assert not (pairs == np.uint64(0xFFFFFFFFFFFFFFFF)).all()  # some present
+    # and shard 0 (fully covered) has every inner chunk present
+    shard0 = open(os.path.join(store, "d2m", "c", "0", "0", "0"), "rb").read()
+    p0 = np.frombuffer(shard0[-(8 * 16 + 4):-4], dtype="<u8").reshape(8, 2)
+    assert not (p0 == np.uint64(0xFFFFFFFFFFFFFFFF)).any()
