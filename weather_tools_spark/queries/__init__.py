@@ -120,6 +120,7 @@ def _load_all() -> None:
     from weather_tools_spark.queries import (  # noqa: F401
         analytics,
         audits,
+        codec_gates,
         core_sql,
         core_sql2,
         core_sql3,

@@ -1,18 +1,19 @@
-"""Round-7 STAGED registry queries — written and oracle-proven this
-round, NOT yet registered: the round-6 registry is frozen so the
-driver's 50-sample prefix closes the 24-entry verification debt
-(ROUND6_NOTES.md). Next round, move each entry to ``@register`` in
-queries/pipeline_ops.py (or re-export here) and add its name to the
-bench tail if desired; tests/test_staged_r7.py already runs each one
-against its DuckDB oracle under the driver's exact string comparison.
+"""Codec hash-gate registry queries: each drives a round-6 codec
+addition end-to-end through the driver surface (write → stdlib decode →
+aggregate, the same pattern as grib_roundtrip_agg) with a DuckDB oracle
+that recomputes the deterministic grid arithmetically.
 
-Both queries hash-gate the round-6 codec additions end-to-end through
-the driver surface, the same pattern as grib_roundtrip_agg."""
+These were written and oracle-proven mid-round as STAGED entries
+(ROUND6_NOTES.md) and are now registered: the 24-entry verification
+debt occupies positions 1-24 of the driver ordering, these land
+directly after it, and the driver's 50-sample prefix sweeps both."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from weather_tools_spark.queries import register
 
 STAGED_SPARK: dict = {}
 STAGED_ORACLE: dict = {}
@@ -22,7 +23,7 @@ def _staged(name: str, oracle: str):
     def deco(fn):
         STAGED_SPARK[name] = fn
         STAGED_ORACLE[name] = oracle
-        return fn
+        return register(name, oracle=oracle)(fn)
 
     return deco
 
