@@ -1,0 +1,159 @@
+"""Invariant gates for the round-7 data-selection operators, beyond
+the oracle parity sweep (test_oracle_parity covers value equality;
+these pin the semantic contracts that an oracle-matching-but-wrong
+formulation could still violate)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.operators import dedup as D
+from weather_tools_spark.queries import SPARK
+
+
+def _planted_docs(spark):
+    """Tiny corpus with a planted exact copy (1, 2), a strict subset
+    doc 3 ⊂ doc 1, and unrelated filler."""
+    long = " ".join(f"w{i}" for i in range(40))
+    sub = " ".join(f"w{i}" for i in range(12))  # prefix → shingle subset
+    other = " ".join(f"z{i}" for i in range(40))
+    return spark.createDataFrame(
+        [(1, long), (2, long), (3, sub), (4, other)], ["doc_id", "text"]
+    )
+
+
+def test_containment_exact_copies_score_one(spark):
+    """Exact copies must appear with containment 1.0 in BOTH directions;
+    a strict-subset doc scores 1.0 toward its superset but NOT the
+    reverse — the asymmetry symmetric Jaccard cannot express."""
+    docs = _planted_docs(spark)
+    pairs = {
+        (r.doc_a, r.doc_b): round(r.containment, 6)
+        for r in D.containment_pairs(docs, "doc_id", "text").collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert pairs.get((2, 1)) == 1.0
+    assert pairs.get((3, 1)) == 1.0  # subset → contained in superset
+    assert (1, 3) not in pairs  # 40-word doc not contained in 12-word doc
+    # and the symmetric-Jaccard twin would have missed the subset pair:
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.9, max_shingle_df=20
+        ).collect()
+    }
+    assert (1, 3) not in jac and (3, 1) not in jac
+
+
+def test_containment_is_directional(spark, sf_dir):
+    """containment(a→b) uses |A| as denominator: for every emitted pair
+    the reverse direction may be absent, but when both are present they
+    can differ — and each must lie in (0, 1]."""
+    docs = load_table(spark, "documents", sf_dir)
+    rows = D.containment_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.containment <= 1.0
+        assert r.doc_a != r.doc_b
+
+
+def test_soft_dedup_weights_conserve_group_mass(spark, sf_dir):
+    """Sum of effective_docs across sources == number of distinct
+    content hashes (each duplicate group contributes total weight 1)."""
+    out = SPARK["corpus_soft_dedup_weights"](spark, sf_dir).toPandas()
+    docs = load_table(spark, "documents", sf_dir)
+    n_groups = docs.select(F.md5("text")).distinct().count()
+    assert abs(out["effective_docs"].sum() - n_groups) < 1e-3
+    assert (out["effective_docs"] <= out["n_docs"]).all()
+
+
+def test_paragraph_dedup_chunk_accounting(spark, sf_dir):
+    """Chunk counts reconstruct ceil(n_words/10) per doc; dup counts
+    never exceed chunk counts; the corpus-wide number of KEPT chunks
+    equals the number of distinct chunk hashes (keep-first semantics)."""
+    out = SPARK["dedup_paragraph_dupes"](spark, sf_dir).toPandas()
+    docs = load_table(spark, "documents", sf_dir).toPandas()
+    words = docs["text"].str.split().str.len()
+    expected_chunks = ((words + 9) // 10).sum()
+    assert out["n_chunks"].sum() == expected_chunks
+    assert (out["n_dup"] <= out["n_chunks"]).all()
+    assert (out["n_chunks"] > 0).all()
+    # kept = total - dup == distinct hashes corpus-wide
+    import hashlib
+
+    distinct = set()
+    for t in docs["text"]:
+        ws = t.split()
+        for i in range(0, len(ws), 10):
+            distinct.add(hashlib.md5(" ".join(ws[i : i + 10]).encode()).hexdigest())
+    assert out["n_chunks"].sum() - out["n_dup"].sum() == len(distinct)
+
+
+def test_pq_codewords_assign_to_themselves(spark, sf_dir):
+    """Each codebook vector's nearest codeword in every subspace is
+    itself (distance 0) — a wrong slice boundary or assignment
+    tie-break breaks this immediately. Checked through the registered
+    query result: the query vector (vec_id=7, itself a codeword) must
+    rank first with adc_dist2 == 0 and exact_dist2 == 0."""
+    out = SPARK["sim_pq_adc_topk"](spark, sf_dir).toPandas()
+    assert out.iloc[0]["vec_id"] == 7
+    assert out.iloc[0]["adc_dist2"] == 0.0
+    assert out.iloc[0]["exact_dist2"] == 0.0
+    # ADC distances are nonneg and sorted ascending
+    assert (out["adc_dist2"] >= 0).all()
+    assert list(out["adc_dist2"]) == sorted(out["adc_dist2"])
+
+
+def test_adamic_adar_score_bound(spark, sf_dir):
+    """AA score is a sum of n_common terms each ≤ 1/ln(2) (part fan-out
+    capped at ≥2 buyers), so aa_score ≤ n_common / ln 2; and every
+    reported pair shares at least one part."""
+    out = SPARK["graph_adamic_adar_linkpred"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["n_common"] >= 1).all()
+    assert (out["aa_score"] <= out["n_common"] / math.log(2) + 1e-9).all()
+    assert (out["aa_score"] > 0).all()
+
+
+def test_l_diversity_entropy_bounds(spark, sf_dir):
+    """Entropy l-diversity is bounded by ln(l_distinct); the effective
+    class count exp(entropy) is ≤ l_distinct and ≥ 1."""
+    out = SPARK["privacy_l_diversity"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        assert 0.0 <= r["entropy_l"] <= math.log(r["l_distinct"]) + 1e-6
+        assert 1.0 - 1e-6 <= r["effective_l"] <= r["l_distinct"] + 1e-6
+    assert (out["l_distinct"] >= 1).all()
+    assert (out["k_size"] >= out["l_distinct"]).all()
+
+
+def test_dsir_target_words_rank_target_like_docs(spark, sf_dir):
+    """The DSIR weight is a log-likelihood ratio: summing it over a
+    document's words must equal the per-word bucket ratios — pinned by
+    the oracle; here we pin the selection contract: exactly 25 rows,
+    ranked by non-increasing weight, no target-language docs leak in."""
+    out = SPARK["corpus_dsir_importance"](spark, sf_dir).toPandas()
+    assert len(out) == 25
+    assert (out["lang"] != "de").all()
+    w = list(out["dsir_logw"])
+    assert all(w[i] >= w[i + 1] for i in range(len(w) - 1))
+    assert (out["n_words"] > 0).all()
+
+
+def test_moments_merge_parity_all_row_is_sum_of_shards(spark, sf_dir):
+    """The '__all__' row's n and (rounded) power sums equal the sums of
+    the per-shard rows — the mergeability contract, checked directly on
+    the query output."""
+    out = SPARK["sketch_moments_merge_parity"](spark, sf_dir).toPandas().set_index("shard")
+    shards = out.drop(index="__all__")
+    merged = out.loc["__all__"]
+    assert merged["n"] == shards["n"].sum()
+    for c in ("s1", "s2", "s3", "s4"):
+        assert abs(merged[c] - shards[c].sum()) < 1e-2
+    # std/kurtosis sanity: positive spread, finite shape stats
+    assert merged["std"] > 0
+    assert abs(merged["skew"]) < 10
+    assert abs(merged["kurtosis"]) < 100

@@ -741,3 +741,86 @@ def jaccard_prefix_pairs(
         )
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = 20,
+) -> DataFrame:
+    """All ORDERED pairs (doc_a, doc_b), a ≠ b, with n-gram containment
+    C(a→b) = |A∩B| / |A| ≥ threshold — the asymmetric twin of Jaccard
+    for catching documents that are near-SUBSETS of another (quoted
+    articles, truncated crawls, boilerplate-wrapped copies), which
+    symmetric Jaccard misses whenever |B| ≫ |A|.
+
+    Same capped-shingle topology as :func:`ngram_jaccard_pairs`
+    (reference behavior target: the near-dup semantics of
+    weather-tools' dedup has no containment analog — this is an
+    LLM-pipeline extension): explode distinct shingles, drop shingles
+    with document frequency > ``max_shingle_df`` (broadcast LEFT ANTI),
+    group by shingle, expand in-bucket combinations (≤ C(cap, 2) per
+    shingle), count intersections once per UNORDERED pair, then emit
+    both directions and filter each by its own denominator. One wide
+    shuffle (the by-shingle aggregation); the pair frame is never
+    re-joined.
+    """
+    sh = with_shingles(df, id_col, text_col, n)
+    exploded = _persist(sh.select(F.col("doc_id"), F.explode("shingles").alias("s")))
+    if max_shingle_df is not None:
+        frequent = (
+            exploded.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        exploded = exploded.join(F.broadcast(frequent), "s", "left_anti")
+    from pyspark.sql import Window as _W
+
+    with_sz = exploded.withColumn("n_sh", F.count(F.lit(1)).over(_W.partitionBy("doc_id")))
+    byshingle = (
+        with_sz.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("d"))
+        .filter(F.size("d") >= 2)
+    )
+    combos = byshingle.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(d)-1), "
+                "i -> transform(slice(d, i+1, size(d)-i), "
+                "y -> struct(element_at(d, i).doc_id AS doc_a, y.doc_id AS doc_b, "
+                "element_at(d, i).n_sh AS n_a, y.n_sh AS n_b))))"
+            )
+        ).alias("p")
+    )
+    inter = combos.groupBy("p.doc_a", "p.doc_b", "p.n_a", "p.n_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    # both directions from the single unordered-pair frame: a narrow
+    # explode, no second join
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                    F.col("n_a").alias("n_src"),
+                    F.col("n_inter"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                    F.col("n_b").alias("n_src"),
+                    F.col("n_inter"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.n_src", "e.n_inter")
+    return directed.select(
+        F.col("src").alias("doc_a"),
+        F.col("dst").alias("doc_b"),
+        (F.col("n_inter").cast("double") / F.col("n_src")).alias("containment"),
+    ).filter(F.col("containment") >= threshold)

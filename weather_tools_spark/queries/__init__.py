@@ -130,6 +130,7 @@ def _load_all() -> None:
         llm_pipeline,
         media,
         pipeline_ops,
+        selection,
         sketches,
         similarity,
         text,

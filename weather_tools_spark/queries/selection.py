@@ -1,0 +1,558 @@
+"""Data-selection & curation operators (round 7).
+
+The training-data-pipeline stages between dedup and training that the
+registry did not yet cover, each as a declarative Spark plan with an
+exact DuckDB oracle:
+
+- DSIR importance weights (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): hashed-unigram bucket
+  LMs for a target domain vs the raw pool, per-document log importance
+  weight, top-k selection. Everything is md5-bucketed counts + log
+  ratios — fully relational on both engines.
+- Soft dedup weighting (down-weight near-dups instead of dropping — the
+  mixture-correction used when dedup would starve a small source).
+- CCNet-style paragraph-granularity dedup (Wenzek et al. 2020): dedup
+  on paragraph hashes with keep-first-occurrence semantics, reported as
+  per-document retention. Paragraph = 10-word chunk here (the corpus
+  fixture has no newlines; the chunking rule is the deterministic
+  stand-in and is applied identically in the oracle).
+- Asymmetric n-gram containment pairs (doc-in-doc near-subset
+  detection that symmetric Jaccard misses when |B| >> |A|).
+- Moments-sketch merge parity (Gan et al., VLDB'18 shape): power sums
+  S0..S4 are the sketch state; per-shard partials merged by + must
+  equal the oracle's direct global moments, and mean/std/skew/kurtosis
+  derive from the merged state. The sketch aggregation is one
+  map-combinable pass — the 100 TB shape for distribution profiling.
+- Product-quantization ADC top-k (Jégou et al. 2011): subspace
+  codebooks, code assignment, asymmetric-distance lookup — with a
+  DETERMINISTIC codebook (first-K vectors per subspace, the stand-in
+  for k-means centroids) so the whole ANN pipeline gets an exact
+  oracle gate, unlike the hash-seeded LSH/IVF variants (rows-only).
+- Adamic-Adar link prediction on the customer co-purchase projection
+  (common-neighbor scoring with inverse-log weighting).
+- l-diversity audit (privacy): distinct + entropy diversity of the
+  sensitive attribute per quasi-identifier group.
+
+Scale notes: no collect anywhere; small frames (bucket LMs <= 256
+rows, codebooks 64 rows, per-subspace LUTs) attach as broadcasts; the
+only self-joins are df-capped (containment: shingle df <= 20;
+link prediction: part fan-out 2..20) so candidate blowup is linear in
+corpus size, mirroring the dedup operators' cap rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.operators import dedup as D
+from weather_tools_spark.queries import register
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+')) AS w
+               FROM documents),
+    wb AS (SELECT doc_id, lang, ('0x' || substr(md5(w), 1, 4))::BIGINT % 256 AS b FROM w),
+    bs AS (SELECT b,
+                  CAST(count(*) AS BIGINT) AS n_s,
+                  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+           FROM wb GROUP BY b),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS tot_s, CAST(sum(n_t) AS BIGINT) AS tot_t
+            FROM bs),
+    lr AS (SELECT b, ln((n_t + 0.5) / (tot_t + 128.0)) - ln((n_s + 0.5) / (tot_s + 128.0)) AS lr
+           FROM bs, tot)
+    SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_words,
+           round(sum(lr), 6) AS dsir_logw
+    FROM wb JOIN lr USING (b)
+    WHERE lang <> 'de'
+    GROUP BY doc_id, lang
+    ORDER BY dsir_logw DESC, doc_id
+    LIMIT 25
+    """,
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: 256-bucket hashed-unigram LMs (md5, the
+    cross-engine hash) for the target domain (lang='de') and the raw
+    pool, add-0.5 smoothing, per-document log importance weight
+    sum(ln p_t(b) - ln p_s(b)) over word occurrences, top-25 candidates
+    from the non-target pool. Two passes over the exploded words (bucket
+    stats, then per-doc sums); the 256-row log-ratio table and the 1-row
+    totals attach as broadcasts; ranking is on the ROUNDED weight (both
+    engines) so libm/summation-order drift cannot flip the top-k
+    boundary."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    )
+    wb = words.withColumn(
+        "b", F.expr("cast(conv(substr(md5(w), 1, 4), 16, 10) as bigint) % 256")
+    )
+    bs = wb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("n_t"),
+    )
+    tot = bs.agg(F.sum("n_s").alias("tot_s"), F.sum("n_t").alias("tot_t"))
+    lr = bs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            "ln((n_t + 0.5) / (tot_t + 128.0)) - ln((n_s + 0.5) / (tot_s + 128.0))"
+        ).alias("lr"),
+    )
+    return (
+        wb.filter(F.col("lang") != "de")
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum("lr"), 6).alias("dsir_logw"),
+        )
+        .orderBy(F.col("dsir_logw").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+@register(
+    "corpus_soft_dedup_weights",
+    oracle="""
+    WITH hashed AS (SELECT doc_id, source, md5(text) AS h,
+                           len(regexp_split_to_array(text, '\\s+')) AS n_words
+                    FROM documents),
+    grp AS (SELECT h, CAST(count(*) AS BIGINT) AS n_members FROM hashed GROUP BY h)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(1.0 / n_members), 6) AS effective_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words_total,
+           round(sum(1.0 * n_words / n_members), 6) AS effective_words
+    FROM hashed JOIN grp USING (h)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of dropping exact duplicates, weight every
+    copy by 1/n_members of its content-hash group (so each distinct
+    document contributes total weight 1 regardless of copy count) and
+    report per-source raw vs effective document/token mass — the
+    mixture correction applied when hard dedup would starve a small
+    source. One hash aggregation + one equi-join back; map-combinable
+    end to end."""
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_words"),
+    )
+    grp = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        hashed.join(grp, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum(F.lit(1.0) / F.col("n_members")), 6).alias("effective_docs"),
+            F.sum("n_words").alias("n_words_total"),
+            F.round(F.sum(F.lit(1.0) * F.col("n_words") / F.col("n_members")), 6).alias(
+                "effective_words"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_paragraph_dupes",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+    ch AS (SELECT doc_id,
+                  unnest(list_transform(range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+                         i -> {'idx': i,
+                               'h': md5(array_to_string(list_slice(t, i*10+1, i*10+10), ' '))})) AS u
+           FROM toks),
+    occ AS (SELECT doc_id, doc_id * 1000 + u.idx AS k, u.h AS h FROM ch),
+    firsts AS (SELECT h, min(k) AS mk FROM occ GROUP BY h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN k > mk THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(1.0 * sum(CASE WHEN k > mk THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+    FROM occ JOIN firsts USING (h)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_paragraph_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup report: split every document into
+    10-word chunks (the deterministic paragraph stand-in for this
+    corpus), hash each chunk, keep only the FIRST occurrence of each
+    hash corpus-wide (ordering key doc_id*1000 + chunk index — chunk
+    counts are < 1000 by construction), and report per-document chunk
+    retention. The first-occurrence rule is a min-aggregation per hash
+    + one equi-join back — no window over the corpus, no sort; at
+    100 TB this is the paragraph-granularity dedup pass that runs
+    before document-level near-dup."""
+    docs = load_table(spark, "documents", sf_dir)
+    occ = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "inline(transform(sequence(0, cast(ceil(size(split(text, '\\\\s+')) / 10.0) as int) - 1), "
+                "i -> struct(i as idx, "
+                "md5(array_join(slice(split(text, '\\\\s+'), i*10+1, 10), ' ')) as h)))"
+            ),
+        )
+        .select("doc_id", (F.col("doc_id") * 1000 + F.col("idx")).alias("k"), "h")
+    )
+    firsts = occ.groupBy("h").agg(F.min("k").alias("mk"))
+    return (
+        occ.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("k") > F.col("mk"), 1).otherwise(0)).alias("n_dup"),
+            F.round(
+                F.lit(1.0)
+                * F.sum(F.when(F.col("k") > F.col("mk"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+    sh0 AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+            FROM toks),
+    rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY s) WHERE df <= 20),
+    sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(1.0 * n_inter / ca.n, 6) AS containment
+    FROM pairs JOIN cnt ca ON doc_a = ca.doc_id
+    WHERE 1.0 * n_inter / ca.n >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment pairs: |A∩B|/|A| >= 0.9 over the
+    df-capped shingle sets (cap 20, identical on both engines) — the
+    doc-in-doc detector for quoted/truncated/boilerplate-wrapped copies
+    that symmetric Jaccard misses when |B| >> |A|. Single by-shingle
+    aggregation expands in-bucket combinations once per UNORDERED pair;
+    both directions then derive by a narrow explode (see
+    operators/dedup.containment_pairs)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9, max_shingle_df=20
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+    ).orderBy("doc_a", "doc_b")
+
+
+_MOM_DERIVED = {
+    "mean": "round(s1 / s0, 6)",
+    "std": "round(sqrt(s2 / s0 - (s1 / s0) * (s1 / s0)), 6)",
+    "skew": (
+        "round((s3 / s0 - 3 * (s1 / s0) * (s2 / s0) + 2 * (s1 / s0) * (s1 / s0) * (s1 / s0))"
+        " / pow(s2 / s0 - (s1 / s0) * (s1 / s0), 1.5), 6)"
+    ),
+    "kurtosis": (
+        "round((s4 / s0 - 4 * (s1 / s0) * (s3 / s0) + 6 * (s1 / s0) * (s1 / s0) * (s2 / s0)"
+        " - 3 * pow(s1 / s0, 4.0)) / pow(s2 / s0 - (s1 / s0) * (s1 / s0), 2.0) - 3, 6)"
+    ),
+}
+
+
+@register(
+    "sketch_moments_merge_parity",
+    oracle=f"""
+    WITH v AS (SELECT event_type, value / 100.0 AS x FROM events),
+    per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s0,
+                   sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+            FROM v GROUP BY event_type),
+    allr AS (SELECT '__all__' AS event_type, CAST(count(*) AS BIGINT) AS s0,
+                    sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+             FROM v),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM allr)
+    SELECT event_type AS shard, s0 AS n,
+           round(s1, 4) AS s1, round(s2, 4) AS s2,
+           round(s3, 4) AS s3, round(s4, 4) AS s4,
+           {_MOM_DERIVED['mean']} AS mean,
+           {_MOM_DERIVED['std']} AS std,
+           {_MOM_DERIVED['skew']} AS skew,
+           {_MOM_DERIVED['kurtosis']} AS kurtosis
+    FROM u
+    ORDER BY shard
+    """,
+)
+def sketch_moments_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments sketch (power sums S0..S4 of value/100 — scaled so S4
+    stays < 1e7 and 4-decimal rounding absorbs summation-order drift):
+    per-event-type partials are the sketch state, the '__all__' row is
+    their + merge, and mean/std/skew/kurtosis derive from the merged
+    state. The oracle computes the global moments DIRECTLY from the
+    rows, so the gate proves partial states merge to the exact global
+    sketch — the mergeability contract that makes one-pass distribution
+    profiling work at 100 TB (fixed state per executor, shuffle only
+    the 5 sums)."""
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select("event_type", (F.col("value") / 100.0).alias("x"))
+    per = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("x*x")).alias("s2"),
+        F.sum(F.expr("x*x*x")).alias("s3"),
+        F.sum(F.expr("x*x*x*x")).alias("s4"),
+    )
+    merged = per.agg(
+        F.sum("s0").alias("s0"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+        F.sum("s4").alias("s4"),
+    ).withColumn("event_type", F.lit("__all__"))
+    u = per.unionByName(merged)
+    return u.select(
+        F.col("event_type").alias("shard"),
+        F.col("s0").alias("n"),
+        F.round("s1", 4).alias("s1"),
+        F.round("s2", 4).alias("s2"),
+        F.round("s3", 4).alias("s3"),
+        F.round("s4", 4).alias("s4"),
+        F.expr(_MOM_DERIVED["mean"]).alias("mean"),
+        F.expr(_MOM_DERIVED["std"]).alias("std"),
+        F.expr(_MOM_DERIVED["skew"]).alias("skew"),
+        F.expr(_MOM_DERIVED["kurtosis"]).alias("kurtosis"),
+    ).orderBy("shard")
+
+
+_PQ_D2 = "round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, t) -> acc + t), 6)"
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    subs AS (SELECT vec_id, s, list_slice(v, s*16+1, s*16+16) AS sv
+             FROM e, (SELECT CAST(unnest(range(0, 4)) AS INT) AS s)),
+    cb AS (SELECT vec_id AS cw, s, sv AS cv FROM subs WHERE vec_id < 16),
+    dist AS (SELECT a.vec_id, a.s, c.cw,
+                    round(list_sum(list_transform(range(1, 17),
+                          i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))), 6) AS d
+             FROM subs a JOIN cb c ON a.s = c.s),
+    mind AS (SELECT vec_id, s, min(d) AS md FROM dist GROUP BY vec_id, s),
+    assign AS (SELECT d.vec_id, d.s, min(d.cw) AS code
+               FROM dist d JOIN mind m ON d.vec_id = m.vec_id AND d.s = m.s AND d.d = m.md
+               GROUP BY d.vec_id, d.s),
+    q AS (SELECT s, sv AS qv FROM subs WHERE vec_id = 7),
+    lut AS (SELECT c.s, c.cw,
+                   round(list_sum(list_transform(range(1, 17),
+                         i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), 6) AS qd
+            FROM cb c JOIN q ON c.s = q.s),
+    adc AS (SELECT a.vec_id, round(sum(l.qd), 6) AS adc_dist2
+            FROM assign a JOIN lut l ON a.s = l.s AND a.code = l.cw
+            GROUP BY a.vec_id),
+    qf AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+    exact AS (SELECT e.vec_id,
+                     round(list_sum(list_transform(range(1, 65),
+                           i -> (e.v[i] - qf.qv[i]) * (e.v[i] - qf.qv[i]))), 6) AS exact_dist2
+              FROM e, qf)
+    SELECT adc.vec_id, adc.adc_dist2, exact.exact_dist2
+    FROM adc JOIN exact ON adc.vec_id = exact.vec_id
+    ORDER BY adc.adc_dist2, adc.vec_id
+    LIMIT 10
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 4 subspaces × 16
+    dims, 16 codewords per subspace, code assignment by nearest
+    codeword, then asymmetric-distance (ADC) top-10 for a query vector
+    via the 64-entry subspace LUT. The codebook is DETERMINISTIC (the
+    first 16 vectors per subspace — the stand-in for k-means centroids)
+    so the entire PQ pipeline is exactly replayable in the oracle: a
+    wrong slice boundary, assignment tie-break, or LUT join flips the
+    gate. All per-subspace distances are rounded to 1e-6 BEFORE the
+    argmin/top-k on both engines, so fold-order drift cannot flip a
+    code. Scale shape: the codebook (64 rows) and LUT (64 rows)
+    broadcast; encoding is one broadcast-join pass over vectors; the
+    ADC scan is a narrow map + TakeOrdered — no shuffle proportional to
+    the corpus beyond the final top-k merge."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    subs = emb.select(
+        "vec_id",
+        F.expr(
+            "inline(transform(sequence(0, 3), "
+            "s -> struct(cast(s as int) as s, slice(v, s*16+1, 16) as sv)))"
+        ),
+    )
+    cb = subs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cw"), "s", F.col("sv").alias("cv")
+    )
+    dist = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "cw", F.expr(_PQ_D2.format(a="sv", b="cv")).alias("d")
+    )
+    mind = dist.groupBy("vec_id", "s").agg(F.min("d").alias("md"))
+    assign = (
+        dist.join(mind, ["vec_id", "s"])
+        .filter(F.col("d") == F.col("md"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("cw").alias("code"))
+    )
+    q = subs.filter(F.col("vec_id") == 7).select("s", F.col("sv").alias("qv"))
+    lut = cb.join(F.broadcast(q), "s").select(
+        F.col("s").alias("ls"),
+        F.col("cw").alias("lcw"),
+        F.expr(_PQ_D2.format(a="qv", b="cv")).alias("qd"),
+    )
+    adc = (
+        assign.join(
+            F.broadcast(lut),
+            (F.col("s") == F.col("ls")) & (F.col("code") == F.col("lcw")),
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adc_dist2"))
+    )
+    qf = emb.filter(F.col("vec_id") == 7).select(F.col("v").alias("qv"))
+    exact = emb.crossJoin(F.broadcast(qf)).select(
+        "vec_id", F.expr(_PQ_D2.format(a="v", b="qv")).alias("exact_dist2")
+    )
+    return (
+        adc.join(exact, "vec_id")
+        .select("vec_id", "adc_dist2", "exact_dist2")
+        .orderBy("adc_dist2", "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "graph_adamic_adar_linkpred",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT l_partkey AS part, o_custkey AS cust
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    pc AS (SELECT part, CAST(count(*) AS BIGINT) AS nb FROM buyers GROUP BY part),
+    mid AS (SELECT b.part, b.cust, pc.nb
+            FROM buyers b JOIN pc USING (part)
+            WHERE nb BETWEEN 2 AND 20),
+    pairs AS (SELECT a.cust AS cust_a, b.cust AS cust_b,
+                     CAST(count(*) AS BIGINT) AS n_common,
+                     round(sum(1.0 / ln(a.nb)), 6) AS aa_score
+              FROM mid a JOIN mid b ON a.part = b.part AND a.cust < b.cust
+              GROUP BY 1, 2)
+    SELECT cust_a, cust_b, n_common, aa_score
+    FROM pairs
+    ORDER BY aa_score DESC, cust_a, cust_b
+    LIMIT 20
+    """,
+)
+def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the customer co-purchase
+    projection: customers u, v sharing a part p score sum 1/ln(buyers(p))
+    — rare co-purchases weigh more. The part fan-out is capped to
+    2..20 buyers (identical on both engines): hub parts generate
+    quadratic candidate pairs but contribute ~1/ln(huge) ≈ 0 AA weight,
+    so the cap is the standard linkpred scale guard, same rationale as
+    the dedup shingle df cap. Ranking is on the ROUNDED score so
+    summation-order drift cannot flip the top-20 boundary."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    buyers = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust"))
+        .distinct()
+    )
+    pc = buyers.groupBy("part").agg(F.count(F.lit(1)).alias("nb"))
+    mid = buyers.join(
+        pc.filter((F.col("nb") >= 2) & (F.col("nb") <= 20)), "part"
+    ).select("part", "cust", "nb")
+    a = mid.alias("a")
+    b = mid.alias("b")
+    return (
+        a.join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.cust") < F.col("b.cust")))
+        .groupBy(F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("a.nb"))), 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "cust_a", "cust_b")
+        .limit(20)
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+    WITH cell AS (SELECT o_orderpriority AS priority,
+                         CAST(year(o_orderdate) AS INT) AS yr,
+                         o_orderstatus AS status,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY 1, 2, 3),
+    g AS (SELECT priority, yr,
+                 CAST(sum(cnt) AS BIGINT) AS k_size,
+                 CAST(count(*) AS BIGINT) AS l_distinct
+          FROM cell GROUP BY priority, yr),
+    ent AS (SELECT c.priority, c.yr,
+                   round(-sum((1.0 * c.cnt / g.k_size) * ln(1.0 * c.cnt / g.k_size)), 6)
+                     AS entropy_l
+            FROM cell c JOIN g ON c.priority = g.priority AND c.yr = g.yr
+            GROUP BY c.priority, c.yr)
+    SELECT g.priority, g.yr, g.k_size, g.l_distinct, ent.entropy_l,
+           round(exp(ent.entropy_l), 6) AS effective_l
+    FROM g JOIN ent ON g.priority = ent.priority AND g.yr = ent.yr
+    ORDER BY g.priority, g.yr
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): for each
+    quasi-identifier group (order priority × order year) report group
+    size k, distinct l-diversity and entropy l-diversity of the
+    sensitive attribute (order status), plus exp(entropy) — the
+    effective number of sensitive classes an attacker faces. Companion
+    to privacy_k_anonymity; two nested map-combinable aggregations, no
+    window, no distinct-count over raw rows."""
+    orders = load_table(spark, "orders", sf_dir)
+    cell = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    g = cell.groupBy("priority", "yr").agg(
+        F.sum("cnt").alias("k_size"), F.count(F.lit(1)).alias("l_distinct")
+    )
+    ent = (
+        cell.join(g.select("priority", "yr", "k_size"), ["priority", "yr"])
+        .groupBy("priority", "yr")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.lit(1.0) * F.col("cnt") / F.col("k_size"))
+                    * F.log(F.lit(1.0) * F.col("cnt") / F.col("k_size"))
+                ),
+                6,
+            ).alias("entropy_l")
+        )
+    )
+    return (
+        g.join(ent, ["priority", "yr"])
+        .select(
+            "priority",
+            "yr",
+            "k_size",
+            "l_distinct",
+            "entropy_l",
+            F.round(F.exp("entropy_l"), 6).alias("effective_l"),
+        )
+        .orderBy("priority", "yr")
+    )
