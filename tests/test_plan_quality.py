@@ -618,3 +618,53 @@ def test_zorder_census_single_scan(spark, sf_dir):
     assert _scans(plan) == 1
     assert "Join" not in plan
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2
+
+
+def test_pq_adc_broadcasts_codebook_and_takeordered(spark, sf_dir):
+    """PQ encode/LUT joins must broadcast the 64-row codebook frames;
+    the final top-k is a distributed TakeOrdered; the only nest-loop is
+    the 1-row query-vector attach (bounded by construction)."""
+    plan = _formatted_plan(spark, "sim_pq_adc_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_broadcasts_bucket_lm_and_takeordered(spark, sf_dir):
+    """The 256-row log-ratio table and the 1-row totals attach as
+    broadcasts; top-25 selection is a TakeOrdered, never a global sort
+    of the candidate frame."""
+    plan = _formatted_plan(spark, "corpus_dsir_importance", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # corpus-scale Sort would be fatal at 100 TB: all Sorts must sit
+    # above the TakeOrdered (see test_priority_sampling_uses_takeordered)
+    take_ids = [int(m) for m in re.findall(r"^\((\d+)\) TakeOrderedAndProject", plan, re.MULTILINE)]
+    sort_ids = [int(m) for m in re.findall(r"^\((\d+)\) Sort\b", plan, re.MULTILINE)]
+    assert take_ids and all(sid > max(take_ids) for sid in sort_ids)
+
+
+def test_containment_no_cartesian_single_pair_shuffle(spark, sf_dir):
+    """Containment pairs reuse the capped by-shingle expansion: no
+    cartesian/nest-loop anywhere, and the frequent-shingle cap join is
+    a broadcast anti-join."""
+    plan = _formatted_plan(spark, "dedup_containment_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_adamic_adar_takeordered_no_cartesian(spark, sf_dir):
+    plan = _formatted_plan(spark, "graph_adamic_adar_linkpred", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_moments_sketch_two_phase_agg_no_join(spark, sf_dir):
+    """The moments sketch is one map-combinable pass: partial + final
+    HashAggregate, no join in the per-shard branch (the union's merged
+    row re-aggregates the 5-row partials frame, not the fact)."""
+    plan = _formatted_plan(spark, "sketch_moments_merge_parity", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2
+    assert "Join" not in plan

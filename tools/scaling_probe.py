@@ -71,6 +71,18 @@ PROBES = [
     "events_holt_forecast",
     "sim_mmr_diverse_topk",
     "format_transcode_chain",
+    # round-7 data-selection operators
+    "corpus_dsir_importance",
+    "corpus_soft_dedup_weights",
+    "dedup_paragraph_dupes",
+    "dedup_containment_pairs",
+    "sketch_moments_merge_parity",
+    "sim_pq_adc_topk",
+    "graph_adamic_adar_linkpred",
+    "privacy_l_diversity",
+    # round-6 codec hash-gates
+    "grib_jpeg2000_roundtrip_agg",
+    "hdf5_dense_roundtrip_agg",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
