@@ -122,6 +122,17 @@ HEADLINE = [
     "mv_join_delta_refresh",
     "events_attribution_linear",
     "sim_mmr_diverse_topk",
+    # round-7 data-selection operators (queries/selection.py)
+    "corpus_dsir_importance",
+    "corpus_soft_dedup_weights",
+    "dedup_paragraph_dupes",
+    "dedup_containment_pairs",
+    "sketch_moments_merge_parity",
+    "sim_pq_adc_topk",
+    "graph_adamic_adar_linkpred",
+    "privacy_l_diversity",
+    "text_kneser_ney_ppl",
+    "ml_logreg_newton",
 ]
 
 

@@ -157,3 +157,54 @@ def test_moments_merge_parity_all_row_is_sum_of_shards(spark, sf_dir):
     assert merged["std"] > 0
     assert abs(merged["skew"]) < 10
     assert abs(merged["kurtosis"]) < 100
+
+
+def test_kneser_ney_distribution_sums_to_one(spark, sf_dir):
+    """The interpolated-KN design invariant: for any context w1,
+    sum over the FULL vocabulary of P_KN(w2|w1) == 1 — discount mass
+    exactly redistributed through the continuation distribution.
+    Recomputed in pure Python from the corpus with the same counts the
+    engines use (D=0.75)."""
+    docs = load_table(spark, "documents", sf_dir).select("text").toPandas()
+    from collections import Counter, defaultdict
+
+    cbg = Counter()
+    left_follow = defaultdict(set)
+    right_precede = defaultdict(set)
+    for t in docs["text"]:
+        ws = t.strip().split()
+        for a, b in zip(ws, ws[1:]):
+            cbg[(a, b)] += 1
+            left_follow[a].add(b)
+            right_precede[b].add(a)
+    n_types = len(cbg)
+    cl = Counter()
+    for (a, _), c in cbg.items():
+        cl[a] += c
+    D = 0.75
+    vocab = set(right_precede) | set(left_follow)
+    for w1 in list(left_follow)[:3]:
+        total = 0.0
+        for w2 in vocab:
+            c = cbg.get((w1, w2), 0)
+            pcont = len(right_precede.get(w2, ())) / n_types
+            total += max(c - D, 0.0) / cl[w1] + (D * len(left_follow[w1]) / cl[w1]) * pcont
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+
+
+def test_logreg_newton_descends_below_chance(spark, sf_dir):
+    """Newton training must beat the uninformative model: log-loss
+    strictly below ln 2 (the beta=0 starting point) at both emitted
+    iterations, non-increasing across them, and the second step's
+    coefficient movement smaller than the first (quadratic-convergence
+    sanity on a well-conditioned 3-feature problem)."""
+    import math as _m
+
+    out = SPARK["ml_logreg_newton"](spark, sf_dir).toPandas().set_index("iter")
+    assert out.loc[1, "log_loss"] < _m.log(2)
+    assert out.loc[2, "log_loss"] <= out.loc[1, "log_loss"] + 1e-9
+    step1 = abs(out.loc[1, ["b0", "b1", "b2"]]).sum()
+    step2 = (out.loc[2, ["b0", "b1", "b2"]] - out.loc[1, ["b0", "b1", "b2"]]).abs().sum()
+    assert step2 < step1
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert 0 < out.loc[2, "accuracy"] <= n_docs

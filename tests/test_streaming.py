@@ -407,3 +407,40 @@ def test_cusum_stream_matches_batch_closed_form(spark, sf_dir):
     want = {r.day: (r.x, r.cusum, r.alarm) for r in cs.collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_moments_stream_matches_batch(spark, sf_dir):
+    """Streaming moments sketch (five-number applyInPandasWithState
+    state per event type) must equal the batch power sums at the
+    sketch's 4-decimal rounding contract, and derived means must agree
+    at 6 decimals — stream ≡ batch for the mergeable-state sketch."""
+    stream = SE.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = SE.run_stream_to_memory(
+        spark, SE.moments_stream(stream), "stream_moments", output_mode="update"
+    )
+    got = {}
+    for r in out.collect():
+        prev = got.get(r.event_type)
+        if prev is None or r.n >= prev[0]:
+            got[r.event_type] = (r.n, r.s1, r.s2, r.s3, r.s4)
+
+    ev = load_table(spark, "events", sf_dir)
+    batch = (
+        ev.select("event_type", (F.col("value") / F.lit(100.0)).alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.expr("x*x")).alias("s2"),
+            F.sum(F.expr("x*x*x")).alias("s3"),
+            F.sum(F.expr("x*x*x*x")).alias("s4"),
+        )
+    )
+    want = {r.event_type: (r.n, r.s1, r.s2, r.s3, r.s4) for r in batch.collect()}
+    assert set(got) == set(want)
+    for et, (n, s1, s2, s3, s4) in want.items():
+        gn, g1, g2, g3, g4 = got[et]
+        assert gn == n, et
+        for g, w in ((g1, s1), (g2, s2), (g3, s3), (g4, s4)):
+            assert round(g, 4) == round(w, 4), (et, g, w)
+        assert round(g1 / gn, 6) == round(s1 / n, 6), et

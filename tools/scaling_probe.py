@@ -80,6 +80,8 @@ PROBES = [
     "sim_pq_adc_topk",
     "graph_adamic_adar_linkpred",
     "privacy_l_diversity",
+    "text_kneser_ney_ppl",
+    "ml_logreg_newton",
     # round-6 codec hash-gates
     "grib_jpeg2000_roundtrip_agg",
     "hdf5_dense_roundtrip_agg",

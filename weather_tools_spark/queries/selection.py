@@ -556,3 +556,288 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "yr")
     )
+
+
+_KN_D = 0.75  # absolute discount
+
+
+@register(
+    "text_kneser_ney_ppl",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), cbg AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+    ), cleft AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS cl,
+             CAST(count(DISTINCT w2) AS BIGINT) AS n1p_left
+      FROM bg GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n1p_right FROM bg GROUP BY w2
+    ), types AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_types FROM cbg
+    ), scored AS (
+      SELECT b.doc_id, any_value(b.source) AS source,
+             pow(2.0, -avg(log2(
+               (c.c - {_KN_D!r}) / l.cl
+               + ({_KN_D!r} * l.n1p_left / l.cl) * (r.n1p_right * 1.0 / types.n_types)
+             ))) AS ppl
+      FROM bg b
+      JOIN cbg c ON b.w1 = c.w1 AND b.w2 = c.w2
+      JOIN cleft l ON b.w1 = l.w1
+      JOIN cont r ON b.w2 = r.w2
+      CROSS JOIN types
+      GROUP BY b.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ppl), 6) AS avg_ppl,
+           round(min(ppl), 6) AS min_ppl,
+           round(max(ppl), 6) AS max_ppl
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def text_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1999) — the LM the CCNet-style perplexity filter
+    (corpus_perplexity_filter, add-k smoothed) upgrades to in practice:
+
+        P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1·)
+                      + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    with absolute discount D=0.75 and the continuation distribution
+    N1+(·w2)/N1+(··) ("how many contexts does w2 complete"). Scoring
+    the training corpus itself means every scored bigram has c ≥ 1, so
+    the max(·,0) branch never truncates and the formula is exactly
+    relational: three count aggregations (bigram, left-context with
+    distinct-right, right-continuation) + equi-joins back, the bigram-
+    type total as a 1-row broadcast. Same 100 TB shape as the add-k
+    filter — everything co-partitioned by token keys, map-combinable,
+    no Python."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    bg = toks.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "explode(transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)))"
+        ).alias("p"),
+    ).select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cleft = bg.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("cl"), F.countDistinct("w2").alias("n1p_left")
+    )
+    cont = bg.groupBy("w2").agg(F.countDistinct("w1").alias("n1p_right"))
+    types = cbg.agg(F.count(F.lit(1)).alias("n_types"))
+    scored = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cleft, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.pow(
+                F.lit(2.0),
+                -F.avg(
+                    F.log2(
+                        (F.col("c") - _KN_D) / F.col("cl")
+                        + (F.lit(_KN_D) * F.col("n1p_left") / F.col("cl"))
+                        * (F.col("n1p_right") * F.lit(1.0) / F.col("n_types"))
+                    )
+                ),
+            ).alias("ppl"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+            F.round(F.min("ppl"), 6).alias("min_ppl"),
+            F.round(F.max("ppl"), 6).alias("max_ppl"),
+        )
+        .orderBy("source")
+    )
+
+
+def _det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+    """3x3 determinant as a literal expression string — spelled once and
+    shared verbatim by the Spark plan and the DuckDB oracle so the
+    Cramer-rule Newton solve is arithmetically identical on both."""
+    return (
+        f"(({a11})*(({a22})*({a33})-({a23})*({a32}))"
+        f" - ({a12})*(({a21})*({a33})-({a23})*({a31}))"
+        f" + ({a13})*(({a21})*({a32})-({a22})*({a31})))"
+    )
+
+
+_LR_P = "1.0/(1.0 + exp(-(({b0})*x0 + ({b1})*x1 + ({b2})*x2)))"
+
+_LR_SUMS = {
+    "h00": "sum(w*x0*x0)", "h01": "sum(w*x0*x1)", "h02": "sum(w*x0*x2)",
+    "h11": "sum(w*x1*x1)", "h12": "sum(w*x1*x2)", "h22": "sum(w*x2*x2)",
+    "g0": "sum((y - p)*x0)", "g1": "sum((y - p)*x1)", "g2": "sum((y - p)*x2)",
+}
+
+_LR_DET = _det3("h00", "h01", "h02", "h01", "h11", "h12", "h02", "h12", "h22")
+_LR_NUM = {
+    "b0": _det3("g0", "h01", "h02", "g1", "h11", "h12", "g2", "h12", "h22"),
+    "b1": _det3("h00", "g0", "h02", "h01", "g1", "h12", "h02", "g2", "h22"),
+    "b2": _det3("h00", "h01", "g0", "h01", "h11", "g1", "h02", "h12", "g2"),
+}
+
+
+@register(
+    "ml_logreg_newton",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             len(regexp_split_to_array(trim(text), '\\s+')) / 100.0 AS x1,
+             len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) * 1.0
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS x2
+      FROM documents
+    ),
+    beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    s1 AS (
+      SELECT {", ".join(f"{expr} AS {k}" for k, expr in _LR_SUMS.items())}
+      FROM (SELECT f.*, {_LR_P.format(b0="b.b0", b1="b.b1", b2="b.b2")} AS p,
+                   {_LR_P.format(b0="b.b0", b1="b.b1", b2="b.b2")}
+                   * (1.0 - {_LR_P.format(b0="b.b0", b1="b.b1", b2="b.b2")}) AS w
+            FROM feat f CROSS JOIN beta0 b)
+    ),
+    beta1 AS (
+      SELECT b.b0 + {_LR_NUM['b0']} / {_LR_DET} AS b0,
+             b.b1 + {_LR_NUM['b1']} / {_LR_DET} AS b1,
+             b.b2 + {_LR_NUM['b2']} / {_LR_DET} AS b2
+      FROM s1 CROSS JOIN beta0 b
+    ),
+    m1 AS (
+      SELECT CAST(count(*) FILTER (WHERE (p >= 0.5) = (y = 1.0)) AS BIGINT) AS accuracy,
+             round(-avg(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) AS log_loss
+      FROM (SELECT f.y, {_LR_P.format(b0="b.b0", b1="b.b1", b2="b.b2")} AS p
+            FROM feat f CROSS JOIN beta1 b)
+    ),
+    s2 AS (
+      SELECT {", ".join(f"{expr} AS {k}" for k, expr in _LR_SUMS.items())}
+      FROM (SELECT f.*, {_LR_P.format(b0="b.b0", b1="b.b1", b2="b.b2")} AS p,
+                   {_LR_P.format(b0="b.b0", b1="b.b1", b2="b.b2")}
+                   * (1.0 - {_LR_P.format(b0="b.b0", b1="b.b1", b2="b.b2")}) AS w
+            FROM feat f CROSS JOIN beta1 b)
+    ),
+    beta2 AS (
+      SELECT b.b0 + {_LR_NUM['b0']} / {_LR_DET} AS b0,
+             b.b1 + {_LR_NUM['b1']} / {_LR_DET} AS b1,
+             b.b2 + {_LR_NUM['b2']} / {_LR_DET} AS b2
+      FROM s2 CROSS JOIN beta1 b
+    ),
+    m2 AS (
+      SELECT CAST(count(*) FILTER (WHERE (p >= 0.5) = (y = 1.0)) AS BIGINT) AS accuracy,
+             round(-avg(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) AS log_loss
+      FROM (SELECT f.y, {_LR_P.format(b0="b.b0", b1="b.b1", b2="b.b2")} AS p
+            FROM feat f CROSS JOIN beta2 b)
+    )
+    SELECT 1 AS iter, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+           accuracy, log_loss
+    FROM beta1 CROSS JOIN m1
+    UNION ALL
+    SELECT 2 AS iter, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+           accuracy, log_loss
+    FROM beta2 CROSS JOIN m2
+    ORDER BY iter
+    """,
+)
+def ml_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING by Newton-Raphson (IRLS)
+    — the missing twin of corpus_quality_classifier (which only SCORES
+    with fixed weights): two Newton steps on features (1, n_words/100,
+    distinct-word ratio) predicting lang='en', each iteration's
+    coefficients, training accuracy and log-loss emitted and the WHOLE
+    optimization replayed by the oracle (same Cramer-rule 3x3 solve,
+    same literal expression strings — see _det3/_LR_P).
+
+    Scale shape: each Newton step is ONE map-combinable aggregation
+    over the corpus producing the 9 sufficient statistics (upper
+    Hessian triangle + gradient); the 3x3 solve happens in column
+    expressions on that 1-row frame and the updated coefficients attach
+    back as a broadcast — the classic sufficient-statistics pattern
+    that trains GLMs at 100 TB in p passes with O(d^2) state, no
+    driver-side math, no Python."""
+    docs = load_table(spark, "documents", sf_dir)
+    feat = docs.select(
+        "doc_id",
+        F.expr("CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END").alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.expr("size(split(trim(text), '\\\\s+')) / 100.0").alias("x1"),
+        F.expr(
+            "size(array_distinct(split(trim(text), '\\\\s+'))) * 1.0"
+            " / size(split(trim(text), '\\\\s+'))"
+        ).alias("x2"),
+    )
+
+    def newton_step(beta):
+        """One IRLS step: sufficient-statistics aggregate + Cramer solve."""
+        p_expr = _LR_P.format(b0="b0", b1="b1", b2="b2")
+        enriched = feat.crossJoin(F.broadcast(beta)).select(
+            "*",
+            F.expr(p_expr).alias("p"),
+            F.expr(f"{p_expr} * (1.0 - {p_expr})").alias("w"),
+        )
+        sums = enriched.agg(
+            *[F.expr(expr).alias(k) for k, expr in _LR_SUMS.items()]
+        )
+        return sums.crossJoin(F.broadcast(beta)).select(
+            F.expr(f"b0 + {_LR_NUM['b0']} / {_LR_DET}").alias("b0"),
+            F.expr(f"b1 + {_LR_NUM['b1']} / {_LR_DET}").alias("b1"),
+            F.expr(f"b2 + {_LR_NUM['b2']} / {_LR_DET}").alias("b2"),
+        )
+
+    def metrics(beta):
+        p_expr = _LR_P.format(b0="b0", b1="b1", b2="b2")
+        return (
+            feat.crossJoin(F.broadcast(beta))
+            .select("y", F.expr(p_expr).alias("p"))
+            .agg(
+                F.sum(
+                    F.when((F.col("p") >= 0.5) == (F.col("y") == 1.0), 1).otherwise(0)
+                ).alias("accuracy"),
+                F.round(
+                    -F.avg(
+                        F.col("y") * F.log("p")
+                        + (1.0 - F.col("y")) * F.log(F.lit(1.0) - F.col("p"))
+                    ),
+                    6,
+                ).alias("log_loss"),
+            )
+        )
+
+    beta0 = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    beta1 = newton_step(beta0)
+    beta2 = newton_step(beta1)
+    row1 = beta1.crossJoin(metrics(beta1)).select(
+        F.lit(1).alias("iter"),
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        "accuracy",
+        "log_loss",
+    )
+    row2 = beta2.crossJoin(metrics(beta2)).select(
+        F.lit(2).alias("iter"),
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        "accuracy",
+        "log_loss",
+    )
+    return row1.unionByName(row2).orderBy("iter")

@@ -555,3 +555,75 @@ def cusum_stream(df: DataFrame, mu0: int = 300, h: int = 100) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+MOMENTS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s1", T.DoubleType()),
+        T.StructField("s2", T.DoubleType()),
+        T.StructField("s3", T.DoubleType()),
+        T.StructField("s4", T.DoubleType()),
+    ]
+)
+
+MOMENTS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s1", T.DoubleType()),
+        T.StructField("s2", T.DoubleType()),
+        T.StructField("s3", T.DoubleType()),
+        T.StructField("s4", T.DoubleType()),
+    ]
+)
+
+
+def moments_stream(df: DataFrame) -> DataFrame:
+    """Streaming moments sketch: maintain the power sums S0..S4 of
+    value/100 per event type on an unbounded stream — the streaming
+    twin of the batch ``sketch_moments_merge_parity`` query. The state
+    is FIVE numbers per shard (the whole point of the moments sketch:
+    fixed-size, +-mergeable state, so late/out-of-order arrivals just
+    add), and every micro-batch emits the updated snapshot; the final
+    snapshot must equal the batch power sums at the sketch's own
+    rounding contract (4 decimals on the scaled sums — absorbing
+    summation-order drift, pinned in test_streaming). Derived stats
+    (mean/std/skew/kurtosis) follow from the snapshot exactly as in the
+    batch query."""
+    import pandas as pd
+
+    xs = df.select("event_type", (F.col("value") / F.lit(100.0)).alias("x"))
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, s1, s2, s3, s4 = state.get()
+        else:
+            n, s1, s2, s3, s4 = 0, 0.0, 0.0, 0.0, 0.0
+        for pdf in pdfs:
+            if len(pdf):
+                x = pdf["x"]
+                n += int(len(x))
+                s1 += float(x.sum())
+                s2 += float((x * x).sum())
+                s3 += float((x * x * x).sum())
+                s4 += float((x * x * x * x).sum())
+        state.update((n, s1, s2, s3, s4))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "s1": [s1],
+                "s2": [s2],
+                "s3": [s3],
+                "s4": [s4],
+            }
+        )
+
+    return xs.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=MOMENTS_OUTPUT_SCHEMA,
+        stateStructType=MOMENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
