@@ -133,6 +133,11 @@ HEADLINE = [
     "privacy_l_diversity",
     "text_kneser_ney_ppl",
     "ml_logreg_newton",
+    "stats_ks_two_sample",
+    "privacy_t_closeness",
+    "ml_kmeanspp_init",
+    "graph_ktruss",
+    "weather_weibull_wind",
 ]
 
 

@@ -668,3 +668,38 @@ def test_moments_sketch_two_phase_agg_no_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) >= 2
     assert "Join" not in plan
+
+
+def test_ks_window_on_bounded_frame(spark, sf_dir):
+    """The KS cumulative window must run over the value-AGGREGATED
+    frame (domain-bounded), i.e. a HashAggregate sits below the Window,
+    and the totals attach via broadcast — no cartesian."""
+    plan = _formatted_plan(spark, "stats_ks_two_sample", sf_dir)
+    assert "CartesianProduct" not in plan
+    win_ids = [int(m) for m in re.findall(r"^\((\d+)\) Window", plan, re.MULTILINE)]
+    agg_ids = [int(m) for m in re.findall(r"^\((\d+)\) HashAggregate", plan, re.MULTILINE)]
+    assert win_ids and agg_ids
+    # formatted ids are bottom-up: at least one aggregate below the window
+    assert min(agg_ids) < min(win_ids)
+
+
+def test_kmeanspp_broadcasts_centers(spark, sf_dir):
+    """Every d2 pass attaches the bounded center set as a broadcast
+    (BNLJ against 1..l*rounds rows), never a shuffle join keyed on the
+    corpus; the phi scalar attaches the same way."""
+    plan = _formatted_plan(spark, "ml_kmeanspp_init", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_t_closeness_group_partitioned_windows(spark, sf_dir):
+    """t-closeness windows partition by the QI group — no global
+    (empty-partition) window over the grid."""
+    plan = _formatted_plan(spark, "privacy_t_closeness", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # every windowspecdefinition must lead with the QI partition keys
+    # (priority, yr) — a spec starting at the status sort column would
+    # be a global window over the grid
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s.startswith("priority") for s in specs), specs

@@ -208,3 +208,102 @@ def test_logreg_newton_descends_below_chance(spark, sf_dir):
     assert step2 < step1
     n_docs = load_table(spark, "documents", sf_dir).count()
     assert 0 < out.loc[2, "accuracy"] <= n_docs
+
+
+def test_ks_statistic_bounds_and_self_test(spark, sf_dir):
+    """KS stat lies in [0,1]; the self-comparison D(F,F) == 0 is pinned
+    by construction (identical samples give identical CDFs) — here we
+    check the registered query's output contract and that the reject
+    decision matches its own stat/crit columns."""
+    out = SPARK["stats_ks_two_sample"](spark, sf_dir).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert 0.0 <= r["ks_stat"] <= 1.0
+    assert r["crit_05"] > 0
+    assert bool(r["reject_05"]) == (r["ks_stat"] > r["crit_05"]) or abs(
+        r["ks_stat"] - r["crit_05"]
+    ) < 1e-6
+    assert r["n1"] > 0 and r["n2"] > 0
+
+
+def test_t_closeness_bounds(spark, sf_dir):
+    """Ordered EMD with m categories normalized by (m-1) lies in [0,1];
+    a group whose distribution equals the global one scores 0."""
+    out = SPARK["privacy_t_closeness"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["t_emd"] >= 0).all()
+    assert (out["t_emd"] <= 1.0).all()
+    assert (out["k_size"] > 0).all()
+
+
+def test_kmeanspp_rounds_select_far_points(spark, sf_dir):
+    """k-means|| contract: every selected candidate has d2 > 0 (center 0
+    itself can never be selected — its d2 is 0 so its threshold is 0),
+    and round-2 selections are evaluated against the grown center set,
+    so a point selected in round 1 has d2 == 0 in round 2."""
+    out = SPARK["ml_kmeanspp_init"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["d2"] >= 0).all()
+    r1 = set(out[out["round"] == 1]["vec_id"])
+    assert 0 not in r1
+    r2 = out[out["round"] == 2].set_index("vec_id")
+    for vid in r1 & set(r2.index):
+        assert r2.loc[vid, "d2"] == 0.0
+
+
+def test_ktruss_fixpoint_and_support(spark, sf_dir):
+    """One extra peel round changes nothing (fixpoint reached inside
+    _KT_ROUNDS), and every surviving edge has support >= k-2."""
+    from weather_tools_spark.queries.analytics import _sp_edges_df
+    from weather_tools_spark.queries.stats_ext import _KT_K, _KT_ROUNDS
+
+    out = SPARK["graph_ktruss"](spark, sf_dir).toPandas()
+    assert (out["support"] >= _KT_K - 2).all()
+
+    edge_rows = _sp_edges_df(spark, sf_dir).collect()
+    und = set()
+    for r in edge_rows:
+        s, d = int(r.src), int(r.dst)
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+
+    def peel(rounds):
+        e = set(und)
+        for _ in range(rounds):
+            adj = {}
+            for u, v in e:
+                adj.setdefault(u, set()).add(v)
+            e = {(u, v) for u, v in e if len(adj[u] & adj[v]) >= _KT_K - 2}
+        return e
+
+    assert peel(_KT_ROUNDS) == peel(_KT_ROUNDS + 1)
+
+
+def test_weibull_gamma_literal_matches_math_gamma(spark):
+    """The shared Lanczos expression must agree with math.gamma to
+    1e-10 relative over the z range the fit uses (1 < z < 2)."""
+    import math as _m
+
+    from weather_tools_spark.queries.stats_ext import _gamma_expr
+
+    zs = [1.05, 1.2, 1.33, 1.5, 1.71, 1.9, 1.99]
+    exprs = [
+        f"{_gamma_expr(f'cast({z} as double)')} as g{i}" for i, z in enumerate(zs)
+    ]
+    row = spark.range(1).selectExpr(*exprs).first()
+    for i, z in enumerate(zs):
+        got, want = row[f"g{i}"], _m.gamma(z)
+        assert abs(got - want) / want < 1e-10, (z, got, want)
+
+
+def test_weibull_fit_reasonable(spark, sf_dir):
+    """Shape/scale positive; the fitted Weibull's mean c*Gamma(1+1/k)
+    reproduces the sample mean by construction of the estimator."""
+    import math as _m
+
+    out = SPARK["weather_weibull_wind"](spark, sf_dir).toPandas()
+    assert (out["k_shape"] > 0).all()
+    assert (out["c_scale"] > 0).all()
+    for _, r in out.iterrows():
+        assert abs(r["c_scale"] * _m.gamma(1 + 1 / r["k_shape"]) - r["mean_speed"]) < 1e-4

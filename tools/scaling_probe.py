@@ -82,6 +82,11 @@ PROBES = [
     "privacy_l_diversity",
     "text_kneser_ney_ppl",
     "ml_logreg_newton",
+    "stats_ks_two_sample",
+    "privacy_t_closeness",
+    "ml_kmeanspp_init",
+    "graph_ktruss",
+    "weather_weibull_wind",
     # round-6 codec hash-gates
     "grib_jpeg2000_roundtrip_agg",
     "hdf5_dense_roundtrip_agg",
@@ -145,6 +150,19 @@ NOTES = {
         "grows with events/key at larger SFs; partitioned by key, no "
         "global window."
     ),
+    "graph_adamic_adar_linkpred": (
+        "Co-purchase pair expansion: candidate volume is sum over parts of "
+        "C(buyers, 2), which grows super-linearly while buyer counts climb "
+        "toward the 2..20 cap at larger SFs; the cap bounds it at "
+        "C(20,2) x parts — linear beyond that point, same guard as the "
+        "dedup shingle df cap."
+    ),
+    "dedup_containment_pairs": (
+        "Exact-pairs operator: same capped by-shingle expansion cost "
+        "profile as dedup_ngram_jaccard_pairs (bounded by C(20,2) per "
+        "shingle), plus the both-directions explode; pair volume tracks "
+        "true near-dup density at toy SFs."
+    ),
 }
 
 
@@ -165,9 +183,16 @@ def main() -> None:
     from weather_tools_spark.session import get_spark
 
     probes = _all_probes()
-    spark = get_spark("scaling_probe")
     results: dict[str, dict[str, float]] = {}
     for sf in SFS:
+        # FRESH session per scale factor: a single long-lived JVM ages
+        # (code cache, GC pressure, listener state) across the 3 x
+        # len(probes) query loop, inflating whichever SF runs last and
+        # poisoning the cross-SF ratios (measured: trivial single-scan
+        # queries read 5-7x when sf0.1 ran ~250 queries into the
+        # session). Per-SF sessions give every loop the same aging
+        # profile, so position-dependent overhead cancels in the ratio.
+        spark = get_spark("scaling_probe")
         sf_dir = f"/root/testdata/sf{sf}"
         for name in probes:
             best = None
@@ -178,14 +203,23 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
                 release_persisted()
             results.setdefault(name, {})[sf] = round(best, 3)
+        spark.stop()
+        # local-mode JVM needs a fresh context for the next getOrCreate
+        from pyspark import SparkContext
+
+        SparkContext._active_spark_context = None
+
+    from weather_tools_spark.session import default_parallelism
 
     lines = [
         "# SCALING — measured runtime across a 100x data span",
         "",
         "Generated by tools/scaling_probe.py: min-of-2 executions per",
-        "(query, scale factor) on local[{}]. The interesting column is the".format(
-            spark.sparkContext.defaultParallelism
+        "(query, scale factor), FRESH local[{}] session per SF (a shared".format(
+            default_parallelism()
         ),
+        "session ages over the probe loop and inflates whichever SF runs",
+        "last — per-SF sessions make the aging cancel in the ratio).",
         "ratio t(sf0.1)/t(sf0.001) against the 100x data ratio: fixed",
         "per-query overhead (plan compile, job launch) dominates at these",
         "sizes, so a ratio far below 100 means the data-dependent cost is",
@@ -228,7 +262,6 @@ def main() -> None:
     with open(os.path.join(repo, "SCALING.md"), "w") as f:
         f.write("\n".join(lines))
     print(f"SCALING.md written: {len(probes)} probes x {len(SFS)} SFs")
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -132,6 +132,7 @@ def _load_all() -> None:
         pipeline_ops,
         selection,
         sketches,
+        stats_ext,
         similarity,
         text,
         xql_shaped,

@@ -1,0 +1,551 @@
+"""Extended statistics / graph cohesion / privacy / seeding (round 7,
+wave 3).
+
+Five operators closing specific family gaps, each exactly
+oracle-replayable:
+
+- Two-sample Kolmogorov-Smirnov test (the exact-statistic complement
+  of the PSI-bucket drift monitor dq_distribution_drift): D = max
+  |F1 - F2| over the pooled distinct values. Every term is a ratio of
+  integer cumulative counts, so both engines compute IDENTICAL doubles
+  and even the reject flag cannot drift.
+- t-closeness audit (Li et al. 2007) — completes the
+  k-anonymity / l-diversity / t-closeness privacy triad: EMD between
+  each QI group's sensitive-attribute distribution and the global one,
+  over the ordered category scale (normalized cumulative-difference
+  sum). Integer-ratio arithmetic throughout.
+- k-means|| initialization (Bahmani et al., VLDB 2012) — the
+  DISTRIBUTED seeding that replaces k-means++'s k sequential passes:
+  each round computes d²(x) to the current center set (one broadcast
+  join), then oversamples points with probability l·d²(x)/φ using
+  md5-dyadic uniforms, thresholds rounded so the selection set is
+  engine-exact. The oracle replays both rounds as chained CTEs.
+- k-truss decomposition (edge-peeling by triangle support) — the edge
+  analog of graph_kcore, same bounded-summary schedule split: the
+  fact-scale work is the distributed edge aggregation, the peel rounds
+  run on the collected bounded nation-graph summary, and the oracle
+  recomputes every round's support join.
+- Weibull wind-speed fit (Justus 1978 method-of-moments): per-station
+  shape k = (σ/μ)^-1.086 and scale c = μ/Γ(1+1/k), with Γ as a shared
+  Lanczos(g=7) literal expression string evaluated identically by both
+  engines — the resource-assessment statistic every wind climatology
+  computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+_KS_A, _KS_B = "purchase", "click"
+_KS_CRIT = 1.3581015157406195  # c(alpha=0.05) = sqrt(-ln(0.025)/2... spelled
+# as the standard constant; identical literal on both engines.
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH pooled AS (
+      SELECT value AS v,
+             CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    byv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+            FROM pooled GROUP BY v),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2 FROM byv),
+    cum AS (SELECT v,
+                   sum(ca) OVER (ORDER BY v) AS cum1,
+                   sum(cb) OVER (ORDER BY v) AS cum2
+            FROM byv),
+    d AS (SELECT max(abs(cum1 * 1.0 / tot.n1 - cum2 * 1.0 / tot.n2)) AS ks
+          FROM cum, tot)
+    SELECT tot.n1, tot.n2,
+           round(d.ks, 6) AS ks_stat,
+           round({_KS_CRIT!r} * sqrt((tot.n1 + tot.n2) * 1.0 / (tot.n1 * tot.n2)), 6)
+             AS crit_05,
+           CAST(CASE WHEN d.ks > {_KS_CRIT!r} * sqrt((tot.n1 + tot.n2) * 1.0 / (tot.n1 * tot.n2))
+                     THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM d, tot
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS test between the '{a}' and '{b}' value
+    distributions: D = max over pooled distinct values of |F1 − F2|,
+    with the α=0.05 decision at c(α)·sqrt((n1+n2)/(n1·n2)). Every
+    quantity is a ratio of integer cumulative counts over identical
+    value sets, so the two engines produce bit-identical doubles — the
+    reject flag is drift-proof by construction (unlike bucketed PSI,
+    which is the monitoring twin dq_distribution_drift).
+
+    Scale note: the ordered window runs over the VALUE-AGGREGATED
+    frame, whose size is bounded by the value domain (2-decimal values
+    in [0, 500] → ≤ 50k rows regardless of corpus size) — the bounded-
+    contract global window, not a window over raw events.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    pooled = ev.filter(F.col("event_type").isin(_KS_A, _KS_B)).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == _KS_B, 1).otherwise(0).alias("b"),
+    )
+    byv = pooled.groupBy("v").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    tot = byv.agg(F.sum("ca").alias("n1"), F.sum("cb").alias("n2"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byv.select(
+        "v", F.sum("ca").over(w).alias("cum1"), F.sum("cb").over(w).alias("cum2")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("cum1") * F.lit(1.0) / F.col("n1")
+                - F.col("cum2") * F.lit(1.0) / F.col("n2")
+            )
+        ).alias("ks")
+    )
+    crit = F.lit(_KS_CRIT) * F.sqrt(
+        (F.col("n1") + F.col("n2")) * F.lit(1.0) / (F.col("n1") * F.col("n2"))
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.round("ks", 6).alias("ks_stat"),
+        F.round(crit, 6).alias("crit_05"),
+        F.when(F.col("ks") > crit, 1).otherwise(0).cast("int").alias("reject_05"),
+    )
+
+
+stats_ks_two_sample.__doc__ = stats_ks_two_sample.__doc__.format(a=_KS_A, b=_KS_B)
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (ordered EMD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS priority,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    statuses AS (SELECT DISTINCT status FROM ranked),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM statuses),
+    cell AS (SELECT priority, yr, status, CAST(count(*) AS BIGINT) AS cnt
+             FROM ranked GROUP BY 1, 2, 3),
+    g AS (SELECT priority, yr, CAST(sum(cnt) AS BIGINT) AS k_size FROM cell GROUP BY 1, 2),
+    gdist AS (SELECT status, CAST(count(*) AS BIGINT) AS gcnt FROM ranked GROUP BY status),
+    gtot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n FROM gdist),
+    -- dense grid: every (group, status) with zero-filled counts
+    grid AS (
+      SELECT g.priority, g.yr, g.k_size, s.status,
+             coalesce(c.cnt, 0) AS cnt, gdist.gcnt, gtot.n
+      FROM g CROSS JOIN statuses s
+      LEFT JOIN cell c ON c.priority = g.priority AND c.yr = g.yr AND c.status = s.status
+      JOIN gdist ON gdist.status = s.status
+      CROSS JOIN gtot
+    ),
+    cums AS (
+      SELECT priority, yr, k_size, status,
+             sum(cnt * 1.0) OVER (PARTITION BY priority, yr ORDER BY status) / k_size AS cp,
+             sum(gcnt * 1.0) OVER (PARTITION BY priority, yr ORDER BY status) / n AS cq
+      FROM grid
+    )
+    SELECT priority, yr, any_value(k_size) AS k_size,
+           round(sum(abs(cp - cq)) / (m.m - 1), 6) AS t_emd
+    FROM cums, m
+    GROUP BY priority, yr, m.m
+    ORDER BY priority, yr
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007): for each
+    quasi-identifier group (order priority × year), the Earth Mover's
+    Distance between the group's sensitive-attribute (order status)
+    distribution and the GLOBAL distribution, over the ordered category
+    scale — EMD = Σ|cumP − cumQ| / (m−1). Completes the privacy triad
+    with privacy_k_anonymity and privacy_l_diversity. The dense
+    (group × status) grid zero-fills absent cells so cumulative sums
+    align; every probability is a ratio of integer counts, so both
+    engines produce identical doubles. Windows partition by QI group —
+    per-group state is bounded by the category count, never by corpus
+    size."""
+    orders = load_table(spark, "orders", sf_dir)
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    statuses = ranked.select("status").distinct()
+    m = statuses.agg(F.count(F.lit(1)).alias("m"))
+    cell = ranked.groupBy("priority", "yr", "status").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    g = cell.groupBy("priority", "yr").agg(F.sum("cnt").alias("k_size"))
+    glob = ranked.groupBy("status").agg(F.count(F.lit(1)).alias("gcnt"))
+    gtot = glob.agg(F.sum("gcnt").alias("n"))
+    grid = (
+        g.crossJoin(F.broadcast(statuses))
+        .join(cell, ["priority", "yr", "status"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .join(F.broadcast(glob), "status")
+        .crossJoin(F.broadcast(gtot))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("priority", "yr")
+        .orderBy("status")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = grid.select(
+        "priority",
+        "yr",
+        "k_size",
+        "status",
+        (F.sum(F.col("cnt") * F.lit(1.0)).over(w) / F.col("k_size")).alias("cp"),
+        (F.sum(F.col("gcnt") * F.lit(1.0)).over(w) / F.col("n")).alias("cq"),
+    )
+    return (
+        cums.crossJoin(F.broadcast(m))
+        .groupBy("priority", "yr", "m")
+        .agg(
+            F.first("k_size").alias("k_size"),
+            F.round(F.sum(F.abs(F.col("cp") - F.col("cq"))) / (F.col("m") - 1), 6).alias(
+                "t_emd"
+            ),
+        )
+        .select("priority", "yr", "k_size", "t_emd")
+        .orderBy("priority", "yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means|| initialization (Bahmani et al. 2012)
+# ---------------------------------------------------------------------------
+
+_KMPP_L = 4.0  # oversampling factor per round
+_KMPP_ROUNDS = 2
+
+_KMPP_D2 = (
+    "round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as double), (acc, t) -> acc + t), 6)"
+)
+_KMPP_U = (
+    "cast(conv(substr(md5(concat('kmpp{r}:', cast(vec_id as string))), 1, 12),"
+    " 16, 10) as bigint) / cast({den} as double)"
+)
+_KMPP_U_SQL = (
+    "('0x' || substr(md5('kmpp{r}:' || CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT"
+    " / CAST({den} AS DOUBLE)"
+)
+_KMPP_DEN = float(1 << 48)
+
+
+@register(
+    "ml_kmeanspp_init",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id = 0),
+    d1 AS (
+      SELECT e.vec_id,
+             min(round(list_sum(list_transform(range(1, 65),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)) AS d2
+      FROM e, c0 c GROUP BY e.vec_id
+    ),
+    phi1 AS (SELECT sum(d2) AS phi FROM d1),
+    sel1 AS (
+      SELECT d1.vec_id, d1.d2
+      FROM d1, phi1
+      WHERE {_KMPP_U_SQL.format(r=1, den=_KMPP_DEN)}
+            < round({_KMPP_L!r} * d1.d2 / phi1.phi, 9)
+    ),
+    c1 AS (SELECT cid, cv FROM c0
+           UNION ALL
+           SELECT s.vec_id AS cid, e.v AS cv FROM sel1 s JOIN e ON s.vec_id = e.vec_id),
+    d2r AS (
+      SELECT e.vec_id,
+             min(round(list_sum(list_transform(range(1, 65),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)) AS d2
+      FROM e, c1 c GROUP BY e.vec_id
+    ),
+    phi2 AS (SELECT sum(d2) AS phi FROM d2r),
+    sel2 AS (
+      SELECT d2r.vec_id, d2r.d2
+      FROM d2r, phi2
+      WHERE {_KMPP_U_SQL.format(r=2, den=_KMPP_DEN)}
+            < round({_KMPP_L!r} * d2r.d2 / phi2.phi, 9)
+    )
+    SELECT 1 AS round, vec_id, d2 FROM sel1
+    UNION ALL
+    SELECT 2 AS round, vec_id, d2 FROM sel2
+    ORDER BY round, vec_id
+    """,
+)
+def ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| oversampling initialization (Bahmani et al., VLDB'12)
+    — the distributed replacement for k-means++'s k sequential passes:
+    starting from center 0, each of the {rounds} rounds computes every
+    point's distance² to the CURRENT center set (one broadcast join +
+    min; distances rounded at 1e-6 on both engines), sums them to φ,
+    and independently selects each point with probability
+    min(1, l·d²/φ) using a deterministic md5 48-bit dyadic uniform per
+    (round, point). The selection threshold is rounded at 1e-9 so the
+    φ summation-order drift (~1e-15 relative) cannot flip a membership
+    decision. Emitted: each round's selected candidate centers with
+    their selection-time d² — at 100 TB these rounds are the ONLY
+    corpus passes seeding needs (the final weighted re-clustering runs
+    on the ≤ l·rounds bounded candidate set, cf. ml_kmeans_cluster_
+    summary)."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    centers = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    out = []
+    for r in (1, 2):
+        d2 = (
+            emb.crossJoin(F.broadcast(centers))
+            .select("vec_id", "v", F.expr(_KMPP_D2.format(a="v", b="cv")).alias("dd"))
+            .groupBy("vec_id")
+            .agg(F.min("dd").alias("d2"), F.first("v").alias("v"))
+        )
+        phi = d2.agg(F.sum("d2").alias("phi"))
+        u = F.expr(_KMPP_U.format(r=r, den=_KMPP_DEN))
+        sel = (
+            d2.crossJoin(F.broadcast(phi))
+            .filter(u < F.round(F.lit(_KMPP_L) * F.col("d2") / F.col("phi"), 9))
+            .select("vec_id", "d2", "v")
+        )
+        out.append(sel.select(F.lit(r).alias("round"), "vec_id", "d2"))
+        centers = centers.unionByName(
+            sel.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        )
+    return out[0].unionByName(out[1]).orderBy("round", "vec_id")
+
+
+ml_kmeanspp_init.__doc__ = ml_kmeanspp_init.__doc__.format(rounds=_KMPP_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition
+# ---------------------------------------------------------------------------
+
+_KT_K = 4  # keep edges in >= (k-2) = 2 triangles
+_KT_ROUNDS = 4
+
+
+def _ktruss_oracle() -> str:
+    parts = [
+        """
+    und0 AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM e WHERE src <> dst
+      UNION
+      SELECT dst AS u, src AS v FROM e WHERE src <> dst
+    )"""
+    ]
+    for r in range(1, _KT_ROUNDS + 1):
+        prev = f"und{r - 1}"
+        parts.append(f"""
+    sup{r} AS (
+      SELECT ab.u, ab.v, CAST(count(*) AS BIGINT) AS support
+      FROM {prev} ab
+      JOIN {prev} aw ON aw.u = ab.u
+      JOIN {prev} bw ON bw.u = ab.v AND bw.v = aw.v
+      GROUP BY ab.u, ab.v
+    ),
+    und{r} AS MATERIALIZED (
+      SELECT u, v FROM sup{r} WHERE support >= {_KT_K - 2}
+    )""")
+    return ",".join(parts)
+
+
+@register(
+    "graph_ktruss",
+    oracle=None,  # assembled below (needs the shared edge CTE)
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (k = 4): iteratively drop edges in fewer
+    than k−2 = 2 triangles until stable — the EDGE-cohesion analog of
+    graph_kcore, same schedule split: the fact-scale work is the
+    distributed nation-graph edge aggregation (reused from
+    graph_shortest_paths), the peel rounds run on the collected bounded
+    summary (≤ 25 nodes), and the oracle replays every round's
+    support join as chained materialized CTEs. 4 rounds is past the
+    fixpoint on every SF (pytest asserts one extra round changes
+    nothing). Output: surviving canonical edges with final support."""
+    from weather_tools_spark.queries.analytics import _sp_edges_df
+
+    edge_rows = _sp_edges_df(spark, sf_dir).collect()
+    und: set[tuple[int, int]] = set()
+    for row in edge_rows:
+        s, d = int(row.src), int(row.dst)
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    for _ in range(_KT_ROUNDS):
+        adj: dict[int, set[int]] = {}
+        for u, v in und:
+            adj.setdefault(u, set()).add(v)
+        kept: set[tuple[int, int]] = set()
+        for u, v in und:
+            if len(adj[u] & adj[v]) >= _KT_K - 2:
+                kept.add((u, v))
+        und = kept
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+    rows = sorted(
+        (u, v, len(adj[u] & adj[v])) for u, v in und if u < v
+    )
+    return spark.createDataFrame(
+        rows, "u INT, v INT, support BIGINT"
+    ).orderBy("u", "v")
+
+
+# assemble the k-truss oracle with the shared edge CTE from analytics
+def _register_ktruss_oracle() -> None:
+    from weather_tools_spark.queries import ORACLE
+    from weather_tools_spark.queries.analytics import _sp_edges_sql
+
+    ORACLE["graph_ktruss"] = f"""
+    WITH {_sp_edges_sql()},
+    {_ktruss_oracle()}
+    SELECT u, v,
+           CAST((SELECT count(*) FROM und{_KT_ROUNDS} aw
+                 JOIN und{_KT_ROUNDS} bw ON bw.u = f.v AND bw.v = aw.v
+                 WHERE aw.u = f.u) AS BIGINT) AS support
+    FROM und{_KT_ROUNDS} f
+    WHERE u < v
+    ORDER BY u, v
+    """
+
+
+_register_ktruss_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Weibull wind fit
+# ---------------------------------------------------------------------------
+
+# Lanczos g=7 gamma, valid for z > 0.5 (we use z = 1 + 1/k in (1, 2)).
+# Spelled ONCE as a literal expression string shared by both engines so
+# every coefficient and every operation order is identical.
+_LANCZOS_C = [
+    "0.99999999999980993",
+    "676.5203681218851",
+    "-1259.1392167224028",
+    "771.32342877765313",
+    "-176.61502916214059",
+    "12.507343278686905",
+    "-0.13857109526572012",
+    "0.0000099843695780195716",
+    "0.00000015056327351493116",
+]
+
+
+def _gamma_expr(z: str) -> str:
+    a = _LANCZOS_C[0] + " + " + " + ".join(
+        f"({c}) / (({z}) - 1.0 + {i})" for i, c in enumerate(_LANCZOS_C[1:], start=1)
+    )
+    t = f"(({z}) + 6.5)"
+    return (
+        f"(sqrt(2.0 * pi()) * pow({t}, ({z}) - 0.5) * exp(-{t}) * ({a}))"
+    )
+
+
+_WB_K = "pow(sigma / mu, -1.086)"
+_WB_GAMMA = _gamma_expr(f"1.0 + 1.0 / ({_WB_K})")
+
+
+@register(
+    "weather_weibull_wind",
+    oracle=f"""
+    WITH cube AS (
+      SELECT la.i AS station,
+             5.0 * sin(d.i * 0.7 + la.i) + h.i * 0.3 - 2.0 AS u10,
+             4.0 * cos(d.i * 0.9 + h.i * 0.5) + la.i * 0.5 AS v10
+      FROM (SELECT unnest(range(0, 4)) AS i) la,
+           (SELECT unnest(range(0, 24, 4)) AS i) h,
+           (SELECT unnest(range(0, 30)) AS i) d
+    ),
+    sp AS (SELECT station, sqrt(u10 * u10 + v10 * v10) AS s FROM cube),
+    stats AS (
+      SELECT station, CAST(count(*) AS BIGINT) AS n,
+             avg(s) AS mu,
+             sqrt(avg(s * s) - avg(s) * avg(s)) AS sigma
+      FROM sp GROUP BY station
+    )
+    SELECT station, n,
+           round(mu, 6) AS mean_speed,
+           round(sigma, 6) AS std_speed,
+           round({_WB_K}, 6) AS k_shape,
+           round(mu / {_WB_GAMMA}, 6) AS c_scale
+    FROM stats ORDER BY station
+    """,
+)
+def weather_weibull_wind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull wind-speed fit per station (the wind-resource statistic:
+    P(V) ~ (k/c)(V/c)^(k−1) exp(−(V/c)^k)) by the Justus (1978)
+    method-of-moments: shape k = (σ/μ)^−1.086, scale c = μ/Γ(1+1/k),
+    on the same deterministic (u10, v10) wind cube as
+    weather_derived_variables. Γ is a Lanczos(g=7) literal expression
+    shared verbatim with the oracle (_gamma_expr) — no engine gamma()
+    builtin, so no library-version drift. One map-combinable aggregate;
+    σ uses the explicit population form sqrt(E[s²]−E[s]²) spelled
+    identically on both engines rather than builtin stddev semantics."""
+    n_la, hours, n_d = 4, list(range(0, 24, 4)), 30
+    n_h = len(hours)
+    cube = (
+        spark.range(n_la * n_h * n_d)
+        .select(
+            (F.col("id") / (n_h * n_d)).cast("long").alias("station"),
+            ((F.col("id") / n_d) % n_h).cast("long").alias("hi"),
+            (F.col("id") % n_d).alias("doy"),
+        )
+        .select(
+            "station",
+            (
+                5.0 * F.sin(F.col("doy") * 0.7 + F.col("station"))
+                + F.col("hi") * 4 * 0.3
+                - 2.0
+            ).alias("u10"),
+            (
+                4.0 * F.cos(F.col("doy") * 0.9 + F.col("hi") * 4 * 0.5)
+                + F.col("station") * 0.5
+            ).alias("v10"),
+        )
+    )
+    sp = cube.select(
+        "station",
+        F.sqrt(F.col("u10") * F.col("u10") + F.col("v10") * F.col("v10")).alias("s"),
+    )
+    stats = sp.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("s").alias("mu"),
+        F.sqrt(F.avg(F.expr("s * s")) - F.avg("s") * F.avg("s")).alias("sigma"),
+    )
+    return stats.select(
+        "station",
+        "n",
+        F.round("mu", 6).alias("mean_speed"),
+        F.round("sigma", 6).alias("std_speed"),
+        F.round(F.expr(_WB_K), 6).alias("k_shape"),
+        F.round(F.expr(f"mu / {_WB_GAMMA}"), 6).alias("c_scale"),
+    ).orderBy("station")
