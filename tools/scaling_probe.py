@@ -163,6 +163,19 @@ NOTES = {
         "shingle), plus the both-directions explode; pair volume tracks "
         "true near-dup density at toy SFs."
     ),
+    "geo_radius_join_bucketed": (
+        "Result-size bound, not a plan problem: both tables densify in a "
+        "FIXED geography, so the number of true within-radius pairs (the "
+        "query's own output and the per-cell candidate volume) grows "
+        "~quadratically with SF; the bucketed join keeps the candidate "
+        "set proportional to that true match volume."
+    ),
+    "text_bm25_topk": (
+        "Linear token-volume term emerging from under the ~0.5 s fixed "
+        "overhead that dominates sf0.001: corpus tokens explode to one "
+        "row each before the per-term aggregates; 3.5x per 100x data is "
+        "strongly sub-linear, two-phase aggs throughout."
+    ),
 }
 
 
