@@ -138,6 +138,9 @@ HEADLINE = [
     "ml_kmeanspp_init",
     "graph_ktruss",
     "weather_weibull_wind",
+    "stats_mannwhitney_u",
+    "ml_ndcg_ranking_eval",
+    "ml_calibration_report",
 ]
 
 

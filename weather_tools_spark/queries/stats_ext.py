@@ -549,3 +549,318 @@ def weather_weibull_wind(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_WB_K), 6).alias("k_shape"),
         F.round(F.expr(f"mu / {_WB_GAMMA}"), 6).alias("c_scale"),
     ).orderBy("station")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum with tie correction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_mannwhitney_u",
+    oracle=f"""
+    WITH pooled AS (
+      SELECT value AS v,
+             CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    byv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+            FROM pooled GROUP BY v),
+    cum AS (SELECT v, ca, cb, ca + cb AS t,
+                   sum(ca + cb) OVER (ORDER BY v) AS cumt
+            FROM byv),
+    agg AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2,
+             sum(ca * ((cumt - t) + (t + 1) / 2.0)) AS r1,
+             sum(t * t * t - t) AS tie3
+      FROM cum
+    )
+    SELECT n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt((n1 * n2 / 12.0)
+                        * ((n1 + n2 + 1) - tie3 * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+             AS z_score,
+           CAST(CASE WHEN abs((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt((n1 * n2 / 12.0)
+                        * ((n1 + n2 + 1) - tie3 * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0)))))
+                     > 1.959963984540054 THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM agg
+    """,
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (tie-corrected normal
+    approximation) between the same two event-type value samples as the
+    KS test — the nonparametric location-shift complement to KS's
+    any-difference alternative. Average ranks for ties derive from
+    cumulative counts ((cum−t) + (t+1)/2), U₁ = R₁ − n₁(n₁+1)/2, and
+    the tie-corrected variance subtracts Σ(t³−t)/((n)(n−1)). Every
+    input to the z-score is an integer or an exact half-integer, so
+    both engines compute identical doubles and the reject flag is
+    drift-proof. One value-aggregation + the domain-bounded cumulative
+    window (same bounded contract as stats_ks_two_sample)."""
+    ev = load_table(spark, "events", sf_dir)
+    pooled = ev.filter(F.col("event_type").isin(_KS_A, _KS_B)).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == _KS_B, 1).otherwise(0).alias("b"),
+    )
+    byv = pooled.groupBy("v").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byv.select(
+        "v",
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.sum(F.col("ca") + F.col("cb")).over(w).alias("cumt"),
+    )
+    agg = cum.agg(
+        F.sum("ca").alias("n1"),
+        F.sum("cb").alias("n2"),
+        F.sum(
+            F.col("ca") * ((F.col("cumt") - F.col("t")) + (F.col("t") + 1) / 2.0)
+        ).alias("r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    z = (u - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(
+        (F.col("n1") * F.col("n2") / 12.0)
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tie3") * F.lit(1.0)
+            / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - 1.0))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u, 4).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+        F.when(F.abs(z) > 1.959963984540054, 1).otherwise(0).cast("int").alias(
+            "reject_05"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# nDCG ranking evaluation
+# ---------------------------------------------------------------------------
+
+_NDCG_TERMS = ["table", "window", "spark"]
+_NDCG_K = 10
+
+
+@register(
+    "ml_ndcg_ranking_eval",
+    oracle=f"""
+    WITH docs_t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    cand AS (
+      SELECT q.term, d.doc_id,
+             len(list_filter(d.t, x -> x = q.term)) AS tf,
+             len(d.t) AS dl
+      FROM docs_t d, (SELECT unnest(['{_NDCG_TERMS[0]}', '{_NDCG_TERMS[1]}', '{_NDCG_TERMS[2]}']) AS term) q
+      WHERE len(list_filter(d.t, x -> x = q.term)) > 0
+    ),
+    scored AS (
+      SELECT term, doc_id,
+             round(tf * 1.0 / dl, 9) AS score,
+             least(tf, 3) AS rel
+      FROM cand
+    ),
+    ranked AS (
+      SELECT term, doc_id, score, rel,
+             row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rk,
+             row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS irk
+      FROM scored
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           round(sum(CASE WHEN rk <= {_NDCG_K}
+                          THEN (pow(2.0, rel) - 1) / log2(rk + 1.0) ELSE 0 END), 6) AS dcg,
+           round(sum(CASE WHEN irk <= {_NDCG_K}
+                          THEN (pow(2.0, rel) - 1) / log2(irk + 1.0) ELSE 0 END), 6) AS idcg,
+           round(sum(CASE WHEN rk <= {_NDCG_K}
+                          THEN (pow(2.0, rel) - 1) / log2(rk + 1.0) ELSE 0 END)
+                 / sum(CASE WHEN irk <= {_NDCG_K}
+                            THEN (pow(2.0, rel) - 1) / log2(irk + 1.0) ELSE 0 END), 6) AS ndcg
+    FROM ranked
+    GROUP BY term
+    ORDER BY term
+    """,
+)
+def ml_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{k} ranking evaluation — the retrieval-quality metric the
+    registry's classifier_eval (confusion matrices) did not cover: for
+    each query term, rank candidate documents by term-frequency
+    density, grade relevance as min(tf, 3), and score
+    DCG = Σ (2^rel − 1)/log₂(rank+1) against the ideal ordering
+    (rel-desc). Scores are rounded at 1e-9 BEFORE ranking with doc_id
+    tie-breaks, so the permutation is engine-exact; rel and rank are
+    integers, so the DCG terms are identical doubles. Windows partition
+    per query term — at 100 TB this evaluates each query's candidate
+    set independently (the standard offline ranking-eval shape); the
+    per-term candidate explode is one map-side pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    terms = F.array(*[F.lit(t) for t in _NDCG_TERMS])
+    cand = (
+        docs.select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+            F.explode(terms).alias("term"),
+        )
+        .select(
+            "term",
+            "doc_id",
+            F.expr("size(filter(t, x -> x = term))").alias("tf"),
+            F.size("t").alias("dl"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    scored = cand.select(
+        "term",
+        "doc_id",
+        F.round(F.col("tf") * F.lit(1.0) / F.col("dl"), 9).alias("score"),
+        F.least(F.col("tf"), F.lit(3)).alias("rel"),
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("term").orderBy(F.col("score").desc(), "doc_id")
+    wi = Window.partitionBy("term").orderBy(F.col("rel").desc(), "doc_id")
+    ranked = scored.select(
+        "term",
+        "rel",
+        F.row_number().over(wr).alias("rk"),
+        F.row_number().over(wi).alias("irk"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    dcg = F.sum(
+        F.when(F.col("rk") <= _NDCG_K, gain / F.log2(F.col("rk") + 1.0)).otherwise(0.0)
+    )
+    idcg = F.sum(
+        F.when(F.col("irk") <= _NDCG_K, gain / F.log2(F.col("irk") + 1.0)).otherwise(0.0)
+    )
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.round(dcg, 6).alias("dcg"),
+            F.round(idcg, 6).alias("idcg"),
+            F.round(dcg / idcg, 6).alias("ndcg"),
+        )
+        .orderBy("term")
+    )
+
+
+ml_ndcg_ranking_eval.__doc__ = ml_ndcg_ranking_eval.__doc__.format(k=_NDCG_K)
+
+
+# ---------------------------------------------------------------------------
+# Calibration report (reliability bins, ECE, Brier)
+# ---------------------------------------------------------------------------
+
+_CAL_BUCKETS = 4096  # same hashing-trick feature space as corpus_quality_classifier
+
+
+@register(
+    "ml_calibration_report",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang, dl,
+             ((('0x' || substr(md5(term), 1, 8))::BIGINT % {_CAL_BUCKETS})
+               * 2654435761) % 4294967296 / 2147483648.0 - 1.0 AS w
+      FROM tok
+    ), scored AS (
+      SELECT doc_id,
+             CASE WHEN any_value(lang) = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 / (1.0 + exp(-4.0 * sum(w) / any_value(dl))) AS s
+      FROM feats GROUP BY doc_id
+    ), binned AS (
+      SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(s) AS conf, avg(y) AS acc
+      FROM scored GROUP BY 1
+    ), gstats AS (
+      SELECT sum(binned.n) AS nn,
+             sum(binned.n * abs(binned.acc - binned.conf)) AS gapsum
+      FROM binned
+    ), brier AS (
+      SELECT avg((s - y) * (s - y)) AS brier FROM scored
+    )
+    SELECT bin, n, round(conf, 6) AS confidence, round(acc, 6) AS accuracy,
+           round(abs(acc - conf), 6) AS gap,
+           round(gstats.gapsum / gstats.nn, 6) AS ece,
+           round(brier.brier, 6) AS brier
+    FROM binned, gstats, brier
+    ORDER BY bin
+    """,
+)
+def ml_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration report for the hashing-trick quality
+    classifier (same deterministic score as corpus_quality_classifier)
+    against the lang='en' label: 10 reliability bins with per-bin
+    confidence vs accuracy, expected calibration error
+    ECE = Σ (n_b/N)·|acc_b − conf_b|, and the Brier score — the
+    eval stage that decides whether classifier scores can be used as
+    sampling weights or need recalibration. One map-side score pass +
+    a 10-row bin aggregate; the global ECE/Brier attach as broadcast
+    scalars to every bin row."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    bucket = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % _CAL_BUCKETS
+    w = ((bucket * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(2147483648.0) - 1.0
+    scored = (
+        tok.select("doc_id", "lang", "dl", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.when(F.first("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-4.0 * F.sum("w") / F.first("dl")))
+            ).alias("s"),
+        )
+    )
+    binned = (
+        scored.groupBy(
+            F.least(F.floor(F.col("s") * 10).cast("int"), F.lit(9)).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("s").alias("conf"),
+            F.avg("y").alias("acc"),
+        )
+    )
+    glob = binned.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("n") * F.abs(F.col("acc") - F.col("conf"))).alias("gapsum"),
+    )
+    brier = scored.agg(
+        F.avg((F.col("s") - F.col("y")) * (F.col("s") - F.col("y"))).alias("brier")
+    )
+    return (
+        binned.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(brier))
+        .select(
+            "bin",
+            "n",
+            F.round("conf", 6).alias("confidence"),
+            F.round("acc", 6).alias("accuracy"),
+            F.round(F.abs(F.col("acc") - F.col("conf")), 6).alias("gap"),
+            F.round(F.col("gapsum") / F.col("nn"), 6).alias("ece"),
+            F.round("brier", 6).alias("brier"),
+        )
+        .orderBy("bin")
+    )
