@@ -342,3 +342,103 @@ def test_calibration_ece_is_bin_weighted_gap(spark, sf_dir):
     assert 0.0 <= out["brier"].iloc[0] <= 1.0
     confs = list(out.sort_values("bin")["confidence"])
     assert confs == sorted(confs)
+
+
+def test_containment_matches_bruteforce_on_random_corpus(spark):
+    """Randomized cross-check (seeded): the distributed containment
+    operator must agree EXACTLY with a brute-force Python computation
+    of capped-shingle containment on a 30-doc random corpus — pairs,
+    directions, and values."""
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = []
+    for i in range(30):
+        n = rng.randint(6, 30)
+        words = [rng.choice(vocab) for _ in range(n)]
+        docs.append((i, " ".join(words)))
+    # plant a subset pair and an exact copy
+    docs.append((30, docs[0][1]))
+    docs.append((31, " ".join(docs[1][1].split()[:8])))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    n, thr, cap = 3, 0.5, 20
+    sh = {}
+    for did, text in docs:
+        ws = text.split()
+        sh[did] = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+    dfreq = {}
+    for s in sh.values():
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    capped = {d: {g for g in s if dfreq[g] <= cap} for d, s in sh.items()}
+    want = {}
+    for a, sa in capped.items():
+        if not sa:
+            continue
+        for b, sb in capped.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            c = inter / len(sa)
+            if c >= thr:
+                want[(a, b)] = round(c, 9)
+
+    got = {
+        (r.doc_a, r.doc_b): round(r.containment, 9)
+        for r in D.containment_pairs(
+            df, "doc_id", "text", n=n, threshold=thr, max_shingle_df=cap
+        ).collect()
+    }
+    assert got == want
+
+
+def test_paragraph_dupes_brute_force_on_random_corpus(spark):
+    """Randomized cross-check for the paragraph-dedup query logic on a
+    synthetic frame run through the same inline expression: per-doc
+    (n_chunks, n_dup) must match the Python keep-first recompute."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 35)))) for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    occ = df.select(
+        "doc_id",
+        F.expr(
+            "inline(transform(sequence(0, cast(ceil(size(split(text, '\\\\s+')) / 10.0) as int) - 1), "
+            "i -> struct(i as idx, md5(array_join(slice(split(text, '\\\\s+'), i*10+1, 10), ' ')) as h)))"
+        ),
+    ).select("doc_id", (F.col("doc_id") * 1000 + F.col("idx")).alias("k"), "h")
+    firsts = occ.groupBy("h").agg(F.min("k").alias("mk"))
+    out = (
+        occ.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("k") > F.col("mk"), 1).otherwise(0)).alias("n_dup"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    seen = {}
+    want = {}
+    for did, text in rows:
+        ws = text.split()
+        chunks = [" ".join(ws[i : i + 10]) for i in range(0, len(ws), 10)]
+        dup = 0
+        for idx, ch in enumerate(chunks):
+            h = hashlib.md5(ch.encode()).hexdigest()
+            key = did * 1000 + idx
+            if h in seen:
+                dup += 1
+            else:
+                seen[h] = key
+        want[did] = (len(chunks), dup)
+    for did, (nc, nd) in want.items():
+        assert out.loc[did, "n_chunks"] == nc, did
+        assert out.loc[did, "n_dup"] == nd, did
