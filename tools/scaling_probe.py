@@ -179,6 +179,19 @@ NOTES = {
         "row each before the per-term aggregates; 3.5x per 100x data is "
         "strongly sub-linear, two-phase aggs throughout."
     ),
+    "ml_calibration_report": (
+        "Explode-to-tokens scoring pass (one row per corpus token for "
+        "the hashing-trick features) is the dominant linear term "
+        "emerging from under fixed overhead; the bin aggregate itself "
+        "is 10 rows. Same cost family as text_bm25_topk/bigram_counts."
+    ),
+    "multimodal_image_decode_agg": (
+        "Arrow decode kernel cost is linear in image bytes by nature "
+        "(per-pixel BMP parse in the mapInPandas stage); the ratio is "
+        "the linear decode term emerging from under the ~0.5 s fixed "
+        "overhead — strongly sub-linear per 100x data, no shuffle "
+        "pathology (single scan, map-combinable aggregate)."
+    ),
 }
 
 
