@@ -32,6 +32,14 @@ exact DuckDB oracle:
   (common-neighbor scoring with inverse-log weighting).
 - l-diversity audit (privacy): distinct + entropy diversity of the
   sensitive attribute per quasi-identifier group.
+- Interpolated Kneser-Ney bigram perplexity (wave 2): the production
+  upgrade of the add-k CCNet filter; scoring the training corpus keeps
+  every bigram count >= 1 so the max(c-D, 0) branch is exactly
+  relational.
+- Newton/IRLS logistic-regression TRAINING (wave 2): sufficient
+  statistics in one map-combinable aggregate per step, Cramer 3x3
+  solve in column expressions, coefficients broadcast back; the
+  oracle replays both iterations through shared expression strings.
 
 Scale notes: no collect anywhere; small frames (bucket LMs <= 256
 rows, codebooks 64 rows, per-subspace LUTs) attach as broadcasts; the
