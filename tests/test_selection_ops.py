@@ -442,3 +442,48 @@ def test_paragraph_dupes_brute_force_on_random_corpus(spark):
     for did, (nc, nd) in want.items():
         assert out.loc[did, "n_chunks"] == nc, did
         assert out.loc[did, "n_dup"] == nd, did
+
+
+def test_pq_matches_numpy_recompute(spark, sf_dir):
+    """Third-implementation gate for the PQ pipeline: a vectorized
+    numpy recompute of codebook assignment, the ADC lookup table, and
+    the top-10 scan must agree with the Spark query exactly (same
+    1e-6 pre-argmin rounding, same tie-breaks). Spark vs DuckDB vs
+    numpy — three independent implementations, one result."""
+    import numpy as np
+    import pandas as pd
+
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    M, D, K, Q = 4, 16, 16, 7
+    sub = v.reshape(len(v), M, D)
+    cb = sub[:K]  # codeword j = vector j's subvectors
+    # assignment: round distances to 6 BEFORE argmin, tie -> min j
+    codes = np.zeros((len(v), M), dtype=int)
+    for s in range(M):
+        d = ((sub[:, None, s, :] - cb[None, :K, s, :]) ** 2).sum(axis=2)
+        d = np.round(d, 6)
+        codes[:, s] = np.argmin(d, axis=1)  # argmin takes first min = min j
+    qi = int(np.where(ids == Q)[0][0])
+    lut = np.round(((sub[qi][None, None, :, :].transpose(0, 2, 1, 3)[0]
+                     - cb[:, :, :].transpose(1, 0, 2)) ** 2).sum(axis=2), 6)  # (M, K)
+    adc = np.round(lut[np.arange(M)[None, :], codes].sum(axis=1), 6)
+    exact = np.round(((v - v[qi]) ** 2).sum(axis=1), 6)
+    order = sorted(range(len(v)), key=lambda i: (adc[i], ids[i]))[:10]
+    want = pd.DataFrame(
+        {
+            "vec_id": [int(ids[i]) for i in order],
+            "adc_dist2": [float(adc[i]) for i in order],
+            "exact_dist2": [float(exact[i]) for i in order],
+        }
+    )
+    got = SPARK["sim_pq_adc_topk"](spark, sf_dir).toPandas()
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert np.allclose(got["adc_dist2"], want["adc_dist2"], atol=1e-9)
+    assert np.allclose(got["exact_dist2"], want["exact_dist2"], atol=1e-9)
