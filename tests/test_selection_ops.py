@@ -487,3 +487,209 @@ def test_pq_matches_numpy_recompute(spark, sf_dir):
     assert list(got["vec_id"]) == list(want["vec_id"])
     assert np.allclose(got["adc_dist2"], want["adc_dist2"], atol=1e-9)
     assert np.allclose(got["exact_dist2"], want["exact_dist2"], atol=1e-9)
+
+
+def test_dsir_matches_python_recompute(spark, sf_dir):
+    """Third implementation of the DSIR weights: hashlib-md5 bucket
+    LMs + per-doc log-ratio sums in pure Python must reproduce the
+    query's top-25 (ids, langs, word counts, rounded weights)."""
+    import hashlib
+    import math as _m
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text"
+    ).toPandas()
+    n_s: dict[int, int] = {}
+    n_t: dict[int, int] = {}
+    tot_s = tot_t = 0
+    buckets = {}
+    for _, r in docs.iterrows():
+        for w in r["text"].split():
+            b = buckets.get(w)
+            if b is None:
+                b = int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 256
+                buckets[w] = b
+            n_s[b] = n_s.get(b, 0) + 1
+            tot_s += 1
+            if r["lang"] == "de":
+                n_t[b] = n_t.get(b, 0) + 1
+                tot_t += 1
+    lr = {
+        b: _m.log((n_t.get(b, 0) + 0.5) / (tot_t + 128.0))
+        - _m.log((ns + 0.5) / (tot_s + 128.0))
+        for b, ns in n_s.items()
+    }
+    cand = []
+    for _, r in docs[docs["lang"] != "de"].iterrows():
+        ws = r["text"].split()
+        logw = round(sum(lr[buckets[w]] for w in ws), 6)
+        cand.append((logw, r["doc_id"], r["lang"], len(ws)))
+    cand.sort(key=lambda t: (-t[0], t[1]))
+    want = cand[:25]
+    got = SPARK["corpus_dsir_importance"](spark, sf_dir).toPandas()
+    assert [int(x) for x in got["doc_id"]] == [c[1] for c in want]
+    assert [round(float(x), 6) for x in got["dsir_logw"]] == [c[0] for c in want]
+    assert [int(x) for x in got["n_words"]] == [c[3] for c in want]
+
+
+def test_kmeanspp_matches_numpy_recompute(spark, sf_dir):
+    """Third implementation of the k-means|| rounds: numpy distances
+    (rounded pre-min), hashlib-md5 48-bit uniforms, and the rounded
+    l*d2/phi thresholds must reproduce both rounds' selections."""
+    import hashlib
+
+    import numpy as np
+
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    centers = [int(np.where(ids == 0)[0][0])]
+    want = []
+    for rnd in (1, 2):
+        d2 = np.round(
+            ((v[:, None, :] - v[centers][None, :, :]) ** 2).sum(axis=2), 6
+        ).min(axis=1)
+        phi = d2.sum()
+        sel = []
+        for i, vid in enumerate(ids):
+            u = (
+                int(
+                    hashlib.md5(f"kmpp{rnd}:{vid}".encode()).hexdigest()[:12], 16
+                )
+                / float(1 << 48)
+            )
+            if u < round(4.0 * d2[i] / phi, 9):
+                sel.append((int(vid), float(d2[i])))
+                centers.append(i)
+        want.extend((rnd, vid, dd) for vid, dd in sorted(sel))
+    got = SPARK["ml_kmeanspp_init"](spark, sf_dir).toPandas()
+    got_rows = [
+        (int(r["round"]), int(r["vec_id"]), float(r["d2"])) for _, r in got.iterrows()
+    ]
+    assert got_rows == [(r, vi, round(dd, 6)) for r, vi, dd in want]
+
+
+def test_mannwhitney_matches_python_recompute(spark, sf_dir):
+    """Third implementation: average-rank U and tie-corrected z from a
+    plain sorted-list recompute."""
+    import math as _m
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "value")
+        .toPandas()
+    )
+    from collections import Counter
+
+    ca = Counter(ev[ev["event_type"] == "purchase"]["value"])
+    cb = Counter(ev[ev["event_type"] == "click"]["value"])
+    vals = sorted(set(ca) | set(cb))
+    n1, n2 = sum(ca.values()), sum(cb.values())
+    cum = 0
+    r1 = 0.0
+    tie3 = 0
+    for vv in vals:
+        t = ca.get(vv, 0) + cb.get(vv, 0)
+        avg_rank = cum + (t + 1) / 2.0
+        r1 += ca.get(vv, 0) * avg_rank
+        tie3 += t * t * t - t
+        cum += t
+    n = n1 + n2
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    var = (n1 * n2 / 12.0) * ((n + 1) - tie3 / (n * (n - 1.0)))
+    z = (u1 - n1 * n2 / 2.0) / _m.sqrt(var)
+    got = SPARK["stats_mannwhitney_u"](spark, sf_dir).toPandas().iloc[0]
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert abs(got["u_stat"] - round(u1, 4)) < 1e-9
+    assert abs(got["z_score"] - round(z, 6)) < 1e-9
+
+
+def test_adamic_adar_matches_python_recompute(spark, sf_dir):
+    """Third implementation: dict-based AA over the capped co-purchase
+    projection must reproduce the top-20 (pairs, counts, scores)."""
+    import math as _m
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").toPandas()
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey").toPandas()
+    cust_of = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+    buyers: dict[int, set[int]] = {}
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        buyers.setdefault(int(pk), set()).add(int(cust_of[ok]))
+    pair_score: dict[tuple[int, int], float] = {}
+    pair_n: dict[tuple[int, int], int] = {}
+    for pk, cs in buyers.items():
+        nb = len(cs)
+        if not (2 <= nb <= 20):
+            continue
+        w = 1.0 / _m.log(nb)
+        cl = sorted(cs)
+        for i in range(len(cl)):
+            for j in range(i + 1, len(cl)):
+                key = (cl[i], cl[j])
+                pair_score[key] = pair_score.get(key, 0.0) + w
+                pair_n[key] = pair_n.get(key, 0) + 1
+    ranked = sorted(
+        ((round(s, 6), k) for k, s in pair_score.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = SPARK["graph_adamic_adar_linkpred"](spark, sf_dir).toPandas()
+    got_rows = [
+        (float(r["aa_score"]), (int(r["cust_a"]), int(r["cust_b"])), int(r["n_common"]))
+        for _, r in got.iterrows()
+    ]
+    assert got_rows == [(s, k, pair_n[k]) for s, k in ranked]
+
+
+def test_logreg_matches_numpy_recompute(spark, sf_dir):
+    """Third implementation: numpy IRLS (same features, two Newton
+    steps via explicit Cramer solve) must reproduce the coefficients
+    at 1e-6 and the accuracy exactly."""
+    import numpy as np
+
+    docs = load_table(spark, "documents", sf_dir).select("lang", "text").toPandas()
+    ws = docs["text"].str.strip().str.split()
+    n_words = ws.str.len().to_numpy(dtype=float)
+    n_dist = ws.apply(lambda t: len(set(t))).to_numpy(dtype=float)
+    X = np.column_stack([np.ones(len(docs)), n_words / 100.0, n_dist / n_words])
+    y = (docs["lang"] == "en").to_numpy(dtype=float)
+
+    def cramer_solve(H, g):
+        def det3(m):
+            return (
+                m[0, 0] * (m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1])
+                - m[0, 1] * (m[1, 0] * m[2, 2] - m[1, 2] * m[2, 0])
+                + m[0, 2] * (m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0])
+            )
+
+        d = det3(H)
+        out = []
+        for j in range(3):
+            Hj = H.copy()
+            Hj[:, j] = g
+            out.append(det3(Hj) / d)
+        return np.array(out)
+
+    beta = np.zeros(3)
+    results = []
+    for _ in range(2):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        w = p * (1 - p)
+        H = (X * w[:, None]).T @ X
+        g = X.T @ (y - p)
+        beta = beta + cramer_solve(H, g)
+        p2 = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        acc = int(((p2 >= 0.5) == (y == 1.0)).sum())
+        results.append((beta.copy(), acc))
+    got = SPARK["ml_logreg_newton"](spark, sf_dir).toPandas().set_index("iter")
+    for it in (1, 2):
+        b, acc = results[it - 1]
+        for k, col in enumerate(("b0", "b1", "b2")):
+            assert abs(got.loc[it, col] - b[k]) < 1e-5, (it, col)
+        assert got.loc[it, "accuracy"] == acc
