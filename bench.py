@@ -141,6 +141,7 @@ HEADLINE = [
     "stats_mannwhitney_u",
     "ml_ndcg_ranking_eval",
     "ml_calibration_report",
+    "stats_chi2_independence",
 ]
 
 

@@ -693,3 +693,16 @@ def test_logreg_matches_numpy_recompute(spark, sf_dir):
         for k, col in enumerate(("b0", "b1", "b2")):
             assert abs(got.loc[it, col] - b[k]) < 1e-5, (it, col)
         assert got.loc[it, "accuracy"] == acc
+
+
+def test_chi2_independence_bounds(spark, sf_dir):
+    """chi2 >= 0; Cramér's V in [0,1]; dof == (r-1)(c-1); and the
+    identity V == sqrt(chi2/(n*min(r-1,c-1))) holds on the output."""
+    import math as _m
+
+    out = SPARK["stats_chi2_independence"](spark, sf_dir).toPandas().iloc[0]
+    assert out["chi2"] >= 0
+    assert 0.0 <= out["cramers_v"] <= 1.0
+    assert out["dof"] == (out["nr"] - 1) * (out["nc"] - 1)
+    v = _m.sqrt(out["chi2"] / (out["n"] * min(out["nr"] - 1, out["nc"] - 1)))
+    assert abs(v - out["cramers_v"]) < 1e-5

@@ -90,6 +90,7 @@ PROBES = [
     "stats_mannwhitney_u",
     "ml_ndcg_ranking_eval",
     "ml_calibration_report",
+    "stats_chi2_independence",
     # round-6 codec hash-gates
     "grib_jpeg2000_roundtrip_agg",
     "hdf5_dense_roundtrip_agg",

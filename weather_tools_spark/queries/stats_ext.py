@@ -864,3 +864,86 @@ def ml_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS r,
+             CAST(floor(epoch(ts) / 86400.0) AS BIGINT) % 7 AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY r),
+    ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY c),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS nr,
+                    (SELECT CAST(count(*) AS BIGINT) FROM ct) AS nc),
+    terms AS (
+      SELECT (cells.o - rt.rtot * 1.0 * ct.ctot / n.n)
+             * (cells.o - rt.rtot * 1.0 * ct.ctot / n.n)
+             / (rt.rtot * 1.0 * ct.ctot / n.n) AS t
+      FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN n
+    )
+    SELECT n.n, dims.nr, dims.nc,
+           (dims.nr - 1) * (dims.nc - 1) AS dof,
+           round(sum(terms.t), 6) AS chi2,
+           round(sqrt(sum(terms.t) / (n.n * least(dims.nr - 1, dims.nc - 1))), 6)
+             AS cramers_v
+    FROM terms, n, dims
+    GROUP BY n.n, dims.nr, dims.nc
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and
+    day-of-week (epoch-day mod 7 — the engine-neutral weekday, avoiding
+    dayofweek() origin mismatches): observed cell counts vs
+    expected = row_total x col_total / n, χ² = Σ (o−e)²/e, plus
+    Cramér's V = sqrt(χ²/(n·min(r−1, c−1))). Every term is a ratio of
+    integer marginals over identical cells, so both engines compute
+    identical doubles — the same drift-proof contract as the KS and
+    Mann-Whitney tests. Shape: one cell aggregation (bounded by
+    |types| x 7), marginals and totals as broadcast attaches."""
+    ev = load_table(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        F.col("event_type").alias("r"),
+        ((F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long") % 7).alias("c"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("r").agg(F.sum("o").alias("rtot"))
+    ct = cells.groupBy("c").agg(F.sum("o").alias("ctot"))
+    n = cells.agg(F.sum("o").alias("n"))
+    dims = rt.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        F.broadcast(ct.agg(F.count(F.lit(1)).alias("nc")))
+    )
+    e = F.col("rtot") * F.lit(1.0) * F.col("ctot") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(n))
+        .select(((F.col("o") - e) * (F.col("o") - e) / e).alias("t"), "n")
+    )
+    return (
+        terms.groupBy("n")
+        .agg(F.sum("t").alias("chi2_raw"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n",
+            "nr",
+            "nc",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+            F.round("chi2_raw", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
