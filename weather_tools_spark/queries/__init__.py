@@ -31,12 +31,15 @@ ORACLE: dict[str, str] = {}
 # ordering so the new gate actually runs this round even though an old
 # clean verdict exists for the name.
 CHECK_CHANGED: list[str] = [
-    # r5: EMPTY BY DESIGN — registry frozen this round. The r4 list
-    # (all 123 round-4 additions) did its job: r4's driver pass
-    # verified 50 of them. Clearing it lets the 74 entries that still
-    # have no driver verdict form the ENTIRE head of the ordering, so
-    # r5's 50 samples burn the backlog down to ~24 (closed out in r6).
     # Re-add a name here ONLY when its oracle or execution path changes.
+    # r8: two ADVICE.md fixes touched execution paths / oracles:
+    #  - text_kneser_ney_ppl: Spark side gained the size(t)<2 empty-array
+    #    guard (was INVALID_ARRAY_INDEX_IN_ELEMENT_AT on 1-token docs).
+    #  - dedup_paragraph_dupes: first-occurrence key widened to
+    #    doc_id*1e9+idx on BOTH engines (old *1000 collided at >=1000
+    #    chunks/doc).
+    "text_kneser_ney_ppl",
+    "dedup_paragraph_dupes",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -179,7 +179,7 @@ def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                          i -> {'idx': i,
                                'h': md5(array_to_string(list_slice(t, i*10+1, i*10+10), ' '))})) AS u
            FROM toks),
-    occ AS (SELECT doc_id, doc_id * 1000 + u.idx AS k, u.h AS h FROM ch),
+    occ AS (SELECT doc_id, doc_id * 1000000000 + u.idx AS k, u.h AS h FROM ch),
     firsts AS (SELECT h, min(k) AS mk FROM occ GROUP BY h)
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_chunks,
@@ -194,8 +194,8 @@ def dedup_paragraph_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style paragraph dedup report: split every document into
     10-word chunks (the deterministic paragraph stand-in for this
     corpus), hash each chunk, keep only the FIRST occurrence of each
-    hash corpus-wide (ordering key doc_id*1000 + chunk index — chunk
-    counts are < 1000 by construction), and report per-document chunk
+    hash corpus-wide (ordering key doc_id*1e9 + chunk index — collision
+    would need a single ~10-billion-word document), and report per-document chunk
     retention. The first-occurrence rule is a min-aggregation per hash
     + one equi-join back — no window over the corpus, no sort; at
     100 TB this is the paragraph-granularity dedup pass that runs
@@ -210,7 +210,11 @@ def dedup_paragraph_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "md5(array_join(slice(split(text, '\\\\s+'), i*10+1, 10), ' ')) as h)))"
             ),
         )
-        .select("doc_id", (F.col("doc_id") * 1000 + F.col("idx")).alias("k"), "h")
+        .select(
+            "doc_id",
+            (F.col("doc_id") * F.lit(1000000000) + F.col("idx")).alias("k"),
+            "h",
+        )
     )
     firsts = occ.groupBy("h").agg(F.min("k").alias("mk"))
     return (
@@ -632,9 +636,15 @@ def text_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = toks.select(
         "doc_id",
         "source",
+        # Guard: Spark's sequence(1, 0) counts DOWN (yielding [1, 0]), so an
+        # unguarded expansion over a 1-token doc hits element_at(t, 0) and
+        # throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT.  The empty-array branch
+        # matches the DuckDB oracle's range(1, 0), which yields no bigrams.
         F.expr(
-            "explode(transform(sequence(1, size(t) - 1), "
-            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)))"
+            "explode(CASE WHEN size(t) < 2 "
+            "THEN cast(array() AS array<struct<w1: string, w2: string>>) "
+            "ELSE transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) END)"
         ).alias("p"),
     ).select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
