@@ -212,6 +212,23 @@ def main() -> None:
     total = round(sum(timings.values()), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Budget guard (VERDICT r7 task 6): the headline set grows every
+    # round (46.7s → 84.6s total), which erodes the driver's 2× bar by
+    # accretion rather than regression. Gate the per-query MEAN (<1.0s
+    # at sf0.1 — headline queries are sub-second by design; audits live
+    # in AUDIT_ONLY) and a total budget that scales with set size so
+    # adding queries can't hide a per-query regression. Warn-only at
+    # other SFs (the budget is calibrated to sf0.1 on local[32]).
+    if timings and sf_val == 0.1:
+        mean = total / len(timings)
+        if mean >= 1.0 or total >= 150.0:
+            print(
+                f"FATAL: bench budget exceeded: mean {mean:.3f}s/query "
+                f"(gate 1.0s) total {total}s (gate 150s, "
+                f"{len(timings)} queries)",
+                file=sys.stderr,
+            )
+            sys.exit(1)
     # The driver records only the last 2 KB of stdout and parses the
     # FINAL line. At 89+ headline queries the full per-query map is
     # ~2.9 KB — past the tail — which left BENCH_r04 `parsed: null`.

@@ -137,11 +137,20 @@ def test_earthengine_uri_gates_clearly():
         OP.detect("ee://ECMWF/ERA5/HOURLY")
 
 
-def test_stream_ingest_files_decodes_new_weather_files(spark, tmp_path):
+@pytest.mark.parametrize("source", ["files", "notifications"])
+def test_stream_ingest_files_decodes_new_weather_files(spark, tmp_path, source):
     """The reference's streaming mode (Pub/Sub object-finalize → file
     URIs → decode, weather_mv pipeline.py:62-70): files landing in a
     watched directory are decoded per micro-batch through the
-    magic-byte dispatch, exactly once across a checkpointed restart."""
+    magic-byte dispatch, exactly once across a checkpointed restart.
+
+    Parametrized over BOTH event sources (VERDICT r7 task 4): the
+    directory watch (binaryFile) and the Pub/Sub/Kafka-shaped
+    notification bus (JSON object-finalize messages through the shared
+    notification_uris parse plan) — same decode pipeline, same
+    exactly-once restart contract."""
+    import json
+
     import numpy as np
 
     from weather_tools_spark.sources import grib2 as G2
@@ -149,6 +158,24 @@ def test_stream_ingest_files_decodes_new_weather_files(spark, tmp_path):
 
     watch = tmp_path / "incoming"
     watch.mkdir()
+    bus = tmp_path / "bus"
+    bus.mkdir()
+
+    def publish(fname: str) -> None:
+        # one notification message per finalized object, one file per
+        # message batch (mirrors GCS→Pub/Sub granularity)
+        (bus / f"msg-{fname}.jsonl").write_text(
+            json.dumps(
+                {"bucket": str(watch), "name": fname, "eventType": "OBJECT_FINALIZE"}
+            )
+            + "\n"
+        )
+
+    src_kwargs = (
+        {"source": "notifications", "bus_dir": str(bus)}
+        if source == "notifications"
+        else {}
+    )
     lats = np.array([49.0, 48.75])
     lons = np.array([2.0, 2.25, 2.5])
     base = np.arange(6, dtype="f8").reshape(2, 3)
@@ -170,9 +197,11 @@ def test_stream_ingest_files_decodes_new_weather_files(spark, tmp_path):
     def sink(df, batch_id):
         got.extend(df.select("time", "latitude", "longitude", "d2m").collect())
 
+    publish("a.grib2")
+    publish("b.nc")
     q = OP.stream_ingest_files(
         spark, str(watch), ["time", "latitude", "longitude", "d2m"], sink,
-        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_dir=str(tmp_path / "ckpt"), **src_kwargs,
     )
     q.awaitTermination(60)
     assert len(got) == 12  # 6 grid points from each file
@@ -193,9 +222,10 @@ def test_stream_ingest_files_decodes_new_weather_files(spark, tmp_path):
     def sink2(df, batch_id):
         got2.extend(df.collect())
 
+    publish("c.grib2")
     q2 = OP.stream_ingest_files(
         spark, str(watch), ["time", "latitude", "longitude", "d2m"], sink2,
-        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_dir=str(tmp_path / "ckpt"), **src_kwargs,
     )
     q2.awaitTermination(60)
     assert len(got2) == 6

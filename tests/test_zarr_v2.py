@@ -146,10 +146,30 @@ def test_unsupported_compressor_raises(tmp_path):
     blz_hdr = struct.pack("<BBBBiii", 2, 1, 0 << 5, 8, 32, 32, 16 + 4 + 4 + 8)
     with pytest.raises(NotImplementedError, match="blosclz"):
         Z2.blosc_decompress(blz_hdr + b"\x00" * 16)
-    # bit-shuffle filter: gated by flag bit 2
-    bits_hdr = struct.pack("<BBBBiii", 2, 1, (3 << 5) | 0x4, 8, 32, 32, 16 + 16)
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
-        Z2.blosc_decompress(bits_hdr + b"\x00" * 16)
+    # bit-shuffle filter: gated by flag bit 2 UNLESS numcodecs is
+    # installed (optional-library branch; see the paired test below)
+    try:
+        import numcodecs  # noqa: F401
+    except ImportError:
+        bits_hdr = struct.pack("<BBBBiii", 2, 1, (3 << 5) | 0x4, 8, 32, 32, 16 + 16)
+        with pytest.raises(NotImplementedError, match="bit-shuffle"):
+            Z2.blosc_decompress(bits_hdr + b"\x00" * 16)
+
+
+def test_blosc_bitshuffle_decodes_with_numcodecs():
+    """Optional-library branch (VERDICT r7 task 7): when numcodecs is
+    present, a bitshuffle-compressed blosc chunk (numcodecs-encoded, the
+    layout real bitshuffle Zarr stores carry) decodes through
+    blosc_decompress; skipped where the library is absent — the gated
+    error is pinned by test_unsupported_compressor_raises."""
+    numcodecs = pytest.importorskip("numcodecs")
+
+    data = np.arange(4096, dtype="<f8")
+    codec = numcodecs.Blosc(cname="lz4", shuffle=numcodecs.Blosc.BITSHUFFLE)
+    chunk = codec.encode(data)
+    assert chunk[2] & 0x4, "encoder did not set the bit-shuffle flag"
+    got = Z2.blosc_decompress(bytes(chunk))
+    assert got == data.tobytes()
 
 
 def test_blosc_container_roundtrip_layouts():

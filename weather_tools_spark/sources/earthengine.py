@@ -1,0 +1,323 @@
+"""EarthEngine connector — the reference's ``ee://`` open branch
+(xql/src/xql/open.py:85-89: ``ee.Initialize`` + xarray ``engine="ee"``)
+and the asset-ingestion step (weather_mv loader_pipeline/ee.py:854-970:
+COG image manifest → ``image:importExternal``; CSV table →
+``startTableIngestion``), re-expressed for Spark.
+
+The earthengine-api package and live credentials are NOT in this
+container, so the connector is built against a small client protocol
+(:class:`EEClient`) that captures exactly what the real API provides:
+
+- ``get_asset_info(asset_id)``  → bands, grid (origin/pixel/size),
+  time axis (what ``xee`` reads from ImageCollection metadata)
+- ``get_pixels(asset_id, band, t_index, x0, y0, w, h)`` → numpy block
+  (the ``computePixels``-shaped chunked fetch)
+- ``import_image(manifest)`` / ``start_table_ingestion(manifest)``
+  (the two ingestion RPCs the reference issues)
+
+``RealEEClient`` adapts the actual earthengine-api behind an optional
+import and raises the SAME gated ``NotImplementedError`` the opener
+always raised when the package is absent — the error surface is
+unchanged; :class:`FakeEEClient` is the deterministic test double the
+end-to-end tests drive.
+
+Scale shape: the asset's (time × chunk-grid) manifest is a small
+DataFrame; each row becomes one executor-side ``get_pixels`` fetch
+inside ``mapInPandas`` (client built per executor from a picklable
+factory — no driver-side pixel traffic, same topology as the zarr
+chunk scan). At 100 TB this is the standard hypercube ingest plan:
+manifest rows ≈ chunks, partition count follows the manifest, decode
+is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_GATE_MSG = (
+    "ee:// datasets require the earthengine-api client (reference "
+    "branch xql/src/xql/open.py:85-89); install it and pass "
+    "client_factory=RealEEClient — every other opener path is library-free"
+)
+
+
+class EEClient:
+    """Protocol for the EarthEngine surface this connector consumes."""
+
+    def get_asset_info(self, asset_id: str) -> dict:  # pragma: no cover
+        raise NotImplementedError
+
+    def get_pixels(
+        self, asset_id: str, band: str, t_index: int, x0: int, y0: int, w: int, h: int
+    ) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError
+
+    def import_image(self, manifest: dict) -> str:  # pragma: no cover
+        raise NotImplementedError
+
+    def start_table_ingestion(self, manifest: dict) -> str:  # pragma: no cover
+        raise NotImplementedError
+
+
+class RealEEClient(EEClient):
+    """Adapter over the actual earthengine-api, optional-imported.
+
+    Instantiation initializes the high-volume endpoint exactly like the
+    reference (open.py:87 ``opt_url='https://earthengine-highvolume.
+    googleapis.com'``). Kept thin: each method maps 1:1 to an ee.data /
+    session call; untestable in this container, so the body stays an
+    import + dispatch with no logic to get wrong.
+    """
+
+    def __init__(self) -> None:
+        try:
+            import ee  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(_GATE_MSG) from exc
+        import ee
+
+        ee.Initialize(opt_url="https://earthengine-highvolume.googleapis.com")
+        self._ee = ee
+
+    def get_asset_info(self, asset_id: str) -> dict:
+        return self._ee.data.getAsset(asset_id)
+
+    def get_pixels(self, asset_id, band, t_index, x0, y0, w, h):
+        return self._ee.data.computePixels(
+            {
+                "expression": self._ee.Image(f"{asset_id}/{t_index}").select(band),
+                "fileFormat": "NUMPY_NDARRAY",
+                "grid": {
+                    "dimensions": {"width": w, "height": h},
+                    "affineTransform": {"translateX": x0, "translateY": y0},
+                },
+            }
+        )
+
+    def import_image(self, manifest: dict) -> str:
+        # reference ee.py:905-918: image:importExternal with an
+        # imageManifest payload; ee.data.startIngestion is the client
+        # wrapper for the same RPC family
+        task_id = self._ee.data.newTaskId(1)[0]
+        self._ee.data.startIngestion(task_id, manifest)
+        return manifest["name"]
+
+    def start_table_ingestion(self, manifest: dict) -> str:
+        task_id = self._ee.data.newTaskId(1)[0]
+        self._ee.data.startTableIngestion(task_id, manifest)
+        return manifest["name"]
+
+
+class FakeEEClient(EEClient):
+    """Deterministic in-memory EarthEngine double for tests.
+
+    Pixel values are a pure function of (band, time, y, x) so any chunk
+    tiling reassembles the identical hypercube; ingestion records the
+    manifests it receives (the assertions' audit log).
+    """
+
+    def __init__(
+        self,
+        n_time: int = 2,
+        height: int = 5,
+        width: int = 6,
+        bands: tuple[str, ...] = ("t2m", "tp"),
+        origin: tuple[float, float] = (10.0, 50.0),
+        pixel: tuple[float, float] = (0.25, -0.25),
+        t0: int = 1_700_000_000,
+    ) -> None:
+        self.n_time, self.height, self.width = n_time, height, width
+        self.bands, self.origin, self.pixel, self.t0 = bands, origin, pixel, t0
+        self.ingested: list[dict] = []
+
+    def get_asset_info(self, asset_id: str) -> dict:
+        return {
+            "id": asset_id,
+            "bands": list(self.bands),
+            "grid": {
+                "origin": list(self.origin),
+                "pixel": list(self.pixel),
+                "width": self.width,
+                "height": self.height,
+            },
+            "times": [self.t0 + 3600 * i for i in range(self.n_time)],
+        }
+
+    def get_pixels(self, asset_id, band, t_index, x0, y0, w, h):
+        bi = list(self.bands).index(band)
+        yy, xx = np.mgrid[y0 : y0 + h, x0 : x0 + w]
+        return (100.0 * bi + 10.0 * t_index + yy + 0.01 * xx).astype(np.float64)
+
+    def import_image(self, manifest: dict) -> str:
+        self.ingested.append({"type": "IMAGE", "manifest": manifest})
+        return manifest["name"]
+
+    def start_table_ingestion(self, manifest: dict) -> str:
+        self.ingested.append({"type": "TABLE", "manifest": manifest})
+        return manifest["name"]
+
+
+def chunk_manifest(info: dict, chunk: int = 256) -> pd.DataFrame:
+    """Asset metadata → chunk manifest: one row per (time, band, tile).
+    The xee engine does the same tiling driver-side; here the manifest
+    IS the parallelism unit, so chunk count ≈ task count."""
+    rows = []
+    for ti in range(len(info["times"])):
+        for band in info["bands"]:
+            for y0 in range(0, info["grid"]["height"], chunk):
+                for x0 in range(0, info["grid"]["width"], chunk):
+                    rows.append(
+                        {
+                            "asset_id": info["id"],
+                            "band": band,
+                            "t_index": ti,
+                            "t_epoch": info["times"][ti],
+                            "x0": x0,
+                            "y0": y0,
+                            "w": min(chunk, info["grid"]["width"] - x0),
+                            "h": min(chunk, info["grid"]["height"] - y0),
+                        }
+                    )
+    return pd.DataFrame(rows)
+
+
+def open_ee(
+    spark: SparkSession,
+    uri: str,
+    client_factory: Callable[[], EEClient] | None = None,
+    chunk: int = 256,
+) -> DataFrame:
+    """Open an ``ee://`` asset as a long-format DataFrame
+    (time, latitude, longitude, band, value) — the Spark analog of the
+    reference's ``xr.open_dataset(uri, engine='ee')``.
+
+    ``client_factory`` must be PICKLABLE (a class or top-level
+    function): it is shipped to executors and each decode task builds
+    its own client, so pixel traffic never routes through the driver.
+    Default is :class:`RealEEClient`, which gates cleanly when the
+    earthengine-api package is absent.
+    """
+    factory = client_factory or RealEEClient
+    asset_id = uri[len("ee://") :] if uri.startswith("ee://") else uri
+    info = factory().get_asset_info(asset_id)
+    manifest = chunk_manifest(info, chunk=chunk)
+    ox, oy = info["grid"]["origin"]
+    px, py = info["grid"]["pixel"]
+    mdf = spark.createDataFrame(manifest).repartition(
+        max(1, min(len(manifest), spark.sparkContext.defaultParallelism))
+    )
+
+    def gen(batches):
+        client = factory()
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                block = client.get_pixels(
+                    r.asset_id, r.band, int(r.t_index), int(r.x0), int(r.y0),
+                    int(r.w), int(r.h),
+                )
+                yy, xx = np.mgrid[r.y0 : r.y0 + r.h, r.x0 : r.x0 + r.w]
+                yield pd.DataFrame(
+                    {
+                        "time": pd.Timestamp(int(r.t_epoch), unit="s"),
+                        "latitude": oy + py * yy.ravel(),
+                        "longitude": ox + px * xx.ravel(),
+                        "band": r.band,
+                        "value": block.ravel().astype(np.float64),
+                    }
+                )
+
+    return mdf.mapInPandas(
+        gen,
+        "time timestamp, latitude double, longitude double, band string, value double",
+    )
+
+
+@dataclass
+class AssetData:
+    """Reference ee.py AssetData: what one ingestion needs to know."""
+
+    name: str
+    target_path: str
+    start_time: str | None = None
+    end_time: str | None = None
+    properties: dict = field(default_factory=dict)
+
+
+def ingest_image_asset(
+    client: EEClient, ee_asset: str, asset: AssetData, virtual: bool = False
+) -> str:
+    """COG-backed IMAGE ingestion (reference ee.py:854-918): build the
+    imageManifest payload — name, single tileset pointing at the COG
+    URI, time bounds, properties — and issue the import. The COG itself
+    comes from geotiff.write_cog (sinks §2.1)."""
+    manifest = {
+        "name": f"{ee_asset.rstrip('/')}/{asset.name}",
+        "tilesets": [{"id": "0", "sources": [{"uris": [asset.target_path]}]}],
+        "startTime": asset.start_time,
+        "endTime": asset.end_time,
+        "properties": dict(asset.properties),
+        "mode": "VIRTUAL" if virtual else "EXTERNAL",
+    }
+    # the reference json-serializes the manifest for the RPC body; do
+    # the same round-trip so non-serializable properties fail HERE, not
+    # inside a retry loop
+    json.dumps(manifest)
+    return client.import_image(manifest)
+
+
+def ingest_table_asset(client: EEClient, ee_asset: str, asset: AssetData) -> str:
+    """CSV-backed TABLE ingestion (reference ee.py:920-940)."""
+    manifest = {
+        "name": f"{ee_asset.rstrip('/')}/{asset.name}",
+        "sources": [{"uris": [asset.target_path]}],
+        "properties": dict(asset.properties),
+    }
+    json.dumps(manifest)
+    return client.start_table_ingestion(manifest)
+
+
+def to_cog_then_ingest(
+    df: DataFrame,
+    band: str,
+    out_path: str,
+    client: EEClient,
+    ee_asset: str,
+    asset_name: str,
+) -> str:
+    """The reference's convert→upload→register chain (ee.py
+    ConvertToAsset + IngestIntoEE): pivot one band of the long-format
+    frame to a dense grid, write it as a COG, ingest as an IMAGE."""
+    from .geotiff import write_cog
+
+    pdf = (
+        df.filter(F.col("band") == band)
+        .groupBy("latitude")
+        .pivot("longitude")
+        .agg(F.first("value"))
+        .orderBy(F.col("latitude").desc())
+        .toPandas()
+        .set_index("latitude")
+    )
+    pdf = pdf[sorted(pdf.columns, key=float)]
+    lats = pdf.index.to_numpy(dtype=np.float64)
+    lons = np.array([float(c) for c in pdf.columns])
+    arr = pdf.to_numpy(dtype=np.float64)
+    write_cog(
+        out_path,
+        arr,
+        origin=(float(lons[0]), float(lats[0])),
+        pixel=(
+            float(lons[1] - lons[0]) if len(lons) > 1 else 1.0,
+            float(lats[1] - lats[0]) if len(lats) > 1 else -1.0,
+        ),
+    )
+    return ingest_image_asset(
+        client, ee_asset, AssetData(name=asset_name, target_path=out_path)
+    )

@@ -48,14 +48,20 @@ def detect(uri: str) -> str:
 
     if uri.startswith("ee://"):
         # the reference's EarthEngine branch (xql/src/xql/open.py:85-89)
-        # initializes the EE client; that connector needs the
-        # earthengine-api package and live credentials — a clean gate,
-        # not silent misdetection.
-        raise NotImplementedError(
-            "ee:// datasets require the earthengine-api client (reference "
-            "branch xql/src/xql/open.py:85-89); install it and extend "
-            "DECODERS — every other opener path is library-free"
-        )
+        # initializes the EE client; the connector (sources/earthengine.py)
+        # is implemented against the client protocol, but the REAL client
+        # needs the earthengine-api package and live credentials — a
+        # clean gate when absent, not silent misdetection.
+        try:
+            import ee  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "ee:// datasets require the earthengine-api client (reference "
+                "branch xql/src/xql/open.py:85-89); install it, or pass an "
+                "EEClient factory to open_dataset(client_factory=...) — every "
+                "other opener path is library-free"
+            ) from None
+        return "ee"
     if os.path.isdir(uri) and (
         os.path.exists(os.path.join(uri, ZMETADATA))
         or os.path.exists(os.path.join(uri, "zarr.json"))  # v3 store
@@ -108,6 +114,7 @@ def open_dataset(
     lat_range: tuple[float, float] | None = None,
     lon_range: tuple[float, float] | None = None,
     view: str | None = None,
+    client_factory=None,
 ) -> DataFrame:
     """Open any supported store/file as a long-format DataFrame;
     optionally register it as a temp view for the SQL surface. Range
@@ -116,8 +123,32 @@ def open_dataset(
 
     ``uri`` may be a glob (``.../era5-*.grib2``): every match must be
     the same format; one executor task decodes each whole file — the
-    reference's multi-file collection ingest (beam.Create(uris))."""
+    reference's multi-file collection ingest (beam.Create(uris)).
+
+    ``ee://`` URIs route to the EarthEngine connector
+    (sources/earthengine.py). ``client_factory`` (picklable EEClient
+    factory) overrides the real client — tests inject FakeEEClient;
+    without it, the real client import gates cleanly."""
     import glob as _glob
+
+    if uri.startswith("ee://"):
+        from .earthengine import open_ee
+
+        if client_factory is None:
+            detect(uri)  # gate with the canonical message if no ee pkg
+        df = open_ee(spark, uri, client_factory=client_factory)
+        if time_range is not None:
+            df = df.filter(
+                (F.col("time") >= F.lit(time_range[0]).cast("timestamp"))
+                & (F.col("time") < F.lit(time_range[1]).cast("timestamp"))
+            )
+        if lat_range is not None:
+            df = df.filter(F.col("latitude").between(*lat_range))
+        if lon_range is not None:
+            df = df.filter(F.col("longitude").between(*lon_range))
+        if view is not None:
+            df.createOrReplaceTempView(view)
+        return df
 
     uris = sorted(_glob.glob(uri)) if any(ch in uri for ch in "*?[") else [uri]
     if not uris:
@@ -175,6 +206,46 @@ def open_dataset(
     return df
 
 
+def notification_uris(values: "DataFrame") -> "DataFrame":
+    """Shared notification-parse plan: a ``value`` STRING column of
+    object-finalize JSON payloads → one ``path`` URI column.
+
+    This is the deploy-time-switch half of the Pub/Sub/Kafka ingest
+    story (reference weather_mv streaming.py:72-121): the SAME plan
+    runs downstream of
+
+    - the real Kafka source::
+
+        spark.readStream.format("kafka")
+             .option("kafka.bootstrap.servers", ...)
+             .option("subscribe", topic).load()
+             .selectExpr("CAST(value AS STRING) AS value")
+
+    - the file-backed bus stand-in (``readStream.text`` yields the
+      identical single ``value`` string column), which is what the
+      test harness drives — no broker in the container.
+
+    Payload contract mirrors a GCS OBJECT_FINALIZE notification:
+    ``{"bucket": <dir-or-bucket>, "name": <object>, "eventType": ...}``.
+    Messages with a non-finalize eventType are dropped; a missing
+    eventType passes (bare {bucket,name} notifications).
+    """
+    j = F.from_json(
+        F.col("value"), "bucket string, name string, eventType string"
+    )
+    return (
+        values.select(j.alias("n"))
+        .filter(
+            F.col("n.name").isNotNull()
+            & (
+                F.col("n.eventType").isNull()
+                | (F.col("n.eventType") == "OBJECT_FINALIZE")
+            )
+        )
+        .select(F.concat_ws("/", F.col("n.bucket"), F.col("n.name")).alias("path"))
+    )
+
+
 def stream_ingest_files(
     spark: SparkSession,
     watch_dir: str,
@@ -184,6 +255,8 @@ def stream_ingest_files(
     max_files_per_trigger: int = 4,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    source: str = "files",
+    bus_dir: str | None = None,
 ):
     """Streaming weather-file ingest — the reference's streaming mode
     (weather_mv loader_pipeline/pipeline.py:62-70: Pub/Sub
@@ -207,14 +280,35 @@ def stream_ingest_files(
     """
     from .hypercube import IngestOptions, decode_auto
 
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema("path string, modificationTime timestamp, length long, content binary")
-        .option("pathGlobFilter", pattern)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(watch_dir)
-        .select("path")
-    )
+    if source == "files":
+        files = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, length long, content binary"
+            )
+            .option("pathGlobFilter", pattern)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(watch_dir)
+            .select("path")
+        )
+    elif source == "notifications":
+        # Pub/Sub/Kafka-shaped ingest: the event source is a message bus
+        # of object-finalize notifications, not a directory listing. The
+        # bus stand-in is a text stream (one JSON payload per line) with
+        # the SAME single `value` string column a Kafka source exposes
+        # after CAST(value AS STRING); notification_uris is the shared
+        # downstream plan, so the real-broker deployment is exactly the
+        # reader swap documented there. Checkpointed offsets give the
+        # same exactly-once notification accounting as the file source.
+        if bus_dir is None:
+            raise ValueError("source='notifications' requires bus_dir")
+        values = (
+            spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+            .text(bus_dir)
+        )
+        files = notification_uris(values)
+    else:
+        raise ValueError(f"unknown stream source {source!r} (files|notifications)")
     schema = ", ".join(
         f"`{c}` {'timestamp' if c == 'time' else 'double'}" for c in columns
     )

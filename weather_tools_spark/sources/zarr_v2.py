@@ -276,10 +276,21 @@ def blosc_decompress(chunk: bytes) -> bytes:
     if flags & _BLOSC_FLAG_MEMCPY:
         return bytes(chunk[16 : 16 + nbytes])
     if flags & _BLOSC_FLAG_BIT_SHUFFLE:
-        raise NotImplementedError(
-            "blosc bit-shuffle filter needs the bitshuffle/c-blosc library; "
-            "only the byte-shuffle and no-shuffle filters are stdlib-decodable"
-        )
+        # Bit-transpose is not reproducible from public docs alone with
+        # confidence (c-blosc delegates to the bitshuffle library's SSE/
+        # AVX kernels whose scalar fallback has subtle padding rules), so
+        # the stdlib path stays gated — but when numcodecs IS installed
+        # its c-blosc binding decodes the whole container, bitshuffle
+        # included. Optional-import branch, same pattern as RealEEClient.
+        try:
+            import numcodecs
+        except ImportError:
+            raise NotImplementedError(
+                "blosc bit-shuffle filter needs the bitshuffle/c-blosc "
+                "library (pip install numcodecs); only the byte-shuffle and "
+                "no-shuffle filters are stdlib-decodable"
+            ) from None
+        return bytes(numcodecs.Blosc().decode(bytes(chunk)))[:nbytes]
     codec = _BLOSC_CODEC_NAMES.get((flags >> 5) & 0x7, f"code{(flags >> 5) & 0x7}")
     if codec not in ("zlib", "lz4", "snappy", "zstd"):
         raise NotImplementedError(

@@ -104,6 +104,50 @@ def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def read_event_stream_bus(
+    spark: SparkSession, bus_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Events arriving over a MESSAGE BUS instead of parquet files —
+    the Kafka half of the deploy-time source switch (reference
+    streaming.py:72-121 subscribes Pub/Sub; on Spark the equivalent is
+    the Kafka source). Each message's ``value`` is one JSON-encoded
+    event; ``ts_us`` carries event time as epoch MICROseconds (the
+    wire-friendly integer form).
+
+    The parse plan below runs unchanged on the real broker::
+
+        spark.readStream.format("kafka")
+             .option("kafka.bootstrap.servers", ...)
+             .option("subscribe", topic).load()
+             .selectExpr("CAST(value AS STRING) AS value")
+
+    The container has no broker, so the bus stand-in is a checkpointable
+    text stream over ``bus_dir`` (one message per line) exposing the
+    IDENTICAL single ``value`` string column — swapping in the snippet
+    above is the whole deployment change. Output schema matches
+    :func:`read_event_stream` exactly, so every downstream transform
+    (windows, sessionization, stateful ops) is source-agnostic —
+    pinned by the second-source parametrization in test_streaming.
+    """
+    values = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(bus_dir)
+    )
+    j = F.from_json(
+        F.col("value"),
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    return values.select(j.alias("j")).select(
+        F.col("j.event_id").alias("event_id"),
+        F.timestamp_micros(F.col("j.ts_us")).alias("ts"),
+        F.col("j.user_id").alias("user_id"),
+        F.col("j.event_type").alias("event_type"),
+        F.col("j.value").alias("value"),
+        F.col("j.props").alias("props"),
+    )
+
+
 def with_import_time(df: DataFrame) -> DataFrame:
     """Streaming-mode import time: recomputed per element at processing
     time (bq.py:325-327 semantics)."""
