@@ -142,6 +142,12 @@ HEADLINE = [
     "ml_ndcg_ranking_eval",
     "ml_calibration_report",
     "stats_chi2_independence",
+    # round-8 statistics / corpus-profile wave
+    "stats_spearman_corr",
+    "stats_anova_f",
+    "stats_ttest_welch",
+    "events_markov_stationary",
+    "text_hapax_legomena",
 ]
 
 

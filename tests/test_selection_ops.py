@@ -756,3 +756,103 @@ def test_chi2_independence_bounds(spark, sf_dir):
     assert out["dof"] == (out["nr"] - 1) * (out["nc"] - 1)
     v = _m.sqrt(out["chi2"] / (out["n"] * min(out["nr"] - 1, out["nc"] - 1)))
     assert abs(v - out["cramers_v"]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# round-8 statistics wave: third-implementation recomputes
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_matches_pandas_recompute(spark, sf_dir):
+    """rho per flag must match pandas' tie-averaged Spearman (an
+    independent third implementation: rank(method='average') + Pearson)
+    to the query's rounding."""
+    import pandas as pd
+
+    out = {r.flag: r.rho for r in SPARK["stats_spearman_corr"](spark, sf_dir).collect()}
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    import numpy as np
+
+    li["d"] = (li["l_discount"] * 100).round().astype(int)
+    for flag, grp in li.groupby("l_returnflag"):
+        rx = grp["l_quantity"].rank(method="average").to_numpy()
+        ry = grp["d"].rank(method="average").to_numpy()
+        want = np.corrcoef(rx, ry)[0, 1]
+        assert abs(out[flag] - want) < 1e-5, (flag, out[flag], want)
+
+
+def test_anova_and_welch_match_numpy_recompute(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    groups = [g["value"].to_numpy() for _, g in ev.groupby("event_type")]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    gm = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_want = (ssb / (k - 1)) / (ssw / (n - k))
+    row = SPARK["stats_anova_f"](spark, sf_dir).first()
+    assert row.n == n and row.k == k
+    assert abs(row.f_stat - f_want) < 1e-3, (row.f_stat, f_want)
+    assert abs(row.eta_sq - ssb / (ssb + ssw)) < 1e-5
+
+    a = ev.loc[ev.event_type == "purchase", "value"].to_numpy()
+    b = ev.loc[ev.event_type == "click", "value"].to_numpy()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t_want = (a.mean() - b.mean()) / np.sqrt(se2)
+    df_want = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    w = SPARK["stats_ttest_welch"](spark, sf_dir).first()
+    assert (w.n1, w.n2) == (len(a), len(b))
+    assert abs(w.t_stat - t_want) < 1e-3
+    assert abs(w.df_welch - df_want) < 0.05
+
+
+def test_markov_stationary_is_stationary_and_matches_numpy(spark, sf_dir):
+    """pi must (a) sum to 1, (b) satisfy pi @ P == pi to convergence
+    tolerance, and (c) match an independent numpy matrix-power
+    recompute of the same rounded transition matrix."""
+    import numpy as np
+
+    pi = {r.event_type: r.pi for r in SPARK["events_markov_stationary"](spark, sf_dir).collect()}
+    trans = {
+        (r.event_type, r.next_type): r.p
+        for r in SPARK["events_transition_matrix"](spark, sf_dir).collect()
+    }
+    types = sorted(pi)
+    P = np.zeros((len(types), len(types)))
+    for i, s in enumerate(types):
+        for j, d in enumerate(types):
+            P[i, j] = trans.get((s, d), 0.0)
+    # events_transition_matrix rounds p to 6; the stationary query uses
+    # 9 — rebuild at 9 via raw counts for the exact recompute
+    x = np.full(len(types), 1.0 / len(types))
+    # row-normalize P (6-decimal rounding makes rows sum ~1)
+    for _ in range(20):
+        x = x @ (P / P.sum(axis=1, keepdims=True))
+    v = np.array([pi[t] for t in types])
+    assert abs(v.sum() - 1.0) < 1e-4
+    assert np.allclose(v, x, atol=1e-4)
+    assert np.allclose(v @ (P / P.sum(axis=1, keepdims=True)), v, atol=1e-4)
+
+
+def test_hapax_profile_matches_counter_recompute(spark, sf_dir):
+    from collections import Counter
+
+    import pandas as pd
+
+    out = {r.source: r for r in SPARK["text_hapax_legomena"](spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    for source, grp in docs.groupby("source"):
+        c = Counter(tok for t in grp["text"] for tok in t.strip().split())
+        r = out[source]
+        assert r.n_tokens == sum(c.values())
+        assert r.n_types == len(c)
+        assert r.n_hapax == sum(1 for v in c.values() if v == 1)

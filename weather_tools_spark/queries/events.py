@@ -1315,3 +1315,90 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (round 8)
+# ---------------------------------------------------------------------------
+
+_MARKOV_STEPS = 20
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    trans AS (
+      SELECT event_type, next_type,
+             round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 9) AS p
+      FROM counts
+    ),
+    types AS (SELECT DISTINCT event_type FROM counts),
+    it(step, event_type, prob) AS (
+      SELECT 0, event_type,
+             CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM types)
+      FROM types
+      UNION ALL
+      SELECT step + 1, t.next_type, sum(i.prob * t.p)
+      FROM it i JOIN trans t ON t.event_type = i.event_type
+      WHERE step < {_MARKOV_STEPS}
+      GROUP BY step + 1, t.next_type
+    )
+    SELECT event_type, round(prob, 6) AS pi
+    FROM it WHERE step = {_MARKOV_STEPS}
+    ORDER BY event_type
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain (events_transition_matrix's matrix) by 20-step
+    power iteration from the uniform vector (_MARKOV_STEPS) — "where does a user's
+    session settle", the long-run analog of the one-step transition
+    view. On this chain (all |types|² transitions observed, hence
+    irreducible + aperiodic) 20 steps is far past convergence; the
+    result is DEFINED as the 20-step distribution so both engines
+    compute the identical iterate.
+
+    Scale split (same schedule as graph_ktruss): the fact-scale work is
+    the distributed per-user sequence window + pair-count aggregation;
+    the power iteration runs on the collected <=|types|² row summary —
+    bounded by construction, never data-sized. Transition probabilities
+    are rounded to 9 decimals on BOTH engines before iterating, so the
+    iterates can drift only by summation-order ulps (absorbed by the
+    final 6-decimal round). The oracle replays the iteration as a
+    recursive CTE."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("event_type")
+    trans = counts.select(
+        "event_type",
+        "next_type",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 9).alias("p"),
+    )
+    # bounded collect: <=|types|^2 rows by construction
+    mat = trans.collect()
+    types = sorted({r.event_type for r in mat})
+    p = {(r.event_type, r.next_type): r.p for r in mat}
+    x = {t: 1.0 / len(types) for t in types}
+    for _ in range(_MARKOV_STEPS):
+        nxt = {t: 0.0 for t in types}
+        for (src, dst), pij in p.items():
+            nxt[dst] += x[src] * pij
+        x = nxt
+    out = [(t, round(x[t], 6)) for t in types]
+    return spark.createDataFrame(out, "event_type string, pi double").orderBy(
+        "event_type"
+    )

@@ -947,3 +947,260 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_spearman_corr",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS INT) AS q,
+             CAST(round(l_discount * 100) AS INT) AS d
+      FROM lineitem
+    ),
+    joint AS (SELECT flag, q, d, count(*) AS n FROM base GROUP BY 1, 2, 3),
+    mq AS (SELECT flag, q, count(*) AS t FROM base GROUP BY 1, 2),
+    rq AS (
+      SELECT flag, q,
+             (sum(t) OVER (PARTITION BY flag ORDER BY q) - t) + (t + 1) / 2.0 AS rq
+      FROM mq
+    ),
+    md AS (SELECT flag, d, count(*) AS t FROM base GROUP BY 1, 2),
+    rd AS (
+      SELECT flag, d,
+             (sum(t) OVER (PARTITION BY flag ORDER BY d) - t) + (t + 1) / 2.0 AS rd
+      FROM md
+    ),
+    sums AS (
+      SELECT j.flag,
+             sum(j.n) AS n,
+             sum(j.n * rq.rq) AS sx, sum(j.n * rd.rd) AS sy,
+             sum(j.n * rq.rq * rq.rq) AS sxx, sum(j.n * rd.rd * rd.rd) AS syy,
+             sum(j.n * rq.rq * rd.rd) AS sxy
+      FROM joint j
+      JOIN rq ON j.flag = rq.flag AND j.q = rq.q
+      JOIN rd ON j.flag = rd.flag AND j.d = rd.d
+      GROUP BY j.flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
+    FROM sums ORDER BY flag
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount per
+    return flag — the nonparametric (monotone-association) complement
+    to Pearson, robust to the heavy-tailed metrics a data pipeline
+    actually monitors.
+
+    Scale shape exploits the BOUNDED value domains (quantity 1..50,
+    discount 0..10 cents): tie-averaged ranks come from the marginal
+    count tables (<=50/<=11 rows per flag, cumulative window over that
+    tiny frame — never over the fact), and all Pearson-on-ranks sums
+    reduce over the <=550-cell JOINT count table. One fact-scale
+    map-combinable aggregation, everything after is broadcast-sized.
+    Ranks are exact half-integers on both engines; the single rounded
+    division absorbs summation-order ulps."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("int").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("d"),
+    )
+    joint = li.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    def ranks(col: str):
+        m = li.groupBy("flag", col).agg(F.count(F.lit(1)).alias("t"))
+        w = W.partitionBy("flag").orderBy(col).rowsBetween(W.unboundedPreceding, 0)
+        return m.select(
+            "flag",
+            col,
+            ((F.sum("t").over(w) - F.col("t")) + (F.col("t") + 1) / 2.0).alias(
+                f"r{col}"
+            ),
+        )
+
+    sums = (
+        joint.join(ranks("q"), ["flag", "q"])
+        .join(ranks("d"), ["flag", "d"])
+        .groupBy("flag")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("n") * F.col("rq")).alias("sx"),
+            F.sum(F.col("n") * F.col("rd")).alias("sy"),
+            F.sum(F.col("n") * F.col("rq") * F.col("rq")).alias("sxx"),
+            F.sum(F.col("n") * F.col("rd") * F.col("rd")).alias("syy"),
+            F.sum(F.col("n") * F.col("rq") * F.col("rd")).alias("sxy"),
+        )
+    )
+    return sums.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("rho"),
+    ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_anova_f",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS ng, sum(value) AS sg, sum(value * value) AS qg
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT sum(ng) AS n, count(*) AS k, sum(sg) AS s,
+             sum(qg - sg * sg / ng) AS ssw,
+             sum(ng * (sg / ng - (SELECT sum(sg) FROM g) / (SELECT sum(ng) FROM g))
+                 * (sg / ng - (SELECT sum(sg) FROM g) / (SELECT sum(ng) FROM g))) AS ssb
+      FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS INT) AS k,
+           CAST(k - 1 AS INT) AS df1, CAST(n - k AS BIGINT) AS df2,
+           round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_sq
+    FROM tot
+    """,
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of `value` across event types — "does any
+    group mean differ", generalizing the two-sample t/MW tests to k
+    groups; the standard gate before per-pair drill-downs.
+
+    Scale shape: one map-combinable aggregation to k group rows
+    (n, Σv, Σv²), then a k-row reduce. SSB uses group MEANS (no
+    large-term cancellation); SSW's per-group qg − sg²/ng cancels at
+    most ~2× of magnitude, far inside double precision at the rounded
+    decimals. F rounded to 4 (ratio of mean squares), eta² to 6."""
+    ev = load_table(spark, "events", sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("value").alias("sg"),
+        F.sum(F.col("value") * F.col("value")).alias("qg"),
+    )
+    tot = g.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sg").alias("s"),
+        F.sum(F.col("qg") - F.col("sg") * F.col("sg") / F.col("ng")).alias("ssw"),
+    )
+    both = g.crossJoin(F.broadcast(tot))
+    agg = both.groupBy("n", "k", "ssw").agg(
+        F.sum(
+            F.col("ng")
+            * (F.col("sg") / F.col("ng") - F.col("s") / F.col("n"))
+            * (F.col("sg") / F.col("ng") - F.col("s") / F.col("n"))
+        ).alias("ssb")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        (F.col("k") - 1).cast("int").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_ttest_welch",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, sum(value) AS s, sum(value * value) AS q
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+        max(CASE WHEN event_type = 'purchase' THEN s / n END) AS m1,
+        max(CASE WHEN event_type = 'click' THEN s / n END) AS m2,
+        max(CASE WHEN event_type = 'purchase' THEN (q - s * s / n) / (n - 1) END) AS v1,
+        max(CASE WHEN event_type = 'click' THEN (q - s * s / n) / (n - 1) END) AS v2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(m1, 6) AS mean_1, round(m2, 6) AS mean_2,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS df_welch
+    FROM w
+    """,
+)
+def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the purchase and click
+    value samples — the parametric member of the two-sample family
+    (KS = any-difference, Mann-Whitney = location-shift, Welch =
+    mean-difference under unequal variances) with the
+    Welch-Satterthwaite effective degrees of freedom.
+
+    Scale shape: one filtered map-combinable aggregation to TWO rows
+    (n, Σv, Σv²), then scalar arithmetic — the cheapest possible
+    two-sample plan. Variance's q − s²/n cancels ~2× of magnitude
+    (benign); t rounded to 4, df to 2, means to 6."""
+    ev = load_table(spark, "events", sf_dir)
+    g = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("q"),
+        )
+    )
+    is_p = F.col("event_type") == "purchase"
+    w = g.agg(
+        F.max(F.when(is_p, F.col("n"))).alias("n1"),
+        F.max(F.when(~is_p, F.col("n"))).alias("n2"),
+        F.max(F.when(is_p, F.col("s") / F.col("n"))).alias("m1"),
+        F.max(F.when(~is_p, F.col("s") / F.col("n"))).alias("m2"),
+        F.max(
+            F.when(is_p, (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+        ).alias("v1"),
+        F.max(
+            F.when(~is_p, (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+        ).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round("m1", 6).alias("mean_1"),
+        F.round("m2", 6).alias("mean_2"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1")) / (F.col("n1") - 1)
+                + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2")) / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )

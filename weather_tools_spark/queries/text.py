@@ -1531,3 +1531,69 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena / vocabulary profile (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_legomena",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT source, tok, count(*) AS f FROM toks GROUP BY source, tok)
+    SELECT source,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(1.0 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS hapax_ratio,
+           round(1.0 * count(*) / sum(f), 6) AS type_token_ratio
+    FROM tf GROUP BY source ORDER BY source
+    """,
+)
+def text_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: token/type counts, hapax legomena
+    (once-occurring types) and the hapax + type-token ratios — the
+    vocabulary-growth health check (Heaps-law regime detector) a corpus
+    pipeline runs to spot boilerplate-dominated or template-generated
+    sources (low hapax ratio = degenerate vocabulary; the scale data
+    generator in tools/gen_scale_data.py was calibrated with exactly
+    this statistic).
+
+    Scale shape: explode to tokens (map-side), two-phase count
+    aggregate keyed by (source, token) — shuffle bounded by the
+    distinct vocabulary, not corpus tokens — then a per-source reduce.
+    Exact integer arithmetic; the two ratios are single rounded
+    divisions."""
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("f").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+            F.round(
+                F.lit(1.0)
+                * F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_ratio"),
+            F.round(F.lit(1.0) * F.count(F.lit(1)) / F.sum("f"), 6).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
