@@ -703,3 +703,36 @@ def test_t_closeness_group_partitioned_windows(spark, sf_dir):
     # be a global window over the grid
     specs = re.findall(r"windowspecdefinition\((\w+)", plan)
     assert specs and all(s.startswith("priority") for s in specs), specs
+
+
+def test_spearman_broadcasts_ranks_no_fact_window(spark, sf_dir):
+    """Spearman's windows run only over the bounded marginal count
+    tables and join back by broadcast; a fact-scale rank window (the
+    naive formulation) would shuffle-sort the whole lineitem frame."""
+    plan = _formatted_plan(spark, "stats_spearman_corr", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # windows partition by flag over the <=50/<=11-row marginal frames,
+    # AFTER their count aggregates — never directly over the scan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anova_welch_single_pass_partial_agg(spark, sf_dir):
+    """Both tests are one map-combinable pass to k<=5 rows: partial
+    HashAggregate before the exchange, no join of fact-scale frames,
+    no window at all."""
+    for name in ("stats_anova_f", "stats_ttest_welch"):
+        plan = _formatted_plan(spark, name, sf_dir)
+        assert "Window" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "HashAggregate" in plan, name
+
+
+def test_hapax_two_phase_agg_no_join(spark, sf_dir):
+    plan = _formatted_plan(spark, "text_hapax_legomena", sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # two aggregate levels: (source, tok) counts then per-source reduce
+    assert plan.count("Exchange") >= 2
