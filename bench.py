@@ -148,6 +148,8 @@ HEADLINE = [
     "stats_ttest_welch",
     "events_markov_stationary",
     "text_hapax_legomena",
+    "ml_decision_stump",
+    "ml_knn_label_accuracy",
 ]
 
 

@@ -856,3 +856,67 @@ def test_hapax_profile_matches_counter_recompute(spark, sf_dir):
         assert r.n_tokens == sum(c.values())
         assert r.n_types == len(c)
         assert r.n_hapax == sum(1 for v in c.values() if v == 1)
+
+
+def test_decision_stump_matches_exhaustive_recompute(spark, sf_dir):
+    """The chosen (feature, threshold) must equal an exhaustive pandas
+    scan over every candidate split of both bounded-domain features —
+    a third implementation of the Gini argmin."""
+    import pandas as pd
+
+    row = SPARK["ml_decision_stump"](spark, sf_dir).first()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    y = (li["l_returnflag"] == "R").astype(int)
+    feats = {
+        "quantity": li["l_quantity"].astype(int),
+        "discount": (li["l_discount"] * 100).round().astype(int),
+    }
+    best = None
+    n = len(li)
+    for fname in sorted(feats):
+        x = feats[fname]
+        for t in sorted(x.unique())[:-1]:
+            left = x <= t
+            nl, nr = int(left.sum()), n - int(left.sum())
+            pl, pr = y[left].mean(), y[~left].mean()
+            g = (
+                nl * (1 - pl**2 - (1 - pl) ** 2) + nr * (1 - pr**2 - (1 - pr) ** 2)
+            ) / n
+            cand = (g, fname, int(t))
+            if best is None or cand < best:
+                best = cand
+    assert (row.feature, row.threshold) == (best[1], best[2]), (row, best)
+    assert abs(row.gini - best[0]) < 1e-5
+    assert row.n_left + row.n_right == n
+
+
+def test_knn_confusion_matches_numpy_recompute(spark, sf_dir):
+    """Exact third implementation: numpy brute-force cosine top-5
+    (ties by neighbor_id) + majority vote (ties by votes DESC, label
+    ASC) must reproduce the query's confusion matrix exactly."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    out = SPARK["ml_knn_label_accuracy"](spark, sf_dir).toPandas()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    v = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    labels = emb["label"].to_numpy()
+    s = v @ v.T
+    np.fill_diagonal(s, -np.inf)
+    conf = Counter()
+    n = len(v)
+    for i in range(n):
+        # sort by (-cosine, neighbor_id): lexsort keys are last-primary
+        order = np.lexsort((np.arange(n), -s[i]))[:5]
+        votes = Counter(labels[j] for j in order)
+        pred = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        conf[(labels[i], pred)] += 1
+    got = {(r.label, r.pred_label): r.n for r in out.itertuples()}
+    assert got == dict(conf)
+    assert out["n"].sum() == n

@@ -1204,3 +1204,194 @@ def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (round 8, wave 2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(l_quantity AS INT) AS q,
+             CAST(round(l_discount * 100) AS INT) AS d,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    long AS (
+      SELECT 'quantity' AS feature, q AS x, y FROM base
+      UNION ALL
+      SELECT 'discount' AS feature, d AS x, y FROM base
+    ),
+    m AS (SELECT feature, x, count(*) AS n, sum(y) AS pos FROM long GROUP BY 1, 2),
+    cum AS (
+      SELECT feature, x,
+             sum(n) OVER (PARTITION BY feature ORDER BY x) AS nl,
+             sum(pos) OVER (PARTITION BY feature ORDER BY x) AS pl,
+             sum(n) OVER (PARTITION BY feature) AS nt,
+             sum(pos) OVER (PARTITION BY feature) AS pt
+      FROM m
+    ),
+    splits AS (
+      SELECT feature, x AS threshold, nl, nt - nl AS nr,
+             (nl * (1.0 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+                        - (1.0 - CAST(pl AS DOUBLE) / nl) * (1.0 - CAST(pl AS DOUBLE) / nl))
+              + (nt - nl) * (1.0 - (CAST(pt - pl AS DOUBLE) / (nt - nl)) * (CAST(pt - pl AS DOUBLE) / (nt - nl))
+                                 - (1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl)) * (1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl))))
+             / nt AS gini
+      FROM cum WHERE nl < nt
+    ),
+    best AS (
+      SELECT feature, threshold, nl, nr, gini,
+             row_number() OVER (ORDER BY gini, feature, threshold) AS rk
+      FROM splits
+    )
+    SELECT feature, CAST(threshold AS INT) AS threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           round(gini, 6) AS gini
+    FROM best WHERE rk = 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump — the boosting weak learner: the single
+    (feature, threshold) split minimizing weighted Gini impurity for
+    predicting returned lineitems, over the two BOUNDED-domain features
+    (quantity 1..50, discount 0..10 cents).
+
+    Scale shape: one map-combinable count aggregation per feature value
+    (<=61 rows total), cumulative windows over those tiny frames give
+    every candidate split's left/right class counts in one pass (the
+    classic sorted-split-scan, here as SQL), then a <=61-row argmin.
+    All split statistics are ratios of exact integer counts evaluated
+    in the same operation order on both engines, so even the argmin
+    tie-break (gini, feature, threshold) cannot drift."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_quantity").cast("int").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("d"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    long = li.selectExpr("'quantity' AS feature", "q AS x", "y").unionAll(
+        li.selectExpr("'discount' AS feature", "d AS x", "y")
+    )
+    m = long.groupBy("feature", "x").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    from pyspark.sql import Window as W
+
+    wcum = W.partitionBy("feature").orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy("feature")
+    cum = m.select(
+        "feature",
+        "x",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("pos").over(wcum).alias("pl"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("pos").over(wall).alias("pt"),
+    )
+    pl_rate = F.col("pl").cast("double") / F.col("nl")
+    pr_rate = (F.col("pt") - F.col("pl")).cast("double") / (F.col("nt") - F.col("nl"))
+    gini = (
+        F.col("nl") * (F.lit(1.0) - pl_rate * pl_rate - (F.lit(1.0) - pl_rate) * (F.lit(1.0) - pl_rate))
+        + (F.col("nt") - F.col("nl"))
+        * (F.lit(1.0) - pr_rate * pr_rate - (F.lit(1.0) - pr_rate) * (F.lit(1.0) - pr_rate))
+    ) / F.col("nt")
+    splits = cum.filter(F.col("nl") < F.col("nt")).select(
+        "feature",
+        F.col("x").alias("threshold"),
+        "nl",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        gini.alias("gini"),
+    )
+    wbest = W.orderBy("gini", "feature", "threshold")
+    return (
+        splits.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "feature",
+            F.col("threshold").cast("int").alias("threshold"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.round("gini", 6).alias("gini"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label accuracy (round 8, wave 2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_knn_label_accuracy",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nb_label,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, nb_label,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, nb_label, count(*) AS v
+      FROM ranked WHERE rk <= 5 GROUP BY query_id, nb_label
+    ),
+    pred AS (
+      SELECT query_id, nb_label AS pred_label,
+             row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nb_label) AS pr
+      FROM votes
+    ),
+    conf AS (
+      SELECT e.label, p.pred_label, count(*) AS n
+      FROM pred p JOIN e ON p.query_id = e.vec_id
+      WHERE p.pr = 1
+      GROUP BY e.label, p.pred_label
+    )
+    SELECT label, pred_label, CAST(n AS BIGINT) AS n
+    FROM conf ORDER BY label, pred_label
+    """,
+)
+def ml_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label prediction over the embedding corpus —
+    the standard embedding-quality probe (does the vector space cluster
+    by label?), reported as the label × predicted-label confusion
+    matrix.
+
+    Scale shape: neighbor search reuses the blocked-dgemm exact top-k
+    kernel (operators/similarity.cosine_topk — the same plan the ANN
+    audits gate); votes and the argmax are integer aggregations over
+    5 rows per query. Majority ties break by (votes DESC, label ASC) on
+    exact integer counts, so the only cross-engine float surface is the
+    top-5 membership boundary itself — the same accepted contract as
+    sim_cosine_topk."""
+    from weather_tools_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    topk = S.cosine_topk(emb, emb, k=5)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    votes = (
+        topk.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")).withColumnRenamed(
+                "label", "nb_label"
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("nb_label"))
+    pred = votes.withColumn("pr", F.row_number().over(wp)).filter(F.col("pr") == 1)
+    return (
+        pred.join(F.broadcast(labels).withColumnRenamed("vec_id", "query_id"), "query_id")
+        .groupBy("label", F.col("nb_label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("label", "pred_label")
+    )
