@@ -150,6 +150,8 @@ HEADLINE = [
     "text_hapax_legomena",
     "ml_decision_stump",
     "ml_knn_label_accuracy",
+    "stats_kendall_tau",
+    "text_langid_cohens_kappa",
 ]
 
 

@@ -920,3 +920,69 @@ def test_knn_confusion_matches_numpy_recompute(spark, sf_dir):
     got = {(r.label, r.pred_label): r.n for r in out.itertuples()}
     assert got == dict(conf)
     assert out["n"].sum() == n
+
+
+def test_kendall_tau_matches_pairwise_recompute(spark, sf_dir):
+    """tau-b per flag must match an O(n^2)-free numpy recompute from
+    the joint contingency table (independent third implementation of
+    the concordant/discordant accounting)."""
+    import numpy as np
+    import pandas as pd
+
+    out = {r.flag: r.tau_b for r in SPARK["stats_kendall_tau"](spark, sf_dir).collect()}
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    li["q"] = li["l_quantity"].astype(int)
+    li["d"] = (li["l_discount"] * 100).round().astype(int)
+    for flag, grp in li.groupby("l_returnflag"):
+        ct = pd.crosstab(grp["q"], grp["d"]).to_numpy().astype(np.int64)
+        # concordant/discordant via 2D prefix sums over the table
+        c = d = 0
+        R, C = ct.shape
+        cum = ct.cumsum(axis=0).cumsum(axis=1)
+
+        def rect(i0, i1, j0, j1):  # sum of ct[i0:i1, j0:j1]
+            if i0 >= i1 or j0 >= j1:
+                return 0
+            total = cum[i1 - 1, j1 - 1]
+            if i0 > 0:
+                total -= cum[i0 - 1, j1 - 1]
+            if j0 > 0:
+                total -= cum[i1 - 1, j0 - 1]
+            if i0 > 0 and j0 > 0:
+                total += cum[i0 - 1, j0 - 1]
+            return int(total)
+
+        for i in range(R):
+            for j in range(C):
+                nij = int(ct[i, j])
+                if nij == 0:
+                    continue
+                c += nij * rect(i + 1, R, j + 1, C)
+                d += nij * rect(i + 1, R, 0, j)
+        n = int(ct.sum())
+        n0 = n * (n - 1) // 2
+        n1 = sum(int(t) * (int(t) - 1) // 2 for t in ct.sum(axis=1))
+        n2 = sum(int(t) * (int(t) - 1) // 2 for t in ct.sum(axis=0))
+        want = (c - d) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+        assert abs(out[flag] - want) < 1e-5, (flag, out[flag], want)
+
+
+def test_cohens_kappa_identities(spark, sf_dir):
+    """kappa == (po-pe)/(1-pe) from the query's own confusion matrix
+    twin (text_langid_accuracy), and kappa <= po <= 1."""
+    out = SPARK["text_langid_cohens_kappa"](spark, sf_dir).first()
+    conf = SPARK["text_langid_accuracy"](spark, sf_dir).toPandas()
+    n = conf["n"].sum()
+    po = conf.loc[conf.lang == conf.lang_pred, "n"].sum() / n
+    rows = conf.groupby("lang")["n"].sum()
+    cols = conf.groupby("lang_pred")["n"].sum()
+    keys = set(rows.index) | set(cols.index)
+    pe = sum(rows.get(k, 0) * cols.get(k, 0) for k in keys) / (n * n)
+    assert out.n == n
+    assert abs(out.p_observed - po) < 1e-5
+    assert abs(out.p_expected - pe) < 1e-5
+    assert abs(out.kappa - (po - pe) / (1 - pe)) < 1e-5
+    assert out.kappa <= out.p_observed + 1e-9 <= 1.0 + 1e-9

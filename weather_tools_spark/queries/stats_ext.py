@@ -1395,3 +1395,123 @@ def ml_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (round 8, wave 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS INT) AS q,
+             CAST(round(l_discount * 100) AS INT) AS d
+      FROM lineitem
+    ),
+    joint AS (SELECT flag, q, d, count(*) AS n FROM base GROUP BY 1, 2, 3),
+    cd AS (
+      SELECT a.flag,
+             sum(CASE WHEN (a.q < b.q AND a.d < b.d) OR (a.q > b.q AND a.d > b.d)
+                      THEN a.n * b.n ELSE 0 END) / 2 AS c,
+             sum(CASE WHEN (a.q < b.q AND a.d > b.d) OR (a.q > b.q AND a.d < b.d)
+                      THEN a.n * b.n ELSE 0 END) / 2 AS dd
+      FROM joint a JOIN joint b ON a.flag = b.flag
+      GROUP BY a.flag
+    ),
+    marg AS (
+      SELECT flag, sum(n) AS nn,
+             (sum(n) * (sum(n) - 1)) / 2 AS n0
+      FROM joint GROUP BY flag
+    ),
+    tq AS (
+      SELECT flag, sum((t * (t - 1)) / 2) AS n1
+      FROM (SELECT flag, q, sum(n) AS t FROM joint GROUP BY flag, q)
+      GROUP BY flag
+    ),
+    td AS (
+      SELECT flag, sum((t * (t - 1)) / 2) AS n2
+      FROM (SELECT flag, d, sum(n) AS t FROM joint GROUP BY flag, d)
+      GROUP BY flag
+    )
+    SELECT m.flag AS flag, CAST(m.nn AS BIGINT) AS n,
+           round(CAST(c - dd AS DOUBLE)
+                 / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6) AS tau_b
+    FROM cd JOIN marg m ON cd.flag = m.flag
+    JOIN tq ON tq.flag = m.flag JOIN td ON td.flag = m.flag
+    ORDER BY m.flag
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (tie-corrected) between quantity and discount per
+    return flag — completes the rank-correlation family next to
+    stats_spearman_corr: tau counts concordant/discordant PAIRS, the
+    statistic behind distance-based trend tests (Mann-Kendall).
+
+    Scale shape: the O(n²) pair count collapses to an O(cells²)
+    self-join of the BOUNDED joint count table (<=550 cells per flag →
+    <=302k cell pairs, broadcast-joined), weighted by n_a·n_b; the tie
+    terms come from the two tiny marginals. Every count is an exact
+    integer (BIGINT products far under 2^63); the single rounded
+    division is the only float."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("int").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("d"),
+    )
+    joint = li.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("n"))
+    a = joint.select(
+        F.col("flag"), F.col("q").alias("qa"), F.col("d").alias("da"), F.col("n").alias("na")
+    )
+    b = joint.select(
+        F.col("flag"), F.col("q").alias("qb"), F.col("d").alias("db"), F.col("n").alias("nb")
+    )
+    conc = (F.col("qa") < F.col("qb")) & (F.col("da") < F.col("db")) | (
+        (F.col("qa") > F.col("qb")) & (F.col("da") > F.col("db"))
+    )
+    disc = (F.col("qa") < F.col("qb")) & (F.col("da") > F.col("db")) | (
+        (F.col("qa") > F.col("qb")) & (F.col("da") < F.col("db"))
+    )
+    cd = (
+        a.join(F.broadcast(b), "flag")
+        .groupBy("flag")
+        .agg(
+            (F.sum(F.when(conc, F.col("na") * F.col("nb")).otherwise(F.lit(0))) / 2).alias("c"),
+            (F.sum(F.when(disc, F.col("na") * F.col("nb")).otherwise(F.lit(0))) / 2).alias("dd"),
+        )
+    )
+    marg = joint.groupBy("flag").agg(
+        F.sum("n").alias("nn"), ((F.sum("n") * (F.sum("n") - 1)) / 2).alias("n0")
+    )
+    tq = (
+        joint.groupBy("flag", "q")
+        .agg(F.sum("n").alias("t"))
+        .groupBy("flag")
+        .agg(F.sum((F.col("t") * (F.col("t") - 1)) / 2).alias("n1"))
+    )
+    td = (
+        joint.groupBy("flag", "d")
+        .agg(F.sum("n").alias("t"))
+        .groupBy("flag")
+        .agg(F.sum((F.col("t") * (F.col("t") - 1)) / 2).alias("n2"))
+    )
+    return (
+        cd.join(marg, "flag")
+        .join(tq, "flag")
+        .join(td, "flag")
+        .select(
+            "flag",
+            F.col("nn").cast("long").alias("n"),
+            F.round(
+                (F.col("c") - F.col("dd")).cast("double")
+                / F.sqrt(
+                    (F.col("n0") - F.col("n1")).cast("double")
+                    * (F.col("n0") - F.col("n2")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+        .orderBy("flag")
+    )

@@ -1597,3 +1597,99 @@ def text_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa for the langid classifier (round 8, wave 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_langid_cohens_kappa",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('el','los','las','y','no'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','pas'))) AS s_fr
+      FROM t
+    ),
+    lid AS (
+      SELECT doc_id, lang,
+        CASE
+          WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_es >= s_fr THEN 'es'
+          ELSE 'fr'
+        END AS lang_pred
+      FROM s
+    ),
+    conf AS (SELECT lang, lang_pred, count(*) AS n FROM lid GROUP BY 1, 2),
+    tot AS (SELECT sum(n) AS nn FROM conf),
+    po AS (SELECT sum(n) AS agree FROM conf WHERE lang = lang_pred),
+    margins AS (
+      SELECT coalesce(r.lang, c.lang_pred) AS k,
+             coalesce(r.rn, 0) AS rn, coalesce(c.cn, 0) AS cn
+      FROM (SELECT lang, sum(n) AS rn FROM conf GROUP BY lang) r
+      FULL OUTER JOIN (SELECT lang_pred, sum(n) AS cn FROM conf GROUP BY lang_pred) c
+        ON r.lang = c.lang_pred
+    ),
+    pe AS (SELECT sum(rn * cn) AS e FROM margins)
+    SELECT CAST(tot.nn AS BIGINT) AS n,
+           round(CAST(po.agree AS DOUBLE) / tot.nn, 6) AS p_observed,
+           round(CAST(pe.e AS DOUBLE) / (tot.nn * tot.nn), 6) AS p_expected,
+           round((CAST(po.agree AS DOUBLE) / tot.nn
+                  - CAST(pe.e AS DOUBLE) / (tot.nn * tot.nn))
+                 / (1.0 - CAST(pe.e AS DOUBLE) / (tot.nn * tot.nn)), 6) AS kappa
+    FROM tot, po, pe
+    """,
+)
+def text_langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the labeled ``lang`` column and the
+    heuristic langid prediction — chance-corrected agreement, the
+    metric that exposes a classifier that merely predicts the majority
+    class (accuracy hides it, kappa goes to 0). One row:
+    n, observed agreement, expected-by-chance agreement, kappa.
+
+    Scale shape: the fact-scale work is text_langid_accuracy's scoring
+    pass (map-side marker counts, no shuffle beyond the confusion
+    aggregate, <=|langs|² rows); kappa is exact integer margins over
+    that tiny frame — a full-outer margin join because a label can be
+    absent from either axis (zh never predicted, 'und' never true)."""
+    docs = load_table(spark, "documents", sf_dir)
+    conf = (
+        docs.select("lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = conf.groupBy("lang").agg(F.sum("n").alias("rn"))
+    cols = conf.groupBy("lang_pred").agg(F.sum("n").alias("cn"))
+    margins = rows.join(
+        cols, rows["lang"] == cols["lang_pred"], "full_outer"
+    ).select(
+        F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
+        F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+    )
+    scalars = conf.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    e = margins.agg(F.sum(F.col("rn") * F.col("cn")).alias("e"))
+    pe = F.col("e").cast("double") / (F.col("nn") * F.col("nn"))
+    po = F.col("agree").cast("double") / F.col("nn")
+    return (
+        scalars.crossJoin(F.broadcast(e))
+        .select(
+            F.col("nn").cast("long").alias("n"),
+            F.round(po, 6).alias("p_observed"),
+            F.round(pe, 6).alias("p_expected"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )
