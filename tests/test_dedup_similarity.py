@@ -335,3 +335,36 @@ def test_prefix_filter_candidate_reduction(spark, sf_dir):
         .collect()[0][0]
     )
     assert prefix_postings < 0.6 * full_postings, (prefix_postings, full_postings)
+
+
+def test_cosine_topk_blocked_matches_broadcast_kernel(spark, sf_dir):
+    # the distributed block-grid kNN kernel must emit the identical
+    # (query, neighbor, rk) result as the broadcast-query baseline, at
+    # block counts that do and don't divide the corpus evenly
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = {
+        (r.query_id, r.rk): (r.neighbor_id, round(r.cosine, 9))
+        for r in S.cosine_topk(emb, emb, k=5).collect()
+    }
+    assert base
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r.query_id, r.rk): (r.neighbor_id, round(r.cosine, 9))
+            for r in S.cosine_topk_blocked(emb, emb, k=5, n_blocks=n_blocks).collect()
+        }
+        assert got == base, f"n_blocks={n_blocks}"
+
+
+def test_cosine_topk_delegates_above_broadcast_bound(spark, sf_dir):
+    # the scale guard: a query set above max_broadcast_rows must route
+    # through the blocked kernel and still return the identical top-k
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in S.cosine_topk(emb, emb, k=5).collect()
+    }
+    delegated = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in S.cosine_topk(emb, emb, k=5, max_broadcast_rows=10).collect()
+    }
+    assert delegated == base

@@ -44,6 +44,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
@@ -53,12 +54,24 @@ def cosine_topk(
     broadcast; each mapInPandas task multiplies its corpus batch against
     it (one dgemm per batch) and emits only its batch-local top-k per
     query, so the final shuffle ranks P×k candidate rows instead of
-    |corpus|×|queries| scored pairs."""
+    |corpus|×|queries| scored pairs.
+
+    Scale guard (same contract as :func:`embedding_cosine_pairs`):
+    query sets larger than ``max_broadcast_rows`` (500k×64-dim float64
+    ≈ 256 MB) are DELEGATED to :func:`cosine_topk_blocked` — the fully
+    distributed block-grid kernel with identical output — so this
+    entry point can never ``toPandas()`` an unbounded frame even when
+    a caller passes the whole corpus as the query set (leave-one-out
+    kNN). The size probe is a bounded ``limit(n+1).count()``."""
     import pandas as pd
 
     spark = corpus.sparkSession
-    # boundedness contract: only the QUERY set is materialized — callers
-    # pass a small query set (the corpus side streams through mapInPandas)
+    probe = queries.select(id_col).limit(max_broadcast_rows + 1).count()
+    if probe > max_broadcast_rows:
+        n_blocks = max(8, spark.sparkContext.defaultParallelism)
+        return cosine_topk_blocked(
+            corpus, queries, id_col=id_col, vec_col=vec_col, k=k, n_blocks=n_blocks
+        )
     qpdf = queries.select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy()
     qm = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
@@ -92,6 +105,84 @@ def cosine_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact top-k cosine neighbors — fully distributed, no driver-side
+    materialization of EITHER frame (the corpus-scale leave-one-out kNN
+    path; same output contract as :func:`cosine_topk`).
+
+    Block-grid all-pairs: queries hash to one of B query-blocks, corpus
+    vectors to one of B corpus-blocks, and every (query-block,
+    corpus-block) cell becomes one ``applyInPandas`` task that runs the
+    dgemm kernel between its two blocks and emits per-query LOCAL
+    top-k (ties broken by neighbor_id, matching the global window).
+    Each (query, corpus vector) pair is scored in exactly one task, so
+    the union of local top-k candidates (B·k per query) provably
+    contains the global top-k; the final window ranks those B·k rows.
+
+    Cost model: shuffle O((|Q| + |C|)·B) rows; per-task memory
+    O(|Q|/B + |C|/B) vectors plus a bounded score block. Pick
+    B ≈ n·d·8 / executor-mem at corpus scale — quadratic compute is
+    intrinsic to exact kNN, but memory and task size stay flat as B
+    grows."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    blocks = F.array(*[F.lit(i) for i in range(n_blocks)])
+    q = (
+        queries.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .withColumn("qb", F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int"))
+        .withColumn("cb", F.explode(blocks))
+        .withColumn("is_q", F.lit(1))
+    )
+    c = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .withColumn("cb", F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int"))
+        .withColumn("qb", F.explode(blocks))
+        .withColumn("is_q", F.lit(0))
+    )
+    both = q.unionByName(c)
+
+    def cell_kernel(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        is_q = pdf["is_q"].to_numpy()
+        qi = np.nonzero(is_q == 1)[0]
+        ci = np.nonzero(is_q == 0)[0]
+        if len(qi) == 0 or len(ci) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        ids = pdf["vid"].to_numpy()
+        x = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        qm, cm = x[qi], x[ci]
+        q_ids, c_ids = ids[qi], ids[ci]
+        s = qm @ cm.T  # queries × corpus-block
+        out_q, out_c, out_s = [], [], []
+        for j in range(len(q_ids)):
+            row = s[j]
+            mask = c_ids != q_ids[j]  # leave-one-out
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            # (cosine DESC, neighbor_id ASC) — identical tie-break to
+            # the final global window, so the local cut is consistent
+            order = idx[np.lexsort((c_ids[idx], -row[idx]))][:k]
+            out_q.extend([q_ids[j]] * len(order))
+            out_c.extend(c_ids[order].tolist())
+            out_s.extend(row[order].tolist())
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_c, "cosine": out_s})
+
+    cands = both.groupBy("qb", "cb").applyInPandas(
+        cell_kernel, "query_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return cands.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
 def embedding_cosine_pairs(

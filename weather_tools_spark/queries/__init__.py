@@ -40,6 +40,15 @@ CHECK_CHANGED: list[str] = [
     #    chunks/doc).
     "text_kneser_ney_ppl",
     "dedup_paragraph_dupes",
+    # r8: the exact-cosine kernels gained broadcast-bound guards that
+    # delegate oversized inputs to the distributed blocked variants
+    # (cosine_topk, embedding_cosine_pairs). Results are pinned
+    # identical by delegation-equality tests, but the execution path
+    # changed, so the dependent queries re-verify:
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    "ml_label_propagation",
+    "sim_ann_recall_audit",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's
