@@ -43,6 +43,10 @@ PROBES = [
     "graph_ktruss",
     "graph_adamic_adar_linkpred",
     "corpus_decontamination",
+    # r8 additions whose cost is data-dependent (quadratic kNN compute;
+    # fact-scale contingency aggregation)
+    "ml_knn_label_accuracy",
+    "stats_kendall_tau",
 ]
 
 SFS = ["0.01", "0.1", "1.0"]

@@ -87,24 +87,41 @@ def cosine_topk(
             x /= np.linalg.norm(x, axis=1, keepdims=True)
             s = x @ m_q.T  # corpus_batch × queries
             c_ids = b[id_col].to_numpy()
-            out_q, out_c, out_s = [], [], []
-            for j in range(len(ids_q)):
-                col = s[:, j]
-                mask = c_ids != ids_q[j]
-                idx = np.nonzero(mask)[0]
-                if len(idx) == 0:
-                    continue
-                top = idx[np.argsort(-col[idx], kind="stable")[: k]]
-                out_q.extend([ids_q[j]] * len(top))
-                out_c.extend(c_ids[top].tolist())
-                out_s.extend(col[top].tolist())
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_c, "cosine": out_s})
+            yield _local_topk_frame(pd, s, c_ids, ids_q, k)
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(
-        gen, "query_id long, neighbor_id long, cosine double"
-    )
+    src = corpus.select(id_col, vec_col)
+    # parallelism floor: a small parquet input may arrive in 1-2 splits,
+    # which would serialize the quadratic dgemm; only repartition when
+    # the scan is under-parallel (no shuffle on well-partitioned input)
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    scored = src.mapInPandas(gen, "query_id long, neighbor_id long, cosine double")
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def _local_topk_frame(pd, s: "np.ndarray", c_ids, q_ids, k: int):
+    """Vectorized per-query local top-k over a (corpus_rows × queries)
+    score block: one argpartition for the whole block instead of a
+    Python loop over queries (the loop was the 60 s term at 20k
+    queries). Emits k+1 candidates per query (one may be the self
+    match, dropped here; ties at the cut are resolved by the global
+    (cosine DESC, neighbor_id ASC) window exactly as before)."""
+    n_rows = s.shape[0]
+    kk = min(k + 1, n_rows)
+    part = np.argpartition(-s, kk - 1, axis=0)[:kk]  # (kk, Q) row indices
+    cand_ids = c_ids[part]  # (kk, Q)
+    cand_cos = np.take_along_axis(s, part, axis=0)  # (kk, Q)
+    q_rep = np.broadcast_to(q_ids, (kk, len(q_ids)))
+    keep = cand_ids != q_rep  # leave-one-out
+    return pd.DataFrame(
+        {
+            "query_id": q_rep[keep],
+            "neighbor_id": cand_ids[keep],
+            "cosine": cand_cos[keep],
+        }
+    )
 
 
 def cosine_topk_blocked(
@@ -162,21 +179,8 @@ def cosine_topk_blocked(
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         qm, cm = x[qi], x[ci]
         q_ids, c_ids = ids[qi], ids[ci]
-        s = qm @ cm.T  # queries × corpus-block
-        out_q, out_c, out_s = [], [], []
-        for j in range(len(q_ids)):
-            row = s[j]
-            mask = c_ids != q_ids[j]  # leave-one-out
-            idx = np.nonzero(mask)[0]
-            if len(idx) == 0:
-                continue
-            # (cosine DESC, neighbor_id ASC) — identical tie-break to
-            # the final global window, so the local cut is consistent
-            order = idx[np.lexsort((c_ids[idx], -row[idx]))][:k]
-            out_q.extend([q_ids[j]] * len(order))
-            out_c.extend(c_ids[order].tolist())
-            out_s.extend(row[order].tolist())
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_c, "cosine": out_s})
+        s = cm @ qm.T  # corpus-block × queries (same shape contract as gen)
+        return _local_topk_frame(pd, s, c_ids, q_ids, k)
 
     cands = both.groupBy("qb", "cb").applyInPandas(
         cell_kernel, "query_id long, neighbor_id long, cosine double"
