@@ -152,6 +152,7 @@ HEADLINE = [
     "ml_knn_label_accuracy",
     "stats_kendall_tau",
     "text_langid_cohens_kappa",
+    "sim_cosine_topk_blocked",
 ]
 
 

@@ -45,6 +45,44 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_cosine_topk_blocked",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.q_vec, c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def sim_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY DISTRIBUTED exact top-k path (cosine_topk_blocked:
+    block-grid applyInPandas, neither frame materialized to the driver
+    — the kernel cosine_topk delegates to above its broadcast bound)
+    verified against the IDENTICAL brute-force oracle as
+    sim_cosine_topk: the driver gate that pins the corpus-scale kNN
+    plan exact, not just recall-bounded."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk_blocked(emb, queries, k=5, n_blocks=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk"
+    ).orderBy("query_id", "rk")
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
