@@ -186,6 +186,27 @@ NOTES = {
         "emerging from under fixed overhead; the bin aggregate itself "
         "is 10 rows. Same cost family as text_bm25_topk/bigram_counts."
     ),
+    "window_running_customer_spend": (
+        "Running-sum window partitioned by customer: per-customer "
+        "sequence volume grows linearly with SF (more orders per "
+        "customer), the dominant linear term emerging from fixed "
+        "overhead; partitioned by a high-cardinality key, never global."
+    ),
+    "dedup_paragraph_dupes": (
+        "LINEAR operator emerging from fixed overhead: one "
+        "groupBy+join over every 10-word chunk (rows = corpus tokens "
+        "/ 10, output = one row per doc); the sfx1.0 probe "
+        "(SCALING_sf1) measures 11.4x per 100x data — no super-linear "
+        "term."
+    ),
+    "topk_orders_per_priority": (
+        "Rank window partitioned by the 5 priorities: per-group volume "
+        "is n/5, linear; at cluster scale the 5-way partition ceiling "
+        "is the known top-k-per-group tradeoff — the mitigation "
+        "(map-side per-partition top-k pre-filter before the window) "
+        "is what TakeOrdered-style plans do and is documented in "
+        "PLANS.md."
+    ),
     "multimodal_image_decode_agg": (
         "Arrow decode kernel cost is linear in image bytes by nature "
         "(per-pixel BMP parse in the mapInPandas stage); the ratio is "
@@ -212,8 +233,18 @@ def main() -> None:
     from weather_tools_spark.queries import SPARK
     from weather_tools_spark.session import get_spark
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache_path = os.path.join(repo, ".scaledata", "scaling_probe_cache.json")
     probes = _all_probes()
     results: dict[str, dict[str, float]] = {}
+    # Resumable: a full 3-SF regen is ~45 min, past any single run
+    # budget. Cached (query, sf) timings are reused; delete the cache
+    # to force a cold re-measure.
+    if os.path.exists(cache_path):
+        import json as _json
+
+        with open(cache_path) as f:
+            results = _json.load(f)
     for sf in SFS:
         # FRESH session per scale factor: a single long-lived JVM ages
         # (code cache, GC pressure, listener state) across the 3 x
@@ -222,9 +253,12 @@ def main() -> None:
         # queries read 5-7x when sf0.1 ran ~250 queries into the
         # session). Per-SF sessions give every loop the same aging
         # profile, so position-dependent overhead cancels in the ratio.
+        todo = [n for n in probes if sf not in results.get(n, {})]
+        if not todo:
+            continue
         spark = get_spark("scaling_probe")
         sf_dir = f"/root/testdata/sf{sf}"
-        for name in probes:
+        for name in todo:
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -237,6 +271,16 @@ def main() -> None:
         # lock; builder.getOrCreate() detects the stopped context and
         # makes a fresh one — no private-attribute reset needed.
         spark.stop()
+        import json as _json
+
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        with open(cache_path, "w") as f:
+            _json.dump(results, f, indent=1)
+
+    missing = [n for n in probes for sf in SFS if sf not in results.get(n, {})]
+    if missing:
+        print(f"partial: {len(missing)} (query, sf) cells still unmeasured — rerun to continue")
+        return
 
     from weather_tools_spark.session import default_parallelism
 
@@ -287,9 +331,18 @@ def main() -> None:
             )
             lines.append(f"- **{name}** ({ratio:.1f}x): {note}")
         lines.append("")
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SCALING.md"), "w") as f:
-        f.write("\n".join(lines))
+    out = os.path.join(repo, "SCALING.md")
+    # Preserve hand-measured sections appended after the main table
+    # (SCALING_sf1 — the 100x-span probe lives on generated data and is
+    # not re-derivable from /root/testdata).
+    extra = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        idx = prev.find("\n## SCALING_sf1")
+        if idx != -1:
+            extra = prev[idx:]
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + extra)
     print(f"SCALING.md written: {len(probes)} probes x {len(SFS)} SFs")
 
 
