@@ -736,3 +736,16 @@ def test_hapax_two_phase_agg_no_join(spark, sf_dir):
     assert "Window" not in plan
     # two aggregate levels: (source, tok) counts then per-source reduce
     assert plan.count("Exchange") >= 2
+
+
+def test_topk_window_has_partial_window_group_limit(spark, sf_dir):
+    """The rank-filter top-k must keep Catalyst's map-side partial
+    WindowGroupLimit BEFORE the exchange (SPARK-37099): the shuffle then
+    carries only partitions*k rows per group instead of the whole fact —
+    the property that makes the 5-partition window survive 100 TB."""
+    plan = _formatted_plan(spark, "topk_orders_per_priority", sf_dir)
+    assert "WindowGroupLimit" in plan
+    # partial (pre-shuffle) instance: a WindowGroupLimit node must appear
+    # at a higher node id than the first Exchange (formatted plans number
+    # leaves first), i.e. there are TWO WindowGroupLimit nodes
+    assert plan.count("WindowGroupLimit") >= 2, plan.count("WindowGroupLimit")

@@ -200,12 +200,11 @@ NOTES = {
         "term."
     ),
     "topk_orders_per_priority": (
-        "Rank window partitioned by the 5 priorities: per-group volume "
-        "is n/5, linear; at cluster scale the 5-way partition ceiling "
-        "is the known top-k-per-group tradeoff — the mitigation "
-        "(map-side per-partition top-k pre-filter before the window) "
-        "is what TakeOrdered-style plans do and is documented in "
-        "PLANS.md."
+        "Rank window partitioned by the 5 priorities; Catalyst inserts "
+        "a PARTIAL WindowGroupLimit BEFORE the exchange (pinned in "
+        "test_plan_quality), so the shuffle carries only partitions x k "
+        "rows per group — the measured ratio is the map-side scan/sort "
+        "term, linear, emerging from fixed overhead."
     ),
     "multimodal_image_decode_agg": (
         "Arrow decode kernel cost is linear in image bytes by nature "
