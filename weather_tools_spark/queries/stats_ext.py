@@ -1012,11 +1012,16 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("int").alias("q"),
         F.round(F.col("l_discount") * 100).cast("int").alias("d"),
     )
-    joint = li.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("n"))
+    # ONE fact scan: the joint count table is persisted (<=550 rows)
+    # and both marginal rank tables derive from it — without the pin,
+    # Catalyst re-derived each marginal from its own lineitem scan.
+    from weather_tools_spark.operators.dedup import _persist
+
+    joint = _persist(li.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("n")))
     from pyspark.sql import Window as W
 
     def ranks(col: str):
-        m = li.groupBy("flag", col).agg(F.count(F.lit(1)).alias("t"))
+        m = joint.groupBy("flag", col).agg(F.sum("n").alias("t"))
         w = W.partitionBy("flag").orderBy(col).rowsBetween(W.unboundedPreceding, 0)
         return m.select(
             "flag",
@@ -1461,7 +1466,15 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("int").alias("q"),
         F.round(F.col("l_discount") * 100).cast("int").alias("d"),
     )
-    joint = li.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("n"))
+    # persist the <=1650-row joint table: FIVE downstream branches
+    # (a, b, marg, tq, td) reference it, and without the pin Catalyst
+    # re-derives each branch from the fact scan — 5 scans of lineitem
+    # instead of 1 (visible as 12 exchanges in PLANS.md before the
+    # fix). Released by bench/tests via release_persisted, same
+    # contract as the dedup shingle frames.
+    from weather_tools_spark.operators.dedup import _persist
+
+    joint = _persist(li.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("n")))
     a = joint.select(
         F.col("flag"), F.col("q").alias("qa"), F.col("d").alias("da"), F.col("n").alias("na")
     )
