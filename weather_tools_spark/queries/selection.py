@@ -647,11 +647,19 @@ def text_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) END)"
         ).alias("p"),
     ).select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    cleft = bg.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("cl"), F.countDistinct("w2").alias("n1p_left")
+    # ONE token-explode pass for all four count tables: cbg (persisted,
+    # bounded by distinct bigram TYPES, << token instances) is the only
+    # aggregate over bg; cleft/cont/types derive from cbg — cbg rows are
+    # distinct (w1, w2), so countDistinct collapses to row counts.
+    # Without the pin Catalyst re-ran the explode scan for each table
+    # (5 fact passes, visible as 10 exchanges in PLANS.md).
+    from weather_tools_spark.operators.dedup import _persist
+
+    cbg = _persist(bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    cleft = cbg.groupBy("w1").agg(
+        F.sum("c").alias("cl"), F.count(F.lit(1)).alias("n1p_left")
     )
-    cont = bg.groupBy("w2").agg(F.countDistinct("w1").alias("n1p_right"))
+    cont = cbg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_right"))
     types = cbg.agg(F.count(F.lit(1)).alias("n_types"))
     scored = (
         bg.join(cbg, ["w1", "w2"])
