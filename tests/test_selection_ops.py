@@ -219,6 +219,10 @@ def test_kneser_ney_survives_short_docs(spark, tmp_path):
     # only the two multi-token docs survive into scoring
     assert out["n_docs"].sum() == 2
     assert (out["avg_ppl"] > 0).all()
+    # the add-k perplexity filter shares the expansion — same guard
+    out2 = SPARK["corpus_perplexity_filter"](spark, sf).toPandas()
+    assert out2["n_docs"].sum() == 2
+    assert (out2["avg_ppl"] > 0).all()
 
 
 def test_logreg_newton_descends_below_chance(spark, sf_dir):

@@ -49,6 +49,10 @@ CHECK_CHANGED: list[str] = [
     "dedup_embedding_cosine",
     "ml_label_propagation",
     "sim_ann_recall_audit",
+    # r8: same 1-token-doc guard as text_kneser_ney_ppl applied to the
+    # add-k perplexity filter's bigram expansion (audit of all
+    # sequence(1, size-1) sites found this one unguarded).
+    "corpus_perplexity_filter",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

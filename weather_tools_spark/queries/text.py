@@ -1108,7 +1108,14 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = toks.select(
         "doc_id", "source",
-        F.expr("explode(transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)))").alias("p"),
+        # Same 1-token-doc guard as text_kneser_ney_ppl (ADVICE r7):
+        # sequence(1, 0) counts DOWN and element_at(t, 0) throws.
+        F.expr(
+            "explode(CASE WHEN size(t) < 2 "
+            "THEN cast(array() AS array<struct<w1: string, w2: string>>) "
+            "ELSE transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) END)"
+        ).alias("p"),
     ).select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     cleft = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
