@@ -1117,8 +1117,13 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) END)"
         ).alias("p"),
     ).select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    cleft = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+    # cleft derives from the persisted cbg (distinct (w1,w2) rows →
+    # sum of c per w1), saving one full explode pass; vocab must still
+    # scan unigrams (a 1-token doc's only token never enters a bigram).
+    from weather_tools_spark.operators.dedup import _persist
+
+    cbg = _persist(bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    cleft = cbg.groupBy("w1").agg(F.sum("c").alias("cl"))
     vocab = toks.select(F.explode("t").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
