@@ -53,6 +53,9 @@ CHECK_CHANGED: list[str] = [
     # add-k perplexity filter's bigram expansion (audit of all
     # sequence(1, size-1) sites found this one unguarded).
     "corpus_perplexity_filter",
+    # r8: idf now derives from the persisted tf frame (one explode
+    # pass instead of two); values identical, path changed.
+    "text_tfidf_keywords",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -1196,11 +1196,20 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),
     )
     n_docs = docs.count()  # bounded scalar (dimension count)
-    tf = tok.groupBy("doc_id", "term").agg(
-        (F.count(F.lit(1)) / F.first("dl")).alias("tf")
+    # ONE explode pass: tf (one row per (doc, term) — the frame the
+    # ranking join needs anyway) is persisted and idf derives from it:
+    # countDistinct(doc_id) per term over tokens == row count per term
+    # over tf. Same persist/release contract as the dedup shingle
+    # frames; without the pin Catalyst re-ran the explode for idf.
+    from weather_tools_spark.operators.dedup import _persist
+
+    tf = _persist(
+        tok.groupBy("doc_id", "term").agg(
+            (F.count(F.lit(1)) / F.first("dl")).alias("tf")
+        )
     )
-    idf = tok.groupBy("term").agg(
-        F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id")).alias("idf")
+    idf = tf.groupBy("term").agg(
+        F.log(F.lit(float(n_docs)) / F.count(F.lit(1))).alias("idf")
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
     return (
