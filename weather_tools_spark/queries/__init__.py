@@ -56,6 +56,12 @@ CHECK_CHANGED: list[str] = [
     # r8: idf now derives from the persisted tf frame (one explode
     # pass instead of two); values identical, path changed.
     "text_tfidf_keywords",
+    # r8: open_dataset's zarr branch now skips the per-row data_uri
+    # string at the DECODE (include_uri=False) instead of dropping the
+    # column one operator later — identical output columns, path
+    # changed for the two queries that open zarr through the opener.
+    "xql_zarr_daily_avg",
+    "format_transcode_chain",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -164,8 +164,9 @@ def open_dataset(
         from .zarr_v2 import open_zarr_v2
 
         df = ZS.scan(
-            spark, open_zarr_v2(uri), time_range, lat_range, lon_range, decoder="zarr2"
-        ).drop("data_uri")
+            spark, open_zarr_v2(uri), time_range, lat_range, lon_range,
+            decoder="zarr2", include_uri=False,
+        )
     else:
         if kind == "netcdf3":
             from .netcdf3 import list_variables, nc3_decode

@@ -114,18 +114,18 @@ def prune_chunks(
     return out
 
 
-def row_schema(meta: ChunkedDatasetMeta) -> T.StructType:
+def row_schema(meta: ChunkedDatasetMeta, include_uri: bool = True):
     """Long-format scan schema for a store template: coordinate axes +
     one double column per data variable."""
-    return T.StructType(
-        [
-            T.StructField("time", T.TimestampType()),
-            T.StructField("latitude", T.DoubleType()),
-            T.StructField("longitude", T.DoubleType()),
-            *[T.StructField(v, T.DoubleType()) for v in meta.variables],
-            T.StructField("data_uri", T.StringType()),
-        ]
-    )
+    fields = [
+        T.StructField("time", T.TimestampType()),
+        T.StructField("latitude", T.DoubleType()),
+        T.StructField("longitude", T.DoubleType()),
+        *[T.StructField(v, T.DoubleType()) for v in meta.variables],
+    ]
+    if include_uri:
+        fields.append(T.StructField("data_uri", T.StringType()))
+    return T.StructType(fields)
 
 
 ROW_SCHEMA = T.StructType(
@@ -172,7 +172,7 @@ def _fake_chunk_decode(spec: pd.Series, meta: ChunkedDatasetMeta) -> pd.DataFram
     )
 
 
-def _decode_specs(meta: ChunkedDatasetMeta, decoder: str):
+def _decode_specs(meta: ChunkedDatasetMeta, decoder: str, include_uri: bool = True):
     """Shared chunk-spec → rows generator for the batch scan and the
     streaming ingest.
 
@@ -186,14 +186,15 @@ def _decode_specs(meta: ChunkedDatasetMeta, decoder: str):
     if decoder == "zarr2":
         from .zarr_v2 import zarr2_decode_specs
 
-        return zarr2_decode_specs(meta)
+        return zarr2_decode_specs(meta, include_uri=include_uri)
     if decoder != "fake":  # pragma: no cover
         raise NotImplementedError("real zarr decoding requires the zarr/xarray libs")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, spec in pdf.iterrows():
-                yield _fake_chunk_decode(spec, meta)
+                out = _fake_chunk_decode(spec, meta)
+                yield out if include_uri else out.drop(columns=["data_uri"])
 
     return run
 
@@ -380,12 +381,20 @@ def scan(
     lat_range: tuple[float, float] | None = None,
     lon_range: tuple[float, float] | None = None,
     decoder: str = "fake",
+    include_uri: bool = True,
 ) -> DataFrame:
     """Pruned chunk scan → long-format rows. Residual cell-level filters
-    are applied after decode (chunks overlap range boundaries)."""
+    are applied after decode (chunks overlap range boundaries).
+
+    ``include_uri=False`` drops the per-row ``data_uri`` string at the
+    DECODE, not after: the column is constant per store, and carrying
+    it through the Arrow boundary costs ~40 B/row — at a month of ERA5
+    (747M rows) that is ~30 GB of serialized strings the consumer
+    (open_dataset) previously dropped one operator later."""
     manifest = prune_chunks(chunk_manifest(spark, meta), time_range, lat_range, lon_range)
     rows = manifest.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        _decode_specs(meta, decoder), schema=row_schema(meta)
+        _decode_specs(meta, decoder, include_uri=include_uri),
+        schema=row_schema(meta, include_uri=include_uri),
     )
     if time_range is not None:
         rows = rows.filter(

@@ -1029,7 +1029,7 @@ def _decode_shard(buf: bytes, za: dict) -> np.ndarray:
     return out
 
 
-def zarr2_decode_specs(meta: ChunkedDatasetMeta):
+def zarr2_decode_specs(meta: ChunkedDatasetMeta, include_uri: bool = True):
     """Chunk-spec → long-rows kernel over a real Zarr v2 store at
     ``meta.uri`` — the real-decoder branch of
     ``zarr_scan._decode_specs``. Per task: one metadata read, then
@@ -1066,7 +1066,8 @@ def zarr2_decode_specs(meta: ChunkedDatasetMeta):
                         (spec.t_idx, spec.lat_idx, spec.lon_idx),
                     )
                     out[v] = arr[:vt, :vla, :vlo].ravel()
-                out["data_uri"] = spec.uri
+                if include_uri:
+                    out["data_uri"] = spec.uri
                 yield pd.DataFrame(out)
 
     return run
