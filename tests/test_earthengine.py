@@ -97,3 +97,39 @@ def test_table_ingest_manifest(tmp_path):
     assert asset_id == "projects/p/assets/tables/obs"
     assert fake.ingested[0]["type"] == "TABLE"
     assert fake.ingested[0]["manifest"]["sources"] == [{"uris": [csv]}]
+
+
+def test_time_range_prunes_manifest_not_just_rows(spark):
+    """time_range must prune CHUNK MANIFEST rows (no pixel fetch for
+    out-of-range images — the zarr chunk-pruning analog), and the
+    pruned result must equal the post-filtered unpruned one."""
+    fake = EE.FakeEEClient(n_time=4)
+    info = fake.get_asset_info("A")
+    import pandas as pd
+
+    t1 = pd.Timestamp(info["times"][1], unit="s")
+    t3 = pd.Timestamp(info["times"][3], unit="s")
+    full = EE.chunk_manifest(info)
+    pruned = EE.chunk_manifest(info, time_range=(str(t1), str(t3)))
+    assert len(pruned) == len(full) // 2  # 2 of 4 time steps survive
+    got = sorted(
+        (r.time, r.band, r.latitude, r.longitude, r.value)
+        for r in EE.open_ee(
+            spark, "ee://A", EE.FakeEEClient, time_range=(str(t1), str(t3))
+        ).collect()
+    )
+    want = sorted(
+        (r.time, r.band, r.latitude, r.longitude, r.value)
+        for r in EE.open_ee(spark, "ee://A", EE.FakeEEClient)
+        .filter((F.col("time") >= F.lit(str(t1))) & (F.col("time") < F.lit(str(t3))))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # empty prune window → empty frame with the stable schema, no RPCs
+    empty = EE.open_ee(
+        spark, "ee://A", EE.FakeEEClient, time_range=("1990-01-01", "1990-01-02")
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "time", "latitude", "longitude", "band", "value",
+    ]

@@ -164,13 +164,29 @@ class FakeEEClient(EEClient):
         return manifest["name"]
 
 
-def chunk_manifest(info: dict, chunk: int = 256) -> pd.DataFrame:
+def chunk_manifest(
+    info: dict,
+    chunk: int = 256,
+    time_range: tuple[str, str] | None = None,
+    bands: list[str] | None = None,
+) -> pd.DataFrame:
     """Asset metadata → chunk manifest: one row per (time, band, tile).
     The xee engine does the same tiling driver-side; here the manifest
-    IS the parallelism unit, so chunk count ≈ task count."""
+    IS the parallelism unit, so chunk count ≈ task count.
+
+    ``time_range`` / ``bands`` prune MANIFEST rows — no pixel RPC is
+    ever issued for an out-of-range image (the EE analog of the zarr
+    chunk-range pruning; a residual cell filter is unnecessary because
+    EE images are whole time steps)."""
+    lo = hi = None
+    if time_range is not None:
+        lo = pd.Timestamp(time_range[0]).timestamp()
+        hi = pd.Timestamp(time_range[1]).timestamp()
     rows = []
     for ti in range(len(info["times"])):
-        for band in info["bands"]:
+        if lo is not None and not (lo <= info["times"][ti] < hi):
+            continue
+        for band in bands if bands is not None else info["bands"]:
             for y0 in range(0, info["grid"]["height"], chunk):
                 for x0 in range(0, info["grid"]["width"], chunk):
                     rows.append(
@@ -193,6 +209,8 @@ def open_ee(
     uri: str,
     client_factory: Callable[[], EEClient] | None = None,
     chunk: int = 256,
+    time_range: tuple[str, str] | None = None,
+    bands: list[str] | None = None,
 ) -> DataFrame:
     """Open an ``ee://`` asset as a long-format DataFrame
     (time, latitude, longitude, band, value) — the Spark analog of the
@@ -207,7 +225,13 @@ def open_ee(
     factory = client_factory or RealEEClient
     asset_id = uri[len("ee://") :] if uri.startswith("ee://") else uri
     info = factory().get_asset_info(asset_id)
-    manifest = chunk_manifest(info, chunk=chunk)
+    manifest = chunk_manifest(info, chunk=chunk, time_range=time_range, bands=bands)
+    if manifest.empty:
+        return spark.createDataFrame(
+            [],
+            "time timestamp, latitude double, longitude double, "
+            "band string, value double",
+        )
     ox, oy = info["grid"]["origin"]
     px, py = info["grid"]["pixel"]
     mdf = spark.createDataFrame(manifest).repartition(

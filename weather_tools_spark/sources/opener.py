@@ -136,7 +136,10 @@ def open_dataset(
 
         if client_factory is None:
             detect(uri)  # gate with the canonical message if no ee pkg
-        df = open_ee(spark, uri, client_factory=client_factory)
+        # time_range prunes the chunk MANIFEST (no pixel RPC for
+        # out-of-range images); the residual filter below stays for
+        # uniformity with the file formats (cheap no-op after pruning)
+        df = open_ee(spark, uri, client_factory=client_factory, time_range=time_range)
         if time_range is not None:
             df = df.filter(
                 (F.col("time") >= F.lit(time_range[0]).cast("timestamp"))
