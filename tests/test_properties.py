@@ -132,3 +132,40 @@ def test_selection_expansion_idempotent(s):
     once = TP.expand_selection(sel)
     twice = TP.expand_selection({"x": once["x"]})
     assert once == twice
+
+
+@given(
+    st.integers(min_value=1, max_value=40),   # corpus rows in the batch
+    st.integers(min_value=1, max_value=12),   # queries
+    st.integers(min_value=1, max_value=8),    # k
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=150, deadline=None)
+def test_local_topk_frame_contains_exact_topk(n_rows, n_q, k, seed):
+    """The vectorized local top-k kernel (operators/similarity.
+    _local_topk_frame — it replaced a per-query Python loop) must emit,
+    for every query, a candidate superset of the EXACT top-k by
+    (cosine DESC, neighbor_id ASC) with self-matches excluded and at
+    most k+1 candidates per query — the contract the global window
+    relies on. Scores are drawn from a small discrete set so ties are
+    frequent (the argpartition edge case)."""
+    import numpy as np
+    import pandas as pd
+
+    from weather_tools_spark.operators.similarity import _local_topk_frame
+
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    s = rng.randint(0, 4, size=(n_rows, n_q)).astype(float) / 3.0
+    c_ids = rng.permutation(1000)[:n_rows].astype("int64")
+    q_ids = rng.permutation(np.arange(500, 1500))[:n_q].astype("int64")
+    out = _local_topk_frame(pd, s, c_ids, q_ids, k)
+    assert (out.groupby("query_id").size() <= k + 1).all()
+    for j, q in enumerate(q_ids):
+        got = set(out.loc[out.query_id == q, "neighbor_id"])
+        assert q not in got  # leave-one-out
+        order = sorted(
+            (i for i in range(n_rows) if c_ids[i] != q),
+            key=lambda i: (-s[i, j], c_ids[i]),
+        )
+        exact = {int(c_ids[i]) for i in order[:k]}
+        assert exact <= got, (q, exact, got)

@@ -103,14 +103,24 @@ def cosine_topk(
 
 def _local_topk_frame(pd, s: "np.ndarray", c_ids, q_ids, k: int):
     """Vectorized per-query local top-k over a (corpus_rows × queries)
-    score block: one argpartition for the whole block instead of a
+    score block: one column-wise sort for the whole block instead of a
     Python loop over queries (the loop was the 60 s term at 20k
     queries). Emits k+1 candidates per query (one may be the self
-    match, dropped here; ties at the cut are resolved by the global
-    (cosine DESC, neighbor_id ASC) window exactly as before)."""
+    match, dropped here).
+
+    Tie-EXACTNESS (hypothesis-caught): a bare argpartition picks an
+    arbitrary subset among tied scores, which can exclude the true
+    (cosine DESC, neighbor_id ASC) winner at the cut — e.g. exact
+    duplicate vectors. So rows are pre-sorted by neighbor_id and the
+    score sort is STABLE: ties then fall out id-ascending, making the
+    first k+1 rows per column a superset of the exact top-k under the
+    same ordering the global window applies."""
     n_rows = s.shape[0]
+    id_order = np.argsort(c_ids, kind="stable")
+    s = s[id_order]
+    c_ids = np.asarray(c_ids)[id_order]
     kk = min(k + 1, n_rows)
-    part = np.argpartition(-s, kk - 1, axis=0)[:kk]  # (kk, Q) row indices
+    part = np.argsort(-s, axis=0, kind="stable")[:kk]  # (kk, Q) row indices
     cand_ids = c_ids[part]  # (kk, Q)
     cand_cos = np.take_along_axis(s, part, axis=0)  # (kk, Q)
     q_rep = np.broadcast_to(q_ids, (kk, len(q_ids)))
