@@ -120,7 +120,19 @@ def _local_topk_frame(pd, s: "np.ndarray", c_ids, q_ids, k: int):
     s = s[id_order]
     c_ids = np.asarray(c_ids)[id_order]
     kk = min(k + 1, n_rows)
-    part = np.argsort(-s, axis=0, kind="stable")[:kk]  # (kk, Q) row indices
+    if kk == n_rows:
+        part = np.argsort(-s, axis=0, kind="stable")[:kk]
+    else:
+        # fast path: argpartition gives exact top-kk MEMBERSHIP whenever
+        # no tie straddles the cut (then the kk largest are forced);
+        # detect straddling ties per column (count of values >= the
+        # in-slice minimum exceeds kk) and full-sort ONLY those columns
+        part = np.argpartition(-s, kk - 1, axis=0)[:kk]  # (kk, Q)
+        thr = np.take_along_axis(s, part, axis=0).min(axis=0)  # (Q,)
+        risky = np.nonzero((s >= thr[None, :]).sum(axis=0) > kk)[0]
+        if len(risky):
+            part = part.copy()
+            part[:, risky] = np.argsort(-s[:, risky], axis=0, kind="stable")[:kk]
     cand_ids = c_ids[part]  # (kk, Q)
     cand_cos = np.take_along_axis(s, part, axis=0)  # (kk, Q)
     q_rep = np.broadcast_to(q_ids, (kk, len(q_ids)))
