@@ -124,6 +124,165 @@ def test_write_format_roundtrip(spark, fmt, tmp_path):
     assert len([f for f in os.listdir(out) if f.endswith(".grib2")]) == 2
 
 
+@pytest.fixture()
+def two_var_grib(tmp_path):
+    from weather_tools_spark.sources.grib2 import write_grib2
+
+    lats = np.array([50.0, 49.0])
+    lons = np.array([10.0, 11.0, 12.0])
+    p = str(tmp_path / "two.grib2")
+    write_grib2(
+        p,
+        [
+            {"param": "d2m", "ref_time": "2024-01-01T00:00", "lats": lats,
+             "lons": lons, "values": np.arange(6, dtype="f8").reshape(2, 3)},
+            {"param": "u10", "ref_time": "2024-01-01T00:00", "lats": lats,
+             "lons": lons, "values": np.arange(6, dtype="f8").reshape(2, 3) * 10},
+        ],
+    )
+    return p
+
+
+def test_columns_option_narrows_schema_and_matches_full_read(spark, fmt, two_var_grib):
+    """.option('columns', 'd2m'): the scan schema is coords + exactly
+    the requested variable, and the projected values agree with the
+    unprojected read's d2m column."""
+    narrow = spark.read.format(fmt).option("columns", "d2m").load(two_var_grib)
+    assert narrow.columns == ["time", "latitude", "longitude", "d2m"]
+    full = spark.read.format(fmt).load(two_var_grib)
+    assert full.columns == ["time", "latitude", "longitude", "d2m", "u10"]
+    a = {(r.time, r.latitude, r.longitude): round(r.d2m, 3) for r in narrow.collect()}
+    b = {(r.time, r.latitude, r.longitude): round(r.d2m, 3) for r in full.collect()}
+    assert a == b and len(a) == 6
+    # composes with filter pushdown
+    got = (
+        spark.read.format(fmt).option("columns", "u10").load(two_var_grib)
+        .filter(F.col("latitude") >= 49.5)
+        .agg(F.round(F.sum("u10"), 3).alias("s"))
+        .collect()[0].s
+    )
+    assert got == pytest.approx((0 + 1 + 2) * 10.0)
+
+
+def test_columns_option_unknown_name_raises(spark, fmt, two_var_grib):
+    with pytest.raises(Exception, match="unknown variables"):
+        spark.read.format(fmt).option("columns", "nope").load(two_var_grib).schema
+
+
+def test_grib2_projection_skips_messages_at_decode(two_var_grib, monkeypatch):
+    """The decode-side pin: with columns=[...,'d2m'] the GRIB want-set
+    contains ONLY d2m's (discipline, category, number) — u10's message
+    is skipped at the section-1 header, never unpacked."""
+    from weather_tools_spark.sources import grib2 as G2
+    from weather_tools_spark.sources.datasource import _decoder_for
+
+    seen_wants = []
+    real = G2.read_grib2
+
+    def spy(path, want=None):
+        seen_wants.append(want)
+        return real(path, want)
+
+    monkeypatch.setattr(G2, "read_grib2", spy)
+    decode_one, cols = _decoder_for("grib2", two_var_grib, ["d2m"])
+    pdf = decode_one(two_var_grib)
+    assert cols == ["time", "latitude", "longitude", "d2m"]
+    assert list(pdf.columns) == ["time", "latitude", "longitude", "d2m"]
+    assert seen_wants == [{G2.PARAMS["d2m"]}]
+    # strict=False (the per-file decode-task path): a variable absent
+    # from THIS file is dropped from the want-set — the upstream
+    # reindex backfills NaN, exactly like an unprojected read
+    seen_wants.clear()
+    decode_one, _ = _decoder_for("grib2", two_var_grib, ["d2m", "weird"], strict=False)
+    decode_one(two_var_grib)
+    assert seen_wants == [{G2.PARAMS["d2m"]}]
+    # decoder-level conservative fallback: a requested name the param
+    # table can't map decodes EVERYTHING (caller projects) rather than
+    # silently blanking the variable
+    from types import SimpleNamespace
+
+    seen_wants.clear()
+    G2.grib2_decode(two_var_grib, SimpleNamespace(variables=["unmappable_name"]))
+    assert seen_wants == [None]
+    # ...while the decoder's own p{d}_{c}_{n} spelling maps back exactly
+    seen_wants.clear()
+    G2.grib2_decode(two_var_grib, SimpleNamespace(variables=["p0_2_2"]))
+    assert seen_wants == [{(0, 2, 2)}]
+
+
+def test_netcdf3_projection_skips_unpack(tmp_path, monkeypatch):
+    """nc3_decode(opts.variables=['a']): only the requested variable is
+    CF-unpacked (call-counted), the other never materializes."""
+    from types import SimpleNamespace
+
+    from weather_tools_spark.sources import netcdf3 as N3
+
+    p = str(tmp_path / "two.nc")
+    N3.write_netcdf3(
+        p,
+        coords={
+            "time": np.array([0], dtype="i4"),
+            "latitude": np.array([1.0, 2.0]),
+            "longitude": np.array([3.0, 4.0]),
+        },
+        variables={
+            "a": np.arange(4, dtype="f8").reshape(1, 2, 2),
+            "b": np.arange(4, dtype="f8").reshape(1, 2, 2) * 5,
+        },
+    )
+    calls = []
+    real = N3._cf_unpack
+
+    def spy(arr, atts):
+        calls.append(1)
+        return real(arr, atts)
+
+    monkeypatch.setattr(N3, "_cf_unpack", spy)
+    pdf = N3.nc3_decode(p, SimpleNamespace(variables=["a"]))
+    assert list(pdf.columns) == ["time", "latitude", "longitude", "a"]
+    assert len(calls) == 1
+    assert pdf["a"].tolist() == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_hdf5_projection_skips_datasets(tmp_path):
+    """read_hdf5(want=...): pruned datasets are skipped before the
+    payload walk — they never appear, the wanted ones decode exactly."""
+    from types import SimpleNamespace
+
+    from weather_tools_spark.sources.hdf5 import nc4_decode, read_hdf5, write_netcdf4
+
+    p = str(tmp_path / "two.h5")
+    write_netcdf4(
+        p,
+        coords={
+            "time": np.array([0], dtype="i8"),
+            "latitude": np.array([1.0, 2.0]),
+            "longitude": np.array([3.0, 4.0]),
+        },
+        variables={
+            "a": np.arange(4, dtype="f8").reshape(1, 2, 2),
+            "b": np.arange(4, dtype="f8").reshape(1, 2, 2) * 7,
+        },
+    )
+    datasets, _ = read_hdf5(p, want={"time", "latitude", "longitude", "a"})
+    assert sorted(datasets) == ["a", "latitude", "longitude", "time"]
+    pdf = nc4_decode(p, SimpleNamespace(variables=["a"]))
+    assert list(pdf.columns) == ["time", "latitude", "longitude", "a"]
+    assert pdf["a"].tolist() == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_open_dataset_variables_projection(spark, two_var_grib):
+    """The opener's `variables` parameter is the same pushdown: narrow
+    columns, equal values, unknown names raise."""
+    from weather_tools_spark.sources.opener import open_dataset
+
+    df = open_dataset(spark, two_var_grib, variables=["u10"])
+    assert df.columns == ["time", "latitude", "longitude", "u10"]
+    assert df.agg(F.sum("u10")).collect()[0][0] == pytest.approx(150.0)
+    with pytest.raises(ValueError, match="unknown variables"):
+        open_dataset(spark, two_var_grib, variables=["zzz"])
+
+
 def test_stream_format_picks_up_new_files(spark, fmt, tmp_path):
     """spark.readStream.format('weather'): micro-batch 1 sees the
     existing file, a file added between runs arrives in the next

@@ -32,36 +32,13 @@ ORACLE: dict[str, str] = {}
 # clean verdict exists for the name.
 CHECK_CHANGED: list[str] = [
     # Re-add a name here ONLY when its oracle or execution path changes.
-    # r8: two ADVICE.md fixes touched execution paths / oracles:
-    #  - text_kneser_ney_ppl: Spark side gained the size(t)<2 empty-array
-    #    guard (was INVALID_ARRAY_INDEX_IN_ELEMENT_AT on 1-token docs).
-    #  - dedup_paragraph_dupes: first-occurrence key widened to
-    #    doc_id*1e9+idx on BOTH engines (old *1000 collided at >=1000
-    #    chunks/doc).
-    "text_kneser_ney_ppl",
-    "dedup_paragraph_dupes",
-    # r8: the exact-cosine kernels gained broadcast-bound guards that
-    # delegate oversized inputs to the distributed blocked variants
-    # (cosine_topk, embedding_cosine_pairs). Results are pinned
-    # identical by delegation-equality tests, but the execution path
-    # changed, so the dependent queries re-verify:
-    "sim_cosine_topk",
-    "dedup_embedding_cosine",
-    "ml_label_propagation",
-    "sim_ann_recall_audit",
-    # r8: same 1-token-doc guard as text_kneser_ney_ppl applied to the
-    # add-k perplexity filter's bigram expansion (audit of all
-    # sequence(1, size-1) sites found this one unguarded).
-    "corpus_perplexity_filter",
-    # r8: idf now derives from the persisted tf frame (one explode
-    # pass instead of two); values identical, path changed.
-    "text_tfidf_keywords",
-    # r8: open_dataset's zarr branch now skips the per-row data_uri
-    # string at the DECODE (include_uri=False) instead of dropping the
-    # column one operator later — identical output columns, path
-    # changed for the two queries that open zarr through the opener.
-    "xql_zarr_daily_avg",
-    "format_transcode_chain",
+    # r9: the Python DataSource reader gained projection pushdown — the
+    # decode task now routes through _decoder_for(variables=...) (an
+    # opts.variables want-set on every decoder) even for full-width
+    # reads. Values are pinned identical by test_datasource, but the
+    # execution path changed, so the one driver-gated query on that
+    # path re-verifies:
+    "weather_format_scan_agg",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

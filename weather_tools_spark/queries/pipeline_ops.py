@@ -1434,6 +1434,81 @@ def weather_format_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weather_format_projected_scan",
+    oracle="""
+    WITH cells AS (
+      SELECT 49.0 - r.i * 0.25 AS latitude,
+             2.0 + c.i * 0.25 AS longitude,
+             h.i * 1000 + r.i * 10 + c.i + 0.125 AS d2m
+      FROM (SELECT unnest(range(0, 2)) AS i) h,
+           (SELECT unnest(range(0, 3)) AS i) r,
+           (SELECT unnest(range(0, 4)) AS i) c
+    )
+    SELECT 4 AS n_cols,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(d2m), 3) AS sum_d2m,
+           round(min(latitude), 2) AS min_lat
+    FROM cells
+    WHERE latitude >= 48.75
+    """,
+)
+def weather_format_projected_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column PRUNING through the Python DataSource: the same
+    two-variable grid as weather_format_scan_agg goes out through the
+    GRIB2 sink, but the read projects a single variable via
+    ``.option("columns", "d2m")`` — the u10 GRIB messages are skipped
+    at the section-1 header inside the decode task (read_grib2's
+    ``want`` filter, sources/datasource.py + grib2.py), never unpacked,
+    never shipped through Arrow. Spark 4.1's Python DataSource has no
+    ``pruneColumns`` hook (the reader receives the full schema under a
+    narrow select), so the option IS the projection pushdown — the
+    reference's ``_only_target_vars``
+    (weather_mv/loader_pipeline/util.py:159-191). The n_cols literal
+    pins the narrowed scan schema (time, latitude, longitude, d2m) in
+    the hash-gated result; lat pushdown composes with the projection."""
+    import os
+    import tempfile
+
+    from weather_tools_spark.sources import grib2 as G2
+    from weather_tools_spark.sources.datasource import register as register_fmt
+
+    out_dir = tempfile.mkdtemp(prefix="wts_prj_")
+    nh, nr, nc = 2, 3, 4
+    grid = (
+        spark.range(nh * nr * nc)
+        .select(
+            (F.col("id") / (nr * nc)).cast("int").alias("hi"),
+            ((F.col("id") / nc) % nr).cast("int").alias("row_i"),
+            (F.col("id") % nc).cast("int").alias("col_i"),
+        )
+        .select(
+            F.to_timestamp(
+                F.concat(F.lit("2024-06-03 "), F.lpad((F.col("hi") * 12).cast("string"), 2, "0"),
+                         F.lit(":00:00"))
+            ).alias("time"),
+            (F.lit(49.0) - F.col("row_i") * 0.25).alias("latitude"),
+            (F.lit(2.0) + F.col("col_i") * 0.25).alias("longitude"),
+            (F.col("hi") * 1000 + F.col("row_i") * 10 + F.col("col_i") + 0.125).alias("d2m"),
+            (F.col("hi") * 2000 - F.col("row_i") * 20 - F.col("col_i") - 0.25).alias("u10"),
+        )
+    )
+    G2.write_grib2_partitioned(grid, out_dir, ["d2m", "u10"])
+    register_fmt(spark)
+    df = (
+        spark.read.format("weather")
+        .option("columns", "d2m")
+        .load(os.path.join(out_dir, "*"))
+        .filter(F.col("latitude") >= 48.75)
+    )
+    return df.agg(
+        F.lit(len(df.columns)).cast("int").alias("n_cols"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("d2m"), 3).alias("sum_d2m"),
+        F.round(F.min("latitude"), 2).alias("min_lat"),
+    )
+
+
+@register(
     "dq_expectation_suite",
     oracle="""
     WITH checks AS (

@@ -19,6 +19,17 @@ Spark-native integration points implemented (not just ``read``):
   ``latitude`` / ``longitude`` / ``time`` are absorbed by the source and
   applied inside the decode task before rows reach Spark (and the
   remaining filters are returned so Catalyst re-applies only those);
+- **column pruning** (``.option("columns", "d2m,u10")``): the source
+  schema narrows to coordinates + the requested data variables, and the
+  pruned variables are never decoded — GRIB messages for them are
+  skipped at the section-1 header (read_grib2's ``want`` filter), HDF5
+  chunks are never inflated, NetCDF-3 payloads never CF-unpacked.
+  Spark 4.1's Python DataSource has no ``pruneColumns`` hook — the
+  reader receives the FULL schema even under a narrow ``select()``
+  (verified empirically: ``BatchScan`` ReadSchema keeps every column) —
+  so projection is pushed explicitly via the option, mirroring the
+  reference's ``_only_target_vars``
+  (weather_mv/loader_pipeline/util.py:159-191, applied bq.py:317,331);
 - **Arrow hand-off**: ``read`` yields ``pyarrow.RecordBatch`` — the
   columnar boundary, no per-row Python objects.
 
@@ -59,36 +70,58 @@ def _expand(path: str) -> list[str]:
     return uris
 
 
-def _decoder_for(kind: str, first: str):
+_COORD_COLS = ("time", "latitude", "longitude")
+
+
+def _decoder_for(
+    kind: str, first: str, variables: list[str] | None = None, strict: bool = True
+):
     """(decode_one, columns) for a single-file format — the same pairing
-    ``opener.open_dataset`` uses for its mapInPandas plan."""
+    ``opener.open_dataset`` uses for its mapInPandas plan.
+
+    ``variables`` is the projection pushdown: when given, only those
+    data variables decode (``opts.variables`` on every decoder —
+    message-skip for GRIB, chunk-skip for HDF5, unpack-skip for
+    NetCDF-3) and the returned column list is coordinates + exactly
+    that subset. Unknown names raise when ``strict`` (the driver-side
+    schema probe — a typo should fail the query); decode tasks pass
+    ``strict=False`` so a glob member missing a variable still decodes
+    (the reindex backfills NaN, same as an unprojected read)."""
+    from types import SimpleNamespace
+
     if kind == "netcdf3":
         from .netcdf3 import list_variables, nc3_decode
 
-        return (lambda p: nc3_decode(p, None)), ["time", "latitude", "longitude"] + sorted(
-            list_variables(first)
-        )
-    if kind == "netcdf4":
+        decode, available = nc3_decode, sorted(list_variables(first))
+    elif kind == "netcdf4":
         from .hdf5 import list_variables_h5, nc4_decode
 
-        return (lambda p: nc4_decode(p, None)), ["time", "latitude", "longitude"] + list_variables_h5(first)
-    if kind == "grib2":
+        decode, available = nc4_decode, list_variables_h5(first)
+    elif kind == "grib2":
         from .grib2 import grib2_decode, list_params
 
-        return (lambda p: grib2_decode(p, None)), ["time", "latitude", "longitude"] + sorted(
-            set(list_params(first))
-        )
-    if kind == "grib1":
+        decode, available = grib2_decode, sorted(set(list_params(first)))
+    elif kind == "grib1":
         from .grib1 import grib1_decode, list_params1
 
-        return (lambda p: grib1_decode(p, None)), ["time", "latitude", "longitude"] + sorted(
-            set(list_params1(first))
-        )
-    if kind == "geotiff":
+        decode, available = grib1_decode, sorted(set(list_params1(first)))
+    elif kind == "geotiff":
         from .geotiff import gtiff_decode
 
+        # single-band value column — nothing variable-level to prune
         return (lambda p: gtiff_decode(p)), ["latitude", "longitude", "value"]
-    raise ValueError(f"format {kind!r} has no single-file decoder (zarr: use open_dataset)")
+    else:
+        raise ValueError(f"format {kind!r} has no single-file decoder (zarr: use open_dataset)")
+
+    if variables is not None:
+        unknown = sorted(set(variables) - set(available))
+        if unknown and strict:
+            raise ValueError(f"unknown variables {unknown} (file has {available})")
+        available = [v for v in available if v in set(variables)]
+        opts = SimpleNamespace(variables=list(available))
+    else:
+        opts = None
+    return (lambda p: decode(p, opts)), list(_COORD_COLS) + available
 
 
 class _FilePartition(InputPartition):
@@ -132,7 +165,16 @@ class WeatherReader(DataSourceReader):
         import pandas as pd
         import pyarrow as pa
 
-        decode_one, cols = _decoder_for(self._kind, partition.path)
+        # projection pushdown: decode exactly the data variables in this
+        # reader's schema — a schema narrowed by .option("columns", ...)
+        # means the pruned variables never decode in-task
+        variables = [c for c in self._columns if c not in _COORD_COLS and c != "value"]
+        decode_one, cols = _decoder_for(
+            self._kind,
+            partition.path,
+            variables if self._kind != "geotiff" else None,
+            strict=False,
+        )
         pdf = decode_one(partition.path).reindex(columns=self._columns)
         for col, op, val in self._ranges:
             if col == "time":
@@ -177,7 +219,13 @@ class WeatherDataSource(DataSource):
             raise ValueError('format("weather") needs .load(path)')
         uris = _expand(path)
         kind = detect(uris[0])
-        _, cols = _decoder_for(kind, uris[0])
+        requested = self.options.get("columns")
+        variables = (
+            [c.strip() for c in requested.split(",") if c.strip()]
+            if requested is not None
+            else None
+        )
+        _, cols = _decoder_for(kind, uris[0], variables)
         return StructType(
             [
                 StructField(c, TimestampType() if c == "time" else DoubleType())
@@ -330,9 +378,13 @@ class WeatherStreamReader(SimpleDataSourceStreamReader):
         # cache copies (and may pickle) the returned iterator
         from .opener import detect
 
+        variables = [c for c in self._columns if c not in _COORD_COLS and c != "value"]
         rows: list[tuple] = []
         for p in files:
-            decode_one, _ = _decoder_for(detect(p), p)
+            kind = detect(p)
+            decode_one, _ = _decoder_for(
+                kind, p, variables if kind != "geotiff" else None, strict=False
+            )
             pdf = decode_one(p).reindex(columns=self._columns)
             if "time" in pdf.columns:
                 # Spark's tuple converter localizes timestamps — hand it

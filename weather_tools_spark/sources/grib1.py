@@ -406,7 +406,20 @@ def grib1_decode(path: str, opts=None) -> pd.DataFrame:
     want = None
     variables = getattr(opts, "variables", None) if opts is not None else None
     if variables:
-        want = {PARAMS1[v] for v in variables if v in PARAMS1}
+        import re as _re
+
+        want = set()
+        for v in variables:
+            if v in PARAMS1:
+                want.add(PARAMS1[v])
+            elif _re.fullmatch(r"p\d+", v):
+                # invertible decoder-assigned name — exact message filter
+                want.add(int(v[1:]))
+            else:
+                # unmappable request → decode all (caller projects);
+                # pruning must never silently blank a requested variable
+                want = None
+                break
     messages = read_grib1(path, want)
     has_step = any(m["step_hours"] for m in messages)
     frames: dict[tuple, pd.DataFrame] = {}

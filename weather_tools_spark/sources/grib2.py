@@ -1069,7 +1069,22 @@ def grib2_decode(path: str, opts=None) -> pd.DataFrame:
     want = None
     variables = getattr(opts, "variables", None) if opts is not None else None
     if variables:
-        want = {PARAMS[v] for v in variables if v in PARAMS}
+        import re as _re
+
+        want = set()
+        for v in variables:
+            if v in PARAMS:
+                want.add(PARAMS[v])
+            elif _re.fullmatch(r"p\d+_\d+_\d+", v):
+                # the decoder's own name for an unmapped parameter —
+                # invertible, so the message filter stays exact
+                want.add(tuple(int(x) for x in v[1:].split("_")))
+            else:
+                # a name the param table can't map: decode everything
+                # (the caller's projection drops extras) — pruning must
+                # never silently blank a requested variable
+                want = None
+                break
     messages = read_grib2(path, want)
     # forecast-step / ensemble columns appear only when the file uses
     # them (step ≠ 0 or PDS template 4.1) — static-grid decode output

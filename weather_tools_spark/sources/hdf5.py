@@ -948,8 +948,15 @@ def _walk_group_btree(buf: bytes, addr: int, heap_addr: int) -> list[tuple[str, 
     return entries
 
 
-def read_hdf5(path: str) -> tuple[dict[str, np.ndarray], dict[str, dict]]:
-    """Parse an HDF5 file → ({dataset name: array}, {name: attrs})."""
+def read_hdf5(
+    path: str, want: set[str] | None = None
+) -> tuple[dict[str, np.ndarray], dict[str, dict]]:
+    """Parse an HDF5 file → ({dataset name: array}, {name: attrs}).
+
+    ``want`` is the projection pushdown: datasets outside the set are
+    skipped BEFORE the payload walk (no B-tree traversal, no chunk
+    inflate/unshuffle) — only their root symbol-table entry is ever
+    touched. ``None`` reads everything."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:8] != MAGIC:
@@ -957,6 +964,8 @@ def read_hdf5(path: str) -> tuple[dict[str, np.ndarray], dict[str, dict]]:
     datasets: dict[str, np.ndarray] = {}
     attrs: dict[str, dict] = {}
     for name, oh_addr in _root_entries(buf):
+        if want is not None and name not in want:
+            continue
         msgs = _parse_object_header(buf, oh_addr)
         arr, a = _read_dataset(buf, msgs)
         if arr is not None:
@@ -983,8 +992,15 @@ def list_variables_h5(path: str) -> list[str]:
 
 def nc4_decode(path: str, opts=None) -> pd.DataFrame:
     """Hypercube-ingest decoder over NetCDF-4/HDF5 bytes — same output
-    contract and CF conventions as nc3_decode (sources/netcdf3.py)."""
-    datasets, attrs = read_hdf5(path)
+    contract and CF conventions as nc3_decode (sources/netcdf3.py).
+    ``opts.variables`` is the projection pushdown: pruned variables'
+    chunks are never inflated (see :func:`read_hdf5`); coordinates
+    always decode."""
+    variables = getattr(opts, "variables", None) if opts is not None else None
+    want = None
+    if variables:
+        want = {"time", "latitude", "longitude"} | set(variables)
+    datasets, attrs = read_hdf5(path, want)
     for c in ("time", "latitude", "longitude"):
         if c not in datasets:
             raise ValueError(f"{path}: missing coordinate variable {c!r}")

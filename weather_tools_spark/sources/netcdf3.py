@@ -395,7 +395,16 @@ def nc3_decode(path: str, opts) -> pd.DataFrame:
     branch: long-format time/latitude/longitude + variable columns).
     Time decoded from the CF ``units`` epoch attribute (any
     "<unit> since <epoch>" spelling); packed variables unpacked via
-    scale_factor/add_offset with fill sentinels → NaN."""
+    scale_factor/add_offset with fill sentinels → NaN.
+
+    ``opts.variables`` is the projection pushdown (the reference's
+    ``_only_target_vars``, weather_mv/loader_pipeline/util.py:159-191):
+    data variables outside the set are never CF-unpacked or
+    materialized as columns — coordinates always decode."""
+    want = None
+    variables = getattr(opts, "variables", None) if opts is not None else None
+    if variables:
+        want = set(variables)
     coords, data, attrs = read_netcdf3(path)
     tatts = attrs.get("time", {})
     units = tatts.get("units", _TIME_UNITS)
@@ -406,6 +415,8 @@ def nc3_decode(path: str, opts) -> pd.DataFrame:
     tt, la, lo = np.meshgrid(times, lats, lons, indexing="ij")
     out = {"time": tt.ravel(), "latitude": la.ravel(), "longitude": lo.ravel()}
     for v, arr in data.items():
+        if want is not None and v not in want:
+            continue  # projected out — skip the unpack copy entirely
         out[v] = _cf_unpack(arr, attrs.get(v, {})).ravel()
     pdf = pd.DataFrame(out)
     if opts is not None:

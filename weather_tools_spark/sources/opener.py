@@ -115,11 +115,20 @@ def open_dataset(
     lon_range: tuple[float, float] | None = None,
     view: str | None = None,
     client_factory=None,
+    variables: list[str] | None = None,
 ) -> DataFrame:
     """Open any supported store/file as a long-format DataFrame;
     optionally register it as a temp view for the SQL surface. Range
     arguments prune CHUNKS for zarr stores (parquet row-group-style
     min/max pruning) and apply as ordinary filters for file formats.
+
+    ``variables`` is the projection pushdown (the reference's
+    ``_only_target_vars``, weather_mv/loader_pipeline/util.py:159-191):
+    only the named data variables decode — for zarr stores the pruned
+    variables' chunk FILES are never opened (each variable is its own
+    chunked array), for GRIB the pruned messages are skipped at the
+    header, for HDF5 the pruned chunks never inflate, for NetCDF-3 the
+    pruned payloads never CF-unpack. Unknown names raise driver-side.
 
     ``uri`` may be a glob (``.../era5-*.grib2``): every match must be
     the same format; one executor task decodes each whole file — the
@@ -139,7 +148,12 @@ def open_dataset(
         # time_range prunes the chunk MANIFEST (no pixel RPC for
         # out-of-range images); the residual filter below stays for
         # uniformity with the file formats (cheap no-op after pruning)
-        df = open_ee(spark, uri, client_factory=client_factory, time_range=time_range)
+        # `variables` maps to EE bands: the chunk manifest prunes by
+        # band, so unrequested bands never issue a pixel RPC
+        df = open_ee(
+            spark, uri, client_factory=client_factory, time_range=time_range,
+            bands=variables,
+        )
         if time_range is not None:
             df = df.filter(
                 (F.col("time") >= F.lit(time_range[0]).cast("timestamp"))
@@ -163,39 +177,39 @@ def open_dataset(
     if kind == "zarr" and len(uris) > 1:
         raise ValueError("glob of multiple zarr stores unsupported — open each store")
     if kind == "zarr":
+        import dataclasses
+
         from . import zarr_scan as ZS
         from .zarr_v2 import open_zarr_v2
 
+        meta = open_zarr_v2(uri)
+        if variables is not None:
+            unknown = sorted(set(variables) - set(meta.variables))
+            if unknown:
+                raise ValueError(f"unknown variables {unknown} (store has {list(meta.variables)})")
+            # each variable is its own chunked array: restricting the
+            # template means the pruned variables' chunk files are
+            # never opened, let alone decompressed
+            meta = dataclasses.replace(
+                meta, variables=tuple(v for v in meta.variables if v in set(variables))
+            )
         df = ZS.scan(
-            spark, open_zarr_v2(uri), time_range, lat_range, lon_range,
+            spark, meta, time_range, lat_range, lon_range,
             decoder="zarr2", include_uri=False,
         )
     else:
-        if kind == "netcdf3":
-            from .netcdf3 import list_variables, nc3_decode
-
-            cols = ["time", "latitude", "longitude"] + sorted(list_variables(uris[0]))
-            df = _file_frame(spark, uris, lambda p: nc3_decode(p, None), cols)
-        elif kind == "netcdf4":
-            from .hdf5 import list_variables_h5, nc4_decode
-
-            cols = ["time", "latitude", "longitude"] + list_variables_h5(uris[0])
-            df = _file_frame(spark, uris, lambda p: nc4_decode(p, None), cols)
-        elif kind == "grib2":
-            from .grib2 import grib2_decode, list_params
-
-            cols = ["time", "latitude", "longitude"] + sorted(set(list_params(uris[0])))
-            df = _file_frame(spark, uris, lambda p: grib2_decode(p, None), cols)
-        elif kind == "grib1":
-            from .grib1 import grib1_decode, list_params1
-
-            cols = ["time", "latitude", "longitude"] + sorted(set(list_params1(uris[0])))
-            df = _file_frame(spark, uris, lambda p: grib1_decode(p, None), cols)
-        else:  # geotiff — no time axis in the container itself
+        if kind == "geotiff":  # no time axis, single value band
             from .geotiff import gtiff_decode
 
             cols = ["latitude", "longitude", "value"]
             df = _file_frame(spark, uris, lambda p: gtiff_decode(p), cols)
+        else:
+            # single-file hypercube formats share the decoder pairing —
+            # projection pushdown included — with format("weather")
+            from .datasource import _decoder_for
+
+            decode_one, cols = _decoder_for(kind, uris[0], variables)
+            df = _file_frame(spark, uris, decode_one, cols)
         if time_range is not None and "time" in df.columns:
             df = df.filter(
                 (F.col("time") >= F.lit(time_range[0]).cast("timestamp"))
