@@ -166,3 +166,30 @@ def test_kcore_rounds_reach_fixpoint(spark):
             nodes = {u for u, d in deg.items() if d >= _KC_K}
             history.append(frozenset(nodes))
         assert history[_KC_ROUNDS] == history[_KC_ROUNDS - 1], sf
+
+
+def test_bounded_rows_enforces_bound(spark):
+    """operators/bounded.py: the bounded-collect contract is enforced at
+    runtime — within-bound frames collect normally (through limit(n+1),
+    so the driver never holds more), over-bound frames raise
+    BoundExceeded naming the documented reason instead of silently
+    ballooning the driver heap."""
+    import pytest as _pytest
+
+    from weather_tools_spark.operators.bounded import (
+        BoundExceeded,
+        bounded_pandas,
+        bounded_rows,
+    )
+
+    five = spark.range(5)
+    assert sorted(r.id for r in bounded_rows(five, 5, "five-row literal")) == [0, 1, 2, 3, 4]
+    assert len(bounded_pandas(five, 10, "five-row literal")) == 5
+    with _pytest.raises(BoundExceeded, match="stale-bound demo"):
+        bounded_rows(spark.range(100), 5, "stale-bound demo")
+    with _pytest.raises(BoundExceeded, match="stale-bound demo"):
+        bounded_pandas(spark.range(100), 5, "stale-bound demo")
+    # the probe is limit-pushed: an over-bound frame still only ships
+    # n+1 rows to the driver (observable via the plan's GlobalLimit)
+    plan = spark.range(10_000).limit(6)._jdf.queryExecution().executedPlan().toString()
+    assert "Limit" in plan

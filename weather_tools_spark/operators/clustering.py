@@ -119,7 +119,11 @@ def kmeans_fit(
                 ).alias("ps"),
             )
             .select("cluster", "n", F.col("ps.s").alias("sums"))
-            .collect()
+        )
+        from weather_tools_spark.operators.bounded import bounded_rows
+
+        merged = bounded_rows(
+            merged, k, "per-cluster centroid partial sums (<= k rows)"
         )
         new = cents.copy()  # empty clusters keep their previous centroid
         for r in merged:

@@ -73,11 +73,17 @@ def running_sum(
 
     # partition total = sum of the values (NOT max of the cumsum — with
     # negative values the running sum is not monotone)
+    from weather_tools_spark.operators.bounded import bounded_rows
+
     totals = {
         r._pid: r.total
-        for r in with_local.groupBy("_pid")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("total"))
-        .collect()
+        for r in bounded_rows(
+            with_local.groupBy("_pid").agg(
+                F.sum(F.col(value_col).cast("long")).alias("total")
+            ),
+            with_local.rdd.getNumPartitions(),
+            "per-partition prefix-sum totals (one row per partition)",
+        )
     }
     offsets = {}
     acc = 0

@@ -90,7 +90,16 @@ def clean_corpus(
         .otherwise("clean")
         .alias("verdict"),
     )
-    counts = {r.verdict: r.n for r in attributed.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()}
+    from weather_tools_spark.operators.bounded import bounded_rows
+
+    counts = {
+        r.verdict: r.n
+        for r in bounded_rows(
+            attributed.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")),
+            4,
+            "clean-report verdict counts (4 fixed verdict values)",
+        )
+    }
     report = CleanReport(
         n_input=sum(counts.values()),
         n_exact_dups=counts.get("exact", 0),

@@ -39,6 +39,24 @@ CHECK_CHANGED: list[str] = [
     # execution path changed, so the one driver-gated query on that
     # path re-verifies:
     "weather_format_scan_agg",
+    # r9: the bounded-collect contract became an enforced invariant —
+    # every documented-bounded collect()/toPandas() now routes through
+    # operators/bounded.bounded_rows (a limit(n+1) probe that raises
+    # when the bound reasoning is stale). Values identical (the limit
+    # is above the full result), but the collect plan of these queries
+    # gained the limit node, so they re-verify:
+    "graph_shortest_paths",
+    "graph_kcore",
+    "graph_ktruss",
+    "graph_triangle_census",
+    "events_markov_stationary",
+    "corpus_bpe_tokenize",
+    "orders_open_backlog_monthly",
+    "corpus_pack_sequences",
+    "corpus_clean_report_exact",
+    "pipeline_quarantine_report",
+    "ml_kmeans_cluster_summary",
+    "ml_semdedup_keep_rate",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_tools_spark.catalog import load_table
+from weather_tools_spark.operators.bounded import bounded_rows
 from weather_tools_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -124,7 +125,10 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the iteration schedule itself (fifth iterative algorithm
     under the oracle, after k-means, PageRank, label propagation, and
     parcel advection)."""
-    edge_rows = _sp_edges_df(spark, sf_dir).collect()  # bounded: <= |nations| * topk rows
+    edge_rows = bounded_rows(
+        _sp_edges_df(spark, sf_dir), 625,
+        "nation-graph edge summary (<= |nations| * topk = 625)",
+    )
     out_adj: dict[int, list[int]] = {}
     for r in edge_rows:
         out_adj.setdefault(int(r.src), []).append(int(r.dst))
@@ -1364,7 +1368,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained CTEs, so the hash gate certifies the round-by-round
     schedule. 6 rounds (``_KC_ROUNDS``) is past the fixpoint on every
     SF (pytest asserts one extra round changes nothing)."""
-    edge_rows = _sp_edges_df(spark, sf_dir).collect()
+    edge_rows = bounded_rows(
+        _sp_edges_df(spark, sf_dir), 625,
+        "nation-graph edge summary (<= |nations| * topk = 625)",
+    )
     und: set[tuple[int, int]] = set()
     for r in edge_rows:
         s, d = int(r.src), int(r.dst)

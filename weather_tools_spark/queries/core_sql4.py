@@ -1437,7 +1437,11 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    out = spark.createDataFrame(out.collect(), out.schema)  # bounded: 1 row
+    from weather_tools_spark.operators.bounded import bounded_rows
+
+    out = spark.createDataFrame(
+        bounded_rows(out, 1, "whole-graph triangle census summary"), out.schema
+    )
     oriented.unpersist()
     edges.unpersist()
     return out

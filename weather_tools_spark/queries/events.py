@@ -1388,8 +1388,11 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_type",
         F.round(F.col("n").cast("double") / F.sum("n").over(wt), 9).alias("p"),
     )
-    # bounded collect: <=|types|^2 rows by construction
-    mat = trans.collect()
+    from weather_tools_spark.operators.bounded import bounded_rows
+
+    mat = bounded_rows(
+        trans, 400, "event-type transition matrix (<= |types|^2 rows)"
+    )
     types = sorted({r.event_type for r in mat})
     p = {(r.event_type, r.next_type): r.p for r in mat}
     x = {t: 1.0 / len(types) for t in types}

@@ -148,7 +148,12 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("tok"))
         .limit(20)
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
+    from weather_tools_spark.operators.bounded import bounded_rows
+
+    out = spark.createDataFrame(
+        bounded_rows(out, 20, "top-20 BPE token table (limit(20) upstream)"),
+        out.schema,
+    )
     base.unpersist()
     return out
 

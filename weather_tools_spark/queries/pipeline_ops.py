@@ -391,11 +391,19 @@ def pipeline_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     good, quarantined = read_json_with_quarantine(
         spark, feed, _parse_datatype_string(schema)
     )
-    report = quarantine_summary(good, quarantined).collect()[0]
-    reasons = quarantined.agg(
-        F.sum(F.when(F.col("raw_record").startswith("{"), 1).otherwise(0)).alias("json_like"),
-        F.sum(F.when(F.col("raw_record").startswith("{"), 0).otherwise(1)).alias("other"),
-    ).collect()[0]
+    from weather_tools_spark.operators.bounded import bounded_rows
+
+    report = bounded_rows(
+        quarantine_summary(good, quarantined), 1, "whole-feed quarantine summary"
+    )[0]
+    reasons = bounded_rows(
+        quarantined.agg(
+            F.sum(F.when(F.col("raw_record").startswith("{"), 1).otherwise(0)).alias("json_like"),
+            F.sum(F.when(F.col("raw_record").startswith("{"), 0).otherwise(1)).alias("other"),
+        ),
+        1,
+        "whole-feed quarantine reason counts",
+    )[0]
     return spark.createDataFrame(
         [
             (

@@ -392,7 +392,12 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing). Output: surviving canonical edges with final support."""
     from weather_tools_spark.queries.analytics import _sp_edges_df
 
-    edge_rows = _sp_edges_df(spark, sf_dir).collect()
+    from weather_tools_spark.operators.bounded import bounded_rows
+
+    edge_rows = bounded_rows(
+        _sp_edges_df(spark, sf_dir), 625,
+        "nation-graph edge summary (<= |nations| * topk = 625)",
+    )
     und: set[tuple[int, int]] = set()
     for row in edge_rows:
         s, d = int(row.src), int(row.dst)

@@ -320,15 +320,19 @@ def to_cog_then_ingest(
     frame to a dense grid, write it as a COG, ingest as an IMAGE."""
     from .geotiff import write_cog
 
-    pdf = (
+    from weather_tools_spark.operators.bounded import bounded_pandas
+
+    pdf = bounded_pandas(
         df.filter(F.col("band") == band)
         .groupBy("latitude")
         .pivot("longitude")
         .agg(F.first("value"))
-        .orderBy(F.col("latitude").desc())
-        .toPandas()
-        .set_index("latitude")
-    )
+        .orderBy(F.col("latitude").desc()),
+        65536,
+        "one band pivoted to a driver-written COG grid — one row per "
+        "latitude, bounded by the asset grid height (a taller asset "
+        "should go through the distributed COG writer)",
+    ).set_index("latitude")
     pdf = pdf[sorted(pdf.columns, key=float)]
     lats = pdf.index.to_numpy(dtype=np.float64)
     lons = np.array([float(c) for c in pdf.columns])
