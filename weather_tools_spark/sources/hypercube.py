@@ -150,28 +150,58 @@ def _fake_grid_decode(path: str, opts: IngestOptions) -> pd.DataFrame:
     )
 
 
-def _xarray_decode(path: str, opts: IngestOptions) -> pd.DataFrame:  # pragma: no cover
-    """Real decoder: xarray engine-dispatch (zarr → rasterio → netcdf →
-    cfgrib-with-edition-fallback, sinks.py:437-519). Unavailable in this
-    container; raises so callers fall back to the fake decoder."""
+def _xarray_decode(path: str, opts: IngestOptions) -> pd.DataFrame:
+    """Library-backed decoder: xarray engine-dispatch (zarr → rasterio
+    → netcdf → cfgrib-with-edition-fallback; the reference's
+    weather_mv/loader_pipeline/sinks.py:437-519). Engine selection is
+    by magic bytes / store layout, mirroring ``decode_auto``; GRIB
+    retries edition 1 the way the reference retries cfgrib with
+    ``{'edition': 1}``. Gates with NotImplementedError when xarray is
+    absent (this container); when the libraries ARE present,
+    tests/test_conformance_optional.py asserts cell-level equality of
+    this branch against every stdlib codec."""
     try:
         import xarray as xr  # type: ignore
     except ImportError as e:
         raise NotImplementedError(
-            "xarray not installed in this environment; use decoder='fake'"
+            "xarray not installed in this environment; the stdlib codecs "
+            "(netcdf3/netcdf4/grib1/grib2) cover the standard layouts"
         ) from e
-    engine = None
-    if path.endswith(".zarr"):
-        engine = "zarr"
+    import os as _os
+
+    from .grib1 import is_grib1
+    from .grib2 import is_grib2
+
+    if _os.path.isdir(path) or path.rstrip("/").endswith(".zarr"):
+        ds = xr.open_zarr(path)
     elif path.endswith((".tif", ".tiff")):
-        engine = "rasterio"
-    ds = xr.open_dataset(path, engine=engine)
-    if opts.start_time or opts.end_time:
+        ds = xr.open_dataset(path, engine="rasterio")
+    elif is_grib2(path) or is_grib1(path):
+        try:
+            ds = xr.open_dataset(path, engine="cfgrib")
+        except Exception:
+            # reference edition fallback (sinks.py:370-389)
+            ds = xr.open_dataset(
+                path, engine="cfgrib",
+                backend_kwargs={"filter_by_keys": {"edition": 1}},
+            )
+    else:
+        ds = xr.open_dataset(path)
+    variables = getattr(opts, "variables", None) if opts is not None else None
+    if variables:
+        ds = ds[[v for v in variables if v in ds.data_vars]]
+    if opts is not None and (opts.start_time or opts.end_time):
         ds = ds.sel(time=slice(opts.start_time, opts.end_time))
-    if opts.area:
+    if opts is not None and opts.area:
         n, w, s, e = opts.area
-        ds = ds.sel(latitude=slice(n, s), longitude=slice(w, e))
-    return ds.to_dataframe().reset_index()
+        lat = ds["latitude"].values
+        lat_slice = slice(n, s) if len(lat) > 1 and lat[0] > lat[-1] else slice(s, n)
+        ds = ds.sel(latitude=lat_slice, longitude=slice(w, e))
+    pdf = ds.to_dataframe().reset_index()
+    # normalize to the long-format contract the stdlib codecs emit
+    order = [c for c in ("time", "latitude", "longitude") if c in pdf.columns]
+    rest = [c for c in pdf.columns if c not in order]
+    return pdf[order + sorted(rest)]
 
 
 def _nc3_decode(path: str, opts: IngestOptions) -> pd.DataFrame:
