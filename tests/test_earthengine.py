@@ -133,3 +133,131 @@ def test_time_range_prunes_manifest_not_just_rows(spark):
     assert [f.name for f in empty.schema.fields] == [
         "time", "latitude", "longitude", "band", "value",
     ]
+
+
+def test_task_queue_backpressure_waits_for_space():
+    """wait_for_task_queue (reference ee.py:839-846): with >= num_shards
+    active tasks the worker sleeps; each poll advances the scripted task
+    clock until enough tasks complete, then ingestion proceeds."""
+    fake = EE.FakeEEClient()
+    # 3 active tasks, queue capacity num_shards=2: must wait until at
+    # most 1 is still active (two of them complete after 2 polls)
+    fake.script_task("a", ["RUNNING", "RUNNING", "COMPLETED"])
+    fake.script_task("b", ["READY", "RUNNING", "COMPLETED"])
+    fake.script_task("c", ["RUNNING", "RUNNING", "RUNNING", "RUNNING"])
+    sleeps: list[float] = []
+    waits = EE.wait_for_task_queue(
+        fake, num_shards=2, wait_time=120.0, sleep=sleeps.append
+    )
+    assert waits == 2
+    assert sleeps == [120.0, 120.0]  # the reference's TASK_QUEUE_WAIT_TIME
+    assert EE.ee_tasks_remaining(fake) == 1  # only 'c' still active
+    # bounded variant: a queue that never drains raises instead of
+    # spinning forever
+    stuck = EE.FakeEEClient()
+    for i in range(3):
+        stuck.script_task(f"s{i}", ["RUNNING"])
+    with pytest.raises(TimeoutError, match="task queue"):
+        EE.wait_for_task_queue(
+            stuck, num_shards=2, wait_time=1.0, sleep=lambda _s: None, max_waits=3
+        )
+
+
+def test_wait_for_task_polls_to_terminal_and_raises_on_failure():
+    fake = EE.FakeEEClient()
+    fake.script_task("ok", ["UNSUBMITTED", "RUNNING", "RUNNING", "COMPLETED"])
+    sleeps: list[float] = []
+    status = EE.wait_for_task(fake, "ok", poll_interval=120.0, sleep=sleeps.append)
+    assert status["state"] == "COMPLETED"
+    assert len(sleeps) == 3  # one sleep per non-terminal poll
+    fake.script_task("bad", ["RUNNING", "FAILED"])
+    with pytest.raises(EE.EETaskFailed, match="FAILED"):
+        EE.wait_for_task(fake, "bad", sleep=lambda _s: None)
+    fake.script_task("hung", ["RUNNING"])
+    with pytest.raises(TimeoutError, match="still RUNNING"):
+        EE.wait_for_task(fake, "hung", sleep=lambda _s: None, max_polls=2)
+
+
+def test_start_ingestion_retries_with_reference_backoff():
+    """start_ingestion wraps the import in the 10-retry / 1 s-initial /
+    600 s-cap exponential backoff (reference sinks.py:46-49 constants,
+    shared RetryPolicy): scripted transient failures are retried with
+    doubling delays, then the import lands exactly once."""
+    fake = EE.FakeEEClient()
+    fake.fail_next_imports = 3
+    sleeps: list[float] = []
+    name = EE.start_ingestion(
+        fake,
+        "projects/p/assets/col",
+        EE.AssetData(name="img1", target_path="/tmp/x.tif"),
+        sleep=sleeps.append,
+    )
+    assert name == "projects/p/assets/col/img1"
+    assert fake.n_import_attempts == 4  # 3 scripted failures + 1 success
+    assert sleeps == [1.0, 2.0, 4.0]  # exponential from the 1 s initial
+    assert len(fake.ingested) == 1  # exactly-once despite retries
+    # a permanently failing import re-raises after the retry budget
+    dead = EE.FakeEEClient()
+    dead.fail_next_imports = 10 ** 6
+    with pytest.raises(RuntimeError, match="transient EE import failure"):
+        EE.start_ingestion(
+            dead, "projects/p/assets/col",
+            EE.AssetData(name="img2", target_path="/tmp/y.tif"),
+            sleep=lambda _s: None,
+        )
+    assert dead.n_import_attempts == 10  # the RetryPolicy's full budget
+
+
+def test_cog_ingest_chain_with_queue_and_completion(spark, tmp_path):
+    """to_cog_then_ingest routes through the queue guard and can poll
+    the spawned ingestion task to COMPLETED."""
+    fake = EE.FakeEEClient(n_time=1, height=3, width=4, bands=("t2m",))
+    fake.default_task_states = ["RUNNING", "RUNNING", "COMPLETED"]
+    df = EE.open_ee(spark, "ee://asset/x", EE.FakeEEClient)
+    out = str(tmp_path / "band.tif")
+    sleeps: list[float] = []
+    name = EE.to_cog_then_ingest(
+        df, "t2m", out, fake, "projects/p/assets/col", "imgQ",
+        sleep=sleeps.append, wait_for_completion=True,
+    )
+    assert name == "projects/p/assets/col/imgQ"
+    assert len(fake.ingested) == 1
+    # the spawned task was polled to its terminal state
+    assert fake.tasks["task-1"] == ["COMPLETED"]
+    assert sleeps  # at least one RUNNING poll slept
+
+
+def test_ingest_assets_rate_limited_shards_and_ingests(spark, tmp_path):
+    """Bulk ingestion through pipeline/ratelimit.py: the reference's
+    shard formula bounds concurrency and every asset row goes through
+    the queue-guarded, backoff-retried start_ingestion exactly once.
+    Ingestions run inside Python worker PROCESSES (foreachPartition),
+    so the audit log is the filesystem — one file per manifest."""
+    import os
+
+    from weather_tools_spark.pipeline.ratelimit import num_shards
+
+    assert num_shards(10.0, 0.5, 10) == 5  # reference formula int(10*0.5)
+    rows = [(f"img{i}", f"/tmp/cog{i}.tif") for i in range(4)]
+    df = spark.createDataFrame(rows, "name string, target_path string")
+    audit_dir = str(tmp_path / "audit")
+    os.makedirs(audit_dir)
+
+    class _Audit(EE.FakeEEClient):
+        out_dir = audit_dir
+
+        def import_image(self, manifest):
+            name = super().import_image(manifest)
+            fn = manifest["name"].replace("/", "_")
+            with open(os.path.join(self.out_dir, fn), "w") as fh:
+                fh.write(manifest["name"])
+            return name
+
+    EE.ingest_assets_rate_limited(
+        df, _Audit, "projects/p/assets/col", qps=10_000.0, latency_sec=0.5,
+        max_concurrent=4,
+    )
+    got = sorted(
+        open(os.path.join(audit_dir, f)).read() for f in os.listdir(audit_dir)
+    )
+    assert got == [f"projects/p/assets/col/img{i}" for i in range(4)]

@@ -65,6 +65,15 @@ class EEClient:
     def start_table_ingestion(self, manifest: dict) -> str:  # pragma: no cover
         raise NotImplementedError
 
+    # -- task queue (reference ee.py:834-853) -------------------------------
+    def get_task_list(self) -> list[dict]:  # pragma: no cover
+        """Every task the project owns, each a dict with ``id``/``state``."""
+        raise NotImplementedError
+
+    def get_task_status(self, task_id: str) -> dict:  # pragma: no cover
+        """One task's current ``{'id', 'state', ...}``."""
+        raise NotImplementedError
+
 
 class RealEEClient(EEClient):
     """Adapter over the actual earthengine-api, optional-imported.
@@ -114,6 +123,13 @@ class RealEEClient(EEClient):
         self._ee.data.startTableIngestion(task_id, manifest)
         return manifest["name"]
 
+    def get_task_list(self) -> list[dict]:
+        return self._ee.data.getTaskList()
+
+    def get_task_status(self, task_id: str) -> dict:
+        (status,) = self._ee.data.getTaskStatus(task_id)
+        return status
+
 
 class FakeEEClient(EEClient):
     """Deterministic in-memory EarthEngine double for tests.
@@ -121,6 +137,16 @@ class FakeEEClient(EEClient):
     Pixel values are a pure function of (band, time, y, x) so any chunk
     tiling reassembles the identical hypercube; ingestion records the
     manifests it receives (the assertions' audit log).
+
+    Task-queue double: ``script_task(id, states)`` preloads a state
+    SEQUENCE (e.g. ``["RUNNING", "RUNNING", "COMPLETED"]``); every poll
+    (``get_task_list`` / ``get_task_status``) observes the head and
+    advances non-terminal sequences by one — a deterministic clock, so
+    queue-wait and poll-until-done paths are testable without time.
+    ``fail_next_imports`` makes the next N ``import_image`` calls raise
+    (the retry-path injection, same idea as pipeline.clients.FakeClient).
+    Each successful ingestion auto-registers a task following
+    ``default_task_states``.
     """
 
     def __init__(
@@ -136,6 +162,10 @@ class FakeEEClient(EEClient):
         self.n_time, self.height, self.width = n_time, height, width
         self.bands, self.origin, self.pixel, self.t0 = bands, origin, pixel, t0
         self.ingested: list[dict] = []
+        self.tasks: dict[str, list[str]] = {}
+        self.default_task_states: list[str] = ["COMPLETED"]
+        self.fail_next_imports: int = 0
+        self.n_import_attempts: int = 0
 
     def get_asset_info(self, asset_id: str) -> dict:
         return {
@@ -156,12 +186,40 @@ class FakeEEClient(EEClient):
         return (100.0 * bi + 10.0 * t_index + yy + 0.01 * xx).astype(np.float64)
 
     def import_image(self, manifest: dict) -> str:
+        self.n_import_attempts += 1
+        if self.fail_next_imports > 0:
+            self.fail_next_imports -= 1
+            raise RuntimeError("transient EE import failure (scripted)")
         self.ingested.append({"type": "IMAGE", "manifest": manifest})
+        self.script_task(f"task-{len(self.ingested)}", self.default_task_states)
         return manifest["name"]
 
     def start_table_ingestion(self, manifest: dict) -> str:
         self.ingested.append({"type": "TABLE", "manifest": manifest})
+        self.script_task(f"task-{len(self.ingested)}", self.default_task_states)
         return manifest["name"]
+
+    # -- scriptable task queue ----------------------------------------------
+    def script_task(self, task_id: str, states: list[str]) -> None:
+        if not states:
+            raise ValueError("a task needs at least one state")
+        self.tasks[task_id] = list(states)
+
+    def _advance(self, seq: list[str]) -> None:
+        if len(seq) > 1:
+            seq.pop(0)
+
+    def get_task_list(self) -> list[dict]:
+        snapshot = [{"id": t, "state": seq[0]} for t, seq in self.tasks.items()]
+        for seq in self.tasks.values():
+            self._advance(seq)
+        return snapshot
+
+    def get_task_status(self, task_id: str) -> dict:
+        seq = self.tasks[task_id]
+        state = seq[0]
+        self._advance(seq)
+        return {"id": task_id, "state": state}
 
 
 def chunk_manifest(
@@ -307,6 +365,164 @@ def ingest_table_asset(client: EEClient, ee_asset: str, asset: AssetData) -> str
     return client.start_table_ingestion(manifest)
 
 
+# ---------------------------------------------------------------------------
+# Task-queue backpressure + rate-limited ingestion (reference ee.py:834-853:
+# 120 s queue polls; retry.with_exponential_backoff(10 retries, 1 s initial,
+# 600 s cap); rate limits ee.py:389-394 via util.py RateLimit)
+# ---------------------------------------------------------------------------
+
+_ACTIVE_STATES = frozenset({"UNSUBMITTED", "READY", "RUNNING"})
+_TERMINAL_STATES = frozenset({"COMPLETED", "SUCCEEDED", "FAILED", "CANCELLED"})
+TASK_QUEUE_WAIT_TIME = 120.0  # reference ee.py:54
+
+
+class EETaskFailed(RuntimeError):
+    """An EE ingestion task reached FAILED/CANCELLED."""
+
+
+def ee_tasks_remaining(client: EEClient) -> int:
+    """Active (UNSUBMITTED/READY/RUNNING) tasks in the project queue —
+    reference ``ee_tasks_remaining`` (ee.py:834-837)."""
+    return sum(1 for t in client.get_task_list() if t.get("state") in _ACTIVE_STATES)
+
+
+def wait_for_task_queue(
+    client: EEClient,
+    num_shards: int,
+    wait_time: float = TASK_QUEUE_WAIT_TIME,
+    sleep=None,
+    max_waits: int | None = None,
+) -> int:
+    """Block until the task queue has space for this worker's shard —
+    reference ``wait_for_task_queue`` (ee.py:839-846): every project
+    has a bounded ingestion queue, so each of the ``num_shards``
+    concurrent ingestion tasks waits while ``remaining >= num_shards``,
+    polling every ``wait_time`` seconds (120 s in the reference).
+
+    ``max_waits`` bounds the loop (None = reference behavior, wait
+    forever); returns the number of sleeps taken."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    waits = 0
+    while ee_tasks_remaining(client) >= num_shards:
+        if max_waits is not None and waits >= max_waits:
+            raise TimeoutError(
+                f"EE task queue still has >= {num_shards} active tasks "
+                f"after {waits} polls of {wait_time}s"
+            )
+        sleep(wait_time)
+        waits += 1
+    return waits
+
+
+def wait_for_task(
+    client: EEClient,
+    task_id: str,
+    poll_interval: float = TASK_QUEUE_WAIT_TIME,
+    sleep=None,
+    max_polls: int | None = None,
+) -> dict:
+    """Poll one ingestion task until a terminal state; returns the
+    final status dict. FAILED/CANCELLED raises :class:`EETaskFailed`
+    (the reference surfaces the task error in its monitoring loop;
+    here the caller's retry/backoff owns the failure)."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    polls = 0
+    while True:
+        status = client.get_task_status(task_id)
+        state = status.get("state")
+        if state in ("FAILED", "CANCELLED"):
+            raise EETaskFailed(f"EE task {task_id} ended {state}: {status}")
+        if state in _TERMINAL_STATES:
+            return status
+        if max_polls is not None and polls >= max_polls:
+            raise TimeoutError(f"EE task {task_id} still {state} after {polls} polls")
+        sleep(poll_interval)
+        polls += 1
+
+
+def start_ingestion(
+    client: EEClient,
+    ee_asset: str,
+    asset: AssetData,
+    asset_type: str = "IMAGE",
+    virtual: bool = False,
+    num_shards: int = 10,
+    queue_wait_time: float = TASK_QUEUE_WAIT_TIME,
+    sleep=None,
+    max_queue_waits: int | None = None,
+) -> str:
+    """The reference's guarded ingestion entry (ee.py:848-918):
+    wait for task-queue space, then issue the import under the 10-retry
+    / 1 s-initial / 600 s-cap exponential backoff (the same RetryPolicy
+    the download clients use, pipeline/clients.py — reference
+    sinks.py:46-49 constants). Returns the asset name."""
+    from weather_tools_spark.pipeline.clients import RetryPolicy, with_retries
+
+    wait_for_task_queue(
+        client, num_shards, wait_time=queue_wait_time, sleep=sleep,
+        max_waits=max_queue_waits,
+    )
+    if asset_type == "IMAGE":
+        fn = lambda: ingest_image_asset(client, ee_asset, asset, virtual=virtual)  # noqa: E731
+    elif asset_type == "TABLE":
+        fn = lambda: ingest_table_asset(client, ee_asset, asset)  # noqa: E731
+    else:
+        raise ValueError(f"unknown asset_type {asset_type!r} (IMAGE|TABLE)")
+    return with_retries(fn, RetryPolicy(), sleep=sleep or __import__("time").sleep)
+
+
+def ingest_assets_rate_limited(
+    df: DataFrame,
+    client_factory: Callable[[], EEClient],
+    ee_asset: str,
+    asset_type: str = "IMAGE",
+    qps: float = 10.0,
+    latency_sec: float = 0.5,
+    max_concurrent: int = 10,
+    num_shards: int | None = None,
+    queue_wait_time: float = TASK_QUEUE_WAIT_TIME,
+) -> None:
+    """Bulk ingestion with the reference's EE rate limits
+    (ee.py:389-394 defaults: 10 qps, 0.5 s latency, 10 concurrent):
+    ``df`` is a frame of asset rows (``name``, ``target_path``,
+    optional ``start_time``/``end_time``), sharded by
+    pipeline/ratelimit.py's reference-exact shard formula and paced by
+    a per-shard token bucket; each row goes through the queue-guarded,
+    backoff-retried :func:`start_ingestion`. Executors build their own
+    client from the picklable factory — no driver-side RPC traffic."""
+    from weather_tools_spark.pipeline.ratelimit import num_shards as _shards
+    from weather_tools_spark.pipeline.ratelimit import rate_limited_foreach
+
+    shards = num_shards if num_shards is not None else _shards(
+        qps, latency_sec, max_concurrent
+    )
+
+    def ingest_one(row: dict) -> None:
+        client = client_factory()
+        start_ingestion(
+            client,
+            ee_asset,
+            AssetData(
+                name=row["name"],
+                target_path=row["target_path"],
+                start_time=row.get("start_time"),
+                end_time=row.get("end_time"),
+            ),
+            asset_type=asset_type,
+            num_shards=shards,
+            queue_wait_time=queue_wait_time,
+        )
+
+    rate_limited_foreach(
+        df, ingest_one, qps=qps, latency_sec=latency_sec,
+        max_concurrent=max_concurrent,
+    )
+
+
 def to_cog_then_ingest(
     df: DataFrame,
     band: str,
@@ -314,10 +530,17 @@ def to_cog_then_ingest(
     client: EEClient,
     ee_asset: str,
     asset_name: str,
+    num_shards: int = 10,
+    queue_wait_time: float = TASK_QUEUE_WAIT_TIME,
+    sleep=None,
+    wait_for_completion: bool = False,
 ) -> str:
     """The reference's convert→upload→register chain (ee.py
     ConvertToAsset + IngestIntoEE): pivot one band of the long-format
-    frame to a dense grid, write it as a COG, ingest as an IMAGE."""
+    frame to a dense grid, write it as a COG, ingest as an IMAGE —
+    through the queue-guarded, backoff-retried :func:`start_ingestion`
+    (reference ee.py:839-918). ``wait_for_completion`` additionally
+    polls the spawned ingestion task to a terminal state."""
     from .geotiff import write_cog
 
     from weather_tools_spark.operators.bounded import bounded_pandas
@@ -346,6 +569,25 @@ def to_cog_then_ingest(
             float(lats[1] - lats[0]) if len(lats) > 1 else -1.0,
         ),
     )
-    return ingest_image_asset(
-        client, ee_asset, AssetData(name=asset_name, target_path=out_path)
+    name = start_ingestion(
+        client,
+        ee_asset,
+        AssetData(name=asset_name, target_path=out_path),
+        asset_type="IMAGE",
+        num_shards=num_shards,
+        queue_wait_time=queue_wait_time,
+        sleep=sleep,
     )
+    if wait_for_completion:
+        # the fake/real client registers one task per ingestion; poll the
+        # newest active one (the reference monitors its task list the
+        # same way, ee.py:834-853)
+        active = [
+            t["id"] for t in client.get_task_list()
+            if t.get("state") in _ACTIVE_STATES
+        ]
+        for task_id in active[-1:]:
+            wait_for_task(
+                client, task_id, poll_interval=queue_wait_time, sleep=sleep
+            )
+    return name
