@@ -57,6 +57,10 @@ CHECK_CHANGED: list[str] = [
     "pipeline_quarantine_report",
     "ml_kmeans_cluster_summary",
     "ml_semdedup_keep_rate",
+    # r9: the hashed projection is persisted so the group-count branch
+    # derives from one text scan instead of two (PLANS.md r9 section);
+    # values identical, scan topology changed:
+    "corpus_soft_dedup_weights",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -90,7 +90,15 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats, then per-doc sums); the 256-row log-ratio table and the 1-row
     totals attach as broadcasts; ranking is on the ROUNDED weight (both
     engines) so libm/summation-order drift cannot flip the top-k
-    boundary."""
+    boundary.
+
+    Shape note (r9, PLANS.md): a single-explode rewrite through a
+    persisted (doc, lang, bucket) count table was MEASURED SLOWER
+    (1.64 s vs 1.28 s at sf0.1) — short documents rarely repeat a
+    bucket, so the count table is nearly token-sized and the extra
+    shuffle buys no compaction. The two-explode broadcast plan is the
+    keeper; the r8→r9 bench drift on this query was host variance
+    (every stable query moved 1.7-2.6×), not a plan change."""
     docs = load_table(spark, "documents", sf_dir)
     words = docs.select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
@@ -146,13 +154,20 @@ def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     report per-source raw vs effective document/token mass — the
     mixture correction applied when hard dedup would starve a small
     source. One hash aggregation + one equi-join back; map-combinable
-    end to end."""
+    end to end. The hashed projection (doc_id, source, h, n_words — no
+    text) is persisted so the group-count side derives from it instead
+    of Catalyst re-running the text scan + md5 for each branch (r9;
+    the ROUND8_NOTES single-scan pattern)."""
+    from weather_tools_spark.operators.dedup import _persist
+
     docs = load_table(spark, "documents", sf_dir)
-    hashed = docs.select(
-        "doc_id",
-        "source",
-        F.md5("text").alias("h"),
-        F.size(F.split(F.col("text"), r"\s+")).alias("n_words"),
+    hashed = _persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("h"),
+            F.size(F.split(F.col("text"), r"\s+")).alias("n_words"),
+        )
     )
     grp = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_members"))
     return (
