@@ -502,3 +502,102 @@ def test_moments_stream_matches_batch(spark, sf_dir):
         for g, w in ((g1, s1), (g2, s2), (g3, s3), (g4, s4)):
             assert round(g, 4) == round(w, 4), (et, g, w)
         assert round(g1 / gn, 6) == round(s1 / n, 6), et
+
+
+def test_socket_source_matches_batch(spark, sf_dir):
+    """THIRD source parametrization (VERDICT r8 task 5): events arriving
+    over a live TCP socket — a real network boundary — parse through
+    the same bus_events plan and reproduce the batch rows and windows
+    exactly. The container has no Kafka jar (spark-sql-kafka-0-10 is
+    absent and unfetchable — the documented gap), so Spark's socket
+    source is the embedded-broker stand-in; it is not replayable, so
+    the exactly-once restart pin stays on the checkpointable sources."""
+    import datetime as _dt
+    import json
+    import socket
+    import threading
+    import time
+
+    ev = load_table(spark, "events", sf_dir).orderBy("event_id").limit(300).collect()
+    epoch = _dt.datetime(1970, 1, 1)
+    one_us = _dt.timedelta(microseconds=1)
+    lines = [
+        json.dumps(
+            {
+                "event_id": r.event_id,
+                "ts_us": (r.ts - epoch) // one_us,
+                "user_id": r.user_id,
+                "event_type": r.event_type,
+                "value": r.value,
+                "props": r.props,
+            }
+        )
+        for r in ev
+    ]
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            done.wait(timeout=120)  # keep the pipe open until the test read everything
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        stream = SE.read_event_stream_socket(spark, "127.0.0.1", port)
+        assert stream.isStreaming
+        assert [f.name for f in stream.schema.fields] == [
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        ]
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("socket_events")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                q.processAllAvailable()
+                if spark.sql("SELECT count(*) FROM socket_events").collect()[0][0] >= len(lines):
+                    break
+                time.sleep(0.2)
+        finally:
+            done.set()
+            q.stop()
+    finally:
+        server.close()
+
+    got = spark.sql("SELECT * FROM socket_events")
+    assert got.count() == len(lines)
+    a = {(r.event_id, r.ts, r.user_id, r.event_type, r.value) for r in got.collect()}
+    b = {(r.event_id, r.ts, r.user_id, r.event_type, r.value) for r in ev}
+    assert a == b
+    # the minute windows computed over the socket-delivered rows equal
+    # the windows over the same 300 batch rows — plan source-agnosticism
+    # end to end
+    import pyspark.sql.functions as _F
+
+    win_stream = {
+        (r.w.start, r.event_type): (r.n, round(r.s or 0.0, 6))
+        for r in got.groupBy(_F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(_F.count(_F.lit(1)).alias("n"), _F.sum("value").alias("s"))
+        .collect()
+    }
+    batch = spark.createDataFrame(ev)
+    win_batch = {
+        (r.w.start, r.event_type): (r.n, round(r.s or 0.0, 6))
+        for r in batch.groupBy(_F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(_F.count(_F.lit(1)).alias("n"), _F.sum("value").alias("s"))
+        .collect()
+    }
+    assert win_stream == win_batch and len(win_stream) > 0

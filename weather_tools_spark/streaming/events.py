@@ -133,6 +133,15 @@ def read_event_stream_bus(
         spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
         .text(bus_dir)
     )
+    return bus_events(values)
+
+
+def bus_events(values: DataFrame) -> DataFrame:
+    """The shared bus-message parse plan: one ``value`` STRING column of
+    JSON-encoded events (the shape every broker source exposes — Kafka
+    after ``CAST(value AS STRING)``, the file bus stand-in, the socket
+    source) → the events schema. Factored out so every bus-shaped
+    source proves source-agnosticism by construction."""
     j = F.from_json(
         F.col("value"),
         "event_id long, ts_us long, user_id long, event_type string, "
@@ -146,6 +155,33 @@ def read_event_stream_bus(
         F.col("j.value").alias("value"),
         F.col("j.props").alias("props"),
     )
+
+
+def read_event_stream_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Events arriving over a live TCP SOCKET — the third source
+    parametrization (after the parquet file source and the file-backed
+    bus), and the one with a real NETWORK boundary: Spark's socket
+    source connects to ``host:port`` and yields one ``value`` string
+    row per line, exactly the single-column contract a Kafka source
+    exposes after ``CAST(value AS STRING)``; :func:`bus_events` is the
+    identical downstream parse.
+
+    The container ships no Kafka integration jar
+    (``spark-sql-kafka-0-10_2.13`` is absent from the pyspark 4.1.2
+    ``jars/`` directory and there is no network to fetch it — the
+    documented gap), so the socket source is the embedded-broker
+    stand-in. Socket streams are NOT replayable (no durable offsets),
+    so the exactly-once restart pins stay on the checkpointable
+    file/bus sources; the reference's Pub/Sub path
+    (weather_mv streaming.py:72-121) maps to Kafka/cloud-files in
+    deployment, never to sockets."""
+    values = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return bus_events(values)
 
 
 def with_import_time(df: DataFrame) -> DataFrame:
