@@ -749,3 +749,66 @@ def test_topk_window_has_partial_window_group_limit(spark, sf_dir):
     # at a higher node id than the first Exchange (formatted plans number
     # leaves first), i.e. there are TWO WindowGroupLimit nodes
     assert plan.count("WindowGroupLimit") >= 2, plan.count("WindowGroupLimit")
+
+
+def test_iterative_replay_exchange_counts_pinned(spark, sf_dir):
+    """The three plan-count outliers in PLANS.md (sketch_kmv_setops
+    Exch=37, ml_kmeanspp_init Exch=13, stats_chi2_independence Exch=12)
+    are iterative replays over BOUNDED sketch/summary frames — accepted
+    as-is in the r8 audit, but they are the first place a regression
+    would hide (an iteration accidentally re-scanning the fact table
+    doubles the count). Pin each at a small headroom above its audited
+    value, and pin that the fact scans stay single-digit."""
+    for name, max_exch, fact, max_scans in (
+        ("sketch_kmv_setops", 45, "lineitem.parquet", 6),
+        # r9: the vectors + per-round candidate frames are persisted —
+        # the 16-scan recompute collapsed to the persisted base (<= 2
+        # InMemory-fed scans survive in the formatted plan)
+        ("ml_kmeanspp_init", 18, "embeddings.parquet", 2),
+        ("stats_chi2_independence", 16, "lineitem.parquet", 4),
+    ):
+        plan = _formatted_plan(spark, name, sf_dir)
+        n_exch = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.MULTILINE))
+        assert n_exch <= max_exch, f"{name}: {n_exch} exchanges (pin {max_exch})"
+        n_scan = plan.count(fact)
+        assert n_scan <= max_scans, f"{name}: {n_scan} scans of {fact} (pin {max_scans})"
+
+
+def test_projected_weather_scan_narrows_batchscan(spark, tmp_path):
+    """The r9 DataSource projection: .option('columns', 'd2m') over a
+    two-variable store must narrow the Python BatchScan's output to
+    coords + d2m (the PLANS.md r9 row), while the unprojected scan
+    keeps all five columns."""
+    import os
+
+    import numpy as np
+
+    from weather_tools_spark.sources.datasource import register
+    from weather_tools_spark.sources.grib2 import write_grib2
+
+    lats, lons = np.array([50.0, 49.0]), np.array([10.0, 11.0, 12.0])
+    write_grib2(
+        str(tmp_path / "x.grib2"),
+        [
+            {"param": "d2m", "ref_time": "2024-01-01T00:00", "lats": lats,
+             "lons": lons, "values": np.arange(6, dtype="f8").reshape(2, 3)},
+            {"param": "u10", "ref_time": "2024-01-01T00:00", "lats": lats,
+             "lons": lons, "values": np.arange(6, dtype="f8").reshape(2, 3)},
+        ],
+    )
+    register(spark)
+    glob = os.path.join(str(tmp_path), "*.grib2")
+    narrow = spark.read.format("weather").option("columns", "d2m").load(glob)
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"BatchScan weather\[([^\]]*)\]", plan)
+    assert m, plan
+    cols = [c.split("#")[0] for c in m.group(1).split(", ")]
+    assert cols == ["time", "latitude", "longitude", "d2m"]
+    full = spark.read.format("weather").load(glob)
+    m2 = re.search(
+        r"BatchScan weather\[([^\]]*)\]",
+        full._jdf.queryExecution().executedPlan().toString(),
+    )
+    assert [c.split("#")[0] for c in m2.group(1).split(", ")] == [
+        "time", "latitude", "longitude", "d2m", "u10",
+    ]

@@ -61,6 +61,11 @@ CHECK_CHANGED: list[str] = [
     # derives from one text scan instead of two (PLANS.md r9 section);
     # values identical, scan topology changed:
     "corpus_soft_dedup_weights",
+    # r9: the projected vectors + per-round candidate frames are
+    # persisted (MLlib-style input caching) — 16 embeddings scans
+    # collapse to the persisted base; values identical, plan pinned in
+    # test_plan_quality:
+    "ml_kmeanspp_init",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -312,8 +312,18 @@ def ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus passes seeding needs (the final weighted re-clustering runs
     on the ≤ l·rounds bounded candidate set, cf. ml_kmeans_cluster_
     summary)."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    from weather_tools_spark.operators.dedup import _persist
+
+    # persist the projected vectors: every round is a full corpus pass
+    # over exactly this frame (Spark MLlib's KMeans caches its input
+    # for the same reason) — without the pin Catalyst re-derived it
+    # from the parquet scan 16 times across the round/union branches
+    # (PLANS.md outlier audit; now pinned <= 2 scans in
+    # test_plan_quality)
+    emb = _persist(
+        load_table(spark, "embeddings", sf_dir).select(
+            "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+        )
     )
     centers = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
@@ -328,7 +338,10 @@ def ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         phi = d2.agg(F.sum("d2").alias("phi"))
         u = F.expr(_KMPP_U.format(r=r, den=_KMPP_DEN))
-        sel = (
+        # the selected candidate set is BOUNDED (expected ~l per round)
+        # and is consumed twice (output + next round's center set):
+        # persist it so round 2 does not replay round 1's corpus pass
+        sel = _persist(
             d2.crossJoin(F.broadcast(phi))
             .filter(u < F.round(F.lit(_KMPP_L) * F.col("d2") / F.col("phi"), 9))
             .select("vec_id", "d2", "v")
