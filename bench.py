@@ -153,6 +153,12 @@ HEADLINE = [
     "stats_kendall_tau",
     "text_langid_cohens_kappa",
     "sim_cosine_topk_blocked",
+    # round-9 wave (variance-homogeneity gate, burstiness screen,
+    # NB langid, inequality measure on the distributed prefix sum)
+    "stats_levene_test",
+    "events_dispersion_index",
+    "ml_naive_bayes_langid",
+    "orders_gini_coefficient",
 ]
 
 

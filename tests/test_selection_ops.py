@@ -990,3 +990,114 @@ def test_cohens_kappa_identities(spark, sf_dir):
     assert abs(out.p_expected - pe) < 1e-5
     assert abs(out.kappa - (po - pe) / (1 - pe)) < 1e-5
     assert out.kappa <= out.p_observed + 1e-9 <= 1.0 + 1e-9
+
+
+def test_levene_matches_numpy_recompute(spark, sf_dir):
+    """W must match an independent numpy recompute of the mean-centered
+    Levene statistic (and scipy.stats.levene(center='mean') where
+    available)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev.dropna(subset=["value"])
+    groups = [g["value"].to_numpy() for _, g in ev.groupby("event_type")]
+    z = [np.abs(g - g.mean()) for g in groups]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    zbar = np.concatenate(z).mean()
+    num = sum(len(zi) * (zi.mean() - zbar) ** 2 for zi in z)
+    den = sum(((zi - zi.mean()) ** 2).sum() for zi in z)
+    w_want = ((n - k) * num) / ((k - 1) * den)
+    row = SPARK["stats_levene_test"](spark, sf_dir).first()
+    assert row.n == n and row.k == k
+    assert abs(row.w_stat - w_want) < 1e-4, (row.w_stat, w_want)
+    try:
+        from scipy import stats as sps  # noqa: F401
+
+        w_scipy, _ = sps.levene(*groups, center="mean")
+        assert abs(row.w_stat - w_scipy) < 1e-4
+    except ImportError:
+        pass  # scipy not in the container — numpy recompute is the gate
+
+
+def test_dispersion_index_matches_numpy_recompute(spark, sf_dir):
+    """Variance-to-mean ratio of hourly counts per type vs a pandas
+    resample recompute (population variance, observed hours only)."""
+    import pandas as pd
+
+    from weather_tools_spark.catalog import load_table
+
+    out = {
+        r.event_type: (r.m_hours, r.mean_c, r.dispersion)
+        for r in SPARK["events_dispersion_index"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir).select("event_type", "ts").toPandas()
+    ev["h"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    for etype, grp in ev.groupby("event_type"):
+        c = grp.groupby("h").size().to_numpy(dtype=float)
+        d_want = c.var() / c.mean()  # numpy default = population variance
+        m, mean_c, disp = out[etype]
+        assert m == len(c)
+        assert abs(mean_c - c.mean()) < 1e-5
+        assert abs(disp - d_want) < 1e-4, (etype, disp, d_want)
+
+
+def test_gini_matches_numpy_recompute(spark, sf_dir):
+    """Gini vs the sorted-rank closed form recomputed in numpy, and the
+    pairwise |x_i - x_j| definition on a subsample (two independent
+    formulations)."""
+    import numpy as np
+    import pandas as pd
+
+    row = SPARK["orders_gini_coefficient"](spark, sf_dir).first()
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    x = od.groupby("o_custkey")["o_totalprice"].sum().round(2).sort_values().to_numpy()
+    n = len(x)
+    i = np.arange(1, n + 1)
+    g_rank = (2 * (i * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
+    assert row.n_customers == n
+    assert abs(row.gini - g_rank) < 1e-6, (row.gini, g_rank)
+    sub = x[:: max(1, n // 500)]
+    g_pair = np.abs(sub[:, None] - sub[None, :]).mean() / (2 * sub.mean())
+    assert abs(g_rank - g_pair) < 0.05  # subsample sanity, not exactness
+
+
+def test_naive_bayes_langid_matches_numpy_recompute(spark, sf_dir):
+    """Per-language accuracy vs a from-scratch numpy/pandas multinomial
+    NB with identical smoothing, priors, rounding, and tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    out = {
+        r.true_lang: (r.n_docs, r.n_correct)
+        for r in SPARK["ml_naive_bayes_langid"](spark, sf_dir).collect()
+    }
+    from weather_tools_spark.operators.dedup import release_persisted
+
+    release_persisted()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    toks = docs.assign(w=docs["text"].str.split(r"\s+")).explode("w")
+    wl = toks.groupby(["lang", "w"]).size()
+    c_l = wl.groupby("lang").sum()
+    n_l = docs.groupby("lang").size()
+    vocab = toks["w"].nunique()
+    n_docs = len(docs)
+    langs = sorted(n_l.index)
+    correct: dict[str, int] = {}
+    totals: dict[str, int] = {}
+    for _, doc in docs.iterrows():
+        words = doc["text"].split()
+        best = None
+        for lang in langs:  # asc order = the tie-break
+            s = np.log(n_l[lang] / n_docs) - len(words) * np.log(c_l[lang] + vocab)
+            s += sum(np.log(wl.get((lang, w), 0) + 1) for w in words)
+            s = round(s, 6)
+            if best is None or s > best[0]:
+                best = (s, lang)
+        totals[doc["lang"]] = totals.get(doc["lang"], 0) + 1
+        correct[doc["lang"]] = correct.get(doc["lang"], 0) + (best[1] == doc["lang"])
+    for lang in langs:
+        assert out[lang] == (totals[lang], correct[lang]), (
+            lang, out[lang], totals[lang], correct[lang],
+        )

@@ -1561,3 +1561,50 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "power"
         ),
     ).orderBy("k")
+
+
+@register(
+    "orders_gini_coefficient",
+    oracle="""
+    WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS x
+                 FROM orders GROUP BY o_custkey),
+    ranked AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM rev)
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(x), 2) AS total_revenue,
+           round((2.0 * sum(i * x) - (count(*) + 1) * sum(x))
+                 / (count(*) * sum(x)), 6) AS gini
+    FROM ranked
+    """,
+)
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality
+    measure complementing the registry's HHI concentration: G =
+    (2·Σi·x(i) − (n+1)·Σx) / (n·Σx) over the ascending-sorted revenue
+    sequence.
+
+    Scale shape: the global rank i comes from the distributed two-pass
+    prefix sum (operators/prefix_sum.running_sum — range partition +
+    per-partition cumsum + broadcast offsets), NOT a single-partition
+    Window: the one operator every naive Gini implementation gets wrong
+    at scale. Revenue is rounded to cents BEFORE ranking on both
+    engines so summation-order ulp drift cannot reorder near-equal
+    customers; (x, custkey) is the tie-free total order."""
+    from weather_tools_spark.operators.prefix_sum import running_sum
+
+    orders = load_table(spark, "orders", sf_dir)
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("x")
+    )
+    ranked = running_sum(
+        rev.withColumn("one", F.lit(1)), ["x", "o_custkey"], "one", out_col="i"
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("x"), 2).alias("total_revenue"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("x"))
+             - (F.count(F.lit(1)) + 1) * F.sum("x"))
+            / (F.count(F.lit(1)) * F.sum("x")),
+            6,
+        ).alias("gini"),
+    )

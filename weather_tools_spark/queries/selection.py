@@ -882,3 +882,146 @@ def ml_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log_loss",
     )
     return row1.unionByName(row2).orderBy("iter")
+
+
+@register(
+    "ml_naive_bayes_langid",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang,
+                         unnest(regexp_split_to_array(text, '\\s+')) AS w
+                  FROM documents),
+    wl AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY lang, w),
+    cl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS c_l,
+                  CAST((SELECT count(*) FROM documents d WHERE d.lang = wl.lang) AS BIGINT) AS n_l
+           FROM wl GROUP BY lang),
+    v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab,
+                 CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+          FROM toks),
+    dtok AS (SELECT doc_id, lang AS true_lang, w FROM toks),
+    dl AS (SELECT d.doc_id, d.true_lang, c.lang AS cand,
+                  CAST(count(*) AS BIGINT) AS n_tok,
+                  sum(ln(COALESCE(wl.c, 0) + 1)) AS s_num
+           FROM dtok d
+           CROSS JOIN (SELECT DISTINCT lang FROM documents) c
+           LEFT JOIN wl ON wl.lang = c.lang AND wl.w = d.w
+           GROUP BY d.doc_id, d.true_lang, c.lang),
+    scored AS (SELECT dl.doc_id, dl.true_lang, dl.cand,
+                      round(ln(cl.n_l * 1.0 / v.n_docs)
+                            + dl.s_num - dl.n_tok * ln(cl.c_l + v.vocab), 6) AS s
+               FROM dl JOIN cl ON cl.lang = dl.cand, v),
+    pred AS (SELECT doc_id, true_lang,
+                    (array_agg(cand ORDER BY s DESC, cand ASC))[1] AS pred_lang
+             FROM scored GROUP BY doc_id, true_lang)
+    SELECT true_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(1.0 * sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                 / count(*), 6) AS accuracy
+    FROM pred
+    GROUP BY true_lang
+    ORDER BY true_lang
+    """,
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language ID, trained and evaluated on
+    the corpus itself (resubstitution — the deterministic eval both
+    engines can replay): add-1 smoothed per-language unigram LMs +
+    document-count priors, per-document argmax over the 5 candidate
+    languages, per-true-language accuracy. The canonical
+    classifier-based langid of LLM data pipelines (fastText's shape),
+    complementing the registry's n-gram-heuristic langid.
+
+    Scale shape: ONE token explode feeding (a) the (lang, word) count
+    table — bounded by vocab × |langs|, broadcast back — and (b) the
+    per-(doc, candidate) score aggregation; the candidate fan-out is a
+    5-row broadcast cross. log(c+1) makes absent (word, lang) pairs
+    contribute exactly 0, so the LEFT-JOIN smoothing needs no dense
+    vocab×lang grid; the n_tok·log(c_l+V) denominator attaches from the
+    k-row totals. Scores rounded at 1e-6 on BOTH engines before the
+    argmax so libm drift cannot flip a prediction."""
+    from weather_tools_spark.operators.dedup import _persist
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _persist(
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(F.split(F.col("text"), r"\s+")).alias("w"),
+        )
+    )
+    wl = toks.groupBy(F.col("true_lang").alias("lang"), "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_docs_per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    cl = (
+        wl.groupBy("lang")
+        .agg(F.sum("c").alias("c_l"))
+        .join(n_docs_per_lang, "lang")
+    )
+    v = toks.agg(
+        F.countDistinct("w").alias("vocab"), F.countDistinct("doc_id").alias("nd")
+    )
+    n_docs_total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cands = docs.select(F.col("lang").alias("cand")).distinct()
+    # rename the count-table keys: wl derives from the same toks
+    # lineage, so bare attribute references would be ambiguous
+    wl2 = wl.select(
+        F.col("lang").alias("wl_lang"), F.col("w").alias("wl_w"), "c"
+    )
+    dl = (
+        toks.crossJoin(F.broadcast(cands))
+        .join(
+            F.broadcast(wl2),
+            (F.col("wl_lang") == F.col("cand")) & (F.col("wl_w") == F.col("w")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.log(F.coalesce(F.col("c"), F.lit(0)) + 1)).alias("s_num"),
+        )
+    )
+    scored = (
+        dl.join(F.broadcast(cl), cl["lang"] == dl["cand"])
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(n_docs_total))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            F.round(
+                F.log(F.col("n_l") * 1.0 / F.col("n_docs"))
+                + F.col("s_num")
+                - F.col("n_tok") * F.log(F.col("c_l") + F.col("vocab")),
+                6,
+            ).alias("s"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("cand").asc())
+    )
+    pred = (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("pred_lang") == F.col("true_lang"), 1.0).otherwise(0.0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("true_lang")
+    )

@@ -1546,3 +1546,118 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "stats_levene_test",
+    oracle="""
+    WITH g AS (SELECT event_type, avg(value) AS m
+               FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    z AS (SELECT e.event_type, abs(e.value - g.m) AS z
+          FROM events e JOIN g USING (event_type) WHERE e.value IS NOT NULL),
+    gs AS (SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_i,
+                  sum(z) AS sz, sum(z * z) AS sz2
+           FROM z GROUP BY event_type),
+    tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   sum(sz) / sum(n_i) AS zbar
+            FROM gs)
+    SELECT k, n,
+           round(((n - k) * (SELECT sum(n_i * (sz / n_i - zbar) * (sz / n_i - zbar)) FROM gs, tot))
+                 / ((k - 1) * (SELECT sum(sz2 - sz * sz / n_i) FROM gs)), 6) AS w_stat
+    FROM tot
+    """,
+)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test of variance homogeneity across event types (the
+    mean-centered classic form) — the gate that decides between the
+    pooled-variance and Welch branches of the two-sample family this
+    registry already carries (stats_ttest_welch, stats_anova_f).
+
+    Scale shape: one map-combinable aggregation to k group means
+    (broadcast back), one fact pass computing |x - mean_g|, one
+    map-combinable aggregation to k rows of (n, Σz, Σz²), then k-row
+    arithmetic. W from group-level sums only (zbar_i = Σz/n within the
+    expression) so neither engine materializes per-row deviations
+    twice; rounded at 1e-6 on both engines."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(F.avg("value").alias("m"))
+    z = ev.join(F.broadcast(g), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("m")).alias("z")
+    )
+    gs = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("sz2"),
+    )
+    tot = gs.agg(
+        F.sum("n_i").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum("sz") / F.sum("n_i")).alias("zbar"),
+    )
+    terms = gs.crossJoin(F.broadcast(tot)).agg(
+        F.first("k").alias("k"),
+        F.first("n").alias("n"),
+        F.sum(
+            F.col("n_i")
+            * (F.col("sz") / F.col("n_i") - F.col("zbar"))
+            * (F.col("sz") / F.col("n_i") - F.col("zbar"))
+        ).alias("num"),
+        F.sum(F.col("sz2") - F.col("sz") * F.col("sz") / F.col("n_i")).alias("den"),
+    )
+    return terms.select(
+        "k",
+        "n",
+        F.round(
+            ((F.col("n") - F.col("k")) * F.col("num"))
+            / ((F.col("k") - 1) * F.col("den")),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+@register(
+    "events_dispersion_index",
+    oracle="""
+    WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY event_type, date_trunc('hour', ts))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS m_hours,
+           round(avg(c), 6) AS mean_c,
+           round((sum(c * c) / count(*) - avg(c) * avg(c)) / avg(c), 6) AS dispersion,
+           CASE WHEN (sum(c * c) / count(*) - avg(c) * avg(c)) / avg(c) > 1.0
+                THEN 'overdispersed' ELSE 'under/poisson' END AS regime
+    FROM hc
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio of hourly event
+    counts) per event type — the standard burstiness screen: Poisson
+    arrivals give D≈1, user-session-driven traffic is overdispersed
+    (D>1), rate-limited feeds underdispersed. Two map-combinable
+    aggregations (hour buckets, then per-type moments); population
+    variance from Σc² so no per-row second pass."""
+    ev = load_table(spark, "events", sf_dir)
+    hc = ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    disp = (
+        F.sum(F.col("c") * F.col("c")) / F.count(F.lit(1))
+        - F.avg("c") * F.avg("c")
+    ) / F.avg("c")
+    return (
+        hc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("m_hours"),
+            F.round(F.avg("c"), 6).alias("mean_c"),
+            F.round(disp, 6).alias("dispersion"),
+            F.when(disp > 1.0, "overdispersed")
+            .otherwise("under/poisson")
+            .alias("regime"),
+        )
+        .orderBy("event_type")
+    )
