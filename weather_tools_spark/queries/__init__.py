@@ -66,6 +66,11 @@ CHECK_CHANGED: list[str] = [
     # collapse to the persisted base; values identical, plan pinned in
     # test_plan_quality:
     "ml_kmeanspp_init",
+    # r9: the per-doc score became a JVM F.aggregate over the split
+    # array (no token explode, no pre-bin shuffle) and the scored
+    # frame is persisted for the bin/Brier branches — 24.7 s → 3.2 s
+    # at sfx1.0; values identical (re-verified at both SFs):
+    "ml_calibration_report",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's
