@@ -71,6 +71,11 @@ CHECK_CHANGED: list[str] = [
     # frame is persisted for the bin/Brier branches — 24.7 s → 3.2 s
     # at sfx1.0; values identical (re-verified at both SFs):
     "ml_calibration_report",
+    # r9: same rewrite for the DSIR scoring pass — the 256-entry
+    # log-ratio table inlines as a literal map into a JVM F.aggregate,
+    # removing the second explode and the token-scale groupBy(doc)
+    # shuffle; values identical (re-verified at both SFs):
+    "corpus_dsir_importance",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

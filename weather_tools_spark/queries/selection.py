@@ -92,38 +92,62 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines) so libm/summation-order drift cannot flip the top-k
     boundary.
 
-    Shape note (r9, PLANS.md): a single-explode rewrite through a
+    Shape notes (r9, PLANS.md): a single-explode rewrite through a
     persisted (doc, lang, bucket) count table was MEASURED SLOWER
     (1.64 s vs 1.28 s at sf0.1) — short documents rarely repeat a
     bucket, so the count table is nearly token-sized and the extra
-    shuffle buys no compaction. The two-explode broadcast plan is the
-    keeper; the r8→r9 bench drift on this query was host variance
-    (every stable query moved 1.7-2.6×), not a plan change."""
+    shuffle buys no compaction. The keeper is the OPPOSITE direction:
+    the bucket-LM pass keeps its explode (its groupBy has 256 keys, so
+    the map-side combine collapses the shuffle), but the per-document
+    scoring pass is explode-FREE — the 256-entry log-ratio table is a
+    bounded collect inlined as a literal map, and the weight sum is a
+    JVM ``F.aggregate`` over the split array (no second explode, no
+    token-scale groupBy(doc) shuffle; the same rewrite that took
+    ml_calibration_report 24.7 s → 3.2 s). Measured 6.9 s → 5.2 s at
+    sfx1.0 — the remaining cost is the bucket-LM pass's own explode,
+    which the 256-key map-side combine already makes shuffle-cheap;
+    what the rewrite removes is the TOKEN-SCALE groupBy(doc) shuffle,
+    the term that mattered at 100 TB."""
+    from weather_tools_spark.operators.bounded import bounded_rows
+
     docs = load_table(spark, "documents", sf_dir)
     words = docs.select(
-        "doc_id", "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
     )
-    wb = words.withColumn(
-        "b", F.expr("cast(conv(substr(md5(w), 1, 4), 16, 10) as bigint) % 256")
-    )
-    bs = wb.groupBy("b").agg(
+    def bucket_of(c):
+        return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("bigint") % 256
+
+    bs = words.select("lang", bucket_of(F.col("w")).alias("b")).groupBy("b").agg(
         F.count(F.lit(1)).alias("n_s"),
         F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("n_t"),
     )
     tot = bs.agg(F.sum("n_s").alias("tot_s"), F.sum("n_t").alias("tot_t"))
-    lr = bs.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.expr(
-            "ln((n_t + 0.5) / (tot_t + 128.0)) - ln((n_s + 0.5) / (tot_s + 128.0))"
-        ).alias("lr"),
+    lr_rows = bounded_rows(
+        bs.crossJoin(F.broadcast(tot)).select(
+            "b",
+            F.expr(
+                "ln((n_t + 0.5) / (tot_t + 128.0)) - ln((n_s + 0.5) / (tot_s + 128.0))"
+            ).alias("lr"),
+        ),
+        256,
+        "the 256-bucket hashed-unigram log-ratio table",
+    )
+    lr_map = F.create_map(
+        *[x for r in lr_rows for x in (F.lit(int(r.b)), F.lit(float(r.lr)))]
+    )
+    toks = F.split(F.col("text"), r"\s+")
+    logw = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, w: acc + F.element_at(lr_map, bucket_of(w)),
     )
     return (
-        wb.filter(F.col("lang") != "de")
-        .join(F.broadcast(lr), "b")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.round(F.sum("lr"), 6).alias("dsir_logw"),
+        docs.filter(F.col("lang") != "de")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(toks).cast("long").alias("n_words"),
+            F.round(logw, 6).alias("dsir_logw"),
         )
         .orderBy(F.col("dsir_logw").desc(), "doc_id")
         .limit(25)
