@@ -100,3 +100,32 @@ def fingerprint(text: Column) -> Column:
     set-normalized document key (token-order-insensitive)."""
     toks = F.array_sort(F.array_distinct(word_tokens(F.lower(text))))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def max_run_count(arr: Column) -> Column:
+    """Count of the most frequent element of an array — computed
+    map-side as the longest run of equal adjacent elements after
+    ``array_sort`` (O(n log n) per row, whole-stage codegen), so
+    per-document token-mode statistics need NO token-scale
+    explode + groupBy(doc, token) shuffle. Empty arrays yield 0.
+
+    The fold state is a (prev, run, best) struct threaded through
+    ``F.aggregate``; the finisher projects ``best``."""
+    sorted_arr = F.array_sort(arr)
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, merge, lambda acc: acc["best"])

@@ -76,6 +76,11 @@ CHECK_CHANGED: list[str] = [
     # removing the second explode and the token-scale groupBy(doc)
     # shuffle; values identical (re-verified at both SFs):
     "corpus_dsir_importance",
+    # r9: per-doc top-token counts became the map-side sorted-run fold
+    # (functions/text.max_run_count) — the token-scale (doc, token)
+    # shuffle is gone from both; values identical (re-verified):
+    "corpus_gopher_rules",
+    "text_repetition_profile",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -205,37 +205,31 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-token repetition cap — per-source failure counts + keep count.
     All rule arithmetic is INTEGER (mean-length and repetition
     thresholds are cross-multiplied), so the gate has no float boundary
-    at any scale factor. The per-doc top-token count is computed by
-    explode + two-level groupBy (map-combinable), not a per-row O(n^2)
-    array scan."""
+    at any scale factor. The per-doc top-token count is the map-side
+    sorted-run fold (functions/text.max_run_count — r9): O(n log n)
+    per row in whole-stage codegen, replacing the r8 explode +
+    two-level groupBy whose token-scale (doc, token) shuffle was the
+    query's dominant term at sfx1.0."""
+    from weather_tools_spark.functions.text import max_run_count
+
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id",
         "source",
         F.expr(r"filter(split(trim(text), '\\s+'), x -> x <> '')").alias("toks"),
     )
-    # Per-doc token mode frequency via distributed counting.
-    tok_counts = (
-        toks.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("max_tok"))
-    )
-    m = (
-        toks.select(
-            "doc_id",
-            "source",
-            F.size("toks").alias("n_words"),
-            F.expr(
-                "cast(size(filter(toks, x -> x IN ('the','a','of','and','to'))) as bigint)"
-            ).alias("stop_count"),
-            F.expr(
-                "cast(aggregate(toks, 0L, (acc, x) -> acc + length(x)) as bigint)"
-            ).alias("total_chars"),
-        )
-        .join(tok_counts, "doc_id")
-    )
+    m = toks.select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n_words"),
+        F.expr(
+            "cast(size(filter(toks, x -> x IN ('the','a','of','and','to'))) as bigint)"
+        ).alias("stop_count"),
+        F.expr(
+            "cast(aggregate(toks, 0L, (acc, x) -> acc + length(x)) as bigint)"
+        ).alias("total_chars"),
+        max_run_count(F.col("toks")).alias("max_tok"),
+    ).filter(F.col("n_words") > 0)  # the r8 inner join dropped token-free docs
     f = m.select(
         "source",
         F.when(~F.col("n_words").between(15, 80), 1).otherwise(0).alias("f_wc"),

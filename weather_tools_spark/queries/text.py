@@ -508,20 +508,23 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged. Reported per source so a crawler regression shows up as a
     per-source rate shift.
 
-    Scale shape: explode → (doc, token) partial count → per-doc rollup —
-    two map-combinable aggregates keyed by doc_id, no joins, no windows;
-    the per-doc ratios are single divisions (engine-deterministic) and
-    the cross-doc means go through micro-unit integer sums (the
-    ``_dsum`` parity contract)."""
+    Scale shape (r9): ZERO pre-aggregation shuffle — top_c is the
+    map-side sorted-run fold (functions/text.max_run_count), n_tok /
+    n_distinct are size()/array_distinct() expressions, so the only
+    shuffle is the |sources|-key rollup (the r8 version shuffled every
+    (doc, token) pair); the per-doc ratios are single divisions
+    (engine-deterministic) and the cross-doc means go through
+    micro-unit integer sums (the ``_dsum`` parity contract)."""
+    from weather_tools_spark.functions.text import max_run_count
+
     docs = load_table(spark, "documents", sf_dir)
-    tok = docs.select(
-        "doc_id", "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
-    )
-    cnt = tok.groupBy("doc_id", "source", "t").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = cnt.groupBy("doc_id", "source").agg(
-        F.max("c").alias("top_c"),
-        F.sum("c").alias("n_tok"),
-        F.count(F.lit(1)).alias("n_distinct"),
+    toks = F.split(F.lower("text"), r"\s+")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        max_run_count(toks).alias("top_c"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     )
     top_share = F.col("top_c") / F.col("n_tok")
     dup_frac = F.lit(1.0) - F.col("n_distinct") / F.col("n_tok")
