@@ -251,45 +251,73 @@ def test_default_decoder_detection(monkeypatch):
 
 def test_xarray_decode_real_branch(monkeypatch):
     """Monkeypatched fake xarray exercises the REAL decoder path:
-    engine dispatch by extension, time/area .sel slicing, and the
-    to_dataframe → reset_index handoff."""
+    store-layout dispatch (zarr store → open_zarr, plain file →
+    open_dataset), time/area .sel slicing with descending-latitude
+    handling, variables projection, and the to_dataframe →
+    reset_index → column-order normalization handoff."""
     import importlib.machinery
     import sys
     import types
 
+    import numpy as np
     import pandas as pd
 
     calls = {}
 
+    class FakeAxis:
+        values = np.array([10.0, 5.0, -10.0])  # descending (ERA5 convention)
+
     class FakeDS:
+        data_vars = {"d2m": None, "u10": None}
+
+        def __getitem__(self, key):
+            if isinstance(key, list):  # variables projection
+                calls["project"] = key
+                return self
+            assert key == "latitude"
+            return FakeAxis()
+
         def sel(self, **kw):
             calls.setdefault("sel", []).append(kw)
             return self
 
         def to_dataframe(self):
             return pd.DataFrame(
-                {"time": [pd.Timestamp("2024-01-01")], "latitude": [1.0],
-                 "longitude": [2.0], "d2m": [280.0]}
+                {"d2m": [280.0], "latitude": [1.0],
+                 "longitude": [2.0], "time": [pd.Timestamp("2024-01-01")]}
             ).set_index("time")
 
     stub = types.ModuleType("xarray")
     stub.__spec__ = importlib.machinery.ModuleSpec("xarray", loader=None)
 
+    def open_zarr(path):
+        calls["open_zarr"] = path
+        return FakeDS()
+
     def open_dataset(path, engine=None):
         calls["open"] = (path, engine)
         return FakeDS()
 
+    stub.open_zarr = open_zarr
     stub.open_dataset = open_dataset
     monkeypatch.setitem(sys.modules, "xarray", stub)
 
     opts = H.IngestOptions(start_time="2024-01-01", end_time="2024-01-02",
-                           area=(10.0, -5.0, -10.0, 5.0))
+                           area=(10.0, -5.0, -10.0, 5.0), variables=["d2m"])
     out = H._xarray_decode("/data/era5.zarr", opts)
-    assert calls["open"] == ("/data/era5.zarr", "zarr")
-    # both slices applied through the real branch
+    assert calls["open_zarr"] == "/data/era5.zarr"
+    assert calls["project"] == ["d2m"]
+    # both slices applied through the real branch; the descending
+    # latitude axis keeps the (north, south) slice orientation
     assert any("time" in kw for kw in calls["sel"])
-    assert any("latitude" in kw for kw in calls["sel"])
-    assert list(out.columns)[0] == "time" and len(out) == 1
+    lat_kw = next(kw for kw in calls["sel"] if "latitude" in kw)
+    assert (lat_kw["latitude"].start, lat_kw["latitude"].stop) == (10.0, -10.0)
+    # long-format normalization: coordinates lead, data vars sorted
+    assert list(out.columns) == ["time", "latitude", "longitude", "d2m"]
+    assert len(out) == 1
+    # a plain .nc path routes through open_dataset with engine=None
+    H._xarray_decode("/data/era5.nc", H.IngestOptions())
+    assert calls["open"] == ("/data/era5.nc", None)
 
     out2 = H._xarray_decode("/data/tile.tif", opts)
     assert calls["open"] == ("/data/tile.tif", "rasterio")

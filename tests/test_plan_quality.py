@@ -630,14 +630,17 @@ def test_pq_adc_broadcasts_codebook_and_takeordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_dsir_broadcasts_bucket_lm_and_takeordered(spark, sf_dir):
-    """The 256-row log-ratio table and the 1-row totals attach as
-    broadcasts; top-25 selection is a TakeOrdered, never a global sort
-    of the candidate frame."""
+def test_dsir_scoring_is_map_only_takeordered(spark, sf_dir):
+    """r9 shape: the per-document scoring pass is explode-free and
+    JOIN-free — the 256-entry log-ratio table inlines as a literal map
+    into a JVM F.aggregate (stronger than the r8 broadcast join it
+    replaced), so the scoring plan is scan → project → TakeOrdered.
+    Top-25 selection is a TakeOrdered, never a global sort; no join,
+    no Generate (explode), no corpus-scale exchange."""
     plan = _formatted_plan(spark, "corpus_dsir_importance", sf_dir)
     assert "TakeOrderedAndProject" in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    for bad in ("CartesianProduct", "BroadcastHashJoin", "SortMergeJoin", "Generate"):
+        assert bad not in plan, bad
     # corpus-scale Sort would be fatal at 100 TB: all Sorts must sit
     # above the TakeOrdered (see test_priority_sampling_uses_takeordered)
     take_ids = [int(m) for m in re.findall(r"^\((\d+)\) TakeOrderedAndProject", plan, re.MULTILINE)]
