@@ -324,3 +324,39 @@ def test_stream_format_picks_up_new_files(spark, fmt, tmp_path):
     add_file(1)
     # restart from the checkpoint: ONLY the new file lands in the sink
     assert run_once() == [0.0] * 4 + [1.0] * 4
+
+
+def test_stream_format_columns_option_prunes(spark, fmt, tmp_path):
+    """The streaming DataSource honors the same columns projection as
+    the batch reader: the stream schema narrows and the decode skips
+    the pruned variable's messages."""
+    import numpy as np
+
+    from weather_tools_spark.sources.grib2 import write_grib2
+
+    lats, lons = np.array([40.0, 39.0]), np.array([1.0, 2.0])
+    indir = tmp_path / "in"; indir.mkdir()
+    write_grib2(
+        str(indir / "a.grib2"),
+        [
+            {"param": "d2m", "ref_time": "2024-03-01T00:00", "lats": lats,
+             "lons": lons, "values": np.full((2, 2), 7.0)},
+            {"param": "u10", "ref_time": "2024-03-01T00:00", "lats": lats,
+             "lons": lons, "values": np.full((2, 2), 9.0)},
+        ],
+    )
+    stream = (
+        spark.readStream.format(fmt).option("columns", "u10")
+        .load(str(indir / "*.grib2"))
+    )
+    assert stream.columns == ["time", "latitude", "longitude", "u10"]
+    out = str(tmp_path / "sink"); ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.processAllAvailable(); q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.u10 for r in rows) == [9.0] * 4
+    assert spark.read.parquet(out).columns == ["time", "latitude", "longitude", "u10"]
