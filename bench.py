@@ -159,6 +159,12 @@ HEADLINE = [
     "events_dispersion_index",
     "ml_naive_bayes_langid",
     "orders_gini_coefficient",
+    # round-9 wave 2 (Lorenz drill-down, lexical diversity, MCC eval,
+    # inter-arrival cadence)
+    "orders_lorenz_deciles",
+    "text_ttr_standardized",
+    "ml_langid_mcc",
+    "events_interarrival_quantiles",
 ]
 
 

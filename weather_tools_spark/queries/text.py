@@ -1723,3 +1723,175 @@ def text_langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
         )
     )
+
+
+@register(
+    "text_ttr_standardized",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                  FROM documents),
+    perdoc AS (
+      SELECT doc_id, source,
+             len(list_distinct(t)) * 1.0 / len(t) AS ttr,
+             CAST(len(t) // 25 AS INT) AS n_chunks,
+             CASE WHEN len(t) >= 25 THEN
+               list_avg(list_transform(range(0, CAST(len(t) // 25 AS INT)),
+                 i -> len(list_distinct(list_slice(t, i*25+1, i*25+25))) / 25.0))
+             END AS sttr
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+           round(sum(CAST(round(ttr * 1000000, 0) AS BIGINT)) * 1.0
+                 / 1000000 / count(*), 6) AS avg_ttr,
+           round(sum(CAST(round(sttr * 1000000, 0) AS BIGINT)) * 1.0
+                 / 1000000 / count(CASE WHEN sttr IS NOT NULL THEN 1 END), 6)
+             AS avg_sttr
+    FROM perdoc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_ttr_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: raw type-token ratio (TTR, biased
+    by length) and the STANDARDIZED TTR (mean distinct-ratio over fixed
+    25-token chunks, the corpus-linguistics fix that makes sources of
+    different document lengths comparable — the signal quality filters
+    use to catch template/boilerplate text that a stopword ratio
+    misses).
+
+    Scale shape: explode-FREE (the r9 fold style) — per-doc TTR is
+    array_distinct/size, per-doc STTR maps full 25-token windows
+    through slice + array_distinct inside one ``transform`` and
+    averages with ``aggregate``; the only shuffle is the |sources|-key
+    rollup. Cross-doc means go through micro-unit integer sums (the
+    ``_dsum`` parity contract)."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    chunk = 25
+    n_chunks = (F.size(t) / chunk).cast("int")
+    chunk_ratios = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.size(F.array_distinct(F.slice(t, i * chunk + 1, chunk))) / F.lit(float(chunk)),
+    )
+    sttr = F.when(
+        F.size(t) >= chunk,
+        F.aggregate(chunk_ratios, F.lit(0.0), lambda a, x: a + x) / n_chunks,
+    )
+    perdoc = docs.select(
+        "source",
+        (F.size(F.array_distinct(t)) * 1.0 / F.size(t)).alias("ttr"),
+        n_chunks.alias("n_chunks"),
+        sttr.alias("sttr"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.round(
+                F.sum(F.round(F.col("ttr") * 1_000_000, 0).cast("long")) * 1.0
+                / 1_000_000 / F.count(F.lit(1)),
+                6,
+            ).alias("avg_ttr"),
+            F.round(
+                F.sum(F.round(F.col("sttr") * 1_000_000, 0).cast("long")) * 1.0
+                / 1_000_000 / F.count(F.col("sttr")),
+                6,
+            ).alias("avg_sttr"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "ml_langid_mcc",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('el','los','las','y','no'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','pas'))) AS s_fr
+      FROM t
+    ),
+    lid AS (
+      SELECT doc_id, lang,
+        CASE
+          WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_es >= s_fr THEN 'es'
+          ELSE 'fr'
+        END AS pred
+      FROM s
+    ),
+    conf AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM lid GROUP BY lang, pred),
+    scalars AS (SELECT CAST(sum(n) AS BIGINT) AS s,
+                       CAST(sum(CASE WHEN lang = pred THEN n ELSE 0 END) AS BIGINT) AS c
+                FROM conf),
+    rows_m AS (SELECT lang AS k, CAST(sum(n) AS BIGINT) AS t_k FROM conf GROUP BY lang),
+    cols_m AS (SELECT pred AS k, CAST(sum(n) AS BIGINT) AS p_k FROM conf GROUP BY pred),
+    m AS (SELECT COALESCE(r.k, c.k) AS k, COALESCE(t_k, 0) AS t_k, COALESCE(p_k, 0) AS p_k
+          FROM rows_m r FULL OUTER JOIN cols_m c ON r.k = c.k),
+    dots AS (SELECT CAST(sum(p_k * t_k) AS BIGINT) AS pt,
+                    CAST(sum(p_k * p_k) AS BIGINT) AS pp,
+                    CAST(sum(t_k * t_k) AS BIGINT) AS tt
+             FROM m)
+    SELECT s AS n,
+           round((c * s - pt) * 1.0
+                 / sqrt((s * s - pp) * 1.0) / sqrt((s * s - tt) * 1.0), 6) AS mcc
+    FROM scalars, dots
+    """,
+)
+def ml_langid_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class Matthews correlation coefficient of the langid
+    heuristic — the single-number eval that stays honest under class
+    imbalance (accuracy and even kappa degrade gracefully; MCC goes to
+    0 for any trivial classifier): the R_k form
+    MCC = (c·s − Σₖ pₖtₖ) / √(s²−Σpₖ²) / √(s²−Σtₖ²) over the confusion
+    matrix. Completes the agreement family (accuracy → kappa → MCC)
+    on exact integer margins.
+
+    Scale shape: one scoring pass (the single-fold lang_scores) into
+    the ≤|langs|² confusion table, persisted because the scalars and
+    both margins derive from it; everything downstream is arithmetic on
+    ≤6 rows. The margin join is full-outer — a label can be absent from
+    either axis ('und' never true, 'zh' never predicted)."""
+    from weather_tools_spark.operators.dedup import _persist
+
+    docs = load_table(spark, "documents", sf_dir)
+    conf = _persist(
+        docs.select("lang", TX.lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scalars = conf.agg(
+        F.sum("n").alias("s"),
+        F.sum(F.when(F.col("lang") == F.col("pred"), F.col("n")).otherwise(0)).alias("c"),
+    )
+    rows_m = conf.groupBy(F.col("lang").alias("k")).agg(F.sum("n").alias("t_k"))
+    cols_m = conf.groupBy(F.col("pred").alias("k")).agg(F.sum("n").alias("p_k"))
+    m = rows_m.join(cols_m, "k", "full_outer").select(
+        F.coalesce(F.col("t_k"), F.lit(0)).alias("t_k"),
+        F.coalesce(F.col("p_k"), F.lit(0)).alias("p_k"),
+    )
+    dots = m.agg(
+        F.sum(F.col("p_k") * F.col("t_k")).alias("pt"),
+        F.sum(F.col("p_k") * F.col("p_k")).alias("pp"),
+        F.sum(F.col("t_k") * F.col("t_k")).alias("tt"),
+    )
+    return scalars.crossJoin(F.broadcast(dots)).select(
+        F.col("s").cast("long").alias("n"),
+        F.round(
+            (F.col("c") * F.col("s") - F.col("pt")) * 1.0
+            / F.sqrt((F.col("s") * F.col("s") - F.col("pp")) * 1.0)
+            / F.sqrt((F.col("s") * F.col("s") - F.col("tt")) * 1.0),
+            6,
+        ).alias("mcc"),
+    )
