@@ -169,3 +169,34 @@ def test_local_topk_frame_contains_exact_topk(n_rows, n_q, k, seed):
         )
         exact = {int(c_ids[i]) for i in order[:k]}
         assert exact <= got, (q, exact, got)
+
+
+def test_max_run_count_equals_counter_mode(spark):
+    """functions/text.max_run_count (the sorted-run fold behind the r9
+    explode-free token-mode statistics) must equal Counter's mode count
+    on randomized token arrays — including empties, duplicates-only,
+    and single-element arrays. One Spark job over a hypothesis-style
+    randomized batch (deterministic seed) instead of per-example jobs."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from weather_tools_spark.functions.text import max_run_count
+
+    rng = random.Random(421)
+    vocab = ["a", "b", "c", "dd", "e f"[0:2], "zz"]
+    cases: list[list[str]] = [[], ["x"], ["x", "x", "x"]]
+    for _ in range(200):
+        n = rng.randint(0, 30)
+        cases.append([rng.choice(vocab) for _ in range(n)])
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id int, toks array<string>"
+    )
+    got = {
+        r.id: r.m
+        for r in df.select("id", max_run_count(F.col("toks")).alias("m")).collect()
+    }
+    for i, c in enumerate(cases):
+        want = max(Counter(c).values()) if c else 0
+        assert got[i] == want, (i, c, got[i], want)
