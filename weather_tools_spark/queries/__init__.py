@@ -88,6 +88,11 @@ CHECK_CHANGED: list[str] = [
     "text_langid_distribution",
     "text_langid_accuracy",
     "text_langid_cohens_kappa",
+    # r9: first-occurrence selection became a hash-partitioned window
+    # (one chunk-scale shuffle instead of min-aggregate + equi-join,
+    # which also re-derived the chunk build per side); values identical
+    # (re-verified at both SFs):
+    "dedup_paragraph_dupes",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -235,10 +235,14 @@ def dedup_paragraph_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), hash each chunk, keep only the FIRST occurrence of each
     hash corpus-wide (ordering key doc_id*1e9 + chunk index — collision
     would need a single ~10-billion-word document), and report per-document chunk
-    retention. The first-occurrence rule is a min-aggregation per hash
-    + one equi-join back — no window over the corpus, no sort; at
-    100 TB this is the paragraph-granularity dedup pass that runs
-    before document-level near-dup."""
+    retention. The first-occurrence rule is ``min(k) OVER (PARTITION BY
+    h)`` — a hash-PARTITIONED window (billions of tiny partitions, no
+    global sort), which needs ONE chunk-scale shuffle where the r8
+    min-aggregate + equi-join needed two AND re-derived the
+    split+md5 chunk build for each join side (r9; 9.9 → 4.4 s at
+    sfx1.0). At 100 TB this is the paragraph-granularity dedup pass
+    that runs before document-level near-dup."""
+    from pyspark.sql import Window as W
     docs = load_table(spark, "documents", sf_dir)
     occ = (
         docs.select(
@@ -255,9 +259,8 @@ def dedup_paragraph_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h",
         )
     )
-    firsts = occ.groupBy("h").agg(F.min("k").alias("mk"))
     return (
-        occ.join(firsts, "h")
+        occ.withColumn("mk", F.min("k").over(W.partitionBy("h")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
