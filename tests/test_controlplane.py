@@ -114,3 +114,82 @@ def test_store_invariants_unit():
     s.add_download("d", ["L"], "x")
     s.edit_config_priority("L", "c", None)
     assert s.get_queue("L")["queue"] == ["d", "c"]
+
+
+def test_license_worker_drains_queue_with_error_budget():
+    """run_license_worker (reference license_deployment/fetch.py):
+    head-of-queue order, exponential backoff on transient errors with
+    the per-config reset-on-success rule, config drop + failed status
+    at the error budget, and completed statuses on full drains."""
+    from weather_tools_spark.pipeline.controlplane import run_license_worker
+
+    s = ControlPlaneStore()
+    s.add_license("L", "cds", 2)
+    s.add_download("good.cfg", ["L"], "cds")
+    s.add_download("flaky.cfg", ["L"], "cds")
+    s.add_download("bad.cfg", ["L"], "cds")
+
+    parts = {
+        "good.cfg": [{"p": i} for i in range(3)],
+        "flaky.cfg": [{"p": 0}, {"p": 1}],
+        "bad.cfg": [{"p": 0}],
+    }
+    flaky_failures = {"n": 2}  # first two attempts at flaky.cfg part 0 fail
+
+    def fetch_one(req):
+        head = s.get_queue("L")["queue"][0]
+        if head == "flaky.cfg" and req == {"p": 0} and flaky_failures["n"] > 0:
+            flaky_failures["n"] -= 1
+            raise RuntimeError("transient provider hiccup")
+        if head == "bad.cfg":
+            raise RuntimeError("permanently broken partition")
+
+    sleeps: list[float] = []
+    out = run_license_worker(
+        s, "L", lambda c: parts[c], fetch_one,
+        max_error_count=4, sleep=sleeps.append,
+    )
+    assert out["completed"] == ["good.cfg", "flaky.cfg"]
+    assert out["failed"] == ["bad.cfg"]
+    assert s.get_download("good.cfg")["status"] == "completed"
+    assert s.get_download("flaky.cfg")["status"] == "completed"
+    assert s.get_download("bad.cfg")["status"] == "failed"
+    assert s.get_queue("L")["queue"] == []
+    # exponential backoff: flaky's two transient errors slept 2, 4;
+    # bad's three pre-budget errors slept 2, 4, 8
+    assert sleeps == [2.0, 4.0, 2.0, 4.0, 8.0]
+    # refetch re-queues the failed config (the REST flow the server test
+    # drives) and a now-healthy fetch completes it
+    s.refetch_download("bad.cfg", ["L"])
+    out2 = run_license_worker(s, "L", lambda c: parts[c], lambda r: None)
+    assert out2["completed"] == ["bad.cfg"]
+    assert s.get_download("bad.cfg")["status"] == "completed"
+
+
+def test_license_worker_fatal_errors_empty_queue():
+    """The reference's fatal markers (fetch.py:100-118) empty the
+    license queue and stamp the license status."""
+    from weather_tools_spark.pipeline.controlplane import run_license_worker
+
+    for marker, want_status in (
+        ("Access token expired", "License Expired."),
+        ("Access token disabled", "License Disabled."),
+        ("USER_QUEUED_LIMIT_EXCEEDED hit", "License Queue Full."),
+        ("Too many queued requests", "License Queue Full."),
+    ):
+        s = ControlPlaneStore()
+        s.add_license("L", "cds", 1)
+        s.add_download("a.cfg", ["L"], "cds")
+        s.add_download("b.cfg", ["L"], "cds")
+
+        def fetch_one(req, _m=marker):
+            raise RuntimeError(_m)
+
+        out = run_license_worker(
+            s, "L", lambda c: [{"p": 0}], fetch_one, sleep=lambda _s: None
+        )
+        assert out["license_status"] == want_status
+        assert s.get_queue("L")["queue"] == []  # emptied, not drained
+        assert s.get_license("L")["status"] == want_status
+        # downloads stay in-progress: nothing completed or failed them
+        assert s.get_download("a.cfg")["status"] == "in-progress"

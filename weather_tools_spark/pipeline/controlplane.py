@@ -401,3 +401,142 @@ class ControlPlaneServer:
     def __exit__(self, *exc) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
+
+
+# ---------------------------------------------------------------------------
+# License-deployment worker (reference weather_dl_v2/license_deployment/
+# fetch.py:30-130): one worker per license pulls the head-of-queue config,
+# fetches its partitions under a per-config error budget with exponential
+# backoff, classifies fatal license errors, and reports status back to the
+# control plane.
+# ---------------------------------------------------------------------------
+
+CONFIG_MAX_ERROR_COUNT = 10  # reference fetch.py:34
+
+# reference fetch.py:100-118 — substring markers of fatal license errors
+_FATAL_LICENSE_MARKERS = (
+    ("Access token expired", "License Expired."),
+    ("Access token disabled", "License Disabled."),
+    ("USER_QUEUED_LIMIT_EXCEEDED", "License Queue Full."),
+    ("Too many queued requests", "License Queue Full."),
+)
+
+
+def _license_queue_ops(store: ControlPlaneStore):
+    """Two small extensions of the store the worker needs (the
+    reference's _empty_license_queue / _mark_license_status)."""
+
+    def empty_queue(license_id: str) -> None:
+        with store._lock:
+            q = store.queues.get(license_id)
+            if q is not None:
+                q["queue"] = []
+
+    def mark_license_status(license_id: str, status: str) -> None:
+        with store._lock:
+            doc = store.licenses.get(license_id)
+            if doc is not None:
+                doc["status"] = status
+
+    return empty_queue, mark_license_status
+
+
+def run_license_worker(
+    store: ControlPlaneStore,
+    license_id: str,
+    partitions_of,
+    fetch_one,
+    max_error_count: int = CONFIG_MAX_ERROR_COUNT,
+    sleep=None,
+    max_fetches: int = 100_000,
+) -> dict:
+    """Drain one license's queue — the reference's per-license
+    deployment loop (fetch.py make_fetch_request + main):
+
+    - pull the HEAD config of this license's queue;
+    - fetch each of its partitions (``partitions_of(config_name)`` →
+      request list; ``fetch_one(request)`` raises on failure);
+    - a per-CONFIG error count gates retries: each failure sleeps
+      2^count seconds (exponential backoff) and retries; at
+      ``max_error_count`` the config is dropped from THIS license's
+      queue and its download is marked failed (fetch.py:72-80);
+    - fatal license errors (expired / disabled / provider queue full,
+      matched by the reference's substring markers) EMPTY the queue and
+      mark the license status (fetch.py:100-118);
+    - a config whose partitions all fetched is removed from the queue
+      and its download marked completed; any success resets the error
+      count (fetch.py:128-130).
+
+    Returns a summary dict (configs completed/failed, fetch calls,
+    license status). ``max_fetches`` bounds the loop for tests; the
+    deployment default is effectively unbounded."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    empty_queue, mark_license_status = _license_queue_ops(store)
+    completed: list[str] = []
+    failed: list[str] = []
+    n_fetches = 0
+    while n_fetches < max_fetches:
+        queue = store.get_queue(license_id)["queue"]
+        if not queue:
+            break
+        config_name = queue[0]
+        requests = list(partitions_of(config_name))
+        error_count = 0
+        idx = 0
+        config_done = True
+        while idx < len(requests):
+            if n_fetches >= max_fetches:
+                config_done = False
+                break
+            try:
+                n_fetches += 1
+                fetch_one(requests[idx])
+            except Exception as e:  # noqa: BLE001 — classified below
+                msg = str(e)
+                for marker, status in _FATAL_LICENSE_MARKERS:
+                    if marker in msg:
+                        empty_queue(license_id)
+                        mark_license_status(license_id, status)
+                        return {
+                            "license_id": license_id,
+                            "completed": completed,
+                            "failed": failed,
+                            "n_fetches": n_fetches,
+                            "license_status": status,
+                        }
+                error_count += 1
+                if error_count >= max_error_count:
+                    # drop the config from THIS queue; the download is
+                    # failed until a /download/refetch re-queues it
+                    with store._lock:
+                        store.queues[license_id]["queue"].remove(config_name)
+                    try:
+                        store.set_download_status(config_name, "failed")
+                    except ControlPlaneError:
+                        pass
+                    failed.append(config_name)
+                    config_done = False
+                    break
+                sleep(float(2 ** error_count))
+                continue  # retry the same partition
+            error_count = 0  # any success resets the budget
+            idx += 1
+        if config_done:
+            with store._lock:
+                q = store.queues[license_id]["queue"]
+                if config_name in q:
+                    q.remove(config_name)
+            try:
+                store.set_download_status(config_name, "completed")
+            except ControlPlaneError:
+                pass
+            completed.append(config_name)
+    return {
+        "license_id": license_id,
+        "completed": completed,
+        "failed": failed,
+        "n_fetches": n_fetches,
+        "license_status": store.get_license(license_id).get("status", "active"),
+    }
