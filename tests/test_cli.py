@@ -174,3 +174,33 @@ def test_mv_to_netcdf_and_sp_netcdf_split(spark, tmp_path, grib_file):
     assert rc == 0
     made = sorted(os.listdir(split_dir))
     assert any("d2m" in f for f in made) and any("u10" in f for f in made)
+
+
+def test_dlv2_cli_drives_control_plane(capsys):
+    """The dlv2 subcommand mirrors the reference weather-dl-v2 CLI
+    table against a live control-plane server."""
+    import json
+
+    from weather_tools_spark.cli import main
+    from weather_tools_spark.pipeline.controlplane import ControlPlaneServer
+
+    with ControlPlaneServer() as cp:
+        base = ["dlv2", "--server", cp.url]
+        assert main(base + ["ping"]) == 0
+        assert main(base + ["license", "add", "L1", "--client-name", "cds",
+                            "--number-of-requests", "4"]) == 0
+        assert main(base + ["download", "add", "era5.cfg", "-l", "L1",
+                            "--client-name", "cds"]) == 0
+        capsys.readouterr()
+        assert main(base + ["download", "list", "--filter", "client_name=cds"]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert [d["config_name"] for d in out] == ["era5.cfg"]
+        assert main(base + ["queue", "get", "L1"]) == 0
+        assert json.loads(capsys.readouterr().out)["queue"] == ["era5.cfg"]
+        assert main(base + ["download", "refetch", "era5.cfg", "-l", "L1"]) == 0
+        assert main(base + ["license", "edit", "L1", "--client-name", "c2"]) == 0
+        capsys.readouterr()
+        assert main(base + ["queue", "list", "--filter", "client_name=c2"]) == 0
+        assert json.loads(capsys.readouterr().out)[0]["license_id"] == "L1"
+        assert main(base + ["download", "remove", "era5.cfg"]) == 0
+        assert main(base + ["license", "remove", "L1"]) == 0

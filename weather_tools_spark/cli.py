@@ -270,6 +270,101 @@ def cmd_xql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dlv2(args: argparse.Namespace) -> int:
+    """weather-dl-v2 CLI (reference weather_dl_v2/cli — the command
+    table in fastapi-server/API-Interactions.md), talking to the
+    control-plane server (pipeline/controlplane.py) over HTTP. ``serve``
+    runs the server itself."""
+    import json as _json
+    import urllib.request
+
+    if args.dlv2_cmd == "serve":
+        from weather_tools_spark.pipeline.controlplane import ControlPlaneServer
+
+        with ControlPlaneServer(port=args.port) as cp:
+            print(f"control plane serving on {cp.url}", file=sys.stderr)
+            try:
+                import threading
+
+                threading.Event().wait()  # serve until interrupted
+            except KeyboardInterrupt:
+                pass
+        return 0
+
+    base = args.server.rstrip("/")
+
+    def req(path: str, method: str = "GET", body: dict | None = None):
+        data = _json.dumps(body).encode() if body is not None else None
+        r = urllib.request.Request(
+            base + path, data=data, method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(r, timeout=30) as resp:
+            out = _json.loads(resp.read().decode())
+        print(_json.dumps(out, indent=1))
+        return 0
+
+    filt = ""
+    if getattr(args, "filter", None):
+        k, _, v = args.filter.partition("=")
+        filt = f"?{k}={v}"
+
+    c = args.dlv2_cmd
+    if c == "ping":
+        return req("/")
+    if c == "download":
+        a = args.action
+        if a == "add":
+            q = "?force_download=true" if args.force_download else ""
+            return req(f"/download{q}", "POST", {
+                "config_name": args.name, "licenses": args.license,
+                "client_name": args.client_name,
+            })
+        if a == "list":
+            return req(f"/download{filt}")
+        if a == "get":
+            return req(f"/download/{args.name}")
+        if a == "show":
+            return req(f"/download/show/{args.name}")
+        if a == "remove":
+            return req(f"/download/{args.name}", "DELETE")
+        if a == "refetch":
+            return req(f"/download/refetch/{args.name}", "POST",
+                       {"licenses": args.license})
+    if c == "license":
+        a = args.action
+        if a == "add":
+            return req("/license/", "POST", {
+                "license_id": args.name, "client_name": args.client_name,
+                "number_of_requests": args.number_of_requests or 0,
+                "secret_id": args.secret_id,
+            })
+        if a == "list":
+            return req(f"/license{filt}")
+        if a == "get":
+            return req(f"/license/{args.name}")
+        if a == "edit":
+            body = {}
+            if args.client_name:
+                body["client_name"] = args.client_name
+            if args.number_of_requests is not None:
+                body["number_of_requests"] = args.number_of_requests
+            return req(f"/license/{args.name}", "PUT", body)
+        if a == "remove":
+            return req(f"/license/{args.name}", "DELETE")
+    if c == "queue":
+        a = args.action
+        if a == "list":
+            return req(f"/queues{filt}")
+        if a == "get":
+            return req(f"/queues/{args.name}")
+        if a == "edit":
+            return req(f"/queues/{args.name}", "POST", {
+                "config_name": args.config, "priority": args.priority,
+            })
+    raise SystemExit(f"unknown dlv2 command {c!r}")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -309,6 +404,36 @@ def build_parser() -> argparse.ArgumentParser:
     xq.add_argument("--view", default="weather", help="view name for --uri")
     xq.add_argument("--limit", type=int, default=50)
     xq.set_defaults(fn=cmd_xql)
+
+    # weather-dl-v2 control-plane CLI (reference weather_dl_v2/cli)
+    d2 = sub.add_parser("dlv2", help="weather-dl-v2 control plane client/server")
+    d2.add_argument("--server", default="http://127.0.0.1:8787")
+    d2sub = d2.add_subparsers(dest="dlv2_cmd", required=True)
+    d2sub.add_parser("ping")
+    srv = d2sub.add_parser("serve")
+    srv.add_argument("--port", type=int, default=8787)
+    dl2 = d2sub.add_parser("download")
+    dl2.add_argument("action", choices=["add", "list", "get", "show", "remove", "refetch"])
+    dl2.add_argument("name", nargs="?", default="")
+    dl2.add_argument("-l", "--license", action="append", default=[])
+    dl2.add_argument("--client-name", default="")
+    dl2.add_argument("--force-download", action="store_true")
+    dl2.add_argument("--filter", default="")
+    li2 = d2sub.add_parser("license")
+    li2.add_argument("action", choices=["add", "list", "get", "edit", "remove"])
+    li2.add_argument("name", nargs="?", default="")
+    li2.add_argument("--client-name", default="")
+    li2.add_argument("--number-of-requests", type=int, default=None)
+    li2.add_argument("--secret-id", default="")
+    li2.add_argument("--filter", default="")
+    q2 = d2sub.add_parser("queue")
+    q2.add_argument("action", choices=["list", "get", "edit"])
+    q2.add_argument("name", nargs="?", default="")
+    q2.add_argument("--config", default="")
+    q2.add_argument("--priority", type=int, default=None)
+    q2.add_argument("--filter", default="")
+    for p in (d2sub.choices["ping"], srv, dl2, li2, q2):
+        p.set_defaults(fn=cmd_dlv2)
     return ap
 
 
