@@ -253,8 +253,12 @@ def main() -> None:
     # full-scan aggregate whose plan never changes round to round, so
     # the RATIO of the headline mean to q1 isolates what the guard is
     # actually protecting — per-query plan quality — from host speed.
+    # calib is CAPPED at 3x: host variance measured so far spans
+    # 1.6-2.6x, while a uniform ENGINE regression (lost AQE/codegen,
+    # slow load_table) would also scale q1 and otherwise launder itself
+    # through the calibration — past 3x the gate goes absolute again.
     if timings and sf_val == 0.1:
-        calib = max(1.0, timings.get("q1_pricing_summary", 0.5) / 0.5)
+        calib = min(3.0, max(1.0, timings.get("q1_pricing_summary", 0.5) / 0.5))
         mean = total / len(timings)
         if mean >= 1.0 * calib or total >= 150.0 * calib:
             print(

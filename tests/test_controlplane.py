@@ -193,3 +193,51 @@ def test_license_worker_fatal_errors_empty_queue():
         assert s.get_license("L")["status"] == want_status
         # downloads stay in-progress: nothing completed or failed them
         assert s.get_download("a.cfg")["status"] == "in-progress"
+
+
+def test_malformed_bodies_return_400_not_dropped_connection():
+    """Review fix: a missing body field / bad priority type must come
+    back as a JSON 400, never an aborted TCP connection."""
+    with ControlPlaneServer() as cp:
+        u = cp.url
+        for path, method, body in (
+            ("/download", "POST", {}),                      # no config_name
+            ("/queues/priority/L", "PUT", {}),              # no queue
+            ("/download/x", "PATCH", {}),                   # no status
+        ):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _req(u + path, method, body)
+            assert e.value.code in (400, 404)
+            detail = json.loads(e.value.read().decode())
+            assert "detail" in detail
+
+
+def test_force_resubmit_and_refetch_clean_stale_queue_entries():
+    """Review fix: re-submitting a config on a DIFFERENT license set
+    must remove it from the dropped licenses' queues — a stale entry
+    would double-fetch under a license the download doc no longer
+    lists."""
+    s = ControlPlaneStore()
+    s.add_license("A", "cds", 1)
+    s.add_license("B", "cds", 1)
+    s.add_download("c1", ["A"], "cds")
+    assert s.get_queue("A")["queue"] == ["c1"]
+    s.add_download("c1", ["B"], "cds", force_download=True)
+    assert s.get_queue("A")["queue"] == []  # stale entry gone
+    assert s.get_queue("B")["queue"] == ["c1"]
+    s.set_download_status("c1", "failed")
+    s.refetch_download("c1", ["A"])
+    assert s.get_queue("B")["queue"] == []  # refetch also re-homes
+    assert s.get_queue("A")["queue"] == ["c1"]
+
+
+def test_dlv2_cli_surfaces_http_errors(capsys):
+    """Review fix: a 4xx from the server prints the JSON detail and
+    returns exit code 1 instead of crashing with a traceback."""
+    from weather_tools_spark.cli import main
+
+    with ControlPlaneServer() as cp:
+        rc = main(["dlv2", "--server", cp.url, "download", "get", "nope.cfg"])
+        assert rc == 1
+        err = capsys.readouterr().err
+        assert "no download" in err

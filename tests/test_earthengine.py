@@ -261,3 +261,25 @@ def test_ingest_assets_rate_limited_shards_and_ingests(spark, tmp_path):
         open(os.path.join(audit_dir, f)).read() for f in os.listdir(audit_dir)
     )
     assert got == [f"projects/p/assets/col/img{i}" for i in range(4)]
+
+
+def test_completion_poll_targets_own_task_under_concurrency(spark, tmp_path):
+    """Review fix: wait_for_completion polls the task THIS ingestion
+    spawned (client.last_task_id), not whichever project task happens
+    to be last in the list — a concurrent worker's RUNNING task must
+    not be waited on (or raise for someone else's failure)."""
+    fake = EE.FakeEEClient(n_time=1, height=2, width=2, bands=("t2m",))
+    # someone else's task: active, and would FAIL if polled
+    fake.script_task("other-workers-task", ["RUNNING", "RUNNING", "FAILED"])
+    fake.default_task_states = ["RUNNING", "COMPLETED"]
+    df = EE.open_ee(spark, "ee://asset/x", EE.FakeEEClient)
+    out = str(tmp_path / "own.tif")
+    name = EE.to_cog_then_ingest(
+        df, "t2m", out, fake, "projects/p/assets/col", "imgOwn",
+        sleep=lambda _s: None, wait_for_completion=True,
+    )
+    assert name == "projects/p/assets/col/imgOwn"
+    assert fake.last_task_id == "task-1"
+    assert fake.tasks["task-1"] == ["COMPLETED"]  # own task polled to done
+    # the foreign task was NOT consumed past its own clock by our poll
+    assert "FAILED" in fake.tasks["other-workers-task"]

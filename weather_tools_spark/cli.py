@@ -294,13 +294,24 @@ def cmd_dlv2(args: argparse.Namespace) -> int:
     base = args.server.rstrip("/")
 
     def req(path: str, method: str = "GET", body: dict | None = None):
+        import urllib.error
+
         data = _json.dumps(body).encode() if body is not None else None
         r = urllib.request.Request(
             base + path, data=data, method=method,
             headers={"Content-Type": "application/json"},
         )
-        with urllib.request.urlopen(r, timeout=30) as resp:
-            out = _json.loads(resp.read().decode())
+        try:
+            with urllib.request.urlopen(r, timeout=30) as resp:
+                out = _json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            # surface the server's JSON detail, not a traceback
+            try:
+                detail = _json.loads(e.read().decode())
+            except Exception:  # noqa: BLE001 — non-JSON error body
+                detail = {"detail": str(e)}
+            print(_json.dumps(detail, indent=1), file=sys.stderr)
+            return 1
         print(_json.dumps(out, indent=1))
         return 0
 

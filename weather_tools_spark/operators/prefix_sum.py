@@ -81,8 +81,8 @@ def running_sum(
             with_local.groupBy("_pid").agg(
                 F.sum(F.col(value_col).cast("long")).alias("total")
             ),
-            with_local.rdd.getNumPartitions(),
-            "per-partition prefix-sum totals (one row per partition)",
+            n_parts,
+            "per-partition prefix-sum totals (one row per range partition)",
         )
     }
     offsets = {}

@@ -82,11 +82,22 @@ class ControlPlaneStore:
                 "status": "in-progress",
             }
             self.downloads[config_name] = doc
-            for li in licenses:
-                q = self.queues[li]["queue"]
-                if config_name not in q:
-                    q.append(config_name)
+            self._requeue(config_name, licenses)
             return dict(doc)
+
+    def _requeue(self, config_name: str, licenses: list[str]) -> None:
+        """Make the queue state match ``licenses`` exactly: enqueue on
+        every requested license, and REMOVE from queues of licenses a
+        force re-submit / refetch dropped (otherwise a stale entry
+        double-fetches the config under a license the download doc no
+        longer lists)."""
+        want = set(licenses)
+        for li, q in self.queues.items():
+            if li in want:
+                if config_name not in q["queue"]:
+                    q["queue"].append(config_name)
+            elif config_name in q["queue"]:
+                q["queue"].remove(config_name)
 
     def list_downloads(self, client_name: str | None = None) -> list[dict]:
         with self._lock:
@@ -135,10 +146,7 @@ class ControlPlaneStore:
             doc = self.downloads[config_name]
             doc["status"] = "in-progress"
             doc["licenses"] = list(licenses)
-            for li in licenses:
-                q = self.queues[li]["queue"]
-                if config_name not in q:
-                    q.append(config_name)
+            self._requeue(config_name, licenses)
             return dict(doc)
 
     # -- license collection (reference routers/license.py) -----------------
@@ -279,6 +287,11 @@ def _make_handler(store: ControlPlaneStore):
                 self._dispatch(method, parts, qs)
             except ControlPlaneError as e:
                 self._send(e.code, {"detail": str(e)})
+            except (KeyError, ValueError, TypeError, AttributeError) as e:
+                # malformed client input (missing body field, non-int
+                # priority, array-shaped body) must come back as a 400
+                # with a detail payload, never a dropped connection
+                self._send(400, {"detail": f"bad request: {e!r}"})
 
         # -- the reference endpoint table ------------------------------------
         def _dispatch(self, method: str, parts: list[str], qs: dict) -> None:
@@ -462,7 +475,10 @@ def run_license_worker(
       queue and its download is marked failed (fetch.py:72-80);
     - fatal license errors (expired / disabled / provider queue full,
       matched by the reference's substring markers) EMPTY the queue and
-      mark the license status (fetch.py:100-118);
+      mark the license status (fetch.py:100-118). Reference parity
+      note: like the reference, the queued downloads' status docs are
+      NOT failed by this — the license status is the signal, and a
+      /download/refetch against a healthy license resumes them;
     - a config whose partitions all fetched is removed from the queue
       and its download marked completed; any success resets the error
       count (fetch.py:128-130).

@@ -126,8 +126,8 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the oracle, after k-means, PageRank, label propagation, and
     parcel advection)."""
     edge_rows = bounded_rows(
-        _sp_edges_df(spark, sf_dir), 625,
-        "nation-graph edge summary (<= |nations| * topk = 625)",
+        _sp_edges_df(spark, sf_dir), 75,
+        "nation-graph edge summary (<= |nations| * _SP_TOPK = 75)",
     )
     out_adj: dict[int, list[int]] = {}
     for r in edge_rows:
@@ -1369,8 +1369,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedule. 6 rounds (``_KC_ROUNDS``) is past the fixpoint on every
     SF (pytest asserts one extra round changes nothing)."""
     edge_rows = bounded_rows(
-        _sp_edges_df(spark, sf_dir), 625,
-        "nation-graph edge summary (<= |nations| * topk = 625)",
+        _sp_edges_df(spark, sf_dir), 75,
+        "nation-graph edge summary (<= |nations| * _SP_TOPK = 75)",
     )
     und: set[tuple[int, int]] = set()
     for r in edge_rows:

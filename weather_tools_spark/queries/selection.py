@@ -986,9 +986,9 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("c_l"))
         .join(n_docs_per_lang, "lang")
     )
-    v = toks.agg(
-        F.countDistinct("w").alias("vocab"), F.countDistinct("doc_id").alias("nd")
-    )
+    # single distinct aggregate: a second countDistinct here would force
+    # an Expand over the token-scale frame for a value nothing reads
+    v = toks.agg(F.countDistinct("w").alias("vocab"))
     n_docs_total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     cands = docs.select(F.col("lang").alias("cand")).distinct()
     # rename the count-table keys: wl derives from the same toks

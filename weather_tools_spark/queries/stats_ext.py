@@ -408,8 +408,8 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_tools_spark.operators.bounded import bounded_rows
 
     edge_rows = bounded_rows(
-        _sp_edges_df(spark, sf_dir), 625,
-        "nation-graph edge summary (<= |nations| * topk = 625)",
+        _sp_edges_df(spark, sf_dir), 75,
+        "nation-graph edge summary (<= |nations| * _SP_TOPK = 75)",
     )
     und: set[tuple[int, int]] = set()
     for row in edge_rows:

@@ -49,7 +49,11 @@ _GATE_MSG = (
 
 
 class EEClient:
-    """Protocol for the EarthEngine surface this connector consumes."""
+    """Protocol for the EarthEngine surface this connector consumes.
+    ``last_task_id`` records the most recent ingestion's task id on
+    THIS client instance, so completion polling targets its own task."""
+
+    last_task_id: str | None = None
 
     def get_asset_info(self, asset_id: str) -> dict:  # pragma: no cover
         raise NotImplementedError
@@ -113,14 +117,18 @@ class RealEEClient(EEClient):
     def import_image(self, manifest: dict) -> str:
         # reference ee.py:905-918: image:importExternal with an
         # imageManifest payload; ee.data.startIngestion is the client
-        # wrapper for the same RPC family
+        # wrapper for the same RPC family. The spawned task id is kept
+        # on the client so completion polling targets THIS ingestion,
+        # never another worker's task.
         task_id = self._ee.data.newTaskId(1)[0]
         self._ee.data.startIngestion(task_id, manifest)
+        self.last_task_id = task_id
         return manifest["name"]
 
     def start_table_ingestion(self, manifest: dict) -> str:
         task_id = self._ee.data.newTaskId(1)[0]
         self._ee.data.startTableIngestion(task_id, manifest)
+        self.last_task_id = task_id
         return manifest["name"]
 
     def get_task_list(self) -> list[dict]:
@@ -166,6 +174,7 @@ class FakeEEClient(EEClient):
         self.default_task_states: list[str] = ["COMPLETED"]
         self.fail_next_imports: int = 0
         self.n_import_attempts: int = 0
+        self.last_task_id: str | None = None
 
     def get_asset_info(self, asset_id: str) -> dict:
         return {
@@ -191,12 +200,14 @@ class FakeEEClient(EEClient):
             self.fail_next_imports -= 1
             raise RuntimeError("transient EE import failure (scripted)")
         self.ingested.append({"type": "IMAGE", "manifest": manifest})
-        self.script_task(f"task-{len(self.ingested)}", self.default_task_states)
+        self.last_task_id = f"task-{len(self.ingested)}"
+        self.script_task(self.last_task_id, self.default_task_states)
         return manifest["name"]
 
     def start_table_ingestion(self, manifest: dict) -> str:
         self.ingested.append({"type": "TABLE", "manifest": manifest})
-        self.script_task(f"task-{len(self.ingested)}", self.default_task_states)
+        self.last_task_id = f"task-{len(self.ingested)}"
+        self.script_task(self.last_task_id, self.default_task_states)
         return manifest["name"]
 
     # -- scriptable task queue ----------------------------------------------
@@ -579,14 +590,11 @@ def to_cog_then_ingest(
         sleep=sleep,
     )
     if wait_for_completion:
-        # the fake/real client registers one task per ingestion; poll the
-        # newest active one (the reference monitors its task list the
-        # same way, ee.py:834-853)
-        active = [
-            t["id"] for t in client.get_task_list()
-            if t.get("state") in _ACTIVE_STATES
-        ]
-        for task_id in active[-1:]:
+        # poll the task THIS ingestion spawned (the client records its
+        # id at import time) — never the project-wide task list, which
+        # under concurrent workers would wait on someone else's task
+        task_id = getattr(client, "last_task_id", None)
+        if task_id is not None:
             wait_for_task(
                 client, task_id, poll_interval=queue_wait_time, sleep=sleep
             )
