@@ -241,3 +241,44 @@ def test_dlv2_cli_surfaces_http_errors(capsys):
         assert rc == 1
         err = capsys.readouterr().err
         assert "no download" in err
+
+
+def test_concurrent_clients_keep_store_consistent():
+    """ThreadingHTTPServer + the store's RLock: 8 concurrent clients
+    adding licenses/downloads and editing priorities must leave a
+    consistent store (every download present exactly once per queue,
+    no lost updates)."""
+    import threading
+
+    with ControlPlaneServer() as cp:
+        u = cp.url
+        for i in range(4):
+            _req(u + "/license/", "POST", {
+                "license_id": f"L{i}", "client_name": "c", "number_of_requests": 1,
+            })
+        errors: list[str] = []
+
+        def worker(w: int) -> None:
+            try:
+                for j in range(10):
+                    name = f"cfg-{w}-{j}"
+                    _req(u + "/download", "POST", {
+                        "config_name": name, "licenses": [f"L{w % 4}"],
+                        "client_name": "c",
+                    })
+                    _req(u + f"/queues/L{w % 4}", "POST",
+                         {"config_name": name, "priority": 0})
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+        threads = [threading.Thread(target=worker, args=(w,)) for w in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        downloads = _req(u + "/download/")
+        assert len(downloads) == 80
+        queues = _req(u + "/queues/")
+        queued = [c for q in queues for c in q["queue"]]
+        assert len(queued) == 80 and len(set(queued)) == 80  # exactly once
