@@ -815,3 +815,25 @@ def test_projected_weather_scan_narrows_batchscan(spark, tmp_path):
     assert [c.split("#")[0] for c in m2.group(1).split(", ")] == [
         "time", "latitude", "longitude", "d2m", "u10",
     ]
+
+
+def test_explode_free_rewrites_stay_explode_free(spark, sf_dir):
+    """The r9 scoring rewrites removed token-scale Generate/explode
+    nodes; pin that they stay gone (a regression here re-introduces
+    the (doc, token) shuffle class the sfx1.0 probe flagged)."""
+    # per-doc statistics as array folds: no Generate anywhere
+    for name in ("text_repetition_profile", "ml_calibration_report",
+                 "text_ttr_standardized"):
+        plan = _formatted_plan(spark, name, sf_dir)
+        assert "Generate" not in plan, f"{name} re-grew an explode"
+    # gopher keeps zero joins (the r8 version joined the per-doc token
+    # mode back) and at most the source-rollup exchanges
+    plan = _formatted_plan(spark, "corpus_gopher_rules", sf_dir)
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "Generate"):
+        assert j not in plan, j
+    # paragraph dedup: the first-occurrence window replaced the
+    # aggregate+join — exactly one join-free chunk-scale shuffle chain
+    plan = _formatted_plan(spark, "dedup_paragraph_dupes", sf_dir)
+    for j in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert j not in plan, j
+    assert "Window" in plan
