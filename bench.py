@@ -165,6 +165,11 @@ HEADLINE = [
     "text_ttr_standardized",
     "ml_langid_mcc",
     "events_interarrival_quantiles",
+    # round-9 wave 3 (cohort retention triangle, reproducible CV folds,
+    # association effect size)
+    "events_retention_triangle",
+    "ml_kfold_split_balance",
+    "stats_cramers_v",
 ]
 
 

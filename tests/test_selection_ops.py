@@ -1219,3 +1219,71 @@ def test_interarrival_quantiles_match_pandas_recompute(spark, sf_dir):
         assert abs(p50 - np.quantile(g, 0.5)) < 1e-3
         assert abs(p90 - np.quantile(g, 0.9)) < 1e-3
         assert abs(mean - g.mean()) < 1e-3
+
+
+def test_retention_triangle_matches_pandas_recompute(spark, sf_dir):
+    import pandas as pd
+
+    from weather_tools_spark.catalog import load_table
+
+    out = {
+        (r.cohort_week, r.week_offset): (r.active_users, r.cohort_users)
+        for r in SPARK["events_retention_triangle"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts").toPandas()
+    ev["week"] = pd.to_datetime(ev["ts"]).dt.to_period("W-SUN").dt.start_time
+    first = ev.groupby("user_id")["week"].min().rename("cohort")
+    j = ev.join(first, on="user_id")
+    j["off"] = ((j["week"] - j["cohort"]).dt.days // 7).astype(int)
+    act = j[j["off"] <= 4].drop_duplicates(["user_id", "off"])
+    sizes = first.value_counts()
+    for (cohort, off), grp in act.groupby(["cohort", "off"]):
+        key = (cohort.date(), off)
+        assert key in out, key
+        assert out[key] == (len(grp), int(sizes[cohort])), key
+    # retention at offset 0 is 1.0 by construction
+    for (cw, off), (a, c) in out.items():
+        if off == 0:
+            assert a == c, (cw, a, c)
+
+
+def test_kfold_balance_matches_pandas_recompute(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    out = {
+        r.fold: (r.n_docs, r.n_langs, r.en_frac)
+        for r in SPARK["ml_kfold_split_balance"](spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    docs["fold"] = docs["doc_id"].map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 5
+    )
+    for fold, grp in docs.groupby("fold"):
+        n, nl, ef = out[fold]
+        assert n == len(grp) and nl == grp["lang"].nunique()
+        assert abs(ef - (grp["lang"] == "en").mean()) < 1e-5
+    assert sum(v[0] for v in out.values()) == len(docs)  # partition
+
+
+def test_cramers_v_matches_numpy_recompute(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from weather_tools_spark.operators.dedup import release_persisted
+
+    row = SPARK["stats_cramers_v"](spark, sf_dir).first()
+    release_persisted()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+    )
+    ct = pd.crosstab(li["l_returnflag"], li["l_linestatus"]).to_numpy(dtype=float)
+    n = ct.sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = ((ct - e) ** 2 / e).sum()
+    v = np.sqrt(chi2 / (n * (min(ct.shape) - 1)))
+    assert row.n == int(n)
+    assert abs(row.chi2 - chi2) < 1e-3
+    assert abs(row.cramers_v - v) < 1e-6
+    assert 0.0 <= row.cramers_v <= 1.0

@@ -1463,3 +1463,69 @@ def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_retention_triangle",
+    oracle="""
+    WITH firsts AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+                    FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT e.user_id, f.cohort,
+                   CAST(datediff('week', f.cohort, date_trunc('week', e.ts)) AS INT)
+                     AS week_offset
+            FROM events e JOIN firsts f USING (user_id)),
+    size_c AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM firsts
+               GROUP BY cohort)
+    SELECT CAST(a.cohort AS DATE) AS cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS active_users,
+           s.cohort_users,
+           round(1.0 * count(*) / s.cohort_users, 6) AS retention
+    FROM act a JOIN size_c s USING (cohort)
+    WHERE a.week_offset <= 4
+    GROUP BY a.cohort, a.week_offset, s.cohort_users
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle on the event stream — the
+    product-analytics staple (each row: of the users first seen in
+    cohort week W, what fraction was active W+k weeks later, k ≤ 4),
+    complementing orders_cohort_retention's monthly order view with
+    event-level user activity.
+
+    Scale shape: first-seen is one map-combinable min per user
+    (user-keyed shuffle); activity dedup is a distinct on
+    (user, cohort, offset) — bounded by users × 5 offsets; cohort
+    sizes broadcast back to the ≤ |cohorts|·5 triangle."""
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort")
+    )
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    size_c = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    return (
+        act.filter(F.col("week_offset") <= 4)
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(size_c), "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            F.round(
+                F.col("active_users") * 1.0 / F.col("cohort_users"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

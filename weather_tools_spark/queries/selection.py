@@ -1052,3 +1052,52 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang")
     )
+
+
+@register(
+    "ml_kfold_split_balance",
+    oracle="""
+    WITH folds AS (SELECT doc_id, lang,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5
+                            AS fold
+                   FROM documents)
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(1.0 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / count(*), 6)
+             AS en_frac
+    FROM folds
+    GROUP BY fold
+    ORDER BY fold
+    """,
+)
+def ml_kfold_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (md5-of-id mod k — the
+    cross-engine, cross-run-stable split every training pipeline needs
+    for reproducible CV) with the per-fold balance report that decides
+    whether hash folding is acceptable or stratification is required
+    (fold sizes, label coverage, majority-label fraction).
+
+    Scale shape: pure map-side fold assignment + one k-row aggregate;
+    no sampling state, no shuffle beyond the k-key groupBy."""
+    docs = load_table(spark, "documents", sf_dir)
+    folds = docs.select(
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 5
+        ).alias("fold"),
+    )
+    return (
+        folds.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("en_frac"),
+        )
+        .orderBy("fold")
+    )

@@ -1671,3 +1671,66 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+    WITH ct AS (SELECT l_returnflag AS a, l_linestatus AS b,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY l_returnflag, l_linestatus),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(count(DISTINCT a) AS BIGINT) AS r,
+                   CAST(count(DISTINCT b) AS BIGINT) AS c
+            FROM ct),
+    ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM ct GROUP BY a),
+    mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM ct GROUP BY b),
+    chi AS (SELECT sum((ct.n - 1.0 * ma.na * mb.nb / tot.nn)
+                       * (ct.n - 1.0 * ma.na * mb.nb / tot.nn)
+                       / (1.0 * ma.na * mb.nb / tot.nn)) AS chi2
+            FROM ct JOIN ma USING (a) JOIN mb USING (b), tot)
+    SELECT tot.nn AS n, round(chi.chi2, 6) AS chi2,
+           round(sqrt(chi.chi2 / (tot.nn * (least(tot.r, tot.c) - 1))), 6)
+             AS cramers_v
+    FROM chi, tot
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1] EFFECT SIZE for the returnflag ×
+    linestatus association whose significance stats_chi2_independence
+    already tests (a huge-n chi-square is always "significant"; V says
+    whether the association matters). V = sqrt(chi2 / (n·(min(r,c)−1)))
+    from the same contingency table.
+
+    Scale shape: one fact-scale map-combinable aggregation to the
+    ≤ r·c contingency table; margins and chi² are arithmetic on that
+    bounded frame (the stats_chi2 pattern)."""
+    from weather_tools_spark.operators.dedup import _persist
+
+    li = load_table(spark, "lineitem", sf_dir)
+    ct = _persist(
+        li.groupBy(
+            F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = ct.agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    ma = ct.groupBy("a").agg(F.sum("n").alias("na"))
+    mb = ct.groupBy("b").agg(F.sum("n").alias("nb"))
+    e = F.lit(1.0) * F.col("na") * F.col("nb") / F.col("nn")
+    chi = (
+        ct.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum((F.col("n") - e) * (F.col("n") - e) / e).alias("chi2"))
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        F.col("nn").cast("long").alias("n"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("nn") * (F.least("r", "c") - 1))), 6
+        ).alias("cramers_v"),
+    )
