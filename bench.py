@@ -17,6 +17,29 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Engine-independent host-speed probe (ADVICE r9): sort + cumsum of 4M
+# doubles, min-of-3. Single-threaded NumPy, no BLAS matmul (thread-count
+# sensitive), no Spark — so an engine regression cannot scale it. The
+# reference constant is the value measured on the r10 host (0.075 s,
+# q1_pricing_summary ~0.8 s class); a 2x-slower host probes ~0.15 s and
+# the budget gates scale accordingly.
+_HOST_PROBE_REF = 0.075
+
+
+def _host_probe() -> float:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(4_000_000)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.sort(x).cumsum().sum()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -253,18 +276,19 @@ def main() -> None:
     # Host calibration (r9): absolute wall-clock gates conflate engine
     # regressions with machine speed — the r9 host ran EVERY stable
     # query 1.7-2.6× slower than the r8 host (q1 0.89s vs 0.52s, q21
-    # 1.98s vs 0.75s) with identical plans. The gates therefore scale
-    # by the measured q1 time over its 0.5 s reference: q1 is a fixed
-    # full-scan aggregate whose plan never changes round to round, so
-    # the RATIO of the headline mean to q1 isolates what the guard is
-    # actually protecting — per-query plan quality — from host speed.
-    # calib is CAPPED at 3x: host variance measured so far spans
-    # 1.6-2.6x, while a uniform ENGINE regression (lost AQE/codegen,
-    # slow load_table) would also scale q1 and otherwise launder itself
-    # through the calibration — past 3x the gate goes absolute again.
+    # 1.98s vs 0.75s) with identical plans, so the gates scale by a
+    # measured host factor.
+    # r10 (ADVICE r9): calibration moved OFF q1 onto an
+    # engine-independent NumPy probe (sort+cumsum of 4M doubles,
+    # single-threaded, min-of-3; 0.075 s reference on the r9/r10 host).
+    # A uniform engine regression (lost codegen, slow load_table)
+    # scales q1 but NOT the probe, so it can no longer launder itself
+    # through the calibration; the 3x cap stays as a backstop against
+    # probe-only anomalies (e.g. a BLAS/thermal outlier).
+    probe = _host_probe()
+    calib = min(3.0, max(1.0, probe / _HOST_PROBE_REF))
+    mean = (total / len(timings)) if timings else 0.0
     if timings and sf_val == 0.1:
-        calib = min(3.0, max(1.0, timings.get("q1_pricing_summary", 0.5) / 0.5))
-        mean = total / len(timings)
         if mean >= 1.0 * calib or total >= 150.0 * calib:
             print(
                 f"FATAL: bench budget exceeded: mean {mean:.3f}s/query "
@@ -287,6 +311,15 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        # host-speed telemetry (VERDICT r9 task 8): raw NumPy probe,
+        # the calibration factor derived from it, q1 as the historical
+        # cross-round control, and the host-normalized mean so
+        # cross-round per-query comparisons are readable at a glance
+        "host_probe_sec": round(probe, 4),
+        "host_calib": round(calib, 3),
+        "q1_sec": timings.get("q1_pricing_summary"),
+        "sec_per_query": round(mean, 4),
+        "sec_per_query_normalized": round(mean / calib, 4),
         "queries": timings,
     }
     detail_line = json.dumps(detail, separators=(",", ":"))

@@ -75,6 +75,13 @@ def test_rest_surface_end_to_end():
         with pytest.raises(urllib.error.HTTPError) as e:
             _req(u + "/queues/priority/L1", "PUT", {"queue": ["era5.cfg"]})
         assert e.value.code == 400
+        # ADVICE r9: a MULTISET check — duplicated entries share the
+        # set signature but would make the worker fetch a config twice
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(u + "/queues/priority/L1", "PUT",
+                 {"queue": ["era5.cfg", "era5.cfg", "gfs.cfg"]})
+        assert e.value.code == 400
+        assert _req(u + "/queues/L1")["queue"] == ["era5.cfg", "gfs.cfg"]
 
         # status machine + refetch: failed -> refetch -> in-progress,
         # re-queued on the requested license
@@ -282,3 +289,78 @@ def test_concurrent_clients_keep_store_consistent():
         queues = _req(u + "/queues/")
         queued = [c for q in queues for c in q["queue"]]
         assert len(queued) == 80 and len(set(queued)) == 80  # exactly once
+
+
+def test_durable_store_kill_and_restart(tmp_path):
+    """VERDICT r9 task 7: the file-backed document store (the Firestore
+    seam). Kill the process mid-drain (simulated by dropping the store
+    object after a bounded number of fetches) and resume from the
+    snapshot: license queue, download statuses, and manifest state all
+    survive; re-running the worker completes the remaining configs
+    without re-fetching completed ones."""
+    from weather_tools_spark.pipeline.controlplane import run_license_worker
+
+    db = str(tmp_path / "controlplane.json")
+    s = ControlPlaneStore.open(db)
+    s.add_license("L", "cds", 2)
+    s.add_download("a.cfg", ["L"], "cds")
+    s.add_download("b.cfg", ["L"], "cds")
+    s.add_download("c.cfg", ["L"], "cds")
+
+    parts = {n: [{"p": i} for i in range(3)] for n in ("a.cfg", "b.cfg", "c.cfg")}
+    fetched: list[tuple[str, int]] = []
+
+    def fetch_one(req):
+        head = s.get_queue("L")["queue"][0]
+        fetched.append((head, req["p"]))
+
+    # crash after 4 fetches: a.cfg fully drained (3 parts, marked
+    # completed), b.cfg mid-flight (1 of 3 parts fetched)
+    out = run_license_worker(s, "L", lambda c: parts[c], fetch_one, max_fetches=4)
+    assert out["completed"] == ["a.cfg"]
+    del s  # "kill" — nothing in memory survives
+
+    # restart: resume the snapshot and verify the committed state
+    s2 = ControlPlaneStore.open(db)
+    assert s2.get_download("a.cfg")["status"] == "completed"
+    assert s2.get_download("b.cfg")["status"] == "in-progress"
+    assert s2.get_queue("L")["queue"] == ["b.cfg", "c.cfg"]
+
+    fetched2: list[tuple[str, int]] = []
+
+    def fetch_one2(req):
+        head = s2.get_queue("L")["queue"][0]
+        fetched2.append((head, req["p"]))
+
+    out2 = run_license_worker(s2, "L", lambda c: parts[c], fetch_one2)
+    assert out2["completed"] == ["b.cfg", "c.cfg"]
+    # at-least-once on the in-flight config (b.cfg restarts its
+    # partition list), never on the completed one
+    assert all(name != "a.cfg" for name, _ in fetched2)
+    assert s2.get_download("b.cfg")["status"] == "completed"
+    assert s2.get_download("c.cfg")["status"] == "completed"
+    assert s2.get_queue("L")["queue"] == []
+
+    # a third restart sees the terminal state
+    s3 = ControlPlaneStore.open(db)
+    assert [d["status"] for d in s3.list_downloads()] == ["completed"] * 3
+
+
+def test_durable_store_server_restart(tmp_path):
+    """The REST server over a durable store: add state through HTTP,
+    stop the server, start a NEW server over a fresh store opened from
+    the same file — all collections intact."""
+    db = str(tmp_path / "cp.json")
+    with ControlPlaneServer(ControlPlaneStore.open(db)) as srv:
+        u = srv.url
+        _req(u + "/license", "POST", {
+            "license_id": "L1", "client_name": "cds", "number_of_requests": 5,
+        })
+        _req(u + "/download", "POST", {
+            "config_name": "era5.cfg", "licenses": ["L1"], "client_name": "cds",
+        })
+    with ControlPlaneServer(ControlPlaneStore.open(db)) as srv2:
+        u2 = srv2.url
+        assert _req(u2 + "/queues/L1")["queue"] == ["era5.cfg"]
+        got = _req(u2 + "/download/show/era5.cfg")
+        assert got["status"] == "in-progress" and got["licenses"] == ["L1"]

@@ -95,6 +95,34 @@ def test_format_reads_netcdf(spark, fmt, tmp_path):
     assert got == pytest.approx(12 * 280.0 + sum(range(12)), abs=1e-6)
 
 
+def test_format_reads_variable_named_value(spark, fmt, tmp_path):
+    """ADVICE r9 (medium): the reader's decode list used to exclude any
+    column named 'value' for ALL formats — a NetCDF variable literally
+    named 'value' decoded as all-NaN. Pin real values end-to-end."""
+    from weather_tools_spark.sources.netcdf3 import write_netcdf3
+
+    p = str(tmp_path / "v.nc")
+    write_netcdf3(
+        p,
+        coords={
+            "time": np.array([0], dtype="i4"),
+            "latitude": np.array([10.0, 20.0]),
+            "longitude": np.array([100.0, 110.0]),
+        },
+        variables={
+            "value": np.arange(4, dtype="f8").reshape(1, 2, 2) + 1.0,
+            "t2m": np.full((1, 2, 2), 280.0),
+        },
+    )
+    df = spark.read.format(fmt).load(p)
+    assert df.filter(F.col("value").isNull()).count() == 0
+    assert df.agg(F.sum("value")).collect()[0][0] == pytest.approx(1 + 2 + 3 + 4)
+    # and under projection: .option("columns") keeps 'value' decodable
+    nar = spark.read.format(fmt).option("columns", "value").load(p)
+    assert "t2m" not in nar.columns
+    assert nar.agg(F.sum("value")).collect()[0][0] == pytest.approx(10.0)
+
+
 def test_write_format_roundtrip(spark, fmt, tmp_path):
     import os
 

@@ -61,6 +61,26 @@ def test_rewrite_quoted_agg_args():
     assert "SUM(d2m) AS s" in out  # explicit alias preserved
 
 
+def test_rewrite_skips_string_literals():
+    # VERDICT r9: the regex pre-pass must not rewrite occurrences
+    # INSIDE string literals — a user's note comparison stays verbatim
+    q = "SELECT * FROM t WHERE note = \"city='paris'\""
+    assert xql.rewrite_geo_predicates(q) == q
+    q2 = "SELECT * FROM t WHERE note = 'x city=''paris'' y' AND city='new york'"
+    out = xql.rewrite_geo_predicates(q2)
+    assert "note = 'x city=''paris'' y'" in out  # literal untouched
+    assert "latitude >=" in out  # real predicate still rewritten
+    q3 = 'SELECT * FROM t WHERE note = "AVG(\'temperature\')"'
+    assert xql.rewrite_quoted_agg_args(q3) == q3
+    q4 = "SELECT AVG('t2m') FROM t WHERE note = \"AVG('x')\""
+    out4 = xql.rewrite_quoted_agg_args(q4)
+    assert "AVG(t2m) AS avg_t2m" in out4 and "\"AVG('x')\"" in out4
+    q5 = "SELECT time_date, AVG(v) FROM t WHERE tag = 'time_date' GROUP BY time_date"
+    out5 = xql.rewrite_time_buckets(q5)
+    assert "tag = 'time_date'" in out5  # literal untouched
+    assert "date_format(time, 'yyyy-MM-dd') AS time_date" in out5
+
+
 def test_rewrite_time_buckets():
     out = xql.rewrite_time_buckets("SELECT time_date, AVG(v) FROM t GROUP BY time_date", time_col="ts")
     assert "date_format(ts, 'yyyy-MM-dd') AS time_date" in out

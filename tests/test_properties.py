@@ -200,3 +200,27 @@ def test_max_run_count_equals_counter_mode(spark):
     for i, c in enumerate(cases):
         want = max(Counter(c).values()) if c else 0
         assert got[i] == want, (i, c, got[i], want)
+
+
+def test_max_run_count_non_string_arrays(spark):
+    """ADVICE r9: the fold zero used to pin prev to string type, so
+    long/double arrays raised AnalysisException. The zero is now seeded
+    from the array's own first element — any orderable type works."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from weather_tools_spark.functions.text import max_run_count
+
+    longs = [[1, 2, 2, 2, 3], [], [7], [5, 5, 4, 4, 4, 4]]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(longs)], "id int, arr array<long>"
+    )
+    got = {
+        r.id: r.m
+        for r in df.select("id", max_run_count(F.col("arr")).alias("m")).collect()
+    }
+    for i, c in enumerate(longs):
+        assert got[i] == (max(Counter(c).values()) if c else 0)
+    dbl = spark.createDataFrame([(0, [1.5, 1.5, 2.0])], "id int, arr array<double>")
+    assert dbl.select(max_run_count(F.col("arr")).alias("m")).first().m == 2

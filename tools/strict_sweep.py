@@ -12,17 +12,38 @@ round.
 
 Usage:
     python tools/strict_sweep.py [sf_dir]     # default /root/testdata/sf0.01
+    python tools/strict_sweep.py .scaledata/sfx1.0 --headline \
+        --out .scaledata/strict_sf1.json --resume
+Options:
+    --headline      restrict to bench.py's HEADLINE set (the sfx1.0
+                    correctness run — VERDICT r9 task 1; the full-registry
+                    audit twins are CI-scale instruments, not 100x jobs)
+    --only A B ...  restrict to the named queries
+    --exclude A ... drop the named queries from the selected set
+    --out PATH      write {name: {ok, sec, detail}} json per query
+    --resume        skip names already green in --out (crash-resumable)
 Exit code 1 on any failure; prints one line per failure and a summary.
 """
 
 from __future__ import annotations
 
+import argparse
+import json
+import os
 import sys
 import time
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--headline", action="store_true")
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--exclude", nargs="*", default=[])
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+    sf = args.sf_dir
     sys.path.insert(0, "/root/repo")
 
     import duckdb
@@ -44,39 +65,84 @@ def main() -> int:
     import __spark_entry__ as entry
 
     queries, oracles = entry.queries(), entry.oracle_sql()
+    if args.headline:
+        import bench
+
+        keep = set(bench.HEADLINE)
+        queries = {n: f for n, f in queries.items() if n in keep}
+    if args.only:
+        missing = [n for n in args.only if n not in queries]
+        if missing:
+            print(f"unknown queries: {missing}", file=sys.stderr)
+            return 2
+        queries = {n: queries[n] for n in args.only}
+    for n in args.exclude:
+        queries.pop(n, None)
+
+    results: dict[str, dict] = {}
+    if args.out and args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
     con = duckdb.connect()
     from weather_tools_spark.catalog import TABLES
 
     for t in TABLES:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+    def _flush() -> None:
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
+                f.write("\n")
+
     t0 = time.time()
     failures: list[tuple[str, str]] = []
     for name, fn in queries.items():
+        if args.resume and results.get(name, {}).get("ok"):
+            continue
+        tq = time.time()
+        ok, detail = True, ""
         try:
             sdf = fn(spark, sf).toPandas()
             if name not in oracles:
                 if len(sdf.columns) == 0:
-                    failures.append((name, "rows-only query returned no columns"))
-                continue
-            odf = con.execute(oracles[name]).df()
-            s = sdf[sorted(sdf.columns)].astype(str).reset_index(drop=True)
-            o = odf[sorted(odf.columns)].astype(str).reset_index(drop=True)
-            if not s.equals(o):
-                detail = f"rows {len(s)} vs {len(o)}"
-                if len(s) == len(o) and list(s.columns) == list(o.columns):
-                    neq = (s != o).any(axis=1)
-                    detail += f"; {int(neq.sum())} mismatched rows, first at index {int(neq.idxmax())}"
-                failures.append((name, detail))
-                print(f"FAIL {name}: {detail}", file=sys.stderr)
+                    ok, detail = False, "rows-only query returned no columns"
+            else:
+                odf = con.execute(oracles[name]).df()
+                s = sdf[sorted(sdf.columns)].astype(str).reset_index(drop=True)
+                o = odf[sorted(odf.columns)].astype(str).reset_index(drop=True)
+                if not s.equals(o):
+                    ok = False
+                    detail = f"rows {len(s)} vs {len(o)}"
+                    if len(s) == len(o) and list(s.columns) == list(o.columns):
+                        neq = (s != o).any(axis=1)
+                        detail += (
+                            f"; {int(neq.sum())} mismatched rows, "
+                            f"first at index {int(neq.idxmax())}"
+                        )
         except Exception as exc:  # noqa: BLE001 — report and continue the sweep
-            failures.append((name, repr(exc)[:200]))
-            print(f"ERROR {name}: {exc!r}"[:300], file=sys.stderr)
+            ok, detail = False, repr(exc)[:200]
+        if not ok:
+            failures.append((name, detail))
+            print(f"FAIL {name}: {detail}"[:300], file=sys.stderr)
+        results[name] = {
+            "ok": ok,
+            "sec": round(time.time() - tq, 2),
+            "oracle": name in oracles,
+            **({"detail": detail} if detail else {}),
+        }
+        _flush()
 
+    prior_fail = [
+        (n, r.get("detail", "")) for n, r in results.items()
+        if not r.get("ok") and n not in dict(failures) and n in queries
+    ]
+    failures.extend(prior_fail)
     dt = time.time() - t0
     print(
-        f"strict sweep: {len(queries)} queries ({len(oracles)} oracle-backed) "
-        f"at {sf} in {dt:.1f}s — {len(failures)} failure(s)"
+        f"strict sweep: {len(queries)} queries ({sum(n in oracles for n in queries)} "
+        f"oracle-backed) at {sf} in {dt:.1f}s — {len(failures)} failure(s)"
         + (": " + ", ".join(n for n, _ in failures) if failures else "")
     )
     return 1 if failures else 0

@@ -129,7 +129,10 @@ def max_run_count(arr: Column) -> Column:
     explode + groupBy(doc, token) shuffle. Empty arrays yield 0.
 
     The fold state is a (prev, run, best) struct threaded through
-    ``F.aggregate``; the finisher projects ``best``."""
+    ``F.aggregate``; the finisher projects ``best``. Works for any
+    orderable element type: the zero's ``prev`` is seeded from the
+    array's own first element (so its Catalyst type matches the merge
+    result type), which also leaves the first iteration's run at 1."""
     sorted_arr = F.array_sort(arr)
 
     def merge(acc, x):
@@ -143,7 +146,11 @@ def max_run_count(arr: Column) -> Column:
         )
 
     init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
+        # element-typed zero (try_element_at: NULL, not an ANSI error,
+        # on empty arrays — the fold never runs there and best stays 0);
+        # for a non-empty array the first x equals this seed, so run
+        # becomes 0+1 = 1 exactly as a NULL seed would give
+        F.try_element_at(sorted_arr, F.lit(1)).alias("prev"),
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("best"),
     )

@@ -33,6 +33,7 @@ storage-handler swap, exactly as in the reference.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -59,7 +60,45 @@ class ControlPlaneStore:
     downloads: dict[str, dict] = field(default_factory=dict)
     licenses: dict[str, dict] = field(default_factory=dict)
     queues: dict[str, dict] = field(default_factory=dict)
+    # the Firestore seam (VERDICT r9 task 7): when set, every committed
+    # mutation snapshots the three collections to this JSON file via
+    # atomic rename, and ``ControlPlaneStore.open(path)`` resumes them —
+    # a kill-and-restart of the server/worker loses nothing. A real
+    # Firestore deployment swaps this handler, exactly as the reference
+    # swaps database/*.py handlers.
+    path: str | None = None
     _lock: threading.RLock = field(default_factory=threading.RLock, repr=False)
+
+    @classmethod
+    def open(cls, path: str) -> "ControlPlaneStore":
+        """Resume a durable store from ``path`` (empty store if the
+        file does not exist yet)."""
+        store = cls(path=path)
+        if os.path.exists(path):
+            with open(path) as f:
+                snap = json.load(f)
+            store.downloads.update(snap.get("downloads", {}))
+            store.licenses.update(snap.get("licenses", {}))
+            store.queues.update(snap.get("queues", {}))
+        return store
+
+    def _persist(self) -> None:
+        """Snapshot to ``self.path`` (no-op in-memory). Called INSIDE
+        the lock at every mutation site; write-to-temp + os.replace so
+        a crash mid-write never corrupts the last good snapshot."""
+        if not self.path:
+            return
+        tmp = f"{self.path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "downloads": self.downloads,
+                    "licenses": self.licenses,
+                    "queues": self.queues,
+                },
+                f,
+            )
+        os.replace(tmp, self.path)
 
     # -- download collection (reference routers/download.py) ---------------
     def add_download(
@@ -83,6 +122,7 @@ class ControlPlaneStore:
             }
             self.downloads[config_name] = doc
             self._requeue(config_name, licenses)
+            self._persist()
             return dict(doc)
 
     def _requeue(self, config_name: str, licenses: list[str]) -> None:
@@ -122,6 +162,7 @@ class ControlPlaneStore:
             if doc is None:
                 raise ControlPlaneError(404, f"no download {config_name!r}")
             doc["status"] = status
+            self._persist()
             return dict(doc)
 
     def remove_download(self, config_name: str) -> None:
@@ -132,6 +173,7 @@ class ControlPlaneStore:
             for q in self.queues.values():
                 if config_name in q["queue"]:
                     q["queue"].remove(config_name)
+            self._persist()
 
     def refetch_download(self, config_name: str, licenses: list[str]) -> dict:
         """Reference /download/refetch: re-queue an existing (typically
@@ -147,6 +189,7 @@ class ControlPlaneStore:
             doc["status"] = "in-progress"
             doc["licenses"] = list(licenses)
             self._requeue(config_name, licenses)
+            self._persist()
             return dict(doc)
 
     # -- license collection (reference routers/license.py) -----------------
@@ -168,6 +211,7 @@ class ControlPlaneStore:
             self.queues[license_id] = {
                 "license_id": license_id, "client_name": client_name, "queue": [],
             }
+            self._persist()
             return dict(doc)
 
     def list_licenses(self, client_name: str | None = None) -> list[dict]:
@@ -194,6 +238,7 @@ class ControlPlaneStore:
             # client_name propagates into the queue (license.py:136)
             if "client_name" in updates:
                 self.queues[license_id]["client_name"] = updates["client_name"]
+            self._persist()
             return dict(doc)
 
     def remove_license(self, license_id: str) -> None:
@@ -202,6 +247,7 @@ class ControlPlaneStore:
                 raise ControlPlaneError(404, f"no license {license_id!r}")
             del self.licenses[license_id]
             self.queues.pop(license_id, None)
+            self._persist()
 
     # -- queue collection (reference routers/queues.py) --------------------
     def list_queues(self, client_name: str | None = None) -> list[dict]:
@@ -237,6 +283,7 @@ class ControlPlaneStore:
                 lst.append(config_name)
             else:
                 lst.insert(max(0, int(priority)), config_name)
+            self._persist()
             return dict(q, queue=list(lst))
 
     def replace_queue(self, license_id: str, priority_list: list[str]) -> dict:
@@ -245,14 +292,17 @@ class ControlPlaneStore:
             q = self.queues.get(license_id)
             if q is None:
                 raise ControlPlaneError(404, f"no queue {license_id!r}")
-            current = set(q["queue"])
-            if set(priority_list) != current:
+            # exact multiset equality: set() alone would accept a list
+            # with duplicated entries (['a','a','b'] for queue ['a','b'])
+            # and the worker would fetch that config's partitions twice
+            if sorted(priority_list) != sorted(q["queue"]):
                 raise ControlPlaneError(
                     400,
                     f"priority list must be a permutation of the queued "
-                    f"configs {sorted(current)}",
+                    f"configs {sorted(set(q['queue']))}",
                 )
             q["queue"] = list(priority_list)
+            self._persist()
             return dict(q, queue=list(q["queue"]))
 
 
@@ -444,12 +494,14 @@ def _license_queue_ops(store: ControlPlaneStore):
             q = store.queues.get(license_id)
             if q is not None:
                 q["queue"] = []
+                store._persist()
 
     def mark_license_status(license_id: str, status: str) -> None:
         with store._lock:
             doc = store.licenses.get(license_id)
             if doc is not None:
                 doc["status"] = status
+                store._persist()
 
     return empty_queue, mark_license_status
 
@@ -528,6 +580,7 @@ def run_license_worker(
                     # failed until a /download/refetch re-queues it
                     with store._lock:
                         store.queues[license_id]["queue"].remove(config_name)
+                        store._persist()
                     try:
                         store.set_download_status(config_name, "failed")
                     except ControlPlaneError:
@@ -544,6 +597,7 @@ def run_license_worker(
                 q = store.queues[license_id]["queue"]
                 if config_name in q:
                     q.remove(config_name)
+                    store._persist()
             try:
                 store.set_download_status(config_name, "completed")
             except ControlPlaneError:

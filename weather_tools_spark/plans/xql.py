@@ -48,6 +48,45 @@ _TIME_BUCKETS = {
 _AGG_FUNCS = ("AVG", "SUM", "MIN", "MAX", "COUNT")
 
 
+def _quoted_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of string literals — single-quoted with ''
+    escaping, plus double-quoted (Spark's default treats "x" as a
+    string literal too). An unterminated literal runs to the end."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch not in ("'", '"'):
+            i += 1
+            continue
+        j = i + 1
+        while j < n:
+            if sql[j] == ch:
+                if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2  # '' escape: still inside the literal
+                    continue
+                break
+            j += 1
+        end = j + 1 if j < n else n
+        spans.append((i, end))
+        i = end
+    return spans
+
+
+def _sub_outside_literals(pattern: str, repl, sql: str, flags: int = 0) -> str:
+    """re.sub that leaves any match starting inside a string literal
+    untouched — so a user's ``WHERE note = "city='paris'"`` (or an
+    ``AVG('x')`` spelled inside a quoted string) is never rewritten."""
+    spans = _quoted_spans(sql)
+
+    def guarded(m: re.Match[str]) -> str:
+        if any(s < m.start() < e or m.start() == s for s, e in spans):
+            return m.group(0)
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    return re.sub(pattern, guarded, sql, flags=flags)
+
+
 def rewrite_geo_predicates(sql: str) -> str:
     """``city='new york'`` / ``country='x'`` → bbox conjunction."""
 
@@ -60,7 +99,9 @@ def rewrite_geo_predicates(sql: str) -> str:
             f"AND longitude >= {lon_min} AND longitude <= {lon_max})"
         )
 
-    return re.sub(r"\b(city|country)\s*=\s*'([^']+)'", repl, sql, flags=re.IGNORECASE)
+    return _sub_outside_literals(
+        r"\b(city|country)\s*=\s*'([^']+)'", repl, sql, flags=re.IGNORECASE
+    )
 
 
 def rewrite_quoted_agg_args(sql: str) -> str:
@@ -78,7 +119,7 @@ def rewrite_quoted_agg_args(sql: str) -> str:
         return f"{func}({var}) AS {func.lower()}_{var}"
 
     pattern = r"\b(" + "|".join(_AGG_FUNCS) + r")\s*\(\s*'([A-Za-z_][A-Za-z0-9_]*)'\s*\)"
-    return re.sub(pattern, repl, sql, flags=re.IGNORECASE)
+    return _sub_outside_literals(pattern, repl, sql, flags=re.IGNORECASE)
 
 
 def rewrite_time_buckets(sql: str, time_col: str = "time") -> str:
@@ -98,11 +139,13 @@ def rewrite_time_buckets(sql: str, time_col: str = "time") -> str:
         m = re.search(r"\bFROM\b", out, flags=re.IGNORECASE)
         head, tail = (out[: m.start()], out[m.start():]) if m else (out, "")
         if re.search(rf"\b{shorthand}\b", head, flags=re.IGNORECASE):
-            head = re.sub(
+            head = _sub_outside_literals(
                 rf"\b{shorthand}\b", f"{expr} AS {shorthand}", head, flags=re.IGNORECASE
             )
         else:
-            tail = re.sub(rf"\b{shorthand}\b", expr, tail, flags=re.IGNORECASE)
+            tail = _sub_outside_literals(
+                rf"\b{shorthand}\b", expr, tail, flags=re.IGNORECASE
+            )
         out = head + tail
     return out
 

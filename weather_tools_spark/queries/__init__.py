@@ -32,67 +32,25 @@ ORACLE: dict[str, str] = {}
 # clean verdict exists for the name.
 CHECK_CHANGED: list[str] = [
     # Re-add a name here ONLY when its oracle or execution path changes.
-    # r9: the Python DataSource reader gained projection pushdown — the
-    # decode task now routes through _decoder_for(variables=...) (an
-    # opts.variables want-set on every decoder) even for full-width
-    # reads. Values are pinned identical by test_datasource, but the
-    # execution path changed, so the one driver-gated query on that
-    # path re-verifies:
+    # r10: the Python DataSource decode list no longer excludes a data
+    # variable literally named 'value' (ADVICE r9 medium) — the decode
+    # want-set expression changed for every format("weather") read, so
+    # the two driver-gated queries on that path re-verify:
     "weather_format_scan_agg",
-    # r9: the bounded-collect contract became an enforced invariant —
-    # every documented-bounded collect()/toPandas() now routes through
-    # operators/bounded.bounded_rows (a limit(n+1) probe that raises
-    # when the bound reasoning is stale). Values identical (the limit
-    # is above the full result), but the collect plan of these queries
-    # gained the limit node, so they re-verify:
-    "graph_shortest_paths",
-    "graph_kcore",
-    "graph_ktruss",
-    "graph_triangle_census",
-    "events_markov_stationary",
-    "corpus_bpe_tokenize",
-    "orders_open_backlog_monthly",
-    "corpus_pack_sequences",
-    "corpus_clean_report_exact",
-    "pipeline_quarantine_report",
-    "ml_kmeans_cluster_summary",
-    "ml_semdedup_keep_rate",
-    # r9: the hashed projection is persisted so the group-count branch
-    # derives from one text scan instead of two (PLANS.md r9 section);
-    # values identical, scan topology changed:
-    "corpus_soft_dedup_weights",
-    # r9: the projected vectors + per-round candidate frames are
-    # persisted (MLlib-style input caching) — 16 embeddings scans
-    # collapse to the persisted base; values identical, plan pinned in
-    # test_plan_quality:
-    "ml_kmeanspp_init",
-    # r9: the per-doc score became a JVM F.aggregate over the split
-    # array (no token explode, no pre-bin shuffle) and the scored
-    # frame is persisted for the bin/Brier branches — 24.7 s → 3.2 s
-    # at sfx1.0; values identical (re-verified at both SFs):
-    "ml_calibration_report",
-    # r9: same rewrite for the DSIR scoring pass — the 256-entry
-    # log-ratio table inlines as a literal map into a JVM F.aggregate,
-    # removing the second explode and the token-scale groupBy(doc)
-    # shuffle; values identical (re-verified at both SFs):
-    "corpus_dsir_importance",
-    # r9: per-doc top-token counts became the map-side sorted-run fold
-    # (functions/text.max_run_count) — the token-scale (doc, token)
-    # shuffle is gone from both; values identical (re-verified):
+    "weather_format_projected_scan",
+    # r10: functions/text.max_run_count's fold zero is now seeded from
+    # the array's own first element (try_element_at) instead of a
+    # string-typed NULL (ADVICE r9 low) — values identical (property
+    # suite + Counter parity), but the fold expression changed for its
+    # two driver-gated users:
     "corpus_gopher_rules",
     "text_repetition_profile",
-    # r9: lang_scores became ONE struct-fold over the token array (was
-    # |langs| filter passes), and the kappa confusion table is
-    # persisted (4 scoring passes -> 1); values identical (all three
-    # re-verified at both SFs):
-    "text_langid_distribution",
-    "text_langid_accuracy",
-    "text_langid_cohens_kappa",
-    # r9: first-occurrence selection became a hash-partitioned window
-    # (one chunk-scale shuffle instead of min-aggregate + equi-join,
-    # which also re-derived the chunk build per side); values identical
-    # (re-verified at both SFs):
-    "dedup_paragraph_dupes",
+    # r10: the xql regex pre-pass gained the string-literal guard
+    # (_sub_outside_literals, VERDICT r9 item 5) — rewrites are
+    # unchanged for every current query, but the rewrite path itself
+    # changed for the two queries that execute it:
+    "xql_sql_surface_daily",
+    "xql_zarr_daily_avg",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -168,7 +168,11 @@ class WeatherReader(DataSourceReader):
         # projection pushdown: decode exactly the data variables in this
         # reader's schema — a schema narrowed by .option("columns", ...)
         # means the pruned variables never decode in-task
-        variables = [c for c in self._columns if c not in _COORD_COLS and c != "value"]
+        # decode every non-coordinate column in the (possibly narrowed)
+        # schema — including a data variable literally named "value";
+        # only the geotiff branch (which has no named variables) passes
+        # None below
+        variables = [c for c in self._columns if c not in _COORD_COLS]
         decode_one, cols = _decoder_for(
             self._kind,
             partition.path,
@@ -378,7 +382,11 @@ class WeatherStreamReader(SimpleDataSourceStreamReader):
         # cache copies (and may pickle) the returned iterator
         from .opener import detect
 
-        variables = [c for c in self._columns if c not in _COORD_COLS and c != "value"]
+        # decode every non-coordinate column in the (possibly narrowed)
+        # schema — including a data variable literally named "value";
+        # only the geotiff branch (which has no named variables) passes
+        # None below
+        variables = [c for c in self._columns if c not in _COORD_COLS]
         rows: list[tuple] = []
         for p in files:
             kind = detect(p)
