@@ -663,6 +663,32 @@ def test_adamic_adar_takeordered_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_adamic_adar_persisted_base_plan_budget(spark, sf_dir):
+    """r10 rewrite pin: pairs expand map-side from the capped per-part
+    buyer array — the mid-frame self-join (two by-part shuffles of the
+    recomputed lineage) is gone. Budget: ≤5 exchanges, ≤2 joins, and
+    the persisted co-purchase base shows as InMemoryTableScan."""
+    plan = _formatted_plan(spark, "graph_adamic_adar_linkpred", sf_dir)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) <= 5
+    joins = len(re.findall(r"^\(\d+\) \w*Join", plan, re.MULTILINE))
+    assert joins <= 2, f"expected <=2 joins (base join + nb cap), got {joins}"
+    assert "InMemoryTableScan" in plan
+
+
+def test_naive_bayes_single_scoring_pass_plan(spark, sf_dir):
+    """r10 rewrite pin: all |langs| scores accumulate in ONE per-doc
+    groupBy off the per-word lang→count map — no Window argmax, no
+    BroadcastNestedLoopJoin candidate fan-out, ≤1 join in the main
+    plan, exchange budget ≤8 (was 12 with 3 BNLJ before r10)."""
+    plan = _formatted_plan(spark, "ml_naive_bayes_langid", sf_dir)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) <= 8
+    joins = len(re.findall(r"^\(\d+\) \w*Join", plan, re.MULTILINE))
+    assert joins <= 1, f"expected <=1 join (the wmap attach), got {joins}"
+
+
 def test_moments_sketch_two_phase_agg_no_join(spark, sf_dir):
     """The moments sketch is one map-combinable pass: partial + final
     HashAggregate, no join in the per-shard branch (the union's merged

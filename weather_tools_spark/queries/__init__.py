@@ -51,6 +51,21 @@ CHECK_CHANGED: list[str] = [
     # changed for the two queries that execute it:
     "xql_sql_surface_daily",
     "xql_zarr_daily_avg",
+    # r10: persisted-base plan rewrites of the two shuffle-count
+    # outliers (VERDICT r9 task 3) — identical results (numpy/python
+    # third-impl recomputes green), new execution paths: adamic-adar
+    # expands pairs map-side from the capped per-part buyer array
+    # (9→4 Exch, self-join gone), naive-Bayes scores all languages in
+    # one groupBy off a per-word lang→count map with literal priors
+    # (12→8 Exch, 3 BNLJ→0, Window gone):
+    "graph_adamic_adar_linkpred",
+    "ml_naive_bayes_langid",
+    # r10: first scale-only defect found by the sfx1.0 strict sweep —
+    # the heavy-hitters audit ran Misra-Gries at a fixed capacity=64,
+    # satisfying its ≥-vocabulary exactness contract only on the
+    # 31-word driver corpus; capacity now derives from the measured
+    # vocabulary (persisted exact table's count):
+    "text_heavy_hitters_audit",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -519,26 +519,51 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic candidate pairs but contribute ~1/ln(huge) ≈ 0 AA weight,
     so the cap is the standard linkpred scale guard, same rationale as
     the dedup shingle df cap. Ranking is on the ROUNDED score so
-    summation-order drift cannot flip the top-20 boundary."""
+    summation-order drift cannot flip the top-20 boundary.
+
+    Scale shape (r10 persisted-base rewrite): the distinct co-purchase
+    base is persisted and scanned twice (the nb count + the pair pass) —
+    previously the whole lineitem⋈orders⋈distinct lineage recomputed on
+    BOTH sides of a self-join. Candidate pairs are now expanded
+    map-side from the per-part sorted buyer array (collect_list state
+    ≤ 20 rows per part, guaranteed by the pre-filter on nb) instead of
+    a second by-part shuffle of the full mid frame: one buyers-scale
+    shuffle replaces the self-join's two, and the ≤C(20,2)-per-part
+    expansion is exactly the pair volume the oracle's self-join emits."""
+    from weather_tools_spark.operators.dedup import _persist
+
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    buyers = (
+    buyers = _persist(
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust"))
         .distinct()
     )
-    pc = buyers.groupBy("part").agg(F.count(F.lit(1)).alias("nb"))
-    mid = buyers.join(
-        pc.filter((F.col("nb") >= 2) & (F.col("nb") <= 20)), "part"
-    ).select("part", "cust", "nb")
-    a = mid.alias("a")
-    b = mid.alias("b")
+    pc = buyers.groupBy("part").agg(F.count(F.lit(1)).alias("nb")).filter(
+        (F.col("nb") >= 2) & (F.col("nb") <= 20)
+    )
+    grouped = (
+        buyers.join(pc, "part")
+        .groupBy("part", "nb")
+        .agg(F.array_sort(F.collect_list("cust")).alias("custs"))
+    )
+    pairs = grouped.select(
+        "nb",
+        F.explode(
+            F.expr(
+                "flatten(transform(custs, (x, i) -> "
+                "transform(slice(custs, i + 2, size(custs) - i - 1), "
+                "y -> struct(x AS cust_a, y AS cust_b))))"
+            )
+        ).alias("p"),
+    )
     return (
-        a.join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.cust") < F.col("b.cust")))
-        .groupBy(F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b"))
+        pairs.groupBy(
+            F.col("p.cust_a").alias("cust_a"), F.col("p.cust_b").alias("cust_b")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_common"),
-            F.round(F.sum(F.lit(1.0) / F.log(F.col("a.nb"))), 6).alias("aa_score"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("nb"))), 6).alias("aa_score"),
         )
         .orderBy(F.col("aa_score").desc(), "cust_a", "cust_b")
         .limit(20)
@@ -959,14 +984,25 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier-based langid of LLM data pipelines (fastText's shape),
     complementing the registry's n-gram-heuristic langid.
 
-    Scale shape: ONE token explode feeding (a) the (lang, word) count
-    table — bounded by vocab × |langs|, broadcast back — and (b) the
-    per-(doc, candidate) score aggregation; the candidate fan-out is a
-    5-row broadcast cross. log(c+1) makes absent (word, lang) pairs
-    contribute exactly 0, so the LEFT-JOIN smoothing needs no dense
-    vocab×lang grid; the n_tok·log(c_l+V) denominator attaches from the
-    k-row totals. Scores rounded at 1e-6 on BOTH engines before the
-    argmax so libm drift cannot flip a prediction."""
+    Scale shape (r10 persisted-base rewrite): ONE token explode feeding
+    (a) the persisted (lang, word) count table — pivoted once into a
+    per-word lang→count map, so scoring joins each distinct (doc, word)
+    against ONE vocab-bounded row instead of |langs| fan-out rows — and
+    (b) a per-(doc, word) count aggregation (the only token-scale
+    shuffle). All |langs| scores accumulate in a single per-doc groupBy
+    as literal-parameterized columns: the per-language priors and
+    denominators are a bounded driver table (one row per language code,
+    enforced via bounded_rows), the same literal-inlining treatment as
+    corpus_dsir_importance. log(c+1) makes absent (word, lang) pairs
+    contribute exactly 0, so the map lookup needs no dense vocab×lang
+    grid. The argmax is a struct array_max (max score, then
+    alphabetically-first language on ties) — no Window, no
+    BroadcastNestedLoopJoin anywhere in the plan. Scores rounded at
+    1e-6 on BOTH engines before the argmax so libm drift cannot flip a
+    prediction."""
+    import math
+
+    from weather_tools_spark.operators.bounded import bounded_rows
     from weather_tools_spark.operators.dedup import _persist
 
     docs = load_table(spark, "documents", sf_dir)
@@ -977,63 +1013,79 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split(F.col("text"), r"\s+")).alias("w"),
         )
     )
-    wl = toks.groupBy(F.col("true_lang").alias("lang"), "w").agg(
-        F.count(F.lit(1)).alias("c")
+    wl = _persist(
+        toks.groupBy(F.col("true_lang").alias("lang"), "w").agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
-    n_docs_per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    cl = (
+    # per-word lang→count map: vocab-bounded, one row per distinct word
+    wmap = _persist(
+        wl.groupBy("w").agg(
+            F.map_from_entries(F.collect_list(F.struct("lang", "c"))).alias("cmap")
+        )
+    )
+    # bounded prior table: one row per language CODE — a label set, not
+    # data-scale; c_l (token mass) + n_l (doc count) per language
+    lang_stats = bounded_rows(
         wl.groupBy("lang")
         .agg(F.sum("c").alias("c_l"))
-        .join(n_docs_per_lang, "lang")
+        .join(docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")), "lang"),
+        100,
+        "per-language naive-Bayes prior table (one row per language code)",
     )
-    # single distinct aggregate: a second countDistinct here would force
-    # an Expand over the token-scale frame for a value nothing reads
-    v = toks.agg(F.countDistinct("w").alias("vocab"))
-    n_docs_total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    cands = docs.select(F.col("lang").alias("cand")).distinct()
-    # rename the count-table keys: wl derives from the same toks
-    # lineage, so bare attribute references would be ambiguous
-    wl2 = wl.select(
-        F.col("lang").alias("wl_lang"), F.col("w").alias("wl_w"), "c"
-    )
-    dl = (
-        toks.crossJoin(F.broadcast(cands))
-        .join(
-            F.broadcast(wl2),
-            (F.col("wl_lang") == F.col("cand")) & (F.col("wl_w") == F.col("w")),
-            "left",
-        )
-        .groupBy("doc_id", "true_lang", "cand")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum(F.log(F.coalesce(F.col("c"), F.lit(0)) + 1)).alias("s_num"),
-        )
-    )
-    scored = (
-        dl.join(F.broadcast(cl), cl["lang"] == dl["cand"])
-        .crossJoin(F.broadcast(v))
-        .crossJoin(F.broadcast(n_docs_total))
-        .select(
-            "doc_id",
-            "true_lang",
-            "cand",
-            F.round(
-                F.log(F.col("n_l") * 1.0 / F.col("n_docs"))
-                + F.col("s_num")
-                - F.col("n_tok") * F.log(F.col("c_l") + F.col("vocab")),
-                6,
-            ).alias("s"),
-        )
-    )
-    from pyspark.sql import Window as W
+    vocab = wmap.count()  # distinct-word count off the persisted pivot
+    n_docs_total = sum(r["n_l"] for r in lang_stats)
+    langs = sorted(r["lang"] for r in lang_stats)
+    stat = {r["lang"]: r for r in lang_stats}
+    prior = {L: math.log(stat[L]["n_l"] / n_docs_total) for L in langs}
+    denom = {L: math.log(stat[L]["c_l"] + vocab) for L in langs}
 
-    rn = F.row_number().over(
-        W.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("cand").asc())
+    # the one token-scale shuffle: distinct (doc, word) occurrence counts
+    tw = toks.groupBy("doc_id", "true_lang", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    pred = (
-        scored.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "true_lang", F.col("cand").alias("pred_lang"))
+    per_doc = (
+        tw.join(F.broadcast(wmap), "w")
+        .groupBy("doc_id", "true_lang")
+        .agg(
+            F.sum("cnt").alias("n_tok"),
+            *[
+                F.sum(
+                    F.col("cnt")
+                    * F.log(
+                        F.coalesce(
+                            F.element_at(F.col("cmap"), F.lit(L)), F.lit(0)
+                        )
+                        + F.lit(1)
+                    )
+                ).alias(f"s{i}")
+                for i, L in enumerate(langs)
+            ],
+        )
+    )
+    # argmax via struct ordering: max s, then max(-idx) = alphabetically
+    # first language (langs sorted ascending) — the oracle's tie-break
+    cand_structs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.lit(prior[L])
+                    + F.col(f"s{i}")
+                    - F.col("n_tok") * F.lit(denom[L]),
+                    6,
+                ).alias("s"),
+                F.lit(-i).alias("nidx"),
+            )
+            for i, L in enumerate(langs)
+        ]
+    )
+    best = F.array_max(cand_structs)
+    pred = per_doc.select(
+        "doc_id",
+        "true_lang",
+        F.element_at(
+            F.array(*[F.lit(L) for L in langs]), -best["nidx"] + 1
+        ).alias("pred_lang"),
     )
     return (
         pred.groupBy("true_lang")

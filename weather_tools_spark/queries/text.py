@@ -619,13 +619,24 @@ def text_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n/C share survives, merged counts are lower bounds) is asserted on
     a synthetically skewed frame in tests/test_heavy_hitters.py —
     uniform corpus data has no heavy keys to make that case
-    driver-visible."""
+    driver-visible.
+
+    The capacity is derived from the measured vocabulary (the exact
+    count table is persisted and its row count IS the vocabulary), not
+    a constant: a fixed capacity=64 satisfied the ≥-vocabulary contract
+    only on the 31-word driver corpus — on a Heaps-law vocabulary
+    (.scaledata sfx1.0, ~10^5 words) Misra-Gries compression kicks in
+    and the exactness booleans legitimately flip. Found by the r10
+    sfx1.0 strict sweep; the capacity now follows the corpus so the
+    audit tests the summarize/merge path, not the fixture's vocabulary."""
+    from weather_tools_spark.operators.dedup import _persist
     from weather_tools_spark.operators.heavyhitters import heavy_hitter_candidates
 
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
-    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
-    cand = heavy_hitter_candidates(tok, "t", capacity=64)
+    exact = _persist(tok.groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+    vocab = exact.count()
+    cand = heavy_hitter_candidates(tok, "t", capacity=max(64, vocab))
     joined = exact.join(cand, exact["t"] == cand["key"], "left")
     return joined.agg(
         F.sum("n").alias("n_total"),
