@@ -193,6 +193,14 @@ HEADLINE = [
     "events_retention_triangle",
     "ml_kfold_split_balance",
     "stats_cramers_v",
+    # round-10 wave (ensemble learner, JL projection, GK rank bounds,
+    # FDR control, closed-form OLS, MI feature ranking)
+    "ml_adaboost_stumps",
+    "sim_random_projection_jl",
+    "sketch_quantile_rank_bounds",
+    "stats_benjamini_hochberg",
+    "ml_ols_normal_equations",
+    "ml_mutual_information_rank",
 ]
 
 

@@ -667,7 +667,11 @@ def test_adamic_adar_persisted_base_plan_budget(spark, sf_dir):
     """r10 rewrite pin: pairs expand map-side from the capped per-part
     buyer array — the mid-frame self-join (two by-part shuffles of the
     recomputed lineage) is gone. Budget: ≤5 exchanges, ≤2 joins, and
-    the persisted co-purchase base shows as InMemoryTableScan."""
+    the persisted co-purchase base shows as InMemoryTableScan.
+    clearCache first: a previously materialized cache from another test
+    would print its lineage subtree inside the formatted plan and
+    inflate the node counts (order-dependent otherwise)."""
+    spark.catalog.clearCache()
     plan = _formatted_plan(spark, "graph_adamic_adar_linkpred", sf_dir)
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) <= 5
     joins = len(re.findall(r"^\(\d+\) \w*Join", plan, re.MULTILINE))
@@ -679,7 +683,10 @@ def test_naive_bayes_single_scoring_pass_plan(spark, sf_dir):
     """r10 rewrite pin: all |langs| scores accumulate in ONE per-doc
     groupBy off the per-word lang→count map — no Window argmax, no
     BroadcastNestedLoopJoin candidate fan-out, ≤1 join in the main
-    plan, exchange budget ≤8 (was 12 with 3 BNLJ before r10)."""
+    plan, exchange budget ≤8 (was 12 with 3 BNLJ before r10).
+    clearCache first — same order-independence rationale as the
+    adamic-adar pin."""
+    spark.catalog.clearCache()
     plan = _formatted_plan(spark, "ml_naive_bayes_langid", sf_dir)
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

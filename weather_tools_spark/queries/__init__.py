@@ -159,6 +159,7 @@ def _load_all() -> None:
         llm_pipeline,
         media,
         pipeline_ops,
+        round10,
         selection,
         sketches,
         stats_ext,

@@ -1,0 +1,838 @@
+"""Round-10 wave: boosting, dimensionality reduction, quantile-sketch
+bounds, multiple-testing control, closed-form OLS regression, and
+mutual-information feature ranking.
+
+Six operators closing family gaps, each driver-gated against a DuckDB
+oracle:
+
+- AdaBoost with decision stumps (Freund & Schapire 1997), 2 rounds —
+  the registry's first ENSEMBLE learner (complements ml_decision_stump
+  / ml_logreg_newton). Entirely count-based: round-1 error is an
+  integer ratio mis/n, round-2 reweighted error has the closed form
+  (a·e^-α + b·e^α)/(C·e^-α + W·e^α) over the 2×2 agreement table, so
+  both engines do identical arithmetic on identical integers.
+- Johnson-Lindenstrauss random projection (Achlioptas 2003 sign
+  matrix): 64 → 16 dims with a deterministic md5-derived ±1 matrix
+  (generated at plan build, embedded as literals in BOTH engines),
+  then a distance-distortion report over a bounded pair set — the
+  scale path that shrinks embedding bytes 4× before any ANN pass.
+- Greenwald-Khanna quantile rank-bound gate: Spark's JVM-side
+  mergeable approx_percentile (map-side partials merged inside the
+  aggregate — the merge IS under test) checked distributedly against
+  the exact rank: |rank(est) − q·n| ≤ ε·n for every q. The estimate
+  itself is partition-order-dependent, so the gate hashes the
+  BOOLEANS + monotonicity, the same stable-surface technique as
+  sketch_error_bounds_audit.
+- Benjamini-Hochberg FDR step-up over the 5 per-event-type Welch
+  z-tests (type vs rest) — multiple-testing control, the missing
+  member of the stats family. Normal tail via the Zelen-Severo
+  26.2.17 polynomial as a shared literal expression (DuckDB has no
+  erf), applied to the PRE-ROUNDED z so both engines compute the same
+  p bits.
+- Multiple OLS regression in closed form: one map-combinable pass to
+  the 10 sufficient moments, then Cramer's rule on the 3×3 normal
+  equations as shared SQL fragments — the linear complement of
+  ml_logreg_newton, and the canonical sufficient-statistics scale
+  shape.
+- Mutual-information feature ranking, Miller-Madow bias-corrected,
+  with a doc_id%8 null-feature control — the feature-selection
+  primitive of classifier-based quality filtering, with the
+  correction that keeps the null control from winning on small
+  samples.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.queries import register
+
+
+def _r6(x: float) -> float:
+    """round(x, 6) with HALF_UP ties — matching SQL round() on both
+    engines; Python's built-in round is banker's (HALF_EVEN)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+# ---------------------------------------------------------------------------
+# AdaBoost stumps
+# ---------------------------------------------------------------------------
+
+# (feature, threshold) stump grid × polarity; thresholds bracket the
+# corpus token/char quantiles (p10≈21, p50≈56, p90≈88 tokens) so stumps
+# are non-degenerate at every SF of the same generator.
+_ADA_GRID = [("f_tok", t) for t in (30, 45, 60, 75)] + [
+    ("f_chr", t) for t in (150, 250, 350, 450)
+]
+_ADA_CANDS = [(f, t, p) for (f, t) in _ADA_GRID for p in (1, -1)]
+
+_ADA_CAND_SQL = ", ".join(f"('{f}', {t}, {p})" for f, t, p in _ADA_CANDS)
+
+# h(x) for a candidate row c over a feature row ft (SQL fragment used
+# by the oracle; the Spark side builds the same expression per column)
+_ADA_H = (
+    "c.p * (CASE WHEN (CASE WHEN c.f = 'f_tok' THEN ft.f_tok ELSE ft.f_chr END)"
+    " <= c.t THEN 1 ELSE -1 END)"
+)
+
+
+@register(
+    "ml_adaboost_stumps",
+    oracle=f"""
+    WITH ft AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             len(regexp_split_to_array(text, '\\s+')) AS f_tok,
+             n_chars AS f_chr
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ft),
+    cands AS (SELECT * FROM (VALUES {_ADA_CAND_SQL}) c(f, t, p)),
+    r1 AS (
+      SELECT c.f, c.t, c.p,
+             sum(CASE WHEN {_ADA_H} <> ft.y THEN 1 ELSE 0 END) AS mis
+      FROM cands c CROSS JOIN ft
+      GROUP BY c.f, c.t, c.p
+    ),
+    b1 AS (
+      SELECT f, t, p, mis, mis * 1.0 / nn.n AS e1,
+             0.5 * ln((nn.n - mis) * 1.0 / mis) AS a1, nn.n AS n
+      FROM r1, nn
+      WHERE mis > 0 AND mis < nn.n
+      ORDER BY mis, f, t, p LIMIT 1
+    ),
+    r2 AS (
+      SELECT c.f, c.t, c.p,
+             sum(CASE WHEN (b1.p * (CASE WHEN (CASE WHEN b1.f = 'f_tok'
+                      THEN ft.f_tok ELSE ft.f_chr END) <= b1.t THEN 1 ELSE -1 END)) = ft.y
+                       AND {_ADA_H} <> ft.y THEN 1 ELSE 0 END) AS a_cw,
+             sum(CASE WHEN (b1.p * (CASE WHEN (CASE WHEN b1.f = 'f_tok'
+                      THEN ft.f_tok ELSE ft.f_chr END) <= b1.t THEN 1 ELSE -1 END)) <> ft.y
+                       AND {_ADA_H} <> ft.y THEN 1 ELSE 0 END) AS b_ww
+      FROM cands c CROSS JOIN ft CROSS JOIN b1
+      GROUP BY c.f, c.t, c.p
+    ),
+    b2 AS (
+      SELECT r2.f, r2.t, r2.p,
+             (r2.a_cw * exp(-b1.a1) + r2.b_ww * exp(b1.a1))
+               / ((b1.n - b1.mis) * exp(-b1.a1) + b1.mis * exp(b1.a1)) AS e2
+      FROM r2, b1
+      WHERE NOT (r2.f = b1.f AND r2.t = b1.t AND r2.p = b1.p)
+      ORDER BY e2, r2.f, r2.t, r2.p LIMIT 1
+    ),
+    acc2 AS (
+      SELECT sum(CASE WHEN (CASE WHEN b1.a1 >= 0.5 * ln((1 - b2.e2) / b2.e2)
+              THEN b1.p * (CASE WHEN (CASE WHEN b1.f = 'f_tok' THEN ft.f_tok
+                   ELSE ft.f_chr END) <= b1.t THEN 1 ELSE -1 END)
+              ELSE b2.p * (CASE WHEN (CASE WHEN b2.f = 'f_tok' THEN ft.f_tok
+                   ELSE ft.f_chr END) <= b2.t THEN 1 ELSE -1 END) END) = ft.y
+              THEN 1 ELSE 0 END) AS ok
+      FROM ft, b1, b2
+    )
+    SELECT 1 AS round, b1.f AS feature, CAST(b1.t AS DOUBLE) AS threshold,
+           b1.p AS polarity, round(b1.e1, 6) AS err, round(b1.a1, 6) AS alpha,
+           round(1.0 - b1.e1, 6) AS ensemble_acc
+    FROM b1
+    UNION ALL
+    SELECT 2, b2.f, CAST(b2.t AS DOUBLE), b2.p, round(b2.e2, 6),
+           round(0.5 * ln((1 - b2.e2) / b2.e2), 6),
+           round(acc2.ok * 1.0 / b1.n, 6)
+    FROM b2, b1, acc2
+    ORDER BY round
+    """,
+)
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of AdaBoost.M1 over a 16-candidate stump grid
+    (features: token count, char count; both polarities), label
+    y = ±1 for lang='en'. Every engine-visible number is derived from
+    INTEGER counts: round-1 error is mis/n; because round-1 weights
+    take only two values (e^∓α), round-2 weighted error is a closed
+    form over the candidate×best-stump 2×2 agreement table, and the
+    2-stump ensemble prediction is h1 when α1 ≥ α2 else h2 (sign
+    algebra on ±1 hypotheses). Degenerate stumps (all-correct /
+    all-wrong) are excluded on both engines.
+
+    Scale shape: three map-combinable doc-scale aggregations total
+    (round-1 counts, round-2 agreement counts, final ensemble
+    accuracy), each with a bounded ×16 literal fan-out absorbed
+    map-side; the candidate frames are 16 rows and the stump selection
+    happens on bounded driver tables (bounded_rows, like the BPE merge
+    fold). No shuffle ever exceeds the 16-row candidate key space."""
+    from weather_tools_spark.operators.bounded import bounded_rows
+    from weather_tools_spark.operators.dedup import _persist
+
+    docs = load_table(spark, "documents", sf_dir)
+    ft = _persist(
+        docs.select(
+            F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+            F.size(F.split("text", r"\s+")).alias("f_tok"),
+            F.col("n_chars").alias("f_chr"),
+        )
+    )
+    n = ft.count()
+
+    def h_col(f: str, t: int, p: int) -> F.Column:
+        feat = F.col("f_tok") if f == "f_tok" else F.col("f_chr")
+        return F.lit(p) * F.when(feat <= t, 1).otherwise(-1)
+
+    r1 = ft.groupBy().agg(
+        *[
+            F.sum(F.when(h_col(f, t, p) != F.col("y"), 1).otherwise(0)).alias(
+                f"m_{i}"
+            )
+            for i, (f, t, p) in enumerate(_ADA_CANDS)
+        ]
+    )
+    mis = bounded_rows(r1, 1, "single-row stump-grid error aggregate")[0]
+    live = [
+        (c, mis[f"m_{i}"])
+        for i, c in enumerate(_ADA_CANDS)
+        if 0 < mis[f"m_{i}"] < n
+    ]
+    (f1, t1, p1), mis1 = min(live, key=lambda it: (it[1], it[0]))
+    e1 = mis1 / n
+    a1 = 0.5 * math.log((n - mis1) / mis1)
+
+    h1_ok = h_col(f1, t1, p1) == F.col("y")
+    r2 = ft.groupBy().agg(
+        *[
+            F.sum(
+                F.when(h1_ok & (h_col(f, t, p) != F.col("y")), 1).otherwise(0)
+            ).alias(f"a_{i}")
+            for i, (f, t, p) in enumerate(_ADA_CANDS)
+        ],
+        *[
+            F.sum(
+                F.when((~h1_ok) & (h_col(f, t, p) != F.col("y")), 1).otherwise(0)
+            ).alias(f"b_{i}")
+            for i, (f, t, p) in enumerate(_ADA_CANDS)
+        ],
+    )
+    cells = bounded_rows(r2, 1, "single-row reweighted-error aggregate")[0]
+    eneg, epos = math.exp(-a1), math.exp(a1)
+    denom = (n - mis1) * eneg + mis1 * epos
+    best2 = min(
+        (
+            ((cells[f"a_{i}"] * eneg + cells[f"b_{i}"] * epos) / denom, c)
+            for i, c in enumerate(_ADA_CANDS)
+            if c != (f1, t1, p1)
+        ),
+        key=lambda it: (it[0], it[1]),
+    )
+    e2, (f2, t2, p2) = best2
+    a2 = 0.5 * math.log((1 - e2) / e2)
+
+    ens = h_col(f1, t1, p1) if a1 >= a2 else h_col(f2, t2, p2)
+    ok2 = bounded_rows(
+        ft.agg(F.sum(F.when(ens == F.col("y"), 1).otherwise(0)).alias("ok")),
+        1,
+        "single-row ensemble accuracy aggregate",
+    )[0]["ok"]
+
+    rows = [
+        (1, f1, float(t1), p1, _r6(e1), _r6(a1), _r6(1.0 - e1)),
+        (2, f2, float(t2), p2, _r6(e2), _r6(a2), _r6(ok2 / n)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round INT, feature STRING, threshold DOUBLE, polarity INT, "
+        "err DOUBLE, alpha DOUBLE, ensemble_acc DOUBLE",
+    ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+_JL_D, _JL_K, _JL_NVEC = 64, 16, 40
+
+
+def _jl_sign(j: int, k: int) -> int:
+    """Deterministic ±1 from the parity of md5's first hex digit —
+    computable identically anywhere, embedded as literals in BOTH
+    engines (public md5, no engine hash dependence)."""
+    return 1 if int(hashlib.md5(f"{j}_{k}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+_JL_SIGNS = [[_jl_sign(j, k) for j in range(_JL_D)] for k in range(_JL_K)]
+_JL_SCALE = math.sqrt(_JL_K)
+
+
+def _jl_proj_sql(vec: str) -> str:
+    """DuckDB: 16-element projected list via list_dot_product."""
+    rows = ", ".join(
+        f"list_dot_product({vec}, {s}::DOUBLE[]) / {_JL_SCALE!r}"
+        for s in _JL_SIGNS
+    )
+    return f"[{rows}]"
+
+
+@register(
+    "sim_random_projection_jl",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_jl_proj_sql('embedding::DOUBLE[]')} AS pr
+      FROM embeddings WHERE vec_id < {_JL_NVEC}
+    ),
+    pairs AS (
+      SELECT round((list_dot_product(a.pr, a.pr) + list_dot_product(b.pr, b.pr)
+                    - 2 * list_dot_product(a.pr, b.pr))
+                   / (list_dot_product(a.e, a.e) + list_dot_product(b.e, b.e)
+                      - 2 * list_dot_product(a.e, b.e)), 6) AS distortion
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT {_JL_K} AS k_dims, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(distortion), 6) AS avg_distortion,
+           round(min(distortion), 6) AS min_distortion,
+           round(max(distortion), 6) AS max_distortion,
+           CAST(sum(CASE WHEN distortion BETWEEN 0.8 AND 1.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_20pct,
+           CAST(sum(CASE WHEN distortion BETWEEN 0.5 AND 2.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_2x
+    FROM pairs
+    """,
+)
+def sim_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64 → 16 dims with a
+    deterministic md5-derived Achlioptas ±1 matrix (module literals —
+    the same 1024 signs are embedded in the oracle SQL), then the
+    squared-distance distortion d²proj/d²orig over the 780 pairs of
+    the first 40 vectors. Both engines expand d² as the SAME
+    dot-product identity (daa + dbb − 2dab) and round per-pair at 1e-6
+    before aggregating, the sim_cosine_topk technique.
+
+    Scale shape: the projection is a map-side JVM fold per vector
+    (zip_with + aggregate — 4× fewer bytes into any downstream ANN
+    shuffle); the exactness check joins a BOUNDED pair set (40×40
+    broadcast self-join), the standard audit-pair pattern."""
+    emb = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < _JL_NVEC
+    )
+    e = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+
+    def dot(a: str, b: str) -> str:
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+
+    proj = F.array(
+        *[
+            F.expr(
+                dot(
+                    "transform(embedding, x -> CAST(x AS DOUBLE))",
+                    f"array({', '.join(f'{s}D' for s in row)})",
+                )
+            )
+            / _JL_SCALE
+            for row in _JL_SIGNS
+        ]
+    )
+    v = emb.select(
+        "vec_id",
+        e.alias("e"),
+        proj.alias("pr"),
+        F.expr(dot("transform(embedding, x -> CAST(x AS DOUBLE))",
+                   "transform(embedding, x -> CAST(x AS DOUBLE))")).alias("dee"),
+    ).withColumn("dpp", F.expr(dot("pr", "pr")))
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.round(
+                (
+                    F.col("a.dpp")
+                    + F.col("b.dpp")
+                    - 2 * F.expr(dot("a.pr", "b.pr"))
+                )
+                / (
+                    F.col("a.dee")
+                    + F.col("b.dee")
+                    - 2 * F.expr(dot("a.e", "b.e"))
+                ),
+                6,
+            ).alias("distortion")
+        )
+    )
+    w20 = F.col("distortion").between(0.8, 1.2)
+    w2x = F.col("distortion").between(0.5, 2.0)
+    return pairs.agg(
+        F.lit(_JL_K).alias("k_dims"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("distortion"), 6).alias("avg_distortion"),
+        F.round(F.min("distortion"), 6).alias("min_distortion"),
+        F.round(F.max("distortion"), 6).alias("max_distortion"),
+        F.sum(F.when(w20, 1).otherwise(0)).alias("n_within_20pct"),
+        F.sum(F.when(w2x, 1).otherwise(0)).alias("n_within_2x"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greenwald-Khanna quantile rank bounds
+# ---------------------------------------------------------------------------
+
+_GK_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+_GK_EPS = 0.01
+
+
+@register(
+    "sketch_quantile_rank_bounds",
+    oracle=f"""
+    SELECT q, CAST(count(*) AS BIGINT) AS n, TRUE AS within_rank_bound,
+           TRUE AS monotone
+    FROM lineitem CROSS JOIN (SELECT unnest({_GK_QS}::DOUBLE[]) AS q) qs
+    GROUP BY q ORDER BY q
+    """,
+)
+def sketch_quantile_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile-sketch gate: Spark's JVM Greenwald-Khanna
+    (approx_percentile with accuracy 1/ε) estimates 5 quantiles of
+    l_extendedprice in ONE map-combinable pass — the map-side partial
+    sketches MERGE inside the aggregate, which is exactly the property
+    under test — then a second distributed pass computes each
+    estimate's EXACT rank and asserts |rank(est) − q·n| ≤ ε·n, plus
+    cross-quantile monotonicity. The estimates themselves are
+    partition-order-dependent (any GK is), so the driver-hashed
+    surface is the (q, n, booleans) table — the
+    sketch_error_bounds_audit technique.
+
+    Scale shape: two fact-scale map-combinable aggregations, zero
+    Python, zero sort; the sketch state is O(1/ε · log εn) per
+    partial. The built-in is the Spark-first answer here — a custom
+    mapInPandas sketch would leave whole-stage codegen for no
+    capability gain."""
+    from weather_tools_spark.operators.bounded import bounded_rows
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_extendedprice").alias("v")
+    )
+    acc = int(1 / _GK_EPS) * 10
+    est_row = bounded_rows(
+        li.agg(
+            F.percentile_approx(
+                "v", F.array(*[F.lit(q) for q in _GK_QS]), F.lit(acc)
+            ).alias("est"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        1,
+        "single-row GK estimate aggregate",
+    )[0]
+    ests, n = list(est_row["est"]), est_row["n"]
+    ranks_row = bounded_rows(
+        li.agg(
+            *[
+                F.sum(F.when(F.col("v") <= F.lit(e), 1).otherwise(0)).alias(
+                    f"r_{i}"
+                )
+                for i, e in enumerate(ests)
+            ]
+        ),
+        1,
+        "single-row exact-rank aggregate",
+    )[0]
+    rows = []
+    for i, q in enumerate(_GK_QS):
+        ok = abs(ranks_row[f"r_{i}"] - q * n) <= _GK_EPS * n
+        mono = (i == 0) or (ests[i] >= ests[i - 1])
+        rows.append((q, n, bool(ok), bool(mono)))
+    return spark.createDataFrame(
+        rows, "q DOUBLE, n BIGINT, within_rank_bound BOOLEAN, monotone BOOLEAN"
+    ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = 0.10
+
+# Zelen & Severo 26.2.17 upper-tail of the standard normal, as a shared
+# literal expression: both engines apply it to the SAME pre-rounded z.
+_NORM_TAIL = (
+    "(exp(-({z}) * ({z}) / 2) / 2.5066282746310002 * "
+    "(0.319381530 * (1 / (1 + 0.2316419 * ({z}))) "
+    "- 0.356563782 * pow(1 / (1 + 0.2316419 * ({z})), 2) "
+    "+ 1.781477937 * pow(1 / (1 + 0.2316419 * ({z})), 3) "
+    "- 1.821255978 * pow(1 / (1 + 0.2316419 * ({z})), 4) "
+    "+ 1.330274429 * pow(1 / (1 + 0.2316419 * ({z})), 5)))"
+)
+
+
+@register(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, sum(value) AS s,
+             sum(value * value) AS sq
+      FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n) AS n, sum(s) AS s, sum(sq) AS sq FROM g),
+    z AS (
+      SELECT g.event_type, g.n AS n_type,
+             round((g.s / g.n - (tot.s - g.s) / (tot.n - g.n))
+                   / sqrt(((g.sq - g.s * g.s / g.n) / (g.n - 1)) / g.n
+                          + (((tot.sq - g.sq) - (tot.s - g.s) * (tot.s - g.s)
+                              / (tot.n - g.n)) / (tot.n - g.n - 1))
+                            / (tot.n - g.n)), 4) + 0.0 AS z
+      FROM g, tot
+    ),
+    p AS (
+      SELECT event_type, n_type, z,
+             round(2 * {_NORM_TAIL.format(z='abs(z)')}, 8) AS p_value
+      FROM z
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY p_value, event_type) AS p_rank,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    cut AS (
+      SELECT max(CASE WHEN p_value <= {_BH_ALPHA} * p_rank / m
+                      THEN p_rank END) AS k_star
+      FROM ranked
+    )
+    SELECT event_type, CAST(n_type AS BIGINT) AS n_type, z, p_value,
+           CAST(p_rank AS INT) AS p_rank,
+           round({_BH_ALPHA} * p_rank / m, 6) AS bh_threshold,
+           COALESCE(p_rank <= cut.k_star, FALSE) AS rejected
+    FROM ranked, cut
+    ORDER BY p_rank
+    """,
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up (1995) over m = 5 simultaneous
+    Welch z-tests, each comparing one event type's mean value against
+    the rest — the multiple-testing control every A/B platform applies
+    above its per-test statistics. p-values come from the shared
+    Zelen-Severo normal-tail polynomial applied to the PRE-ROUNDED z
+    (DuckDB has no erf), so both engines compute identical p bits; the
+    step-up cut k* = max{{k : p(k) ≤ αk/m}} rejects ranks 1..k*.
+
+    Scale shape: ONE fact-scale map-combinable aggregation to 5
+    (n, Σv, Σv²) rows; the rest-of-population moments are derived by
+    subtraction from the 1-row total (no second scan, no self-join),
+    and the BH machinery runs on the 5-row frame."""
+    ev = load_table(spark, "events", sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("sq"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.sum("sq").alias("tsq")
+    )
+    z = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n").alias("n_type"),
+        F.round(
+            (F.col("s") / F.col("n") - (F.col("ts") - F.col("s")) / (F.col("tn") - F.col("n")))
+            / F.sqrt(
+                ((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+                / F.col("n")
+                + (
+                    (
+                        (F.col("tsq") - F.col("sq"))
+                        - (F.col("ts") - F.col("s"))
+                        * (F.col("ts") - F.col("s"))
+                        / (F.col("tn") - F.col("n"))
+                    )
+                    / (F.col("tn") - F.col("n") - 1)
+                )
+                / (F.col("tn") - F.col("n"))
+            ),
+            4,
+        ).alias("zr"),
+    )
+    z = z.select(
+        "event_type", "n_type", (F.col("zr") + F.lit(0.0)).alias("z")
+    )
+    p = z.withColumn(
+        "p_value", F.round(2 * F.expr(_NORM_TAIL.format(z="abs(z)")), 8)
+    )
+    from pyspark.sql import Window as W
+
+    ranked = p.withColumn(
+        "p_rank",
+        F.row_number().over(W.orderBy(F.col("p_value"), F.col("event_type"))),
+    ).withColumn("m", F.count(F.lit(1)).over(W.partitionBy()))
+    ranked = ranked.withColumn(
+        "bh_threshold", F.round(F.lit(_BH_ALPHA) * F.col("p_rank") / F.col("m"), 6)
+    )
+    cut = ranked.agg(
+        F.max(
+            F.when(
+                F.col("p_value") <= F.lit(_BH_ALPHA) * F.col("p_rank") / F.col("m"),
+                F.col("p_rank"),
+            )
+        ).alias("k_star")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "event_type",
+            "n_type",
+            "z",
+            "p_value",
+            F.col("p_rank").cast("int").alias("p_rank"),
+            "bh_threshold",
+            F.coalesce(F.col("p_rank") <= F.col("k_star"), F.lit(False)).alias(
+                "rejected"
+            ),
+        )
+        .orderBy("p_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiple OLS regression via distributed normal equations
+# ---------------------------------------------------------------------------
+
+# Cramer's-rule fragments over the 10 sufficient moments, shared
+# verbatim by BOTH engines (same text → same arithmetic association):
+# X'X = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], X'y = [sy,s1y,s2y]
+_OLS_DET = (
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) "
+    "+ s2 * (s1 * s12 - s11 * s2))"
+)
+_OLS_DET0 = (
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) "
+    "+ s2 * (s1y * s12 - s11 * s2y))"
+)
+_OLS_DET1 = (
+    "(n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) "
+    "+ s2 * (s1 * s2y - s1y * s2))"
+)
+_OLS_DET2 = (
+    "(n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) "
+    "+ sy * (s1 * s12 - s11 * s2))"
+)
+# output expressions, shared verbatim by both engines
+_OLS_OUT = [
+    "CAST(n AS BIGINT) AS n",
+    f"round({_OLS_DET0} / {_OLS_DET}, 6) AS b0",
+    f"round({_OLS_DET1} / {_OLS_DET}, 6) AS b1",
+    f"round({_OLS_DET2} / {_OLS_DET}, 6) AS b2",
+    f"""round(1 - (syy - ({_OLS_DET0} / {_OLS_DET} * sy
+                             + {_OLS_DET1} / {_OLS_DET} * s1y
+                             + {_OLS_DET2} / {_OLS_DET} * s2y))
+                   / (syy - sy * sy / n), 6) AS r2""",
+]
+_OLS_FINAL = "SELECT " + ", ".join(_OLS_OUT) + " FROM m"
+
+
+@register(
+    "ml_ols_normal_equations",
+    oracle=f"""
+    WITH d AS (
+      SELECT sum(l_quantity) AS x1, CAST(count(*) AS DOUBLE) AS x2,
+             sum(l_extendedprice * (1 - l_discount)) AS y
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+             sum(y * y) AS syy
+      FROM d
+    )
+    {_OLS_FINAL}
+    """,
+)
+def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression fitted in CLOSED FORM from one
+    distributed pass: ŷ(order revenue = Σ extprice·(1−disc)) =
+    b0 + b1·(order quantity) + b2·(order line count). The 10 sufficient moments (n, Σx, Σxx,
+    Σxy, Σyy) are ONE map-combinable aggregation; β = (X'X)⁻¹X'y is
+    then Cramer's rule on the 3×3 normal equations, written once as
+    shared SQL fragments so both engines evaluate the identical
+    expression tree; R² = 1 − SSE/SST from the same moments. This is
+    the textbook scale shape for OLS at 100 TB — sufficient statistics
+    are map-side partial-aggregable, the solve is O(p³) driver-free
+    arithmetic — the linear complement of ml_logreg_newton (which must
+    iterate because logistic loss has no closed form).
+
+    Scale shape: one fact-scale groupBy (per-order features and
+    target from the same pass), one aggregation to a SINGLE moment
+    row; everything after is scalar expression arithmetic."""
+    d = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("x1"),
+            F.count(F.lit(1)).cast("double").alias("x2"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+        )
+        .select("x1", "x2", "y")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.selectExpr(*_OLS_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature ranking
+# ---------------------------------------------------------------------------
+
+# bucketed doc features; the doc_id%8 control carries ~zero information
+# about lang and must rank LAST. floor() is explicit because DuckDB's
+# CAST(double AS INT) ROUNDS where Spark's truncates.
+_MI_FEATURES = {
+    # firstword_bucket carries REAL language signal (vocabularies
+    # differ per lang); len_bucket is ~independent of lang in this
+    # corpus; the doc_id%8 control is null by construction
+    "firstword_bucket": (
+        "CAST(ascii(substr(md5(regexp_split_to_array(text, '\\s+')[1]), 1, 1))"
+        " % 8 AS INT)"
+    ),
+    "len_bucket": (
+        "LEAST(CAST(floor(len(regexp_split_to_array(text, '\\s+')) / 25.0)"
+        " AS INT), 8)"
+    ),
+    "control_bucket": "CAST(doc_id % 8 AS INT)",
+}
+
+_MI_SPARK = {
+    "firstword_bucket": (
+        "CAST(ascii(substr(md5(element_at(split(text, '\\\\s+'), 1)), 1, 1))"
+        " % 8 AS INT)"
+    ),
+    "len_bucket": (
+        "LEAST(CAST(floor(size(split(text, '\\\\s+')) / 25.0) AS INT), 8)"
+    ),
+    "control_bucket": "CAST(doc_id % 8 AS INT)",
+}
+
+
+def _mi_oracle() -> str:
+    parts = []
+    for name, expr in _MI_FEATURES.items():
+        parts.append(
+            f"""
+    SELECT '{name}' AS feature, x, lang AS y, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT {expr} AS x, lang FROM documents)
+    GROUP BY x, lang"""
+        )
+    cells = " UNION ALL ".join(parts)
+    return f"""
+    WITH cells AS ({cells}),
+    nn AS (SELECT feature, sum(c) AS n FROM cells GROUP BY feature),
+    mx AS (SELECT feature, x, sum(c) AS cx FROM cells GROUP BY feature, x),
+    my AS (SELECT feature, y, sum(c) AS cy FROM cells GROUP BY feature, y),
+    mi AS (
+      SELECT cells.feature,
+             sum((c * 1.0 / n) * ln(c * 1.0 * n / (cx * cy))) AS mi
+      FROM cells
+      JOIN nn USING (feature)
+      JOIN mx ON cells.feature = mx.feature AND cells.x = mx.x
+      JOIN my ON cells.feature = my.feature AND cells.y = my.y
+      GROUP BY cells.feature
+    ),
+    hx AS (
+      SELECT mx.feature, -sum((cx * 1.0 / n) * ln(cx * 1.0 / n)) AS h_feature,
+             count(*) AS kx
+      FROM mx JOIN nn ON mx.feature = nn.feature GROUP BY mx.feature
+    ),
+    hy AS (
+      SELECT my.feature, -sum((cy * 1.0 / n) * ln(cy * 1.0 / n)) AS h_label,
+             count(*) AS ky
+      FROM my JOIN nn ON my.feature = nn.feature GROUP BY my.feature
+    )
+    SELECT mi.feature, round(mi.mi, 6) + 0.0 AS mi,
+           round(mi.mi - (hx.kx - 1) * (hy.ky - 1) * 0.5 / nn.n, 6) + 0.0
+             AS mi_corrected,
+           round(hx.h_feature, 6) AS h_feature,
+           round(hy.h_label, 6) AS h_label,
+           round(mi.mi / least(hx.h_feature, hy.h_label), 6) + 0.0 AS nmi,
+           CAST(row_number() OVER (ORDER BY
+                round(mi.mi - (hx.kx - 1) * (hy.ky - 1) * 0.5 / nn.n, 6) DESC,
+                mi.feature) AS INT) AS rank
+    FROM mi
+    JOIN hx ON mi.feature = hx.feature
+    JOIN hy ON mi.feature = hy.feature
+    JOIN nn ON mi.feature = nn.feature
+    ORDER BY rank
+    """
+
+
+@register("ml_mutual_information_rank", oracle=_mi_oracle())
+def ml_mutual_information_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking against the lang label —
+    I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over a real-signal feature
+    (md5 bucket of the first token: vocabularies differ per language),
+    a near-null length bucket, and a doc_id%8 null CONTROL. Raw plug-in
+    MI is biased UP by (Kx−1)(Ky−1)/(2n) — enough to rank the null
+    control FIRST on small samples (observed in-round at sf≤0.1) — so
+    the ranking statistic is the Miller-Madow corrected
+    mi_corrected = I − (Kx−1)(Ky−1)/(2n), the correction every honest
+    feature-selection pass needs; raw mi, entropies, and normalized MI
+    are reported alongside. Ranking compares 1e-6-ROUNDED corrected MI
+    on both engines so summation-order drift on the bounded cell sums
+    cannot flip it.
+
+    Scale shape: ONE doc scan — the three features pivot long via a
+    map-side stack() — feeding one map-combinable aggregation to a
+    ≤(features×buckets×langs) cell table; that table is a BOUNDED
+    driver frame (bounded_pandas, like the AdaBoost selection and BPE
+    merge tables), and margins/entropies/MI are key-sorted driver
+    arithmetic on it — a distributed margins-join formulation measured
+    11 exchanges for the same bounded math."""
+    from weather_tools_spark.operators.bounded import bounded_pandas
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = docs.selectExpr(
+        "lang AS y", *[f"{expr} AS {name}" for name, expr in _MI_SPARK.items()]
+    )
+    stack_args = ", ".join(f"'{n}', {n}" for n in _MI_SPARK)
+    long = feats.select(
+        "y",
+        F.expr(f"stack({len(_MI_SPARK)}, {stack_args}) AS (feature, x)"),
+    ).select("feature", "x", "y")
+    cells = bounded_pandas(
+        long.groupBy("feature", "x", "y").agg(F.count(F.lit(1)).alias("c")),
+        4096,
+        "MI contingency cells (features × ≤16 buckets × languages)",
+    ).sort_values(["feature", "x", "y"])  # deterministic summation order
+
+    rows = []
+    for feature, grp in cells.groupby("feature", sort=True):
+        n = int(grp["c"].sum())
+        cx = grp.groupby("x", sort=True)["c"].sum()
+        cy = grp.groupby("y", sort=True)["c"].sum()
+        mi = sum(
+            (c / n) * math.log(c * n / (cx[xx] * cy[yy]))
+            for xx, yy, c in zip(grp["x"], grp["y"], grp["c"])
+        )
+        hx = -sum((c / n) * math.log(c / n) for c in cx)
+        hy = -sum((c / n) * math.log(c / n) for c in cy)
+        mm = mi - (len(cx) - 1) * (len(cy) - 1) * 0.5 / n
+        rows.append(
+            (
+                feature,
+                _r6(mi) + 0.0,
+                _r6(mm) + 0.0,
+                _r6(hx),
+                _r6(hy),
+                _r6(mi / min(hx, hy)) + 0.0,
+            )
+        )
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    out = [r + (i + 1,) for i, r in enumerate(rows)]
+    return spark.createDataFrame(
+        out,
+        "feature STRING, mi DOUBLE, mi_corrected DOUBLE, h_feature DOUBLE, "
+        "h_label DOUBLE, nmi DOUBLE, rank INT",
+    ).orderBy("rank")
