@@ -201,6 +201,13 @@ HEADLINE = [
     "stats_benjamini_hochberg",
     "ml_ols_normal_equations",
     "ml_mutual_information_rank",
+    # round-10 wave 2 (exact AUC, sequence entropy, mixture drift,
+    # stylometric provenance, robust trend)
+    "ml_roc_auc_exact",
+    "events_entropy_rate",
+    "corpus_source_kl_divergence",
+    "text_burrows_delta",
+    "stats_theil_sen_trend",
 ]
 
 

@@ -218,3 +218,119 @@ def test_mutual_information_matches_numpy_and_signal_ranks_first(spark, sf_dir):
     assert ranks["firstword_bucket"] == 1
     ctl = got[got["feature"] == "control_bucket"].iloc[0]
     assert abs(ctl["mi_corrected"]) < 0.05  # null feature ≈ 0 after MM
+
+
+def test_roc_auc_matches_numpy_midrank(spark, sf_dir):
+    docs = _docs(sf_dir)
+    score = docs["text"].str.split(r"\s+").str.len().to_numpy()
+    y = (docs["lang"] == "en").to_numpy().astype(int)
+    vals = np.unique(score)
+    n1 = np.array([(y[score == v] == 1).sum() for v in vals])
+    n0 = np.array([(y[score == v] == 0).sum() for v in vals])
+    n0_below = np.concatenate([[0], np.cumsum(n0)[:-1]])
+    auc = float((n1 * (n0_below + 0.5 * n0)).sum() / (n1.sum() * n0.sum()))
+    got = SPARK["ml_roc_auc_exact"](spark, sf_dir).toPandas().iloc[0]
+    assert got["n_pos"] == n1.sum() and got["n_neg"] == n0.sum()
+    assert got["n_distinct_scores"] == len(vals)
+    assert got["auc"] == pytest.approx(auc, abs=5e-7)  # query rounds at 1e-6
+    assert 0.0 <= got["auc"] <= 1.0
+
+
+def test_entropy_rate_matches_pandas(spark, sf_dir):
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    ev["next"] = ev.groupby("user_id")["event_type"].shift(-1)
+    c = ev.dropna(subset=["next"]).groupby(["event_type", "next"]).size()
+    ctot = c.sum()
+    got = SPARK["events_entropy_rate"](spark, sf_dir).toPandas()
+    rate = 0.0
+    for state in c.index.get_level_values(0).unique():
+        row = c[state]
+        nrow = row.sum()
+        h = -sum((n / nrow) * math.log(n / nrow) for n in row)
+        rate += -sum((n / ctot) * math.log(n / nrow) for n in row)
+        g = got[got["state"] == state].iloc[0]
+        assert g["h_state"] == pytest.approx(h, abs=1e-5)
+        assert g["pi_empirical"] == pytest.approx(nrow / ctot, abs=1e-6)
+    assert got["entropy_rate"].iloc[0] == pytest.approx(rate, abs=1e-5)
+    # conditioning reduces entropy vs the marginal next-state entropy
+    marg = c.groupby(level=1).sum()
+    h_marg = -sum((n / ctot) * math.log(n / ctot) for n in marg)
+    assert got["entropy_rate"].iloc[0] <= h_marg + 1e-9
+
+
+def test_source_kl_matches_pandas_and_nonnegative(spark, sf_dir):
+    docs = _docs(sf_dir)
+    toks = docs.assign(w=docs["text"].str.split(r"\s+")).explode("w")
+    sw = toks.groupby(["source", "w"]).size()
+    wv = sw.groupby(level=1).sum()
+    ctot = sw.sum()
+    got = SPARK["corpus_source_kl_divergence"](spark, sf_dir).toPandas()
+    assert (got["kl_vs_corpus"] >= 0).all()
+    for source in got["source"].head(3):
+        row = sw[source]
+        cs = row.sum()
+        kl = sum((c / cs) * math.log((c / cs) / (wv[w] / ctot)) for w, c in row.items())
+        ce = -sum((c / cs) * math.log(wv[w] / ctot) for w, c in row.items())
+        g = got[got["source"] == source].iloc[0]
+        assert g["n_tokens"] == cs and g["vocab_source"] == len(row)
+        assert g["kl_vs_corpus"] == pytest.approx(kl, abs=1e-5)
+        assert g["cross_entropy"] == pytest.approx(ce, abs=1e-5)
+
+
+def test_burrows_delta_matches_pandas(spark, sf_dir):
+    docs = _docs(sf_dir)
+    toks = docs.assign(w=docs["text"].str.lower().str.split(r"\s+")).explode("w")
+    counts = toks.groupby("w").size().reset_index(name="c")
+    top = counts.sort_values(["c", "w"], ascending=[False, True]).head(30)["w"]
+    sw = toks.groupby(["source", "w"]).size()
+    stot = toks.groupby("source").size()
+    fpm = {
+        (s, w): 1000.0 * sw.get((s, w), 0) / stot[s]
+        for s in stot.index
+        for w in top
+    }
+    zs = {}
+    for w in top:
+        col = np.array([fpm[(s, w)] for s in stot.index])
+        m = col.mean()
+        sd = math.sqrt((col * col).mean() - m * m)
+        if sd > 1e-12:
+            for s, v in zip(stot.index, col):
+                zs[(s, w)] = (v - m) / sd
+    words = sorted({w for (_, w) in zs})
+    deltas = []
+    srcs = sorted(stot.index)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            d = np.mean([abs(zs[(sa, w)] - zs[(sb, w)]) for w in words])
+            deltas.append((round(d, 6), sa, sb, len(words)))
+    deltas.sort()
+    got = SPARK["text_burrows_delta"](spark, sf_dir).toPandas()
+    assert len(got) == min(25, len(deltas))
+    for (d, sa, sb, nw), (_, g) in zip(deltas[:25], got.iterrows()):
+        assert (g["source_a"], g["source_b"]) == (sa, sb)
+        assert g["delta"] == pytest.approx(d, abs=2e-6)
+        assert g["n_words"] == nw
+
+
+def test_theil_sen_matches_numpy(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    d = (ev["ts"].dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    daily = d.value_counts().sort_index()
+    days = daily.index.to_numpy(float)
+    cnts = daily.to_numpy(float)
+    slopes = [
+        (cnts[j] - cnts[i]) / (days[j] - days[i])
+        for i in range(len(days))
+        for j in range(i + 1, len(days))
+    ]
+    ts = float(np.median(slopes))
+    ols = np.polyfit(days, cnts, 1)[0]
+    got = SPARK["stats_theil_sen_trend"](spark, sf_dir).toPandas().iloc[0]
+    assert got["n_days"] == len(days)
+    assert got["n_pairs"] == len(slopes)
+    assert got["theil_sen_slope"] == pytest.approx(ts, abs=1e-6)
+    assert got["ols_slope"] == pytest.approx(ols, abs=1e-4)

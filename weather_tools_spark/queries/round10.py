@@ -836,3 +836,446 @@ def ml_mutual_information_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature STRING, mi DOUBLE, mi_corrected DOUBLE, h_feature DOUBLE, "
         "h_label DOUBLE, nmi DOUBLE, rank INT",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Wave 2: exact ROC-AUC, Markov entropy rate, source KL divergence,
+# Burrows' delta, Theil-Sen robust slope
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_roc_auc_exact",
+    oracle="""
+    WITH scored AS (
+      SELECT len(regexp_split_to_array(text, '\\s+')) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    g AS (
+      SELECT score,
+             CAST(sum(y) AS BIGINT) AS n1,
+             CAST(sum(1 - y) AS BIGINT) AS n0
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, n1, n0,
+             COALESCE(sum(n0) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0_below
+      FROM g
+    ),
+    tot AS (SELECT sum(n1) AS p, sum(n0) AS n FROM g)
+    SELECT CAST(tot.p AS BIGINT) AS n_pos, CAST(tot.n AS BIGINT) AS n_neg,
+           round(sum(n1 * (n0_below + 0.5 * n0)) / (tot.p * tot.n), 6) AS auc,
+           CAST(count(*) AS BIGINT) AS n_distinct_scores
+    FROM cum, tot
+    GROUP BY tot.p, tot.n
+    """,
+)
+def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank-sum identity with the
+    midrank tie correction: AUC = Σ_v n1(v)·(N0_below(v) + ½n0(v)) /
+    (N1·N0) over per-score-VALUE counts — every term is an integer
+    (or integer/2) product, so both engines compute identical doubles
+    and the value hash cannot drift. Score = document token count
+    (integer, heavily tied — exactly the case where naive rank AUC is
+    wrong and midranks matter); labels = lang='en'. Complements
+    ml_classifier_eval's thresholded metrics with the
+    threshold-independent one.
+
+    Scale shape: ONE fact-scale map-combinable aggregation to the
+    distinct-score frame (bounded by the score's integer range), then
+    a prefix-sum window and a 1-row total on that bounded frame — the
+    orders_gini/KS cumulative pattern. No per-row ranking shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        F.size(F.split("text", r"\s+")).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    g = scored.groupBy("score").agg(
+        F.sum("y").alias("n1"), F.sum(1 - F.col("y")).alias("n0")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    cum = g.select(
+        "score",
+        "n1",
+        "n0",
+        F.coalesce(F.sum("n0").over(w), F.lit(0)).alias("n0_below"),
+    )
+    tot = g.agg(F.sum("n1").alias("p"), F.sum("n0").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("p", "n")
+        .agg(
+            F.round(
+                F.sum(F.col("n1") * (F.col("n0_below") + 0.5 * F.col("n0")))
+                / (F.col("p") * F.col("n")),
+                6,
+            ).alias("auc"),
+            F.count(F.lit(1)).alias("n_distinct_scores"),
+        )
+        .select(
+            F.col("p").alias("n_pos"),
+            F.col("n").alias("n_neg"),
+            "auc",
+            "n_distinct_scores",
+        )
+    )
+
+
+@register(
+    "events_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS state, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    rowsum AS (SELECT state, sum(n) AS n_row FROM c GROUP BY state),
+    tot AS (SELECT sum(n) AS n_tot FROM c),
+    h AS (
+      SELECT c.state,
+             round(1.0 * rowsum.n_row / tot.n_tot, 6) AS pi_empirical,
+             round(-sum((1.0 * c.n / rowsum.n_row)
+                        * ln(1.0 * c.n / rowsum.n_row)), 6) AS h_state
+      FROM c JOIN rowsum ON c.state = rowsum.state, tot
+      GROUP BY c.state, rowsum.n_row, tot.n_tot
+    ),
+    rate AS (
+      SELECT round(-sum((1.0 * c.n / tot.n_tot)
+                        * ln(1.0 * c.n / rowsum.n_row)), 6) AS entropy_rate
+      FROM c JOIN rowsum ON c.state = rowsum.state, tot
+    )
+    SELECT h.state, h.pi_empirical, h.h_state, rate.entropy_rate
+    FROM h, rate
+    ORDER BY h.state
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the empirical event-type Markov chain —
+    H = −Σ_ij (c_ij/C)·ln(c_ij/c_i·) — with the per-state conditional
+    entropies H_i and the empirical state weights: how predictable the
+    NEXT event is given the current one, the sequence-level complement
+    of events_transition_matrix / events_markov_stationary (which this
+    reuses nothing from — one lead window, pure count arithmetic).
+
+    Scale shape: the lead window is user-partitioned (the
+    sessionization shuffle key), transition counts are one
+    map-combinable aggregate to a ≤|types|² frame, and every entropy
+    is arithmetic on that bounded frame."""
+    from weather_tools_spark.operators.dedup import _persist
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    seq = ev.select(
+        F.col("event_type").alias("state"),
+        F.lead("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = _persist(
+        seq.groupBy("state", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+    rowsum = c.groupBy("state").agg(F.sum("n").alias("n_row"))
+    tot = c.agg(F.sum("n").alias("n_tot"))
+    joined = c.join(rowsum, "state").crossJoin(F.broadcast(tot))
+    h = joined.groupBy("state", "n_row", "n_tot").agg(
+        F.round(
+            -F.sum(
+                (1.0 * F.col("n") / F.col("n_row"))
+                * F.log(1.0 * F.col("n") / F.col("n_row"))
+            ),
+            6,
+        ).alias("h_state")
+    ).select(
+        "state",
+        F.round(1.0 * F.col("n_row") / F.col("n_tot"), 6).alias("pi_empirical"),
+        "h_state",
+    )
+    rate = joined.agg(
+        F.round(
+            -F.sum(
+                (1.0 * F.col("n") / F.col("n_tot"))
+                * F.log(1.0 * F.col("n") / F.col("n_row"))
+            ),
+            6,
+        ).alias("entropy_rate")
+    )
+    return h.crossJoin(F.broadcast(rate)).orderBy("state")
+
+
+@register(
+    "corpus_source_kl_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w
+      FROM documents
+    ),
+    sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, w),
+    s AS (SELECT source, sum(c) AS c_s FROM sw GROUP BY source),
+    wv AS (SELECT w, sum(c) AS c_w FROM sw GROUP BY w),
+    tot AS (SELECT sum(c) AS c_tot FROM sw)
+    SELECT sw.source,
+           CAST(s.c_s AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_source,
+           round(sum((1.0 * sw.c / s.c_s)
+                     * ln((1.0 * sw.c / s.c_s) / (1.0 * wv.c_w / tot.c_tot))), 6)
+             AS kl_vs_corpus,
+           round(-sum((1.0 * sw.c / s.c_s)
+                      * ln(1.0 * wv.c_w / tot.c_tot)), 6) AS cross_entropy
+    FROM sw JOIN s ON sw.source = s.source JOIN wv ON sw.w = wv.w, tot
+    GROUP BY sw.source, s.c_s, tot.c_tot
+    ORDER BY sw.source
+    """,
+)
+def corpus_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence against the corpus-wide
+    distribution, KL(p_source ‖ p_corpus), plus the cross-entropy —
+    the mixture diagnostic that tells a data pipeline WHICH feed
+    drifts from the blend it is supposed to match (the per-source
+    complement of corpus_dsir_importance's per-document score). Every
+    source's support is a subset of the corpus support by
+    construction, so no zero-probability guard is needed and KL ≥ 0
+    exactly.
+
+    Scale shape: ONE token-scale shuffle to the (source, word) count
+    frame; source totals, corpus word totals, and both divergences are
+    arithmetic on that vocab-bounded frame (same contract as the
+    Kneser-Ney count tables)."""
+    from weather_tools_spark.operators.dedup import _persist
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split("text", r"\s+")).alias("w")
+    )
+    sw = _persist(
+        toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = sw.groupBy("source").agg(F.sum("c").alias("c_s"))
+    wv = sw.groupBy("w").agg(F.sum("c").alias("c_w"))
+    tot = sw.agg(F.sum("c").alias("c_tot"))
+    p_s = 1.0 * F.col("c") / F.col("c_s")
+    p_c = 1.0 * F.col("c_w") / F.col("c_tot")
+    return (
+        sw.join(s, "source")
+        .join(wv, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "c_s", "c_tot")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_source"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_vs_corpus"),
+            F.round(-F.sum(p_s * F.log(p_c)), 6).alias("cross_entropy"),
+        )
+        .select(
+            "source",
+            F.col("c_s").alias("n_tokens"),
+            "vocab_source",
+            "kl_vs_corpus",
+            "cross_entropy",
+        )
+        .orderBy("source")
+    )
+
+
+_BURROWS_TOPK = 30
+
+
+@register(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM documents
+    ),
+    top AS (
+      SELECT w FROM toks GROUP BY w
+      ORDER BY count(*) DESC, w LIMIT {_BURROWS_TOPK}
+    ),
+    stot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+             FROM toks GROUP BY source),
+    f AS (
+      SELECT stot.source, top.w,
+             1000.0 * COALESCE(c.c, 0) / stot.n_s AS fpm
+      FROM stot CROSS JOIN top
+      LEFT JOIN (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+                 FROM toks GROUP BY source, w) c
+        ON c.source = stot.source AND c.w = top.w
+    ),
+    mu AS (
+      SELECT w, avg(fpm) AS m,
+             sqrt(avg(fpm * fpm) - avg(fpm) * avg(fpm)) AS sd
+      FROM f GROUP BY w
+    ),
+    z AS (
+      SELECT f.source, f.w, (f.fpm - mu.m) / mu.sd AS z
+      FROM f JOIN mu ON f.w = mu.w
+      WHERE mu.sd > 1e-12
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(abs(a.z - b.z)), 6) AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY delta, source_a, source_b
+    LIMIT 25
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (2002) — the classic stylometric
+    authorship-attribution distance: per-source per-mille frequencies
+    of the corpus's top-{_BURROWS_TOPK} words, z-scored across sources
+    (population σ), Delta(a,b) = mean |z_a − z_b|; the 25 most similar
+    source pairs. In an LLM pipeline this is the provenance screen
+    that flags two "different" feeds as the same underlying crawl.
+    Words with σ ≈ 0 across sources are excluded on both engines (no
+    0/0), and the σ uses the same E[x²]−E[x]² form in both.
+
+    Scale shape: one token-scale shuffle to the (source, word) counts;
+    the top-k vocabulary, the sources×top-k frequency grid, z-scores,
+    and the pair join are all arithmetic on frames bounded by
+    |sources|·{_BURROWS_TOPK}."""
+    from weather_tools_spark.operators.dedup import _persist
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    sw = _persist(
+        toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        sw.groupBy("w")
+        .agg(F.sum("c").alias("cw"))
+        .orderBy(F.col("cw").desc(), "w")
+        .limit(_BURROWS_TOPK)
+        .select("w")
+    )
+    stot = sw.groupBy("source").agg(F.sum("c").alias("n_s"))
+    f = (
+        stot.crossJoin(F.broadcast(top))
+        .join(sw, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (1000.0 * F.coalesce(F.col("c"), F.lit(0)) / F.col("n_s")).alias(
+                "fpm"
+            ),
+        )
+    )
+    mu = f.groupBy("w").agg(
+        F.avg("fpm").alias("m"),
+        F.sqrt(F.avg(F.col("fpm") * F.col("fpm")) - F.avg("fpm") * F.avg("fpm")).alias("sd"),
+    )
+    z = (
+        f.join(F.broadcast(mu), "w")
+        .filter(F.col("sd") > 1e-12)
+        .select("source", "w", ((F.col("fpm") - F.col("m")) / F.col("sd")).alias("z"))
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6).alias("delta"),
+        )
+        .orderBy("delta", "source_a", "source_b")
+        .limit(25)
+    )
+
+
+@register(
+    "stats_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+               AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (1.0 * b.c - a.c) / (b.d - a.d) AS s
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ols AS (
+      SELECT regr_slope(c, d) AS ols_s FROM daily
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(s, 0.5), 6) AS theil_sen_slope,
+           round((SELECT ols_s FROM ols), 6) AS ols_slope
+    FROM slopes
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event volume: the MEDIAN of
+    all pairwise slopes (c_j−c_i)/(d_j−d_i) — the estimator that
+    shrugs off the outlier days that drag OLS (reported alongside for
+    contrast, via the same Σ-moment identity DuckDB's regr_slope
+    uses). Slopes are ratios of integer counts over integer day gaps,
+    and the median rides Spark `percentile` ≡ DuckDB `quantile_cont`
+    interpolation (the orders_price_percentiles equivalence).
+
+    Scale shape: the fact table aggregates to ONE ROW PER DAY first
+    (map-combinable), so the O(days²) pair join is on a bounded frame
+    (365 days → 66k slope rows per year of data, independent of event
+    volume) — the standard robust-regression compromise at scale;
+    beyond a few years, swap in the repeated-median or a
+    slope-histogram approximation."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.select(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from weather_tools_spark.operators.dedup import _persist
+
+    daily = _persist(daily)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
+        ((1.0 * F.col("b.c") - F.col("a.c")) / (F.col("b.d") - F.col("a.d"))).alias(
+            "s"
+        )
+    )
+    # OLS slope from the same moment identity regr_slope uses
+    ols = daily.agg(
+        (
+            (F.avg(F.col("d") * F.col("c")) - F.avg("d") * F.avg("c"))
+            / (F.avg(F.col("d") * F.col("d")) - F.avg("d") * F.avg("d"))
+        ).alias("ols_s")
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        slopes.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.expr("percentile(s, 0.5)"), 6).alias("theil_sen_slope"),
+        )
+        .crossJoin(F.broadcast(ols))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            "n_pairs",
+            "theil_sen_slope",
+            F.round("ols_s", 6).alias("ols_slope"),
+        )
+    )
