@@ -290,11 +290,13 @@ def ngram_jaccard_pairs(
     against quadratic blowup on boilerplate shingles at scale.
     """
     sh = with_shingles(df, id_col, text_col, n)
-    # Materialize the exploded (doc, shingle) frame: it feeds multiple
-    # consumers (sizes + pair generation) and without persist each
-    # one would re-evaluate the shingle-construction expression
-    # (projection collapse inlines it — measured 2× end-to-end cost).
-    exploded = _persist(sh.select(F.col("doc_id"), F.explode("shingles").alias("s")))
+    # NOT persisted (r10 persist audit): re-evaluating the shingle
+    # construction per consumer is cheaper than materializing the
+    # shingle-scale cache — at sfx1.0 the unpersisted plan is neutral
+    # for the pair query itself and 4.8 s faster for the
+    # cluster-canonical consumer (16.1 → 11.3 s); an earlier-round
+    # small-SF measurement that favored persist did not hold at 100×.
+    exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
         # Filter with the inverted (FREQUENT) set as a broadcast LEFT
         # ANTI join: the over-cap shingle list is the small side by
@@ -529,9 +531,11 @@ def minhash_lsh_pairs(
     shuffles the pair set three extra times at scale.
     """
     rows = k // bands
-    # signatures feed both sides of the bucket self-join → persist so
-    # the shingle scan runs once
-    sig = _persist(minhash_signatures(df, id_col, text_col, k, n))
+    # NOT persisted (r10 persist audit): recomputing the signature
+    # lineage for each side of the bucket self-join beats caching the
+    # doc×k signature frame — sfx1.0: banded recall audit 43.6 → 16.7 s,
+    # the LSH pair query 4.0 → 3.4 s.
+    sig = minhash_signatures(df, id_col, text_col, k, n)
     buckets = sig.select(
         "doc_id",
         F.array(*[F.col(f"sig_{i}") for i in range(k)]).alias("sigs"),
@@ -689,12 +693,12 @@ def jaccard_prefix_pairs(
     no single-partition window — ordering is by the (df, shingle) pair
     itself."""
     sh = with_shingles(df, id_col, text_col, n)
-    exploded = _persist(sh.select(F.col("doc_id"), F.explode("shingles").alias("s")))
+    # NOT persisted (r10 persist audit): exchange reuse shares the
+    # by-shingle shuffle across consumers; caching the shingle-scale
+    # and per-doc-array frames measured slower at sfx1.0 (9.9 → 9.6 s).
+    exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s"))
     dfreq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # one row per doc with its df-ordered shingle array — three
-    # consumers (prefix generation + both verification sides), so
-    # persist like the exploded frame above
-    docs = _persist(
+    docs = (
         exploded.join(dfreq, "s")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("toks"))
@@ -769,7 +773,8 @@ def containment_pairs(
     re-joined.
     """
     sh = with_shingles(df, id_col, text_col, n)
-    exploded = _persist(sh.select(F.col("doc_id"), F.explode("shingles").alias("s")))
+    # NOT persisted (r10 persist audit): sfx1.0 containment 11.2 → 9.7 s
+    exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
         frequent = (
             exploded.groupBy("s")

@@ -64,8 +64,27 @@ CHECK_CHANGED: list[str] = [
     # the heavy-hitters audit ran Misra-Gries at a fixed capacity=64,
     # satisfying its ≥-vocabulary exactness contract only on the
     # 31-word driver corpus; capacity now derives from the measured
-    # vocabulary (persisted exact table's count):
+    # vocabulary:
     "text_heavy_hitters_audit",
+    # r10 persist audit: every non-iterative persist of a
+    # data-growing frame was A/B-measured at the 100× series and the
+    # losers removed (tfidf 34.9→4.1 s, Kneser-Ney 26.1→9.3 s,
+    # perplexity filter 22.3→9.6 s, banded recall 43.6→16.7 s,
+    # cluster-canonical 16.1→11.3 s at sfx1.0 — exchange reuse already
+    # shares the shuffles; cache materialization was pure overhead).
+    # Values unchanged (deterministic md5 lineages), execution paths
+    # changed for every query on those operators:
+    "text_tfidf_keywords",
+    "corpus_perplexity_filter",
+    "text_kneser_ney_ppl",
+    "stats_spearman_corr",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_cluster_canonical",
+    "dedup_jaccard_prefix_pairs",
+    "dedup_containment_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_banded_recall_audit",
+    "corpus_clean_report_exact",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -1049,17 +1049,17 @@ def corpus_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE token-scale shuffle to the (source, word) count
     frame; source totals, corpus word totals, and both divergences are
-    arithmetic on that vocab-bounded frame (same contract as the
-    Kneser-Ney count tables)."""
-    from weather_tools_spark.operators.dedup import _persist
-
+    arithmetic on that frame (same contract as the Kneser-Ney count
+    tables). The count frame is deliberately NOT persisted: it is
+    vocab×sources-scale, and the r10 A/B at sfx1.0 measured 11.6 s
+    persisted vs 1.9 s unpersisted — Catalyst's exchange reuse already
+    shares the shuffle across consumers, while the cache pays full
+    materialization for nothing."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "source", F.explode(F.split("text", r"\s+")).alias("w")
     )
-    sw = _persist(
-        toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
-    )
+    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     s = sw.groupBy("source").agg(F.sum("c").alias("c_s"))
     wv = sw.groupBy("w").agg(F.sum("c").alias("c_w"))
     tot = sw.agg(F.sum("c").alias("c_tot"))
@@ -1142,16 +1142,15 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one token-scale shuffle to the (source, word) counts;
     the top-k vocabulary, the sources×top-k frequency grid, z-scores,
     and the pair join are all arithmetic on frames bounded by
-    |sources|·{_BURROWS_TOPK}."""
-    from weather_tools_spark.operators.dedup import _persist
-
+    |sources|·{_BURROWS_TOPK}. The (source, word) count frame is NOT
+    persisted — r10 A/B at sfx1.0: 25.0 s persisted vs 1.8 s
+    unpersisted (a vocab×sources-scale cache loses to exchange-reused
+    recompute)."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
     )
-    sw = _persist(
-        toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
-    )
+    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     top = (
         sw.groupBy("w")
         .agg(F.sum("c").alias("cw"))

@@ -521,20 +521,25 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup shingle df cap. Ranking is on the ROUNDED score so
     summation-order drift cannot flip the top-20 boundary.
 
-    Scale shape (r10 persisted-base rewrite): the distinct co-purchase
-    base is persisted and scanned twice (the nb count + the pair pass) —
-    previously the whole lineitem⋈orders⋈distinct lineage recomputed on
-    BOTH sides of a self-join. Candidate pairs are now expanded
-    map-side from the per-part sorted buyer array (collect_list state
-    ≤ 20 rows per part, guaranteed by the pre-filter on nb) instead of
-    a second by-part shuffle of the full mid frame: one buyers-scale
-    shuffle replaces the self-join's two, and the ≤C(20,2)-per-part
-    expansion is exactly the pair volume the oracle's self-join emits."""
-    from weather_tools_spark.operators.dedup import _persist
-
+    Scale shape (r10 rewrite): candidate pairs expand MAP-SIDE from the
+    per-part sorted buyer array (collect_list state ≤ 20 rows per part,
+    guaranteed by the pre-filter on nb) instead of a second by-part
+    shuffle of the full mid frame — one buyers-scale shuffle replaces
+    the self-join's two, and the ≤C(20,2)-per-part expansion is exactly
+    the pair volume the oracle's self-join emits. The buyers base is
+    deliberately NOT persisted even though two consumers recompute it:
+    measured at the 100× series (sfx1.0, local[32]), caching the
+    multi-million-row distinct frame costs 14–21 s of memory
+    serialization while recomputing the columnar scan + broadcast join
+    lineage twice costs ~3 s — recompute-twice wins whenever the base
+    is fact-scale and its lineage is scan+join (the persisted-base
+    pattern pays off only for MANY consumers over a BOUNDED frame, as
+    in ml_kmeanspp_init's 16 scans). A/B numbers: pair-expansion
+    8.07 s vs self-join 11.08 s unpersisted; 21.87 s / 31.91 s with the
+    base persisted."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    buyers = _persist(
+    buyers = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust"))
         .distinct()
@@ -718,11 +723,12 @@ def text_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded by distinct bigram TYPES, << token instances) is the only
     # aggregate over bg; cleft/cont/types derive from cbg — cbg rows are
     # distinct (w1, w2), so countDistinct collapses to row counts.
-    # Without the pin Catalyst re-ran the explode scan for each table
-    # (5 fact passes, visible as 10 exchanges in PLANS.md).
-    from weather_tools_spark.operators.dedup import _persist
-
-    cbg = _persist(bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    # NOT persisted (r10 persist audit): Catalyst re-runs the explode
+    # per derived table but exchange reuse shares the bigram shuffle —
+    # the persisted plan measured 26.1 s vs 9.3 s unpersisted at
+    # sfx1.0 (the bigram-type frame grows with the Heaps-law vocab and
+    # its cache materialization dominates the recompute it saves).
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     cleft = cbg.groupBy("w1").agg(
         F.sum("c").alias("cl"), F.count(F.lit(1)).alias("n1p_left")
     )
@@ -1003,26 +1009,25 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from weather_tools_spark.operators.bounded import bounded_rows
-    from weather_tools_spark.operators.dedup import _persist
 
     docs = load_table(spark, "documents", sf_dir)
-    toks = _persist(
-        docs.select(
-            "doc_id",
-            F.col("lang").alias("true_lang"),
-            F.explode(F.split(F.col("text"), r"\s+")).alias("w"),
-        )
+    # deliberately NO persist anywhere in this lineage: measured at the
+    # 100x series, caching toks (token-scale) or even the vocab-bounded
+    # wl/wmap costs 19.1 s vs 6.6 s fully unpersisted (local[32],
+    # sfx1.0) - re-running the explode+groupBy lineage per consumer is
+    # cheaper than materializing multi-hundred-thousand-row caches.
+    # Persist pays only for MANY consumers (ml_kmeanspp_init's 16).
+    toks = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w"),
     )
-    wl = _persist(
-        toks.groupBy(F.col("true_lang").alias("lang"), "w").agg(
-            F.count(F.lit(1)).alias("c")
-        )
+    wl = toks.groupBy(F.col("true_lang").alias("lang"), "w").agg(
+        F.count(F.lit(1)).alias("c")
     )
     # per-word lang→count map: vocab-bounded, one row per distinct word
-    wmap = _persist(
-        wl.groupBy("w").agg(
-            F.map_from_entries(F.collect_list(F.struct("lang", "c"))).alias("cmap")
-        )
+    wmap = wl.groupBy("w").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "c"))).alias("cmap")
     )
     # bounded prior table: one row per language CODE — a label set, not
     # data-scale; c_l (token mass) + n_l (doc count) per language

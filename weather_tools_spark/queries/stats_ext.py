@@ -1040,12 +1040,11 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("int").alias("q"),
         F.round(F.col("l_discount") * 100).cast("int").alias("d"),
     )
-    # ONE fact scan: the joint count table is persisted (<=550 rows)
-    # and both marginal rank tables derive from it — without the pin,
-    # Catalyst re-derived each marginal from its own lineitem scan.
-    from weather_tools_spark.operators.dedup import _persist
-
-    joint = _persist(li.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("n")))
+    # The <=550-row joint count table is NOT persisted (r10 persist
+    # audit: 2.05 s → 1.56 s at sfx1.0) — the marginals re-derive from
+    # exchange-reused shuffles, and skipping the cache-materialization
+    # job beats the recompute it would save.
+    joint = li.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window as W
 
     def ranks(col: str):

@@ -628,13 +628,16 @@ def text_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (.scaledata sfx1.0, ~10^5 words) Misra-Gries compression kicks in
     and the exactness booleans legitimately flip. Found by the r10
     sfx1.0 strict sweep; the capacity now follows the corpus so the
-    audit tests the summarize/merge path, not the fixture's vocabulary."""
-    from weather_tools_spark.operators.dedup import _persist
+    audit tests the summarize/merge path, not the fixture's vocabulary.
+    The exact table is NOT persisted between its two consumers (vocab
+    count + verification join): recomputing one explode + groupBy is
+    cheaper than materializing a vocab-scale cache (the r10
+    persist-vs-recompute measurements on the NB lineage)."""
     from weather_tools_spark.operators.heavyhitters import heavy_hitter_candidates
 
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
-    exact = _persist(tok.groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     vocab = exact.count()
     cand = heavy_hitter_candidates(tok, "t", capacity=max(64, vocab))
     joined = exact.join(cand, exact["t"] == cand["key"], "left")
@@ -1131,12 +1134,12 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) END)"
         ).alias("p"),
     ).select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    # cleft derives from the persisted cbg (distinct (w1,w2) rows →
-    # sum of c per w1), saving one full explode pass; vocab must still
-    # scan unigrams (a 1-token doc's only token never enters a bigram).
-    from weather_tools_spark.operators.dedup import _persist
-
-    cbg = _persist(bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    # cleft derives from cbg (distinct (w1,w2) rows → sum of c per w1);
+    # vocab must still scan unigrams (a 1-token doc's only token never
+    # enters a bigram). cbg is NOT persisted (r10 persist audit):
+    # caching the bigram-type frame measured 22.3 s vs 9.6 s unpersisted
+    # at sfx1.0 — exchange reuse shares the bigram shuffle already.
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     cleft = cbg.groupBy("w1").agg(F.sum("c").alias("cl"))
     vocab = toks.select(F.explode("t").alias("w")).agg(
         F.countDistinct("w").alias("v")
@@ -1211,16 +1214,14 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.count()  # bounded scalar (dimension count)
     # ONE explode pass: tf (one row per (doc, term) — the frame the
-    # ranking join needs anyway) is persisted and idf derives from it:
+    # ranking join needs anyway); idf derives from it:
     # countDistinct(doc_id) per term over tokens == row count per term
-    # over tf. Same persist/release contract as the dedup shingle
-    # frames; without the pin Catalyst re-ran the explode for idf.
-    from weather_tools_spark.operators.dedup import _persist
-
-    tf = _persist(
-        tok.groupBy("doc_id", "term").agg(
-            (F.count(F.lit(1)) / F.first("dl")).alias("tf")
-        )
+    # over tf. NOT persisted (r10 persist audit): Catalyst re-runs the
+    # explode for idf, but exchange reuse shares the (doc, term)
+    # shuffle — caching the doc×term frame measured 34.9 s vs 4.1 s
+    # unpersisted at sfx1.0, the worst persist penalty in the registry.
+    tf = tok.groupBy("doc_id", "term").agg(
+        (F.count(F.lit(1)) / F.first("dl")).alias("tf")
     )
     idf = tf.groupBy("term").agg(
         F.log(F.lit(float(n_docs)) / F.count(F.lit(1))).alias("idf")
