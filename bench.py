@@ -208,6 +208,11 @@ HEADLINE = [
     "corpus_source_kl_divergence",
     "text_burrows_delta",
     "stats_theil_sen_trend",
+    # round-10 wave 3 (link-analysis eigenvectors, AR-order diagnostic,
+    # data-scaling curve)
+    "graph_hits_nations",
+    "events_pacf_durbin_levinson",
+    "ml_nb_learning_curve",
 ]
 
 

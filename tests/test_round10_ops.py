@@ -334,3 +334,100 @@ def test_theil_sen_matches_numpy(spark, sf_dir):
     assert got["n_pairs"] == len(slopes)
     assert got["theil_sen_slope"] == pytest.approx(ts, abs=1e-6)
     assert got["ols_slope"] == pytest.approx(ols, abs=1e-4)
+
+
+def test_hits_matches_numpy_power_iteration(spark, sf_dir):
+    import numpy as np
+
+    from weather_tools_spark.queries.round10 import _HITS_ITERS
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    e = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby(["c_nationkey", "s_nationkey"]).size().reset_index(name="w")
+    )
+    nodes = sorted(e["s_nationkey"].unique())
+    idx = {n: i for i, n in enumerate(nodes)}
+    srcs = sorted(e["c_nationkey"].unique())
+    sidx = {n: i for i, n in enumerate(srcs)}
+    A = np.zeros((len(srcs), len(nodes)))
+    for _, r in e.iterrows():
+        A[sidx[r["c_nationkey"]], idx[r["s_nationkey"]]] = r["w"]
+    a = np.ones(len(nodes))
+    for _ in range(_HITS_ITERS):
+        a = A.T @ (A @ a) if False else (A.T @ A) @ a
+    auth = a / a.sum()
+    hub = A @ auth
+    hub = hub / hub.sum()
+    got = SPARK["graph_hits_nations"](spark, sf_dir).toPandas()
+    for _, g in got.iterrows():
+        n = g["nationkey"]
+        assert g["authority"] == pytest.approx(auth[idx[n]], abs=2e-6)
+        assert g["hub"] == pytest.approx(
+            hub[sidx[n]] if n in sidx else 0.0, abs=2e-6
+        )
+    # the eigenvector is a probability vector over authorities
+    assert abs(got["authority"].sum() - 1.0) < 1e-4
+
+
+def test_pacf_matches_statsmodels_free_recompute(spark, sf_dir):
+    import numpy as np
+
+    from weather_tools_spark.queries.round10 import _PACF_LAGS
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    # unit-agnostic day index (the parquet decodes as datetime64[us])
+    day = (ev["ts"] - pd.Timestamp(0)) // pd.Timedelta(days=1)
+    series = day.value_counts().sort_index()
+    days = series.index.to_numpy()
+    x = series.to_numpy(float)
+    mu = x.mean()
+    ss = ((x - mu) ** 2).sum()
+    pos = {d: i for i, d in enumerate(days)}
+    rho = {}
+    for k in range(1, _PACF_LAGS + 1):
+        s = sum(
+            (x[pos[d]] - mu) * (x[pos[d + k]] - mu)
+            for d in days
+            if d + k in pos
+        )
+        rho[k] = round(s / ss, 9)
+    phi = {1: {1: rho[1]}}
+    pacf = {1: rho[1]}
+    for k in range(2, _PACF_LAGS + 1):
+        prev = phi[k - 1]
+        num = rho[k] - sum(prev[j] * rho[k - j] for j in prev)
+        den = 1 - sum(prev[j] * rho[j] for j in prev)
+        kk = num / den
+        phi[k] = {j: prev[j] - kk * prev[k - j] for j in prev}
+        phi[k][k] = kk
+        pacf[k] = kk
+    got = SPARK["events_pacf_durbin_levinson"](spark, sf_dir).toPandas()
+    for _, g in got.iterrows():
+        k = int(g["lag"])
+        assert g["acf"] == pytest.approx(rho[k], abs=1e-6)
+        assert g["pacf"] == pytest.approx(pacf[k], abs=1e-6)
+    # PACF lag 1 is ACF lag 1 by definition
+    assert got.iloc[0]["acf"] == got.iloc[0]["pacf"]
+
+
+def test_nb_learning_curve_shapes(spark, sf_dir):
+    got = SPARK["ml_nb_learning_curve"](spark, sf_dir).toPandas()
+    assert list(got["fraction"]) == [0.25, 0.5, 1.0]
+    # nested md5 splits: train sizes strictly increase; eval is the
+    # full corpus every time
+    assert got["n_train"].is_monotonic_increasing
+    assert got["n_train"].iloc[-1] == got["n_eval"].iloc[0]
+    assert (got["n_eval"] == got["n_eval"].iloc[0]).all()
+    # full-data training should not be materially worse than 25%
+    assert got["accuracy"].iloc[-1] >= got["accuracy"].iloc[0] - 0.05
+    # 100% fraction must reproduce the parent query's resubstitution
+    # accuracy (same smoothing, priors, vocabulary)
+    parent = SPARK["ml_naive_bayes_langid"](spark, sf_dir).toPandas()
+    overall = parent["n_correct"].sum() / parent["n_docs"].sum()
+    assert got["accuracy"].iloc[-1] == pytest.approx(overall, abs=1e-6)

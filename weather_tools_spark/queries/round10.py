@@ -1278,3 +1278,433 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ols_s", 6).alias("ols_slope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: HITS hubs/authorities, PACF via Durbin-Levinson, NB learning
+# curve
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 8
+
+
+@register(
+    "graph_hits_nations",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    m AS (
+      SELECT a.dst AS n1, b.dst AS n2, sum(a.w * b.w) AS mw
+      FROM edges a JOIN edges b ON a.src = b.src
+      GROUP BY a.dst, b.dst
+    ),
+    it(step, n, a) AS (
+      SELECT 0, dst, CAST(1.0 AS DOUBLE) FROM (SELECT DISTINCT dst FROM edges)
+      UNION ALL
+      SELECT step + 1, m.n2, sum(i.a * m.mw)
+      FROM it i JOIN m ON m.n1 = i.n
+      WHERE step < {_HITS_ITERS}
+      GROUP BY step + 1, m.n2
+    ),
+    af AS (
+      SELECT n, a / sum(a) OVER () AS auth
+      FROM it WHERE step = {_HITS_ITERS}
+    ),
+    hub0 AS (
+      SELECT e.src AS n, sum(e.w * af.auth) AS h
+      FROM edges e JOIN af ON e.dst = af.n
+      GROUP BY e.src
+    ),
+    hf AS (SELECT n, h / sum(h) OVER () AS hub FROM hub0)
+    SELECT af.n AS nationkey, round(af.auth, 6) AS authority,
+           round(COALESCE(hf.hub, 0.0), 6) AS hub,
+           CAST(row_number() OVER (ORDER BY round(af.auth, 6) DESC, af.n)
+                AS INT) AS auth_rank
+    FROM af LEFT JOIN hf ON af.n = hf.n
+    ORDER BY auth_rank
+    """,
+)
+def graph_hits_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the customer-nation
+    → supplier-nation trade graph (same edge list as
+    graph_pagerank_nations): authority = dominant eigenvector of AᵀA
+    by {_HITS_ITERS} UN-normalized power steps from the all-ones
+    vector, L1-normalized ONCE at the end (scale-invariant, so
+    per-step normalization — awkward inside a recursive CTE — is
+    unnecessary; the iterate stays < 1e150 for any store below ~10 PB
+    at this graph's fan-in, far inside double range), hubs = A·a
+    normalized. Rounded at 1e-6, ranked on the rounded score.
+
+    Scale split (the pagerank/markov schedule): the expensive stage is
+    the fact-scale edge aggregation into ≤|nations|² rows; the AᵀA
+    co-occurrence matrix and the power iteration run on that bounded
+    summary (driver math on a bounded_rows table, like
+    events_markov_stationary), and the oracle replays the identical
+    iterates through a recursive CTE."""
+    from weather_tools_spark.operators.bounded import bounded_rows
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    edges = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    erows = bounded_rows(
+        edges, 4096, "nation-nation trade edge summary (≤ |nations|² rows)"
+    )
+    # driver math on the bounded summary, key-sorted for determinism
+    import collections
+
+    out_of = collections.defaultdict(list)
+    for r in sorted(erows, key=lambda r: (r["src"], r["dst"])):
+        out_of[r["src"]].append((r["dst"], r["w"]))
+    m: dict[tuple[int, int], float] = collections.defaultdict(float)
+    for src in sorted(out_of):
+        for n1, w1 in out_of[src]:
+            for n2, w2 in out_of[src]:
+                m[(n1, n2)] += w1 * w2
+    nodes = sorted({r["dst"] for r in erows})
+    a = {n: 1.0 for n in nodes}
+    for _ in range(_HITS_ITERS):
+        nxt = {n: 0.0 for n in nodes}
+        for (n1, n2), mw in sorted(m.items()):
+            nxt[n2] += a[n1] * mw
+        a = nxt
+    tot = sum(a[n] for n in nodes)
+    auth = {n: a[n] / tot for n in nodes}
+    hub = collections.defaultdict(float)
+    for r in sorted(erows, key=lambda r: (r["src"], r["dst"])):
+        hub[r["src"]] += r["w"] * auth[r["dst"]]
+    htot = sum(hub.values())
+    ranked = sorted(nodes, key=lambda n: (-_r6(auth[n]), n))
+    rows = [
+        (
+            int(n),
+            _r6(auth[n]),
+            _r6(hub.get(n, 0.0) / htot) if htot else 0.0,
+            i + 1,
+        )
+        for i, n in enumerate(ranked)
+    ]
+    return spark.createDataFrame(
+        rows, "nationkey INT, authority DOUBLE, hub DOUBLE, auth_rank INT"
+    ).orderBy("auth_rank")
+
+
+_PACF_LAGS = 6
+
+
+def _pacf_oracle() -> str:
+    """Unrolled Durbin-Levinson recursion as chained CTEs: phi{{k}}
+    tables are ≤k rows, rho(i) scalar subqueries read the 6-row ACF
+    CTE. Generated so the recursion depth is a constant, not SQL."""
+    rho = "(SELECT r FROM acf WHERE lag = {i})"
+    parts = [
+        f"""
+    days AS MATERIALIZED (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    st AS (SELECT avg(x) AS mu FROM days),
+    ss AS (SELECT sum((x - mu) * (x - mu)) AS ss FROM days, st),
+    acf AS MATERIALIZED (
+      SELECT k.lag,
+             round(sum((a.x - st.mu) * (b.x - st.mu)) / ss.ss, 9) AS r
+      FROM (SELECT unnest(range(1, {_PACF_LAGS + 1})) AS lag) k
+      JOIN days a ON TRUE
+      JOIN days b ON b.d = a.d + k.lag, st, ss
+      GROUP BY k.lag, ss.ss
+    ),
+    phi1 AS (SELECT 1 AS j, {rho.format(i=1)} AS v)"""
+    ]
+    for k in range(2, _PACF_LAGS + 1):
+        prev = f"phi{k - 1}"
+        parts.append(
+            f"""
+    kk{k} AS (
+      SELECT ({rho.format(i=k)} - sum(p.v * (SELECT r FROM acf WHERE lag = {k} - p.j)))
+             / (1 - sum(p.v * (SELECT r FROM acf WHERE lag = p.j))) AS v
+      FROM {prev} p
+    ),
+    phi{k} AS (
+      SELECT p.j AS j, p.v - (SELECT v FROM kk{k}) * pm.v AS v
+      FROM {prev} p JOIN {prev} pm ON pm.j = {k} - p.j
+      UNION ALL
+      SELECT {k}, (SELECT v FROM kk{k})
+    )"""
+        )
+    pacf_rows = ["SELECT 1 AS lag, (SELECT v FROM phi1 WHERE j = 1) AS p"] + [
+        f"SELECT {k}, (SELECT v FROM kk{k})" for k in range(2, _PACF_LAGS + 1)
+    ]
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT acf.lag, round(acf.r, 6) + 0.0 AS acf,
+           round(pf.p, 6) + 0.0 AS pacf
+    FROM acf JOIN ({" UNION ALL ".join(pacf_rows)}) pf ON pf.lag = acf.lag
+    ORDER BY acf.lag
+    """
+    )
+
+
+@register("events_pacf_durbin_levinson", oracle=_pacf_oracle())
+def events_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1..{_PACF_LAGS} via the Durbin-Levinson recursion — the AR-order
+    diagnostic that separates DIRECT lag-k dependence from dependence
+    inherited through shorter lags (the pacf cutoff picks p in
+    AR(p) model selection; complements events_autocorrelation's raw
+    ACF). ACF values are rounded at 1e-9 on BOTH engines before the
+    recursion so engine summation drift cannot amplify through the
+    division chain; outputs rounded at 1e-6 with −0.0 normalized.
+
+    Scale shape: the fact table reduces to ≤horizon-days rows
+    (map-combinable count); the lag products are a bounded self-join
+    and the DL recursion is O(lags²) scalar arithmetic on the 6-value
+    ACF table (driver math on a bounded_rows fetch; the oracle unrolls
+    the same recursion as chained CTEs)."""
+    from weather_tools_spark.operators.bounded import bounded_rows
+
+    ev = load_table(spark, "events", sf_dir)
+    days = (
+        ev.groupBy(
+            F.floor(F.unix_micros("ts") / 1_000_000.0 / 86400.0)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    st = days.agg(F.avg("x").alias("mu"))
+    centered = days.crossJoin(F.broadcast(st)).select(
+        "d", (F.col("x") - F.col("mu")).alias("cx")
+    )
+    ss = centered.agg(F.sum(F.col("cx") * F.col("cx")).alias("ss"))
+    lags = spark.range(1, _PACF_LAGS + 1).select(F.col("id").alias("lag"))
+    a = centered.alias("a")
+    b = centered.alias("b")
+    acf_df = (
+        lags.join(a, F.lit(True))
+        .join(b, F.col("b.d") == F.col("a.d") + F.col("lag"))
+        .crossJoin(F.broadcast(ss))
+        .groupBy("lag", "ss")
+        .agg(F.round(F.sum(F.col("a.cx") * F.col("b.cx")) / F.col("ss"), 9).alias("r"))
+    )
+    rows = bounded_rows(acf_df, _PACF_LAGS, "ACF table (one row per lag)")
+    rho = {int(r["lag"]): float(r["r"]) for r in rows}
+    phi = {1: {1: rho[1]}}
+    pacf = {1: rho[1]}
+    for k in range(2, _PACF_LAGS + 1):
+        prev = phi[k - 1]
+        num = rho[k] - sum(prev[j] * rho[k - j] for j in sorted(prev))
+        den = 1 - sum(prev[j] * rho[j] for j in sorted(prev))
+        kk = num / den
+        phi[k] = {j: prev[j] - kk * prev[k - j] for j in sorted(prev)}
+        phi[k][k] = kk
+        pacf[k] = kk
+    out = [
+        (k, _r6(rho[k]) + 0.0, _r6(pacf[k]) + 0.0)
+        for k in range(1, _PACF_LAGS + 1)
+    ]
+    return spark.createDataFrame(
+        out, "lag BIGINT, acf DOUBLE, pacf DOUBLE"
+    ).orderBy("lag")
+
+
+_LC_FRACTIONS = [1, 2, 4]  # md5-bucket quarters: 25%, 50%, 100%
+
+
+def _lc_nb_sql(k: int) -> str:
+    """One NB train-on-fraction / eval-on-all accuracy row (DuckDB)."""
+    train = (
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4"
+        f" < {k}"
+    )
+    return f"""
+    SELECT {k} / 4.0 AS fraction,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE {train})
+             AS n_train,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(avg(CASE WHEN pred_lang = true_lang THEN 1.0 ELSE 0.0 END), 6)
+             AS accuracy
+    FROM (
+      WITH tr AS MATERIALIZED (
+        SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+')) AS w
+        FROM documents WHERE {train}
+      ),
+      wl AS MATERIALIZED (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY lang, w
+      ),
+      cl AS MATERIALIZED (
+        SELECT wl.lang, CAST(sum(c) AS BIGINT) AS c_l,
+               (SELECT count(*) FROM documents d
+                WHERE d.lang = wl.lang AND {train.replace('doc_id', 'd.doc_id')})
+                 AS n_l
+        FROM wl GROUP BY wl.lang
+      ),
+      v AS MATERIALIZED (
+        SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab,
+               (SELECT count(*) FROM documents WHERE {train}) AS n_docs
+        FROM tr
+      ),
+      ev AS MATERIALIZED (
+        SELECT doc_id, lang AS true_lang,
+               unnest(regexp_split_to_array(text, '\\s+')) AS w
+        FROM documents
+      ),
+      dl AS MATERIALIZED (
+        SELECT e.doc_id, e.true_lang, c.lang AS cand,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               sum(ln(COALESCE(wl.c, 0) + 1)) AS s_num
+        FROM ev e
+        CROSS JOIN (SELECT DISTINCT lang FROM documents) c
+        LEFT JOIN wl ON wl.lang = c.lang AND wl.w = e.w
+        GROUP BY e.doc_id, e.true_lang, c.lang
+      ),
+      scored AS (
+        SELECT dl.doc_id, dl.true_lang, dl.cand,
+               round(ln(cl.n_l * 1.0 / v.n_docs) + dl.s_num
+                     - dl.n_tok * ln(cl.c_l + v.vocab), 6) AS s
+        FROM dl JOIN cl ON cl.lang = dl.cand, v
+      )
+      SELECT doc_id, true_lang,
+             (array_agg(cand ORDER BY s DESC, cand ASC))[1] AS pred_lang
+      FROM scored GROUP BY doc_id, true_lang
+    )
+    """
+
+
+@register(
+    "ml_nb_learning_curve",
+    oracle=" UNION ALL ".join(_lc_nb_sql(k) for k in _LC_FRACTIONS)
+    + " ORDER BY fraction",
+)
+def ml_nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve of the multinomial naive-Bayes langid: train on
+    deterministic md5-bucket fractions (25% / 50% / 100% of documents,
+    nested — every smaller split is a subset of the larger), evaluate
+    resubstitution accuracy on the FULL corpus. The data-scaling
+    readout every curation pipeline wants before buying more data —
+    is the model in the data-limited or capacity-limited regime?
+    Same smoothing/priors/rounding/tie-break as ml_naive_bayes_langid,
+    with train-derived vocabulary (unseen eval words contribute
+    exactly 0 via log(c+1)).
+
+    Scale shape: the per-(doc, word) eval counts shuffle ONCE and fan
+    into the three fraction branches of a single unioned plan
+    (exchange reuse — the r10 persist audit's mechanism, relied on
+    instead of any cache); each branch's training tables are
+    vocab-bounded aggregations of the md5-filtered train split, and
+    the per-language priors are bounded driver tables exactly as in
+    the parent query."""
+    import math
+
+    from weather_tools_spark.operators.bounded import bounded_rows
+
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 4
+    )
+    toks_all = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w"),
+    )
+    tw = toks_all.groupBy("doc_id", "true_lang", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    out_branches = []
+    for k in _LC_FRACTIONS:
+        train = docs.filter(bucket < k)
+        tr_toks = train.select(
+            F.col("lang"), F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+        )
+        wl = tr_toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+        wmap = wl.groupBy("w").agg(
+            F.map_from_entries(F.collect_list(F.struct("lang", "c"))).alias("cmap")
+        )
+        stats = bounded_rows(
+            wl.groupBy("lang")
+            .agg(F.sum("c").alias("c_l"))
+            .join(train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")), "lang"),
+            100,
+            "per-language NB prior table (one row per language code)",
+        )
+        vocab = wmap.count()
+        n_train = sum(r["n_l"] for r in stats)
+        langs = sorted(r["lang"] for r in stats)
+        st = {r["lang"]: r for r in stats}
+        prior = {L: math.log(st[L]["n_l"] / n_train) for L in langs}
+        denom = {L: math.log(st[L]["c_l"] + vocab) for L in langs}
+        per_doc = (
+            tw.join(F.broadcast(wmap), "w", "left")
+            .groupBy("doc_id", "true_lang")
+            .agg(
+                F.sum("cnt").alias("n_tok"),
+                *[
+                    F.sum(
+                        F.col("cnt")
+                        * F.log(
+                            F.coalesce(
+                                F.element_at(F.col("cmap"), F.lit(L)), F.lit(0)
+                            )
+                            + F.lit(1)
+                        )
+                    ).alias(f"s{i}")
+                    for i, L in enumerate(langs)
+                ],
+            )
+        )
+        cand = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.lit(prior[L]) + F.col(f"s{i}")
+                        - F.col("n_tok") * F.lit(denom[L]),
+                        6,
+                    ).alias("s"),
+                    F.lit(-i).alias("nidx"),
+                )
+                for i, L in enumerate(langs)
+            ]
+        )
+        best = F.array_max(cand)
+        pred = per_doc.select(
+            "true_lang",
+            F.element_at(F.array(*[F.lit(L) for L in langs]), -best["nidx"] + 1).alias(
+                "pred_lang"
+            ),
+        )
+        out_branches.append(
+            pred.agg(
+                F.lit(k / 4.0).alias("fraction"),
+                F.lit(sum(int(r["n_l"]) for r in stats)).cast("bigint").alias("n_train"),
+                F.count(F.lit(1)).alias("n_eval"),
+                F.round(
+                    F.avg(
+                        F.when(F.col("pred_lang") == F.col("true_lang"), 1.0).otherwise(
+                            0.0
+                        )
+                    ),
+                    6,
+                ).alias("accuracy"),
+            )
+        )
+    out = out_branches[0]
+    for b in out_branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("fraction")
