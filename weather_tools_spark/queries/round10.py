@@ -285,6 +285,8 @@ def _jl_proj_sql(vec: str) -> str:
                    / (list_dot_product(a.e, a.e) + list_dot_product(b.e, b.e)
                       - 2 * list_dot_product(a.e, b.e)), 6) AS distortion
       FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE (list_dot_product(a.e, a.e) + list_dot_product(b.e, b.e)
+             - 2 * list_dot_product(a.e, b.e)) > 0
     )
     SELECT {_JL_K} AS k_dims, CAST(count(*) AS BIGINT) AS n_pairs,
            round(avg(distortion), 6) AS avg_distortion,
@@ -339,23 +341,26 @@ def sim_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dpp", F.expr(dot("pr", "pr")))
     a = v.alias("a")
     b = v.alias("b")
+    # zero-distance pairs are excluded on BOTH engines: 0/0 would be
+    # NULL in DuckDB but NaN in Spark, and NaN poisons Spark's avg/min/
+    # max while DuckDB's skip NULL — a hash-divergence trap if two of
+    # the sampled embeddings were ever identical (ADVICE r10).
     pairs = (
         a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
-            F.round(
-                (
-                    F.col("a.dpp")
-                    + F.col("b.dpp")
-                    - 2 * F.expr(dot("a.pr", "b.pr"))
-                )
-                / (
-                    F.col("a.dee")
-                    + F.col("b.dee")
-                    - 2 * F.expr(dot("a.e", "b.e"))
-                ),
-                6,
-            ).alias("distortion")
+            (
+                F.col("a.dpp")
+                + F.col("b.dpp")
+                - 2 * F.expr(dot("a.pr", "b.pr"))
+            ).alias("d2_proj"),
+            (
+                F.col("a.dee")
+                + F.col("b.dee")
+                - 2 * F.expr(dot("a.e", "b.e"))
+            ).alias("d2_orig"),
         )
+        .filter(F.col("d2_orig") > 0)
+        .select(F.round(F.col("d2_proj") / F.col("d2_orig"), 6).alias("distortion"))
     )
     w20 = F.col("distortion").between(0.8, 1.2)
     w2x = F.col("distortion").between(0.5, 2.0)

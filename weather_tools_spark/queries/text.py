@@ -622,8 +622,8 @@ def text_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-visible.
 
     The capacity is derived from the measured vocabulary (the exact
-    count table is persisted and its row count IS the vocabulary), not
-    a constant: a fixed capacity=64 satisfied the ≥-vocabulary contract
+    count table's row count, taken via .count() with no persist, IS
+    the vocabulary), not a constant: a fixed capacity=64 satisfied the ≥-vocabulary contract
     only on the 31-word driver corpus — on a Heaps-law vocabulary
     (.scaledata sfx1.0, ~10^5 words) Misra-Gries compression kicks in
     and the exactness booleans legitimately flip. Found by the r10
@@ -639,7 +639,11 @@ def text_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
     exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     vocab = exact.count()
-    cand = heavy_hitter_candidates(tok, "t", capacity=max(64, vocab))
+    # state_factor=1: capacity >= vocab already guarantees MG eviction
+    # never triggers (the exactness contract), so per-partition state
+    # stays at 1x the vocabulary instead of the default 8x — the 8x
+    # headroom only buys tighter lower bounds when capacity < vocab.
+    cand = heavy_hitter_candidates(tok, "t", capacity=max(64, vocab), state_factor=1)
     joined = exact.join(cand, exact["t"] == cand["key"], "left")
     return joined.agg(
         F.sum("n").alias("n_total"),
