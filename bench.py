@@ -24,6 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # q1_pricing_summary ~0.8 s class); a 2x-slower host probes ~0.15 s and
 # the budget gates scale accordingly.
 _HOST_PROBE_REF = 0.075
+# Parallel-probe reference (r11, VERDICT r10: the single-threaded probe
+# missed a real 1.5x JVM-level slowdown on the r10 driver host — one
+# NumPy thread cannot see parallelism-level contention, CPU
+# oversubscription, or cgroup throttling, which hit a 32-thread Spark
+# stage but not a lone sort). Reference: 16 threads each sorting 2M
+# doubles, wall-clock min-of-3 — idle r11 host measures 0.044-0.057 s
+# over repeated trials; 0.058 sits just above that band so a healthy
+# host calibrates to 1.0 while a contended one (a concurrent 32-thread
+# sweep probed 0.248 s) scales the gates. Sanity cross-check: the same
+# probe under a running strict sweep measured 4.4x the idle value.
+_HOST_PROBE_PAR_REF = 0.058
 
 
 def _host_probe() -> float:
@@ -35,6 +46,36 @@ def _host_probe() -> float:
     for _ in range(3):
         t0 = time.perf_counter()
         np.sort(x).cumsum().sum()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _host_probe_parallel(n_threads: int = 16) -> float:
+    """Wall-clock for N concurrent sort+cumsum threads (NumPy releases
+    the GIL in sort for large arrays, so these genuinely contend for
+    cores the way a Spark stage's tasks do). Engine-independent like
+    the single-threaded probe; unlike it, this one slows down when the
+    machine cannot actually run N threads at full speed — the exact
+    condition under which every 32-thread Spark stage slows too."""
+    import threading
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    arrays = [rng.standard_normal(2_000_000) for _ in range(n_threads)]
+
+    def work(a) -> None:
+        np.sort(a).cumsum().sum()
+
+    best = None
+    for _ in range(3):
+        threads = [threading.Thread(target=work, args=(a,)) for a in arrays]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best
@@ -305,8 +346,17 @@ def main() -> None:
     # scales q1 but NOT the probe, so it can no longer launder itself
     # through the calibration; the 3x cap stays as a backstop against
     # probe-only anomalies (e.g. a BLAS/thermal outlier).
+    # r11 (VERDICT r10): calibrate on the MAX of the single-threaded and
+    # the 16-thread parallel probe — the r10 driver host ran q1 1.5x
+    # slower at host_calib 1.0 because JVM/parallelism-level contention
+    # is invisible to one NumPy thread. The parallel probe contends for
+    # cores exactly like a Spark stage, so that class of host slowness
+    # now scales the gates instead of eating the budget margin.
     probe = _host_probe()
-    calib = min(3.0, max(1.0, probe / _HOST_PROBE_REF))
+    probe_par = _host_probe_parallel()
+    calib = min(
+        3.0, max(1.0, probe / _HOST_PROBE_REF, probe_par / _HOST_PROBE_PAR_REF)
+    )
     mean = (total / len(timings)) if timings else 0.0
     if timings and sf_val == 0.1:
         if mean >= 1.0 * calib or total >= 150.0 * calib:
@@ -336,6 +386,7 @@ def main() -> None:
         # cross-round control, and the host-normalized mean so
         # cross-round per-query comparisons are readable at a glance
         "host_probe_sec": round(probe, 4),
+        "host_probe_par_sec": round(probe_par, 4),
         "host_calib": round(calib, 3),
         "q1_sec": timings.get("q1_pricing_summary"),
         "sec_per_query": round(mean, 4),

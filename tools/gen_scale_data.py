@@ -24,6 +24,16 @@ Usage:
 Determinism: numpy default_rng(42 + table-specific offset); no time,
 no os.urandom. Row counts scale linearly: sf=0.01 reproduces the driver
 counts (500 docs, 60k lineitem, 10k events).
+
+``--skew`` (VERDICT r10 task 4) switches every join/group key that the
+base generator draws UNIFORMLY to a Zipf(s=1.2) rank draw — real
+corpora and clickstreams are Zipfian, and uniform keys never exercise
+AQE skew-join splitting, stragglers, or salting paths. Skewed columns:
+events.user_id, orders.o_custkey, lineitem.l_partkey / l_suppkey, and
+documents.source (one boilerplate-farm source emitting ~a third of the
+corpus). The hottest key is rank 0 with P ~ 1/H_n ≈ 10-20% of all rows
+at these cardinalities. Value/text distributions are untouched, so the
+same DuckDB oracles stay valid on a skewed directory.
 """
 
 from __future__ import annotations
@@ -55,7 +65,17 @@ def _write(outdir: str, name: str, table: pa.Table) -> None:
     pq.write_table(table, os.path.join(outdir, f"{name}.parquet"), version="2.6")
 
 
-def gen_documents(outdir: str, n_docs: int) -> None:
+def _zipf_keys(rng: np.random.Generator, n_keys: int, size: int, s: float = 1.2) -> np.ndarray:
+    """Zipf(s) draw over [0, n_keys): key k has P ∝ 1/(k+1)^s, so key 0
+    is the hot key. Exact rank probabilities (not numpy's unbounded
+    rng.zipf), so the skew profile is identical at every SF."""
+    ranks = np.arange(1, n_keys + 1, dtype=np.float64)
+    p = 1.0 / ranks**s
+    p /= p.sum()
+    return rng.choice(n_keys, size=size, p=p)
+
+
+def gen_documents(outdir: str, n_docs: int, skew: bool = False) -> None:
     rng = np.random.default_rng(42)
     tail_size = max(1000, n_docs)  # Heaps-law-ish vocab growth
     tail = np.array([f"t{i}" for i in range(tail_size)])
@@ -93,7 +113,12 @@ def gen_documents(outdir: str, n_docs: int) -> None:
             texts[int(v)] = " ".join(toks)
 
     langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
-    sources = np.array([f"src{i}" for i in rng.integers(0, 20, size=n_docs)])
+    if skew:
+        # one boilerplate-farm source dominates (Zipf over 20 sources:
+        # src0 gets ~35% of docs) — the hot-document-class probe
+        sources = np.array([f"src{i}" for i in _zipf_keys(rng, 20, n_docs)])
+    else:
+        sources = np.array([f"src{i}" for i in rng.integers(0, 20, size=n_docs)])
     tbl = pa.table(
         {
             "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
@@ -138,7 +163,7 @@ def gen_embeddings(outdir: str, n_vecs: int, dim: int = 64) -> None:
     _write(outdir, "embeddings", tbl)
 
 
-def gen_events(outdir: str, n_events: int) -> None:
+def gen_events(outdir: str, n_events: int, skew: bool = False) -> None:
     rng = np.random.default_rng(44)
     n_users = max(50, n_events // 67)
     start_ns = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
@@ -148,7 +173,11 @@ def gen_events(outdir: str, n_events: int) -> None:
         {
             "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
             "ts": pa.array(ts).cast(pa.timestamp("ns")),
-            "user_id": pa.array(rng.integers(0, n_users, size=n_events)),
+            "user_id": pa.array(
+                _zipf_keys(rng, n_users, n_events)
+                if skew
+                else rng.integers(0, n_users, size=n_events)
+            ),
             "event_type": pa.array(
                 np.array(EVENT_TYPES)[rng.integers(0, 5, size=n_events)].tolist()
             ),
@@ -161,7 +190,7 @@ def gen_events(outdir: str, n_events: int) -> None:
     _write(outdir, "events", tbl)
 
 
-def gen_tpch(outdir: str, sf: float) -> None:
+def gen_tpch(outdir: str, sf: float, skew: bool = False) -> None:
     rng = np.random.default_rng(45)
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
@@ -206,7 +235,9 @@ def gen_tpch(outdir: str, sf: float) -> None:
     o_days = rng.integers(0, 2400, size=n_ord)
     _write(outdir, "orders", pa.table({
         "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
-        "o_custkey": pa.array(rng.integers(0, n_cust, size=n_ord)),
+        "o_custkey": pa.array(
+            _zipf_keys(rng, n_cust, n_ord) if skew else rng.integers(0, n_cust, size=n_ord)
+        ),
         "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, size=n_ord)].tolist()),
         "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, size=n_ord), 2)),
         "o_orderdate": pa.array(o_date_start + o_days * day_us).cast(pa.timestamp("us")),
@@ -224,8 +255,12 @@ def gen_tpch(outdir: str, sf: float) -> None:
     )
     _write(outdir, "lineitem", pa.table({
         "l_orderkey": pa.array(l_orderkey),
-        "l_partkey": pa.array(rng.integers(0, n_part, size=n_li)),
-        "l_suppkey": pa.array(rng.integers(0, n_supp, size=n_li)),
+        "l_partkey": pa.array(
+            _zipf_keys(rng, n_part, n_li) if skew else rng.integers(0, n_part, size=n_li)
+        ),
+        "l_suppkey": pa.array(
+            _zipf_keys(rng, n_supp, n_li) if skew else rng.integers(0, n_supp, size=n_li)
+        ),
         "l_linenumber": pa.array(l_linenumber),
         "l_quantity": pa.array(rng.integers(1, 51, size=n_li).astype(np.float64)),
         "l_extendedprice": pa.array(np.round(rng.uniform(900, 100000, size=n_li), 2)),
@@ -238,14 +273,16 @@ def gen_tpch(outdir: str, sf: float) -> None:
 
 
 def main() -> int:
-    outdir = sys.argv[1]
-    sf = float(sys.argv[2])
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    outdir = args[0]
+    sf = float(args[1])
     os.makedirs(outdir, exist_ok=True)
-    gen_documents(outdir, int(50_000 * sf))
+    gen_documents(outdir, int(50_000 * sf), skew=skew)
     gen_embeddings(outdir, int(20_000 * sf))
-    gen_events(outdir, int(1_000_000 * sf))
-    gen_tpch(outdir, sf)
-    print(f"wrote {outdir} at sf={sf}")
+    gen_events(outdir, int(1_000_000 * sf), skew=skew)
+    gen_tpch(outdir, sf, skew=skew)
+    print(f"wrote {outdir} at sf={sf} skew={skew}")
     return 0
 
 

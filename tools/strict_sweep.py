@@ -42,6 +42,14 @@ def main() -> int:
     ap.add_argument("--exclude", nargs="*", default=[])
     ap.add_argument("--out", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--master",
+        default="local[32]",
+        help="Spark master; e.g. local-cluster[2,8,8192] runs the sweep "
+        "across REAL separate executor JVMs (network shuffle, broadcast "
+        "serialization, per-executor Python workers) — the multi-process "
+        "axis a local[N] single JVM never exercises (VERDICT r10 task 1)",
+    )
     args = ap.parse_args()
     sf = args.sf_dir
     sys.path.insert(0, "/root/repo")
@@ -56,12 +64,19 @@ def main() -> int:
     # single-JVM local[32] heap (driver+executors share it in local
     # mode). The external driver runs correctness at sf0.01, where the
     # sweep is green even on the 1g default.
-    spark = (
-        SparkSession.builder.master("local[32]")
+    builder = (
+        SparkSession.builder.master(args.master)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
-        .getOrCreate()
     )
+    if args.master.startswith("local-cluster"):
+        # separate executor JVMs spawn their own Python workers, which
+        # must import weather_tools_spark (driver-side sys.path edits
+        # don't propagate across the process boundary)
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", "/root/repo"
+        ).config("spark.executor.memory", "6g")
+    spark = builder.getOrCreate()
     import __spark_entry__ as entry
 
     queries, oracles = entry.queries(), entry.oracle_sql()
