@@ -58,6 +58,13 @@ CHECK_CHANGED: list[str] = [
     # state was unbounded headroom at corpus scale). Same values, MG
     # state-size parameter changed:
     "text_heavy_hitters_audit",
+    # r11: the FIRST defect the multi-process local-cluster sweep
+    # surfaced (VERDICT r10 task 1) — the climatology/anomaly means now
+    # use the integer-scaled exact sum on both engines; a raw avg()'s
+    # partial-merge order changed across the 2-executor split and
+    # flipped near-zero anomaly signs (6/18 rows). Oracle + plan
+    # changed:
+    "weather_climatology_anomaly",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

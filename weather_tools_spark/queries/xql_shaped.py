@@ -787,7 +787,9 @@ def _clim_cube(spark: SparkSession) -> DataFrame:
     oracle=f"""
     WITH cube AS ({_CLIM_CUBE_SQL}),
     clim AS (
-      SELECT doy, lai, loi, avg(t2m) AS clim_t2m
+      SELECT doy, lai, loi,
+             (CAST(sum(CAST(round((t2m) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000)
+               / count(t2m) AS clim_t2m
       FROM cube GROUP BY doy, lai, loi
     ),
     anom AS (
@@ -795,7 +797,8 @@ def _clim_cube(spark: SparkSession) -> DataFrame:
       FROM cube c JOIN clim m USING (doy, lai, loi)
     )
     SELECT year_i, lai, loi,
-           round(avg(anomaly), 6) AS mean_anomaly,
+           round((CAST(sum(CAST(round((anomaly) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000)
+                 / count(anomaly), 6) AS mean_anomaly,
            round(max(abs(anomaly)), 6) AS max_abs_anomaly,
            round(sum(CASE WHEN anomaly > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
              AS warm_fraction
@@ -810,16 +813,26 @@ def weather_climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per (year, cell). Both stages are map-combinable
     aggregations on (doy, cell) keys — partial aggregation on every
     executor, one shuffle each; the climatology frame (days × cells,
-    tiny next to the fact cube) broadcasts into the join at scale."""
+    tiny next to the fact cube) broadcasts into the join at scale.
+
+    Float determinism (found by the r11 local-cluster sweep — the FIRST
+    defect the multi-process axis surfaced): the climatology mean and
+    the anomaly mean use the integer-scaled exact sum (_davg) on BOTH
+    engines, not a raw avg(). A raw avg's partial-merge order changes
+    with the partitioning (local[32] vs 2-executor local-cluster split
+    spark.range differently), and anomalies of a cell's OWN years sit
+    near zero, so the last ulp of clim_t2m flips `anomaly > 0` and with
+    it warm_fraction — 6 of 18 rows diverged across the process
+    boundary while every single-JVM run had matched DuckDB."""
     cube = _clim_cube(spark)
-    clim = cube.groupBy("doy", "lai", "loi").agg(F.avg("t2m").alias("clim_t2m"))
+    clim = cube.groupBy("doy", "lai", "loi").agg(_davg(F.col("t2m")).alias("clim_t2m"))
     anom = cube.join(F.broadcast(clim), ["doy", "lai", "loi"]).withColumn(
         "anomaly", F.col("t2m") - F.col("clim_t2m")
     )
     return (
         anom.groupBy("year_i", "lai", "loi")
         .agg(
-            F.round(F.avg("anomaly"), 6).alias("mean_anomaly"),
+            F.round(_davg(F.col("anomaly")), 6).alias("mean_anomaly"),
             F.round(F.max(F.abs(F.col("anomaly"))), 6).alias("max_abs_anomaly"),
             F.round(
                 F.sum(F.when(F.col("anomaly") > 0, 1).otherwise(0)) / F.count(F.lit(1)), 6
