@@ -254,6 +254,11 @@ HEADLINE = [
     "graph_hits_nations",
     "events_pacf_durbin_levinson",
     "ml_nb_learning_curve",
+    # round-11 wave (corpus growth law on the probed cumulative-sums
+    # dispatcher, join-shaped sequence statistics, long-range dependence)
+    "text_heaps_law_fit",
+    "stats_runs_test",
+    "events_hurst_exponent",
 ]
 
 

@@ -85,9 +85,18 @@ def cosine_topk(
                 continue
             x = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
             x /= np.linalg.norm(x, axis=1, keepdims=True)
-            s = x @ m_q.T  # corpus_batch × queries
             c_ids = b[id_col].to_numpy()
-            yield _local_topk_frame(pd, s, c_ids, ids_q, k)
+            # chunk the dgemm over QUERY columns: a single
+            # batch × |queries| score matrix is |batch|·|Q| doubles —
+            # ~900 MB/task at 60k queries, and 32 concurrent tasks
+            # thrashed the sfx3 probe to exponent 2.39 (vs the
+            # intrinsic 2.0). 8k-query chunks bound the block at
+            # ~125 MB regardless of |Q|; per-query top-k is
+            # column-local, so chunking columns changes nothing.
+            for q0 in range(0, m_q.shape[0], 8192):
+                mq_c = m_q[q0 : q0 + 8192]
+                s = x @ mq_c.T  # corpus_batch × query_chunk
+                yield _local_topk_frame(pd, s, c_ids, ids_q[q0 : q0 + 8192], k)
 
     src = corpus.select(id_col, vec_col)
     # parallelism floor: a small parquet input may arrive in 1-2 splits,

@@ -65,6 +65,20 @@ CHECK_CHANGED: list[str] = [
     # flipped near-zero anomaly signs (6/18 rows). Oracle + plan
     # changed:
     "weather_climatology_anomaly",
+    # r11 sfx3-probe fixes (both values-identical, paths changed):
+    # (a) the md5-minhash audit's exact-intersection join is now
+    # candidate-pair-bounded instead of an uncapped shingle self-join
+    # (measured exponent 2.31 → 0.59 over the 1.0→3.0 decade; 551 s →
+    # 64 s at sfx3) — oracle + plan changed;
+    "dedup_minhash_md5_audit",
+    # (b) cosine_topk chunks its dgemm over query columns (a
+    # batch × |Q| score matrix hit ~900 MB/task at 60k queries —
+    # exponent 2.39 → bounded; 359 s → 47 s at sfx3). Kernel changed
+    # for every consumer:
+    "ml_knn_label_accuracy",
+    "sim_cosine_topk",
+    "ml_label_propagation",
+    "sim_ann_recall_audit",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's
@@ -159,6 +173,7 @@ def _load_all() -> None:
         media,
         pipeline_ops,
         round10,
+        round11,
         selection,
         sketches,
         stats_ext,

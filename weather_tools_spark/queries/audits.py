@@ -79,8 +79,14 @@ est AS (SELECT c.doc_a, c.doc_b,
                               0, (acc, v) -> acc + v) AS DOUBLE) / 16 AS est
         FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+-- exact intersection ONLY for candidate pairs (pair-bounded, linear):
+-- an unrestricted sh-self-join explodes quadratically on hot Zipf
+-- shingles (the r11 sfx3 probe measured exponent 2.31 on this audit
+-- before the fix; the production operator df-caps for the same reason)
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+          GROUP BY 1, 2)
 SELECT e.doc_a, e.doc_b, round(e.est, 6) AS est_jaccard,
        round(CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter), 6) AS jaccard
 FROM est e JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
@@ -107,8 +113,10 @@ est AS (SELECT c.doc_a, c.doc_b,
                         i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est
         FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+          GROUP BY 1, 2)
 SELECT e.doc_a, e.doc_b, round(e.est, 6) AS est_jaccard,
        round(1.0 * i.n_inter / (ca.n + cb.n - i.n_inter), 6) AS jaccard
 FROM est e JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b

@@ -632,7 +632,11 @@ def text_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact table is NOT persisted between its two consumers (vocab
     count + verification join): recomputing one explode + groupBy is
     cheaper than materializing a vocab-scale cache (the r10
-    persist-vs-recompute measurements on the NB lineage)."""
+    persist-vs-recompute measurements on the NB lineage). The full
+    vocabulary count() is an AUDIT-ONLY cost: the production
+    heavy-hitter path calls heavy_hitter_candidates with a FIXED
+    capacity (bounded state, lower-bound counts) and never sizes
+    capacity off the corpus."""
     from weather_tools_spark.operators.heavyhitters import heavy_hitter_candidates
 
     docs = load_table(spark, "documents", sf_dir)

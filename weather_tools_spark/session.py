@@ -70,11 +70,24 @@ def get_spark(app_name: str = DEFAULT_APP_NAME, master: str | None = None) -> Sp
     spark-submit decide.
     """
     builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
     if master is None and "SPARK_MASTER" not in os.environ:
         master = f"local[{default_parallelism()}]"
     if master:
         builder = builder.master(master)
         builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    if master and master.startswith("local-cluster"):
+        # real separate executor JVMs: their Python workers must import
+        # this package (driver-side sys.path edits don't cross the
+        # process boundary), and executor memory must fit the worker
+        # grant declared in the master string
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).config(
+            "spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "6g")
+        )
     spark = configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
