@@ -54,14 +54,36 @@ def _davg(c: F.Column) -> F.Column:
     return _dsum(c) / F.count(c)
 
 
+def _dsum_round(c: F.Column, decimals: int = 2) -> F.Column:
+    """``round(_dsum(c), decimals)`` with the rounding done at the
+    INTEGER level (micro-units → target units), engine-divergence-proof.
+
+    ``round(S/1e6, 2)`` is NOT: when the exact micro-sum S lands on a
+    half-cent boundary (S mod 10000 == 5000 — probability ~1e-4 per
+    group, and the r11 skew probe HIT it: q10's hot customer summed to
+    exactly 2282705.155), Spark's round (decimal-string HALF_UP of the
+    shortest repr) says .16 while DuckDB's (binary value) says .15,
+    because 2282705.155 is not representable and the engines round
+    different representations. Dividing by 10^(6-d) FIRST keeps every
+    tie exactly representable (y.5 is a dyadic rational), where both
+    engines round identically (away from zero), and every non-tie sits
+    a full 1e-4 lattice step from the boundary. Oracle mirror:
+    ``round(CAST(sum(...) AS DOUBLE) / 10000, 0) / 100`` (d=2)."""
+    scale = float(10 ** (6 - decimals))
+    unit = 10**decimals
+    return (
+        F.round(F.sum(F.round(c * 1_000_000, 0).cast("long")) / scale, 0) / unit
+    ).cast("double")
+
+
 @register(
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round((CAST(sum(CAST(round((l_quantity) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS sum_qty,
-           round((CAST(sum(CAST(round((l_extendedprice) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS sum_base_price,
-           round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS sum_disc_price,
-           round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS sum_charge,
+           round(CAST(sum(CAST(round((l_quantity) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS sum_qty,
+           round(CAST(sum(CAST(round((l_extendedprice) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS sum_base_price,
+           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS sum_disc_price,
+           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS sum_charge,
            round((CAST(sum(CAST(round((l_quantity) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(l_quantity), 6) AS avg_qty,
            round((CAST(sum(CAST(round((l_extendedprice) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(l_extendedprice), 6) AS avg_price,
            round((CAST(sum(CAST(round((l_discount) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(l_discount), 6) AS avg_disc,
@@ -80,10 +102,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(_dsum(F.col("l_quantity")), 2).alias("sum_qty"),
-            F.round(_dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
-            F.round(_dsum(_rev()), 2).alias("sum_disc_price"),
-            F.round(_dsum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _dsum_round(F.col("l_quantity")).alias("sum_qty"),
+            _dsum_round(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum_round(_rev()).alias("sum_disc_price"),
+            _dsum_round(_rev() * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(_davg(F.col("l_quantity")), 6).alias("avg_qty"),
             F.round(_davg(F.col("l_extendedprice")), 6).alias("avg_price"),
             F.round(_davg(F.col("l_discount")), 6).alias("avg_disc"),
@@ -97,7 +119,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT o_orderkey,
-           round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue,
+           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS revenue,
            strftime(o_orderdate, '%Y-%m-%d')                 AS o_orderdate,
            o_orderpriority
     FROM customer
@@ -125,7 +147,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(_dsum(_rev()), 2).alias("revenue"))
+        .agg(_dsum_round(_rev()).alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -140,7 +162,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue
+    SELECT n_name, round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -174,7 +196,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer),
               (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
-        .agg(F.round(_dsum(_rev()), 2).alias("revenue"))
+        .agg(_dsum_round(_rev()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -182,7 +204,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round((CAST(sum(CAST(round((l_extendedprice * l_discount) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue
+    SELECT round(CAST(sum(CAST(round((l_extendedprice * l_discount) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -201,7 +223,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(_dsum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(_dsum_round(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -209,7 +231,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue,
+           round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS revenue,
            round(c_acctbal, 2) AS c_acctbal,
            n_name, c_mktsegment
     FROM customer
@@ -238,7 +260,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
-        .agg(F.round(_dsum(_rev()), 2).alias("revenue"))
+        .agg(_dsum_round(_rev()).alias("revenue"))
         .select(
             "c_custkey", "c_name", "revenue",
             F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),

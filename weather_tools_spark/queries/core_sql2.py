@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from weather_tools_spark.catalog import load_table
 from weather_tools_spark.queries import register
-from weather_tools_spark.queries.core_sql import _davg, _dsum
+from weather_tools_spark.queries.core_sql import _davg, _dsum, _dsum_round
 
 
 def _rev() -> F.Column:
@@ -54,7 +54,7 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, yr, round((CAST(sum(CAST(round((volume) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue
+    SELECT supp_nation, cust_nation, yr, round(CAST(sum(CAST(round((volume) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              strftime(l_shipdate, '%Y') AS yr,
@@ -95,7 +95,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(
             "supp_nation", "cust_nation", F.date_format("l_shipdate", "yyyy").alias("yr")
         )
-        .agg(F.round(_dsum(_rev()), 2).alias("revenue"))
+        .agg(_dsum_round(_rev()).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "yr")
     )
 
@@ -103,7 +103,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     oracle="""
-    SELECT n_name, yr, round((CAST(sum(CAST(round((amount) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS profit
+    SELECT n_name, yr, round(CAST(sum(CAST(round((amount) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS profit
     FROM (
       SELECT n_name, strftime(o_orderdate, '%Y') AS yr,
              l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity AS amount
@@ -132,7 +132,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.date_format("o_orderdate", "yyyy").alias("yr"))
-        .agg(F.round(_dsum(amount), 2).alias("profit"))
+        .agg(_dsum_round(amount).alias("profit"))
         .orderBy(F.col("n_name"), F.col("yr").desc())
     )
 
@@ -238,7 +238,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue
+    SELECT round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 5 AND l_quantity <= 25)
@@ -267,7 +267,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "PROMO") & F.col("p_size").between(20, 50)
         & F.col("l_quantity").between(25, 45)
     )
-    return j.filter(arm1 | arm2 | arm3).agg(F.round(_dsum(_rev()), 2).alias("revenue"))
+    return j.filter(arm1 | arm2 | arm3).agg(_dsum_round(_rev()).alias("revenue"))
 
 
 @register(

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from weather_tools_spark.catalog import load_table
 from weather_tools_spark.pipeline.splitter import melt_variables
 from weather_tools_spark.queries import register
-from weather_tools_spark.queries.core_sql import _davg, _dsum
+from weather_tools_spark.queries.core_sql import _davg, _dsum, _dsum_round
 
 
 @register(
@@ -83,7 +83,7 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'l_tax', l_tax FROM lineitem
     )
     SELECT variable, count(*) AS n,
-           round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS total
+           round(CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS total
     FROM long GROUP BY variable ORDER BY variable
     """,
 )
@@ -98,7 +98,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         long_df.groupBy("variable")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(_dsum(F.col("value")), 2).alias("total"),
+            _dsum_round(F.col("value")).alias("total"),
         )
         .orderBy("variable")
     )
@@ -108,7 +108,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupingsets_region_segment",
     oracle="""
     SELECT c_mktsegment, n_name,
-           count(*) AS n, round((CAST(sum(CAST(round((c_acctbal) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS total_bal
+           count(*) AS n, round(CAST(sum(CAST(round((c_acctbal) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
     ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST
@@ -124,7 +124,7 @@ def groupingsets_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment, n_name,
                count(*) AS n,
-               round((CAST(sum(CAST(round((c_acctbal) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS total_bal
+               round(CAST(sum(CAST(round((c_acctbal) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS total_bal
         FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
         ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST

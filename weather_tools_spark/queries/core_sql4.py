@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from weather_tools_spark.catalog import load_table
 from weather_tools_spark.queries import register
-from weather_tools_spark.queries.core_sql import _dsum
+from weather_tools_spark.queries.core_sql import _dsum, _dsum_round
 
 
 def _rev() -> F.Column:
@@ -634,7 +634,7 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n,
-           round((CAST(sum(CAST(round((l_quantity) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS sum_qty
+           round(CAST(sum(CAST(round((l_quantity) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS sum_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -656,10 +656,7 @@ def join_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                (F.sum(F.round(F.col("l_quantity") * 1_000_000, 0).cast("long")) / 1_000_000).cast("double"),
-                2,
-            ).alias("sum_qty"),
+            _dsum_round(F.col("l_quantity")).alias("sum_qty"),
         )
         .orderBy("o_orderpriority")
     )

@@ -254,7 +254,7 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
       UNION ALL SELECT 'l_tax' AS variable, l_tax FROM lineitem
     )
     SELECT variable, count(*) AS n,
-           round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS sum_value,
+           round(CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 10000, 0) / 100 AS sum_value,
            round((CAST(sum(CAST(round((value) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000) / count(value), 6) AS avg_value
     FROM m GROUP BY variable ORDER BY variable
     """,
@@ -269,7 +269,7 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     single exchange; the long format then feeds per-variable stats in
     one pass."""
     from weather_tools_spark.pipeline.splitter import melt_variables
-    from weather_tools_spark.queries.core_sql import _davg, _dsum
+    from weather_tools_spark.queries.core_sql import _davg, _dsum, _dsum_round
 
     li = load_table(spark, "lineitem", sf_dir)
     melted = melt_variables(
@@ -281,7 +281,7 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         melted.groupBy("variable")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(_dsum(F.col("value")), 2).alias("sum_value"),
+            _dsum_round(F.col("value")).alias("sum_value"),
             F.round(_davg(F.col("value")), 6).alias("avg_value"),
         )
         .orderBy("variable")

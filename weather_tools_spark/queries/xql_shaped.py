@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from weather_tools_spark.catalog import events_time_between, load_table
 from weather_tools_spark.functions.geo import bbox_predicate, geo_entity_bbox
 from weather_tools_spark.queries import register
-from weather_tools_spark.queries.core_sql import _davg
+from weather_tools_spark.queries.core_sql import _davg, _dsum_round
 
 # city-bbox rewrite target: the same constants are inlined into both the
 # Spark plans and the oracle SQL, exactly as the engine's SQL surface does.
@@ -293,7 +293,7 @@ def xql_sql_surface_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_rows,
            count(v) AS n_non_null,
-           round((CAST(sum(CAST(round((v) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000), 4) AS sum_v,
+           round(CAST(sum(CAST(round((v) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 100, 0) / 10000 AS sum_v,
            round(min(v), 4) AS min_v
     FROM t GROUP BY event_type ORDER BY event_type
     """,
@@ -310,7 +310,7 @@ def null_handling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count("v").alias("n_non_null"),
-            F.round((F.sum(F.round(F.col("v") * 1_000_000, 0).cast("long")) / 1_000_000).cast("double"), 4).alias("sum_v"),
+            _dsum_round(F.col("v"), 4).alias("sum_v"),
             F.round(F.min("v"), 4).alias("min_v"),
         )
         .orderBy("event_type")
