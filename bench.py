@@ -264,6 +264,14 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # measure the host-speed probes BEFORE the JVM exists: run after the
+    # query loop they also measure the session's residual threads (GC,
+    # shutdown hooks) — the r11 bench saw the 16-thread probe read 2.08x
+    # on an idle host purely from post-run JVM residue, which would
+    # over-loosen the gates. Probing first measures the HOST.
+    probe = _host_probe()
+    probe_par = _host_probe_parallel()
+
     from weather_tools_spark.queries import SPARK
     from weather_tools_spark.session import get_spark
 
@@ -356,9 +364,8 @@ def main() -> None:
     # slower at host_calib 1.0 because JVM/parallelism-level contention
     # is invisible to one NumPy thread. The parallel probe contends for
     # cores exactly like a Spark stage, so that class of host slowness
-    # now scales the gates instead of eating the budget margin.
-    probe = _host_probe()
-    probe_par = _host_probe_parallel()
+    # now scales the gates instead of eating the budget margin. Both
+    # probes are measured at program start, before the JVM exists.
     calib = min(
         3.0, max(1.0, probe / _HOST_PROBE_REF, probe_par / _HOST_PROBE_PAR_REF)
     )
