@@ -259,6 +259,12 @@ HEADLINE = [
     "text_heaps_law_fit",
     "stats_runs_test",
     "events_hurst_exponent",
+    # round-11 wave 2 (single-pass seasonality detection, robust
+    # location estimation; graph_local_clustering_brand stays
+    # oracle-checked but out of the headline set — its DuckDB oracle
+    # recomputes the triangle set, heavyweight like the census)
+    "events_spectral_periodogram",
+    "stats_hodges_lehmann",
 ]
 
 

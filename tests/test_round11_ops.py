@@ -153,3 +153,85 @@ def test_hurst_matches_python(spark):
     assert got["hurst_h"] == pytest.approx(_r6(h), abs=2e-6)
     # i.i.d. generator values: H should sit near 0.5, far from 1
     assert 0.3 < got["hurst_h"] < 0.75
+
+
+def test_periodogram_matches_numpy(spark):
+    from weather_tools_spark.queries.round11 import _trig_tables
+
+    rows = SPARK["events_spectral_periodogram"](spark, SF).collect()
+    got = {r["period_hours"]: r["power_int"] for r in rows}
+    assert sorted(got) == [6, 12, 24, 168]
+
+    import pyarrow as pa
+
+    t = pq.read_table(f"{SF}/events.parquet")
+    us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+    hours = [int(x // (3_600 * 10**6)) for x in us]
+    vals = [float(v) for v in t.column("value").to_pylist()]
+    for p in (6, 12, 24, 168):
+        cos, sin = _trig_tables(p)
+        c = _dsum_py(v * cos[h % p] for v, h in zip(vals, hours))
+        s = _dsum_py(v * sin[h % p] for v, h in zip(vals, hours))
+        want = int(Decimal(repr(c * c + s * s)).quantize(Decimal("1"), ROUND_HALF_UP))
+        assert got[p] == want, (p, got[p], want)
+    # (no dominance assertion: the driver fixture's values are i.i.d.
+    # exponential with no planted cycle — spectral peaks are leakage;
+    # the value of this query is the parity-checked machinery)
+
+
+def test_hodges_lehmann_matches_numpy(spark):
+    rows = SPARK["stats_hodges_lehmann"](spark, SF).collect()
+    got = rows[0].asDict()
+
+    tbl = pq.read_table(f"{SF}/events.parquet").to_pydict()
+    vals = [
+        int(Decimal(repr(v)).quantize(Decimal("1"), ROUND_HALF_UP))
+        for v, t in zip(tbl["value"], tbl["event_type"])
+        if t == "click"
+    ]
+    n = len(vals)
+    walsh = sorted(
+        (vals[i] + vals[j]) / 2.0 for i in range(n) for j in range(i, n)
+    )
+    w = len(walsh)
+    assert got["n"] == n and got["n_walsh_pairs"] == w == n * (n + 1) // 2
+    k1, k2 = (w + 1) // 2, (w + 2) // 2
+    want = _r6((walsh[k1 - 1] + walsh[k2 - 1]) / 2.0)
+    assert got["hl_pseudo_median"] == pytest.approx(want, abs=1e-6)
+
+
+def test_local_clustering_matches_python(spark):
+    rows = SPARK["graph_local_clustering_brand"](spark, SF).collect()
+    got = {r["p_brand"]: r.asDict() for r in rows}
+
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pydict()
+    part = pq.read_table(f"{SF}/part.parquet").to_pydict()
+    brand = dict(zip(part["p_partkey"], part["p_brand"]))
+    orders: dict[int, set[int]] = {}
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        orders.setdefault(int(ok), set()).add(int(pk))
+    adj: dict[int, set[int]] = {}
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                adj.setdefault(ps[i], set()).add(ps[j])
+                adj.setdefault(ps[j], set()).add(ps[i])
+    want: dict[str, list[float]] = {}
+    maxdeg: dict[str, int] = {}
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        t = 0
+        for u in nbrs:
+            t += len(nbrs & adj[u])
+        t //= 2
+        c = _r6(2.0 * t / (d * (d - 1))) if d >= 2 else 0.0
+        b = brand[v]
+        want.setdefault(b, []).append(c)
+        maxdeg[b] = max(maxdeg.get(b, 0), d)
+    for b, cs in want.items():
+        assert got[b]["n_nodes"] == len(cs)
+        assert got[b]["max_degree"] == maxdeg[b]
+        assert got[b]["avg_local_cc"] == pytest.approx(
+            _r6(_dsum_py(cs) / len(cs)), abs=2e-6
+        )

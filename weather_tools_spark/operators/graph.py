@@ -51,6 +51,28 @@ def orient_by_degree(edges: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
+def oriented_triangles(oriented: DataFrame) -> DataFrame:
+    """(x, y, z) vertex triples, one row per triangle, from a
+    degree-oriented (lo, hi, khi) edge frame — same wedge-at-minimum-
+    order-vertex + closing-edge join as :func:`oriented_triangle_count`
+    (each triangle emitted exactly once), but keeping the vertex ids so
+    per-VERTEX triangle counts (local clustering coefficients) can be
+    derived by exploding the triple."""
+    w1, w2, e3 = oriented.alias("w1"), oriented.alias("w2"), oriented.alias("e3")
+    return (
+        w1.join(w2, (F.col("w1.lo") == F.col("w2.lo")) & (F.col("w1.khi") < F.col("w2.khi")))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("w1.hi")) & (F.col("e3.hi") == F.col("w2.hi")),
+        )
+        .select(
+            F.col("w1.lo").alias("x"),
+            F.col("w1.hi").alias("y"),
+            F.col("w2.hi").alias("z"),
+        )
+    )
+
+
 def oriented_triangle_count(oriented: DataFrame) -> DataFrame:
     """One-row (n_triangles) frame from a degree-oriented (lo, hi, khi)
     edge frame: wedge at the minimum-order vertex, closed by the

@@ -379,3 +379,284 @@ def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hurst_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral periodogram (wave 2)
+# ---------------------------------------------------------------------------
+
+_PGRAM_PERIODS = (6, 12, 24, 168)
+
+
+def _trig_tables(p: int) -> tuple[list[float], list[float]]:
+    """cos/sin literal tables for the p phases of period p — computed
+    ONCE in Python and embedded as identical literals in BOTH engines,
+    so no cross-libm trig dependence exists anywhere in the query
+    (repr(float) round-trips, and both SQL parsers take the decimal
+    string to the same nearest double)."""
+    import math as _m
+
+    cos = [_m.cos(2.0 * _m.pi * m / p) for m in range(p)]
+    sin = [_m.sin(2.0 * _m.pi * m / p) for m in range(p)]
+    return cos, sin
+
+
+def _pgram_duck_one(p: int) -> str:
+    cos, sin = _trig_tables(p)
+    cl = ", ".join(repr(x) for x in cos)
+    sl = ", ".join(repr(x) for x in sin)
+    return f"""
+      SELECT {p} AS period_hours,
+             CAST(round(
+               pow(CAST(sum(CAST(round(value * ([{cl}]::DOUBLE[])[(h % {p}) + 1] * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 2)
+               + pow(CAST(sum(CAST(round(value * ([{sl}]::DOUBLE[])[(h % {p}) + 1] * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 2),
+             0) AS BIGINT) AS power_int
+      FROM hours"""
+
+
+@register(
+    "events_spectral_periodogram",
+    oracle=f"""
+    WITH hours AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, value FROM events
+    )
+    {" UNION ALL ".join(_pgram_duck_one(p) for p in _PGRAM_PERIODS)}
+    ORDER BY period_hours
+    """,
+)
+def events_spectral_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram of the event-value series at 4 candidate
+    periods (6 h / 12 h / 24 h / weekly): P(1/p) = C² + S² with
+    C = Σ v·cos(2π·(hour mod p)/p), S likewise — the seasonality
+    detector of load forecasting (the generator's daily cycle should
+    dominate).
+
+    Scale shape: ONE map-combinable pass over raw events per period —
+    no hourly materialization, no window, no shuffle beyond the 4-row
+    final aggregate; at 100 TB this is a single scan with 8 integer
+    accumulator columns. Determinism: the cos/sin tables are module
+    literals embedded in BOTH engines (no cross-libm trig anywhere);
+    each product is micro-rounded into the integer-scaled exact sum,
+    and the final power rounds identical doubles at magnitudes where
+    every tie is exactly representable."""
+    import math as _m
+
+    ev = load_table(spark, "events", sf_dir)
+    h = F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long")
+    rows = []
+    for p in _PGRAM_PERIODS:
+        cos, sin = _trig_tables(p)
+        m = (h % p).cast("int")
+        carr = F.array(*[F.lit(x) for x in cos])
+        sarr = F.array(*[F.lit(x) for x in sin])
+        rows.append(
+            ev.select(F.col("value"), m.alias("m"))
+            .agg(
+                F.lit(p).alias("period_hours"),
+                F.round(
+                    F.pow(_dsum(F.col("value") * F.element_at(carr, F.col("m") + 1)), 2)
+                    + F.pow(_dsum(F.col("value") * F.element_at(sarr, F.col("m") + 1)), 2),
+                    0,
+                )
+                .cast("long")
+                .alias("power_int"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("period_hours")
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann pseudo-median (wave 2)
+# ---------------------------------------------------------------------------
+
+_HL_TYPE = "click"
+
+
+@register(
+    "stats_hodges_lehmann",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(round(value, 0) AS BIGINT) AS v FROM events
+      WHERE event_type = '{_HL_TYPE}'
+    ),
+    vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY v),
+    pairs AS (
+      SELECT (a.v + b.v) / 2.0 AS walsh,
+             CASE WHEN a.v = b.v THEN a.c * (a.c + 1) / 2 ELSE a.c * b.c END AS wt
+      FROM vc a JOIN vc b ON a.v <= b.v
+    ),
+    wdist AS (SELECT walsh, CAST(sum(wt) AS BIGINT) AS wt FROM pairs GROUP BY walsh),
+    cum AS (SELECT walsh, sum(wt) OVER (ORDER BY walsh) AS cumw FROM wdist),
+    tot AS (SELECT CAST(sum(wt) AS BIGINT) AS w FROM wdist),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+    lo AS (SELECT min(walsh) AS v1 FROM cum, tot WHERE cumw >= (tot.w + 1) // 2),
+    hi AS (SELECT min(walsh) AS v2 FROM cum, tot WHERE cumw >= (tot.w + 2) // 2)
+    SELECT n.n, tot.w AS n_walsh_pairs,
+           round((lo.v1 + hi.v2) / 2.0, 4) AS hl_pseudo_median
+    FROM n, tot, lo, hi
+    """,
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of the '{t}' value sample: the
+    median of all n(n+1)/2 Walsh averages (xᵢ+xⱼ)/2, i ≤ j — the
+    location estimator dual to the Wilcoxon signed-rank test (robust to
+    outliers, ~0.96 efficiency vs the mean at the normal).
+
+    Scale shape: values aggregate to the INTEGER lattice first (the
+    bounded value-domain contract, same as KS/MWU), so the pair space
+    is |V|² over distinct values with multiplicities — weights, not
+    row blowup; Walsh averages re-aggregate to ≤ 2|V|−1 distinct
+    half-integers before the cumulative pass (probed cumulative_sums —
+    window here, distributed prefix sum past the bound). Every
+    quantity through the median selection is integer weights over
+    half-integer lattice values, so both engines agree bit-for-bit."""
+    from weather_tools_spark.operators.prefix_sum import cumulative_sums
+
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.filter(F.col("event_type") == _HL_TYPE).select(
+        F.round("value", 0).cast("long").alias("v")
+    )
+    n = s.count()
+    vc = s.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    a, b = vc.alias("a"), vc.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.v") <= F.col("b.v")).select(
+        ((F.col("a.v") + F.col("b.v")) / 2.0).alias("walsh"),
+        F.when(
+            F.col("a.v") == F.col("b.v"),
+            F.col("a.c") * (F.col("a.c") + 1) / 2,
+        )
+        .otherwise(F.col("a.c") * F.col("b.c"))
+        .cast("long")
+        .alias("wt"),
+    )
+    wdist = pairs.groupBy("walsh").agg(F.sum("wt").alias("wt"))
+    cum = cumulative_sums(wdist, ["walsh"], ["wt"], ["cumw"])
+    w_total = n * (n + 1) // 2
+    k1, k2 = (w_total + 1) // 2, (w_total + 2) // 2
+    lo = cum.filter(F.col("cumw") >= k1).agg(F.min("walsh").alias("v1"))
+    hi = cum.filter(F.col("cumw") >= k2).agg(F.min("walsh").alias("v2"))
+    return (
+        lo.crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(n).cast("long").alias("n"),
+            F.lit(w_total).cast("long").alias("n_walsh_pairs"),
+            F.round((F.col("v1") + F.col("v2")) / 2.0, 4).alias("hl_pseudo_median"),
+        )
+    )
+
+
+stats_hodges_lehmann.__doc__ = stats_hodges_lehmann.__doc__.format(t=_HL_TYPE)
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient by brand (wave 2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_local_clustering_brand",
+    oracle=f"""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tv AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS t
+      FROM (SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+            UNION ALL SELECT z AS v FROM tri) GROUP BY v
+    ),
+    cc AS (
+      SELECT deg.v, deg.d,
+             round(CASE WHEN deg.d >= 2
+                        THEN 2.0 * coalesce(tv.t, 0) / (deg.d * (deg.d - 1))
+                        ELSE 0.0 END, 6) AS c
+      FROM deg LEFT JOIN tv ON tv.v = deg.v
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           round({_ds('c')} / count(c), 6) AS avg_local_cc,
+           max(d) AS max_degree
+    FROM cc JOIN part ON p_partkey = cc.v
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def graph_local_clustering_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average LOCAL clustering coefficient (Watts-Strogatz) per part
+    brand over the co-purchase graph: cc(v) = 2·T(v)/(d(v)·(d(v)−1))
+    with T(v) from per-triangle vertex credit; degree-<2 nodes
+    contribute 0. Complements graph_triangle_census's GLOBAL
+    transitivity 3T/wedges — the two diverge exactly when triangles
+    concentrate on hubs, which is what a brand-level breakdown shows.
+
+    Scale shape: same degree-ordered O(m^1.5) triangle machinery as
+    the census (each triangle enumerated ONCE at its minimum-order
+    vertex), with the (x,y,z) triple exploded for per-vertex counts —
+    3 rows per triangle, map-combinable count; cc is a rational of
+    integers rounded identically on both engines, averaged via the
+    integer-scaled exact sum; the brand join broadcasts the part dim.
+    Oracle recomputes triangles with plain id-ordered triple joins —
+    same set, different enumeration order, so the per-vertex counts
+    certify the orientation logic too."""
+    from weather_tools_spark.operators.graph import (
+        orient_by_degree,
+        oriented_triangles,
+        undirected_degrees,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .distinct()
+    )
+    deg = undirected_degrees(edges)
+    tri = oriented_triangles(orient_by_degree(edges, deg))
+    tv = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    cc = deg.join(tv, "v", "left").select(
+        "v",
+        "d",
+        F.round(
+            F.when(
+                F.col("d") >= 2,
+                2.0 * F.coalesce(F.col("t"), F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+            ).otherwise(0.0),
+            6,
+        ).alias("c"),
+    )
+    return (
+        cc.join(F.broadcast(part), cc["v"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(_davg(F.col("c")), 6).alias("avg_local_cc"),
+            F.max("d").alias("max_degree"),
+        )
+        .orderBy("p_brand")
+    )
