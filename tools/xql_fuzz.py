@@ -74,10 +74,17 @@ def build_views(spark, sf: str, con) -> list[str]:
         f"""
         CREATE OR REPLACE VIEW weather AS
         SELECT event_id, ts AS "time", value,
-               (user_id % 180) - 90.0 + 0.25  AS latitude,
-               (event_id % 360) - 180.0 + 0.5 AS longitude,
+               CAST((user_id % 180) - 90.0 + 0.25  AS DOUBLE) AS latitude,
+               CAST((event_id % 360) - 180.0 + 0.5 AS DOUBLE) AS longitude,
                event_type
         FROM read_parquet('{sf}/events.parquet')
+        -- DOUBLE casts: Spark's view computes these with double
+        -- literals, while bare 90.0/0.25 are DECIMALs to DuckDB — and
+        -- DuckDB's UNION decimal unification can pick the WIDER
+        -- branch's SCALE and silently truncate the other branch
+        -- (found by the seed-202 union fuzz: min(latitude) -89.75
+        -- came back -89.7). Matching column types removes the
+        -- harness-side asymmetry.
         """
     )
     con.execute(
@@ -222,12 +229,78 @@ class Gen:
         if group_keys and r.random() < 0.2:
             c = r.randint(1, 20)
             having_x = having_a = f" HAVING count(*) >= {c}"
-        order = f" ORDER BY {', '.join(group_keys)}" if group_keys else ""
+        # order by the group keys, OR by an aggregate with the full
+        # group-key tiebreak (deterministic total order either way)
+        if group_keys and aggs and r.random() < 0.25:
+            agg_alias = aggs[0][1].split(" AS ")[-1]
+            order = f" ORDER BY {agg_alias} DESC, {', '.join(group_keys)}"
+        elif group_keys:
+            order = f" ORDER BY {', '.join(group_keys)}"
+        else:
+            order = ""
         limit = ""
         if order and r.random() < 0.3:
             limit = f" LIMIT {r.randint(1, 25)}"
         xql = f"SELECT {', '.join(sel_x)} FROM weather{wx}{gx}{having_x}{order}{limit}"
         ansi = f"SELECT {', '.join(sel_a)} FROM weather{wa}{ga}{having_a}{order}{limit}"
+        return xql, ansi
+
+    def union_query(self) -> tuple[str, str]:
+        """UNION ALL of two single-row whole-table aggregates with a
+        branch tag — exercises set-op planning through the rewriter."""
+        used: set = set()
+        a1 = self.aggregate(used)
+        while a1 is None:
+            a1 = self.aggregate(used)
+        a2 = self.aggregate(used)
+        while a2 is None:
+            a2 = self.aggregate(used)
+        # both branches must project the SAME column name for UNION
+        def rename(expr: str) -> str:
+            return f"{expr.split(' AS ')[0]} AS agg_val"
+
+        w1x, w1a = self.where()
+        w2x, w2a = self.where()
+        xql = (
+            f"SELECT 'b1' AS branch, {rename(a1[1])} FROM weather{w1x}"
+            f" UNION ALL SELECT 'b2' AS branch, {rename(a2[1])} FROM weather{w2x}"
+            f" ORDER BY branch"
+        )
+        ansi = (
+            f"SELECT 'b1' AS branch, {rename(a1[1])} FROM weather{w1a}"
+            f" UNION ALL SELECT 'b2' AS branch, {rename(a2[1])} FROM weather{w2a}"
+            f" ORDER BY branch"
+        )
+        return xql, ansi
+
+    def subquery_query(self) -> tuple[str, str]:
+        """Aggregate over a projected/filtered derived table — the
+        rewriter must leave inner-query structure intact."""
+        r = self.rng
+        wx, wa = self.where()
+        gx = r.choice(["event_type", "time_month"])
+        if gx == "time_month":
+            sel_x = f"time_month, avg(value) AS avg_value, COUNT(*) AS n"
+            sel_a = f"strftime(\"time\", '%Y-%m') AS time_month, avg(value) AS avg_value, count(*) AS n"
+            xql = (
+                f"SELECT {sel_x} FROM (SELECT * FROM weather{wx}) t"
+                f" GROUP BY time_month ORDER BY time_month"
+            )
+            ansi = (
+                f"SELECT {sel_a} FROM (SELECT * FROM weather{wa}) t"
+                f" GROUP BY time_month ORDER BY time_month"
+            )
+        else:
+            xql = (
+                f"SELECT event_type, SUM('value'), COUNT(*) AS n"
+                f" FROM (SELECT * FROM weather{wx}) t"
+                f" GROUP BY event_type ORDER BY event_type"
+            )
+            ansi = (
+                f"SELECT event_type, sum(value) AS sum_value, count(*) AS n"
+                f" FROM (SELECT * FROM weather{wa}) t"
+                f" GROUP BY event_type ORDER BY event_type"
+            )
         return xql, ansi
 
     def weather_select_query(self) -> tuple[str, str]:
@@ -278,10 +351,14 @@ class Gen:
 
     def query(self) -> tuple[str, str]:
         roll = self.rng.random()
-        if roll < 0.55:
+        if roll < 0.50:
             return self.weather_query()
-        if roll < 0.75:
+        if roll < 0.68:
             return self.weather_select_query()
+        if roll < 0.76:
+            return self.union_query()
+        if roll < 0.84:
+            return self.subquery_query()
         return self.orders_query()
 
 
