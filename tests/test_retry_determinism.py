@@ -21,6 +21,33 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_executor_loss_preserves_hashes():
+    """Executor-LOSS recovery (the process-level failure mode, beyond
+    task retries): tools/executor_loss_probe.py SIGKILLs a live
+    executor JVM ~30% into each query on local-cluster[2,4,2048]; the
+    worker relaunches it, the driver resubmits lost tasks, and the
+    frame hash must be unchanged. Subprocess for the same reason as the
+    retry probe: cluster topology is a session-construction property."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "executor_loss_probe.py"),
+            "/root/testdata/sf0.01",
+            "q1_pricing_summary",
+            "dedup_minhash_lsh_pairs",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    out = proc.stdout
+    assert proc.returncode == 0, f"stdout:\n{out}\nstderr:\n{proc.stderr[-2000:]}"
+    assert out.count("LOSS_OK") == 2, out
+    # the assassin must have actually killed an executor, not missed
+    # its window — otherwise the test silently degrades to a re-run
+    assert "killed_pid=" in out and "no_kill_window" not in out, out
+
+
 def test_retry_injection_preserves_hashes():
     proc = subprocess.run(
         [
