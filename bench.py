@@ -265,6 +265,15 @@ HEADLINE = [
     # recomputes the triangle set, heavyweight like the census)
     "events_spectral_periodogram",
     "stats_hodges_lehmann",
+    # round-11 wave 3 (two-pass standardized moments, keyness,
+    # integer richness constants, equity-curve risk, residual
+    # autocorrelation, chained-CTE-replayed components)
+    "stats_jarque_bera",
+    "text_dunning_g2_keywords",
+    "text_yule_k",
+    "events_max_drawdown",
+    "stats_durbin_watson",
+    "graph_connected_components",
 ]
 
 

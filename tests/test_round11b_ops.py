@@ -1,0 +1,231 @@
+"""Third implementations of the round-11 wave-3 operators: each query
+recomputed in plain numpy/python from the raw parquet and compared
+value-by-value — independent of BOTH Spark and DuckDB (the same
+triangulation as tests/test_round10_ops.py / test_round11_ops.py)."""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import pyarrow.parquet as pq
+import pytest
+
+from weather_tools_spark.queries import SPARK
+from weather_tools_spark.queries.round11b import _CC_ROUNDS, _G2_TOPK, _JB_CHI2_05
+
+SF = "/root/testdata/sf0.001"
+
+
+def _r6(x: float) -> float:
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _scale6(v: float) -> int:
+    return int(Decimal(repr(v * 1e6)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+
+def _dsum_py(vals) -> float:
+    return sum(_scale6(float(v)) for v in vals) / 1e6
+
+
+def _events():
+    return pq.read_table(f"{SF}/events.parquet").to_pydict()
+
+
+def _docs_tokens():
+    tbl = pq.read_table(f"{SF}/documents.parquet").to_pydict()
+    out = []
+    for src, text in zip(tbl["source"], tbl["text"]):
+        out.append((src, text.lower().split()))
+    return out
+
+
+def test_jarque_bera_matches_python(spark):
+    got = {r["event_type"]: r.asDict() for r in SPARK["stats_jarque_bera"](spark, SF).collect()}
+    ev = _events()
+    by_type: dict[str, list[float]] = defaultdict(list)
+    for et, v in zip(ev["event_type"], ev["value"]):
+        by_type[et].append(float(v))
+    assert set(got) == set(by_type)
+    for et, vals in by_type.items():
+        n = len(vals)
+        mu = _dsum_py(vals) / n
+        ex2 = _dsum_py(v * v for v in vals) / n
+        sig = math.sqrt(ex2 - mu * mu)
+        zs = [(v - mu) / sig for v in vals]
+        skw = _dsum_py(z**3 for z in zs) / n
+        krt = _dsum_py(z**4 for z in zs) / n
+        jb = _r6(n / 6.0 * (skw * skw + (krt - 3) * (krt - 3) / 4.0))
+        g = got[et]
+        assert g["n"] == n
+        assert g["skewness"] == pytest.approx(_r6(skw), abs=2e-6)
+        assert g["kurtosis"] == pytest.approx(_r6(krt), abs=2e-6)
+        assert g["jarque_bera"] == pytest.approx(jb, abs=2e-6)
+        assert g["reject_05"] == (1 if g["jarque_bera"] > _JB_CHI2_05 else 0)
+
+
+def _source_word_counts():
+    sw: dict[str, Counter] = defaultdict(Counter)
+    for src, toks in _docs_tokens():
+        sw[src].update(toks)
+    return sw
+
+
+def test_yule_k_matches_python(spark):
+    got = {r["source"]: r.asDict() for r in SPARK["text_yule_k"](spark, SF).collect()}
+    sw = _source_word_counts()
+    assert set(got) == set(sw)
+    for src, cnt in sw.items():
+        n = sum(cnt.values())
+        s2 = sum(c * c for c in cnt.values())
+        k = _r6(10000.0 * (s2 - n) / (n * n))
+        d = _r6(sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1)))
+        g = got[src]
+        assert g["n_tokens"] == n
+        assert g["vocabulary"] == len(cnt)
+        assert g["yule_k"] == pytest.approx(k, abs=2e-6)
+        assert g["simpson_d"] == pytest.approx(d, abs=2e-6)
+
+
+def test_dunning_g2_matches_python(spark):
+    rows = SPARK["text_dunning_g2_keywords"](spark, SF).collect()
+    sw = _source_word_counts()
+    wv: Counter = Counter()
+    for cnt in sw.values():
+        wv.update(cnt)
+    n_tot = sum(wv.values())
+    expected = []
+    for src in sorted(sw):
+        ns = sum(sw[src].values())
+        scored = []
+        for w, a in sw[src].items():
+            cw = wv[w]
+            b = cw - a
+            g2 = a * math.log((a * n_tot) / (cw * ns))
+            if b > 0:
+                g2 += b * math.log((b * n_tot) / (cw * (n_tot - ns)))
+            scored.append((_r6(2.0 * g2), w, a))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (g2, w, a) in enumerate(scored[:_G2_TOPK], start=1):
+            expected.append((src, w, a, g2, rk))
+    assert len(rows) == len(expected)
+    for r, (src, w, a, g2, rk) in zip(rows, expected):
+        assert (r["source"], r["word"], r["occurrences"], r["rank"]) == (src, w, a, rk)
+        assert r["g2"] == pytest.approx(g2, abs=2e-6)
+
+
+def _daily(key):
+    ev = _events()
+    agg: dict[int, list[float]] = defaultdict(list)
+    for ts, v in zip(ev["ts"], ev["value"]):
+        day = int(ts.timestamp() // 86400)
+        agg[day].append(float(v))
+    return agg
+
+
+def test_max_drawdown_matches_python(spark):
+    rows = SPARK["events_max_drawdown"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    agg = _daily("value")
+    flows = {d: sum(_scale6(v - 250) for v in vs) for d, vs in agg.items()}
+    cum = 0
+    runmax = None
+    mdraw = None
+    peak = None
+    trough_day = None
+    for d in sorted(flows):
+        cum += flows[d]
+        runmax = cum if runmax is None else max(runmax, cum)
+        peak = cum if peak is None else max(peak, cum)
+        draw = runmax - cum
+        if mdraw is None or draw > mdraw:
+            mdraw, trough_day = draw, d
+    assert got["n_days"] == len(flows)
+    assert got["peak_equity"] == pytest.approx(_r6(peak / 1e6), abs=2e-6)
+    assert got["max_drawdown"] == pytest.approx(_r6(mdraw / 1e6), abs=2e-6)
+    assert got["trough_day"] == trough_day
+
+
+def test_durbin_watson_matches_python(spark):
+    rows = SPARK["stats_durbin_watson"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    agg = _daily("value")
+    counts = [(d, len(vs)) for d, vs in sorted(agg.items())]
+    n = len(counts)
+    xs = list(range(1, n + 1))
+    ys = [c for _, c in counts]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    icept = (sy - slope * sx) / n
+    res = [y - (icept + slope * x) for x, y in zip(xs, ys)]
+    sdiff = _dsum_py((b - a) ** 2 for a, b in zip(res, res[1:]))
+    sres = _dsum_py(r * r for r in res)
+    assert got["n_days"] == n
+    assert got["slope"] == pytest.approx(_r6(slope), abs=2e-6)
+    assert got["intercept"] == pytest.approx(_r6(icept), abs=2e-6)
+    assert got["durbin_watson"] == pytest.approx(_r6(sdiff / sres), abs=2e-6)
+    assert got["rho_lag1"] == pytest.approx(_r6(1 - sdiff / sres / 2.0), abs=2e-6)
+    # a healthy i.i.d.-count series sits near 2
+    assert 0.0 < got["durbin_watson"] < 4.0
+
+
+def _python_nation_edges():
+    """Replay _sp_edges_df in plain python: weighted customer-nation ->
+    supplier-nation edges, per-source top-3 by (count desc, dst)."""
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pydict()
+    c_nat = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    supp = pq.read_table(f"{SF}/supplier.parquet").to_pydict()
+    s_nat = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pydict()
+    o_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pydict()
+    w: Counter = Counter()
+    for ok, sk in zip(li["l_orderkey"], li["l_suppkey"]):
+        w[(c_nat[o_cust[ok]], s_nat[sk])] += 1
+    by_src: dict[int, list] = defaultdict(list)
+    for (src, dst), cnt in w.items():
+        by_src[src].append((-cnt, dst))
+    edges = set()
+    for src, lst in by_src.items():
+        for _, dst in sorted(lst)[:3]:
+            edges.add((src, dst))
+    return edges
+
+
+def test_connected_components_matches_python(spark):
+    rows = SPARK["graph_connected_components"](spark, SF).collect()
+    nat = pq.read_table(f"{SF}/nation.parquet").to_pydict()
+    region = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    edges = _python_nation_edges()
+    und = set()
+    for s, d in edges:
+        if s != d and region[s] == region[d]:
+            und.add((s, d))
+            und.add((d, s))
+    lbl = {v: v for v in region}
+    for _ in range(_CC_ROUNDS):
+        nxt = dict(lbl)
+        for u, v in und:
+            if lbl[u] < nxt[v]:
+                nxt[v] = lbl[u]
+        lbl = nxt
+    # fixpoint: one extra round changes nothing at _CC_ROUNDS
+    extra = dict(lbl)
+    for u, v in und:
+        if lbl[u] < extra[v]:
+            extra[v] = lbl[u]
+    assert extra == lbl
+    sizes = Counter(lbl.values())
+    got = {r["nationkey"]: (r["component"], r["csize"]) for r in rows}
+    assert got == {v: (c, sizes[c]) for v, c in lbl.items()}
+    # components never split a region: every member shares the
+    # component root's region
+    for v, c in lbl.items():
+        assert region[v] == region[c]

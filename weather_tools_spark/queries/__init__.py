@@ -105,6 +105,16 @@ CHECK_CHANGED: list[str] = [
     # twin, quadratic in the hot key). Values identical (streaming twin
     # + oracle re-proven), plan changed:
     "events_conversion_window",
+    # r11 wave 3: the two shuffle-count outliers VERDICT r10 named get
+    # the fused-plan treatment (values identical, plans changed).
+    # sketch_kmv_setops: one reused distinct + one WindowGroupLimit
+    # window + membership-flag groupBys — 37→12 Exch, 23→3 BNLJ,
+    # 0.88→0.12 s at sf0.1.
+    "sketch_kmv_setops",
+    # text_burrows_delta: the grid zero-fill LEFT-joins the broadcast
+    # top-word-filtered count frame instead of the vocab-scale (source,
+    # word) frame — 0.53→0.16 s at sf0.1.
+    "text_burrows_delta",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's
@@ -200,6 +210,7 @@ def _load_all() -> None:
         pipeline_ops,
         round10,
         round11,
+        round11b,
         selection,
         sketches,
         stats_ext,
