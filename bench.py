@@ -274,6 +274,14 @@ HEADLINE = [
     "events_max_drawdown",
     "stats_durbin_watson",
     "graph_connected_components",
+    # round-11 wave 4 (rank/binary repeated measures, spectrum
+    # smoothing, stream stability, variance homogeneity, graph mixing)
+    "stats_friedman_test",
+    "stats_cochran_q",
+    "text_good_turing",
+    "events_allan_variance",
+    "stats_bartlett_test",
+    "graph_assortativity",
 ]
 
 

@@ -229,3 +229,159 @@ def test_connected_components_matches_python(spark):
     # component root's region
     for v, c in lbl.items():
         assert region[v] == region[c]
+
+
+# ---------------------------------------------------------------------------
+# Wave 4 third implementations
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_matches_python(spark):
+    rows = SPARK["stats_friedman_test"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    ev = _events()
+    cells: Counter = Counter()
+    days, types = set(), set()
+    for ts, et in zip(ev["ts"], ev["event_type"]):
+        d = int(ts.timestamp() // 86400)
+        cells[(d, et)] += 1
+        days.add(d)
+        types.add(et)
+    n, k = len(days), len(types)
+    rank_sums: dict[str, float] = defaultdict(float)
+    for d in days:
+        vals = sorted(cells.get((d, t), 0) for t in types)
+        for t in types:
+            c = cells.get((d, t), 0)
+            smaller = sum(1 for v in vals if v < c)
+            ties = sum(1 for v in vals if v == c)
+            rank_sums[t] += smaller + 1 + (ties - 1) / 2.0
+    chi2 = 12.0 / (n * k * (k + 1)) * sum(r * r for r in rank_sums.values()) - 3.0 * n * (k + 1)
+    assert got["n_blocks"] == n
+    assert got["k_treatments"] == k
+    assert got["friedman_chi2"] == pytest.approx(_r6(chi2), abs=2e-6)
+    assert got["kendalls_w"] == pytest.approx(_r6(chi2 / (n * (k - 1))), abs=2e-6)
+    assert 0.0 <= got["kendalls_w"] <= 1.0
+
+
+def test_cochran_q_matches_python(spark):
+    rows = SPARK["stats_cochran_q"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    ev = _events()
+    cells: Counter = Counter()
+    for u, et in zip(ev["user_id"], ev["event_type"]):
+        cells[(u, et)] += 1
+    users = {u for u, _ in cells}
+    types = {t for _, t in cells}
+    k, nu, tot = len(types), len(users), sum(cells.values())
+    x = {(u, t) for (u, t), c in cells.items() if c * nu * k > tot}
+    ri: Counter = Counter(u for u, _ in x)
+    cj: Counter = Counter(t for _, t in x)
+    n = sum(ri.values())
+    sr2 = sum(v * v for v in ri.values())
+    sc2 = sum(v * v for v in cj.values())
+    denom = k * n - sr2
+    q = 0.0 if denom == 0 else (k - 1) * (k * sc2 - n * n) / denom
+    assert got["k_treatments"] == k
+    assert got["n_users"] == nu
+    assert got["df"] == k - 1
+    assert got["cochran_q"] == pytest.approx(_r6(q), abs=2e-6)
+    # the over-engagement binarization must not be degenerate here
+    assert denom != 0 and got["cochran_q"] != 0.0
+
+
+def test_good_turing_matches_python(spark):
+    rows = SPARK["text_good_turing"](spark, SF).collect()
+    wc: Counter = Counter()
+    for _, toks in _docs_tokens():
+        wc.update(toks)
+    spec: Counter = Counter(wc.values())
+    n_tok = sum(wc.values())
+    expected = [r for r in sorted(spec) if r <= 5]
+    assert [r["r"] for r in rows] == expected
+    for row in rows:
+        r = row["r"]
+        assert row["nr"] == spec[r]
+        assert row["nr_next"] == spec.get(r + 1, 0)
+        assert row["r_star"] == pytest.approx(
+            _r6((r + 1) * spec.get(r + 1, 0) / spec[r]), abs=2e-6
+        )
+        assert row["mass_at_r"] == pytest.approx(_r6(r * spec[r] / n_tok), abs=2e-6)
+
+
+def test_allan_variance_matches_python(spark):
+    rows = SPARK["events_allan_variance"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    ev = _events()
+    for tau, mkey, akey in ((3600, "m_small", "avar_small_tau"), (21600, "m_large", "avar_large_tau")):
+        buckets: dict[int, list[float]] = defaultdict(list)
+        for ts, v in zip(ev["ts"], ev["value"]):
+            buckets[int(ts.timestamp() // tau)].append(float(v))
+        ys = [
+            _dsum_py(buckets[b]) / len(buckets[b]) for b in sorted(buckets)
+        ]
+        m = len(ys)
+        avar = _dsum_py((b - a) ** 2 for a, b in zip(ys, ys[1:])) / (2.0 * (m - 1))
+        assert got[mkey] == m
+        assert got[akey] == pytest.approx(_r6(avar), abs=2e-6)
+    slope = (math.log(got["avar_large_tau"]) - math.log(got["avar_small_tau"])) / (
+        math.log(21600) - math.log(3600)
+    )
+    # slope recomputed from the ROUNDED avars can drift slightly from the
+    # in-plan value computed on unrounded ones — tolerance widened
+    assert got["noise_slope"] == pytest.approx(slope, abs=1e-3)
+
+
+def test_bartlett_matches_python(spark):
+    rows = SPARK["stats_bartlett_test"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    ev = _events()
+    by_type: dict[str, list[float]] = defaultdict(list)
+    for et, v in zip(ev["event_type"], ev["value"]):
+        by_type[et].append(float(v))
+    k = len(by_type)
+    n_tot = sum(len(v) for v in by_type.values())
+    terms_pool, terms_ln, terms_inv = [], [], []
+    for vals in by_type.values():
+        ni = len(vals)
+        s1 = _dsum_py(vals)
+        s2 = _dsum_py(v * v for v in vals)
+        vi = (s2 - s1 * s1 / ni) / (ni - 1)
+        terms_pool.append((ni - 1) * vi)
+        terms_ln.append((ni - 1) * math.log(vi))
+        terms_inv.append(1.0 / (ni - 1))
+    pooled = _dsum_py(terms_pool) / (n_tot - k)
+    raw = (n_tot - k) * math.log(pooled) - _dsum_py(terms_ln)
+    corr = 1 + (_dsum_py(terms_inv) - 1.0 / (n_tot - k)) / (3 * (k - 1))
+    assert got["k_groups"] == k
+    assert got["n_total"] == n_tot
+    assert got["df"] == k - 1
+    assert got["bartlett_raw"] == pytest.approx(_r6(raw), abs=2e-6)
+    assert got["bartlett_chi2"] == pytest.approx(_r6(raw / corr), abs=2e-6)
+
+
+def test_assortativity_matches_python(spark):
+    rows = SPARK["graph_assortativity"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    edges = _python_nation_edges()
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    deg: Counter = Counter(u for u, _ in und)
+    m = len(und)
+    sjk = sum(deg[u] * deg[v] for u, v in und)
+    ssum = sum(deg[u] + deg[v] for u, v in und)
+    ssq = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in und)
+    mean = ssum / (2 * m)
+    r = (sjk / m - mean * mean) / (ssq / (2 * m) - mean * mean)
+    assert got["m_directed_pairs"] == m
+    assert got["n_nodes"] == len(deg)
+    assert got["assortativity"] == pytest.approx(_r6(r), abs=2e-6)
+    assert -1.0 <= got["assortativity"] <= 1.0

@@ -1,10 +1,15 @@
-"""Round-11 wave 3: distribution-shape testing, stylometric keyness,
-vocabulary-richness constants, equity-curve risk, residual
-autocorrelation, and connected components — six operators extending
-the aggregation/text/graph families along the same determinism rules
-the r11 hardening proved (integer-scaled exact sums, two-pass
+"""Round-11 waves 3 and 4: twelve operators extending the
+aggregation/text/graph families along the same determinism rules the
+r11 hardening proved (integer-scaled exact sums, two-pass
 standardized moments, join-based sequence adjacency, chained-CTE
 oracle replay of iterative rounds).
+
+Wave 3: distribution-shape testing, stylometric keyness,
+vocabulary-richness constants, equity-curve risk, residual
+autocorrelation, connected components. Wave 4: rank-based and binary
+repeated-measures tests (Friedman, Cochran's Q), Good-Turing
+spectrum smoothing, Allan-variance stream stability, Bartlett
+variance homogeneity, and Newman degree assortativity.
 
 - Jarque-Bera normality test per event type: the standard
   moments-based screen (is this stream's value distribution Gaussian
@@ -610,3 +615,539 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nationkey INT, component INT, csize BIGINT"
     ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: Friedman test (rank-based repeated measures)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_friedman_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.day, t.event_type, COALESCE(daily.c, 0) AS c
+      FROM (SELECT DISTINCT day FROM daily) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+      LEFT JOIN daily USING (day, event_type)
+    ),
+    rk AS (
+      SELECT day, event_type,
+             rank() OVER (PARTITION BY day ORDER BY c)
+               + (count(*) OVER (PARTITION BY day, c) - 1) / 2.0 AS r
+      FROM grid
+    ),
+    rs AS (
+      SELECT event_type, sum(r) AS rj FROM rk GROUP BY event_type
+    ),
+    dims AS (
+      SELECT CAST((SELECT count(DISTINCT day) FROM daily) AS BIGINT) AS n,
+             CAST((SELECT count(DISTINCT event_type) FROM daily) AS BIGINT)
+               AS k
+    ),
+    stat AS (
+      SELECT n, k,
+             12.0 / (n * k * (k + 1)) * sum(rj * rj) - 3.0 * n * (k + 1)
+               AS chi2
+      FROM rs, dims GROUP BY n, k
+    )
+    SELECT n AS n_blocks, k AS k_treatments,
+           round(chi2, 6) AS friedman_chi2,
+           round(chi2 / (n * (k - 1)), 6) AS kendalls_w
+    FROM stat
+    """,
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of the daily event-type volume profile:
+    blocks = days, treatments = event types, observations = daily
+    counts (zero-filled to the full day x type grid); average ranks
+    within each day, chi-square_F = 12/(nk(k+1)) * Sum R_j^2 - 3n(k+1),
+    reported with Kendall's W concordance. The nonparametric
+    repeated-measures ANOVA: is the relative ordering of event types
+    consistent across days?
+
+    Determinism: average rank is rank() + (tie_count - 1)/2 — both
+    terms integers, so every rank is an exact dyadic multiple of 0.5
+    and rank sums are ORDER-INDEPENDENT exact doubles (no integer
+    lattice needed); the statistic is closed-form arithmetic on those
+    exact sums. The within-day rank window is PARTITIONED by day
+    (bounded by |event types| rows per partition, never global).
+    Scale shape: one map-combinable fact aggregation; the grid,
+    ranks and rank sums are bounded by days x types."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).cast("long").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    r = (
+        F.rank().over(Window.partitionBy("day").orderBy("c"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("day", "c")) - 1) / 2.0
+    )
+    rk = grid.select("day", "event_type", r.alias("r"))
+    rs = rk.groupBy("event_type").agg(F.sum("r").alias("rj"))
+    dims = daily.agg(
+        F.countDistinct("day").alias("n"), F.countDistinct("event_type").alias("k")
+    )
+    stat = rs.crossJoin(F.broadcast(dims)).groupBy("n", "k").agg(
+        (
+            12.0 / (F.col("n") * F.col("k") * (F.col("k") + 1))
+            * F.sum(F.col("rj") * F.col("rj"))
+            - 3.0 * F.col("n") * (F.col("k") + 1)
+        ).alias("chi2")
+    )
+    return stat.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k_treatments"),
+        F.round(F.col("chi2"), 6).alias("friedman_chi2"),
+        F.round(F.col("chi2") / (F.col("n") * (F.col("k") - 1)), 6).alias("kendalls_w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: Cochran's Q (binary repeated measures)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_cochran_q",
+    oracle="""
+    WITH cell AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    dims AS (
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
+             CAST(sum(cnt) AS BIGINT) AS tot
+      FROM cell
+    ),
+    x AS (
+      SELECT cell.user_id, cell.event_type
+      FROM cell, dims
+      WHERE cell.cnt * dims.nu * dims.k > dims.tot
+    ),
+    rowt AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS ri FROM x GROUP BY user_id
+    ),
+    colt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cj FROM x GROUP BY event_type
+    ),
+    s AS (
+      SELECT (SELECT k FROM dims) AS k,
+             (SELECT nu FROM dims) AS n_users,
+             (SELECT CAST(sum(cj * cj) AS BIGINT) FROM colt) AS sc2,
+             (SELECT CAST(sum(ri) AS BIGINT) FROM rowt) AS n,
+             (SELECT CAST(sum(ri * ri) AS BIGINT) FROM rowt) AS sr2
+    )
+    SELECT k AS k_treatments, n_users,
+           CAST(k - 1 AS BIGINT) AS df,
+           round(CASE WHEN k * n - sr2 = 0 THEN 0.0
+                      ELSE CAST((k - 1) * (k * sc2 - n * n) AS DOUBLE)
+                           / (k * n - sr2) END, 6) AS cochran_q
+    FROM s
+    """,
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test on the user x event-type OVER-ENGAGEMENT
+    matrix: x_ij = 1 iff user i's count of type j exceeds the global
+    average cell count (cnt_ij · n_users · k > total — a pure-INTEGER
+    comparison, so the threshold is scale-free and both engines
+    agree exactly). Q = (k-1)(k·ΣC_j² - N²) / (k·N - ΣR_i²), the
+    binary repeated-measures test (McNemar's generalization to k
+    treatments): are the k event types over-used by the same
+    share of users? The naive "ever fired type j" binarization is
+    DEGENERATE here — every user fires every type, all R_i = k and
+    the denominator is identically zero (found by the sf0.01 gate);
+    a saturated matrix still yields the 0/0 guard below, reported
+    as Q = 0 by convention on both engines (no variation = no
+    evidence).
+
+    Exactness: EVERY input to the statistic is a BIGINT (cell
+    counts, row totals, column totals, their squares), so both
+    engines do one identical correctly-rounded division at the end —
+    no float accumulation anywhere. Scale shape: one map-combinable
+    groupBy to the (user, type) cells is the only fact-scale
+    shuffle; the binarization is a broadcast scalar compare; row
+    totals re-key by user, column totals by type; users never
+    materialize to the driver."""
+    ev = load_table(spark, "events", sf_dir)
+    cell = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    dims = cell.agg(
+        F.countDistinct("event_type").alias("k"),
+        F.countDistinct("user_id").alias("nu"),
+        F.sum("cnt").alias("tot"),
+    )
+    x = (
+        cell.crossJoin(F.broadcast(dims))
+        .filter(F.col("cnt") * F.col("nu") * F.col("k") > F.col("tot"))
+        .select("user_id", "event_type")
+    )
+    rowt = x.groupBy("user_id").agg(F.count(F.lit(1)).alias("ri"))
+    colt = x.groupBy("event_type").agg(F.count(F.lit(1)).alias("cj"))
+    rstats = rowt.agg(
+        F.sum("ri").alias("n"),
+        F.sum(F.col("ri") * F.col("ri")).alias("sr2"),
+    )
+    cstats = colt.agg(F.sum(F.col("cj") * F.col("cj")).alias("sc2"))
+    s = dims.crossJoin(F.broadcast(rstats)).crossJoin(F.broadcast(cstats))
+    denom = F.col("k") * F.col("n") - F.col("sr2")
+    q = F.when(denom == 0, F.lit(0.0)).otherwise(
+        (
+            (F.col("k") - 1) * (F.col("k") * F.col("sc2") - F.col("n") * F.col("n"))
+        ).cast("double")
+        / denom
+    )
+    return s.select(
+        F.col("k").cast("long").alias("k_treatments"),
+        F.col("nu").cast("long").alias("n_users"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.round(q, 6).alias("cochran_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: Good-Turing frequency smoothing
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 5
+
+
+@register(
+    "text_good_turing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    spec AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS nr
+             FROM wc GROUP BY c),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wc)
+    SELECT a.r, a.nr, COALESCE(b.nr, 0) AS nr_next,
+           round(CAST((a.r + 1) * COALESCE(b.nr, 0) AS DOUBLE) / a.nr, 6)
+             AS r_star,
+           round(CAST(a.r * a.nr AS DOUBLE) / tot.n, 6) AS mass_at_r
+    FROM spec a LEFT JOIN spec b ON b.r = a.r + 1
+    CROSS JOIN tot
+    WHERE a.r <= {_GT_MAX_R}
+    ORDER BY a.r
+    """,
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus unigram counts:
+    the frequency-of-frequencies spectrum N_r and the adjusted count
+    r* = (r+1)·N_{{r+1}}/N_r for r ≤ {_GT_MAX_R}, with each class's
+    probability mass r·N_r/N. The classical unseen-mass estimator
+    (Good 1953) — r*=0 rows and r* << r flag the spectrum holes that
+    make naive MLE language models overconfident, and N_1/N is the
+    Laplace-alternative unseen-word mass (this query's r=1 row).
+
+    Exactness: the spectrum is pure integers end to end (counts of
+    counts); r* and the mass are single correctly-rounded divisions
+    of BIGINT products. Scale shape: token shuffle -> word counts ->
+    spectrum (two map-combinable aggregations, the second over the
+    vocab-bounded frame); the r+1 lookup is a self-join on the
+    <=|distinct frequencies|-row spectrum."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    spec = wc.groupBy(F.col("c").alias("r")).agg(F.count(F.lit(1)).alias("nr"))
+    tot = wc.agg(F.sum("c").alias("n"))
+    a = spec.alias("a")
+    b = spec.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.r") == F.col("a.r") + 1, "left")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("a.r") <= _GT_MAX_R)
+        .select(
+            F.col("a.r").alias("r"),
+            F.col("a.nr").alias("nr"),
+            F.coalesce(F.col("b.nr"), F.lit(0)).alias("nr_next"),
+            F.round(
+                ((F.col("a.r") + 1) * F.coalesce(F.col("b.nr"), F.lit(0))).cast("double")
+                / F.col("a.nr"),
+                6,
+            ).alias("r_star"),
+            F.round((F.col("a.r") * F.col("a.nr")).cast("double") / F.col("n"), 6).alias(
+                "mass_at_r"
+            ),
+        )
+        .orderBy("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: Allan variance (stream stability)
+# ---------------------------------------------------------------------------
+
+_AV_TAUS = (3600, 21600)
+
+
+def _av_cte(tau: int) -> str:
+    return f"""
+    b{tau} AS (
+      SELECT CAST(floor(epoch(ts) / {tau}.0) AS BIGINT) AS bucket,
+             {_DS.format(expr='value')} / count(*) AS y
+      FROM events GROUP BY 1
+    ),
+    s{tau} AS (
+      SELECT row_number() OVER (ORDER BY bucket) AS i, y FROM b{tau}
+    ),
+    av{tau} AS (
+      SELECT CAST(count(*) + 1 AS BIGINT) AS m,
+             {_DS.format(expr='(b.y - a.y) * (b.y - a.y)')}
+               / (2.0 * count(*)) AS avar
+      FROM s{tau} a JOIN s{tau} b ON b.i = a.i + 1
+    )"""
+
+
+@register(
+    "events_allan_variance",
+    oracle=f"""
+    WITH {_av_cte(_AV_TAUS[0])},
+    {_av_cte(_AV_TAUS[1])}
+    SELECT a.m AS m_small, b.m AS m_large,
+           round(a.avar, 6) AS avar_small_tau,
+           round(b.avar, 6) AS avar_large_tau,
+           round((ln(b.avar) - ln(a.avar))
+                 / (ln({_AV_TAUS[1]}) - ln({_AV_TAUS[0]})), 6) AS noise_slope
+    FROM av{_AV_TAUS[0]} a, av{_AV_TAUS[1]} b
+    """,
+)
+def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Allan variance of the event-value stream at two
+    averaging windows (tau = 1 h and 6 h): AVAR(tau) =
+    Sum (y_{{i+1}} - y_i)^2 / (2(M-1)) over consecutive occupied-bucket
+    means, plus the log-log noise slope between the two taus — the
+    clock-stability statistic (Allan 1966) repurposed as a stream
+    drift detector (white noise slopes to -1; a flat/rising slope
+    flags wandering sensor baselines or load-dependent bias).
+
+    Determinism: bucket means divide an integer-scaled exact sum by
+    an integer count; the squared-difference sum is itself
+    integer-scaled; bucket re-indexing (gaps allowed — occupied
+    buckets only, documented) is one ordered window over the
+    CALENDAR-BOUNDED bucket frame; the adjacency is a dense-rank
+    equi-join, never a global lag window. ln() feeds a 1e-6 round
+    (the hurst/heaps precedent). Scale shape: two map-combinable
+    fact aggregations; everything after is bucket-bounded."""
+    ev = load_table(spark, "events", sf_dir)
+    out = []
+    for tau in _AV_TAUS:
+        bkt = ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / F.lit(float(tau))).cast("long").alias("bucket")
+        ).agg((_dsum(F.col("value")) / F.count(F.lit(1))).alias("y"))
+        s = bkt.select(
+            F.row_number().over(Window.orderBy("bucket")).cast("long").alias("i"), "y"
+        )
+        a = s.alias("a")
+        b = s.alias("b")
+        out.append(
+            a.join(b, F.col("b.i") == F.col("a.i") + 1).agg(
+                (F.count(F.lit(1)) + 1).alias(f"m_{tau}"),
+                (
+                    _dsum((F.col("b.y") - F.col("a.y")) * (F.col("b.y") - F.col("a.y")))
+                    / (2.0 * F.count(F.lit(1)))
+                ).alias(f"avar_{tau}"),
+            )
+        )
+    import math
+
+    t0, t1 = _AV_TAUS
+    j = out[0].crossJoin(F.broadcast(out[1]))
+    return j.select(
+        F.col(f"m_{t0}").cast("long").alias("m_small"),
+        F.col(f"m_{t1}").cast("long").alias("m_large"),
+        F.round(F.col(f"avar_{t0}"), 6).alias("avar_small_tau"),
+        F.round(F.col(f"avar_{t1}"), 6).alias("avar_large_tau"),
+        F.round(
+            (F.log(F.col(f"avar_{t1}")) - F.log(F.col(f"avar_{t0}")))
+            / (math.log(t1) - math.log(t0)),
+            6,
+        ).alias("noise_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: Bartlett's test for variance homogeneity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_bartlett_test",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ni,
+             {_DS.format(expr='value')} AS s1,
+             {_DS.format(expr='value * value')} AS s2
+      FROM events GROUP BY event_type
+    ),
+    v AS (
+      SELECT event_type, ni,
+             (s2 - s1 * s1 / ni) / (ni - 1) AS vi
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ni) AS BIGINT) AS n,
+             {_DS.format(expr='(ni - 1) * vi')} AS pooled_num,
+             {_DS.format(expr='(ni - 1) * ln(vi)')} AS sum_lnv,
+             {_DS.format(expr='1.0 / (ni - 1)')} AS sum_inv
+      FROM v
+    )
+    SELECT k AS k_groups, n AS n_total,
+           round((n - k) * ln(pooled_num / (n - k)) - sum_lnv, 6)
+             AS bartlett_raw,
+           round(((n - k) * ln(pooled_num / (n - k)) - sum_lnv)
+                 / (1 + (sum_inv - 1.0 / (n - k)) / (3 * (k - 1))), 6)
+             AS bartlett_chi2,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM agg
+    """,
+)
+def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for homogeneity of the event-value variance
+    across event types: T = [(N-k) ln(s_p^2) - Sum (n_i-1) ln(s_i^2)]
+    / C with the standard correction C = 1 + (Sum 1/(n_i-1) -
+    1/(N-k)) / (3(k-1)). The parametric complement of the registry's
+    Levene test — Bartlett is the more powerful screen when the
+    normality established by stats_jarque_bera holds.
+
+    Determinism: group variances come from integer-scaled exact sums
+    (the s2 - s1^2/n form on identical doubles); the three ACROSS-
+    GROUP reductions — pooled numerator, sum of (n_i-1)ln(v_i), sum
+    of 1/(n_i-1) — are THEMSELVES integer-scale-summed, so the
+    k-term accumulation order (which Spark does not guarantee across
+    a 5-row aggregation) cannot wiggle the last ulp. Scale shape:
+    one map-combinable fact aggregation; everything after operates
+    on the <=|event types|-row frame."""
+    ev = load_table(spark, "events", sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"),
+        _dsum(F.col("value")).alias("s1"),
+        _dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    v = g.select(
+        "event_type",
+        "ni",
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("ni")) / (F.col("ni") - 1)).alias("vi"),
+    )
+    agg = v.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        _dsum((F.col("ni") - 1) * F.col("vi")).alias("pooled_num"),
+        _dsum((F.col("ni") - 1) * F.log(F.col("vi"))).alias("sum_lnv"),
+        _dsum(1.0 / (F.col("ni") - 1)).alias("sum_inv"),
+    )
+    raw = (F.col("n") - F.col("k")) * F.log(
+        F.col("pooled_num") / (F.col("n") - F.col("k"))
+    ) - F.col("sum_lnv")
+    corr = 1 + (F.col("sum_inv") - 1.0 / (F.col("n") - F.col("k"))) / (
+        3 * (F.col("k") - 1)
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n_total"),
+        F.round(raw, 6).alias("bartlett_raw"),
+        F.round(raw / corr, 6).alias("bartlett_chi2"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: degree assortativity of the trade graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_sp_edges_sql()},
+    und AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        UNION ALL
+        SELECT dst AS u, src AS v FROM e WHERE src <> dst
+      )
+    ),
+    deg AS (SELECT u AS nk, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+    ed AS (
+      SELECT du.d AS j, dv.d AS kk
+      FROM und JOIN deg du ON und.u = du.nk JOIN deg dv ON und.v = dv.nk
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(j * kk) AS BIGINT) AS sjk,
+             CAST(sum(j + kk) AS BIGINT) AS ssum,
+             CAST(sum(j * j + kk * kk) AS BIGINT) AS ssq
+      FROM ed
+    )
+    SELECT m AS m_directed_pairs,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           round((CAST(sjk AS DOUBLE) / m - (CAST(ssum AS DOUBLE) / (2 * m))
+                  * (CAST(ssum AS DOUBLE) / (2 * m)))
+                 / (CAST(ssq AS DOUBLE) / (2 * m) - (CAST(ssum AS DOUBLE)
+                    / (2 * m)) * (CAST(ssum AS DOUBLE) / (2 * m))), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the undirected capped
+    trade graph: the Pearson correlation of endpoint degrees over all
+    edges, r = (E[jk] - E[(j+k)/2]^2) / (E[(j^2+k^2)/2] -
+    E[(j+k)/2]^2) — negative r (hubs attach to leaves) is the
+    disassortative signature of trade/internet topologies, positive r
+    the social-network signature. Complements the registry's local
+    clustering and k-core structure queries with the graph-level
+    mixing statistic.
+
+    Exactness: endpoint degrees are integers, so all four moment
+    sums are BIGINTs and the statistic is closed-form arithmetic on
+    their exact double conversions — no accumulation-order exposure
+    anywhere. Scale shape: the fact-scale work is the shared
+    _sp_edges_df aggregation; symmetrization, degrees, the
+    degree-attach joins and the moment reduction all operate on the
+    <=2·|nations|·top-k edge frame, fully distributed (no driver
+    algorithm — this one needs no iteration)."""
+    e = _sp_edges_df(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("u").alias("nk")).agg(F.count(F.lit(1)).alias("d"))
+    ed = (
+        und.join(F.broadcast(deg.select(F.col("nk").alias("u"), F.col("d").alias("j"))), "u")
+        .join(F.broadcast(deg.select(F.col("nk").alias("v"), F.col("d").alias("kk"))), "v")
+        .select("j", "kk")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("j") * F.col("kk")).alias("sjk"),
+        F.sum(F.col("j") + F.col("kk")).alias("ssum"),
+        F.sum(F.col("j") * F.col("j") + F.col("kk") * F.col("kk")).alias("ssq"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    mean = F.col("ssum").cast("double") / (2 * F.col("m"))
+    return s.crossJoin(F.broadcast(nn)).select(
+        F.col("m").cast("long").alias("m_directed_pairs"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.round(
+            (F.col("sjk").cast("double") / F.col("m") - mean * mean)
+            / (F.col("ssq").cast("double") / (2 * F.col("m")) - mean * mean),
+            6,
+        ).alias("assortativity"),
+    )
