@@ -518,16 +518,21 @@ _CC_ROUNDS = 5
 def _cc_oracle() -> str:
     """Chained-CTE replay of every min-label propagation round:
     l_{r+1}(v) = min(l_r(v), min over in-neighbors u of l_r(u))."""
+    # every CTE is MATERIALIZED (the graph_kcore precedent): each
+    # round references the previous one TWICE (own label + neighbor
+    # propagation), so without materialization DuckDB re-inlines the
+    # whole lineage 2^rounds times — measured 57 s at sfx1.0, 1.5 s
+    # materialized
     parts = [
         """
-    er AS (
+    er AS MATERIALIZED (
       SELECT e.src AS u, e.dst AS v
       FROM e
       JOIN nation cn ON e.src = cn.n_nationkey
       JOIN nation sn ON e.dst = sn.n_nationkey
       WHERE cn.n_regionkey = sn.n_regionkey AND e.src <> e.dst
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT u, v FROM (
         SELECT u, v FROM er UNION ALL SELECT v, u FROM er
       )
@@ -536,7 +541,7 @@ def _cc_oracle() -> str:
     ]
     for r in range(1, _CC_ROUNDS + 1):
         parts.append(f"""
-    l{r} AS (
+    l{r} AS MATERIALIZED (
       SELECT v, min(lbl) AS lbl FROM (
         SELECT v, lbl FROM l{r - 1}
         UNION ALL
@@ -1075,14 +1080,15 @@ def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_assortativity",
     oracle=f"""
     WITH {_sp_edges_sql()},
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT u, v FROM (
         SELECT src AS u, dst AS v FROM e WHERE src <> dst
         UNION ALL
         SELECT dst AS u, src AS v FROM e WHERE src <> dst
       )
     ),
-    deg AS (SELECT u AS nk, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+    deg AS MATERIALIZED (
+      SELECT u AS nk, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
     ed AS (
       SELECT du.d AS j, dv.d AS kk
       FROM und JOIN deg du ON und.u = du.nk JOIN deg dv ON und.v = dv.nk
