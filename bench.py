@@ -282,6 +282,15 @@ HEADLINE = [
     "events_allan_variance",
     "stats_bartlett_test",
     "graph_assortativity",
+    # round-11 wave 5 (moment-sketch merge parity, sequential drift,
+    # memorization screen, lexical overlap, paired location shift,
+    # single-outlier screen)
+    "sketch_ams_f2",
+    "events_page_hinkley",
+    "corpus_ngram_novelty",
+    "text_vocab_jaccard_sources",
+    "stats_wilcoxon_signed_rank",
+    "stats_grubbs_statistic",
 ]
 
 

@@ -385,3 +385,165 @@ def test_assortativity_matches_python(spark):
     assert got["n_nodes"] == len(deg)
     assert got["assortativity"] == pytest.approx(_r6(r), abs=2e-6)
     assert -1.0 <= got["assortativity"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Wave 5 third implementations
+# ---------------------------------------------------------------------------
+
+
+def test_ams_f2_matches_python(spark):
+    import hashlib
+
+    rows = SPARK["sketch_ams_f2"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    wc: Counter = Counter()
+    for _, toks in _docs_tokens():
+        wc.update(toks)
+    f2 = sum(c * c for c in wc.values())
+
+    def sign(lane: int, w: str) -> int:
+        nib = int(hashlib.md5(f"{lane}:{w}".encode()).hexdigest()[0], 16)
+        return 1 - 2 * (nib % 2)
+
+    zs = [sum(c * sign(lane, w) for w, c in wc.items()) for lane in range(16)]
+    z2 = sorted(z * z for z in zs)
+    mean_est = sum(z2) / 16.0
+    med = (z2[7] + z2[8]) / 2.0
+    assert got["lanes"] == 16
+    assert got["f2_exact"] == f2
+    assert got["f2_est_mean"] == pytest.approx(_r6(mean_est), abs=2e-6)
+    assert got["f2_est_median"] == pytest.approx(_r6(med), abs=2e-6)
+    assert got["rel_err_mean"] == pytest.approx(_r6(abs(mean_est - f2) / f2), abs=2e-6)
+    assert got["merge_is_lossless"] == 1
+
+
+def test_page_hinkley_matches_python(spark):
+    rows = SPARK["events_page_hinkley"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    agg = _daily("value")
+    xs = [( d, _dsum_py(vs) / len(vs)) for d, vs in sorted(agg.items())]
+    mu = _dsum_py(x for _, x in xs) / len(xs)
+    cum = 0
+    runmin = 0
+    max_ph = None
+    alarm = -1
+    first = True
+    for d, x in xs:
+        cum += _scale6(x - mu - 1.0)
+        runmin = cum if first else min(runmin, cum)
+        first = False
+        ph = cum - runmin
+        if max_ph is None or ph > max_ph:
+            max_ph = ph
+        if alarm == -1 and ph > 25.0 * 1e6:
+            alarm = d
+    assert got["n_days"] == len(xs)
+    assert got["max_ph"] == pytest.approx(_r6(max_ph / 1e6), abs=2e-6)
+    assert got["first_alarm_day"] == alarm
+
+
+def test_ngram_novelty_matches_python(spark):
+    rows = SPARK["corpus_ngram_novelty"](spark, SF).collect()
+    tbl = pq.read_table(f"{SF}/documents.parquet").to_pydict()
+    doc_ngrams: dict[int, set] = {}
+    doc_source: dict[int, str] = {}
+    for doc_id, src, text in zip(tbl["doc_id"], tbl["source"], tbl["text"]):
+        t = text.lower().split()
+        doc_ngrams[doc_id] = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        } if len(t) >= 3 else set()
+        doc_source[doc_id] = src
+    first: dict[str, int] = {}
+    for doc_id in sorted(doc_ngrams):
+        for g in doc_ngrams[doc_id]:
+            if g not in first:
+                first[g] = doc_id
+    per_src: dict[str, list] = defaultdict(lambda: [0, 0, 0])
+    for doc_id, grams in doc_ngrams.items():
+        if not grams:
+            continue
+        e = per_src[doc_source[doc_id]]
+        e[0] += 1
+        e[1] += len(grams)
+        e[2] += sum(1 for g in grams if first[g] == doc_id)
+    got = {r["source"]: r.asDict() for r in rows}
+    assert set(got) == set(per_src)
+    for src, (nd, tot, nov) in per_src.items():
+        g = got[src]
+        assert g["n_docs"] == nd
+        assert g["ngrams"] == tot
+        assert g["novel"] == nov
+        assert g["novelty_rate"] == pytest.approx(_r6(nov / tot), abs=2e-6)
+
+
+def test_vocab_jaccard_matches_python(spark):
+    rows = SPARK["text_vocab_jaccard_sources"](spark, SF).collect()
+    vocab: dict[str, set] = defaultdict(set)
+    for src, toks in _docs_tokens():
+        vocab[src].update(toks)
+    srcs = sorted(vocab)
+    expected = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            inter = len(vocab[sa] & vocab[sb])
+            uni = len(vocab[sa] | vocab[sb])
+            expected[(sa, sb)] = (inter, uni,
+                                  _r6(inter / uni),
+                                  _r6(inter / min(len(vocab[sa]), len(vocab[sb]))))
+    assert len(rows) == len(expected)
+    for r in rows:
+        inter, uni, jac, ov = expected[(r["source_a"], r["source_b"])]
+        assert r["intersection"] == inter
+        assert r["vocab_union"] == uni
+        assert r["jaccard"] == pytest.approx(jac, abs=2e-6)
+        assert r["overlap_coef"] == pytest.approx(ov, abs=2e-6)
+
+
+def test_wilcoxon_matches_python(spark):
+    rows = SPARK["stats_wilcoxon_signed_rank"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    agg = _daily("value")
+    cs = [len(v) for _, v in sorted(agg.items())]
+    n = len(cs)
+    h = (n + 1) // 2
+    ds = [cs[t + h] - cs[t] for t in range(n - h)]
+    nz = [d for d in ds if d != 0]
+    ads = sorted(abs(d) for d in nz)
+    wplus = 0.0
+    for d in nz:
+        ad = abs(d)
+        smaller = sum(1 for a in ads if a < ad)
+        ties = sum(1 for a in ads if a == ad)
+        if d > 0:
+            wplus += smaller + 1 + (ties - 1) / 2.0
+    np_ = len(nz)
+    z = (wplus - np_ * (np_ + 1) / 4.0) / math.sqrt(
+        np_ * (np_ + 1) * (2 * np_ + 1) / 24.0
+    )
+    assert got["n_pairs"] == np_
+    assert got["w_plus"] == pytest.approx(_r6(wplus), abs=2e-6)
+    assert got["z_score"] == pytest.approx(_r6(z), abs=2e-6)
+
+
+def test_grubbs_matches_python(spark):
+    rows = SPARK["stats_grubbs_statistic"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    agg = _daily("value")
+    daily = sorted((d, len(v)) for d, v in agg.items())
+    n = len(daily)
+    s1 = sum(c for _, c in daily)
+    s2 = sum(c * c for _, c in daily)
+    mu = s1 / n
+    sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    best = max(daily, key=lambda dc: (abs(dc[1] - mu) / sd, -dc[0]))
+    assert got["n_days"] == n
+    assert got["mean_daily"] == pytest.approx(_r6(mu), abs=2e-6)
+    assert got["sd_daily"] == pytest.approx(_r6(sd), abs=2e-6)
+    assert got["g_max"] == pytest.approx(_r6(abs(best[1] - mu) / sd), abs=2e-6)
+    assert got["outlier_day"] == best[0]
+    assert got["outlier_count"] == best[1]

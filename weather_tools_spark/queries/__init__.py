@@ -115,6 +115,11 @@ CHECK_CHANGED: list[str] = [
     # top-word-filtered count frame instead of the vocab-scale (source,
     # word) frame — 0.53→0.16 s at sf0.1.
     "text_burrows_delta",
+    # r11 wave 5 side-fix: the chunk lambda now slices a MATERIALIZED
+    # token-array column — the inlined split() re-tokenized the full
+    # text once per 10-word chunk (5.0→2.8 s warm at sfx1.0). Values
+    # identical, plan changed:
+    "dedup_paragraph_dupes",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -1157,3 +1157,562 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: AMS (tug-of-war) F2 sketch with merge parity
+# ---------------------------------------------------------------------------
+
+_AMS_LANES = 16
+
+
+@register(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM documents
+    ),
+    swc AS MATERIALIZED (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, w
+    ),
+    lanes AS (SELECT unnest(range(0, {_AMS_LANES})) AS lane),
+    signed AS MATERIALIZED (
+      SELECT source, lane,
+             CAST(sum(c * (1 - 2 * (('0x' || substr(md5(lane || ':' || w), 1, 1))::BIGINT % 2)))
+                  AS BIGINT) AS z
+      FROM swc CROSS JOIN lanes GROUP BY source, lane
+    ),
+    merged AS MATERIALIZED (
+      SELECT lane, CAST(sum(z) AS BIGINT) AS z FROM signed GROUP BY lane
+    ),
+    direct AS MATERIALIZED (
+      SELECT lane,
+             CAST(sum(c * (1 - 2 * (('0x' || substr(md5(lane || ':' || w), 1, 1))::BIGINT % 2)))
+                  AS BIGINT) AS z
+      FROM (SELECT w, CAST(sum(c) AS BIGINT) AS c FROM swc GROUP BY w)
+      CROSS JOIN lanes GROUP BY lane
+    ),
+    exact AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS f2
+      FROM (SELECT w, CAST(sum(c) AS BIGINT) AS c FROM swc GROUP BY w)
+    ),
+    est AS (
+      SELECT CAST(sum(z * z) AS BIGINT) AS sz2,
+             quantile_cont(CAST(z * z AS DOUBLE), 0.5) AS med
+      FROM merged
+    ),
+    parity AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_equal
+      FROM merged m JOIN direct d ON m.lane = d.lane AND m.z = d.z
+    )
+    SELECT {_AMS_LANES} AS lanes, exact.f2 AS f2_exact,
+           round(CAST(est.sz2 AS DOUBLE) / {_AMS_LANES}, 6) AS f2_est_mean,
+           round(est.med, 6) AS f2_est_median,
+           round(abs(CAST(est.sz2 AS DOUBLE) / {_AMS_LANES} - exact.f2)
+                 / exact.f2, 6) AS rel_err_mean,
+           CAST(CASE WHEN parity.n_equal = {_AMS_LANES} THEN 1 ELSE 0 END
+                AS INT) AS merge_is_lossless
+    FROM exact, est, parity
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war sketch (Alon-Matias-Szegedy 1996) of the corpus
+    second frequency moment F2 = Σc_w² (the self-join size / surprise
+    number): {_AMS_LANES} independent ±1-signed lanes, estimator Z²
+    averaged and medianed across lanes, vs the exact F2 — plus the
+    MERGE-PARITY proof that per-source lane registers summed equal
+    the registers built directly over the union (the linearity that
+    makes AMS the distributed-F2 sketch of choice at 100 TB; the
+    sketch_hll_merge_parity analog for moment sketches).
+
+    Determinism: signs come from an md5 nibble of "lane:word" (both
+    engines hash the identical string), so every register is a pure
+    BIGINT sum — merge parity is integer equality, the mean estimate
+    is one division of a BIGINT by the literal lane count, and the
+    median interpolates two integers (the percentile ≡ quantile_cont
+    equivalence). Scale shape: one token shuffle to (source, word)
+    counts, reused by the per-source registers, the direct registers
+    and the exact F2; lane fan-out is a literal ×{_AMS_LANES}
+    map-side explode over the vocab-bounded count frame."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    swc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    lane = F.explode(F.sequence(F.lit(0), F.lit(_AMS_LANES - 1))).alias("lane")
+    sgn = 1 - 2 * (
+        F.conv(F.substring(F.md5(F.concat(F.col("lane").cast("string"), F.lit(":"), F.col("w"))), 1, 1), 16, 10).cast("long")
+        % 2
+    )
+    signed = (
+        swc.select("source", "w", "c", lane)
+        .groupBy("source", "lane")
+        .agg(F.sum(F.col("c") * sgn).alias("z"))
+    )
+    merged = signed.groupBy("lane").agg(F.sum("z").alias("z"))
+    gwc = swc.groupBy("w").agg(F.sum("c").alias("c"))
+    direct = (
+        gwc.select("w", "c", lane)
+        .groupBy("lane")
+        .agg(F.sum(F.col("c") * sgn).alias("z"))
+    )
+    exact = gwc.agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+    est = merged.agg(
+        F.sum(F.col("z") * F.col("z")).alias("sz2"),
+        F.expr("percentile(CAST(z * z AS DOUBLE), 0.5)").alias("med"),
+    )
+    parity = (
+        merged.alias("m")
+        .join(direct.alias("d"), (F.col("m.lane") == F.col("d.lane")) & (F.col("m.z") == F.col("d.z")))
+        .agg(F.count(F.lit(1)).alias("n_equal"))
+    )
+    mean_est = F.col("sz2").cast("double") / _AMS_LANES
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(parity))
+        .select(
+            F.lit(_AMS_LANES).alias("lanes"),
+            F.col("f2").alias("f2_exact"),
+            F.round(mean_est, 6).alias("f2_est_mean"),
+            F.round(F.col("med"), 6).alias("f2_est_median"),
+            F.round(F.abs(mean_est - F.col("f2")) / F.col("f2"), 6).alias("rel_err_mean"),
+            F.when(F.col("n_equal") == _AMS_LANES, 1).otherwise(0).cast("int").alias(
+                "merge_is_lossless"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: Page-Hinkley drift detector over daily means
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = 1.0   # slack per step
+_PH_LAMBDA = 25.0  # alarm threshold
+
+
+@register(
+    "events_page_hinkley",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+             {_DS.format(expr='value')} / count(*) AS x
+      FROM events GROUP BY 1
+    ),
+    mu AS (
+      SELECT {_DS.format(expr='x')} / count(*) AS mu FROM daily
+    ),
+    dev AS (
+      SELECT day, CAST(round((x - mu.mu - {_PH_DELTA}) * 1000000, 0) AS BIGINT)
+               AS d
+      FROM daily, mu
+    ),
+    cum AS (
+      SELECT day, sum(d) OVER (ORDER BY day) AS m FROM dev
+    ),
+    ph AS (
+      SELECT day, m - min(m) OVER (ORDER BY day) AS ph FROM cum
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           round((SELECT max(ph) FROM ph) / 1000000.0, 6) AS max_ph,
+           CAST(COALESCE((SELECT min(day) FROM ph
+                          WHERE ph > {_PH_LAMBDA} * 1000000), -1) AS BIGINT)
+             AS first_alarm_day
+    """,
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector (Page 1954; the streaming-ML
+    concept-drift standard) over the daily mean event value:
+    cumulative deviation m_t = Σ(x_i − μ − δ) with slack
+    δ = {_PH_DELTA}, PH_t = m_t − min m, alarm when PH exceeds
+    λ = {_PH_LAMBDA}. Reports the max PH excursion and the FIRST
+    alarm day (−1 when the stream never drifts — the generator's
+    stationary stream should stay quiet; a broken feed does not).
+    Complements events_cusum_changepoint with the detector that
+    needs no post-change distribution estimate.
+
+    Determinism: daily means are exact-sum/count doubles; each
+    deviation is rounded to the 1e-6 integer lattice BEFORE the
+    running sum, so the cumulative minimum, the PH excursion and the
+    alarm-day comparison are all INTEGER arithmetic (the max_drawdown
+    idiom — alarm equality can never hinge on float accumulation).
+    The two running windows ride the CALENDAR-BOUNDED daily frame.
+    One map-combinable fact aggregation is the only fact-scale
+    work."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).cast("long").alias("day")
+    ).agg((_dsum(F.col("value")) / F.count(F.lit(1))).alias("x"))
+    mu = daily.agg((_dsum(F.col("x")) / F.count(F.lit(1))).alias("mu"))
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        F.round((F.col("x") - F.col("mu") - _PH_DELTA) * 1_000_000, 0)
+        .cast("long")
+        .alias("d"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    ph = dev.select("day", F.sum("d").over(w).alias("m")).select(
+        "day", (F.col("m") - F.min("m").over(w)).alias("ph")
+    )
+    agg = ph.agg(F.max("ph").alias("mx"), F.count(F.lit(1)).alias("n_days"))
+    alarm = ph.filter(F.col("ph") > _PH_LAMBDA * 1_000_000).agg(
+        F.min("day").alias("first_alarm")
+    )
+    return agg.crossJoin(F.broadcast(alarm)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("mx") / 1_000_000.0, 6).alias("max_ph"),
+        F.coalesce(F.col("first_alarm"), F.lit(-1)).cast("long").alias("first_alarm_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: n-gram novelty per source (memorization screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    ng AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    first AS MATERIALIZED (
+      SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc FROM ng GROUP BY g
+    ),
+    per_doc AS (
+      SELECT ng.doc_id,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN f.first_doc = ng.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS novel
+      FROM ng JOIN first f USING (g) GROUP BY ng.doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.total) AS BIGINT) AS ngrams,
+           CAST(sum(p.novel) AS BIGINT) AS novel,
+           round(CAST(sum(p.novel) AS DOUBLE) / sum(p.total), 6)
+             AS novelty_rate
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty per source: for each document, the share of its
+    DISTINCT word-trigrams first seen in that document (attribution by
+    minimum doc_id — the deterministic stand-in for ingest order),
+    aggregated per source. The memorization/boilerplate screen of LLM
+    ingest: a feed whose novelty collapses is re-crawling content the
+    corpus already holds (the document-level complement of
+    corpus_exact_substring_dedup).
+
+    Determinism: everything is integer counting — distinct trigrams,
+    min-doc attribution, one final division per source. Scale shape:
+    trigrams expand MAP-SIDE from the token array (the
+    text_bigram_counts idiom), one shuffle to distinct (doc, gram),
+    one to first-occurrence (both map-combinable), a co-partitioned
+    gram join, and a broadcast doc→source attach. The token array is
+    MATERIALIZED in its own projection before the lambda touches it:
+    inlining split() into the transform re-tokenized the whole text
+    on EVERY element_at call (3 per index — measured 106 s at sfx1.0,
+    21 s materialized, fresh session both; codegen does not hoist
+    common subexpressions out of higher-order-function lambdas)."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("t"))
+    ng = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN "
+                "transform(sequence(1, size(t) - 2), "
+                "i -> concat_ws(' ', element_at(t, i), "
+                "element_at(t, i + 1), element_at(t, i + 2))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    ).distinct()
+    first = ng.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ng.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "novel"
+            ),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("total").alias("ngrams"),
+            F.sum("novel").alias("novel"),
+            F.round(F.sum("novel").cast("double") / F.sum("total"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: pairwise source vocabulary Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_jaccard_sources",
+    oracle="""
+    WITH sv AS MATERIALIZED (
+      SELECT DISTINCT source,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM documents
+    ),
+    sizes AS MATERIALIZED (
+      SELECT source, CAST(count(*) AS BIGINT) AS nv FROM sv GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS i
+      FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT inter.sa AS source_a, inter.sb AS source_b,
+           inter.i AS intersection,
+           na.nv + nb.nv - inter.i AS vocab_union,
+           round(CAST(inter.i AS DOUBLE) / (na.nv + nb.nv - inter.i), 6)
+             AS jaccard,
+           round(CAST(inter.i AS DOUBLE) / least(na.nv, nb.nv), 6)
+             AS overlap_coef
+    FROM inter
+    JOIN sizes na ON na.source = inter.sa
+    JOIN sizes nb ON nb.source = inter.sb
+    ORDER BY source_a, source_b
+    """,
+)
+def text_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard and overlap coefficient between
+    sources: |V_a ∩ V_b| / |V_a ∪ V_b| over each source's distinct
+    word set. The coarse crawl-overlap screen that runs before any
+    document-level dedup — two feeds with near-1 vocabulary overlap
+    are candidates for the expensive MinHash pass, complementing
+    burrows_delta (style) and dunning_g2 (keyness) with raw lexical
+    identity.
+
+    Exactness: set sizes and intersections are pure integers; two
+    correctly-rounded divisions per pair. Scale shape: one token
+    shuffle to the distinct (source, word) set; the intersection is
+    a self-equi-join ON THE WORD KEY (co-partitioned with the
+    distinct — vocab-scale, the one unavoidable shuffle), never an
+    all-pairs document comparison; |sources|² output pairs are
+    bounded."""
+    docs = load_table(spark, "documents", sf_dir)
+    sv = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).distinct()
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = sv.alias("a")
+    b = sv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("source").alias("sa"), F.col("nv").alias("na"))
+    nb = sizes.select(F.col("source").alias("sb"), F.col("nv").alias("nb"))
+    uni = F.col("na") + F.col("nb") - F.col("i")
+    return (
+        inter.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("i").alias("intersection"),
+            uni.alias("vocab_union"),
+            F.round(F.col("i").cast("double") / uni, 6).alias("jaccard"),
+            F.round(F.col("i").cast("double") / F.least("na", "nb"), 6).alias(
+                "overlap_coef"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: Wilcoxon signed-rank test (paired halves)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    seq AS (SELECT row_number() OVER (ORDER BY day) AS t, c FROM daily),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+    pairs AS (
+      SELECT a.t AS i, b.c - a.c AS d
+      FROM seq a JOIN seq b ON b.t = a.t + (SELECT (n + 1) // 2 FROM n)
+    ),
+    nz AS (SELECT i, d, abs(d) AS ad FROM pairs WHERE d <> 0),
+    rk AS (
+      SELECT d,
+             rank() OVER (ORDER BY ad)
+               + (count(*) OVER (PARTITION BY ad) - 1) / 2.0 AS r
+      FROM nz
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             sum(CASE WHEN d > 0 THEN r ELSE 0 END) AS wplus
+      FROM rk
+    )
+    SELECT np AS n_pairs, round(wplus, 6) AS w_plus,
+           round((wplus - np * (np + 1) / 4.0)
+                 / sqrt(np * (np + 1) * (2 * np + 1) / 24.0), 6) AS z_score
+    FROM s
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test pairing each day of the period's
+    first half with its offset-aligned day in the second half
+    (d_i = c_{i+h} − c_i, h = ⌈n/2⌉): W+ = sum of |d| average-ranks
+    where d > 0, with the normal approximation z. The paired
+    nonparametric location test — did daily volume shift between the
+    two halves without assuming normality? (The paired complement of
+    stats_mannwhitney_u's independent-samples question.)
+
+    Determinism: differences are integers; average ranks are exact
+    dyadic 0.5-multiples (rank() + (ties−1)/2 — the friedman idiom),
+    so W+ is an order-independent exact double and z's denominator
+    is an integer expression under one IEEE sqrt. Zero differences
+    drop on both engines. The rank window orders the ≤⌊n/2⌋-row
+    CALENDAR-BOUNDED pair frame; adjacency is the dense-rank
+    equi-join shape."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    seq = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"), "c"
+    )
+    n = seq.agg(F.count(F.lit(1)).alias("n"))
+    a = seq.alias("a")
+    b = seq.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(n))
+        .join(b, F.col("b.t") == F.col("a.t") + ((F.col("n") + 1) / 2).cast("long"))
+        .select((F.col("b.c") - F.col("a.c")).alias("d"))
+    )
+    nz = pairs.filter(F.col("d") != 0).select("d", F.abs("d").alias("ad"))
+    r = (
+        F.rank().over(Window.orderBy("ad"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("ad")) - 1) / 2.0
+    )
+    rk = nz.select("d", r.alias("r"))
+    s = rk.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(F.when(F.col("d") > 0, F.col("r")).otherwise(0.0)).alias("wplus"),
+    )
+    mu = F.col("np") * (F.col("np") + 1) / 4.0
+    sd = F.sqrt(F.col("np") * (F.col("np") + 1) * (2 * F.col("np") + 1) / 24.0)
+    return s.select(
+        F.col("np").cast("long").alias("n_pairs"),
+        F.round(F.col("wplus"), 6).alias("w_plus"),
+        F.round((F.col("wplus") - mu) / sd, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: Grubbs outlier statistic over daily volume
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_grubbs_statistic",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM daily
+    ),
+    m AS (
+      SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+             sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS sd
+      FROM s
+    ),
+    top AS (
+      SELECT d.day, d.c, abs(d.c - m.mu) / m.sd AS g, m.n, m.mu, m.sd
+      FROM daily d, m
+      ORDER BY g DESC, d.day
+      LIMIT 1
+    )
+    SELECT n AS n_days, round(mu, 6) AS mean_daily,
+           round(sd, 6) AS sd_daily, round(g, 6) AS g_max,
+           day AS outlier_day, c AS outlier_count
+    FROM top
+    """,
+)
+def stats_grubbs_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs outlier statistic over daily event volume:
+    G = max|c_t − mean| / sd (sample sd), reporting the most extreme
+    day — the single-outlier screen run before trend fitting (one
+    backfill day or outage dominates both OLS and Theil-Sen's
+    breakdown bound less gracefully than it dominates G).
+
+    Determinism: daily counts are integers, so mean and sd are exact
+    integer-sum expressions under one IEEE sqrt — identical doubles
+    on both engines; the argmax orders by (G desc, day) where every
+    G is computed from those identical doubles, so ties (two days
+    equidistant from the mean) break on the integer day. One
+    map-combinable fact aggregation; the scan order never matters."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    m = s.select(
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    top = (
+        daily.crossJoin(F.broadcast(m))
+        .select(
+            "day", "c", "n", "mu", "sd",
+            (F.abs(F.col("c") - F.col("mu")) / F.col("sd")).alias("g"),
+        )
+        .orderBy(F.col("g").desc(), "day")
+        .limit(1)
+    )
+    return top.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("mu"), 6).alias("mean_daily"),
+        F.round(F.col("sd"), 6).alias("sd_daily"),
+        F.round(F.col("g"), 6).alias("g_max"),
+        F.col("day").cast("long").alias("outlier_day"),
+        F.col("c").cast("long").alias("outlier_count"),
+    )

@@ -240,17 +240,24 @@ def dedup_paragraph_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort), which needs ONE chunk-scale shuffle where the r8
     min-aggregate + equi-join needed two AND re-derived the
     split+md5 chunk build for each join side (r9; 9.9 → 4.4 s at
-    sfx1.0). At 100 TB this is the paragraph-granularity dedup pass
+    sfx1.0). The token array is materialized in its own projection
+    before the chunk lambda slices it — the inlined split() was
+    re-tokenizing the full text once per 10-word chunk (the r11
+    corpus_ngram_novelty lesson: codegen does not hoist common
+    subexpressions out of higher-order-function lambdas; 5.0 → 2.8 s
+    warm at sfx1.0, fresh plan per run so stage reuse can't mask the
+    delta). At 100 TB this is the paragraph-granularity dedup pass
     that runs before document-level near-dup."""
     from pyspark.sql import Window as W
     docs = load_table(spark, "documents", sf_dir)
     occ = (
-        docs.select(
+        docs.select("doc_id", F.split("text", r"\s+").alias("t"))
+        .select(
             "doc_id",
             F.expr(
-                "inline(transform(sequence(0, cast(ceil(size(split(text, '\\\\s+')) / 10.0) as int) - 1), "
+                "inline(transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1), "
                 "i -> struct(i as idx, "
-                "md5(array_join(slice(split(text, '\\\\s+'), i*10+1, 10), ' ')) as h)))"
+                "md5(array_join(slice(t, i*10+1, 10), ' ')) as h)))"
             ),
         )
         .select(
