@@ -601,3 +601,74 @@ def test_socket_source_matches_batch(spark, sf_dir):
         .collect()
     }
     assert win_stream == win_batch and len(win_stream) > 0
+
+
+def test_restart_from_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
+    """Stop a windowed file-source aggregation mid-stream and resume a
+    NEW query on the same checkpoint + parquet sink: offset tracking
+    plus the file-sink transaction log must produce the identical
+    finalized-window frame as an undisturbed run — no dropped batch,
+    no duplicate (the CI pin of tools/streaming_loss_probe.py's
+    RESTART scenario; comparison over the deterministic prefix where
+    append-mode emission does not depend on micro-batch boundaries)."""
+    src = str(tmp_path / "src")
+    ev = load_table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    cutoff = ev.agg(F.max("ts")).collect()[0][0].timestamp() - 3600
+
+    def stream_df():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("v"),
+            )
+            .select(F.col("w.end").alias("we"), "event_type", "n", "v")
+        )
+
+    def finalized(sink: str):
+        rows = (
+            spark.read.parquet(sink)
+            .filter(F.col("we") <= F.lit(cutoff).cast("timestamp"))
+            .collect()
+        )
+        return sorted((str(r["we"]), r["event_type"], r["n"], r["v"]) for r in rows)
+
+    def run(sink: str, ckpt: str, restart: bool):
+        q = (
+            stream_df()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if restart:
+            import time as _t
+
+            _t.sleep(2.0)
+            q.stop()
+            q.awaitTermination()
+            q = (
+                stream_df()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        q.awaitTermination()
+
+    run(str(tmp_path / "sink_a"), str(tmp_path / "ckpt_a"), restart=False)
+    run(str(tmp_path / "sink_b"), str(tmp_path / "ckpt_b"), restart=True)
+    base = finalized(str(tmp_path / "sink_a"))
+    resumed = finalized(str(tmp_path / "sink_b"))
+    assert len(base) > 0
+    assert resumed == base
