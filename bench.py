@@ -291,6 +291,12 @@ HEADLINE = [
     "text_vocab_jaccard_sources",
     "stats_wilcoxon_signed_rank",
     "stats_grubbs_statistic",
+    # round-11 wave 6 (k-sample rank/median tests on the hardened
+    # cumulative path, box-plot fences, normalized link prediction)
+    "stats_kruskal_wallis",
+    "stats_mood_median",
+    "dq_iqr_outliers",
+    "graph_edge_jaccard",
 ]
 
 

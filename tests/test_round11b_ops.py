@@ -547,3 +547,128 @@ def test_grubbs_matches_python(spark):
     assert got["g_max"] == pytest.approx(_r6(abs(best[1] - mu) / sd), abs=2e-6)
     assert got["outlier_day"] == best[0]
     assert got["outlier_count"] == best[1]
+
+
+# ---------------------------------------------------------------------------
+# Wave 6 third implementations
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_matches_python(spark):
+    rows = SPARK["stats_kruskal_wallis"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    ev = _events()
+    byv: Counter = Counter()
+    groups: dict[str, Counter] = defaultdict(Counter)
+    for et, v in zip(ev["event_type"], ev["value"]):
+        byv[float(v)] += 1
+        groups[et][float(v)] += 1
+    n = sum(byv.values())
+    k = len(groups)
+    # average rank per distinct value from cumulative counts
+    rank: dict[float, float] = {}
+    cum = 0
+    for v in sorted(byv):
+        t = byv[v]
+        rank[v] = cum + (t + 1) / 2.0
+        cum += t
+    terms = []
+    for et, cnt in groups.items():
+        ng = sum(cnt.values())
+        rg = sum(c * rank[v] for v, c in cnt.items())
+        dev = rg / ng - (n + 1) / 2.0
+        terms.append(((dev * dev) * ng) / (1.0 * n * (n + 1)))
+    s = sum(int(Decimal(repr(t * 1e9)).quantize(Decimal("1"), ROUND_HALF_UP)) for t in terms) / 1e9
+    h = 12.0 * s
+    tie3 = sum(t**3 - t for t in byv.values())
+    hc = h / (1 - tie3 / (float(n) * n * n - n))
+    assert got["n_total"] == n
+    assert got["k_groups"] == k
+    assert got["df"] == k - 1
+    assert got["h_stat"] == pytest.approx(_r6(h), abs=2e-6)
+    assert got["h_tie_corrected"] == pytest.approx(_r6(hc), abs=2e-6)
+
+
+def _quantile_cont(vals, q):
+    s = sorted(vals)
+    pos = (len(s) - 1) * q
+    lo = int(math.floor(pos))
+    hi = int(math.ceil(pos))
+    return s[lo] + (s[hi] - s[lo]) * (pos - lo)
+
+
+def test_mood_median_matches_python(spark):
+    rows = SPARK["stats_mood_median"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    ev = _events()
+    vals = [float(v) for v in ev["value"]]
+    med = _quantile_cont(vals, 0.5)
+    cls: dict[str, list] = defaultdict(lambda: [0, 0])
+    for et, v in zip(ev["event_type"], ev["value"]):
+        if float(v) > med:
+            cls[et][0] += 1
+        else:
+            cls[et][1] += 1
+    ta = sum(a for a, _ in cls.values())
+    tb = sum(b for _, b in cls.values())
+    n = ta + tb
+    terms_a, terms_b = [], []
+    for a, b in cls.values():
+        ea = (a + b) * ta / n
+        eb = (a + b) * tb / n
+        terms_a.append((a - ea) ** 2 / ea)
+        terms_b.append((b - eb) ** 2 / eb)
+    chi = _dsum_py(terms_a) + _dsum_py(terms_b)
+    assert got["n_total"] == n
+    assert got["k_groups"] == len(cls)
+    assert got["mood_chi2"] == pytest.approx(_r6(chi), abs=2e-6)
+
+
+def test_iqr_outliers_matches_python(spark):
+    rows = {r["event_type"]: r.asDict() for r in SPARK["dq_iqr_outliers"](spark, SF).collect()}
+    ev = _events()
+    by_type: dict[str, list[float]] = defaultdict(list)
+    for et, v in zip(ev["event_type"], ev["value"]):
+        by_type[et].append(float(v))
+    assert set(rows) == set(by_type)
+    for et, vals in by_type.items():
+        q1 = _quantile_cont(vals, 0.25)
+        q3 = _quantile_cont(vals, 0.75)
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+        n_out = sum(1 for v in vals if v < lo or v > hi)
+        g = rows[et]
+        assert g["n"] == len(vals)
+        assert g["q1"] == pytest.approx(_r6(q1), abs=2e-6)
+        assert g["q3"] == pytest.approx(_r6(q3), abs=2e-6)
+        assert g["fence_lo"] == pytest.approx(_r6(lo), abs=2e-6)
+        assert g["fence_hi"] == pytest.approx(_r6(hi), abs=2e-6)
+        assert g["n_outliers"] == n_out
+        assert g["outlier_frac"] == pytest.approx(_r6(n_out / len(vals)), abs=2e-6)
+
+
+def test_edge_jaccard_matches_python(spark):
+    rows = SPARK["graph_edge_jaccard"](spark, SF).collect()
+    edges = _python_nation_edges()
+    nbr: dict[int, set] = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    scored = []
+    nodes = sorted(nbr)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            c = len(nbr[x] & nbr[y])
+            if c == 0:
+                continue
+            uni = len(nbr[x]) + len(nbr[y]) - c
+            scored.append((_r6(c / uni), x, y, c, uni))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expected = scored[:10]
+    assert len(rows) == len(expected)
+    for r, (jac, x, y, c, uni) in zip(rows, expected):
+        assert (r["node_a"], r["node_b"], r["common_neighbors"], r["neighborhood_union"]) == (x, y, c, uni)
+        assert r["jaccard"] == pytest.approx(jac, abs=2e-6)

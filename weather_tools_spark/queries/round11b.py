@@ -1716,3 +1716,382 @@ def stats_grubbs_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("long").alias("outlier_day"),
         F.col("c").cast("long").alias("outlier_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: Kruskal-Wallis k-sample rank test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH byv AS (
+      SELECT value AS v, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY value, event_type
+    ),
+    byv2 AS (
+      SELECT v, CAST(sum(cnt) AS BIGINT) AS t FROM byv GROUP BY v
+    ),
+    cum AS (
+      SELECT v, t, sum(t) OVER (ORDER BY v) AS cumt FROM byv2
+    ),
+    rk AS (
+      SELECT v, (cumt - t) + (t + 1) / 2.0 AS r FROM cum
+    ),
+    g AS (
+      SELECT byv.event_type, CAST(sum(byv.cnt) AS BIGINT) AS ng,
+             sum(byv.cnt * rk.r) AS rg
+      FROM byv JOIN rk USING (v) GROUP BY byv.event_type
+    ),
+    nn AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    terms AS (
+      SELECT CAST(sum(CAST(round(
+               (((rg / ng - (nn.n + 1) / 2.0) * (rg / ng - (nn.n + 1) / 2.0))
+                * ng) / (1.0 * nn.n * (nn.n + 1)) * 1000000000, 0)
+             AS BIGINT)) AS DOUBLE) / 1000000000 AS s
+      FROM g, nn GROUP BY nn.n
+    ),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM byv2
+    )
+    SELECT nn.n AS n_total, nn.k AS k_groups,
+           CAST(nn.k - 1 AS BIGINT) AS df,
+           round(12.0 * terms.s, 6) AS h_stat,
+           round(12.0 * terms.s
+                 / (1 - CAST(ties.tie3 AS DOUBLE)
+                        / (CAST(nn.n AS DOUBLE) * nn.n * nn.n - nn.n)), 6)
+             AS h_tie_corrected
+    FROM nn, terms, ties
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across ALL event types (the k-sample
+    generalization of the registry's Mann-Whitney U): average ranks
+    from cumulative value-lattice counts, H = 12/(N(N+1))·Σn_g(R̄_g −
+    R̄)² in the deviation form, with the standard tie correction
+    1 − Σ(t³−t)/(N³−N).
+
+    Determinism is the hardened KS/MWU machinery: one value
+    aggregation, average ranks from cumulative counts ((cum−t) +
+    (t+1)/2 — exact half-integers), per-group rank sums are exact
+    dyadic doubles below 2^53. The k across-group deviation terms are
+    PRE-SCALED by 1/(N(N+1)) (bounding each at n_g/4, so a 1e-9
+    integer lattice holds them exactly) and integer-scale-summed —
+    the k-term accumulation order cannot move the last ulp (the
+    bartlett treatment, one decimal tighter because H multiplies the
+    sum by 12 only). The ordered cumulative window runs over the
+    VALUE-LATTICE frame (≤50k distinct 2-decimal values — the same
+    domain contract the KS/MWU cardinality probe enforces; this
+    query's window inherits that bound by construction)."""
+    ev = load_table(spark, "events", sf_dir)
+    byv = ev.groupBy(F.col("value").alias("v"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    byv2 = byv.groupBy("v").agg(F.sum("cnt").alias("t"))
+    from weather_tools_spark.operators.prefix_sum import cumulative_sums
+
+    cum = cumulative_sums(byv2, ["v"], ["t"], ["cumt"])
+    rk = cum.select("v", ((F.col("cumt") - F.col("t")) + (F.col("t") + 1) / 2.0).alias("r"))
+    g = (
+        byv.join(rk, "v")
+        .groupBy("event_type")
+        .agg(F.sum("cnt").alias("ng"), F.sum(F.col("cnt") * F.col("r")).alias("rg"))
+    )
+    nn = g.agg(F.sum("ng").alias("n"), F.count(F.lit(1)).alias("k"))
+    gd = g.crossJoin(F.broadcast(nn))
+    dev = F.col("rg") / F.col("ng") - (F.col("n") + 1) / 2.0
+    term = ((dev * dev) * F.col("ng")) / (1.0 * F.col("n") * (F.col("n") + 1))
+    terms = gd.groupBy("n").agg(
+        (
+            F.sum(F.round(term * 1_000_000_000, 0).cast("long")).cast("double")
+            / 1_000_000_000
+        ).alias("s")
+    )
+    ties = byv2.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
+    )
+    h = 12.0 * F.col("s")
+    corr = 1 - F.col("tie3").cast("double") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return (
+        nn.join(terms, "n")
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("long").alias("n_total"),
+            F.col("k").cast("long").alias("k_groups"),
+            (F.col("k") - 1).cast("long").alias("df"),
+            F.round(h, 6).alias("h_stat"),
+            F.round(h / corr, 6).alias("h_tie_corrected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: Mood's median test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_mood_median",
+    oracle="""
+    WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+    cls AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN value > med.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS above,
+             CAST(sum(CASE WHEN value <= med.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS below
+      FROM events, med GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(above) AS BIGINT) AS ta,
+             CAST(sum(below) AS BIGINT) AS tb,
+             CAST(sum(above + below) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM cls
+    ),
+    chi AS (
+      SELECT CAST(sum(CAST(round(
+               ((above - 1.0 * (above + below) * ta / n)
+                * (above - 1.0 * (above + below) * ta / n))
+               / (1.0 * (above + below) * ta / n) * 1000000, 0) AS BIGINT))
+             AS DOUBLE) / 1000000
+           + CAST(sum(CAST(round(
+               ((below - 1.0 * (above + below) * tb / n)
+                * (below - 1.0 * (above + below) * tb / n))
+               / (1.0 * (above + below) * tb / n) * 1000000, 0) AS BIGINT))
+             AS DOUBLE) / 1000000 AS chi2
+      FROM cls, tot GROUP BY ta, tb, n
+    )
+    SELECT tot.n AS n_total, tot.k AS k_groups,
+           CAST(tot.k - 1 AS BIGINT) AS df,
+           round(chi.chi2, 6) AS mood_chi2
+    FROM tot, chi
+    """,
+)
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types: dichotomize every value
+    at the grand median (exact interpolated percentile — identical on
+    the shared 2-decimal lattice), build the k×2 above/below
+    contingency table, and compute the chi-square against the
+    marginal expectations. The coarse-but-robust k-sample location
+    screen that pairs with Kruskal-Wallis the way the sign test
+    pairs with Wilcoxon.
+
+    Determinism: cell counts and margins are BIGINTs; expectations
+    are single divisions of exact integers; the k chi-square terms
+    are integer-scale-summed (the bartlett treatment) so across-group
+    accumulation order is irrelevant. One fact aggregation after a
+    broadcast median attach; everything else is ≤k rows."""
+    ev = load_table(spark, "events", sf_dir)
+    med = ev.agg(F.expr("percentile(value, 0.5)").alias("m"))
+    cls = (
+        ev.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") > F.col("m"), 1).otherwise(0)).alias("above"),
+            F.sum(F.when(F.col("value") <= F.col("m"), 1).otherwise(0)).alias("below"),
+        )
+    )
+    tot = cls.agg(
+        F.sum("above").alias("ta"),
+        F.sum("below").alias("tb"),
+        F.sum(F.col("above") + F.col("below")).alias("n"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    cj = cls.crossJoin(F.broadcast(tot))
+    ea = 1.0 * (F.col("above") + F.col("below")) * F.col("ta") / F.col("n")
+    eb = 1.0 * (F.col("above") + F.col("below")) * F.col("tb") / F.col("n")
+    term_a = (F.col("above") - ea) * (F.col("above") - ea) / ea
+    term_b = (F.col("below") - eb) * (F.col("below") - eb) / eb
+    chi = cj.groupBy("ta", "tb", "n").agg(
+        (
+            F.sum(F.round(term_a * 1_000_000, 0).cast("long")).cast("double") / 1_000_000
+            + F.sum(F.round(term_b * 1_000_000, 0).cast("long")).cast("double") / 1_000_000
+        ).alias("chi2")
+    )
+    return tot.join(chi, ["ta", "tb", "n"]).select(
+        F.col("n").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("k_groups"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.round(F.col("chi2"), 6).alias("mood_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: Tukey IQR outlier fences per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_iqr_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, n, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT f.event_type, f.n,
+           round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
+           round(f.lo, 6) AS fence_lo, round(f.hi, 6) AS fence_hi,
+           CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+                              THEN 1 ELSE 0 END) AS DOUBLE) / f.n, 6)
+             AS outlier_frac
+    FROM events e JOIN f ON e.event_type = f.event_type
+    GROUP BY f.event_type, f.n, f.q1, f.q3, f.lo, f.hi
+    ORDER BY f.event_type
+    """,
+)
+def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR fences per event type: exact interpolated quartiles,
+    fences at q1/q3 ∓/± 1.5·IQR, and the count/fraction of values
+    outside them — the box-plot outlier rule, the robust complement
+    of events_value_outliers' z-score rule and events_mad_outliers'
+    MAD rule (three robustness tiers over the same column).
+
+    Determinism: quartiles ride the percentile ≡ quantile_cont
+    interpolation equivalence on the 2-decimal lattice; fences are
+    IEEE arithmetic on those identical doubles; outlier membership is
+    a comparison of lattice values against identical fences (strict
+    inequalities, so a value exactly ON a fence counts inside on both
+    engines). Two passes over the fact — quartile aggregation, then
+    a broadcast fence attach + count — both map-combinable."""
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out = F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1).otherwise(0)
+    return (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "n", "q1", "q3", "lo", "hi")
+        .agg(F.sum(out).alias("n_outliers"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("q1"), 6).alias("q1"),
+            F.round(F.col("q3"), 6).alias("q3"),
+            F.round(F.col("lo"), 6).alias("fence_lo"),
+            F.round(F.col("hi"), 6).alias("fence_hi"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            F.round(F.col("n_outliers").cast("double") / F.col("n"), 6).alias(
+                "outlier_frac"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: neighborhood Jaccard link prediction on the trade graph
+# ---------------------------------------------------------------------------
+
+_EJ_TOPK = 10
+
+
+@register(
+    "graph_edge_jaccard",
+    oracle=f"""
+    WITH {_sp_edges_sql()},
+    und AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        UNION ALL
+        SELECT dst AS u, src AS v FROM e WHERE src <> dst
+      )
+    ),
+    deg AS MATERIALIZED (
+      SELECT u AS nk, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+    ),
+    common AS (
+      SELECT a.u AS x, b.u AS y, CAST(count(*) AS BIGINT) AS c
+      FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+      GROUP BY a.u, b.u
+    ),
+    scored AS (
+      SELECT common.x, common.y, common.c,
+             dx.d + dy.d - common.c AS uni,
+             round(CAST(common.c AS DOUBLE) / (dx.d + dy.d - common.c), 6)
+               AS jaccard
+      FROM common
+      JOIN deg dx ON dx.nk = common.x
+      JOIN deg dy ON dy.nk = common.y
+    )
+    SELECT CAST(x AS INT) AS node_a, CAST(y AS INT) AS node_b,
+           c AS common_neighbors, uni AS neighborhood_union, jaccard
+    FROM scored
+    ORDER BY jaccard DESC, node_a, node_b
+    LIMIT {_EJ_TOPK}
+    """,
+)
+def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction on the undirected capped
+    trade graph: for every node pair sharing at least one neighbor,
+    |Γ(x)∩Γ(y)| / |Γ(x)∪Γ(y)|, top-{_EJ_TOPK} — the normalized
+    complement of graph_adamic_adar_linkpred (Adamic-Adar up-weights
+    rare common neighbors; Jaccard normalizes by neighborhood size).
+
+    Exactness: common-neighbor counts and degrees are integers; one
+    correctly-rounded division per pair; ties in the top-k break on
+    the integer node pair. Scale shape: the fact-scale work is the
+    shared _sp_edges_df aggregation; candidate pairs are generated
+    by the WEDGE join (und ⋈ und on the shared neighbor — never an
+    all-pairs product), the same enumeration the triangle census
+    bounds; degrees broadcast onto the bounded pair frame."""
+    e = _sp_edges_df(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("u").alias("nk")).agg(F.count(F.lit(1)).alias("d"))
+    a = und.alias("a")
+    b = und.alias("b")
+    # the wedge self-join's build side is the bounded symmetrized edge
+    # frame (<= 2*|nations|*top-k rows) — broadcast it explicitly;
+    # Catalyst's size estimate comes from the upstream fact join and
+    # plans an SMJ otherwise
+    common = (
+        a.join(F.broadcast(b), (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u")))
+        .groupBy(F.col("a.u").alias("x"), F.col("b.u").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = F.col("dx") + F.col("dy") - F.col("c")
+    return (
+        common.join(F.broadcast(deg.select(F.col("nk").alias("x"), F.col("d").alias("dx"))), "x")
+        .join(F.broadcast(deg.select(F.col("nk").alias("y"), F.col("d").alias("dy"))), "y")
+        .select(
+            F.col("x").cast("int").alias("node_a"),
+            F.col("y").cast("int").alias("node_b"),
+            F.col("c").alias("common_neighbors"),
+            uni.alias("neighborhood_union"),
+            F.round(F.col("c").cast("double") / uni, 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "node_a", "node_b")
+        .limit(_EJ_TOPK)
+    )
