@@ -297,6 +297,11 @@ HEADLINE = [
     "stats_mood_median",
     "dq_iqr_outliers",
     "graph_edge_jaccard",
+    # round-11 wave 7 (effect sizes, vocabulary-richness triple
+    # completion, extreme-value tail fit)
+    "stats_effect_sizes",
+    "text_honore_sichel",
+    "events_peak_over_threshold",
 ]
 
 

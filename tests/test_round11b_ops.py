@@ -672,3 +672,81 @@ def test_edge_jaccard_matches_python(spark):
     for r, (jac, x, y, c, uni) in zip(rows, expected):
         assert (r["node_a"], r["node_b"], r["common_neighbors"], r["neighborhood_union"]) == (x, y, c, uni)
         assert r["jaccard"] == pytest.approx(jac, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Wave 7 third implementations
+# ---------------------------------------------------------------------------
+
+
+def test_effect_sizes_matches_python(spark):
+    rows = SPARK["stats_effect_sizes"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    ev = _events()
+    samp: dict[str, list[float]] = defaultdict(list)
+    for et, v in zip(ev["event_type"], ev["value"]):
+        if et in ("purchase", "click"):
+            samp[et].append(float(v))
+
+    def mv(vals):
+        n = len(vals)
+        s1 = _dsum_py(vals)
+        s2 = _dsum_py(v * v for v in vals)
+        return n, s1 / n, (s2 - s1 * s1 / n) / (n - 1)
+
+    n1, m1, v1 = mv(samp["purchase"])
+    n2, m2, v2 = mv(samp["click"])
+    diff = m1 - m2
+    sp = math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    d = diff / sp
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert got["mean_diff"] == pytest.approx(_r6(diff), abs=2e-6)
+    assert got["cohens_d"] == pytest.approx(_r6(d), abs=2e-6)
+    assert got["hedges_g"] == pytest.approx(_r6(d * (1 - 3.0 / (4 * (n1 + n2) - 9))), abs=2e-6)
+    assert got["glass_delta"] == pytest.approx(_r6(diff / math.sqrt(v2)), abs=2e-6)
+
+
+def test_honore_sichel_matches_python(spark):
+    got = {r["source"]: r.asDict() for r in SPARK["text_honore_sichel"](spark, SF).collect()}
+    sw = _source_word_counts()
+    assert set(got) == set(sw)
+    for src, cnt in sw.items():
+        n = sum(cnt.values())
+        v = len(cnt)
+        v1 = sum(1 for c in cnt.values() if c == 1)
+        v2 = sum(1 for c in cnt.values() if c == 2)
+        g = got[src]
+        assert g["n_tokens"] == n
+        assert g["vocabulary"] == v
+        assert g["hapax"] == v1
+        assert g["dis"] == v2
+        if v1 < v:
+            assert g["honore_r"] == pytest.approx(
+                _r6(100.0 * math.log(n) / (1 - v1 / v)), abs=2e-6
+            )
+        else:
+            assert g["honore_r"] is None
+        assert g["sichel_s"] == pytest.approx(_r6(v2 / v), abs=2e-6)
+
+
+def test_peak_over_threshold_matches_python(spark):
+    rows = SPARK["events_peak_over_threshold"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    ev = _events()
+    vals = [float(v) for v in ev["value"]]
+    u = _quantile_cont(vals, 0.95)
+    exc = [v - u for v in vals if v > u]
+    n = len(exc)
+    me = _dsum_py(exc) / n
+    me2 = _dsum_py(e * e for e in exc) / n
+    var = me2 - me * me
+    r = me * me / var
+    assert got["threshold"] == pytest.approx(_r6(u), abs=2e-6)
+    assert got["n_exceedances"] == n
+    assert got["mean_excess"] == pytest.approx(_r6(me), abs=2e-6)
+    assert got["gpd_xi"] == pytest.approx(_r6((1 - r) / 2.0), abs=2e-6)
+    assert got["gpd_sigma"] == pytest.approx(_r6(me * (1 + r) / 2.0), abs=2e-6)
+    # uniform bounded support pulls the fitted tail index negative
+    assert got["gpd_xi"] < 0.2

@@ -2095,3 +2095,237 @@ def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "node_a", "node_b")
         .limit(_EJ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 7: standardized effect sizes between two event types
+# ---------------------------------------------------------------------------
+
+_ES_A, _ES_B = "purchase", "click"
+
+
+@register(
+    "stats_effect_sizes",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             {_DS.format(expr='value')} AS s1,
+             {_DS.format(expr='value * value')} AS s2
+      FROM events WHERE event_type IN ('{_ES_A}', '{_ES_B}')
+      GROUP BY event_type
+    ),
+    v AS (
+      SELECT event_type, n, s1 / n AS m,
+             (s2 - s1 * s1 / n) / (n - 1) AS var
+      FROM g
+    ),
+    p AS (
+      SELECT a.n AS n1, b.n AS n2, a.m - b.m AS diff,
+             sqrt(((a.n - 1) * a.var + (b.n - 1) * b.var)
+                  / (a.n + b.n - 2)) AS sp,
+             sqrt(b.var) AS s_control
+      FROM v a, v b
+      WHERE a.event_type = '{_ES_A}' AND b.event_type = '{_ES_B}'
+    )
+    SELECT n1, n2, round(diff, 6) AS mean_diff,
+           round(diff / sp, 6) AS cohens_d,
+           round(diff / sp * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g,
+           round(diff / s_control, 6) AS glass_delta
+    FROM p
+    """,
+)
+def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes between the '{_ES_A}' and '{_ES_B}'
+    value samples: Cohen's d (pooled sd), Hedges' g (small-sample
+    bias correction 1 − 3/(4N−9)) and Glass's Δ (control-group sd) —
+    the practical-significance companions to the registry's Welch t
+    and Mann-Whitney tests, which report only detectability.
+
+    Determinism: means and variances come from integer-scaled exact
+    sums (the bartlett moment shape); the pooled sd is one IEEE sqrt
+    of arithmetic on identical doubles; each effect size is a single
+    correctly-rounded division. One map-combinable fact aggregation;
+    everything after is a 2-row frame."""
+    ev = load_table(spark, "events", sf_dir)
+    g = (
+        ev.filter(F.col("event_type").isin(_ES_A, _ES_B))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value")).alias("s1"),
+            _dsum(F.col("value") * F.col("value")).alias("s2"),
+        )
+    )
+    v = g.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("m"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias("var"),
+    )
+    a = v.filter(F.col("event_type") == _ES_A).select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("var").alias("v1")
+    )
+    b = v.filter(F.col("event_type") == _ES_B).select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("var").alias("v2")
+    )
+    p = a.crossJoin(F.broadcast(b))
+    diff = F.col("m1") - F.col("m2")
+    sp = F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    return p.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(diff / sp, 6).alias("cohens_d"),
+        F.round(diff / sp * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)), 6).alias(
+            "hedges_g"
+        ),
+        F.round(diff / F.sqrt(F.col("v2")), 6).alias("glass_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 7: Honoré's R and Sichel's S vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_honore_sichel",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM documents
+    ),
+    sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, w)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocabulary,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+           round(CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) < count(*)
+                 THEN 100.0 * ln(sum(c))
+                      / (1 - CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                                  AS DOUBLE) / count(*))
+                 ELSE NULL END, 6) AS honore_r,
+           round(CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS sichel_s
+    FROM sw GROUP BY source ORDER BY source
+    """,
+)
+def text_honore_sichel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honoré's R (1979) and Sichel's S per source: R = 100·ln(N) /
+    (1 − V₁/V) weights the hapax share (rises with productive,
+    non-templated vocabulary use), S = V₂/V is famously stable in
+    text length — together with text_yule_k they form the classical
+    vocabulary-richness triple used for authorship and
+    template-detection screens.
+
+    Exactness: N, V, V₁, V₂ are pure integers off the same
+    (source, word) count frame as yule_k; one ln() on an integer and
+    two correctly-rounded divisions. The degenerate all-hapax source
+    (V₁ = V) yields NULL identically on both engines. Scale shape:
+    one token-scale map-combinable shuffle, one bounded per-source
+    aggregation."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    v = F.count(F.lit(1))
+    v1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    v2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    return (
+        sw.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            v.alias("vocabulary"),
+            v1.cast("long").alias("hapax"),
+            v2.cast("long").alias("dis"),
+            F.round(
+                F.when(
+                    v1 < v,
+                    100.0 * F.log(F.sum("c")) / (1 - v1.cast("double") / v),
+                ).otherwise(F.lit(None)),
+                6,
+            ).alias("honore_r"),
+            F.round(v2.cast("double") / v, 6).alias("sichel_s"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 7: peak-over-threshold GPD moment fit
+# ---------------------------------------------------------------------------
+
+_POT_Q = 0.95
+
+
+@register(
+    "events_peak_over_threshold",
+    oracle=f"""
+    WITH u AS (SELECT quantile_cont(value, {_POT_Q}) AS u FROM events),
+    exc AS (
+      SELECT value - u.u AS e FROM events, u WHERE value > u.u
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {_DS.format(expr='e')} / count(*) AS me,
+             {_DS.format(expr='e * e')} / count(*) AS me2
+      FROM exc
+    ),
+    fit AS (
+      SELECT n, me, me2 - me * me AS v FROM m
+    )
+    SELECT (SELECT round(u, 6) FROM u) AS threshold,
+           n AS n_exceedances,
+           round(me, 6) AS mean_excess,
+           round((1 - me * me / v) / 2.0, 6) AS gpd_xi,
+           round(me * (1 + me * me / v) / 2.0, 6) AS gpd_sigma
+    FROM fit
+    """,
+)
+def events_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-over-threshold tail fit of the event values: threshold at
+    the exact {_POT_Q:.0%} quantile, generalized-Pareto shape/scale by
+    the method of moments (ξ = (1 − m²/v)/2, σ = m(1 + m²/v)/2 over
+    the excess mean m and variance v) — the extreme-value companion
+    to weather_return_period's block-maxima approach (POT uses every
+    exceedance, not one maximum per block, the standard choice for
+    operational tail monitoring). ξ ≈ 0 is the exponential-tail
+    baseline the generator's uniform values should show
+    (ξ = −? bounded support pulls ξ negative — the fit reports it
+    honestly either way).
+
+    Determinism: the threshold rides the percentile ≡ quantile_cont
+    equivalence; excesses are differences of lattice values and the
+    identical threshold double; their moments are integer-scale-
+    summed; ξ and σ are closed-form arithmetic on those identical
+    doubles. Two map-combinable fact passes (quantile, then excess
+    moments under a broadcast threshold)."""
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.agg(F.expr(f"percentile(value, {_POT_Q})").alias("u"))
+    exc = (
+        ev.crossJoin(F.broadcast(u))
+        .filter(F.col("value") > F.col("u"))
+        .select((F.col("value") - F.col("u")).alias("e"), "u")
+    )
+    m = exc.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n"),
+        (_dsum(F.col("e")) / F.count(F.lit(1))).alias("me"),
+        (_dsum(F.col("e") * F.col("e")) / F.count(F.lit(1))).alias("me2"),
+    )
+    fit = m.select(
+        "u", "n", "me", (F.col("me2") - F.col("me") * F.col("me")).alias("v")
+    )
+    r = F.col("me") * F.col("me") / F.col("v")
+    return fit.select(
+        F.round(F.col("u"), 6).alias("threshold"),
+        F.col("n").cast("long").alias("n_exceedances"),
+        F.round(F.col("me"), 6).alias("mean_excess"),
+        F.round((1 - r) / 2.0, 6).alias("gpd_xi"),
+        F.round(F.col("me") * (1 + r) / 2.0, 6).alias("gpd_sigma"),
+    )
