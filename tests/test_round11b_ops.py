@@ -750,3 +750,37 @@ def test_peak_over_threshold_matches_python(spark):
     assert got["gpd_sigma"] == pytest.approx(_r6(me * (1 + r) / 2.0), abs=2e-6)
     # uniform bounded support pulls the fitted tail index negative
     assert got["gpd_xi"] < 0.2
+
+
+def test_peak_over_threshold_degenerate_empty_exceedance(spark, tmp_path):
+    """ADVICE r11 regression: when no value exceeds the 95th-percentile
+    threshold (constant values → quantile == max), the query must
+    still return ONE row (n_exceedances=0, NULL moments) like the
+    oracle's ungrouped aggregate — the old groupBy("u") plan returned
+    zero rows in this regime."""
+    import datetime as _dt
+
+    import pyarrow as pa
+
+    n = 40
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [_dt.datetime(2024, 1, 1, 0, i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([250.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = SPARK["events_peak_over_threshold"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    assert got["threshold"] == pytest.approx(250.0)
+    assert got["n_exceedances"] == 0
+    assert got["mean_excess"] is None
+    assert got["gpd_xi"] is None and got["gpd_sigma"] is None

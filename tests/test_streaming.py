@@ -613,7 +613,12 @@ def test_restart_from_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
     append-mode emission does not depend on micro-batch boundaries)."""
     src = str(tmp_path / "src")
     ev = load_table(spark, "events", sf_dir).select("ts", "event_type", "value")
-    ev.repartition(6).write.mode("overwrite").parquet(src)
+    # 24 input files = 24 micro-batches at maxFilesPerTrigger=1: the
+    # restart window below stops after the FIRST completed batch, so a
+    # fast host still has ~23 batches left for the resumed query
+    # (ADVICE r11: a fixed sleep let availableNow drain everything
+    # before the stop, silently degrading this to a no-restart run).
+    ev.repartition(24).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     cutoff = ev.agg(F.max("ts")).collect()[0][0].timestamp() - 3600
 
@@ -652,7 +657,14 @@ def test_restart_from_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
         if restart:
             import time as _t
 
-            _t.sleep(2.0)
+            # Stop after OBSERVED partial progress (>=1 completed
+            # batch with rows), not a fixed sleep — the mid-stream
+            # restart is only exercised if batches remain (ADVICE r11).
+            deadline = _t.time() + 60.0
+            while _t.time() < deadline and q.isActive:
+                if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                    break
+                _t.sleep(0.05)
             q.stop()
             q.awaitTermination()
             q = (
@@ -664,6 +676,12 @@ def test_restart_from_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
+            q.awaitTermination()
+            # Fail LOUDLY if the restart window was missed: the
+            # resumed query must itself have processed rows.
+            assert any(
+                p["numInputRows"] > 0 for p in q.recentProgress
+            ), "restart window missed: first query drained all batches"
         q.awaitTermination()
 
     run(str(tmp_path / "sink_a"), str(tmp_path / "ckpt_a"), restart=False)

@@ -32,94 +32,20 @@ ORACLE: dict[str, str] = {}
 # clean verdict exists for the name.
 CHECK_CHANGED: list[str] = [
     # Re-add a name here ONLY when its oracle or execution path changes.
-    # (r10's 20 entries were all driver-green in CORRECTNESS_r10 and are
-    # reset — VERDICT r10 item 5 — so the rotation window isn't starved.)
+    # (r11's 25 entries were all driver-green in CORRECTNESS_r11 and are
+    # reset — VERDICT r11 item 4 — so the rotation window isn't starved.)
     #
-    # r11: KS/MWU cumulative counts now flow through the probed
-    # operators/prefix_sum.cumulative_sums (bounded window only when a
-    # measured count confirms the value-domain contract; distributed
-    # two-pass prefix sum past 100k distinct values — VERDICT r10
-    # item 6). Values identical, execution path changed:
-    "stats_ks_two_sample",
-    "stats_mannwhitney_u",
-    # r11: JL distortion excludes zero-original-distance pairs on BOTH
-    # engines (ADVICE r10: 0/0 is NULL in DuckDB but NaN in Spark —
-    # hash-divergence trap on identical sampled vectors). Oracle SQL
-    # and Spark plan both changed:
-    "sim_random_projection_jl",
-    # r11: the minhash recall gate moved to the ≥0.85-true-Jaccard band
-    # where the (k=16, bands=4) S-curve clears the 0.8 recall bar with
-    # real margin (ADVICE r10: at s=0.80 the theoretical pass
-    # probability is 0.878 — too thin). Oracle changed (method label +
-    # band threshold):
-    "dedup_banded_recall_audit",
-    # r11: the heavy-hitters audit passes state_factor=1 (ADVICE r10:
-    # capacity ≥ vocab already guarantees exactness; the default 8×
-    # state was unbounded headroom at corpus scale). Same values, MG
-    # state-size parameter changed:
-    "text_heavy_hitters_audit",
-    # r11: the FIRST defect the multi-process local-cluster sweep
-    # surfaced (VERDICT r10 task 1) — the climatology/anomaly means now
-    # use the integer-scaled exact sum on both engines; a raw avg()'s
-    # partial-merge order changed across the 2-executor split and
-    # flipped near-zero anomaly signs (6/18 rows). Oracle + plan
-    # changed:
-    "weather_climatology_anomaly",
-    # r11 sfx3-probe fixes (both values-identical, paths changed):
-    # (a) the md5-minhash audit's exact-intersection join is now
-    # candidate-pair-bounded instead of an uncapped shingle self-join
-    # (measured exponent 2.31 → 0.59 over the 1.0→3.0 decade; 551 s →
-    # 64 s at sfx3) — oracle + plan changed;
-    "dedup_minhash_md5_audit",
-    # (b) cosine_topk chunks its dgemm over query columns (a
-    # batch × |Q| score matrix hit ~900 MB/task at 60k queries —
-    # exponent 2.39 → bounded; 359 s → 47 s at sfx3). Kernel changed
-    # for every consumer:
-    "ml_knn_label_accuracy",
-    "sim_cosine_topk",
-    "ml_label_propagation",
-    "sim_ann_recall_audit",
-    # r11 skew-probe fix: every round(_dsum, d) money aggregate now
-    # rounds at the INTEGER level (micro-units → target units,
-    # core_sql._dsum_round) — the skewed-data sweep caught q10's hot
-    # customer summing to EXACTLY a half-cent (2282705.155), where
-    # Spark's decimal-string HALF_UP and DuckDB's binary rounding
-    # disagree. Values identical off the boundary, oracle + plan
-    # changed for every money-sum query:
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q19_disjunctive_predicates",
-    "unpivot_lineitem_measures",
-    "groupingsets_region_segment",
-    "join_salted_equivalence",
-    "unpivot_lineitem_metrics",
-    "null_handling_aggregates",
-    # r11 skew-probe fix: the batch band-join now buckets on
-    # (user_id, time_bucket) — a bare user_id hash join evaluates
-    # |signups|x|purchases| pairs per hot user (2.2x slower on the Zipf
-    # twin, quadratic in the hot key). Values identical (streaming twin
-    # + oracle re-proven), plan changed:
-    "events_conversion_window",
-    # r11 wave 3: the two shuffle-count outliers VERDICT r10 named get
-    # the fused-plan treatment (values identical, plans changed).
-    # sketch_kmv_setops: one reused distinct + one WindowGroupLimit
-    # window + membership-flag groupBys — 37→12 Exch, 23→3 BNLJ,
-    # 0.88→0.12 s at sf0.1.
-    "sketch_kmv_setops",
-    # text_burrows_delta: the grid zero-fill LEFT-joins the broadcast
-    # top-word-filtered count frame instead of the vocab-scale (source,
-    # word) frame — 0.53→0.16 s at sf0.1.
-    "text_burrows_delta",
-    # r11 wave 5 side-fix: the chunk lambda now slices a MATERIALIZED
-    # token-array column — the inlined split() re-tokenized the full
-    # text once per 10-word chunk (5.0→2.8 s warm at sfx1.0). Values
-    # identical, plan changed:
-    "dedup_paragraph_dupes",
+    # r12 (ADVICE r11): the POT moment aggregate is now GLOBAL with the
+    # threshold re-attached by broadcast crossJoin — the old
+    # groupBy("u") returned 0 rows in the empty-exceedance degenerate
+    # regime while the oracle's ungrouped aggregate returned 1. Values
+    # identical on every tested store, plan changed:
+    "events_peak_over_threshold",
+    # r12 (ADVICE r11): yule_k/simpson_d promote one denominator factor
+    # to double before the N*N / N*(N-1) product on BOTH engines — the
+    # BIGINT product silently wraps in Spark past ~3e9 tokens/source
+    # while DuckDB raises. Oracle + plan changed:
+    "text_yule_k",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -287,10 +287,10 @@ def text_dunning_g2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(sum(c) AS BIGINT) AS n_tokens,
            CAST(count(*) AS BIGINT) AS vocabulary,
-           round(10000.0 * (sum(c * c) - sum(c)) / (sum(c) * sum(c)), 6)
-             AS yule_k,
+           round(10000.0 * (sum(c * c) - sum(c))
+                 / (CAST(sum(c) AS DOUBLE) * sum(c)), 6) AS yule_k,
            round(CAST(sum(c * (c - 1)) AS DOUBLE)
-                 / (sum(c) * (sum(c) - 1)), 6) AS simpson_d
+                 / (CAST(sum(c) AS DOUBLE) * (sum(c) - 1)), 6) AS simpson_d
     FROM sw GROUP BY source ORDER BY source
     """,
 )
@@ -306,7 +306,13 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: both constants are ratios of pure INTEGER moments
     (Σc, Σc²) — the frequency-spectrum identity Σ_m m²V(m) = Σ_w c²
     means no spectrum table is ever materialized, and the only
-    doubles are two final correctly-rounded divisions. Scale shape:
+    doubles are two final correctly-rounded divisions. The N²/N(N−1)
+    denominators promote ONE factor to double before multiplying
+    (ADVICE r11): a BIGINT N·N silently wraps in Spark's non-ANSI
+    long multiply past N ≈ 3·10⁹ tokens/source while DuckDB raises —
+    double·bigint is the same IEEE multiply on both engines at every
+    N (the integer numerators Σc², Σc(c−1) stay exact to c ≈ 3·10⁹
+    per word, far past any real single-word count). Scale shape:
     one token-scale map-combinable shuffle to (source, word) counts,
     one bounded per-source aggregation."""
     docs = load_table(spark, "documents", sf_dir)
@@ -315,16 +321,17 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     n = F.sum("c")
+    nd = n.cast("double")
     return (
         sw.groupBy("source")
         .agg(
             n.cast("long").alias("n_tokens"),
             F.count(F.lit(1)).alias("vocabulary"),
-            F.round(10000.0 * (F.sum(F.col("c") * F.col("c")) - n) / (n * n), 6).alias(
+            F.round(10000.0 * (F.sum(F.col("c") * F.col("c")) - n) / (nd * n), 6).alias(
                 "yule_k"
             ),
             F.round(
-                F.sum(F.col("c") * (F.col("c") - 1)).cast("double") / (n * (n - 1)), 6
+                F.sum(F.col("c") * (F.col("c") - 1)).cast("double") / (nd * (n - 1)), 6
             ).alias("simpson_d"),
         )
         .orderBy("source")
@@ -2305,19 +2312,25 @@ def events_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical threshold double; their moments are integer-scale-
     summed; ξ and σ are closed-form arithmetic on those identical
     doubles. Two map-combinable fact passes (quantile, then excess
-    moments under a broadcast threshold)."""
+    moments under a broadcast threshold). The moments aggregate is
+    GLOBAL (ADVICE r11): a groupBy("u") over the exceedance frame
+    yields 0 rows when nothing clears the threshold (degenerate
+    store where the top 5% of values all equal the max), while the
+    oracle's ungrouped aggregate yields one (n=0, NULL moments) row
+    — so the threshold is re-attached by a broadcast crossJoin onto
+    the always-one-row moment frame instead of grouped on."""
     ev = load_table(spark, "events", sf_dir)
     u = ev.agg(F.expr(f"percentile(value, {_POT_Q})").alias("u"))
     exc = (
         ev.crossJoin(F.broadcast(u))
         .filter(F.col("value") > F.col("u"))
-        .select((F.col("value") - F.col("u")).alias("e"), "u")
+        .select((F.col("value") - F.col("u")).alias("e"))
     )
-    m = exc.groupBy("u").agg(
+    m = exc.agg(
         F.count(F.lit(1)).alias("n"),
         (_dsum(F.col("e")) / F.count(F.lit(1))).alias("me"),
         (_dsum(F.col("e") * F.col("e")) / F.count(F.lit(1))).alias("me2"),
-    )
+    ).crossJoin(F.broadcast(u))
     fit = m.select(
         "u", "n", "me", (F.col("me2") - F.col("me") * F.col("me")).alias("v")
     )
