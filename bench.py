@@ -360,24 +360,59 @@ def main() -> None:
     # the minimum of three full executions measures steady-state — the
     # r8→r9 round-over-round comparison showed min-of-2 still carries
     # noise-scale drift on sub-second queries. Disclosed in the JSON.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = SPARK.get(name)
-        if fn is None:
-            continue
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            # release dedup-operator persisted intermediates so a long
-            # bench session doesn't accumulate cached partitions
-            from weather_tools_spark.operators.dedup import release_persisted
+    #
+    # r12 (VERDICT r11): the mid-loop parallel probe makes a contention
+    # spike DURING the run visible (the start-of-run probe is a single
+    # sample of a noisy neighbor process), and when any probe window
+    # exceeds the 3.0 calibration clamp the whole headline loop runs a
+    # SECOND pass keeping per-query minimums — min-across-windows is
+    # the only defensible estimator when contention is beyond what the
+    # clamp can normalize (the r11 driver host measured 11.3x on the
+    # parallel probe; its raw numbers were inflated past the clamped
+    # calib and a noisier host could false-fail the 2x gate despite a
+    # healthy engine).
+    probe_par_mid: float | None = None
 
-            release_persisted()
-        timings[name] = round(best, 2)
+    def _timing_pass(prev: dict[str, float]) -> dict[str, float]:
+        nonlocal probe_par_mid
+        out = dict(prev)
+        names = [n for n in HEADLINE if n in SPARK]
+        for i, name in enumerate(names):
+            fn = SPARK[name]
+            best = out.get(name)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                # release dedup-operator persisted intermediates so a
+                # long bench session doesn't accumulate cached partitions
+                from weather_tools_spark.operators.dedup import release_persisted
+
+                release_persisted()
+            out[name] = round(best, 2)
+            if probe_par_mid is None and i == len(names) // 2:
+                probe_par_mid = _host_probe_parallel()
+        return out
+
+    timings = _timing_pass({})
+    calib_unclamped = max(
+        1.0,
+        probe / _HOST_PROBE_REF,
+        probe_par / _HOST_PROBE_PAR_REF,
+        (probe_par_mid or 0.0) / _HOST_PROBE_PAR_REF,
+    )
+    n_passes = 1
+    if calib_unclamped > 3.0:
+        print(
+            f"WARNING: host contention {calib_unclamped:.1f}x exceeds the "
+            "3.0 calibration clamp — running a second headline pass and "
+            "keeping per-query minimums",
+            file=sys.stderr,
+        )
+        timings = _timing_pass(timings)
+        n_passes = 2
 
     total = round(sum(timings.values()), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -409,9 +444,12 @@ def main() -> None:
     # cores exactly like a Spark stage, so that class of host slowness
     # now scales the gates instead of eating the budget margin. Both
     # probes are measured at program start, before the JVM exists.
-    calib = min(
-        3.0, max(1.0, probe / _HOST_PROBE_REF, probe_par / _HOST_PROBE_PAR_REF)
-    )
+    # The clamped factor scales the GATES (a backstop against probe-only
+    # anomalies); the raw ratio is recorded unclamped so a reader can
+    # see when the host was contended beyond what the clamp normalizes
+    # (r12, VERDICT r11 — on such hosts the loop above already ran a
+    # second pass, so the recorded minimums come from two probe windows).
+    calib = min(3.0, calib_unclamped)
     mean = (total / len(timings)) if timings else 0.0
     if timings and sf_val == 0.1:
         if mean >= 1.0 * calib or total >= 150.0 * calib:
@@ -442,7 +480,10 @@ def main() -> None:
         # cross-round per-query comparisons are readable at a glance
         "host_probe_sec": round(probe, 4),
         "host_probe_par_sec": round(probe_par, 4),
+        "host_probe_par_mid_sec": round(probe_par_mid, 4) if probe_par_mid else None,
         "host_calib": round(calib, 3),
+        "host_calib_unclamped": round(calib_unclamped, 3),
+        "n_passes": n_passes,
         "q1_sec": timings.get("q1_pricing_summary"),
         "sec_per_query": round(mean, 4),
         "sec_per_query_normalized": round(mean / calib, 4),

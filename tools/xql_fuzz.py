@@ -226,9 +226,20 @@ class Gen:
         gx = f" GROUP BY {', '.join(group_keys)}" if group_keys else ""
         ga = gx
         having_x = having_a = ""
-        if group_keys and r.random() < 0.2:
+        if group_keys and r.random() < 0.25:
+            # r12 (VERDICT r11 task 5): richer HAVING surface — min/max
+            # of stored doubles are EXACT (no partial-agg order
+            # sensitivity), so thresholds on them cannot flake
             c = r.randint(1, 20)
-            having_x = having_a = f" HAVING count(*) >= {c}"
+            h = r.choice(
+                [
+                    f"count(*) >= {c}",
+                    f"min(value) >= {round(r.uniform(0, 200), 2)}",
+                    f"max(value) <= {round(r.uniform(300, 500), 2)}",
+                    f"count(*) >= {c} AND max(latitude) <= {round(r.uniform(0, 90), 2)}",
+                ]
+            )
+            having_x = having_a = f" HAVING {h}"
         # order by the group keys, OR by an aggregate with the full
         # group-key tiebreak (deterministic total order either way)
         if group_keys and aggs and r.random() < 0.25:
@@ -315,6 +326,121 @@ class Gen:
         ansi = f"SELECT {', '.join(sel)} FROM weather{wa} ORDER BY event_id LIMIT {lim}"
         return xql, ansi
 
+    def join_query(self) -> tuple[str, str]:
+        """Two-table join through the rewrite path (r12, VERDICT r11
+        task 5): weather x orders on a synthetic modular key, as INNER
+        / LEFT / EXISTS / NOT EXISTS, with xql predicates (geo
+        entities, traps, buckets) on the weather side — the join
+        planner is where Catalyst rewrites are deepest and the prior
+        grammar had zero coverage. Aggregate outputs are integer-exact
+        (counts, min/sum of integer keys) so only the optional avg
+        rides the float tolerance."""
+        r = self.rng
+        k = r.choice([211, 499, 997])
+        wx, wa = self.where()
+        opred = []
+        if r.random() < 0.7:
+            opred.append(f"o_totalprice < {round(r.uniform(50000, 300000), 2)}")
+        if r.random() < 0.4:
+            opred.append(f"o_orderkey % {r.randint(2, 5)} = 0")
+        ow = f" WHERE {' AND '.join(opred)}" if opred else ""
+        kind = r.choice(["inner", "inner", "left", "exists", "not_exists"])
+        if kind in ("exists", "not_exists"):
+            neg = "NOT " if kind == "not_exists" else ""
+            sub = (
+                f"{neg}EXISTS (SELECT 1 FROM orders o WHERE "
+                f"(o.o_orderkey % {k}) = (w.event_id % {k})"
+                f"{' AND ' + ' AND '.join(opred) if opred else ''})"
+            )
+            wjx = f"{wx} AND {sub}" if wx else f" WHERE {sub}"
+            wja = f"{wa} AND {sub}" if wa else f" WHERE {sub}"
+            xql = (
+                f"SELECT event_type, count(*) AS n, min(event_id) AS min_id"
+                f" FROM weather w{wjx} GROUP BY event_type ORDER BY event_type"
+            )
+            ansi = (
+                f"SELECT event_type, count(*) AS n, min(event_id) AS min_id"
+                f" FROM weather w{wja} GROUP BY event_type ORDER BY event_type"
+            )
+            return xql, ansi
+        jt = "JOIN" if kind == "inner" else "LEFT JOIN"
+        gkey = r.choice(["event_type", "time_month"])
+        if gkey == "time_month":
+            gx, ga_sel = "time_month", "strftime(w.\"time\", '%Y-%m') AS time_month"
+            ga_grp = "strftime(w.\"time\", '%Y-%m')"
+        else:
+            gx, ga_sel, ga_grp = (
+                "w.event_type AS event_type",
+                "w.event_type AS event_type",
+                "w.event_type",
+            )
+        aggs = ["count(*) AS n", f"count(o.o_orderkey) AS n_matched",
+                "min(o.o_orderkey) AS min_key"]
+        if r.random() < 0.5:
+            aggs.append("sum(o.o_custkey) AS sum_cust")
+        if r.random() < 0.3:
+            aggs.append("avg(w.value) AS avg_value")
+        order = "time_month" if gkey == "time_month" else "event_type"
+        xql = (
+            f"SELECT {gx}, {', '.join(aggs)}"
+            f" FROM (SELECT * FROM weather{wx}) w"
+            f" {jt} (SELECT * FROM orders{ow}) o"
+            f" ON (w.event_id % {k}) = (o.o_orderkey % {k})"
+            f" GROUP BY {gx.split(' AS ')[0] if ' AS ' in gx else gx}"
+            f" ORDER BY {order}"
+        )
+        ansi = (
+            f"SELECT {ga_sel}, {', '.join(aggs)}"
+            f" FROM (SELECT * FROM weather{wa}) w"
+            f" {jt} (SELECT * FROM orders{ow}) o"
+            f" ON (w.event_id % {k}) = (o.o_orderkey % {k})"
+            f" GROUP BY {ga_grp}"
+            f" ORDER BY {order}"
+        )
+        return xql, ansi
+
+    def window_query(self) -> tuple[str, str]:
+        """Window functions over a grouped inner frame (r12, VERDICT
+        r11 task 5): rank/dense_rank/row_number + lag/lead + running
+        sum, partitioned by event_type and ordered by INTEGER counts
+        with the unique bucket as tiebreak — every window value is
+        integer-exact, so cross-engine comparison is bit-stable."""
+        r = self.rng
+        bucket = r.choice(["time_date", "time_month"])
+        fmt = TIME_BUCKETS[bucket]
+        wx, wa = self.where()
+        inner_x = (
+            f"SELECT event_type, {bucket} AS b, count(*) AS n,"
+            f" min(event_id) AS mn FROM weather{wx}"
+            f" GROUP BY event_type, {bucket}"
+        )
+        inner_a = (
+            f"SELECT event_type, strftime(\"time\", '{fmt}') AS b, count(*) AS n,"
+            f" min(event_id) AS mn FROM weather{wa}"
+            f" GROUP BY event_type, strftime(\"time\", '{fmt}')"
+        )
+        rankf = r.choice(["rank()", "dense_rank()", "row_number()"])
+        wins = [f"{rankf} OVER (PARTITION BY event_type ORDER BY n DESC, b) AS rnk"]
+        if r.random() < 0.6:
+            off = r.randint(1, 3)
+            lf = r.choice(["lag", "lead"])
+            wins.append(
+                f"{lf}(n, {off}) OVER (PARTITION BY event_type ORDER BY b) AS adj_n"
+            )
+        if r.random() < 0.5:
+            wins.append(
+                "sum(n) OVER (PARTITION BY event_type ORDER BY b"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n"
+            )
+        mid_x = f"SELECT event_type, b, n, mn, {', '.join(wins)} FROM ({inner_x}) t"
+        mid_a = f"SELECT event_type, b, n, mn, {', '.join(wins)} FROM ({inner_a}) t"
+        outer = ""
+        if r.random() < 0.5:
+            outer = f" WHERE rnk <= {r.randint(1, 8)}"
+        xql = f"SELECT * FROM ({mid_x}) s{outer} ORDER BY event_type, b"
+        ansi = f"SELECT * FROM ({mid_a}) s{outer} ORDER BY event_type, b"
+        return xql, ansi
+
     def orders_query(self) -> tuple[str, str]:
         """Plain ANSI pass-through (no xql extensions) — pins that the
         rewriter is a no-op on SQL it doesn't own."""
@@ -351,15 +477,19 @@ class Gen:
 
     def query(self) -> tuple[str, str]:
         roll = self.rng.random()
-        if roll < 0.50:
+        if roll < 0.38:
             return self.weather_query()
-        if roll < 0.68:
+        if roll < 0.52:
             return self.weather_select_query()
-        if roll < 0.76:
+        if roll < 0.59:
             return self.union_query()
-        if roll < 0.84:
+        if roll < 0.66:
             return self.subquery_query()
-        return self.orders_query()
+        if roll < 0.74:
+            return self.orders_query()
+        if roll < 0.88:
+            return self.join_query()
+        return self.window_query()
 
 
 # ---------------------------------------------------------------------------
