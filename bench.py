@@ -302,6 +302,14 @@ HEADLINE = [
     "stats_effect_sizes",
     "text_honore_sichel",
     "events_peak_over_threshold",
+    # round-12 wave 8 (ranking/calibration eval completion, portmanteau
+    # autocorrelation test, partition quality)
+    "ml_average_precision",
+    "stats_ljung_box",
+    "graph_modularity_regions",
+    "ml_lift_gains_deciles",
+    "ml_brier_decomposition",
+    "ml_mrr_retrieval",
 ]
 
 

@@ -15,9 +15,9 @@ Mechanism — two sessions in one process:
 
 1. BASELINE: vanilla ``local[8]``, comfortable memory (the driver's
    own regime). Record each query's driver-style md5.
-2. SPILL: ``local-cluster[2,4,1200]`` (two real executor JVMs, network
+2. SPILL: ``local-cluster[2,4,2200]`` (two real executor JVMs, network
    shuffle) with the execution-memory pool squeezed
-   (``spark.memory.fraction=0.2`` over a ~900 MB heap → ~120 MB of
+   (``spark.memory.fraction=0.2`` over a ~1.6 GB heap → ~260 MB of
    unified memory shared by 4 task slots) AND the deterministic
    force-spill thresholds dropped (``spark.shuffle.spill.
    numElementsForceSpillThreshold`` + the windowExec / sortMergeJoin
@@ -107,8 +107,13 @@ def frame_md5(df) -> str:
 
 
 SPILL_CONF = {
-    # real memory pressure: ~120 MB unified pool across 4 task slots
-    "spark.executor.memory": "900m",
+    # real memory pressure: ~260 MB unified pool across 4 task slots.
+    # (First run used 900m heap: the unified pool squeezed fine, but the
+    # NON-spillable heap — codegen, join relation builds, Python/Arrow
+    # buffers — OOM-killed the executors (exit 52) on the iterative
+    # graph family and q21. Spill pressure comes from memory.fraction +
+    # the force thresholds, not from starving the whole JVM.)
+    "spark.executor.memory": "1600m",
     "spark.memory.fraction": "0.2",
     "spark.sql.shuffle.partitions": "8",
     # deterministic spill triggers: force the external-merge paths even
@@ -197,7 +202,7 @@ def main() -> int:
 
     def spill_builder(b):
         b = (
-            b.master("local-cluster[2,4,1200]")
+            b.master("local-cluster[2,4,2200]")
             .config("spark.ui.enabled", "true")
             .config("spark.ui.port", "4050")
             .config("spark.executorEnv.PYTHONPATH", REPO)
@@ -233,7 +238,7 @@ def main() -> int:
     artifact = {
         "sf_dir": args.sf_dir,
         "baseline_master": "local[8]",
-        "spill_master": "local-cluster[2,4,1200]",
+        "spill_master": "local-cluster[2,4,2200]",
         "spill_conf": SPILL_CONF,
         "n_queries": len(names),
         "n_hash_divergences": n_div,

@@ -142,6 +142,7 @@ def _load_all() -> None:
         round10,
         round11,
         round11b,
+        round12,
         selection,
         sketches,
         stats_ext,
