@@ -310,6 +310,9 @@ HEADLINE = [
     "ml_lift_gains_deciles",
     "ml_brier_decomposition",
     "ml_mrr_retrieval",
+    "stats_mann_kendall",
+    "events_turning_points",
+    "graph_reciprocity",
 ]
 
 

@@ -224,3 +224,65 @@ def test_mrr_matches_python(spark):
         want_rr = 0.0 if first is None else _r6(1.0 / first)
         assert got["reciprocal_rank"] == pytest.approx(want_rr, abs=2e-6)
         assert got[f"hit_at_{_MRR_K}"] == (first is not None and first <= _MRR_K)
+
+
+def _daily_counts():
+    ev = _events()
+    return Counter(int(t.timestamp() // 86400) for t in ev["ts"])
+
+
+def test_mann_kendall_matches_python(spark):
+    rows = SPARK["stats_mann_kendall"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    x = _daily_counts()
+    days = sorted(x)
+    n = len(days)
+    s = 0
+    for a in range(n):
+        for b in range(a + 1, n):
+            d = x[days[b]] - x[days[a]]
+            s += (d > 0) - (d < 0)
+    ties = Counter(x.values())
+    tie_term = sum(tp * (tp - 1) * (2 * tp + 5) for tp in ties.values() if tp > 1)
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    z = 0.0 if s == 0 else (s - (1 if s > 0 else -1) * 1) / math.sqrt(var_s)
+    assert got["n"] == n and got["s_statistic"] == s
+    assert got["var_s"] == pytest.approx(_r6(var_s), abs=2e-6)
+    assert got["z"] == pytest.approx(_r6(z), abs=2e-6)
+    assert got["trend_detected"] == (abs(z) > 1.959964)
+
+
+def test_turning_points_matches_python(spark):
+    rows = SPARK["events_turning_points"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    x = _daily_counts()
+    days = sorted(x)
+    n = len(days)
+    t = sum(
+        1
+        for k in range(1, n - 1)
+        if (x[days[k]] > x[days[k - 1]] and x[days[k]] > x[days[k + 1]])
+        or (x[days[k]] < x[days[k - 1]] and x[days[k]] < x[days[k + 1]])
+    )
+    exp = 2.0 * (n - 2) / 3.0
+    var = (16.0 * n - 29) / 90.0
+    assert got["n"] == n and got["turning_points"] == t
+    assert got["expected"] == pytest.approx(_r6(exp), abs=2e-6)
+    assert got["variance"] == pytest.approx(_r6(var), abs=2e-6)
+    assert got["z"] == pytest.approx(_r6((t - exp) / math.sqrt(var)), abs=2e-6)
+
+
+def test_reciprocity_matches_python(spark):
+    rows = SPARK["graph_reciprocity"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    edges = set(_python_edges())
+    nonloop = {(s, d) for s, d in edges if s != d}
+    loops = len(edges) - len(nonloop)
+    r = sum(1 for s, d in nonloop if (d, s) in nonloop)
+    assert got["m_edges"] == len(nonloop)
+    assert got["n_self_loops"] == loops
+    assert got["n_reciprocated"] == r
+    assert got["reciprocity"] == pytest.approx(_r6(r / len(nonloop)), abs=2e-6)

@@ -15,18 +15,21 @@ Mechanism — two sessions in one process:
 
 1. BASELINE: vanilla ``local[8]``, comfortable memory (the driver's
    own regime). Record each query's driver-style md5.
-2. SPILL: ``local-cluster[2,4,2200]`` (two real executor JVMs, network
+2. SPILL: ``local-cluster[2,2,2200]`` (two real executor JVMs, network
    shuffle) with the execution-memory pool squeezed
    (``spark.memory.fraction=0.2`` over a ~1.6 GB heap → ~260 MB of
-   unified memory shared by 4 task slots) AND the deterministic
+   unified memory shared by 2 task slots) AND the deterministic
    force-spill thresholds dropped (``spark.shuffle.spill.
    numElementsForceSpillThreshold`` + the windowExec / sortMergeJoin
-   buffer thresholds at 16k elements), so every data-scale sort,
+   buffer thresholds at 256k elements), so every data-scale sort,
    hash-agg fallback, window buffer and SMJ buffer demonstrably
    spills. Per-query spilled bytes are read from the driver's status
    store REST API (delta of stage-level ``memoryBytesSpilled`` /
    ``diskBytesSpilled``) — the artifact proves spill HAPPENED rather
-   than assuming the squeeze worked.
+   than assuming the squeeze worked. (The threshold is 256k, not
+   lower: see the SPILL_CONF note — too-aggressive force spilling
+   explodes the merge-phase spill-file fan-in and hard-OOMs the JVM,
+   a finding of this sweep.)
 
 Any hash divergence, job failure, or an all-zero spill column fails
 the sweep (exit 1). Artifact: SPILL_SWEEP.json at the repo root.
@@ -107,7 +110,7 @@ def frame_md5(df) -> str:
 
 
 SPILL_CONF = {
-    # real memory pressure: ~260 MB unified pool across 4 task slots.
+    # real memory pressure: ~260 MB unified pool across 2 task slots.
     # (First run used 900m heap: the unified pool squeezed fine, but the
     # NON-spillable heap — codegen, join relation builds, Python/Arrow
     # buffers — OOM-killed the executors (exit 52) on the iterative
@@ -117,12 +120,17 @@ SPILL_CONF = {
     "spark.memory.fraction": "0.2",
     "spark.sql.shuffle.partitions": "8",
     # deterministic spill triggers: force the external-merge paths even
-    # where 8 fat partitions would still (barely) fit the squeezed pool
-    "spark.shuffle.spill.numElementsForceSpillThreshold": "16384",
-    "spark.sql.windowExec.buffer.spill.threshold": "16384",
-    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "16384",
-    "spark.sql.cartesianProductExec.buffer.spill.threshold": "16384",
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "1024",
+    # where 8 fat partitions would still (barely) fit the squeezed pool.
+    # NOT lower: at 16k the 10M-row sorts of graph_triangle_census
+    # produced ~600 spill files per task and the merge phase's per-file
+    # read buffers hard-OOMed the executor JVM (exit 52) — a real
+    # 100-TB lesson (spill-file COUNT is a memory cost too); 256k keeps
+    # every data-scale buffer spilling while bounding the merge fan-in.
+    "spark.shuffle.spill.numElementsForceSpillThreshold": "262144",
+    "spark.sql.windowExec.buffer.spill.threshold": "262144",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "262144",
+    "spark.sql.cartesianProductExec.buffer.spill.threshold": "262144",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "16384",
 }
 
 
@@ -173,6 +181,11 @@ def _run(names, sf, builder, label, ui=False):
             f"[{label}] {name}: {'ERR ' + err if err else h} {dt:.1f}s{spill}",
             file=sys.stderr,
         )
+        if err and ui_url:
+            # an executor OOM poisons the next query while the worker
+            # relaunches the JVM — give the cluster a recovery window so
+            # one failure doesn't cascade into phantom ERRs
+            time.sleep(8)
     spark.stop()
     return out
 
@@ -202,7 +215,7 @@ def main() -> int:
 
     def spill_builder(b):
         b = (
-            b.master("local-cluster[2,4,2200]")
+            b.master("local-cluster[2,2,2200]")
             .config("spark.ui.enabled", "true")
             .config("spark.ui.port", "4050")
             .config("spark.executorEnv.PYTHONPATH", REPO)
@@ -238,7 +251,7 @@ def main() -> int:
     artifact = {
         "sf_dir": args.sf_dir,
         "baseline_master": "local[8]",
-        "spill_master": "local-cluster[2,4,2200]",
+        "spill_master": "local-cluster[2,2,2200]",
         "spill_conf": SPILL_CONF,
         "n_queries": len(names),
         "n_hash_divergences": n_div,

@@ -666,3 +666,243 @@ def ml_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"hit_at_{_MRR_K}"
         ),
     ).orderBy("term")
+
+
+# ---------------------------------------------------------------------------
+# Wave 8b: Mann-Kendall trend, turning-points randomness, reciprocity
+# ---------------------------------------------------------------------------
+
+_MK_Z_05 = 1.959964  # two-sided normal 0.05 critical (literal, both engines)
+
+
+@register(
+    "stats_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(sum(tp * (tp - 1) * (2 * tp + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS tp FROM daily GROUP BY x)
+      WHERE tp > 1
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    v AS (
+      SELECT (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0 AS var_s, n
+      FROM nn, ties
+    )
+    SELECT n, s.s AS s_statistic, round(var_s, 6) AS var_s,
+           round(CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(var_s)
+                      WHEN s.s < 0 THEN (s.s + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z,
+           abs(CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(var_s)
+                    WHEN s.s < 0 THEN (s.s + 1) / sqrt(var_s)
+                    ELSE 0.0 END) > {_MK_Z_05} AS trend_detected
+    FROM s, v
+    """,
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily event-count
+    series — the nonparametric companion to stats_theil_sen_trend
+    (Theil-Sen estimates the slope; Mann-Kendall decides whether a
+    trend EXISTS): S = Σ_{{i<j}} sgn(x_j − x_i) over all day pairs,
+    tie-corrected variance n(n−1)(2n+5)/18 − Σ t_p(t_p−1)(2t_p+5)/18,
+    continuity-corrected normal z. The ingest-drift decision rule for
+    any daily volume metric.
+
+    Determinism: S and the tie term are pure INTEGER sums over the
+    calendar-bounded daily frame's pair join (≤ C(31,2) pairs at any
+    scale); variance is one exact division, z one IEEE sqrt+divide —
+    identical doubles both engines; the 1.96 critical is a literal.
+    Scale shape: one map-combinable fact aggregation, then bounded
+    arithmetic."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(b, F.col("b.day") > F.col("a.day")).agg(
+        F.sum(
+            F.when(F.col("b.x") > F.col("a.x"), 1)
+            .when(F.col("b.x") < F.col("a.x"), -1)
+            .otherwise(0)
+        ).alias("s")
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("tp"))
+        .filter(F.col("tp") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tp") * (F.col("tp") - 1) * (2 * F.col("tp") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ) / 18.0
+    z = (
+        F.when(
+            F.col("s_statistic") > 0,
+            (F.col("s_statistic") - 1) / F.sqrt(F.col("var_s_raw")),
+        )
+        .when(
+            F.col("s_statistic") < 0,
+            (F.col("s_statistic") + 1) / F.sqrt(F.col("var_s_raw")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("s").cast("long").alias("s_statistic"),
+            var_s.alias("var_s_raw"),
+        )
+        .select(
+            "n",
+            "s_statistic",
+            F.round("var_s_raw", 6).alias("var_s"),
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > _MK_Z_05).alias("trend_detected"),
+        )
+    )
+
+
+@register(
+    "events_turning_points",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT x,
+             lag(x) OVER (ORDER BY day) AS prev,
+             lead(x) OVER (ORDER BY day) AS nxt
+      FROM daily
+    ),
+    t AS (
+      SELECT CAST(sum(CASE WHEN (x > prev AND x > nxt)
+                             OR (x < prev AND x < nxt) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t
+      FROM lagged WHERE prev IS NOT NULL AND nxt IS NOT NULL
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+    SELECT n, t.t AS turning_points,
+           round(2.0 * (n - 2) / 3.0, 6) AS expected,
+           round((16.0 * n - 29) / 90.0, 6) AS variance,
+           round((t.t - 2.0 * (n - 2) / 3.0)
+                 / sqrt((16.0 * n - 29) / 90.0), 6) AS z
+    FROM t, nn
+    """,
+)
+def events_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's turning-points randomness test on the daily count
+    series: the number of STRICT interior local extrema versus its
+    i.i.d. expectation 2(n−2)/3 and variance (16n−29)/90 — the
+    cheapest "is this series random or structured" screen, and the
+    third member of the serial-dependence trio (Ljung-Box measures
+    autocorrelation, runs-test measures sign clustering, turning
+    points measure local alternation).
+
+    The lag/lead window rides the calendar-bounded daily frame (one
+    row per day — structural bound); T and n are integers; expected/
+    variance/z are exact arithmetic + one IEEE sqrt. Strict
+    comparisons mean tied neighbors are NOT turning points —
+    identical convention in both engines by construction."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        F.lag("x").over(w).alias("prev"),
+        F.lead("x").over(w).alias("nxt"),
+    )
+    t = lagged.filter(
+        F.col("prev").isNotNull() & F.col("nxt").isNotNull()
+    ).agg(
+        F.sum(
+            F.when(
+                ((F.col("x") > F.col("prev")) & (F.col("x") > F.col("nxt")))
+                | ((F.col("x") < F.col("prev")) & (F.col("x") < F.col("nxt"))),
+                1,
+            ).otherwise(0)
+        ).alias("t")
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    exp_ = 2.0 * (F.col("n") - 2) / 3.0
+    var_ = (16.0 * F.col("n") - 29) / 90.0
+    return t.crossJoin(F.broadcast(nn)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("t").cast("long").alias("turning_points"),
+        F.round(exp_, 6).alias("expected"),
+        F.round(var_, 6).alias("variance"),
+        F.round((F.col("t") - exp_) / F.sqrt(var_), 6).alias("z"),
+    )
+
+
+@register(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH {_sp_edges_sql()},
+    nonloop AS (SELECT src, dst FROM e WHERE src <> dst),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM nonloop),
+    loops AS (SELECT CAST(count(*) AS BIGINT) AS n_loops FROM e WHERE src = dst),
+    recip AS (
+      SELECT CAST(count(*) AS BIGINT) AS r
+      FROM nonloop a JOIN nonloop b ON a.src = b.dst AND a.dst = b.src
+    )
+    SELECT m.m AS m_edges, loops.n_loops AS n_self_loops,
+           recip.r AS n_reciprocated,
+           round(CAST(recip.r AS DOUBLE) / m.m, 6) AS reciprocity
+    FROM m, loops, recip
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed trade graph: the fraction of
+    non-loop edges whose reverse edge also exists — the standard
+    directed-network symmetry statistic (trade graphs are usually
+    highly reciprocal; a drop flags one-way-dominant routing). Self
+    loops counted separately (a nation trading with itself is neither
+    reciprocal nor not).
+
+    One self-join of the bounded (≤ |nations|·k) edge frame; all
+    counts integer, one exact division. The fact-scale work is the
+    shared edge build (graph family idiom)."""
+    edges = _sp_edges_df(spark, sf_dir)
+    nonloop = edges.filter(F.col("src") != F.col("dst"))
+    m = nonloop.agg(F.count(F.lit(1)).alias("m"))
+    loops = edges.filter(F.col("src") == F.col("dst")).agg(
+        F.count(F.lit(1)).alias("n_loops")
+    )
+    a, b = nonloop.alias("a"), nonloop.alias("b")
+    recip = a.join(
+        b,
+        (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+    ).agg(F.count(F.lit(1)).alias("r"))
+    return (
+        m.crossJoin(F.broadcast(loops))
+        .crossJoin(F.broadcast(recip))
+        .select(
+            F.col("m").cast("long").alias("m_edges"),
+            F.col("n_loops").cast("long").alias("n_self_loops"),
+            F.col("r").cast("long").alias("n_reciprocated"),
+            F.round(F.col("r").cast("double") / F.col("m"), 6).alias("reciprocity"),
+        )
+    )
+
