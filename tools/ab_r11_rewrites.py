@@ -221,9 +221,12 @@ def main() -> int:
         if h_old != h_new:
             print(f"{name}: HASH DIVERGENCE old={h_old} new={h_new}", file=sys.stderr)
             rc = 1
-        # warm both arms once (plan compilation), then interleave
-        timed(old, spark, args.sf_dir)
-        timed(new, spark, args.sf_dir)
+        # warm both arms 3x (codegen/JIT converge over ~3 executions for
+        # these plans), then interleave the timed runs so drift hits
+        # both arms equally
+        for _ in range(3):
+            timed(old, spark, args.sf_dir)
+            timed(new, spark, args.sf_dir)
         t_old, t_new = [], []
         for _ in range(args.n):
             t_old.append(timed(old, spark, args.sf_dir))
@@ -233,13 +236,17 @@ def main() -> int:
             "md5": h_new,
             "old_median_sec": round(statistics.median(t_old), 3),
             "new_median_sec": round(statistics.median(t_new), 3),
+            "old_min_sec": round(min(t_old), 3),
+            "new_min_sec": round(min(t_new), 3),
             "old_runs": [round(t, 3) for t in t_old],
             "new_runs": [round(t, 3) for t in t_new],
             "speedup": round(statistics.median(t_old) / statistics.median(t_new), 2),
         }
         print(f"{name}: old {out['queries'][name]['old_median_sec']}s -> "
               f"new {out['queries'][name]['new_median_sec']}s "
-              f"({out['queries'][name]['speedup']}x), hash_match={h_old == h_new}")
+              f"({out['queries'][name]['speedup']}x median, "
+              f"min {out['queries'][name]['old_min_sec']}->"
+              f"{out['queries'][name]['new_min_sec']}), hash_match={h_old == h_new}")
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

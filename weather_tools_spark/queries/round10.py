@@ -1156,7 +1156,16 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|·{_BURROWS_TOPK}. The (source, word) count frame is NOT
     persisted — r10 A/B at sfx1.0: 25.0 s persisted vs 1.8 s
     unpersisted (a vocab×sources-scale cache loses to exchange-reused
-    recompute)."""
+    recompute).
+
+    Wall-clock honesty (r12 A/B, bench_archive/AB_r11_rewrites.json):
+    at sf0.1 on a quiet host the r11 zero-fill rewrite is marginally
+    SLOWER than the r10 plan (median 0.93 s vs 0.79 s, interleaved
+    warm runs) — the r11-claimed 0.16 s median did not reproduce;
+    both plans sit on the local session floor. The rewrite is kept
+    for its structural bound: the zero-fill join's stream side is
+    |sources|·top-k instead of vocab-scale, the term that dominates
+    at corpus scale."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")

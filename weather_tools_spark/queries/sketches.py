@@ -473,7 +473,16 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered, 4 scalar aggregates and 5 joins (37 Exch / 23 BNLJ);
     this plan is 1 distinct + 2 bounded groupBys + 1 group-limited
     window (the remaining BNLJs are 1-row theta/estimate
-    broadcasts)."""
+    broadcasts).
+
+    Wall-clock honesty (r12 A/B, bench_archive/AB_r11_rewrites.json):
+    on a quiet host at sf0.1 the fused plan measures 1.28x the r10
+    plan's median (0.95 s vs 1.22 s, interleaved warm runs) — NOT the
+    7x a mid-JIT r11 reading suggested. At local 100k-row scale both
+    plans sit on the ~0.8 s per-query session floor; the fused plan's
+    real value is structural (12 vs 37 exchanges / 3 vs 23 BNLJ =
+    fewer stage barriers), which prices in at cluster scale, not
+    here."""
     from pyspark.sql import Window
 
     ev = load_table(spark, "events", sf_dir)
