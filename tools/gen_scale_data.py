@@ -62,7 +62,20 @@ P_TYPES = ["ECONOMY", "SMALL", "STANDARD", "LARGE", "PROMO"]
 
 
 def _write(outdir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(outdir, f"{name}.parquet"), version="2.6")
+    # Bounded row groups (r12): pyarrow's 1M-row default wrote the
+    # 500k-doc sfx10 corpus as ONE row group — Spark then scheduled 18
+    # byte-range tasks of which 17 were empty (a parquet task only
+    # materializes row groups whose midpoint lands in its range), and
+    # the whole scan+explode serialized on one core. 50k-row groups
+    # keep single-file stores scannable at real parallelism, like the
+    # many-file layout a production store would have. (The engine-side
+    # _widen guard also covers pathological single-group inputs.)
+    pq.write_table(
+        table,
+        os.path.join(outdir, f"{name}.parquet"),
+        version="2.6",
+        row_group_size=50_000,
+    )
 
 
 def _zipf_keys(rng: np.random.Generator, n_keys: int, size: int, s: float = 1.2) -> np.ndarray:

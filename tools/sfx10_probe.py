@@ -67,6 +67,14 @@ def main() -> int:
     for name in names:
         fn = SPARK[name]
         rec: dict = {}
+        # one untimed warm pass at sf0.01: the first execution of a
+        # query pays Catalyst+JIT compilation (~2 s) — negligible
+        # against the 100-600 s heavies but it DOMINATED the first
+        # sfx10-probe reading of sim_cosine_topk (5.7 s at sfx3 vs
+        # 3.7 s at sfx10 → a nonsense negative exponent)
+        fn(spark, "/root/testdata/sf0.01").write.format("noop").mode(
+            "overwrite"
+        ).save()
         for sf, d in SF_DIRS.items():
             t0 = time.perf_counter()
             fn(spark, d).write.format("noop").mode("overwrite").save()

@@ -85,28 +85,37 @@ def _widen(df: DataFrame) -> DataFrame:
     a corpus read from one parquet file arrives as a single partition and
     would serialize the whole stage on one core. Only repartitions when
     the input is narrower than the cluster — an already-parallel corpus
-    (the 100 TB case) passes through untouched."""
+    (the 100 TB case, thousands of files) passes through untouched.
+
+    r12 fix: for a FEW-FILE parquet input the repartition is now
+    UNCONDITIONAL — split-based partition counts overstate real
+    parallelism there, because a parquet task only materializes row
+    groups whose midpoint falls in its byte range. The r12 sfx10 probe
+    caught exactly this: a 74 MB single-row-group documents file
+    scanned as 18 partitions (so the old getNumPartitions veto skipped
+    the repartition) but 17 of those tasks were EMPTY — all 500k docs
+    decoded and exploded in ONE task, and the whole dedup family's
+    measured scale exponent jumped to 1.58. Partition count is not
+    data distribution; file count bounds nothing when row groups are
+    huge. The probe veto is kept only for non-file-backed plans
+    (in-memory/derived frames report zero input files), where
+    getNumPartitions IS the true width."""
     target = df.sparkSession.sparkContext.defaultParallelism
     narrow = max(2, target // 2)
-    # len(inputFiles()) is a cheap JVM-side width proxy; probing
-    # df.rdd.getNumPartitions() forces a Python<->JVM plan conversion,
-    # so it is consulted only when the file proxy says "narrow" — which
-    # is exactly when it can be wrong: a non-file-backed plan reports 0
-    # files, and a few large SPLITTABLE parquet files can still scan as
-    # many partitions. The exact probe then vetoes a pointless full
-    # repartition shuffle of an already-wide corpus.
     try:
-        width = len(df.inputFiles())
+        n_files = len(df.inputFiles())
     except Exception:
-        width = 0
-    if width < narrow:
+        n_files = 0
+    if n_files >= narrow:
+        return df
+    if n_files == 0:
+        # non-file-backed plan: the partition probe is trustworthy
         try:
-            width = df.rdd.getNumPartitions()
+            if df.rdd.getNumPartitions() >= narrow:
+                return df
         except Exception:
-            width = 0
-    if width < narrow:
-        return df.repartition(target)
-    return df
+            pass
+    return df.repartition(target)
 
 
 def with_shingles(

@@ -100,11 +100,14 @@ def cosine_topk(
 
     src = corpus.select(id_col, vec_col)
     # parallelism floor: a small parquet input may arrive in 1-2 splits,
-    # which would serialize the quadratic dgemm; only repartition when
-    # the scan is under-parallel (no shuffle on well-partitioned input)
-    target = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
+    # which would serialize the quadratic dgemm. Uses the dedup-family
+    # _widen guard (r12): for few-file parquet the repartition is
+    # unconditional — getNumPartitions overstates real parallelism when
+    # row groups are huge (tasks holding no row-group midpoint are
+    # empty), the defect the sfx10 probe caught in the shingle kernel.
+    from weather_tools_spark.operators.dedup import _widen
+
+    src = _widen(src)
     scored = src.mapInPandas(gen, "query_id long, neighbor_id long, cosine double")
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

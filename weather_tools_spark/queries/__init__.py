@@ -46,6 +46,36 @@ CHECK_CHANGED: list[str] = [
     # BIGINT product silently wraps in Spark past ~3e9 tokens/source
     # while DuckDB raises. Oracle + plan changed:
     "text_yule_k",
+    # r12 sfx10-probe fix: the dedup/similarity scan-parallelism guard
+    # (operators/dedup._widen, now also the cosine dgemm's floor) is
+    # UNCONDITIONAL for few-file parquet inputs — getNumPartitions
+    # overstated real parallelism on a single-row-group 74 MB corpus
+    # (18 byte-range tasks, 17 empty: a parquet task only materializes
+    # row groups whose midpoint lands in its range), serializing the
+    # shingle explode on one core (measured exponent 1.58 → 0.50 over
+    # the 3→10 decade after the fix). Values identical, the scan edge
+    # of every consumer's plan changed:
+    "dedup_exact_canonical",
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_jaccard_prefix_pairs",
+    "dedup_containment_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_winnowing_pairs",
+    "dedup_paragraph_dupes",
+    "dedup_cluster_canonical",
+    "corpus_clean_report_exact",
+    "corpus_decontamination",
+    "corpus_exact_substring_dedup",
+    "corpus_ngram_novelty",
+    "sim_cosine_topk",
+    "sim_cosine_topk_blocked",
+    "sim_random_projection_jl",
+    "ml_knn_label_accuracy",
+    "ml_label_propagation",
+    # (the five md5/recall audit twins of the same kernels re-gate via
+    # their rows-only + audit-twin channel as usual)
 ]
 
 # Verification-only queries: each recomputes an approximate operator's
