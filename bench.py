@@ -313,6 +313,15 @@ HEADLINE = [
     "stats_mann_kendall",
     "events_turning_points",
     "graph_reciprocity",
+    # round-12 wave 9 (classical nonparametric completion: sign test,
+    # scale test, tail- and body-weighted distribution equality;
+    # multiclass eval; disconnection-safe centrality)
+    "stats_sign_test",
+    "stats_ansari_bradley",
+    "stats_ad_two_sample",
+    "stats_cramer_von_mises",
+    "ml_macro_f1_multiclass",
+    "graph_harmonic_centrality",
 ]
 
 

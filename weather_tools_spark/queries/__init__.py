@@ -173,6 +173,7 @@ def _load_all() -> None:
         round11,
         round11b,
         round12,
+        round12b,
         selection,
         sketches,
         stats_ext,

@@ -1,0 +1,770 @@
+"""Round-12 wave 9: classical nonparametric tests the stats family did
+not yet cover (sign test, Ansari-Bradley scale, two-sample
+Anderson-Darling, two-sample Cramér-von Mises), multiclass macro-F1,
+and harmonic centrality.
+
+Same contract as every wave: each query is a Catalyst plan with a
+DuckDB oracle computing the identical frame; every float column is a
+ratio of INTEGER moments (or arithmetic both engines derive from the
+same integers with the same IEEE operation sequence), with
+order-sensitive double accumulations pushed through the established
+1e-lattice integer-sum treatment (the Kruskal-Wallis precedent), so
+the driver's value hash cannot drift with partial-aggregation order.
+
+Reference parity note: the reference pipelines (weather_dl /
+weather_mv / weather_sp, SURVEY.md §2) contain no statistical testing
+or evaluation operators — this wave extends the LLM-data-pipeline
+surface the build brief makes first-class (distribution-shift tests
+between cohorts/sources for drift detection, scale-change tests for
+sensor QC, multiclass eval for langid gates, centrality for dedup
+graphs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_tools_spark.catalog import load_table
+from weather_tools_spark.functions import text as TX
+from weather_tools_spark.operators.bounded import bounded_rows
+from weather_tools_spark.operators.prefix_sum import cumulative_sums
+from weather_tools_spark.queries import register
+from weather_tools_spark.queries.analytics import _sp_edges_df, _sp_edges_sql
+
+_AB_A, _AB_B = "purchase", "click"  # the KS/MWU two-sample pair
+
+# ---------------------------------------------------------------------------
+# Sign test on day-over-day differences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_sign_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT c - lag(c) OVER (ORDER BY day) AS dc FROM daily
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CASE WHEN dc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+             CAST(sum(CASE WHEN dc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus
+      FROM d WHERE dc IS NOT NULL
+    )
+    SELECT n_days, n_plus, n_minus,
+           round((n_plus - n_minus) / sqrt(1.0 * (n_plus + n_minus)), 6)
+             AS z_score,
+           round(CASE WHEN n_plus = n_minus THEN 0.0
+                 ELSE (CASE WHEN n_plus > n_minus THEN 1 ELSE -1 END)
+                      * (abs(n_plus - n_minus) - 1)
+                      / sqrt(1.0 * (n_plus + n_minus)) END, 6) AS z_continuity,
+           CAST(CASE WHEN abs((n_plus - n_minus)
+                              / sqrt(1.0 * (n_plus + n_minus)))
+                     > 1.959963984540054 THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM s
+    """,
+)
+def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical paired sign test on consecutive day-over-day
+    differences of the daily event count — the distribution-free
+    trend screen that complements stats_mann_kendall (all-pairs S) and
+    events_turning_points (local extrema): only the SIGNS of adjacent
+    differences enter, so a single outlier day cannot move the
+    statistic. Zero differences are dropped (the standard treatment);
+    z = (n+ − n−)/√n with and without continuity correction.
+
+    Every input is an integer count and √ is correctly rounded IEEE,
+    so both engines produce identical doubles. Scale shape: one
+    map-combinable fact aggregation to the ≤|days| daily frame, then a
+    lag over the calendar-bounded day frame (same domain contract as
+    events_ewma_daily)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    d = daily.select(
+        (F.col("c") - F.lag("c").over(Window.orderBy("day"))).alias("dc")
+    ).filter(F.col("dc").isNotNull())
+    s = d.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("dc") > 0, 1).otherwise(0)).alias("n_plus"),
+        F.sum(F.when(F.col("dc") < 0, 1).otherwise(0)).alias("n_minus"),
+    )
+    z = (F.col("n_plus") - F.col("n_minus")) / F.sqrt(
+        1.0 * (F.col("n_plus") + F.col("n_minus"))
+    )
+    zc = F.when(F.col("n_plus") == F.col("n_minus"), F.lit(0.0)).otherwise(
+        F.when(F.col("n_plus") > F.col("n_minus"), 1).otherwise(-1)
+        * (F.abs(F.col("n_plus") - F.col("n_minus")) - 1)
+        / F.sqrt(1.0 * (F.col("n_plus") + F.col("n_minus")))
+    )
+    return s.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_plus").cast("long").alias("n_plus"),
+        F.col("n_minus").cast("long").alias("n_minus"),
+        F.round(z, 6).alias("z_score"),
+        F.round(zc, 6).alias("z_continuity"),
+        F.when(F.abs(z) > 1.959963984540054, 1).otherwise(0).cast("int").alias(
+            "reject_05"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley two-sample scale test
+# ---------------------------------------------------------------------------
+
+# Midrank-averaged AB scores on the value lattice. For a tie block
+# spanning combined ranks [lo, hi] with N total, the block score sum
+# S_b = sum_{r=lo..hi} min(r, N+1-r) has the closed split form at
+# M = floor((N+1)/2):  arith(lo, min(hi,M)) + arith(N+1-hi,
+# N+1-max(lo,M+1)), arith(a,b) = (a+b)(b-a+1)/2 — all BIGINT. The
+# per-element score is S_b/t; the order-sensitive double sums T1 =
+# sum ca*S_b/t and S2 = sum S_b^2/t go through the Kruskal-Wallis
+# pre-scaled 1e-lattice integer-sum treatment (scaled by N^2 and N^3
+# respectively, bounding the scaled sums near 1) so partial-aggregation
+# order cannot move a bit.
+_AB_ORACLE = f"""
+    WITH pooled AS (
+      SELECT value AS v,
+             CASE WHEN event_type = '{_AB_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = '{_AB_B}' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('{_AB_A}', '{_AB_B}')
+    ),
+    byv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+            FROM pooled GROUP BY v),
+    cum AS (SELECT v, ca, cb, ca + cb AS t,
+                   sum(ca + cb) OVER (ORDER BY v) AS cumt
+            FROM byv),
+    nn AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2,
+                  CAST(sum(ca + cb) AS BIGINT) AS n
+           FROM byv),
+    blocks AS (
+      SELECT ca, cb, t,
+             cumt - t + 1 AS lo, cumt AS hi,
+             CAST(floor((nn.n + 1) / 2.0) AS BIGINT) AS m, nn.n AS n
+      FROM cum, nn
+    ),
+    scored AS (
+      SELECT ca, cb, t, n,
+             (CASE WHEN least(hi, m) >= lo
+                   THEN (lo + least(hi, m)) * (least(hi, m) - lo + 1) // 2
+                   ELSE 0 END)
+             + (CASE WHEN hi >= greatest(lo, m + 1)
+                     THEN ((n + 1 - hi) + (n + 1 - greatest(lo, m + 1)))
+                          * (hi - greatest(lo, m + 1) + 1) // 2
+                     ELSE 0 END) AS sb
+      FROM blocks
+    ),
+    lat AS (
+      SELECT n,
+             CAST(sum(CAST(sb AS BIGINT)) AS BIGINT) AS s_total,
+             CAST(sum(CAST(round(
+               (ca * 1.0 * sb / t) / (1.0 * n * n) * 1e15, 0) AS BIGINT))
+             AS DOUBLE) / 1e15 AS t1s,
+             CAST(sum(CAST(round(
+               (sb * 1.0 * sb / t) / (1.0 * n * n * n) * 1e15, 0) AS BIGINT))
+             AS DOUBLE) / 1e15 AS s2s
+      FROM scored GROUP BY n
+    )
+    SELECT nn.n1, nn.n2, lat.n AS n_total,
+           round(lat.t1s * lat.n * lat.n, 3) AS ab_t1,
+           round((lat.t1s * lat.n * lat.n
+                  - nn.n1 * (lat.s_total * 1.0 / lat.n))
+                 / sqrt(1.0 * nn.n1 * nn.n2
+                        * (lat.n * (lat.s2s * lat.n * lat.n * lat.n)
+                           - (lat.s_total * 1.0) * lat.s_total)
+                        / (1.0 * lat.n * lat.n * (lat.n - 1))), 6) AS z_score
+    FROM nn, lat
+"""
+
+
+@register("stats_ansari_bradley", oracle=_AB_ORACLE)
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test between the KS/MWU
+    event-type value samples — the rank test for dispersion change
+    (same-location, different-spread drift that Mann-Whitney is blind
+    to by construction: AB scores a_r = min(r, N+1−r) peak at the
+    center, so a variance increase pushes one sample's scores down).
+    Midrank-averaged scores for ties via the closed-form block score
+    sum (see _AB_ORACLE comment); T1 = Σ ca·S_b/t, z from the exact
+    null moments E[T1] = n1·S/N and Var[T1] = n1 n2 (N·S2 − S²)/
+    (N²(N−1)) with S2 = Σ S_b²/t (the tie-exact moments, Hollander &
+    Wolfe form).
+
+    Determinism: block score sums are BIGINT; the two cross-block
+    double accumulations (T1, S2) are pre-scaled by N² / N³ (bounding
+    each scaled sum near unity) and integer-lattice-summed at 1e-15 —
+    the Kruskal-Wallis treatment — so the k-term order cannot move the
+    last ulp; everything after is a fixed scalar expression tree
+    identical on both engines. Scale shape: one value-lattice
+    aggregation + the probed cumulative sum + one scalar reduce."""
+    ev = load_table(spark, "events", sf_dir)
+    pooled = ev.filter(F.col("event_type").isin(_AB_A, _AB_B)).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == _AB_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == _AB_B, 1).otherwise(0).alias("b"),
+    )
+    byv = pooled.groupBy("v").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    cum = cumulative_sums(
+        byv.withColumn("t", F.col("ca") + F.col("cb")), ["v"], ["t"], ["cumt"]
+    )
+    nn = byv.agg(
+        F.sum("ca").alias("n1"), F.sum("cb").alias("n2"),
+        (F.sum("ca") + F.sum("cb")).alias("n"),
+    )
+    blocks = cum.crossJoin(F.broadcast(nn)).select(
+        "ca", "cb", "t", "n", "n1", "n2",
+        (F.col("cumt") - F.col("t") + 1).alias("lo"),
+        F.col("cumt").alias("hi"),
+        F.floor((F.col("n") + 1) / 2.0).cast("long").alias("m"),
+    )
+    hi1 = F.least(F.col("hi"), F.col("m"))
+    lo2 = F.greatest(F.col("lo"), F.col("m") + 1)
+    part1 = F.when(
+        hi1 >= F.col("lo"),
+        ((F.col("lo") + hi1) * (hi1 - F.col("lo") + 1) / 2).cast("long"),
+    ).otherwise(0)
+    part2 = F.when(
+        F.col("hi") >= lo2,
+        (
+            ((F.col("n") + 1 - F.col("hi")) + (F.col("n") + 1 - lo2))
+            * (F.col("hi") - lo2 + 1) / 2
+        ).cast("long"),
+    ).otherwise(0)
+    scored = blocks.withColumn("sb", part1 + part2)
+    lat = scored.groupBy("n").agg(
+        F.sum(F.col("sb")).cast("long").alias("s_total"),
+        (
+            F.sum(
+                F.round(
+                    (F.col("ca") * 1.0 * F.col("sb") / F.col("t"))
+                    / (1.0 * F.col("n") * F.col("n")) * 1e15, 0
+                ).cast("long")
+            ).cast("double") / 1e15
+        ).alias("t1s"),
+        (
+            F.sum(
+                F.round(
+                    (F.col("sb") * 1.0 * F.col("sb") / F.col("t"))
+                    / (1.0 * F.col("n") * F.col("n") * F.col("n")) * 1e15, 0
+                ).cast("long")
+            ).cast("double") / 1e15
+        ).alias("s2s"),
+    )
+    t1 = F.col("t1s") * F.col("n") * F.col("n")
+    e1 = F.col("n1") * (F.col("s_total") * 1.0 / F.col("n"))
+    var = (
+        1.0 * F.col("n1") * F.col("n2")
+        * (
+            F.col("n") * (F.col("s2s") * F.col("n") * F.col("n") * F.col("n"))
+            - (F.col("s_total") * 1.0) * F.col("s_total")
+        )
+        / (1.0 * F.col("n") * F.col("n") * (F.col("n") - 1))
+    )
+    return (
+        nn.select("n1", "n2")
+        .crossJoin(F.broadcast(lat))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("n").cast("long").alias("n_total"),
+            F.round(t1, 3).alias("ab_t1"),
+            F.round((t1 - e1) / F.sqrt(var), 6).alias("z_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Anderson-Darling (Scholz-Stephens tie-adjusted A2akN)
+# ---------------------------------------------------------------------------
+
+# Midpoint form over the value lattice: per block j, Ba_j = cumt - t/2
+# and Ma_ij = cum_i - t_i/2 (half-integers — carried as the INTEGER
+# doublings 2Ba = 2*cumt - t and 2Ma = 2*cum_i - t_i). The per-block
+# term (1/n_i)(t_j/N) * (N*Ma - n_i*Ba)^2 / (Ba(N-Ba) - N*t_j/4)
+# rewrites exactly as t_j * num2^2 / (denom4 * N * n_i) with
+# num2 = N*2Ma - n_i*2Ba and denom4 = (2Ba)(2N - 2Ba) - N*t_j (both
+# integer), so the only doubles are one product and one division per
+# block, lattice-summed at 1e-12.
+_AD_ORACLE = f"""
+    WITH pooled AS (
+      SELECT value AS v,
+             CASE WHEN event_type = '{_AB_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = '{_AB_B}' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('{_AB_A}', '{_AB_B}')
+    ),
+    byv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+            FROM pooled GROUP BY v),
+    cum AS (SELECT v, ca, cb, ca + cb AS t,
+                   sum(ca) OVER (ORDER BY v) AS cuma,
+                   sum(cb) OVER (ORDER BY v) AS cumb,
+                   sum(ca + cb) OVER (ORDER BY v) AS cumt
+            FROM byv),
+    nn AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2,
+                  CAST(sum(ca + cb) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS n_blocks
+           FROM byv),
+    terms AS (
+      SELECT nn.n, nn.n1, nn.n2, nn.n_blocks,
+             t * ((nn.n * (2 * cuma - ca) - nn.n1 * (2 * cumt - t)) * 1.0
+                  * (nn.n * (2 * cuma - ca) - nn.n1 * (2 * cumt - t)))
+               / (1.0 * ((2 * cumt - t) * (2 * nn.n - (2 * cumt - t))
+                         - nn.n * t) * nn.n * nn.n1) AS ta,
+             t * ((nn.n * (2 * cumb - cb) - nn.n2 * (2 * cumt - t)) * 1.0
+                  * (nn.n * (2 * cumb - cb) - nn.n2 * (2 * cumt - t)))
+               / (1.0 * ((2 * cumt - t) * (2 * nn.n - (2 * cumt - t))
+                         - nn.n * t) * nn.n * nn.n2) AS tb
+      FROM cum, nn
+    )
+    SELECT n1, n2, n AS n_total, n_blocks,
+           round((n - 1.0) / n
+                 * (CAST(sum(CAST(round(ta * 1e12, 0) AS BIGINT)) AS DOUBLE)
+                    / 1e12
+                    + CAST(sum(CAST(round(tb * 1e12, 0) AS BIGINT)) AS DOUBLE)
+                      / 1e12), 6) AS a2_stat
+    FROM terms GROUP BY n1, n2, n, n_blocks
+"""
+
+
+@register("stats_ad_two_sample", oracle=_AD_ORACLE)
+def stats_ad_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling A²akN (Scholz-Stephens 1987,
+    tie-adjusted midpoint form) between the KS/MWU event-type value
+    samples — the tail-weighted distribution-equality test: the
+    1/(Ba(N−Ba)) weight blows up at the distribution edges, so A²
+    catches tail drift that the center-weighted KS statistic smooths
+    over (the canonical pairing for drift gates: KS for the body, AD
+    for the tails).
+
+    The midpoint construction keeps every tie block's contribution a
+    ratio of INTEGERS (see _AD_ORACLE comment); the cross-block sum is
+    pre-scaled (each term already carries 1/(N·n_i)) and
+    integer-lattice-summed at 1e-12, Kruskal-Wallis-style, so
+    accumulation order cannot move a bit. Scale shape: one
+    value-lattice aggregation + the probed cumulative sum (three
+    running counters in ONE pass) + one scalar reduce."""
+    ev = load_table(spark, "events", sf_dir)
+    pooled = ev.filter(F.col("event_type").isin(_AB_A, _AB_B)).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == _AB_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == _AB_B, 1).otherwise(0).alias("b"),
+    )
+    byv = pooled.groupBy("v").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    cum = cumulative_sums(
+        byv.withColumn("t", F.col("ca") + F.col("cb")),
+        ["v"], ["ca", "cb", "t"], ["cuma", "cumb", "cumt"],
+    )
+    nn = byv.agg(
+        F.sum("ca").alias("n1"), F.sum("cb").alias("n2"),
+        (F.sum("ca") + F.sum("cb")).alias("n"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    j = cum.crossJoin(F.broadcast(nn))
+    two_ba = 2 * F.col("cumt") - F.col("t")
+    denom4 = two_ba * (2 * F.col("n") - two_ba) - F.col("n") * F.col("t")
+
+    def term(cum_i: str, c_i: str, n_i: str):
+        num2 = F.col("n") * (2 * F.col(cum_i) - F.col(c_i)) - F.col(n_i) * two_ba
+        return F.col("t") * (num2 * 1.0 * num2) / (
+            1.0 * denom4 * F.col("n") * F.col(n_i)
+        )
+
+    terms = j.select(
+        "n", "n1", "n2", "n_blocks",
+        term("cuma", "ca", "n1").alias("ta"),
+        term("cumb", "cb", "n2").alias("tb"),
+    )
+    return terms.groupBy("n1", "n2", "n", "n_blocks").agg(
+        F.round(
+            (F.col("n") - 1.0) / F.col("n")
+            * (
+                F.sum(F.round(F.col("ta") * 1e12, 0).cast("long")).cast("double")
+                / 1e12
+                + F.sum(F.round(F.col("tb") * 1e12, 0).cast("long")).cast("double")
+                / 1e12
+            ),
+            6,
+        ).alias("a2_stat")
+    ).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("n").cast("long").alias("n_total"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        "a2_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Cramér-von Mises
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_cramer_von_mises",
+    oracle=f"""
+    WITH pooled AS (
+      SELECT value AS v,
+             CASE WHEN event_type = '{_AB_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = '{_AB_B}' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('{_AB_A}', '{_AB_B}')
+    ),
+    byv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+            FROM pooled GROUP BY v),
+    cum AS (SELECT v, ca, cb, ca + cb AS t,
+                   sum(ca) OVER (ORDER BY v) AS cuma,
+                   sum(cb) OVER (ORDER BY v) AS cumb
+            FROM byv),
+    nn AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2,
+                  CAST(sum(ca + cb) AS BIGINT) AS n
+           FROM byv),
+    lat AS (
+      SELECT nn.n1, nn.n2, nn.n,
+             CAST(sum(CAST(round(
+               t * ((nn.n2 * cuma - nn.n1 * cumb) * 1.0
+                    * (nn.n2 * cuma - nn.n1 * cumb))
+                 / (1.0 * nn.n * nn.n * nn.n1 * nn.n2) * 1e12, 0) AS BIGINT))
+             AS DOUBLE) / 1e12 AS t_stat
+      FROM cum, nn GROUP BY nn.n1, nn.n2, nn.n
+    )
+    SELECT n1, n2, n AS n_total,
+           round(t_stat, 6) AS t_stat,
+           round((n + 1.0) / (6.0 * n), 6) AS t_null_mean,
+           round((t_stat - (n + 1.0) / (6.0 * n))
+                 / sqrt((n + 1.0) / (45.0 * n * n)
+                        * (4.0 * n1 * n2 * n - 3.0 * (n1 * 1.0 * n1
+                           + n2 * 1.0 * n2) - 2.0 * n1 * n2)
+                        / (4.0 * n1 * n2)), 6) AS z_score
+    FROM lat
+    """,
+)
+def stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises T between the KS/MWU event-type
+    value samples, in the ecdf form T = (n1·n2/N²)·Σ_blocks t·(F̂₁−F̂₂)²
+    — the INTEGRATED squared ecdf gap, completing the two-sample
+    distribution-equality triad (KS = sup gap, AD = tail-weighted, CvM
+    = body-integrated; a drift gate reports all three because they
+    rank different alternatives differently). Standardized against the
+    exact null moments E[T] = (N+1)/(6N) and Anderson's finite-sample
+    Var[T] = (N+1)/(45N²)·(4mnN − 3(m²+n²) − 2mn)/(4mn).
+
+    Per block the squared gap is a ratio of integers: n2·cumA − n1·cumB
+    is BIGINT and t·d²/(N²n1n2) ≤ t/4, so the lattice sum at 1e-12 is
+    exact-ordered (Kruskal-Wallis treatment); the moments are fixed
+    scalar expressions on three integers. Scale shape: one
+    value-lattice aggregation + the probed cumulative sum + one scalar
+    reduce."""
+    ev = load_table(spark, "events", sf_dir)
+    pooled = ev.filter(F.col("event_type").isin(_AB_A, _AB_B)).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == _AB_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == _AB_B, 1).otherwise(0).alias("b"),
+    )
+    byv = pooled.groupBy("v").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    cum = cumulative_sums(
+        byv.withColumn("t", F.col("ca") + F.col("cb")),
+        ["v"], ["ca", "cb"], ["cuma", "cumb"],
+    )
+    nn = byv.agg(
+        F.sum("ca").alias("n1"), F.sum("cb").alias("n2"),
+        (F.sum("ca") + F.sum("cb")).alias("n"),
+    )
+    j = cum.crossJoin(F.broadcast(nn))
+    d = F.col("n2") * F.col("cuma") - F.col("n1") * F.col("cumb")
+    term = F.col("t") * (d * 1.0 * d) / (
+        1.0 * F.col("n") * F.col("n") * F.col("n1") * F.col("n2")
+    )
+    lat = j.groupBy("n1", "n2", "n").agg(
+        (
+            F.sum(F.round(term * 1e12, 0).cast("long")).cast("double") / 1e12
+        ).alias("t_stat")
+    )
+    mean0 = (F.col("n") + 1.0) / (6.0 * F.col("n"))
+    var0 = (
+        (F.col("n") + 1.0) / (45.0 * F.col("n") * F.col("n"))
+        * (
+            4.0 * F.col("n1") * F.col("n2") * F.col("n")
+            - 3.0 * (F.col("n1") * 1.0 * F.col("n1")
+                     + F.col("n2") * 1.0 * F.col("n2"))
+            - 2.0 * F.col("n1") * F.col("n2")
+        )
+        / (4.0 * F.col("n1") * F.col("n2"))
+    )
+    return lat.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("n").cast("long").alias("n_total"),
+        F.round(F.col("t_stat"), 6).alias("t_stat"),
+        F.round(mean0, 6).alias("t_null_mean"),
+        F.round((F.col("t_stat") - mean0) / F.sqrt(var0), 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiclass macro/micro F1 for the langid heuristic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_macro_f1_multiclass",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('el','los','las','y','no'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','pas'))) AS s_fr
+      FROM t
+    ),
+    lid AS (
+      SELECT doc_id, lang,
+        CASE
+          WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_es >= s_fr THEN 'es'
+          ELSE 'fr'
+        END AS pred
+      FROM s
+    ),
+    conf AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM lid GROUP BY lang, pred),
+    classes AS (
+      SELECT lang AS k FROM conf UNION SELECT pred AS k FROM conf
+    ),
+    perclass AS (
+      SELECT c.k AS class,
+             CAST(COALESCE(sum(CASE WHEN conf.lang = c.k AND conf.pred = c.k
+                                    THEN n END), 0) AS BIGINT) AS tp,
+             CAST(COALESCE(sum(CASE WHEN conf.pred = c.k AND conf.lang <> c.k
+                                    THEN n END), 0) AS BIGINT) AS fp,
+             CAST(COALESCE(sum(CASE WHEN conf.lang = c.k AND conf.pred <> c.k
+                                    THEN n END), 0) AS BIGINT) AS fn
+      FROM classes c LEFT JOIN conf
+        ON conf.lang = c.k OR conf.pred = c.k
+      GROUP BY c.k
+    ),
+    scored AS (
+      SELECT class, tp, fp, fn,
+             round(CASE WHEN tp + fp = 0 THEN 0.0
+                        ELSE tp * 1.0 / (tp + fp) END, 6) AS precision,
+             round(CASE WHEN tp + fn = 0 THEN 0.0
+                        ELSE tp * 1.0 / (tp + fn) END, 6) AS recall,
+             CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                  ELSE 2.0 * tp / (2 * tp + fp + fn) END AS f1x
+      FROM perclass
+    ),
+    macro AS (
+      SELECT round(CAST(sum(CAST(round(f1x * 1e6, 0) AS BIGINT)) AS DOUBLE)
+                   / 1e6 / count(*), 6) AS macro_f1,
+             round(sum(tp) * 1.0 / (sum(tp) + sum(fp)), 6) AS micro_f1
+      FROM scored
+    )
+    SELECT s.class, s.tp, s.fp, s.fn, s.precision, s.recall,
+           round(s.f1x, 6) AS f1,
+           m.macro_f1, m.micro_f1
+    FROM scored s, macro m
+    ORDER BY s.class
+    """,
+)
+def ml_macro_f1_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 plus macro- and micro-averaged F1
+    for the langid heuristic — the MULTICLASS eval readout
+    (ml_classifier_eval is the binary harness; ml_langid_mcc collapses
+    to one number). Macro-F1 weights every class equally — the metric
+    that exposes a classifier coasting on the majority language, which
+    is exactly the failure mode of langid gates on imbalanced corpora.
+    Micro-F1 for single-label multiclass equals accuracy (Σtp/(Σtp+Σfp)
+    since every error is one FP and one FN).
+
+    The class axis is the UNION of true and predicted labels ('und' is
+    predicted but never true — its row carries tp=0), via one LEFT
+    join of the ≤|langs|² confusion table. All counts are integers;
+    per-class ratios are single exact divisions; the cross-class
+    macro mean goes through the 1e-6 micro-unit integer sum so the
+    ≤6-row accumulation order is fixed. Scale shape: one scoring pass
+    to the confusion table (persisted), then arithmetic on ≤6 rows."""
+    from weather_tools_spark.operators.dedup import _persist
+
+    docs = load_table(spark, "documents", sf_dir)
+    conf = _persist(
+        docs.select("lang", TX.lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    classes = (
+        conf.select(F.col("lang").alias("k"))
+        .union(conf.select(F.col("pred").alias("k")))
+        .distinct()
+    )
+    joined = classes.join(
+        conf, (conf.lang == classes.k) | (conf.pred == classes.k), "left"
+    )
+    perclass = joined.groupBy(F.col("k").alias("class")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("k")) & (F.col("pred") == F.col("k")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("pred") == F.col("k")) & (F.col("lang") != F.col("k")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("k")) & (F.col("pred") != F.col("k")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("fn"),
+    )
+    f1x = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    scored = perclass.select(
+        "class", "tp", "fp", "fn",
+        F.round(
+            F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+                F.col("tp") * 1.0 / (F.col("tp") + F.col("fp"))
+            ), 6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+                F.col("tp") * 1.0 / (F.col("tp") + F.col("fn"))
+            ), 6,
+        ).alias("recall"),
+        f1x.alias("f1x"),
+    )
+    macro = scored.agg(
+        F.round(
+            F.sum(F.round(F.col("f1x") * 1e6, 0).cast("long")).cast("double")
+            / 1e6 / F.count(F.lit(1)),
+            6,
+        ).alias("macro_f1"),
+        F.round(
+            F.sum("tp") * 1.0 / (F.sum("tp") + F.sum("fp")), 6
+        ).alias("micro_f1"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(macro))
+        .select(
+            "class", "tp", "fp", "fn", "precision", "recall",
+            F.round(F.col("f1x"), 6).alias("f1"),
+            "macro_f1", "micro_f1",
+        )
+        .orderBy("class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality over the trade graph
+# ---------------------------------------------------------------------------
+
+_HC_LEVELS = 4  # BFS horizon replayed by the oracle (trade-graph diameter)
+_HC_LCM = 12   # lcm(1..4): 12/d is integer for every reachable distance
+
+
+def _hc_bfs_sql() -> str:
+    """All-pairs layered BFS as chained CTEs: one frontier table keyed
+    by (source, node) per level."""
+    parts = [
+        "nodes AS (SELECT src AS nk FROM e UNION SELECT dst AS nk FROM e)",
+        "h0 AS (SELECT nk AS s, nk AS v, 0 AS dist FROM nodes)",
+    ]
+    for lvl in range(1, _HC_LEVELS + 1):
+        prev = f"h{lvl - 1}"
+        parts.append(f"""
+    g{lvl} AS (
+      SELECT r.s, e.dst AS v, {lvl} AS dist
+      FROM {prev} r JOIN e ON r.v = e.src
+      WHERE r.dist = {lvl - 1}
+        AND NOT EXISTS (SELECT 1 FROM {prev} p
+                        WHERE p.s = r.s AND p.v = e.dst)
+      GROUP BY r.s, e.dst
+    ),
+    h{lvl} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM g{lvl})""")
+    return ",\n".join(parts)
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=f"""
+    WITH {_sp_edges_sql()},
+    {_hc_bfs_sql()}
+    SELECT s AS nationkey,
+           CAST(count(*) - 1 AS BIGINT) AS n_reached,
+           CAST(sum(CASE WHEN dist = 0 THEN 0 ELSE {_HC_LCM} // dist END)
+                AS BIGINT) AS h_scaled,
+           round(sum(CASE WHEN dist = 0 THEN 0 ELSE {_HC_LCM} // dist END)
+                 / {float(_HC_LCM)}, 6) AS harmonic
+    FROM h{_HC_LEVELS}
+    GROUP BY s
+    ORDER BY s
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality Σ 1/d(u,v) per nation over the sparsified
+    customer→supplier trade graph — the centrality that stays
+    well-defined on DISCONNECTED graphs (closeness degenerates: one
+    unreachable node zeroes it; harmonic just drops the 1/∞ term),
+    which is the normal condition for a top-k-sparsified digraph.
+    Distances from all-pairs layered BFS to the graph's diameter
+    horizon; reciprocals enter as the INTEGER lattice 12/d
+    (lcm(1..4) = 12 divides every reachable distance), so the
+    per-source sum is exact integer arithmetic and the single
+    unscaling division is identical on both engines.
+
+    Scale shape: the expensive stage is the fully distributed
+    fact-join edge build (shared _sp_edges_df — map-combinable to
+    ≤|nations|² rows + per-source top-k); the BFS schedule then runs
+    on the COLLECTED ≤75-row edge summary (the bounded-collect
+    contract of graph_shortest_paths/pagerank — a frame-per-level loop
+    would shuffle 25-row frames through ~10 s of stage overhead). The
+    oracle replays every frontier expansion for every source as
+    chained CTEs, certifying the iteration schedule itself."""
+    edge_rows = bounded_rows(
+        _sp_edges_df(spark, sf_dir), 75,
+        "nation-graph edge summary (<= |nations| * topk = 75)",
+    )
+    out_adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for r in edge_rows:
+        out_adj.setdefault(int(r.src), []).append(int(r.dst))
+        nodes.add(int(r.src))
+        nodes.add(int(r.dst))
+    rows = []
+    for s in sorted(nodes):
+        dist = {s: 0}
+        frontier = [s]
+        for lvl in range(1, _HC_LEVELS + 1):
+            nxt = []
+            for u in frontier:
+                for w in out_adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = lvl
+                        nxt.append(w)
+            frontier = nxt
+        h_scaled = sum(_HC_LCM // d for d in dist.values() if d > 0)
+        rows.append((s, len(dist) - 1, h_scaled, round(h_scaled / _HC_LCM, 6)))
+    return spark.createDataFrame(
+        rows, "nationkey INT, n_reached BIGINT, h_scaled BIGINT, harmonic DOUBLE"
+    ).orderBy("nationkey")
