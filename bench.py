@@ -322,6 +322,11 @@ HEADLINE = [
     "stats_cramer_von_mises",
     "ml_macro_f1_multiclass",
     "graph_harmonic_centrality",
+    # round-12 wave 10 (shape-robust rank test, rate-drift gate,
+    # symmetric source-divergence for mixture design)
+    "stats_brunner_munzel",
+    "events_poisson_rate_test",
+    "text_js_divergence_pairs",
 ]
 
 

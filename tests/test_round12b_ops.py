@@ -248,3 +248,99 @@ def test_harmonic_centrality_matches_python(spark):
         assert got["n_reached"] == len(dist) - 1
         assert got["h_scaled"] == h_scaled
         assert got["harmonic"] == pytest.approx(h_scaled / _HC_LCM, abs=5.1e-7)
+
+
+def test_brunner_munzel_matches_python(spark):
+    got = SPARK["stats_brunner_munzel"](spark, SF).collect()[0].asDict()
+    a, b = _two_sample_values()
+    n1, n2 = len(a), len(b)
+    n = n1 + n2
+    pooled = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    # combined midranks and within-sample midranks via tie-block scan
+    comb = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            comb[k] = mid
+        i = j
+    r1 = [comb[k] for k in range(n) if pooled[k][1] == 0]
+    r2 = [comb[k] for k in range(n) if pooled[k][1] == 1]
+
+    def _within(vals):
+        out = [0.0] * len(vals)
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[j] == vals[i]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                out[k] = mid
+            i = j
+        return out
+
+    r1i = _within(sorted(a))
+    r2i = _within(sorted(b))
+    m1, m2 = sum(r1) / n1, sum(r2) / n2
+    v1 = sum((x - y - m1 + (n1 + 1) / 2.0) ** 2
+             for x, y in zip(sorted(r1), r1i)) / (n1 - 1)
+    v2 = sum((x - y - m2 + (n2 + 1) / 2.0) ** 2
+             for x, y in zip(sorted(r2), r2i)) / (n2 - 1)
+    p_hat = (m2 - (n2 + 1) / 2.0) / n1
+    w = n1 * n2 * (m2 - m1) / (n * math.sqrt(n1 * v1 + n2 * v2))
+    nv1, nv2 = n1 * v1, n2 * v2
+    df = (nv1 + nv2) ** 2 / (nv1 ** 2 / (n1 - 1) + nv2 ** 2 / (n2 - 1))
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert got["p_hat"] == pytest.approx(p_hat, abs=2e-6)
+    assert got["w_stat"] == pytest.approx(w, abs=2e-4)
+    assert got["df_welch"] == pytest.approx(df, rel=1e-4)
+
+
+def test_poisson_rate_test_matches_python(spark):
+    got = SPARK["events_poisson_rate_test"](spark, SF).collect()[0].asDict()
+    ev = _events()
+    k1 = sum(1 for t in ev["event_type"] if t == _AB_A)
+    k2 = sum(1 for t in ev["event_type"] if t == _AB_B)
+    n_days = len({t.date() for t in ev["ts"]})
+    z = (k1 - k2) / math.sqrt(k1 + k2)
+    assert got["k1"] == k1 and got["k2"] == k2 and got["n_days"] == n_days
+    assert got["rate_ratio"] == pytest.approx(k1 / k2, abs=2e-6)
+    assert got["z_conditional"] == pytest.approx(z, abs=2e-6)
+    assert got["reject_05"] == (1 if abs(z) > 1.959963984540054 else 0)
+
+
+def test_js_divergence_matches_python(spark):
+    from weather_tools_spark.queries.round12b import _JS_TOPK_SOURCES
+
+    rows = {(r["s1"], r["s2"]): r.asDict()
+            for r in SPARK["text_js_divergence_pairs"](spark, SF).collect()}
+    d = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["source", "text"]).to_pydict()
+    sw = defaultdict(Counter)
+    for src, text in zip(d["source"], d["text"]):
+        sw[src].update(text.split())
+    totals = {s: sum(c.values()) for s, c in sw.items()}
+    top = sorted(totals, key=lambda s: (-totals[s], s))[:_JS_TOPK_SOURCES]
+    expected_pairs = {(a, b) for a in top for b in top if a < b}
+    assert set(rows) == expected_pairs
+    for s1, s2 in sorted(expected_pairs):
+        p_c, q_c = sw[s1], sw[s2]
+        n1, n2 = totals[s1], totals[s2]
+        union = set(p_c) | set(q_c)
+        js = 0.0
+        for w in union:
+            p = p_c.get(w, 0) / n1
+            q = q_c.get(w, 0) / n2
+            if p > 0:
+                js += 0.5 * p * math.log(2 * p / (p + q))
+            if q > 0:
+                js += 0.5 * q * math.log(2 * q / (p + q))
+        got = rows[(s1, s2)]
+        assert got["vocab_union"] == len(union)
+        assert got["js_nats"] == pytest.approx(js, abs=2e-6)
+        assert got["js_bits"] == pytest.approx(js / math.log(2), abs=2e-6)
+        assert 0.0 <= got["js_bits"] <= 1.0 + 1e-9

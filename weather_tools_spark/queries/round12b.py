@@ -22,6 +22,8 @@ graphs).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -768,3 +770,343 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nationkey INT, n_reached BIGINT, h_scaled BIGINT, harmonic DOUBLE"
     ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Wave 10: Brunner-Munzel generalized rank test
+# ---------------------------------------------------------------------------
+
+# All rank quantities are half-integers on the value lattice, carried as
+# integer DOUBLINGS: combined midrank 2R = 2*cumt - t + 1; within-sample
+# midrank 2r_i = 2*cum_i - c_i + 1; placement doubling q_i = 2(R - r_i)
+# = 2*cumt - t - 2*cum_i + c_i. The placement means come from EXACT
+# integer sums (sum c_i * 2R fits BIGINT); the placement second moment
+# sum c_i * q_i^2 would overflow BIGINT at the 100x store, so it goes
+# through the Kruskal-Wallis pre-scaled lattice (divided by 4N^2,
+# bounding each term at c_i, summed as 1e9-lattice integers).
+_BM_ORACLE = f"""
+    WITH pooled AS (
+      SELECT value AS v,
+             CASE WHEN event_type = '{_AB_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = '{_AB_B}' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('{_AB_A}', '{_AB_B}')
+    ),
+    byv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+            FROM pooled GROUP BY v),
+    cum AS (SELECT v, ca, cb, ca + cb AS t,
+                   sum(ca) OVER (ORDER BY v) AS cuma,
+                   sum(cb) OVER (ORDER BY v) AS cumb,
+                   sum(ca + cb) OVER (ORDER BY v) AS cumt
+            FROM byv),
+    nn AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2,
+                  CAST(sum(ca + cb) AS BIGINT) AS n
+           FROM byv),
+    mom AS (
+      SELECT nn.n1, nn.n2, nn.n,
+             CAST(sum(ca * (2 * cumt - t + 1)) AS BIGINT) AS s2ra,
+             CAST(sum(cb * (2 * cumt - t + 1)) AS BIGINT) AS s2rb,
+             CAST(sum(ca * (2 * cumt - t - 2 * cuma + ca)) AS BIGINT) AS sqa1,
+             CAST(sum(cb * (2 * cumt - t - 2 * cumb + cb)) AS BIGINT) AS sqb1,
+             CAST(sum(CAST(round(
+               ca * ((2 * cumt - t - 2 * cuma + ca) * 1.0
+                     * (2 * cumt - t - 2 * cuma + ca))
+                  / (4.0 * nn.n * nn.n) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9
+               AS sqa2,
+             CAST(sum(CAST(round(
+               cb * ((2 * cumt - t - 2 * cumb + cb) * 1.0
+                     * (2 * cumt - t - 2 * cumb + cb))
+                  / (4.0 * nn.n * nn.n) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9
+               AS sqb2
+      FROM cum, nn GROUP BY nn.n1, nn.n2, nn.n
+    ),
+    stat AS (
+      SELECT n1, n2, n,
+             s2ra / (2.0 * n1) AS m1,
+             s2rb / (2.0 * n2) AS m2,
+             (sqa2 * n * n - 2 * (s2ra / (2.0 * n1) - (n1 + 1) / 2.0)
+                             * (sqa1 / 2.0)
+              + n1 * (s2ra / (2.0 * n1) - (n1 + 1) / 2.0)
+                   * (s2ra / (2.0 * n1) - (n1 + 1) / 2.0)) / (n1 - 1) AS v1,
+             (sqb2 * n * n - 2 * (s2rb / (2.0 * n2) - (n2 + 1) / 2.0)
+                             * (sqb1 / 2.0)
+              + n2 * (s2rb / (2.0 * n2) - (n2 + 1) / 2.0)
+                   * (s2rb / (2.0 * n2) - (n2 + 1) / 2.0)) / (n2 - 1) AS v2
+      FROM mom
+    )
+    SELECT n1, n2,
+           round((m2 - (n2 + 1) / 2.0) / n1, 6) AS p_hat,
+           round(1.0 * n1 * n2 * (m2 - m1)
+                 / (n * sqrt(n1 * v1 + n2 * v2)), 6) AS w_stat,
+           round(((n1 * v1 + n2 * v2) * (n1 * v1 + n2 * v2))
+                 / ((n1 * v1) * (n1 * v1) / (n1 - 1)
+                    + (n2 * v2) * (n2 * v2) / (n2 - 1)), 3) AS df_welch
+    FROM stat
+"""
+
+
+@register("stats_brunner_munzel", oracle=_BM_ORACLE)
+def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon test between the KS/MWU
+    event-type value samples — the rank test that stays valid when the
+    two distributions differ in SHAPE/variance (the Behrens-Fisher
+    situation where classical Mann-Whitney's variance assumption
+    breaks): it estimates p = P(X<Y) + 0.5*P(X=Y) directly and
+    studentizes with per-sample placement variances and a
+    Welch-Satterthwaite df. The modern default recommendation for
+    two-sample rank testing, completing the location (MWU) / scale
+    (Ansari-Bradley) / shape-robust (this) rank family.
+
+    Determinism (see _BM_ORACLE comment): placement means from exact
+    BIGINT doubled-midrank sums; the one overflow-prone second moment
+    through the pre-scaled 1e9 lattice; everything downstream a fixed
+    scalar expression tree. Scale shape: one value-lattice aggregation
+    + the probed cumulative sum (three counters, one pass) + one
+    scalar reduce — identical cost to the MWU it generalizes."""
+    ev = load_table(spark, "events", sf_dir)
+    pooled = ev.filter(F.col("event_type").isin(_AB_A, _AB_B)).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == _AB_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == _AB_B, 1).otherwise(0).alias("b"),
+    )
+    byv = pooled.groupBy("v").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    cum = cumulative_sums(
+        byv.withColumn("t", F.col("ca") + F.col("cb")),
+        ["v"], ["ca", "cb", "t"], ["cuma", "cumb", "cumt"],
+    )
+    nn = byv.agg(
+        F.sum("ca").alias("n1"), F.sum("cb").alias("n2"),
+        (F.sum("ca") + F.sum("cb")).alias("n"),
+    )
+    j = cum.crossJoin(F.broadcast(nn))
+    two_r = 2 * F.col("cumt") - F.col("t") + 1
+    qa = 2 * F.col("cumt") - F.col("t") - 2 * F.col("cuma") + F.col("ca")
+    qb = 2 * F.col("cumt") - F.col("t") - 2 * F.col("cumb") + F.col("cb")
+    mom = j.groupBy("n1", "n2", "n").agg(
+        F.sum(F.col("ca") * two_r).cast("long").alias("s2ra"),
+        F.sum(F.col("cb") * two_r).cast("long").alias("s2rb"),
+        F.sum(F.col("ca") * qa).cast("long").alias("sqa1"),
+        F.sum(F.col("cb") * qb).cast("long").alias("sqb1"),
+        (
+            F.sum(
+                F.round(
+                    F.col("ca") * (qa * 1.0 * qa)
+                    / (4.0 * F.col("n") * F.col("n")) * 1e9, 0
+                ).cast("long")
+            ).cast("double") / 1e9
+        ).alias("sqa2"),
+        (
+            F.sum(
+                F.round(
+                    F.col("cb") * (qb * 1.0 * qb)
+                    / (4.0 * F.col("n") * F.col("n")) * 1e9, 0
+                ).cast("long")
+            ).cast("double") / 1e9
+        ).alias("sqb2"),
+    )
+    m1 = F.col("s2ra") / (2.0 * F.col("n1"))
+    m2 = F.col("s2rb") / (2.0 * F.col("n2"))
+    c1 = m1 - (F.col("n1") + 1) / 2.0
+    c2 = m2 - (F.col("n2") + 1) / 2.0
+    v1 = (
+        F.col("sqa2") * F.col("n") * F.col("n")
+        - 2 * c1 * (F.col("sqa1") / 2.0)
+        + F.col("n1") * c1 * c1
+    ) / (F.col("n1") - 1)
+    v2 = (
+        F.col("sqb2") * F.col("n") * F.col("n")
+        - 2 * c2 * (F.col("sqb1") / 2.0)
+        + F.col("n2") * c2 * c2
+    ) / (F.col("n2") - 1)
+    nv = F.col("n1") * v1 + F.col("n2") * v2
+    return mom.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round((m2 - (F.col("n2") + 1) / 2.0) / F.col("n1"), 6).alias("p_hat"),
+        F.round(
+            1.0 * F.col("n1") * F.col("n2") * (m2 - m1)
+            / (F.col("n") * F.sqrt(nv)), 6
+        ).alias("w_stat"),
+        F.round(
+            (nv * nv)
+            / (
+                (F.col("n1") * v1) * (F.col("n1") * v1) / (F.col("n1") - 1)
+                + (F.col("n2") * v2) * (F.col("n2") * v2) / (F.col("n2") - 1)
+            ), 3
+        ).alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 10: two-sample Poisson rate test on event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_poisson_rate_test",
+    oracle=f"""
+    WITH k AS (
+      SELECT CAST(sum(CASE WHEN event_type = '{_AB_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k1,
+             CAST(sum(CASE WHEN event_type = '{_AB_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k2,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      FROM events
+    )
+    SELECT k1, k2, n_days,
+           round(k1 * 1.0 / k2, 6) AS rate_ratio,
+           round((k1 - k2) / sqrt(1.0 * (k1 + k2)), 6) AS z_conditional,
+           CAST(CASE WHEN abs((k1 - k2) / sqrt(1.0 * (k1 + k2)))
+                     > 1.959963984540054 THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM k
+    """,
+)
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate comparison between the purchase and
+    click event streams over their shared observation window: under
+    equal rates (and equal exposure — both streams span the same
+    calendar), k1 | k1+k2 is Binomial(K, 1/2), so the CONDITIONAL
+    z = (k1 − k2)/√(k1+k2) is the exact-variance score test — the
+    throughput-drift gate for event pipelines (is stream A's RATE
+    different from stream B's?), complementing events_ab_test_zscore
+    which compares VALUES within one stream. Inputs are two integer
+    counts and IEEE √, so both engines produce identical doubles.
+
+    Scale shape: one map-combinable conditional-count pass over the
+    fact (plus the distinct-day exposure count) — constant state per
+    task, no shuffle beyond the 1-row combine."""
+    ev = load_table(spark, "events", sf_dir)
+    k = ev.agg(
+        F.sum(F.when(F.col("event_type") == _AB_A, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("event_type") == _AB_B, 1).otherwise(0)).alias("k2"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+    z = (F.col("k1") - F.col("k2")) / F.sqrt(1.0 * (F.col("k1") + F.col("k2")))
+    return k.select(
+        F.col("k1").cast("long").alias("k1"),
+        F.col("k2").cast("long").alias("k2"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("k1") * 1.0 / F.col("k2"), 6).alias("rate_ratio"),
+        F.round(z, 6).alias("z_conditional"),
+        F.when(F.abs(z) > 1.959963984540054, 1).otherwise(0).cast("int").alias(
+            "reject_05"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 10: pairwise Jensen-Shannon divergence between sources
+# ---------------------------------------------------------------------------
+
+_JS_TOPK_SOURCES = 6  # bounded pair fan-out: 6 sources -> 15 pairs
+
+
+@register(
+    "text_js_divergence_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w
+      FROM documents
+    ),
+    sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, w),
+    s AS (SELECT source, sum(c) AS c_s FROM sw GROUP BY source),
+    top AS (SELECT source, c_s FROM s
+            ORDER BY c_s DESC, source LIMIT {_JS_TOPK_SOURCES}),
+    pairs AS (SELECT a.source AS s1, a.c_s AS c1, b.source AS s2, b.c_s AS c2
+              FROM top a, top b WHERE a.source < b.source),
+    wv AS (SELECT DISTINCT w FROM sw
+           WHERE source IN (SELECT source FROM top)),
+    grid AS (
+      SELECT pr.s1, pr.s2,
+             COALESCE(x.c, 0) * 1.0 / pr.c1 AS p,
+             COALESCE(y.c, 0) * 1.0 / pr.c2 AS q
+      FROM pairs pr
+      CROSS JOIN wv
+      LEFT JOIN sw x ON x.source = pr.s1 AND x.w = wv.w
+      LEFT JOIN sw y ON y.source = pr.s2 AND y.w = wv.w
+      WHERE COALESCE(x.c, 0) + COALESCE(y.c, 0) > 0
+    )
+    SELECT s1, s2,
+           CAST(count(*) AS BIGINT) AS vocab_union,
+           round(0.5 * sum(CASE WHEN p > 0
+                                THEN p * ln(2.0 * p / (p + q)) ELSE 0 END)
+                 + 0.5 * sum(CASE WHEN q > 0
+                                  THEN q * ln(2.0 * q / (p + q)) ELSE 0 END), 6)
+             AS js_nats,
+           round((0.5 * sum(CASE WHEN p > 0
+                                 THEN p * ln(2.0 * p / (p + q)) ELSE 0 END)
+                  + 0.5 * sum(CASE WHEN q > 0
+                                   THEN q * ln(2.0 * q / (p + q)) ELSE 0 END))
+                 / ln(2.0), 6) AS js_bits
+    FROM grid
+    GROUP BY s1, s2
+    ORDER BY s1, s2
+    """,
+)
+def text_js_divergence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of the top-k sources by token volume — the SYMMETRIC,
+    bounded (≤ ln 2) companion to corpus_source_kl_divergence: KL vs
+    the corpus says which feed drifts from the blend; pairwise JS says
+    which feeds are interchangeable vs complementary (the mixture-
+    design input for corpus_mixture_plan — near-zero JS pairs are
+    redundant, high-JS pairs cover different text). JS(p,q) =
+    ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)) with 0·ln0 = 0; js_bits =
+    js_nats/ln 2 normalizes to [0,1].
+
+    Scale shape: ONE token-scale shuffle to the (source, word) count
+    frame (shared shape with the KL query); the pair fan-out is
+    BOUNDED — top-{_JS_TOPK_SOURCES} sources → ≤15 pairs broadcast
+    against the vocabulary frame, so the grid is |vocab|·|pairs| rows
+    with both probability joins on the word key. The support filter
+    (p+q > 0) keeps only words either source uses. ln determinism
+    follows the KL precedent (6-decimal rounding over a
+    magnitude-homogeneous sum, hash-stable across ten driver
+    rounds)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("source", F.explode(F.split("text", r"\s+")).alias("w"))
+    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    s = sw.groupBy("source").agg(F.sum("c").alias("c_s"))
+    top = s.orderBy(F.col("c_s").desc(), "source").limit(_JS_TOPK_SOURCES)
+    a = top.select(F.col("source").alias("s1"), F.col("c_s").alias("c1"))
+    b = top.select(F.col("source").alias("s2"), F.col("c_s").alias("c2"))
+    pairs = a.crossJoin(b).filter(F.col("s1") < F.col("s2"))
+    wv = (
+        sw.join(F.broadcast(top.select("source")), "source")
+        .select("w").distinct()
+    )
+    x = sw.select(F.col("source").alias("xs"), F.col("w").alias("xw"),
+                  F.col("c").alias("xc"))
+    y = sw.select(F.col("source").alias("ys"), F.col("w").alias("yw"),
+                  F.col("c").alias("yc"))
+    grid = (
+        wv.crossJoin(F.broadcast(pairs))
+        .join(x, (F.col("xs") == F.col("s1")) & (F.col("xw") == F.col("w")), "left")
+        .join(y, (F.col("ys") == F.col("s2")) & (F.col("yw") == F.col("w")), "left")
+        .select(
+            "s1", "s2",
+            (F.coalesce(F.col("xc"), F.lit(0)) * 1.0 / F.col("c1")).alias("p"),
+            (F.coalesce(F.col("yc"), F.lit(0)) * 1.0 / F.col("c2")).alias("q"),
+        )
+        .filter(F.col("p") + F.col("q") > 0)
+    )
+    half_p = F.sum(
+        F.when(F.col("p") > 0,
+               F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q"))))
+        .otherwise(0.0)
+    )
+    half_q = F.sum(
+        F.when(F.col("q") > 0,
+               F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q"))))
+        .otherwise(0.0)
+    )
+    js = 0.5 * half_p + 0.5 * half_q
+    return (
+        grid.groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_union"),
+            F.round(js, 6).alias("js_nats"),
+            F.round(js / math.log(2.0), 6).alias("js_bits"),
+        )
+        .orderBy("s1", "s2")
+    )
