@@ -74,6 +74,20 @@ CHECK_CHANGED: list[str] = [
     "sim_random_projection_jl",
     "ml_knn_label_accuracy",
     "ml_label_propagation",
+    # r12 session 2: the shared trade-graph oracle CTEs (_sp_edges_sql /
+    # _sp_bfs_sql) are now MATERIALIZED — DuckDB was re-evaluating the
+    # fact-scale edge build once per CTE reference (exponentially
+    # through chained BFS levels; harmonic centrality measured 46.7 s
+    # -> 0.2 s at 100x). Results identical, oracle text changed for
+    # every consumer:
+    "graph_shortest_paths",
+    "graph_kcore",
+    "graph_ktruss",
+    "graph_connected_components",
+    "graph_assortativity",
+    "graph_edge_jaccard",
+    "graph_modularity_regions",
+    "graph_reciprocity",
     # (the five md5/recall audit twins of the same kernels re-gate via
     # their rows-only + audit-twin channel as usual)
 ]

@@ -30,9 +30,17 @@ _SP_LEVELS = 4     # frontier expansions replayed by the oracle
 def _sp_edges_sql() -> str:
     """Edge list: customer-nation -> supplier-nation trade graph, kept
     sparse by retaining each source's top-k out-edges by routed lineitem
-    count (ties broken on destination)."""
+    count (ties broken on destination).
+
+    Both CTEs are MATERIALIZED: every graph oracle references ``e``
+    more than once (self-joins, NOT EXISTS probes, chained BFS levels),
+    and DuckDB inlines non-materialized CTEs per reference — so the
+    fact-scale 4-way join was re-evaluated once per reference
+    (exponentially through chained levels; the harmonic-centrality
+    oracle measured 46.7 s -> 0.2 s at the 100x store from this hint
+    alone). Evaluation-only: results are identical."""
     return f"""
-    raw AS (
+    raw AS MATERIALIZED (
       SELECT c_nationkey AS src, s_nationkey AS dst,
              CAST(count(*) AS BIGINT) AS w
       FROM orders
@@ -41,7 +49,7 @@ def _sp_edges_sql() -> str:
       JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY c_nationkey, s_nationkey
     ),
-    e AS (
+    e AS MATERIALIZED (
       SELECT src, dst FROM (
         SELECT src, dst,
                row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
@@ -59,6 +67,9 @@ def _sp_bfs_sql() -> str:
     ]
     for lvl in range(1, _SP_LEVELS + 1):
         prev = f"r{lvl - 1}"
+        # r{lvl} MATERIALIZED: each level is referenced twice by the
+        # next (frontier scan + NOT IN probe) — same inline-blowup as
+        # _sp_edges_sql, see its docstring.
         parts.append(f"""
     f{lvl} AS (
       SELECT e.dst AS nk, {lvl} AS dist, CAST(sum(r.npaths) AS BIGINT) AS npaths
@@ -67,7 +78,8 @@ def _sp_bfs_sql() -> str:
         AND e.dst NOT IN (SELECT nk FROM {prev})
       GROUP BY e.dst
     ),
-    r{lvl} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM f{lvl})""")
+    r{lvl} AS MATERIALIZED
+      (SELECT * FROM {prev} UNION ALL SELECT * FROM f{lvl})""")
     return ",\n".join(parts)
 
 
