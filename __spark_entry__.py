@@ -140,8 +140,20 @@ def _ordered(reg: dict) -> dict:
     verified = _driver_verified()
     # Entries whose check changed this round are un-verified by
     # definition (the old clean verdict gated a different oracle/path).
+    # Within the head, CHANGED entries that ALREADY hold a clean
+    # verdict sort LAST: a changed-but-previously-green entry keeps its
+    # old verdict if the sampling prefix ends before it, while a
+    # never-verified entry that misses the prefix has no verdict at all
+    # — so when the head outgrows the driver's sample window, the
+    # entries that can least afford to miss it come first.
     changed = [n for n in CHECK_CHANGED if n in reg]
-    head = changed + [n for n in priority if n not in verified and n not in changed]
+    changed_new = [n for n in changed if n not in verified]
+    changed_regate = [n for n in changed if n in verified]
+    head = (
+        changed_new
+        + [n for n in priority if n not in verified and n not in changed]
+        + changed_regate
+    )
     rest = [n for n in priority if n in verified and n not in changed]
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
