@@ -611,22 +611,49 @@ def test_restart_from_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
     no duplicate (the CI pin of tools/streaming_loss_probe.py's
     RESTART scenario; comparison over the deterministic prefix where
     append-mode emission does not depend on micro-batch boundaries)."""
+    import glob as _glob
+    import os
+    import shutil as _sh
+
+    stage = str(tmp_path / "stage")
     src = str(tmp_path / "src")
     ev = load_table(spark, "events", sf_dir).select("ts", "event_type", "value")
-    # 24 input files = 24 micro-batches at maxFilesPerTrigger=1: the
-    # restart window below stops after the FIRST completed batch, so a
-    # fast host still has ~23 batches left for the resumed query
-    # (ADVICE r11: a fixed sleep let availableNow drain everything
-    # before the stop, silently degrading this to a no-restart run).
-    ev.repartition(24).write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
+    # 24 input files = 24 micro-batches at maxFilesPerTrigger=1. BOTH
+    # runs read the SAME staged directory: per-row late-dropping under
+    # the 1 h watermark depends on the file PROCESSING ORDER (each
+    # repartitioned file spans the whole month, so whichever file runs
+    # first advances the watermark past most of the range), which means
+    # the two runs only compare equal if their file order is identical.
+    # The restart run goes FIRST against a directory holding only the
+    # first 8 files — so no matter how fast the host drains them
+    # (ADVICE r11 found a fixed sleep let availableNow drain
+    # everything; the observed-progress stop then still raced stop()
+    # against the remaining tiny batches), at least 16 files always
+    # remain for the resumed query — and the baseline runs AFTER, on
+    # the then-complete directory. File mtimes are stamped strictly
+    # increasing in copy order so the source's (mtime, path) listing
+    # is identical for both runs with no tie-break ambiguity.
+    ev.repartition(24).write.mode("overwrite").parquet(stage)
+    parts = sorted(_glob.glob(stage + "/part-*"))
+    assert len(parts) == 24
+    os.makedirs(src, exist_ok=True)
+    t0 = 1_700_000_000
+
+    def stage_file(i: int) -> None:
+        dst = os.path.join(src, os.path.basename(parts[i]))
+        _sh.copy(parts[i], dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    for i in range(8):
+        stage_file(i)
+    schema = spark.read.parquet(stage).schema
     cutoff = ev.agg(F.max("ts")).collect()[0][0].timestamp() - 3600
 
-    def stream_df():
+    def stream_df(path):
         return (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+            .parquet(path)
             .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
             .agg(
@@ -644,9 +671,9 @@ def test_restart_from_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
         )
         return sorted((str(r["we"]), r["event_type"], r["n"], r["v"]) for r in rows)
 
-    def start(sink: str, ckpt: str):
+    def start(sink: str, ckpt: str, path: str):
         return (
-            stream_df()
+            stream_df(path)
             .writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)
@@ -656,13 +683,17 @@ def test_restart_from_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
         )
 
     def run(sink: str, ckpt: str, restart: bool):
-        q = start(sink, ckpt)
-        if restart:
+        if not restart:
+            q = start(sink, ckpt, src)
+        else:
             import time as _t
 
+            q = start(sink, ckpt, src)
             # Stop after OBSERVED partial progress (>=1 completed
-            # batch with rows), not a fixed sleep — the mid-stream
-            # restart is only exercised if batches remain (ADVICE r11).
+            # batch with rows), not a fixed sleep (ADVICE r11). The
+            # stop may still race the remaining staged batches on a
+            # fast host — harmless, because the other 16 files don't
+            # exist yet: the resumed query ALWAYS has work.
             deadline = _t.time() + 60.0
             while _t.time() < deadline and q.isActive:
                 if any(p["numInputRows"] > 0 for p in q.recentProgress):
@@ -677,17 +708,23 @@ def test_restart_from_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
                 # the crash-mid-batch scenario this test wants; the
                 # checkpoint must still recover exactly-once below.
                 pass
-            q = start(sink, ckpt)
+            for i in range(8, 24):
+                stage_file(i)
+            q = start(sink, ckpt, src)
             q.awaitTermination()
-            # Fail LOUDLY if the restart window was missed: the
-            # resumed query must itself have processed rows.
+            # The resumed query must itself have processed rows — with
+            # the staged source this is structural (16 files appear
+            # only after the stop), so a failure here means the
+            # checkpoint resume itself broke, not a lost race.
             assert any(
                 p["numInputRows"] > 0 for p in q.recentProgress
-            ), "restart window missed: first query drained all batches"
+            ), "resumed query processed nothing despite 16 staged files"
         q.awaitTermination()
 
-    run(str(tmp_path / "sink_a"), str(tmp_path / "ckpt_a"), restart=False)
+    # Restart run FIRST (it completes the staged directory); the
+    # undisturbed baseline then reads the identical file sequence.
     run(str(tmp_path / "sink_b"), str(tmp_path / "ckpt_b"), restart=True)
+    run(str(tmp_path / "sink_a"), str(tmp_path / "ckpt_a"), restart=False)
     base = finalized(str(tmp_path / "sink_a"))
     resumed = finalized(str(tmp_path / "sink_b"))
     assert len(base) > 0
