@@ -327,6 +327,10 @@ HEADLINE = [
     "stats_brunner_munzel",
     "events_poisson_rate_test",
     "text_js_divergence_pairs",
+    # round-12 wave 11 (ordered-alternative trend test, proper-scoring
+    # eval completion)
+    "events_jonckheere_terpstra",
+    "ml_log_loss",
 ]
 
 

@@ -344,3 +344,69 @@ def test_js_divergence_matches_python(spark):
         assert got["js_nats"] == pytest.approx(js, abs=2e-6)
         assert got["js_bits"] == pytest.approx(js / math.log(2), abs=2e-6)
         assert 0.0 <= got["js_bits"] <= 1.0 + 1e-9
+
+
+def test_jonckheere_terpstra_matches_python(spark):
+    got = SPARK["events_jonckheere_terpstra"](spark, SF).collect()[0].asDict()
+    ev = _events()
+    groups = defaultdict(list)
+    for t, v in zip(ev["ts"], ev["value"]):
+        groups[(t.day - 1) // 7].append(v)
+    ks = sorted(groups)
+    n = sum(len(g) for g in groups.values())
+    jt2 = 0
+    for i_idx, i in enumerate(ks):
+        for j in ks[i_idx + 1:]:
+            ci, cj = Counter(groups[i]), Counter(groups[j])
+            vals = sorted(set(ci) | set(cj))
+            cumlt = 0
+            for v in vals:
+                jt2 += 2 * cj.get(v, 0) * cumlt + cj.get(v, 0) * ci.get(v, 0)
+                cumlt += ci.get(v, 0)
+    jt = jt2 / 2.0
+    sizes = [len(groups[k]) for k in ks]
+    e_jt = (n * n - sum(s * s for s in sizes)) / 4.0
+    ties = Counter()
+    for g in groups.values():
+        ties.update(g)
+    tv = list(ties.values())
+    var_jt = (
+        (n * (n - 1) * (2 * n + 5)
+         - sum(s * (s - 1) * (2 * s + 5) for s in sizes)
+         - sum(t * (t - 1) * (2 * t + 5) for t in tv)) / 72.0
+        + (sum(s * (s - 1) * (s - 2) for s in sizes)
+           * sum(t * (t - 1) * (t - 2) for t in tv))
+        / (36.0 * n * (n - 1) * (n - 2))
+        + (sum(s * (s - 1) for s in sizes) * sum(t * (t - 1) for t in tv))
+        / (8.0 * n * (n - 1))
+    )
+    z = (jt - e_jt) / math.sqrt(var_jt)
+    assert got["n_total"] == n and got["k_groups"] == len(ks)
+    assert got["jt_stat"] == pytest.approx(jt, abs=0.051)
+    assert got["jt_null_mean"] == pytest.approx(e_jt, abs=0.051)
+    assert got["z_score"] == pytest.approx(z, abs=2e-6)
+    assert got["reject_05"] == (1 if abs(z) > 1.959963984540054 else 0)
+
+
+def test_log_loss_matches_python(spark):
+    got = SPARK["ml_log_loss"](spark, SF).collect()[0].asDict()
+    ev = _events()
+    bins = Counter()
+    pos = Counter()
+    for v, t in zip(ev["value"], ev["event_type"]):
+        b = min(int(v // 50), 9)
+        bins[b] += 1
+        pos[b] += 1 if t == "purchase" else 0
+    n = sum(bins.values())
+    kk = sum(pos.values())
+    ll = -sum(
+        pos[b] / n * math.log((b + 0.5) / 10.0)
+        + (bins[b] - pos[b]) / n * math.log(1 - (b + 0.5) / 10.0)
+        for b in bins
+    )
+    ent = -(kk / n * math.log(kk / n) + (n - kk) / n * math.log((n - kk) / n))
+    assert got["n"] == n and got["n_pos"] == kk
+    assert got["log_loss"] == pytest.approx(ll, abs=2e-6)
+    assert got["baseline_entropy"] == pytest.approx(ent, abs=2e-6)
+    assert got["skill_score"] == pytest.approx(1 - ll / ent, abs=2e-6)
+    assert got["log_loss"] >= 0

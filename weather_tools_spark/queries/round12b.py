@@ -1119,3 +1119,274 @@ def text_js_divergence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s1", "s2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 11: Jonckheere-Terpstra ordered-alternative trend test
+# ---------------------------------------------------------------------------
+
+# Ordered groups = week-of-month (floor((day-1)/7), 0..4) of the event
+# stream; the alternative is a MONOTONE distribution shift across
+# weeks. 2*JT is exact BIGINT via the dense per-group value-lattice
+# grid: 2*JT = sum over group pairs i<j and lattice values v of
+# 2*c_j(v)*cumlt_i(v) + c_j(v)*c_i(v), where cumlt_i(v) = #elements of
+# group i strictly below v. The grid MUST be dense (every group at
+# every lattice value, zero-filled): a support-only equi-join would
+# drop contributions where group j has rows at v but group i merely
+# has mass below v. Null moments use the standard tie-corrected JT
+# variance (Kendall form) — integer power sums combined in doubles
+# identically on both engines.
+_JT_ORACLE = """
+    WITH base AS (
+      SELECT value AS v,
+             CAST(floor((CAST(strftime(ts, '%d') AS BIGINT) - 1) / 7.0)
+                  AS BIGINT) AS g
+      FROM events
+    ),
+    byvg AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c
+             FROM base GROUP BY v, g),
+    vals AS (SELECT DISTINCT v FROM byvg),
+    grps AS (SELECT DISTINCT g FROM byvg),
+    grid AS (
+      SELECT vals.v, grps.g, COALESCE(byvg.c, 0) AS c
+      FROM vals CROSS JOIN grps
+      LEFT JOIN byvg ON byvg.v = vals.v AND byvg.g = grps.g
+    ),
+    cum AS (
+      SELECT v, g, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v) - c AS cumlt
+      FROM grid
+    ),
+    jt2 AS (
+      SELECT CAST(sum(2 * b.c * a.cumlt + b.c * a.c) AS BIGINT) AS jt2
+      FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g
+    ),
+    gsz AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM byvg GROUP BY g),
+    tsz AS (SELECT v, CAST(sum(c) AS BIGINT) AS tv FROM byvg GROUP BY v),
+    mom AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng * ng) AS BIGINT) AS sn2,
+             sum((1.0 * ng) * (ng - 1) * (2 * ng + 5)) AS sn25,
+             sum((1.0 * ng) * (ng - 1) * (ng - 2)) AS sn3,
+             sum((1.0 * ng) * (ng - 1)) AS snn
+      FROM gsz
+    ),
+    tmom AS (
+      SELECT sum((1.0 * tv) * (tv - 1) * (2 * tv + 5)) AS st25,
+             sum((1.0 * tv) * (tv - 1) * (tv - 2)) AS st3,
+             sum((1.0 * tv) * (tv - 1)) AS stt
+      FROM tsz
+    ),
+    stat AS (
+      SELECT jt2.jt2 / 2.0 AS jt,
+             (1.0 * mom.n * mom.n - mom.sn2) / 4.0 AS e_jt,
+             ((1.0 * mom.n) * (mom.n - 1) * (2 * mom.n + 5)
+              - mom.sn25 - tmom.st25) / 72.0
+             + (mom.sn3 * tmom.st3)
+               / (36.0 * mom.n * (mom.n - 1) * (mom.n - 2))
+             + (mom.snn * tmom.stt) / (8.0 * mom.n * (mom.n - 1)) AS var_jt,
+             mom.n AS n, mom.k AS k
+      FROM jt2, mom, tmom
+    )
+    SELECT n AS n_total, k AS k_groups,
+           round(jt, 1) AS jt_stat,
+           round(e_jt, 1) AS jt_null_mean,
+           round((jt - e_jt) / sqrt(var_jt), 6) AS z_score,
+           CAST(CASE WHEN abs((jt - e_jt) / sqrt(var_jt))
+                     > 1.959963984540054 THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM stat
+"""
+
+
+@register("events_jonckheere_terpstra", oracle=_JT_ORACLE)
+def events_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for a MONOTONE distribution trend
+    across the ordered week-of-month groups of the event stream — the
+    ordered-alternative k-sample test (Kruskal-Wallis asks "any
+    difference?"; JT asks "does the distribution shift in ONE
+    direction as the ordinal factor increases?" — the dose-response /
+    temporal-drift question, with far more power against monotone
+    alternatives). JT = Σ_{i<j} U_ij over all ordered group pairs,
+    tie convention ½ per tied cross-pair; z against the exact null
+    mean (n² − Σn_i²)/4 and the standard tie-corrected variance.
+
+    Determinism (see _JT_ORACLE comment): 2·JT is an exact BIGINT from
+    the dense lattice grid; the variance combines integer power sums
+    of group and tie-block sizes in a fixed double expression tree.
+    Scale shape: one fact aggregation to the (value, week) lattice,
+    a |lattice|×k zero-filled grid with k-partitioned cumulative
+    windows, one k²-fan self-equi-join on the value key (k=5 ordered
+    pairs), and scalar reduces — no data-scale shuffle beyond the
+    lattice aggregation."""
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        F.col("value").alias("v"),
+        F.floor((F.dayofmonth("ts") - 1) / 7.0).cast("long").alias("g"),
+    )
+    byvg = base.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
+    vals = byvg.select("v").distinct()
+    grps = byvg.select("g").distinct()
+    grid = (
+        vals.crossJoin(F.broadcast(grps))
+        .join(byvg, ["v", "g"], "left")
+        .select("v", "g", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "v", "g", "c", (F.sum("c").over(w) - F.col("c")).alias("cumlt")
+    )
+    a = cum.select(
+        F.col("v").alias("av"), F.col("g").alias("ag"),
+        F.col("c").alias("ac"), F.col("cumlt").alias("acumlt"),
+    )
+    b = cum.select(
+        F.col("v").alias("bv"), F.col("g").alias("bg"), F.col("c").alias("bc")
+    )
+    jt2 = (
+        a.join(b, (F.col("av") == F.col("bv")) & (F.col("ag") < F.col("bg")))
+        .agg(
+            F.sum(
+                2 * F.col("bc") * F.col("acumlt") + F.col("bc") * F.col("ac")
+            ).cast("long").alias("jt2")
+        )
+    )
+    gsz = byvg.groupBy("g").agg(F.sum("c").alias("ng"))
+    tsz = byvg.groupBy("v").agg(F.sum("c").alias("tv"))
+    mom = gsz.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("ng") * F.col("ng")).alias("sn2"),
+        F.sum((1.0 * F.col("ng")) * (F.col("ng") - 1) * (2 * F.col("ng") + 5)).alias("sn25"),
+        F.sum((1.0 * F.col("ng")) * (F.col("ng") - 1) * (F.col("ng") - 2)).alias("sn3"),
+        F.sum((1.0 * F.col("ng")) * (F.col("ng") - 1)).alias("snn"),
+    )
+    tmom = tsz.agg(
+        F.sum((1.0 * F.col("tv")) * (F.col("tv") - 1) * (2 * F.col("tv") + 5)).alias("st25"),
+        F.sum((1.0 * F.col("tv")) * (F.col("tv") - 1) * (F.col("tv") - 2)).alias("st3"),
+        F.sum((1.0 * F.col("tv")) * (F.col("tv") - 1)).alias("stt"),
+    )
+    jt = F.col("jt2") / 2.0
+    e_jt = (1.0 * F.col("n") * F.col("n") - F.col("sn2")) / 4.0
+    var_jt = (
+        (
+            (1.0 * F.col("n")) * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("sn25") - F.col("st25")
+        ) / 72.0
+        + (F.col("sn3") * F.col("st3"))
+        / (36.0 * F.col("n") * (F.col("n") - 1) * (F.col("n") - 2))
+        + (F.col("snn") * F.col("stt")) / (8.0 * F.col("n") * (F.col("n") - 1))
+    )
+    z = (jt - e_jt) / F.sqrt(var_jt)
+    return (
+        jt2.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(tmom))
+        .select(
+            F.col("n").cast("long").alias("n_total"),
+            F.col("k").cast("long").alias("k_groups"),
+            F.round(jt, 1).alias("jt_stat"),
+            F.round(e_jt, 1).alias("jt_null_mean"),
+            F.round(z, 6).alias("z_score"),
+            F.when(F.abs(z) > 1.959963984540054, 1).otherwise(0)
+            .cast("int").alias("reject_05"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 11: log loss (cross-entropy) with skill score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_log_loss",
+    oracle="""
+    WITH base AS (
+      SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    byb AS (
+      SELECT bin, (bin + 0.5) / 10.0 AS p,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS k
+      FROM base GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(k) AS BIGINT) AS kk FROM byb),
+    ll AS (
+      SELECT
+        -(CAST(sum(CAST(round(
+            ((1.0 * k / tot.nn) * ln(p)
+             + (1.0 * (n - k) / tot.nn) * ln(1 - p)) * 1e12, 0)
+          AS BIGINT)) AS DOUBLE) / 1e12) AS log_loss,
+        tot.nn AS nn, tot.kk AS kk
+      FROM byb, tot GROUP BY tot.nn, tot.kk
+    )
+    SELECT nn AS n, kk AS n_pos,
+           round(log_loss, 6) AS log_loss,
+           round(-((1.0 * kk / nn) * ln(1.0 * kk / nn)
+                   + (1.0 * (nn - kk) / nn) * ln(1.0 * (nn - kk) / nn)), 6)
+             AS baseline_entropy,
+           round(1 - log_loss
+                 / (-((1.0 * kk / nn) * ln(1.0 * kk / nn)
+                      + (1.0 * (nn - kk) / nn) * ln(1.0 * (nn - kk) / nn))), 6)
+             AS skill_score
+    FROM ll
+    """,
+)
+def ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log loss (binary cross-entropy) of the same binned constant
+    forecast as ml_brier_decomposition, plus the base-rate entropy
+    baseline and the skill score 1 − LL/H(base) — the metric triad a
+    classifier-eval readout actually reports (Brier: quadratic,
+    bounded; log loss: the proper scoring rule training optimizes,
+    unbounded near confident errors; skill: normalized vs predicting
+    the prior). Same bins, outcome, and data pass as the Brier query,
+    so the two decompose the same forecast.
+
+    Determinism: bin counts are integers, p_b are fixed rationals;
+    each bin's contribution is pre-divided by N (bounding it in
+    [−ln 20, 0]) and the ≤10-term sum goes through the 1e-12 lattice
+    (ln follows the KL-divergence precedent). Scale shape: ONE
+    map-combinable fact aggregation to ≤10 bin rows + 1-row
+    arithmetic."""
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9)).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    byb = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
+    ).select("bin", ((F.col("bin") + 0.5) / 10.0).alias("p"), "n", "k")
+    tot = byb.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
+    j = byb.crossJoin(F.broadcast(tot))
+    contrib = (
+        (1.0 * F.col("k") / F.col("nn")) * F.log(F.col("p"))
+        + (1.0 * (F.col("n") - F.col("k")) / F.col("nn")) * F.log(1 - F.col("p"))
+    )
+    ll = j.groupBy("nn", "kk").agg(
+        (
+            -(
+                F.sum(F.round(contrib * 1e12, 0).cast("long")).cast("double")
+                / 1e12
+            )
+        ).alias("log_loss")
+    )
+    base_rate = 1.0 * F.col("kk") / F.col("nn")
+    ent = -(
+        base_rate * F.log(base_rate)
+        + (1.0 * (F.col("nn") - F.col("kk")) / F.col("nn"))
+        * F.log(1.0 * (F.col("nn") - F.col("kk")) / F.col("nn"))
+    )
+    return ll.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("kk").cast("long").alias("n_pos"),
+        F.round(F.col("log_loss"), 6).alias("log_loss"),
+        F.round(ent, 6).alias("baseline_entropy"),
+        F.round(1 - F.col("log_loss") / ent, 6).alias("skill_score"),
+    )
