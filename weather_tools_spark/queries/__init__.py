@@ -90,6 +90,11 @@ CHECK_CHANGED: list[str] = [
     "graph_reciprocity",
     # (the five md5/recall audit twins of the same kernels re-gate via
     # their rows-only + audit-twin channel as usual)
+    #
+    # r12 OPTIMIZATION round (OPTIMIZATION_r12.md): execution paths
+    # rewritten for performance, values proven identical (interleaved
+    # A/B value-equality + driver-exact strict sweep at 3 SFs each):
+    "orders_open_backlog_monthly",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

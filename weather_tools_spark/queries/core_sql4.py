@@ -943,33 +943,42 @@ def orders_open_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     points at month boundaries, one running sum over the merged event
     stream.
 
-    The running sum goes through ``operators.prefix_sum.running_sum``
-    (range-partition → per-partition cumsum → O(partitions) offsets
-    broadcast back) instead of an unpartitioned Window — the
-    single-partition global Window the oracle uses is exactly the plan
-    that cannot exist at 100 TB, and the plan test pins its absence.
-    Close-before-open-before-query tie ranking at equal dates makes the
-    end date exclusive and the start date inclusive; the (date, kind,
-    orderkey) key is a total order, so the two-pass sum is
-    deterministic under any partitioning."""
-    from weather_tools_spark.operators.prefix_sum import running_sum
+    r12 optimization (guide §2.3, aggregate before you shuffle): the
+    sweep-line deltas are pre-aggregated to DATE scale (+n per order
+    date, −n per close date; one row per (date, kind)) before the
+    running sum, so the ordered frame is date-bounded (~2·|distinct
+    dates| + |months|: ~5k rows at sf0.1, ~75k for a century of
+    days) instead of order-scale (2·|orders|: 300k at sf0.1, billions
+    at 100 TB). The prefix sums at every (d, kind) boundary are
+    unchanged — summing deltas within a (d, kind) group commutes with
+    the running sum, and the month query rows are their own kind — so
+    n_open at each month is identical. Previously the two-pass
+    range-partition prefix sum ran over the raw per-order stream
+    (300k-row shuffle + Arrow cumsum + totals collect: 13 Spark jobs,
+    1.86 s at sf0.1; now 3 date-scale aggregates and the
+    probe-dispatched cumulative sum). The map-side partial aggregation
+    shrinks the one order-scale shuffle to date cardinality — exactly
+    the 100-TB-relevant reduction, not a local-only trick; past 100k
+    distinct (date, kind) rows the probe dispatcher transparently
+    returns to the distributed two-pass path over the (d, kind) total
+    order."""
+    from weather_tools_spark.operators.prefix_sum import cumulative_sums
 
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     close = li.groupBy("l_orderkey").agg(
         (F.max("l_shipdate") + F.expr("INTERVAL 1 DAY")).alias("cd")
     )
-    opens = orders.join(close, orders["o_orderkey"] == close["l_orderkey"]).select(
-        F.col("o_orderdate").alias("d"),
-        F.lit(1).alias("kind"),
-        F.lit(1).alias("delta"),
-        F.col("o_orderkey").cast("long").alias("tie"),
+    opens = (
+        orders.join(close, orders["o_orderkey"] == close["l_orderkey"])
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("delta"))
+        .select("d", F.lit(1).alias("kind"), "delta")
     )
-    closes = close.select(
-        F.col("cd").alias("d"),
-        F.lit(0).alias("kind"),
-        F.lit(-1).alias("delta"),
-        F.col("l_orderkey").cast("long").alias("tie"),
+    closes = (
+        close.groupBy(F.col("cd").alias("d"))
+        .agg((-F.count(F.lit(1))).cast("long").alias("delta"))
+        .select("d", F.lit(0).alias("kind"), "delta")
     )
     months = (
         orders.agg(
@@ -977,10 +986,10 @@ def orders_open_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
         )
         .select(F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("d"))
-        .select("d", F.lit(2).alias("kind"), F.lit(0).alias("delta"), F.lit(0).cast("long").alias("tie"))
+        .select("d", F.lit(2).alias("kind"), F.lit(0).cast("long").alias("delta"))
     )
     stream = opens.unionByName(closes).unionByName(months)
-    rs = running_sum(stream, ["d", "kind", "tie"], "delta", "n_open")
+    rs = cumulative_sums(stream, ["d", "kind"], ["delta"], ["n_open"])
     return (
         rs.filter(F.col("kind") == 2)
         .select(F.date_format("d", "yyyy-MM").alias("month"), F.col("n_open"))
