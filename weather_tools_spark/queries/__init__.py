@@ -95,6 +95,10 @@ CHECK_CHANGED: list[str] = [
     # rewritten for performance, values proven identical (interleaved
     # A/B value-equality + driver-exact strict sweep at 3 SFs each):
     "orders_open_backlog_monthly",
+    "ml_adaboost_stumps",
+    "ml_naive_bayes_langid",
+    "ml_nb_learning_curve",
+    "stats_kendall_tau",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -173,21 +173,26 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("f_chr"),
         )
     )
-    n = ft.count()
 
     def h_col(f: str, t: int, p: int) -> F.Column:
         feat = F.col("f_tok") if f == "f_tok" else F.col("f_chr")
         return F.lit(p) * F.when(feat <= t, 1).otherwise(-1)
 
+    # r12 optimization (guide §1.2: don't compute things twice): the
+    # total row count folds into the round-1 aggregate (one job instead
+    # of a separate count(), and the first action doubles as the cache
+    # materialization of ft)
     r1 = ft.groupBy().agg(
+        F.count(F.lit(1)).alias("n_total"),
         *[
             F.sum(F.when(h_col(f, t, p) != F.col("y"), 1).otherwise(0)).alias(
                 f"m_{i}"
             )
             for i, (f, t, p) in enumerate(_ADA_CANDS)
-        ]
+        ],
     )
     mis = bounded_rows(r1, 1, "single-row stump-grid error aggregate")[0]
+    n = mis["n_total"]
     live = [
         (c, mis[f"m_{i}"])
         for i, c in enumerate(_ADA_CANDS)
@@ -226,12 +231,16 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2, (f2, t2, p2) = best2
     a2 = 0.5 * math.log((1 - e2) / e2)
 
-    ens = h_col(f1, t1, p1) if a1 >= a2 else h_col(f2, t2, p2)
-    ok2 = bounded_rows(
-        ft.agg(F.sum(F.when(ens == F.col("y"), 1).otherwise(0)).alias("ok")),
-        1,
-        "single-row ensemble accuracy aggregate",
-    )[0]["ok"]
+    # r12 optimization (guide §1.2): the 2-stump ensemble prediction is
+    # h1 when a1 >= a2 else h2 (sign algebra on +-1 hypotheses), so its
+    # accuracy count is n - mis(chosen stump) — already measured by the
+    # round-1 aggregate. The third full-corpus pass the old code ran
+    # here recomputed exactly that integer.
+    chosen = (f1, t1, p1) if a1 >= a2 else (f2, t2, p2)
+    mis_chosen = next(
+        mis[f"m_{i}"] for i, c in enumerate(_ADA_CANDS) if c == chosen
+    )
+    ok2 = n - mis_chosen
 
     rows = [
         (1, f1, float(t1), p1, _r6(e1), _r6(a1), _r6(1.0 - e1)),
@@ -1668,14 +1677,20 @@ def ml_nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         wmap = wl.groupBy("w").agg(
             F.map_from_entries(F.collect_list(F.struct("lang", "c"))).alias("cmap")
         )
+        # r12 optimization (guide §1.2): vocabulary size rides the same
+        # collect as the prior table (see ml_naive_bayes_langid) — one
+        # driver job per fraction instead of two, one token explode
+        # instead of two (the (lang, w) aggregate exchange is reused
+        # within the job).
         stats = bounded_rows(
             wl.groupBy("lang")
             .agg(F.sum("c").alias("c_l"))
-            .join(train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")), "lang"),
+            .join(train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")), "lang")
+            .crossJoin(F.broadcast(wl.agg(F.countDistinct("w").alias("vocab")))),
             100,
             "per-language NB prior table (one row per language code)",
         )
-        vocab = wmap.count()
+        vocab = stats[0]["vocab"]
         n_train = sum(r["n_l"] for r in stats)
         langs = sorted(r["lang"] for r in stats)
         st = {r["lang"]: r for r in stats}

@@ -1037,15 +1037,21 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_entries(F.collect_list(F.struct("lang", "c"))).alias("cmap")
     )
     # bounded prior table: one row per language CODE — a label set, not
-    # data-scale; c_l (token mass) + n_l (doc count) per language
+    # data-scale; c_l (token mass) + n_l (doc count) per language.
+    # r12 optimization (guide §1.2): the vocabulary size rides the SAME
+    # collect as the prior table (1-row countDistinct broadcast onto the
+    # <=|langs|-row frame) instead of a second wmap.count() job — the
+    # two driver actions each re-ran the token explode; in one job the
+    # (lang, w) aggregate exchange is planned once and reused.
     lang_stats = bounded_rows(
         wl.groupBy("lang")
         .agg(F.sum("c").alias("c_l"))
-        .join(docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")), "lang"),
+        .join(docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")), "lang")
+        .crossJoin(F.broadcast(wl.agg(F.countDistinct("w").alias("vocab")))),
         100,
         "per-language naive-Bayes prior table (one row per language code)",
     )
-    vocab = wmap.count()  # distinct-word count, recomputed off the pivot lineage
+    vocab = lang_stats[0]["vocab"]
     n_docs_total = sum(r["n_l"] for r in lang_stats)
     langs = sorted(r["lang"] for r in lang_stats)
     stat = {r["lang"]: r for r in lang_stats}

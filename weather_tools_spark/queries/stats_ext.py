@@ -1493,68 +1493,61 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("int").alias("q"),
         F.round(F.col("l_discount") * 100).cast("int").alias("d"),
     )
-    # persist the <=1650-row joint table: FIVE downstream branches
-    # (a, b, marg, tq, td) reference it, and without the pin Catalyst
-    # re-derives each branch from the fact scan — 5 scans of lineitem
-    # instead of 1 (visible as 12 exchanges in PLANS.md before the
-    # fix). Released by bench/tests via release_persisted, same
-    # contract as the dedup shingle frames.
-    from weather_tools_spark.operators.dedup import _persist
+    # the ONE fact-scale pass: a map-combinable joint count over the
+    # <=50x11 value lattice per flag (<=1650 rows at ANY data scale).
+    joint = li.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("n"))
+    # r12 optimization (guide §1.2/§2.4): the five downstream branches
+    # (pair self-join, marginal, two tie terms, three joins — 8
+    # exchanges, 20 Spark jobs, and a persisted intermediate) all
+    # consumed the SAME lattice-bounded frame; they now fold on the
+    # driver over the bounded collect (same contract as the
+    # graph_shortest_paths edge summary: "on an aggregated
+    # dimension-sized table, per-stage overhead dwarfs the 1650-row
+    # compute"). Arithmetic replicated exactly: every count stays an
+    # int64 (numpy outer products mirror Spark's non-ANSI BIGINT
+    # multiply), the only floats are the same /2 halvings and the one
+    # rounded division, and _r6 matches SQL round()'s HALF_UP ties.
+    import numpy as np
 
-    joint = _persist(li.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("n")))
-    a = joint.select(
-        F.col("flag"), F.col("q").alias("qa"), F.col("d").alias("da"), F.col("n").alias("na")
+    from weather_tools_spark.operators.bounded import bounded_rows
+    from weather_tools_spark.queries.round10 import _r6
+
+    cells = bounded_rows(
+        joint, 1700, "joint value-lattice count table (<=550 cells per flag)"
     )
-    b = joint.select(
-        F.col("flag"), F.col("q").alias("qb"), F.col("d").alias("db"), F.col("n").alias("nb")
-    )
-    conc = (F.col("qa") < F.col("qb")) & (F.col("da") < F.col("db")) | (
-        (F.col("qa") > F.col("qb")) & (F.col("da") > F.col("db"))
-    )
-    disc = (F.col("qa") < F.col("qb")) & (F.col("da") > F.col("db")) | (
-        (F.col("qa") > F.col("qb")) & (F.col("da") < F.col("db"))
-    )
-    cd = (
-        a.join(F.broadcast(b), "flag")
-        .groupBy("flag")
-        .agg(
-            (F.sum(F.when(conc, F.col("na") * F.col("nb")).otherwise(F.lit(0))) / 2).alias("c"),
-            (F.sum(F.when(disc, F.col("na") * F.col("nb")).otherwise(F.lit(0))) / 2).alias("dd"),
+    by_flag: dict[str, list] = {}
+    for r in cells:
+        by_flag.setdefault(r["flag"], []).append((r["q"], r["d"], r["n"]))
+    out_rows = []
+    for flag in sorted(by_flag):
+        qq = np.array([x[0] for x in by_flag[flag]], dtype=np.int64)
+        dd_ = np.array([x[1] for x in by_flag[flag]], dtype=np.int64)
+        nn = np.array([x[2] for x in by_flag[flag]], dtype=np.int64)
+        n_total = int(nn.sum())
+        qa, qb = qq[:, None], qq[None, :]
+        da, db = dd_[:, None], dd_[None, :]
+        w = nn[:, None] * nn[None, :]
+        conc = ((qa < qb) & (da < db)) | ((qa > qb) & (da > db))
+        disc = ((qa < qb) & (da > db)) | ((qa > qb) & (da < db))
+        c = int(w[conc].sum()) / 2
+        d_ = int(w[disc].sum()) / 2
+        n0 = (n_total * (n_total - 1)) / 2
+        tq = np.zeros(len(qq), dtype=np.int64)
+        np.add.at(tq, np.unique(qq, return_inverse=True)[1], nn)
+        n1 = float(sum((int(t) * (int(t) - 1)) / 2 for t in tq if t))
+        td = np.zeros(len(dd_), dtype=np.int64)
+        np.add.at(td, np.unique(dd_, return_inverse=True)[1], nn)
+        n2 = float(sum((int(t) * (int(t) - 1)) / 2 for t in td if t))
+        denom_sq = (n0 - n1) * (n0 - n2)
+        import math
+
+        tau = (
+            _r6((c - d_) / math.sqrt(denom_sq)) if denom_sq > 0 else float("nan")
         )
-    )
-    marg = joint.groupBy("flag").agg(
-        F.sum("n").alias("nn"), ((F.sum("n") * (F.sum("n") - 1)) / 2).alias("n0")
-    )
-    tq = (
-        joint.groupBy("flag", "q")
-        .agg(F.sum("n").alias("t"))
-        .groupBy("flag")
-        .agg(F.sum((F.col("t") * (F.col("t") - 1)) / 2).alias("n1"))
-    )
-    td = (
-        joint.groupBy("flag", "d")
-        .agg(F.sum("n").alias("t"))
-        .groupBy("flag")
-        .agg(F.sum((F.col("t") * (F.col("t") - 1)) / 2).alias("n2"))
-    )
-    return (
-        cd.join(marg, "flag")
-        .join(tq, "flag")
-        .join(td, "flag")
-        .select(
-            "flag",
-            F.col("nn").cast("long").alias("n"),
-            F.round(
-                (F.col("c") - F.col("dd")).cast("double")
-                / F.sqrt(
-                    (F.col("n0") - F.col("n1")).cast("double")
-                    * (F.col("n0") - F.col("n2")).cast("double")
-                ),
-                6,
-            ).alias("tau_b"),
-        )
-        .orderBy("flag")
-    )
+        out_rows.append((flag, n_total, tau))
+    return spark.createDataFrame(
+        out_rows, "flag string, n long, tau_b double"
+    ).orderBy("flag")
 
 
 @register(
