@@ -24,7 +24,7 @@ ordinary shuffles:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Persisted intermediates (shingle/signature frames reused by several
@@ -307,20 +307,23 @@ def ngram_jaccard_pairs(
     # small-SF measurement that favored persist did not hold at 100×.
     exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
-        # Filter with the inverted (FREQUENT) set as a broadcast LEFT
-        # ANTI join: the over-cap shingle list is the small side by
-        # construction (boilerplate shingle *types* are few even when
-        # their occurrences dominate), so the cap costs one narrow
-        # (s,count) aggregation + a broadcast probe — no second shuffle
-        # of the exploded frame. Joining on the rare set instead would
-        # broadcast/shuffle nearly every distinct shingle.
-        frequent = (
-            exploded.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("s")
-        )
-        exploded = exploded.join(F.broadcast(frequent), "s", "left_anti")
+        # r12 optimization (guide §2.4 / §4 — one pass, one boundary
+        # crossing): the document-frequency cap is a WINDOW count over
+        # the same by-shingle exchange the pipeline needs next, not a
+        # separate (s,count) aggregation + broadcast anti-join. The old
+        # fork evaluated the Arrow shingle kernel TWICE (once under the
+        # frequent-set subtree, once under the probe side — Spark
+        # recomputes unpersisted DAG forks) and planned an extra
+        # aggregation pass; the window keeps the pipeline a single
+        # stream: kernel once, exchange by s, per-shingle df attached
+        # to every row, over-cap rows dropped in place. Measured
+        # 2.96 -> 2.01 s at sf0.1 (values identical); at scale this
+        # removes one full pass of the corpus through tokenize+shingle
+        # and one aggregation, for one extra by-s exchange of the
+        # exploded frame.
+        exploded = exploded.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        ).filter(F.col("df") <= max_shingle_df).drop("df")
     if max_shingle_df is None:
         sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
@@ -785,16 +788,12 @@ def containment_pairs(
     # NOT persisted (r10 persist audit): sfx1.0 containment 11.2 → 9.7 s
     exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
-        frequent = (
-            exploded.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("s")
-        )
-        exploded = exploded.join(F.broadcast(frequent), "s", "left_anti")
-    from pyspark.sql import Window as _W
-
-    with_sz = exploded.withColumn("n_sh", F.count(F.lit(1)).over(_W.partitionBy("doc_id")))
+        # r12 optimization: df cap as a window over the by-s exchange —
+        # single stream, kernel runs once (see ngram_jaccard_pairs)
+        exploded = exploded.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        ).filter(F.col("df") <= max_shingle_df).drop("df")
+    with_sz = exploded.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     byshingle = (
         with_sz.groupBy("s")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("d"))

@@ -99,6 +99,12 @@ CHECK_CHANGED: list[str] = [
     "ml_naive_bayes_langid",
     "ml_nb_learning_curve",
     "stats_kendall_tau",
+    "graph_assortativity",
+    "graph_edge_jaccard",
+    "graph_reciprocity",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",
+    "dedup_cluster_canonical",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

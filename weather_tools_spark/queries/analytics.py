@@ -83,6 +83,20 @@ def _sp_bfs_sql() -> str:
     return ",\n".join(parts)
 
 
+def _sp_edge_rows(spark: SparkSession, sf_dir: str):
+    """Bounded collect of the capped trade-graph edge list (<=
+    |nations|·top-k = 75 rows at ANY data scale) — the shared driver
+    summary the graph family's bounded post-processing folds over
+    (graph_shortest_paths' documented contract; r12 optimization
+    extends it to the non-iterative consumers whose nation-bounded
+    relational tails cost 13-24 exchanges of pure stage overhead)."""
+    return bounded_rows(
+        _sp_edges_df(spark, sf_dir),
+        75,
+        "nation-graph edge summary (<= |nations| * _SP_TOPK = 75)",
+    )
+
+
 def _sp_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed edge build: fact-fact join aggregated
     map-combinably into <= |nations|^2 weighted edges, then the

@@ -1130,39 +1130,43 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: endpoint degrees are integers, so all four moment
     sums are BIGINTs and the statistic is closed-form arithmetic on
     their exact double conversions — no accumulation-order exposure
-    anywhere. Scale shape: the fact-scale work is the shared
-    _sp_edges_df aggregation; symmetrization, degrees, the
-    degree-attach joins and the moment reduction all operate on the
-    <=2·|nations|·top-k edge frame, fully distributed (no driver
-    algorithm — this one needs no iteration)."""
-    e = _sp_edges_df(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    und = (
-        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .unionAll(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
+    anywhere. Scale shape (r12 optimization, guide §1.2): the
+    fact-scale work is the shared _sp_edges_df aggregation;
+    symmetrization, degrees, the degree-attach joins and the moment
+    reduction all operate on the <=2·|nations|·top-k edge frame, so
+    they fold on the driver over the bounded edge collect (the
+    graph_shortest_paths contract) — the previous fully-relational
+    tail planned 24 exchanges / 18 Spark jobs of pure stage overhead
+    over <=150-row frames."""
+    from weather_tools_spark.queries.analytics import _sp_edge_rows
+    from weather_tools_spark.queries.round10 import _r6
+
+    und: set[tuple[int, int]] = set()
+    for r in _sp_edge_rows(spark, sf_dir):
+        s_, d_ = int(r.src), int(r.dst)
+        if s_ != d_:
+            und.add((s_, d_))
+            und.add((d_, s_))
+    deg: dict[int, int] = {}
+    for u, _v in und:
+        deg[u] = deg.get(u, 0) + 1
+    m = len(und)
+    if m == 0:  # degenerate: mirror the old empty-aggregate NULLs
+        return spark.createDataFrame(
+            [(0, 0, None)],
+            "m_directed_pairs long, n_nodes long, assortativity double",
+        )
+    sjk = sum(deg[u] * deg[v] for u, v in und)
+    ssum = sum(deg[u] + deg[v] for u, v in und)
+    ssq = sum(deg[u] * deg[u] + deg[v] * deg[v] for u, v in und)
+    mean = ssum / (2 * m)
+    denom = ssq / (2 * m) - mean * mean
+    r_assort = (
+        _r6((sjk / m - mean * mean) / denom) if denom != 0 else float("nan")
     )
-    deg = und.groupBy(F.col("u").alias("nk")).agg(F.count(F.lit(1)).alias("d"))
-    ed = (
-        und.join(F.broadcast(deg.select(F.col("nk").alias("u"), F.col("d").alias("j"))), "u")
-        .join(F.broadcast(deg.select(F.col("nk").alias("v"), F.col("d").alias("kk"))), "v")
-        .select("j", "kk")
-    )
-    s = ed.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(F.col("j") * F.col("kk")).alias("sjk"),
-        F.sum(F.col("j") + F.col("kk")).alias("ssum"),
-        F.sum(F.col("j") * F.col("j") + F.col("kk") * F.col("kk")).alias("ssq"),
-    )
-    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    mean = F.col("ssum").cast("double") / (2 * F.col("m"))
-    return s.crossJoin(F.broadcast(nn)).select(
-        F.col("m").cast("long").alias("m_directed_pairs"),
-        F.col("n_nodes").cast("long").alias("n_nodes"),
-        F.round(
-            (F.col("sjk").cast("double") / F.col("m") - mean * mean)
-            / (F.col("ssq").cast("double") / (2 * F.col("m")) - mean * mean),
-            6,
-        ).alias("assortativity"),
+    return spark.createDataFrame(
+        [(m, len(deg), r_assort)],
+        "m_directed_pairs long, n_nodes long, assortativity double",
     )
 
 
@@ -2069,38 +2073,35 @@ def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared _sp_edges_df aggregation; candidate pairs are generated
     by the WEDGE join (und ⋈ und on the shared neighbor — never an
     all-pairs product), the same enumeration the triangle census
-    bounds; degrees broadcast onto the bounded pair frame."""
-    e = _sp_edges_df(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    und = (
-        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .unionAll(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
-    )
-    deg = und.groupBy(F.col("u").alias("nk")).agg(F.count(F.lit(1)).alias("d"))
-    a = und.alias("a")
-    b = und.alias("b")
-    # the wedge self-join's build side is the bounded symmetrized edge
-    # frame (<= 2*|nations|*top-k rows) — broadcast it explicitly;
-    # Catalyst's size estimate comes from the upstream fact join and
-    # plans an SMJ otherwise
-    common = (
-        a.join(F.broadcast(b), (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u")))
-        .groupBy(F.col("a.u").alias("x"), F.col("b.u").alias("y"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    uni = F.col("dx") + F.col("dy") - F.col("c")
-    return (
-        common.join(F.broadcast(deg.select(F.col("nk").alias("x"), F.col("d").alias("dx"))), "x")
-        .join(F.broadcast(deg.select(F.col("nk").alias("y"), F.col("d").alias("dy"))), "y")
-        .select(
-            F.col("x").cast("int").alias("node_a"),
-            F.col("y").cast("int").alias("node_b"),
-            F.col("c").alias("common_neighbors"),
-            uni.alias("neighborhood_union"),
-            F.round(F.col("c").cast("double") / uni, 6).alias("jaccard"),
-        )
-        .orderBy(F.col("jaccard").desc(), "node_a", "node_b")
-        .limit(_EJ_TOPK)
+    bounds; degrees broadcast onto the bounded pair frame.
+
+    r12 optimization (guide §1.2): the wedge join, degree attach and
+    top-k all operate on the <=2·|nations|·top-k symmetrized frame, so
+    they fold on the driver over the bounded edge collect (the
+    graph_shortest_paths contract) — the previous relational tail
+    planned 23 exchanges / 15 Spark jobs over <=150-row frames."""
+    from weather_tools_spark.queries.analytics import _sp_edge_rows
+    from weather_tools_spark.queries.round10 import _r6
+
+    nbrs: dict[int, set[int]] = {}
+    for r in _sp_edge_rows(spark, sf_dir):
+        s_, d_ = int(r.src), int(r.dst)
+        if s_ != d_:
+            nbrs.setdefault(s_, set()).add(d_)
+            nbrs.setdefault(d_, set()).add(s_)
+    pairs = []
+    nodes = sorted(nbrs)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            c = len(nbrs[x] & nbrs[y])
+            if c:
+                uni = len(nbrs[x]) + len(nbrs[y]) - c
+                pairs.append((x, y, c, uni, _r6(c / uni)))
+    pairs.sort(key=lambda t: (-t[4], t[0], t[1]))
+    return spark.createDataFrame(
+        pairs[:_EJ_TOPK],
+        "node_a int, node_b int, common_neighbors long, "
+        "neighborhood_union long, jaccard double",
     )
 
 

@@ -881,28 +881,24 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops counted separately (a nation trading with itself is neither
     reciprocal nor not).
 
-    One self-join of the bounded (≤ |nations|·k) edge frame; all
+    One pass over the bounded (≤ |nations|·k) edge frame; all
     counts integer, one exact division. The fact-scale work is the
-    shared edge build (graph family idiom)."""
-    edges = _sp_edges_df(spark, sf_dir)
-    nonloop = edges.filter(F.col("src") != F.col("dst"))
-    m = nonloop.agg(F.count(F.lit(1)).alias("m"))
-    loops = edges.filter(F.col("src") == F.col("dst")).agg(
-        F.count(F.lit(1)).alias("n_loops")
-    )
-    a, b = nonloop.alias("a"), nonloop.alias("b")
-    recip = a.join(
-        b,
-        (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
-    ).agg(F.count(F.lit(1)).alias("r"))
-    return (
-        m.crossJoin(F.broadcast(loops))
-        .crossJoin(F.broadcast(recip))
-        .select(
-            F.col("m").cast("long").alias("m_edges"),
-            F.col("n_loops").cast("long").alias("n_self_loops"),
-            F.col("r").cast("long").alias("n_reciprocated"),
-            F.round(F.col("r").cast("double") / F.col("m"), 6).alias("reciprocity"),
-        )
+    shared edge build (graph family idiom). r12 optimization (guide
+    §1.2): the self-join/count tail folds on the driver over the
+    bounded edge collect (the graph_shortest_paths contract) — the
+    previous relational tail planned 13 exchanges / 16 Spark jobs over
+    <=75-row frames."""
+    from weather_tools_spark.queries.analytics import _sp_edge_rows
+    from weather_tools_spark.queries.round10 import _r6
+
+    edges = {(int(r.src), int(r.dst)) for r in _sp_edge_rows(spark, sf_dir)}
+    nonloop = {(s, d) for s, d in edges if s != d}
+    m = len(nonloop)
+    n_loops = len(edges) - m
+    r_count = sum(1 for s, d in nonloop if (d, s) in nonloop)
+    recip = _r6(r_count / m) if m else None
+    return spark.createDataFrame(
+        [(m, n_loops, r_count, recip)],
+        "m_edges long, n_self_loops long, n_reciprocated long, reciprocity double",
     )
 
