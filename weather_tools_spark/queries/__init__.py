@@ -105,6 +105,10 @@ CHECK_CHANGED: list[str] = [
     "dedup_ngram_jaccard_pairs",
     "dedup_containment_pairs",
     "dedup_cluster_canonical",
+    "q21_waiting_orders",
+    "orders_gini_coefficient",
+    "orders_lorenz_deciles",
+    "corpus_pack_sequences",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

@@ -1615,14 +1615,18 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale. Revenue is rounded to cents BEFORE ranking on both
     engines so summation-order ulp drift cannot reorder near-equal
     customers; (x, custkey) is the tie-free total order."""
-    from weather_tools_spark.operators.prefix_sum import running_sum
+    from weather_tools_spark.operators.prefix_sum import cumulative_sums
 
     orders = load_table(spark, "orders", sf_dir)
     rev = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("x")
     )
-    ranked = running_sum(
-        rev.withColumn("one", F.lit(1)), ["x", "o_custkey"], "one", out_col="i"
+    # r12 optimization: rank through the probe-dispatched cumulative
+    # sum (bounded single-task window when the measured customer count
+    # is <=100k, the distributed two-pass prefix sum past it) instead
+    # of unconditionally paying the two-pass machinery.
+    ranked = cumulative_sums(
+        rev.withColumn("one", F.lit(1)), ["x", "o_custkey"], ["one"], ["i"]
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1671,14 +1675,16 @@ def orders_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking (ulp-reorder kill, same as the Gini query)."""
     from pyspark.sql import Window as W
 
-    from weather_tools_spark.operators.prefix_sum import running_sum
+    from weather_tools_spark.operators.prefix_sum import cumulative_sums
 
     orders = load_table(spark, "orders", sf_dir)
     rev = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("x")
     )
-    ranked = running_sum(
-        rev.withColumn("one", F.lit(1)), ["x", "o_custkey"], "one", out_col="i"
+    # r12 optimization: probe-dispatched cumulative sum (see
+    # orders_gini_coefficient).
+    ranked = cumulative_sums(
+        rev.withColumn("one", F.lit(1)), ["x", "o_custkey"], ["one"], ["i"]
     )
     n = ranked.agg(F.count(F.lit(1)).alias("n"))
     agg = (

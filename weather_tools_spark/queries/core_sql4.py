@@ -464,24 +464,27 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, "supplier", sf_dir)
     # per-(order, supplier): does THIS supplier have any R line on the
-    # order — one shuffle over lineitem; the per-order stats then derive
-    # from this much smaller frame (distinct counts become plain
-    # count/sum), saving a second full fact aggregation
+    # order, and how many lines it has — ONE shuffle over lineitem; the
+    # per-order stats then derive from this much smaller frame
+    # (distinct counts become plain count/sum).
+    #
+    # r12 optimization (guide §2.3 — aggregate before you shuffle): the
+    # EXISTS/NOT-EXISTS predicates depend only on (order, supplier), and
+    # numwait counts qualifying LINES — so carrying n_lines through the
+    # per-(order, supplier) aggregate and summing it replaces the old
+    # third pass that re-joined raw lineitem against per_os/per_order
+    # (the big join stream shrinks from line-scale to
+    # (order×supplier)-scale, and lineitem is scanned once instead of
+    # twice).
     per_os = li.groupBy(
         F.col("l_orderkey").alias("os_key"), F.col("l_suppkey").alias("os_supp")
-    ).agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"))
+    ).agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
     per_order = per_os.groupBy(F.col("os_key").alias("po_key")).agg(
         F.count(F.lit(1)).alias("n_supps"),
         F.sum("has_r").alias("n_r_supps"),
-    )
-    l1 = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(per_order, F.col("po_key") == F.col("l_orderkey"))
-        .join(
-            per_os,
-            (F.col("os_key") == F.col("l_orderkey")) & (F.col("os_supp") == F.col("l_suppkey")),
-        )
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
     )
     # EXISTS another supplier on the order ⇔ n_supps ≥ 2
     exists_other = F.col("n_supps") >= 2
@@ -492,9 +495,12 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_r_supps") == 1) & (F.col("has_r") == 1)
     )
     return (
-        l1.filter(exists_other & not_exists_other_r)
+        per_os.join(per_order, F.col("po_key") == F.col("os_key"))
+        .filter(exists_other & not_exists_other_r)
+        .join(orders, F.col("os_key") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("os_supp"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )

@@ -899,12 +899,16 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Window, which would funnel the whole corpus through one task at
     100 TB. The oracle recomputes identical spans with a SQL window;
     every output is exact integer arithmetic."""
-    from weather_tools_spark.operators.prefix_sum import running_sum
+    from weather_tools_spark.operators.prefix_sum import cumulative_sums
 
     ctx = 256
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n"))
-    pos = running_sum(toks, ["doc_id"], "n", out_col="cum")
+    # r12 optimization: probe-dispatched cumulative sum — bounded
+    # single-task window when the measured doc count is <=100k, the
+    # distributed two-pass prefix sum past it (same dispatch as the
+    # stats family; the 100 TB path is unchanged).
+    pos = cumulative_sums(toks, ["doc_id"], ["n"], ["cum"])
     spans = pos.select(
         "doc_id",
         "n",
