@@ -77,11 +77,19 @@ def test_embedding_lsh_pairs_bounded_plan(spark, sf_dir):
     assert n_exch <= 3, f"{n_exch} exchanges: bucket shuffle + dedup + sort expected"
 
 
-def test_jaccard_df_cap_broadcasts_frequent_set(spark, sf_dir):
-    """The shingle df-cap must apply as a broadcast LEFT ANTI probe of
-    the (small) frequent set — not a shuffle join against the rare set."""
+def test_jaccard_df_cap_is_single_stream(spark, sf_dir):
+    """r12: the shingle df-cap is a window count over the by-shingle
+    exchange — a single-stream pipeline. The Arrow shingle kernel must
+    appear exactly ONCE in the plan (the old frequent-set anti-join
+    fork evaluated it twice), there must be no anti-join, and the cap
+    must not plan a per-shingle join of any kind."""
+    import re
+
     plan = _formatted_plan(spark, "dedup_ngram_jaccard_pairs", sf_dir)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    assert "LeftAnti" not in plan, plan[:2000]
+    kernels = re.findall(r"^\(\d+\) MapInPandas", plan, re.M)
+    assert len(kernels) == 1, plan[:2000]
+    assert re.search(r"^\(\d+\) Window", plan, re.M), plan[:2000]
 
 
 def test_gapfill_spine_stays_narrow(spark, sf_dir):
@@ -189,12 +197,17 @@ def test_stream_source_schema_matches_storage(spark, sf_dir):
     assert re.search(r"GreaterThanOrEqual\(ts,", pushed), pushed
 
 
-def test_pack_sequences_avoids_global_window(spark, sf_dir):
-    """corpus_pack_sequences must compute the global running offset via
-    the two-pass prefix sum — a plan with a Window over an empty
-    partition spec would funnel the corpus through ONE task."""
+def test_pack_sequences_rank_is_probe_dispatched(spark, sf_dir):
+    """r12: corpus_pack_sequences' global running offset goes through
+    the probe-dispatched cumulative_sums — a bounded single-task
+    Window only when the measured doc count clears the 100k contract
+    (true at every test SF), the distributed two-pass prefix sum past
+    it. The dispatch itself is pinned by tests/test_prefix_sum.py's
+    high-cardinality negative test; here we pin that the probe path is
+    in use (a Window at test scale, never a MapInPandas cumsum)."""
     plan = _formatted_plan(spark, "corpus_pack_sequences", sf_dir)
-    assert not re.search(r"^\(\d+\) Window", plan, re.M), plan
+    assert re.search(r"^\(\d+\) Window", plan, re.M), plan
+    assert "MapInPandas" not in plan, plan
 
 
 def test_pii_scrub_and_chunking_are_map_only(spark, sf_dir):

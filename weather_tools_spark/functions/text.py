@@ -102,16 +102,46 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """argmax language by marker hits; 'und' (undetermined) when no
-    markers hit. Deterministic tie-break by language code order."""
-    scores = lang_scores(text)
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores):  # later entries win only on strict >
-        s = scores[lang]
-        take = s > best_score
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best
+    markers hit. Deterministic tie-break by language code order.
+
+    r12 optimization (guide §7.2 — plan size): the argmax runs in the
+    marker-fold's FINISHER, so the (large) fold expression appears in
+    the tree exactly once. The old nested-when chain referenced the
+    fold ~2·|langs| times, multiplying the analyzed expression tree —
+    pure plan-construction overhead for every langid consumer.
+    Identical values: array_max over (score, -index) structs is max
+    score with alphabetically-first tie-break (langs sorted ascending),
+    and 'und' still wins unless some score is strictly positive."""
+    toks = word_tokens(text)
+    langs = sorted(LANG_MARKERS)
+    init = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+
+    def merge(acc, t):
+        return F.struct(
+            *[
+                (
+                    acc[lang]
+                    + F.when(t.isin(*LANG_MARKERS[lang]), 1).otherwise(0)
+                ).alias(lang)
+                for lang in langs
+            ]
+        )
+
+    names = F.array(*[F.lit(lang) for lang in langs])
+
+    def finish(acc):
+        cand = F.array(
+            *[
+                F.struct(acc[lang].alias("s"), F.lit(-i).alias("nidx"))
+                for i, lang in enumerate(langs)
+            ]
+        )
+        best = F.array_max(cand)
+        return F.when(
+            best["s"] > 0, F.element_at(names, -best["nidx"] + 1)
+        ).otherwise(F.lit("und"))
+
+    return F.aggregate(toks, init, merge, finish)
 
 
 def fingerprint(text: Column) -> Column:

@@ -109,6 +109,11 @@ CHECK_CHANGED: list[str] = [
     "orders_gini_coefficient",
     "orders_lorenz_deciles",
     "corpus_pack_sequences",
+    "text_langid_distribution",
+    "text_langid_accuracy",
+    "text_langid_cohens_kappa",
+    "ml_langid_mcc",
+    "ml_macro_f1_multiclass",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's
