@@ -113,40 +113,60 @@ def bpe_fit(
     ``persisted_base`` must be unpersisted by the caller once derived
     results are materialized."""
     vocab = build_vocab(docs, text_col).persist()
+    # r12 optimization (guide §1.2 — one driver action per iteration):
+    # the argmax pair and the TOTAL adjacent-pair count ride one
+    # single-row aggregate (min over (-cnt, lhs, rhs) structs is exactly
+    # the old count DESC, lhs ASC, rhs ASC ordering; no sort+limit
+    # stage). The total gives the PREVIOUS step's symbols_after for
+    # free: symbols(k-1) = Sigma_w size_w*f_w = Sigma adjacent-pair
+    # counts at step k + Sigma f_w (each word contributes size-1 pairs),
+    # so only the final step pays a dedicated symbol-count job. 2 jobs
+    # per merge step -> 1 (+1 at the end), and the top-1 sort exchange
+    # disappears.
+    f_total = vocab.agg(F.sum("freq")).collect()[0][0] or 0
     merges: list[BpeMerge] = []
+    pend: dict | None = None
     cur = vocab
     for step in range(1, n_merges + 1):
-        pairs = (
+        agg = (
             cur.where(F.expr("size(syms) >= 2"))
             .select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
             .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
             .agg(F.sum("freq").alias("cnt"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("lhs"),
+                        F.col("rhs"),
+                    )
+                ).alias("best"),
+                F.sum("cnt").alias("total"),
+            )
+            .collect()[0]  # bounded: exactly one row per merge step
         )
-        best_rows = (
-            pairs.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
-            .collect()  # bounded: exactly one row per merge step
-        )
-        if not best_rows:
+        if pend is not None:
+            merges.append(
+                BpeMerge(symbols_after=int((agg["total"] or 0) + f_total), **pend)
+            )
+            pend = None
+        if agg["best"] is None:
             break
-        best = best_rows[0]
-        merged = best["lhs"] + best["rhs"]
-        cur = cur.withColumn(
-            "syms", F.expr(_merge_fold_expr(best["lhs"], best["rhs"], merged))
-        )
+        lhs, rhs = agg["best"]["lhs"], agg["best"]["rhs"]
+        merged = lhs + rhs
+        cur = cur.withColumn("syms", F.expr(_merge_fold_expr(lhs, rhs, merged)))
+        pend = {
+            "step": step,
+            "lhs": lhs,
+            "rhs": rhs,
+            "merged": merged,
+            "pair_freq": int(-agg["best"]["nc"]),
+        }
+    if pend is not None:
         symbols_after = cur.agg(
             F.sum(F.size("syms") * F.col("freq")).alias("s")
-        ).collect()[0]["s"]  # bounded: one scalar per merge step
-        merges.append(
-            BpeMerge(
-                step=step,
-                lhs=best["lhs"],
-                rhs=best["rhs"],
-                merged=merged,
-                pair_freq=int(best["cnt"]),
-                symbols_after=int(symbols_after),
-            )
-        )
+        ).collect()[0]["s"]  # bounded: one scalar, final step only
+        merges.append(BpeMerge(symbols_after=int(symbols_after), **pend))
     return merges, cur, vocab
 
 

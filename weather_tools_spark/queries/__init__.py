@@ -114,6 +114,8 @@ CHECK_CHANGED: list[str] = [
     "text_langid_cohens_kappa",
     "ml_langid_mcc",
     "ml_macro_f1_multiclass",
+    "corpus_bpe_train",
+    "corpus_bpe_tokenize",
 ]
 
 # Verification-only queries: each recomputes an approximate operator's

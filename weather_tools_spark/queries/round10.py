@@ -163,16 +163,19 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens on bounded driver tables (bounded_rows, like the BPE merge
     fold). No shuffle ever exceeds the 16-row candidate key space."""
     from weather_tools_spark.operators.bounded import bounded_rows
+    from weather_tools_spark.operators.dedup import _persist
 
     docs = load_table(spark, "documents", sf_dir)
-    # NOT persisted (r12, same evidence class as the r10 persist
-    # audit): ft is doc-scale — recomputing the tokenize projection for
-    # the round-2 aggregate is cheaper locally (A/B 2.39 vs 2.35 s) and
-    # avoids caching a corpus-scale frame at 100 TB.
-    ft = docs.select(
-        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
-        F.size(F.split("text", r"\s+")).alias("f_tok"),
-        F.col("n_chars").alias("f_chr"),
+    # persisted: the 3-int-per-doc feature projection (NOT the text) is
+    # read by both boosting rounds — interleaved A/B: persist 1.54 s vs
+    # recompute 2.07 s median at sf0.1 (re-tokenizing for round 2 costs
+    # more than caching 12 bytes/doc).
+    ft = _persist(
+        docs.select(
+            F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+            F.size(F.split("text", r"\s+")).alias("f_tok"),
+            F.col("n_chars").alias("f_chr"),
+        )
     )
 
     def h_col(f: str, t: int, p: int) -> F.Column:
