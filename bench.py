@@ -527,6 +527,28 @@ def main() -> None:
             f.write("\n")
     except OSError as e:  # read-only checkout: detail still on stderr
         print(f"WARNING: could not write BENCH_detail.json: {e}", file=sys.stderr)
+    # r13 (VERDICT r12 item 9): the driver tails the last 2000 chars of
+    # output and parses the FINAL line (BENCH_r01..r12 all have
+    # tail_len == 2000 exactly; r01/r03 fit the full queries dict at
+    # 39/63 queries, r02/r04 overflowed it and parsed as null). At 193
+    # queries the dict is ~6 KB — it physically cannot ride the parsed
+    # line — so the per-query detail stays in BENCH_detail.json +
+    # stderr, and the parsed line gains ADDITIONS-ONLY aggregates the
+    # round-over-round comparator can use without the dict: the
+    # per-query geometric mean and the host calibration factors.
+    import math as _math
+
+    geomean = (
+        round(
+            _math.exp(
+                sum(_math.log(max(v, 0.005)) for v in timings.values())
+                / len(timings)
+            ),
+            4,
+        )
+        if timings
+        else None
+    )
     line = json.dumps(
         {
             "metric": "headline_total_sec",
@@ -534,6 +556,10 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "n_queries": len(timings),
+            "geomean_sec": geomean,
+            "host_calib": round(calib, 3),
+            "host_calib_unclamped": round(calib_unclamped, 3),
+            "detail_file": "BENCH_detail.json",
         },
         separators=(",", ":"),
     )

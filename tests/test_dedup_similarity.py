@@ -185,6 +185,31 @@ def test_shingle_df_cap_preserves_true_dups(spark):
     D.release_persisted()
 
 
+def test_shingle_df_cap_paths_identical(spark, monkeypatch):
+    # r13: the probe-dispatched df cap (windowed single-stream plan
+    # under the doc bound, map-side broadcast anti-join past it) must be
+    # value-identical on both branches for BOTH capped operators —
+    # including cap-boundary shingles (df == cap kept, df == cap+1
+    # dropped) and the planted near-dup pair.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base), (1, base + " extra")]
+    rows += [(i, f"common common common filler{i}x filler{i}y filler{i}z") for i in range(2, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def both(fn, **kw):
+        out = []
+        for bound in (100_000, 0):  # window path, then forced scale path
+            monkeypatch.setattr(D, "DF_CAP_WINDOW_MAX_DOCS", bound)
+            out.append(sorted(map(tuple, fn(docs, "doc_id", "text", **kw).collect())))
+            D.release_persisted()
+        return out
+
+    w, s = both(D.ngram_jaccard_pairs, n=3, threshold=0.3, max_shingle_df=10)
+    assert w == s and any(r[0] == 0 and r[1] == 1 for r in w)
+    w, s = both(D.containment_pairs, n=3, threshold=0.5, max_shingle_df=10)
+    assert w == s and len(w) > 0
+
+
 def test_embedding_lsh_pairs_recall_and_exactness(spark, sf_dir):
     # the bucketed kernel must (a) recover >=0.9 of the exact pairs and
     # (b) report the identical cosine for every pair it does find

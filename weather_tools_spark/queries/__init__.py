@@ -117,6 +117,11 @@ CHECK_CHANGED: list[str] = [
     "corpus_bpe_train",
     "corpus_bpe_tokenize",
 ]
+# A name can be re-listed under several change rationales above (e.g. a
+# graph query whose oracle CTE changed AND whose execution path was
+# rewritten); dedupe at definition so re-verification tooling never
+# double-counts or trips on non-unique names (ADVICE r12).
+CHECK_CHANGED = list(dict.fromkeys(CHECK_CHANGED))
 
 # Verification-only queries: each recomputes an approximate operator's
 # result AND its exact ground truth (md5-keyed signature replay, banded

@@ -1161,8 +1161,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssq = sum(deg[u] * deg[u] + deg[v] * deg[v] for u, v in und)
     mean = ssum / (2 * m)
     denom = ssq / (2 * m) - mean * mean
+    # denom == 0 (degree-regular graph) mirrors Spark's non-ANSI
+    # divide-by-zero NULL, not NaN (ADVICE r12: a NaN here would fail
+    # the oracle hash-match on degenerate inputs)
     r_assort = (
-        _r6((sjk / m - mean * mean) / denom) if denom != 0 else float("nan")
+        _r6((sjk / m - mean * mean) / denom) if denom != 0 else None
     )
     return spark.createDataFrame(
         [(m, len(deg), r_assort)],

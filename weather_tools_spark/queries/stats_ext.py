@@ -1541,8 +1541,10 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         denom_sq = (n0 - n1) * (n0 - n2)
         import math
 
+        # denom_sq == 0 (all-tied lattice) mirrors Spark's non-ANSI
+        # divide-by-zero NULL, not NaN (ADVICE r12)
         tau = (
-            _r6((c - d_) / math.sqrt(denom_sq)) if denom_sq > 0 else float("nan")
+            _r6((c - d_) / math.sqrt(denom_sq)) if denom_sq > 0 else None
         )
         out_rows.append((flag, n_total, tau))
     return spark.createDataFrame(
