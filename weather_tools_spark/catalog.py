@@ -32,6 +32,20 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Parquet schema memo, keyed by resolved table path (r13, guide §1.2 /
+# §7.3 "very large plans / planning time"): `spark.read.parquet(path)`
+# infers the schema by opening file footers on EVERY call — measured
+# ~90 ms per call at sf0.1, paid 1-4x per query build, ~40-80 s across
+# one 193-query bench run. The memo holds CATALOG METADATA only (a
+# StructType — the same thing a Hive metastore serves), never rows or
+# results: every query still computes from the parquet inputs. Keyed on
+# the absolute path so different SF dirs coexist; StructType is
+# session-independent, so session restarts within a process reuse it.
+# The driver's own test tables are immutable per round; a caller that
+# rewrites a table in place mid-process (nothing in the repo does)
+# would need to clear this dict.
+_SCHEMA_MEMO: dict[str, "object"] = {}
+
 
 def _ensure_nanos_as_long(spark: SparkSession) -> None:
     # The events table stores TIMESTAMP(NANOS), which Spark's parquet
@@ -57,7 +71,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     _ensure_nanos_as_long(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = os.path.abspath(path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+    else:
+        # schema known: skip footer-based inference (~90 ms/call); the
+        # scan itself is unchanged — same columns, same physical types
+        df = spark.read.schema(schema).parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if name == "events" and ts_type == "bigint":
         # TIMESTAMP(NANOS) storage surfaced as long via nanosAsLong.
