@@ -88,7 +88,7 @@ def test_jaccard_df_cap_is_single_stream(spark, sf_dir):
 
     plan = _formatted_plan(spark, "dedup_ngram_jaccard_pairs", sf_dir)
     assert "LeftAnti" not in plan, plan[:2000]
-    kernels = re.findall(r"^\(\d+\) MapInPandas", plan, re.M)
+    kernels = re.findall(r"^\(\d+\) MapIn(Pandas|Arrow)", plan, re.M)
     assert len(kernels) == 1, plan[:2000]
     assert re.search(r"^\(\d+\) Window", plan, re.M), plan[:2000]
 

