@@ -116,6 +116,20 @@ CHECK_CHANGED: list[str] = [
     "ml_macro_f1_multiclass",
     "corpus_bpe_train",
     "corpus_bpe_tokenize",
+    # r13 OPTIMIZATION round (OPTIMIZATION_r13.md): probe-dispatched
+    # skew-safe shingle df-cap, pyarrow-native shingle kernel
+    # (mapInArrow), one-pass NB learning-curve training tables — values
+    # proven identical (kernel parity test + driver-exact strict sweep):
+    "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",
+    "dedup_jaccard_prefix_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_winnowing_pairs",
+    "dedup_cluster_canonical",
+    "corpus_decontamination",
+    "ml_nb_learning_curve",
+    "stats_kendall_tau",
+    "graph_assortativity",
 ]
 # A name can be re-listed under several change rationales above (e.g. a
 # graph query whose oracle CTE changed AND whose execution path was
