@@ -340,6 +340,37 @@ DF_CAP_WINDOW_MAX_DOCS = int(
 )
 
 
+def _docs_at_most(docs: DataFrame, bound: int) -> bool:
+    """Is ``docs`` at most ``bound`` rows? Decided WITHOUT a Spark job
+    when the frame is file-backed: parquet footers carry exact row
+    counts, read driver-side in ~ms (r13 — the limit-count probe was a
+    full job per query build, ~0.1-0.15 s at sf0.1). Filters above the
+    scan make the footer total an upper bound only; that errs toward
+    ``False``, and both dispatch targets are value-identical, so the
+    overestimate is safe. Non-file frames fall back to the pushed-down
+    ``limit(bound+1).count()`` probe."""
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        try:
+            from urllib.parse import unquote, urlparse
+
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                p = unquote(urlparse(f).path) if "://" in f or f.startswith("file:") else f
+                total += pq.read_metadata(p).num_rows
+                if total > bound:
+                    return False
+            return True
+        except Exception:
+            pass
+    return docs.limit(bound + 1).count() <= bound
+
+
 def _drop_frequent_shingles(docs: DataFrame, exploded: DataFrame, cap: int) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``cap`` — the
     standard guard against quadratic pair blowup on boilerplate — with a
@@ -360,11 +391,15 @@ def _drop_frequent_shingles(docs: DataFrame, exploded: DataFrame, cap: int) -> D
       which the r10 persist audit measured as cheaper than
       materializing the shingle-scale frame.
 
-    The probe is ``limit(bound+1).count()`` on the raw ``docs`` frame —
-    pushed into the scan, pre-kernel, data-volume-independent.
+    The probe (``_docs_at_most``) reads the parquet footer row counts
+    driver-side when the frame is file-backed — zero Spark jobs, the
+    count a metastore would serve — and falls back to a pushed-down
+    ``limit(bound+1).count()`` for non-file-backed frames. Footer counts
+    ignore any filter above the scan, i.e. they can only OVERestimate:
+    a too-big answer flips to the scale plan, which is value-identical,
+    so the shortcut is always safe.
     """
-    n_docs = docs.limit(DF_CAP_WINDOW_MAX_DOCS + 1).count()
-    if n_docs <= DF_CAP_WINDOW_MAX_DOCS:
+    if _docs_at_most(docs, DF_CAP_WINDOW_MAX_DOCS):
         return (
             exploded.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
             .filter(F.col("df") <= cap)
